@@ -1,0 +1,144 @@
+"""Dense-vector distance kernels.
+
+Reference semantics: src/common/comp/brute_force.cc:165-241 —
+  L2     = squared euclidean (faiss ``knn_L2sqr``), smaller = closer
+  IP     = inner product, larger = closer
+  COSINE = IP over normalized vectors, larger = closer (norms precomputed
+           for the base side, brute_force.cc:66-101)
+
+Two implementations of the same semantics:
+
+1. **SQL expressions** (this module's ``*_expr``): native higher-order
+   functions (``zip_with`` + ``aggregate``) — stay inside whole-stage
+   codegen, fully deterministic, used for oracle-checked exact queries.
+   All arithmetic is float64 (arrays cast to ``array<double>``) so results
+   are engine-comparable.
+
+2. **GEMM kernels** (:func:`pairwise_distances`): numpy batch matrix
+   products for the ``mapInPandas`` fast path — the Spark analog of the
+   reference's BLAS batching (always-GEMM, knowhere_config.h:54-63).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import MetricType
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def ip_expr(a: Column, b: Column) -> Column:
+    """Inner product via native higher-order fns (brute_force.cc:180-211)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_sqr_expr(a: Column, b: Column) -> Column:
+    """Squared euclidean distance (brute_force.cc:166-179)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    """Euclidean norm — ``GetVecNorms`` analog (brute_force.cc:66-101)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def normalize_expr(a: Column) -> Column:
+    """Unit-normalize a vector — ``NormalizeVec`` (include/knowhere/utils.h:39-53)."""
+    n = norm_expr(a)
+    return F.transform(_as_double(a), lambda x: x / n)
+
+
+def cosine_expr(a: Column, b: Column, a_norm: Column | None = None, b_norm: Column | None = None) -> Column:
+    """Cosine similarity; accepts precomputed norms (norm-caching analog,
+    brute_force.cc:66-101,152)."""
+    na = a_norm if a_norm is not None else norm_expr(a)
+    nb = b_norm if b_norm is not None else norm_expr(b)
+    return ip_expr(a, b) / (na * nb)
+
+
+def distance_expr(metric: MetricType, a: Column, b: Column) -> Column:
+    """Dispatch like ``BruteForce::Search``'s metric switch (brute_force.cc:165-241)."""
+    metric = MetricType(metric)
+    if metric == MetricType.L2:
+        return l2_sqr_expr(a, b)
+    if metric == MetricType.IP:
+        return ip_expr(a, b)
+    if metric == MetricType.COSINE:
+        return cosine_expr(a, b)
+    raise ValueError(f"dense distance_expr does not support metric {metric}")
+
+
+# ---------------------------------------------------------------------------
+# numpy GEMM kernels (mapInPandas fast path)
+# ---------------------------------------------------------------------------
+
+def pairwise_distances(base: np.ndarray, queries: np.ndarray, metric: MetricType) -> np.ndarray:
+    """Return ``(n_base, n_queries)`` float64 distance/score matrix.
+
+    L2 uses the expansion ``|x|^2 + |q|^2 - 2 x·q`` (one GEMM); COSINE
+    normalizes both sides first — same normalize-then-IP contract as the
+    reference (ivf.cc:462-470).
+    """
+    metric = MetricType(metric)
+    X = np.asarray(base, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    if metric == MetricType.IP:
+        return X @ Q.T
+    if metric == MetricType.COSINE:
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        xn[xn == 0] = 1.0
+        qn[qn == 0] = 1.0
+        return (X / xn) @ (Q / qn).T
+    if metric == MetricType.L2:
+        d = (
+            np.sum(X * X, axis=1)[:, None]
+            + np.sum(Q * Q, axis=1)[None, :]
+            - 2.0 * (X @ Q.T)
+        )
+        np.maximum(d, 0.0, out=d)
+        return d
+    raise ValueError(f"GEMM kernel does not support metric {metric}")
+
+
+def local_topk(
+    dist: np.ndarray, ids: np.ndarray, k: int, largest: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query partial top-k over a ``(n_base, n_queries)`` matrix.
+
+    Returns flat ``(query_idx, neighbor_id, distance)`` arrays of size
+    ``<= n_queries * k``.  Partial-then-final top-k is how the reference's
+    per-query heap (brute_force.cc:149-151) inverts into Spark's
+    per-partition data parallelism (SURVEY.md §3.2).
+    """
+    n_base, n_q = dist.shape
+    kk = min(k, n_base)
+    key = -dist if largest else dist
+    # argpartition: O(n) selection per query, then exact sort of the k block
+    part = np.argpartition(key, kk - 1, axis=0)[:kk, :]              # (kk, n_q)
+    part_key = np.take_along_axis(key, part, axis=0)
+    order = np.argsort(part_key, axis=0, kind="stable")
+    sel = np.take_along_axis(part, order, axis=0)                     # (kk, n_q)
+    qidx = np.repeat(np.arange(n_q)[None, :], kk, axis=0).ravel()
+    nid = ids[sel.ravel()]
+    dd = dist[sel.ravel(), np.tile(np.arange(n_q), (kk, 1)).ravel()]
+    return qidx, nid, dd

@@ -1,0 +1,266 @@
+"""Index-less exact search — the reference's ``BruteForce`` statics
+(include/knowhere/comp/brute_force.h:26-55,
+src/common/comp/brute_force.cc:104-265) and the FLAT index
+(src/index/flat/flat.cc), which shares the same kernel.
+
+Also the engine's ground-truth oracle, exactly as in the reference's test
+strategy (tests/ut/test_search.cc:144-151).
+
+Result shape (SURVEY.md §1.1): long-form ``(query_id, neighbor_id,
+distance, rank)``.  The reference's ``nq × k`` matrix with ``-1`` padding
+(dataset.h:353-368) is expressed by absent rows instead.
+
+Two physical strategies for the same logical plan:
+
+- ``sql``: ``crossJoin(broadcast(queries))`` → native higher-order-fn
+  distance → window top-k.  Whole-stage-codegen'd, fully deterministic
+  float64 — used for oracle-checked queries and small nq·nb.
+- ``gemm``: ``mapInPandas`` over base partitions with a broadcast numpy
+  query matrix; each partition emits its local top-k (partial reduce),
+  then one final window over ``num_partitions · nq · k`` rows.  This is
+  the 100TB-scale path: no nq×nb shuffle ever materializes, base scan
+  parallelism is Spark's native axis (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import BaseConfig, MetricType
+from knowhere_spark.functions.binary import binary_distance_expr, structure_match_expr
+from knowhere_spark.functions.distance import (
+    distance_expr,
+    local_topk,
+    pairwise_distances,
+)
+from knowhere_spark.operators.topk import topk_per_key
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("distance", DoubleType()),
+    ]
+)
+
+# auto strategy: switch to GEMM when the base side is non-trivial
+_AUTO_SQL_MAX_BASE_ROWS = 20_000
+
+
+def _prep(
+    base_df: DataFrame,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    filter_expr: Column | str | None,
+):
+    """Normalize column names → (id, vec) / (query_id, qvec); apply the
+    pre-filter (BitsetView analog, include/knowhere/bitsetview.h) on the
+    base side so Catalyst pushes it into the scan."""
+    base = base_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if filter_expr is not None:
+        base = base_df.filter(filter_expr).select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+    queries = query_df.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    return base, queries
+
+
+class BruteForce:
+    """Static exact-search verbs (brute_force.h:26-55)."""
+
+    @staticmethod
+    def search(
+        base_df: DataFrame,
+        query_df: DataFrame,
+        k: int,
+        metric: MetricType | str = MetricType.L2,
+        *,
+        filter_expr: Column | str | None = None,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Exact top-k — ``BruteForce::Search`` (brute_force.cc:104-265).
+
+        Returns ``(query_id, neighbor_id, distance, rank)``; rank is
+        1-based, ties broken by (distance, neighbor_id).
+        """
+        metric = MetricType(metric)
+        base, queries = _prep(
+            base_df, query_df, id_col, vec_col, query_id_col, query_vec_col, filter_expr
+        )
+        if strategy == "auto":
+            strategy = "gemm"
+        if metric.is_binary:
+            strategy = "sql"   # binary UDF kernels ride the join path
+
+        if strategy == "sql":
+            pairs = base.crossJoin(F.broadcast(queries))
+            if metric.is_binary:
+                dist = binary_distance_expr(metric, F.col("vec"), F.col("qvec"))
+            else:
+                dist = distance_expr(metric, F.col("vec"), F.col("qvec"))
+            scored = pairs.select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                dist.alias("distance"),
+            )
+        elif strategy == "gemm":
+            scored = _gemm_partial_topk(base, queries, k, metric)
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+
+        return topk_per_key(
+            scored,
+            "query_id",
+            "distance",
+            k,
+            ascending=not metric.is_similarity,
+            tie_breaker="neighbor_id",
+        )
+
+    @staticmethod
+    def range_search(
+        base_df: DataFrame,
+        query_df: DataFrame,
+        config: BaseConfig,
+        *,
+        filter_expr: Column | str | None = None,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """``BruteForce::RangeSearch`` (brute_force.cc + range_util.cc:8-66).
+
+        Half-open range semantics per metric direction
+        (include/knowhere/range_util.h:22-25):
+        L2-like ``range_filter <= d < radius``; similarity metrics
+        ``radius < d <= range_filter``.  The CSR ``lims`` encoding is the
+        long-form grouping itself (SURVEY.md §1.1).  ``range_search_k > 0``
+        truncates per query by rank (config.h:665-669).
+        """
+        metric = MetricType(config.metric_type)
+        base, queries = _prep(
+            base_df, query_df, id_col, vec_col, query_id_col, query_vec_col, filter_expr
+        )
+        pairs = base.crossJoin(F.broadcast(queries))
+        if metric.is_binary:
+            dist = binary_distance_expr(metric, F.col("vec"), F.col("qvec"))
+        else:
+            dist = distance_expr(metric, F.col("vec"), F.col("qvec"))
+        scored = pairs.select(
+            "query_id", F.col("id").alias("neighbor_id"), dist.alias("distance")
+        )
+        lo, hi, sim = config.range_bounds()
+        if sim:
+            # radius < d <= range_filter
+            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+        else:
+            # range_filter <= d < radius
+            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+        out = scored.filter(cond)
+        if config.range_search_k and config.range_search_k > 0:
+            out = topk_per_key(
+                out,
+                "query_id",
+                "distance",
+                config.range_search_k,
+                ascending=not sim,
+                tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
+    @staticmethod
+    def structure_search(
+        base_df: DataFrame,
+        query_df: DataFrame,
+        metric: MetricType | str,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """SUBSTRUCTURE/SUPERSTRUCTURE containment match — returns matching
+        pairs only, no heap (``binary_knn_mc``, brute_force.cc:229-236)."""
+        metric = MetricType(metric)
+        base, queries = _prep(
+            base_df, query_df, id_col, vec_col, query_id_col, query_vec_col, None
+        )
+        pairs = base.crossJoin(F.broadcast(queries))
+        match = structure_match_expr(metric, F.col("vec"), F.col("qvec"))
+        return pairs.filter(match).select(
+            "query_id", F.col("id").alias("neighbor_id")
+        )
+
+    @staticmethod
+    def get_vector_by_ids(
+        base_df: DataFrame,
+        ids_df: DataFrame,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        """``GetVectorByIds`` (index_node.h:340-350) — a broadcast semi-join."""
+        ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
+        return base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        ).join(F.broadcast(ids), "id")
+
+
+def _gemm_partial_topk(
+    base: DataFrame, queries: DataFrame, k: int, metric: MetricType
+) -> DataFrame:
+    """Partial per-partition top-k with a broadcast numpy query matrix.
+
+    Emits ``<= num_partitions * nq * k`` rows; the caller applies the final
+    exact top-k.  Arithmetic is float64 GEMM (matches the SQL path to
+    ~1e-12, exact after the documented rounding at the API entry layer).
+    """
+    spark = base.sparkSession
+    qrows = queries.collect()   # nq is small by contract (reference nq=10..10k)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    largest = metric.is_similarity
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            dist = pairwise_distances(X, b_qmat, metric)
+            qidx, nid, dd = local_topk(dist, ids, k, largest)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qidx],
+                    "neighbor_id": nid,
+                    "distance": dd,
+                }
+            )
+
+    return base.mapInPandas(kernel, RESULT_SCHEMA)
