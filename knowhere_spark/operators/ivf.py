@@ -1,0 +1,297 @@
+"""IVF index family — the reference's workhorse ANN structure
+(src/index/ivf/ivf.cc: IVF_FLAT train at 492-512, search at 715-800;
+configs src/index/ivf/ivf_config.h).
+
+Spark-first design (SURVEY.md §2.3):
+
+- **Train** = MLlib KMeans fit (the reference's faiss kmeans with Elkan,
+  ivf.cc:492-512, substituted by MLlib's implementation) over the base
+  vectors — executors do the heavy lifting, the driver holds only the
+  ``nlist × dim`` centroid matrix.
+- **Add** = assign every row to its nearest centroid and persist the
+  assignment table **partitioned by cell_id**.  On disk this is Hive-style
+  Parquet partitioning, so a probe of ``nprobe`` cells prunes to
+  ``nprobe/nlist`` of the bytes — the scan-what-you-probe behavior that
+  makes IVF the DiskANN analog at 100 TB (index ≫ RAM, SURVEY.md §2.3).
+- **Search** = pick top-``nprobe`` cells per query (a driver-side numpy
+  computation over the tiny centroid matrix), broadcast the
+  ``(query, cell)`` probe list, join on ``cell_id`` (broadcast hash join,
+  no shuffle of the base side), exact distance within probed cells,
+  partial-then-final top-k.
+- **ensure_topk_full** (ivf.cc:753-762): queries that got fewer than k
+  results re-probe all cells (driver loop, one extra job).
+
+COSINE follows the reference's normalize-at-train contract
+(ivf.cc:462-470): vectors and centroids are stored normalized and the
+search metric becomes IP on normalized queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import IndexType, IvfConfig, MetricType
+from knowhere_spark.functions.distance import (
+    distance_expr,
+    normalize_expr,
+    pairwise_distances,
+)
+from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.sources.index_store import IndexStore
+
+
+class IVFFlatIndex:
+    """Built IVF_FLAT index: centroid matrix + cell-partitioned assignments."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,          # (nlist, dim) float64
+        assignments: DataFrame,          # (id, cell_id, vec [, extra cols])
+        config: IvfConfig,
+        *,
+        index_type: IndexType = IndexType.IVF_FLAT,
+    ):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.config = config
+        self.index_type = index_type
+
+    # -- introspection verbs (index_node.h:411-434) -------------------------
+    def count(self) -> int:
+        return self.assignments.count()
+
+    def dim(self) -> int:
+        return int(self.centroids.shape[1])
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        # IVF_FLAT keeps raw codes (flat.cc:257-285 HasRawData rules)
+        return True
+
+    # -- Build ---------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: IvfConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        index_type: IndexType = IndexType.IVF_FLAT,
+    ) -> "IVFFlatIndex":
+        """Train (kmeans) + Add (assign) — ``IndexNode::Build`` (index_node.h:70-74)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        metric = MetricType(config.metric_type)
+        base = base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        if metric == MetricType.COSINE:
+            # normalize-at-train contract (ivf.cc:462-470)
+            base = base.select("id", normalize_expr(F.col("vec")).alias("vec"))
+
+        nlist = config.match_nlist(base.count())
+        feats = base.withColumn("__features", array_to_vector(F.col("vec").cast("array<double>")))
+        km = KMeans(
+            k=nlist,
+            seed=config.seed,
+            maxIter=20,
+            featuresCol="__features",
+            predictionCol="cell_id",
+        )
+        model = km.fit(feats)
+        centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+        assignments = (
+            model.transform(feats)
+            .select("id", F.col("cell_id").cast("int"), "vec")
+        )
+        import dataclasses
+
+        cfg = dataclasses.replace(config, nlist=nlist)
+        return cls(centroids, assignments, cfg, index_type=index_type)
+
+    # -- Add (append new rows to a trained index) ----------------------------
+    def add(self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec") -> "IVFFlatIndex":
+        """Assign new rows to existing centroids and append
+        (``IndexNode::Add``, index_node.h:120-121; the *_CC growing-segment
+        behavior, ivf.cc:513-534)."""
+        metric = MetricType(self.config.metric_type)
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        if metric == MetricType.COSINE:
+            new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
+        assigned = _assign_cells(new, self.centroids)
+        return IVFFlatIndex(
+            self.centroids,
+            self.assignments.unionByName(assigned),
+            self.config,
+            index_type=self.index_type,
+        )
+
+    # -- Search ---------------------------------------------------------------
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        nprobe: int | None = None,
+        *,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Top-k over the probed cells (ivf.cc:715-800).
+
+        Returns ``(query_id, neighbor_id, distance, rank)``.  Distances for
+        COSINE are true cosine similarities (computed on the normalized
+        stored vectors).
+        """
+        k = k if k is not None else self.config.k
+        nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
+        metric = MetricType(self.config.metric_type)
+        spark = self.assignments.sparkSession
+
+        qrows = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        if metric == MetricType.COSINE:
+            qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qnorm[qnorm == 0] = 1.0
+            qmat = qmat / qnorm
+
+        probe = self._probe_cells(qids, qmat, nprobe)     # (query_id, cell_id, qvec) pandas
+        out = self._search_probed(spark, probe, k, metric, filter_expr)
+
+        if self.config.ensure_topk_full:
+            # probe-all fallback for underfilled queries (ivf.cc:753-762)
+            counts = {r["query_id"]: r["cnt"] for r in out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+            refill = [i for i, qid in enumerate(qids) if counts.get(int(qid), 0) < k]
+            if refill:
+                all_cells = np.arange(self.config.nlist)
+                rows = [
+                    (int(qids[i]), int(c), [float(x) for x in qmat[i]])
+                    for i in refill
+                    for c in all_cells
+                ]
+                probe_df = spark.createDataFrame(rows, "query_id long, cell_id int, qvec array<double>")
+                refill_out = self._search_probed(spark, probe_df, k, metric, filter_expr, probe_is_df=True)
+                kept = out.filter(~F.col("query_id").isin([int(qids[i]) for i in refill]))
+                out = kept.unionByName(refill_out)
+        return out
+
+    def _probe_cells(self, qids: np.ndarray, qmat: np.ndarray, nprobe: int):
+        """Driver-side top-nprobe cells per query over the tiny centroid matrix."""
+        probe_metric = MetricType.IP if MetricType(self.config.metric_type) == MetricType.COSINE else MetricType(self.config.metric_type)
+        d = pairwise_distances(self.centroids, qmat, probe_metric)    # (nlist, nq)
+        largest = probe_metric.is_similarity
+        key = -d if largest else d
+        order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]    # (nprobe, nq)
+        rows = []
+        for qi in range(len(qids)):
+            for c in order[:, qi]:
+                rows.append((int(qids[qi]), int(c), [float(x) for x in qmat[qi]]))
+        return rows
+
+    def _search_probed(self, spark, probe, k, metric, filter_expr, probe_is_df=False):
+        probe_df = probe if probe_is_df else spark.createDataFrame(
+            probe, "query_id long, cell_id int, qvec array<double>"
+        )
+        cells = [r["cell_id"] for r in probe_df.select("cell_id").distinct().collect()]
+        cand = self.assignments
+        if filter_expr is not None:
+            cand = cand.filter(filter_expr)
+        # literal IN-list → partition pruning when assignments are read from
+        # a cell-partitioned parquet index (see save/load)
+        cand = cand.filter(F.col("cell_id").isin(cells))
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        joined = cand.join(F.broadcast(probe_df), "cell_id")
+        scored = joined.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            distance_expr(dist_metric, F.col("vec"), F.col("qvec")).alias("distance"),
+        )
+        return topk_per_key(
+            scored,
+            "query_id",
+            "distance",
+            k,
+            ascending=not metric.is_similarity,
+            tie_breaker="neighbor_id",
+        )
+
+    # -- Serialize / Deserialize (index_node.h:371-401) ------------------------
+    def save(self, path: str) -> None:
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": self.index_type.value,
+                "metric_type": self.config.metric_type.value,
+                "nlist": self.config.nlist,
+                "nprobe": self.config.nprobe,
+                "dim": self.dim(),
+                "count": self.count(),
+                "centroids": self.centroids.tolist(),
+            }
+        )
+        # cell-partitioned layout → probe-time partition pruning
+        store.write_table("assignments", self.assignments, partition_by=["cell_id"])
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFFlatIndex":
+        store = IndexStore(path)
+        m = store.read_manifest()
+        centroids = np.array(m["centroids"], dtype=np.float64)
+        assignments = store.read_table(spark, "assignments")
+        cfg = IvfConfig(
+            metric_type=MetricType(m["metric_type"]),
+            nlist=int(m["nlist"]),
+            nprobe=int(m["nprobe"]),
+        )
+        return cls(centroids, assignments, cfg, index_type=IndexType(m["index_type"]))
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast numpy GEMM kernel —
+    ``ClusterNode::Assign`` analog (cluster_node.h:26-50)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def kernel(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            d = pairwise_distances(X, C, MetricType.L2)
+            pdf = pdf.copy()
+            pdf["cell_id"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf[["id", "cell_id", "vec"]]
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vec_type = df.schema["vec"].dataType
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cell_id", IntegerType()),
+            StructField("vec", vec_type),
+        ]
+    )
+    return df.mapInPandas(kernel, schema)

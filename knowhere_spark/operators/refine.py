@@ -1,0 +1,111 @@
+"""Generic quantize-then-refine — the two-stage pattern shared by SCANN
+(``reorder_k`` exact re-rank, src/index/ivf/ivf.cc:778-782), HNSW refine
+(``refine_k``, faiss_hnsw_config.h:22-71) and the iterator's
+``refine_ratio`` (index_node.h:527-570).
+
+Stage 1 produces approximate candidates (any index's search with
+``k = reorder_k``); stage 2 joins the survivors back to raw vectors and
+re-ranks by exact distance.  Pure DataFrame composition — the survivors
+set is ``nq × reorder_k`` rows, so the exact re-scoring join is broadcast
+on the query side and semi-join-prunable on the base side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import MetricType
+from knowhere_spark.functions.distance import distance_expr
+from knowhere_spark.operators.topk import topk_per_key
+
+
+def refine(
+    candidates: DataFrame,
+    raw_df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    metric: MetricType | str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "vec",
+) -> DataFrame:
+    """Exact re-rank of ``candidates (query_id, neighbor_id)`` down to top-k.
+
+    ``raw_df`` must hold the raw vectors (``HasRawData`` precondition,
+    flat.cc:257-285).
+    """
+    metric = MetricType(metric)
+    raw = raw_df.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    queries = query_df.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    cand = candidates.select("query_id", "neighbor_id")
+    exact = (
+        cand.join(raw, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            distance_expr(metric, F.col("vec"), F.col("qvec")).alias("distance"),
+        )
+    )
+    return topk_per_key(
+        exact, "query_id", "distance", k,
+        ascending=not metric.is_similarity, tie_breaker="neighbor_id",
+    )
+
+
+class ScannIndex:
+    """SCANN = quantized IVF probe (stage 1, k=reorder_k) + raw-data refine
+    (stage 2) — src/index/ivf/ivf.cc:555-586, ivf_config.h:101-162."""
+
+    def __init__(self, sq_index, config):
+        self.sq = sq_index
+        self.config = config
+        self.index_type = "SCANN"
+
+    @classmethod
+    def build(cls, base_df: DataFrame, config, *, id_col: str = "id", vec_col: str = "vec"):
+        from knowhere_spark.config import IndexType, IvfSq8Config
+        from knowhere_spark.operators.sq import IVFSq8Index
+
+        sq_cfg = IvfSq8Config(
+            metric_type=config.metric_type,
+            k=config.k,
+            nlist=config.nlist,
+            nprobe=config.nprobe,
+            seed=config.seed,
+        )
+        sq = IVFSq8Index.build(
+            base_df, sq_cfg, id_col=id_col, vec_col=vec_col,
+            with_raw_data=config.with_raw_data,
+            index_type=IndexType.SCANN,
+        )
+        return cls(sq, config)
+
+    def count(self) -> int:
+        return self.sq.count()
+
+    def dim(self) -> int:
+        return self.sq.dim()
+
+    def has_raw_data(self) -> bool:
+        return self.sq.with_raw_data
+
+    def search(self, query_df: DataFrame, k: int | None = None, *, reorder_k: int | None = None, nprobe: int | None = None) -> DataFrame:
+        k = k if k is not None else self.config.k
+        reorder_k = max(reorder_k if reorder_k is not None else self.config.reorder_k, k)
+        approx = self.sq.search(query_df, k=reorder_k, nprobe=nprobe)
+        if not self.sq.with_raw_data:
+            # no refine possible — approximate results stand (reference
+            # behavior when with_raw_data=false)
+            return approx.filter(F.col("rank") <= k)
+        return refine(
+            approx, self.sq.raw_vectors(), query_df, k, self.config.metric_type
+        )

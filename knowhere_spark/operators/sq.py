@@ -1,0 +1,288 @@
+"""IVF_SQ8 — IVF with 8-bit scalar-quantized codes (src/index/ivf/ivf.cc:
+587-606, faiss QT_8bit semantics: per-dimension min/max affine quantization).
+
+Storage: the assignment table keeps ``codes ARRAY<SMALLINT>`` (uint8 range)
+instead of raw floats — 4× smaller scans at probe time; the per-dim
+``(vmin, vdiff)`` training stats live in the manifest and are broadcast to
+the decode kernel.  Decode+distance runs in an Arrow-batched pandas kernel
+(the quantized-scan analog of the reference's SQ distance computers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import IndexType, IvfSq8Config, MetricType
+from knowhere_spark.functions.distance import normalize_expr, pairwise_distances
+from knowhere_spark.operators.ivf import IVFFlatIndex
+from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.sources.index_store import IndexStore
+
+
+def array_minmax(df: DataFrame, col: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Element-wise min/max over an array column: per-partition numpy
+    partials combined on the driver (no dim×n explode shuffle)."""
+    schema = StructType(
+        [
+            StructField("mins", ArrayType(DoubleType())),
+            StructField("maxs", ArrayType(DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        lo = np.full(dim, np.inf)
+        hi = np.full(dim, -np.inf)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[col].to_numpy()), dtype=np.float64)
+            lo = np.minimum(lo, X.min(axis=0))
+            hi = np.maximum(hi, X.max(axis=0))
+            seen = True
+        if seen:
+            yield pd.DataFrame({"mins": [lo.tolist()], "maxs": [hi.tolist()]})
+
+    parts = df.select(col).mapInPandas(kernel, schema).collect()
+    lo = np.min([r["mins"] for r in parts], axis=0)
+    hi = np.max([r["maxs"] for r in parts], axis=0)
+    return lo, hi
+
+
+class IVFSq8Index:
+    """IVF probe plan over quantized codes; optionally keeps raw vectors
+    (``with_raw_data``) to serve SCANN-style refine (ivf_config.h:101-162)."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        assignments: DataFrame,   # (id, cell_id, codes [, vec])
+        vmin: np.ndarray,
+        vdiff: np.ndarray,
+        config: IvfSq8Config,
+        *,
+        with_raw_data: bool = False,
+        index_type: IndexType = IndexType.IVF_SQ8,
+    ):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.vmin = vmin
+        self.vdiff = vdiff
+        self.config = config
+        self.with_raw_data = with_raw_data
+        self.index_type = index_type
+
+    def count(self) -> int:
+        return self.assignments.count()
+
+    def dim(self) -> int:
+        return int(self.centroids.shape[1])
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        # SQ8 drops raw data unless refine keeps it (flat.cc:257-285 rules)
+        return self.with_raw_data
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: IvfSq8Config,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        with_raw_data: bool = False,
+        index_type: IndexType = IndexType.IVF_SQ8,
+    ) -> "IVFSq8Index":
+        flat = IVFFlatIndex.build(
+            base_df, config, id_col=id_col, vec_col=vec_col
+        )
+        dim = flat.dim()
+        lo, hi = array_minmax(flat.assignments, "vec", dim)
+        vdiff = hi - lo
+        vdiff[vdiff == 0] = 1.0
+        b_lo, b_diff = lo, vdiff
+
+        spark = base_df.sparkSession
+        bc = spark.sparkContext.broadcast((b_lo, b_diff))
+
+        out_fields = [
+            StructField("id", LongType()),
+            StructField("cell_id", IntegerType()),
+            StructField("codes", ArrayType(ShortType())),
+        ]
+        if with_raw_data:
+            out_fields.append(flat.assignments.schema["vec"])
+        schema = StructType(out_fields)
+
+        def quantize(batches):
+            lo_, diff_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                codes = np.clip(
+                    np.round((X - lo_) / diff_ * 255.0), 0, 255
+                ).astype(np.int16)
+                out = {
+                    "id": pdf["id"].to_numpy(),
+                    "cell_id": pdf["cell_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+                if with_raw_data:
+                    out["vec"] = pdf["vec"]
+                yield pd.DataFrame(out)
+
+        import dataclasses
+
+        assignments = flat.assignments.mapInPandas(quantize, schema)
+        cfg = dataclasses.replace(config, nlist=flat.config.nlist)
+        return cls(
+            flat.centroids, assignments, lo, vdiff, cfg,
+            with_raw_data=with_raw_data, index_type=index_type,
+        )
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        nprobe: int | None = None,
+        *,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Probe + decode-and-score over quantized codes (ivf.cc:587-606)."""
+        k = k if k is not None else self.config.k
+        nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
+        metric = MetricType(self.config.metric_type)
+        spark = self.assignments.sparkSession
+
+        qrows = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        if metric == MetricType.COSINE:
+            qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qmat = qmat / qn
+
+        probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        d = pairwise_distances(self.centroids, qmat, probe_metric)
+        key = -d if probe_metric.is_similarity else d
+        order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]
+        cells = sorted({int(c) for c in order.ravel()})
+
+        cand = self.assignments
+        if filter_expr is not None:
+            cand = cand.filter(filter_expr)
+        cand = cand.filter(F.col("cell_id").isin(cells))
+
+        # broadcast: query matrix + per-query probed cell set
+        probe_sets = {int(qids[qi]): {int(c) for c in order[:, qi]} for qi in range(len(qids))}
+        bq = spark.sparkContext.broadcast(
+            (qids, qmat, probe_sets, self.vmin, self.vdiff, probe_metric.value)
+        )
+        largest = probe_metric.is_similarity
+
+        out_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("distance", DoubleType()),
+            ]
+        )
+
+        def kernel(batches):
+            b_qids, b_qmat, b_probe, lo_, diff_, pm = bq.value
+            pm = MetricType(pm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.array(list(pdf["codes"].to_numpy()), dtype=np.float64)
+                X = lo_ + codes / 255.0 * diff_
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                cell = pdf["cell_id"].to_numpy()
+                dist = pairwise_distances(X, b_qmat, pm)   # (n, nq)
+                frames = []
+                for qi in range(len(b_qids)):
+                    qid = int(b_qids[qi])
+                    mask = np.isin(cell, list(b_probe[qid]))
+                    if not mask.any():
+                        continue
+                    dq = dist[mask, qi]
+                    idq = ids[mask]
+                    kk = min(k, len(dq))
+                    keyq = -dq if largest else dq
+                    sel = np.argpartition(keyq, kk - 1)[:kk]
+                    frames.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "neighbor_id": idq[sel], "distance": dq[sel]}
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames)
+
+        scored = cand.mapInPandas(kernel, out_schema)
+        return topk_per_key(
+            scored, "query_id", "distance", k,
+            ascending=not largest, tie_breaker="neighbor_id",
+        )
+
+    def raw_vectors(self) -> DataFrame:
+        if not self.with_raw_data:
+            raise ValueError("index built without raw data (with_raw_data=False)")
+        return self.assignments.select("id", "vec")
+
+    def save(self, path: str) -> None:
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": self.index_type.value,
+                "metric_type": self.config.metric_type.value,
+                "nlist": self.config.nlist,
+                "nprobe": self.config.nprobe,
+                "dim": self.dim(),
+                "count": self.count(),
+                "with_raw_data": self.with_raw_data,
+                "centroids": self.centroids.tolist(),
+                "vmin": self.vmin.tolist(),
+                "vdiff": self.vdiff.tolist(),
+            }
+        )
+        store.write_table("assignments", self.assignments, partition_by=["cell_id"])
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFSq8Index":
+        store = IndexStore(path)
+        m = store.read_manifest()
+        cfg = IvfSq8Config(
+            metric_type=MetricType(m["metric_type"]),
+            nlist=int(m["nlist"]),
+            nprobe=int(m["nprobe"]),
+        )
+        return cls(
+            np.array(m["centroids"], dtype=np.float64),
+            store.read_table(spark, "assignments"),
+            np.array(m["vmin"], dtype=np.float64),
+            np.array(m["vdiff"], dtype=np.float64),
+            cfg,
+            with_raw_data=bool(m.get("with_raw_data", False)),
+            index_type=IndexType(m["index_type"]),
+        )

@@ -1,0 +1,48 @@
+"""Index persistence — the reference's ``BinarySet`` serialize/deserialize
+analog (include/knowhere/binaryset.h:23-111, index_node.h:371-401).
+
+An index is a directory of Parquet tables plus a JSON manifest (the
+"deserialize" of a mmap'd byte blob, flat.cc:338-356, becomes
+``spark.read.parquet`` — lazy, disk-resident, partition-prunable, which is
+exactly the DiskANN-style larger-than-RAM regime, SURVEY.md §2.3).
+
+Layout::
+
+    <path>/manifest.json          # index_type, metric, params, row count, dim
+    <path>/<table>/...parquet     # per-index tables (centroids, assignments, …)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexStore:
+    def __init__(self, path: str):
+        self.path = path
+
+    def manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self.manifest_path(), "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+
+    def read_manifest(self) -> dict:
+        with open(self.manifest_path()) as f:
+            return json.load(f)
+
+    def write_table(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self.path, name))
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, name))

@@ -1,0 +1,86 @@
+"""IVF_SQ8 + SCANN refine vs brute-force oracle (reference recall floor
+0.60, tests/ut/test_search.cc:28; SCANN refine should beat plain SQ8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from knowhere_spark.config import IvfSq8Config, ScannConfig
+from knowhere_spark.operators.refine import ScannIndex
+from knowhere_spark.operators.sq import IVFSq8Index, array_minmax
+
+from tests.conftest import QUERY_SCHEMA, dense_df, gen_dense, np_knn, recall_at_k
+
+NB, DIM, NQ, K = 1000, 32, 10, 10
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    base = gen_dense(NB, DIM, seed=42)
+    queries = gen_dense(NQ, DIM, seed=43)
+    return base, queries, dense_df(spark, base), dense_df(spark, queries, QUERY_SCHEMA)
+
+
+def _collect(df):
+    out = {}
+    for r in df.orderBy("query_id", "rank").collect():
+        out.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    return out
+
+
+def test_array_minmax(data, spark):
+    base, _, base_df, _ = data
+    lo, hi = array_minmax(base_df, "vec", DIM)
+    assert np.allclose(lo, base.min(axis=0), rtol=1e-6)
+    assert np.allclose(hi, base.max(axis=0), rtol=1e-6)
+
+
+def test_sq8_recall_floor(data):
+    base, queries, base_df, query_df = data
+    cfg = IvfSq8Config(metric_type="L2", nlist=16, nprobe=8, k=K)
+    idx = IVFSq8Index.build(base_df, cfg)
+    assert not idx.has_raw_data()
+    res = _collect(idx.search(query_df, k=K))
+    truth = np_knn(base, queries, K, "L2")
+    r = recall_at_k(res, truth, K)
+    assert r >= 0.60, f"SQ8 recall {r}"
+
+
+def test_sq8_quantization_error_small(data):
+    """Probe-all SQ8 ≈ exact: 8-bit quantization shouldn't break recall."""
+    base, queries, base_df, query_df = data
+    cfg = IvfSq8Config(metric_type="L2", nlist=8, nprobe=8, k=K)
+    idx = IVFSq8Index.build(base_df, cfg)
+    res = _collect(idx.search(query_df, k=K))
+    truth = np_knn(base, queries, K, "L2")
+    assert recall_at_k(res, truth, K) >= 0.9
+
+
+def test_scann_refine_exact_distances(data):
+    """SCANN with probe-all + reorder: refine re-scores on raw vectors, so
+    returned distances are exact (ivf.cc:778-782)."""
+    base, queries, base_df, query_df = data
+    cfg = ScannConfig(metric_type="L2", nlist=8, nprobe=8, k=K, reorder_k=50)
+    idx = ScannIndex.build(base_df, cfg)
+    assert idx.has_raw_data()
+    res = _collect(idx.search(query_df, k=K))
+    truth = np_knn(base, queries, K, "L2")
+    assert recall_at_k(res, truth, K) >= 0.99
+    td = {q: dict(v) for q, v in truth.items()}
+    for q, pairs in res.items():
+        for nid, dist in pairs:
+            if nid in td[q]:
+                assert dist == pytest.approx(td[q][nid], rel=1e-9)
+
+
+def test_scann_beats_sq8(data):
+    base, queries, base_df, query_df = data
+    truth = np_knn(base, queries, K, "L2")
+    sq = IVFSq8Index.build(base_df, IvfSq8Config(metric_type="L2", nlist=16, nprobe=4, k=K))
+    r_sq = recall_at_k(_collect(sq.search(query_df, k=K)), truth, K)
+    sc = ScannIndex.build(
+        base_df, ScannConfig(metric_type="L2", nlist=16, nprobe=4, k=K, reorder_k=40)
+    )
+    r_sc = recall_at_k(_collect(sc.search(query_df, k=K)), truth, K)
+    assert r_sc >= r_sq
