@@ -127,6 +127,226 @@ def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ordered_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnIterator analog (index_node.h:451-576): the lazily-ordered
+    neighbor stream becomes an ordered result DataFrame consumed by rank
+    (SURVEY.md §2.1) — here the first 50 neighbors of 3 queries."""
+    base, queries_ = _emb(spark, sf_dir)
+    return _knn_out(
+        BruteForce.search(
+            base, queries_.filter(F.col("query_id") < 3), 50, "L2", strategy="sql"
+        )
+    )
+
+
+# --- sparse / BM25 ---------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "query", "data")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _doc_sparse(spark: SparkSession, sf_dir: str):
+    from knowhere_spark.operators.sparse import text_to_sparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_to_sparse(docs, text_col="text", id_col="doc_id")
+
+
+def _term_query(spark: SparkSession):
+    return spark.createDataFrame(
+        [(0, {t: 1.0 for t in _BM25_TERMS})], "query_id long, vec map<string,float>"
+    )
+
+
+def q_sparse_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse IP top-k over text-derived term-frequency vectors
+    (SPARSE_INVERTED_INDEX, TAAT exact path, sparse_inverted_index.h)."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    sv = _doc_sparse(spark, sf_dir)
+    cfg = SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=20)
+    idx = SparseInvertedIndex.build(sv, cfg)
+    out = idx.search(_term_query(spark), k=20)
+    return out.select(
+        "query_id", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k (sparse_utils.h:60-66 formula; k1/b/avgdl contract
+    config.h:613-622)."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    sv = _doc_sparse(spark, sf_dir)
+    cfg = SparseConfig(
+        metric_type="BM25", inverted_index_algo="TAAT_NAIVE", k=20,
+        bm25_k1=_BM25_K1, bm25_b=_BM25_B,
+    )
+    idx = SparseInvertedIndex.build(sv, cfg)
+    out = idx.search(_term_query(spark), k=20)
+    return out.select(
+        "query_id", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.functions.text import quality_features_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.functions.text import langid_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_expr(F.col("text")).alias("pred_lang"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.functions.text import fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+
+
+# --- dedup -----------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_duplicates(docs)
+    return out.select(
+        "doc_id", "group_key",
+        F.col("group_size").cast("long").alias("group_size"),
+        "is_canonical",
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, 0.7)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs; with 32×2 banding + exact verification the
+    output equals the exact pairwise operator (same oracle) at j≥0.7."""
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, 0.7)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = embeddings_as_dataset(spark, sf_dir)
+    out = embedding_neardup_pairs(emb, 0.95)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# --- events ----------------------------------------------------------------
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.operators.events import window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = window_agg(ev, window_duration="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+# --- ANN (approximate: rows-only in the driver gate, recall-tested in tests/)
+
+def q_ivf_flat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = IvfConfig(metric_type="COSINE", nlist=16, nprobe=8, k=K)
+    idx = IVFFlatIndex.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K))
+
+
+def q_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = IvfSq8Config(metric_type="L2", nlist=16, nprobe=8, k=K)
+    idx = IVFSq8Index.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K))
+
+
+def q_scann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.config import ScannConfig
+    from knowhere_spark.operators.refine import ScannIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = ScannConfig(metric_type="L2", nlist=16, nprobe=8, k=K, reorder_k=30)
+    idx = ScannIndex.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K))
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.config import KMeansConfig
+    from knowhere_spark.operators.cluster import KMeansCluster
+
+    base, queries_ = _emb(spark, sf_dir)
+    cl = KMeansCluster.train(base, KMeansConfig(num_clusters=8))
+    out = cl.assign(queries_.select(F.col("query_id").alias("id"), "vec"))
+    return out.select(
+        F.col("id").alias("query_id"), F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, 3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-k over the embeddings table at sf0.001."""
     return q_flat_knn_cosine(spark, "/root/testdata/sf0.001")
@@ -142,6 +362,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_range_cosine": q_flat_range_cosine,
         "get_vector_by_ids": q_get_vector_by_ids,
         "topk_per_key": q_topk_per_key,
+        "ann_ordered_neighbors": q_ann_ordered_neighbors,
+        "sparse_ip_topk": q_sparse_ip_topk,
+        "sparse_bm25_topk": q_sparse_bm25_topk,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "embed_cosine_neardup": q_embed_cosine_neardup,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "ivf_flat_knn": q_ivf_flat_knn,
+        "ivf_sq8_knn": q_ivf_sq8_knn,
+        "scann_knn": q_scann_knn,
+        "kmeans_assign": q_kmeans_assign,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -186,7 +423,59 @@ SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance FROM d WHERE {cond}
 """
 
 
+# DuckDB building blocks mirroring knowhere_spark.functions.text exactly
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct([array_to_string(t[i:i+2], ' ') "
+    "FOR i IN range(1, greatest(len(t)-3, 0)+2)])"
+)
+_STOPWORDS_SQL = "['the','a','an','of','to','and','in','is','it','that','for','on']"
+_LANG_SQL = {
+    "de": "['der','die','das','und','ist','von','mit','den','ein','zu']",
+    "en": "['the','and','of','to','in','is','that','it','for','with']",
+    "es": "['el','la','de','que','y','los','en','un','por','con']",
+    "fr": "['le','la','de','et','les','des','un','une','que','dans']",
+}
+
+_SPARSE_BASE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM terms GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS doc_len FROM terms GROUP BY doc_id),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)})
+"""
+
+_JACCARD_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+              THEN len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))
+              ELSE 0.0 END AS j
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.7
+"""
+
+_EV_FMT = "'%Y-%m-%d %H:%M:%S'"
+
+
 def oracle_sql() -> dict[str, str]:
+    langs = sorted(_LANG_SQL)  # de, en, es, fr — lexicographic tie-break order
+    lang_counts = ", ".join(
+        f"len(list_filter(t, x -> list_contains({_LANG_SQL[l]}, x))) AS {l}_c"
+        for l in langs
+    )
+    lang_case = (
+        "CASE "
+        "WHEN de_c >= en_c AND de_c >= es_c AND de_c >= fr_c AND de_c > 0 THEN 'de' "
+        "WHEN en_c >= es_c AND en_c >= fr_c AND en_c > 0 THEN 'en' "
+        "WHEN es_c >= fr_c AND es_c > 0 THEN 'es' "
+        "WHEN fr_c > 0 THEN 'fr' "
+        "ELSE 'unknown' END"
+    )
     return {
         "flat_knn_l2": _knn_oracle(_L2, "ASC"),
         "flat_knn_ip": _knn_oracle(_IP, "DESC"),
@@ -209,5 +498,131 @@ WITH r AS (
 SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS l_extendedprice,
        CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 3
+""",
+        "ann_ordered_neighbors": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+d AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_L2} AS dd
+  FROM embeddings e, q
+),
+r AS (
+  SELECT query_id, neighbor_id, dd,
+         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rk
+  FROM d
+)
+SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 50
+""",
+        "sparse_ip_topk": f"""
+WITH {_SPARSE_BASE},
+scored AS (
+  SELECT tf.doc_id, SUM(1.0 * tf.tf) AS score
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 4) AS score, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 20
+""",
+        "sparse_bm25_topk": f"""
+WITH {_SPARSE_BASE},
+stats AS (SELECT AVG(doc_len) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(1.0 * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN q ON tf.term = q.term
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 4) AS score, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 20
+""",
+        "text_quality": f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       ROUND(CASE WHEN len(t) > 0
+             THEN len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE / len(t)
+             ELSE 0.0 END, 4) AS stopword_ratio,
+       ROUND(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+             ELSE 0.0 END, 4) AS punct_ratio,
+       ROUND(CASE WHEN len(t) > 0
+             THEN length(array_to_string(t, ''))::DOUBLE / len(t)
+             ELSE 0.0 END, 4) AS mean_token_len
+FROM toks
+""",
+        "text_langid": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+c AS (SELECT doc_id, {lang_counts} FROM toks)
+SELECT doc_id, {lang_case} AS pred_lang FROM c
+""",
+        "doc_fingerprint": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS fp
+FROM toks
+""",
+        "dedup_exact": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+k AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS group_key FROM toks),
+g AS (
+  SELECT doc_id, group_key,
+         COUNT(*) OVER (PARTITION BY group_key) AS group_size,
+         doc_id = MIN(doc_id) OVER (PARTITION BY group_key) AS is_canonical
+  FROM k
+)
+SELECT doc_id, group_key, group_size, is_canonical FROM g WHERE group_size > 1
+""",
+        "dedup_ngram_jaccard": _JACCARD_PAIRS,
+        # LSH banding (32 bands × 2 rows) + exact verification reproduces the
+        # exact pairwise result at j >= 0.7 (miss prob < 1e-9 per pair)
+        "dedup_minhash_lsh": _JACCARD_PAIRS,
+        "embed_cosine_neardup": """
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x)))
+            * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))) AS c
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.95
+""",
+        "events_window_agg": f"""
+SELECT strftime(date_trunc('hour', ts), {_EV_FMT}) AS window_start,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
+       strftime(MIN(ts), {_EV_FMT}) AS session_start,
+       strftime(MAX(ts), {_EV_FMT}) AS session_end
+FROM s GROUP BY user_id, session_id
 """,
     }

@@ -1,0 +1,122 @@
+"""Text functions: tokenization, term-frequency sparse vectors, shingles,
+fingerprints, quality/language heuristics.
+
+These back (a) the sparse/BM25 operators (text → MAP<INT,FLOAT> term
+vectors, the engine's sparse DataSet form, SURVEY.md §1.2) and (b) the
+training-data-pipeline text-analysis ops (language-ID, quality scoring,
+token counting, fingerprinting).
+
+Everything here is native Spark SQL expressions (no Python UDFs) so the
+same logic is expressible 1:1 in the DuckDB oracle and stays inside
+whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tokenizer contract shared with the DuckDB oracles:
+#: lower → split on non-alphanumeric runs → drop empties
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_expr(text: Column) -> Column:
+    """lowercased alnum tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def term_hash_expr(term: Column, dim: int | None = None) -> Column:
+    """Stable term → int id via md5 (first 15 hex digits → bigint), optionally
+    folded into [0, dim).  Engine-portable: DuckDB computes the identical
+    value with ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``."""
+    h = F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+    if dim is not None:
+        return F.pmod(h, F.lit(dim)).cast("int")
+    return h
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word-level n-gram shingles (distinct), the MinHash/Jaccard unit."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic 64-bit-ish document fingerprint: md5 of the normalized
+    token stream (rolling-hash analog, engine-portable)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(" ", tokens_expr(text))), 1, 15), 16, 10
+    ).cast("long")
+
+
+# --- quality scoring --------------------------------------------------------
+
+_STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for", "on",
+)
+
+
+def quality_features_expr(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features for quality filtering
+    (training-data-pipeline op; heuristics in the C4/Gopher tradition)."""
+    toks = tokens_expr(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    mean_tok_len = F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "mean_token_len": mean_tok_len.cast("double"),
+    }
+
+
+#: tiny per-language stopword panels for the n-gram/stopword language-ID
+#: heuristic (scores are engine-portable counts, no model weights)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "que", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+}
+
+
+def langid_scores_expr(text: Column) -> dict[str, Column]:
+    """Marker-stopword hit counts per language."""
+    toks = tokens_expr(text)
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def langid_expr(text: Column, default: str = "unknown") -> Column:
+    """argmax language with deterministic tie-break (lexicographic), or
+    ``default`` when no marker hits."""
+    scores = langid_scores_expr(text)
+    # struct array ordered by (score, -rank-of-lang): ties resolve to the
+    # lexicographically smallest language, deterministically
+    ordered = sorted(scores.items())
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(-i).alias("negprio"), F.lit(lang).alias("lang"))
+            for i, (lang, s) in enumerate(ordered)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))

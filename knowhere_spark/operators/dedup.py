@@ -1,0 +1,356 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup modes over the ``documents`` table (and one over embeddings):
+
+- :func:`exact_duplicates` — hash-groupBy on normalized text; one shuffle.
+- :func:`ngram_jaccard_pairs` — exact pairwise Jaccard over word-shingle
+  sets.  O(n²) — the correctness oracle for the approximate modes; at
+  scale use MinHash-LSH below.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — shingle →
+  64-perm MinHash → banded LSH bucketing → candidate pairs verified by
+  exact Jaccard.  The scale path: candidate generation is a groupBy on
+  (band, band-hash), never all-pairs.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash,
+  near-dup = Hamming distance ≤ t, candidates via 4×16-bit band exact-match.
+- :func:`embedding_neardup_pairs` — cosine ≥ threshold over an embedding
+  column (semantic near-dup).
+
+Determinism: all hashing is md5-based (engine-portable); the MinHash
+permutations are fixed odd multipliers derived from a seeded generator, so
+signatures are stable across runs/engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from knowhere_spark.functions.text import shingles_expr, tokens_expr
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_constants(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64) | 1
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """Exact-duplicate groups: ``(doc_id, group_key, group_size, is_canonical)``.
+
+    ``normalized`` hashes the token stream (case/punct-insensitive);
+    otherwise raw text.  One hash-groupBy — the cheapest dedup pass and the
+    one to run first at 100 TB.
+    """
+    key = (
+        F.md5(F.concat_ws(" ", tokens_expr(F.col(text_col))))
+        if normalized
+        else F.md5(F.col(text_col))
+    )
+    keyed = df.select(F.col(id_col).cast("long").alias("doc_id"), key.alias("group_key"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_key")
+    return (
+        keyed.withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact pairwise n-gram jaccard (oracle / small-scale)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs Jaccard over distinct word n-gram shingles →
+    ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b`` and
+    ``jaccard >= threshold``.  O(n²) distance joins — correctness baseline;
+    the LSH variant is the scale path."""
+    sh = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array_sort(shingles_expr(F.col(text_col), n)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, hashes ARRAY<BIGINT>) — md5-based shingle hashes, portable."""
+    from knowhere_spark.functions.text import term_hash_expr
+
+    sh = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_expr(F.col(text_col), n).alias("sh"),
+    )
+    return sh.select(
+        "doc_id",
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        ).alias("hashes"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_perm]) MinHash signatures.
+
+    Permutation mins are computed in a vectorized Arrow kernel:
+    ``min((a*h + b) mod M)`` per permutation over the shingle-hash array.
+    """
+    hashed = _shingle_hashes(df, id_col, text_col, shingle_n)
+    a, b = _perm_constants(num_perm, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((a, b))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
+    )
+
+    def kernel(batches):
+        a_, b_ = bc.value
+        M = _MERSENNE
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = []
+            for hs in pdf["hashes"]:
+                h = np.asarray(hs, dtype=np.int64)
+                if len(h) == 0:
+                    sigs.append(np.full(len(a_), M, dtype=np.int64).tolist())
+                    continue
+                # (num_perm, n_shingles) universal-hash matrix, min per row
+                m = (a_[:, None].astype(object) * h[None, :].astype(object) + b_[:, None]) % M
+                sigs.append(np.min(m.astype(np.int64), axis=1).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return hashed.mapInPandas(kernel, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs ``(doc_a, doc_b, jaccard)``.
+
+    Banding: ``num_perm`` rows split into ``bands`` bands of
+    ``num_perm/bands`` rows; docs sharing any band bucket become candidates
+    (a groupBy, not an all-pairs join).  With 32 bands × 2 rows, a pair at
+    Jaccard 0.7 is caught with p ≈ 1 − (1−0.49)³² ≈ 1-1e-9.  Candidates are
+    then verified with exact shingle Jaccard (false positives removed; this
+    keeps output equal to the exact operator whenever band recall holds).
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n, seed=seed,
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_expr(F.col(text_col), shingle_n).alias("sh"),
+    )
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): tf-weighted sign aggregation of token
+    hash bits — vectorized Arrow kernel."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for tok_list in pdf["toks"]:
+                acc = np.zeros(bits, dtype=np.float64)
+                vals, counts = np.unique(np.asarray(tok_list, dtype=object), return_counts=True)
+                for t, c in zip(vals, counts):
+                    h = int(hashlib.md5(str(t).encode()).hexdigest()[:16], 16)
+                    bitvec = np.array([(h >> i) & 1 for i in range(bits)], dtype=np.float64)
+                    acc += c * (2.0 * bitvec - 1.0)
+                sig = 0
+                for i in range(bits):
+                    if acc[i] > 0:
+                        sig |= 1 << i
+                # store as signed 64-bit
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                out.append(sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return toks.mapInPandas(kernel, schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidates via 4×16-bit band exact match (any pair within Hamming 3 of
+    64 bits shares at least one exact 16-bit band — pigeonhole), then the
+    true Hamming distance filters."""
+    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    bands = []
+    for i in range(4):
+        bands.append(F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}"))
+    banded = sigs.select("doc_id", "simhash", *bands)
+    banded = banded.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(4)])).alias("band", "band_val"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "band_val"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "band_val"
+    )
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ threshold, ``id_a < id_b``.
+
+    Implemented as cosine range-search of the table against itself (the
+    engine's RangeSearch operator with the similarity-direction bounds).
+    At scale, route through an IVF index to prune the candidate space
+    (same plan as ANN search)."""
+    from knowhere_spark.config import BaseConfig
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    queries = df.select(F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("vec"))
+    cfg = BaseConfig(metric_type="COSINE", radius=threshold - 1e-12, range_filter=1.0 + 1e-9)
+    hits = BruteForce.range_search(
+        df, queries, cfg, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        hits.filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("distance").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

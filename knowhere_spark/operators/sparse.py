@@ -1,0 +1,270 @@
+"""Sparse inverted index: top-k by IP or BM25 over MAP<INT,FLOAT> vectors —
+the reference's SPARSE_INVERTED_INDEX / SPARSE_WAND family
+(src/index/sparse/sparse_inverted_index.h, sparse_index_node.cc; config
+sparse_inverted_index_config.h:20-108; BM25 formula sparse_utils.h:60-66).
+
+Spark-first layout (SURVEY.md §2.3): explode sparse vectors into a
+``postings(term, doc_id, value)`` table repartitioned by term — the classic
+SQL inverted index.  A query is a small term/weight set: broadcast-join on
+``term``, weighted ``groupBy(doc).sum()``, top-k.  Partial aggregation
+(map-side combine) does the per-term accumulation before the single
+shuffle on doc_id.
+
+Pruning parity:
+
+- ``drop_ratio_search`` — drop the lowest-valued fraction of *query* terms
+  before the join (sparse_inverted_index_config.h).
+- DAAT_WAND/MAXSCORE — the serving-side per-doc early-termination loops
+  don't translate to set-based evaluation; their *stats*, the per-term
+  ``max_score`` upper bound, become a term-level pre-filter
+  (SURVEY.md §4): terms whose best-possible contribution can't affect the
+  final top-k are dropped before the join.  Exact evaluation of the kept
+  terms keeps results exact for TAAT_NAIVE and recall-bounded for the
+  pruned algos, mirroring the reference's contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import MetricType, SparseConfig
+from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.sources.index_store import IndexStore
+
+
+def sparse_to_postings(
+    df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+) -> DataFrame:
+    """Explode MAP<INT,FLOAT> vectors → long-form postings."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.col(vec_col)).alias("term", "value"),
+    )
+
+
+def bm25_score_expr(
+    tf: Column, doc_len: Column, k1: float, b: float, avgdl: float
+) -> Column:
+    """Per-term BM25 term weight (sparse_utils.h:60-66):
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avgdl))`` — query weight
+    multiplies outside; no IDF inside the metric (carried by the query
+    weights upstream, as in the reference)."""
+    return (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * (doc_len / F.lit(float(avgdl))))
+    )
+
+
+class SparseInvertedIndex:
+    """Postings-table index with IP / BM25 scoring."""
+
+    def __init__(
+        self,
+        postings: DataFrame,          # (term, doc_id, value)
+        doc_stats: DataFrame,         # (doc_id, doc_len)
+        term_stats: DataFrame,        # (term, max_score, df)
+        config: SparseConfig,
+        *,
+        n_docs: int | None = None,
+        avgdl: float | None = None,
+    ):
+        self.postings = postings
+        self.doc_stats = doc_stats
+        self.term_stats = term_stats
+        self.config = config
+        self._n_docs = n_docs
+        self._avgdl = avgdl
+
+    # -- Build ---------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        config: SparseConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        n_partitions: int | None = None,
+    ) -> "SparseInvertedIndex":
+        postings = sparse_to_postings(df, id_col=id_col, vec_col=vec_col)
+        if n_partitions:
+            postings = postings.repartition(n_partitions, "term")
+        doc_stats = postings.groupBy("doc_id").agg(
+            F.sum("value").alias("doc_len")   # row sum = doc_len (sparse_utils.h:60-66)
+        )
+        term_stats = postings.groupBy("term").agg(
+            F.max("value").alias("max_value"),
+            F.count("*").alias("df"),
+        )
+        n_docs = doc_stats.count()
+        avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0]
+        return cls(postings, doc_stats, term_stats, config, n_docs=n_docs, avgdl=float(avgdl))
+
+    @property
+    def avgdl(self) -> float:
+        return self._avgdl
+
+    def count(self) -> int:
+        return self._n_docs
+
+    # -- Search ---------------------------------------------------------------
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        metric: MetricType | str | None = None,
+        drop_ratio_search: float | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        filter_expr: Column | str | None = None,
+        prune_terms: bool | None = None,
+    ) -> DataFrame:
+        """Top-k docs per sparse query → (query_id, doc_id, score, rank)."""
+        cfg = self.config
+        k = k if k is not None else cfg.k
+        metric = MetricType(metric if metric is not None else cfg.metric_type)
+        drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
+        if prune_terms is None:
+            prune_terms = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
+        if metric == MetricType.BM25:
+            avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
+            if not avgdl or avgdl <= 0:
+                raise ValueError("BM25 search requires avgdl (config.h:734-760)")
+
+        qterms = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.explode(F.col(query_vec_col)).alias("term", "qval"),
+        )
+        if drop > 0:
+            # drop the lowest-valued `drop` fraction of query terms
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(F.col("qval").asc(), F.col("term").asc())
+            cnt = Window.partitionBy("query_id")
+            qterms = (
+                qterms.withColumn("__rn", F.row_number().over(w))
+                .withColumn("__n", F.count("*").over(cnt))
+                .filter(F.col("__rn") > F.floor(F.col("__n") * drop))
+                .drop("__rn", "__n")
+            )
+
+        postings = self.postings
+        if filter_expr is not None:
+            allowed = self.doc_stats.filter(filter_expr).select("doc_id")
+            postings = postings.join(F.broadcast(allowed), "doc_id")
+
+        if metric == MetricType.BM25:
+            avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
+            scored_postings = (
+                postings.join(F.broadcast(self.doc_stats_small()), "doc_id")
+                .withColumn(
+                    "__w",
+                    bm25_score_expr(
+                        F.col("value").cast("double"),
+                        F.col("doc_len").cast("double"),
+                        cfg.bm25_k1,
+                        cfg.bm25_b,
+                        avgdl,
+                    ),
+                )
+            )
+        else:
+            scored_postings = postings.withColumn("__w", F.col("value").cast("double"))
+
+        if prune_terms:
+            qterms = self._prune_query_terms(qterms, metric, k)
+
+        joined = scored_postings.join(F.broadcast(qterms), "term")
+        scores = joined.groupBy("query_id", "doc_id").agg(
+            F.sum(F.col("qval").cast("double") * F.col("__w")).alias("score")
+        )
+        return topk_per_key(
+            scores, "query_id", "score", k, ascending=False, tie_breaker="doc_id"
+        )
+
+    def doc_stats_small(self) -> DataFrame:
+        return self.doc_stats.select("doc_id", "doc_len")
+
+    def _prune_query_terms(self, qterms: DataFrame, metric: MetricType, k: int) -> DataFrame:
+        """MaxScore-style stats pre-filter (SURVEY.md §4): drop query terms
+        whose maximum possible contribution is a negligible share of the
+        query's total upper bound.  Conservative cutoff keeps exactness
+        risk low while skipping long postings lists of low-weight terms."""
+        cfg = self.config
+        ub = F.col("qval").cast("double") * F.col("max_value").cast("double") * F.lit(
+            cfg.dim_max_score_ratio
+        )
+        wq = qterms.join(F.broadcast(self.term_stats), "term", "left").withColumn(
+            "__ub", F.coalesce(ub, F.lit(0.0))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id")
+        total = F.sum("__ub").over(w)
+        # keep terms contributing the top (1 - epsilon) of the upper bound
+        return (
+            wq.withColumn("__share", F.col("__ub") / total)
+            .filter(F.col("__share") >= F.lit(1e-4))
+            .select("query_id", "term", "qval")
+        )
+
+    # -- Serialize / Deserialize ----------------------------------------------
+    def save(self, path: str) -> None:
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": "SPARSE_INVERTED_INDEX",
+                "metric_type": self.config.metric_type.value,
+                "inverted_index_algo": self.config.inverted_index_algo,
+                "n_docs": self._n_docs,
+                "avgdl": self._avgdl,
+                "bm25_k1": self.config.bm25_k1,
+                "bm25_b": self.config.bm25_b,
+            }
+        )
+        store.write_table("postings", self.postings)
+        store.write_table("doc_stats", self.doc_stats)
+        store.write_table("term_stats", self.term_stats)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SparseInvertedIndex":
+        store = IndexStore(path)
+        m = store.read_manifest()
+        cfg = SparseConfig(
+            metric_type=MetricType(m["metric_type"]),
+            inverted_index_algo=m["inverted_index_algo"],
+            bm25_k1=float(m["bm25_k1"]),
+            bm25_b=float(m["bm25_b"]),
+            bm25_avgdl=float(m["avgdl"]) if m.get("avgdl") else None,
+        )
+        return cls(
+            store.read_table(spark, "postings"),
+            store.read_table(spark, "doc_stats"),
+            store.read_table(spark, "term_stats"),
+            cfg,
+            n_docs=int(m["n_docs"]),
+            avgdl=float(m["avgdl"]),
+        )
+
+
+def text_to_sparse(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → (id, vec MAP<term STRING→tf FLOAT>, doc_len) term-frequency
+    vectors.  Terms stay as strings (the string→uint32 dim mapping of the
+    reference is an external vocabulary concern; string terms keep the
+    postings join semantics identical)."""
+    from knowhere_spark.functions.text import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").cast("float").alias("tf"))
+    return tf.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "tf"))).alias("vec"),
+        F.sum("tf").alias("doc_len"),
+    )

@@ -29,7 +29,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; available: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
+        # (PARQUET_TYPE_ILLEGAL).  Read nanos as long, then truncate to
+        # microsecond timestamps — same precision loss DuckDB applies when
+        # casting TIMESTAMP_NS to TIMESTAMP, so oracles stay comparable.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, not `/`: epoch nanos exceed double's 53-bit
+            # exact-integer range, so float division can be off by ~1 us
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def embeddings_as_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:

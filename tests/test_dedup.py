@@ -1,0 +1,110 @@
+"""Dedup operators: exact, n-gram Jaccard oracle, MinHash-LSH vs the
+exact oracle, SimHash, embedding cosine near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from knowhere_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+from tests.conftest import dense_df, gen_dense
+
+WORDS = (
+    "spark join window table row scan filter merge sort hash batch stream "
+    "query value data key agg fast slow big small column line part"
+).split()
+
+
+def _mk_docs(seed=7, n=40):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        docs.append((i, " ".join(rng.choice(WORDS, size=30))))
+    # exact dup (same normalized tokens, different case/punct)
+    docs.append((100, docs[0][1].upper() + "!!"))
+    # near dup: replace 2 of 30 words of doc 1
+    toks = docs[1][1].split()
+    toks[5], toks[20] = "zebra", "yak"
+    docs.append((101, " ".join(toks)))
+    # near dup of doc 2: append a few words
+    docs.append((102, docs[2][1] + " extra words appended here"))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_mk_docs(), "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    res = exact_duplicates(docs_df).collect()
+    ids = sorted(r["doc_id"] for r in res)
+    assert ids == [0, 100]
+    canon = {r["doc_id"]: r["is_canonical"] for r in res}
+    assert canon[0] and not canon[100]
+
+
+def test_ngram_jaccard_finds_near_dups(docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs_df, 0.5).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+    assert (1, 101) in pairs
+    assert (2, 102) in pairs
+
+
+def test_minhash_lsh_matches_exact_oracle(docs_df):
+    """LSH with 32 bands × 2 rows + exact verification == exact pairwise
+    operator at threshold 0.5 (band-recall ≈ 1 at j ≥ 0.5 here)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, 0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs_df, 0.5).collect()
+    }
+    assert set(lsh) == set(exact)
+    for p in exact:
+        assert lsh[p] == pytest.approx(exact[p], rel=1e-9)
+
+
+def test_minhash_signature_similarity_estimates_jaccard(docs_df, spark):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs_df).collect()}
+    est = np.mean(np.array(sigs[1]) == np.array(sigs[101]))
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, 0.0).collect()
+        if (r["doc_a"], r["doc_b"]) == (1, 101)
+    }
+    true_j = exact[(1, 101)]
+    assert abs(est - true_j) < 0.25   # 64 perms → σ ≈ 0.06, generous bound
+
+
+def test_simhash_near_dups(docs_df):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[100]   # same token multiset → identical simhash
+    ham = bin((sigs[1] ^ sigs[101]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+    # banding guarantee: any pair within hamming <= 3 shares a 16-bit band
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs_df, 3).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    base[10] = base[3] + rng.normal(scale=0.01, size=16)   # near-dup pair
+    df = dense_df(spark, base)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, 0.98).collect()}
+    assert (3, 10) in pairs
+    # no self-pairs, ordered ids
+    assert all(a < b for a, b in pairs)

@@ -1,0 +1,169 @@
+"""Sparse IP/BM25 vs a pure-python oracle — reference pattern
+(tests/ut/test_sparse.cc: full evaluation exact; drop_ratio_search>0
+recall-bounded)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import MetricType, SparseConfig
+from knowhere_spark.operators.sparse import SparseInvertedIndex, text_to_sparse
+
+from tests.conftest import gen_sparse, recall_at_k
+
+NB, DIM, NQ, K = 300, 500, 8, 10
+SPARSITY = 0.95
+
+SPARSE_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("vec", MapType(IntegerType(), FloatType()))]
+)
+SPARSE_QUERY_SCHEMA = StructType(
+    [StructField("query_id", LongType()), StructField("vec", MapType(IntegerType(), FloatType()))]
+)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    base = gen_sparse(NB, DIM, SPARSITY, seed=42)
+    queries = gen_sparse(NQ, DIM, SPARSITY, seed=43)
+    base_df = spark.createDataFrame(list(enumerate(base)), SPARSE_SCHEMA)
+    query_df = spark.createDataFrame(list(enumerate(queries)), SPARSE_QUERY_SCHEMA)
+    return base, queries, base_df, query_df
+
+
+def py_ip_topk(base, queries, k):
+    out = {}
+    for qi, q in enumerate(queries):
+        scores = []
+        for di, d in enumerate(base):
+            s = sum(qv * d.get(t, 0.0) for t, qv in q.items())
+            if s > 0:
+                scores.append((di, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        out[qi] = scores[:k]
+    return out
+
+
+def py_bm25_topk(base, queries, k, k1, b, avgdl):
+    doc_lens = [sum(d.values()) for d in base]
+    out = {}
+    for qi, q in enumerate(queries):
+        scores = []
+        for di, d in enumerate(base):
+            s = 0.0
+            for t, qv in q.items():
+                tf = d.get(t, 0.0)
+                if tf > 0:
+                    s += qv * tf * (k1 + 1) / (tf + k1 * (1 - b + b * doc_lens[di] / avgdl))
+            if s > 0:
+                scores.append((di, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        out[qi] = scores[:k]
+    return out
+
+
+def _collect(df):
+    out = {}
+    for r in df.orderBy("query_id", "rank").collect():
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+def test_sparse_ip_exact(data):
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    res = _collect(idx.search(query_df, k=K))
+    truth = py_ip_topk(base, queries, K)
+    for q in truth:
+        got = [(i, pytest.approx(s, rel=1e-6)) for i, s in res.get(q, [])]
+        assert [i for i, _ in res.get(q, [])] == [i for i, _ in truth[q]]
+        for (gi, gs), (ti, ts) in zip(res.get(q, []), truth[q]):
+            assert gs == pytest.approx(ts, rel=1e-6)
+
+
+def test_sparse_bm25_exact(data):
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(
+        metric_type="BM25", inverted_index_algo="TAAT_NAIVE", k=K,
+        bm25_k1=1.2, bm25_b=0.75,
+    )
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    res = _collect(idx.search(query_df, k=K))
+    truth = py_bm25_topk(base, queries, K, 1.2, 0.75, idx.avgdl)
+    for q in truth:
+        assert [i for i, _ in res.get(q, [])] == [i for i, _ in truth[q]], q
+        for (gi, gs), (ti, ts) in zip(res.get(q, []), truth[q]):
+            assert gs == pytest.approx(ts, rel=1e-6)
+
+
+def test_sparse_drop_ratio_recall(data):
+    """drop_ratio_search prunes low-weight query terms; recall >= 0.9
+    (BASELINE.md sparse target)."""
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="IP", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    res = _collect(idx.search(query_df, k=K, drop_ratio_search=0.15))
+    truth = py_ip_topk(base, queries, K)
+    r = recall_at_k(res, {q: v for q, v in truth.items()}, K)
+    assert r >= 0.9, r
+    # heavier pruning degrades gracefully, never catastrophically
+    res3 = _collect(idx.search(query_df, k=K, drop_ratio_search=0.3))
+    assert recall_at_k(res3, truth, K) >= 0.75
+
+
+def test_sparse_maxscore_pruning_still_topk(data):
+    """DAAT_MAXSCORE stats pre-filter keeps the top-k intact on this corpus."""
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="IP", inverted_index_algo="DAAT_MAXSCORE", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    res = _collect(idx.search(query_df, k=K))
+    truth = py_ip_topk(base, queries, K)
+    r = recall_at_k(res, truth, K)
+    assert r >= 0.95, r
+
+
+def test_sparse_filtered_search(data):
+    from pyspark.sql import functions as F
+
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="IP", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    res = _collect(idx.search(query_df, k=K, filter_expr=F.col("doc_id") % 2 == 0))
+    for q, pairs in res.items():
+        assert all(i % 2 == 0 for i, _ in pairs)
+
+
+def test_sparse_save_load(data, spark, tmp_path):
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="BM25", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    before = _collect(idx.search(query_df, k=K))
+    idx.save(str(tmp_path / "sparse_idx"))
+    idx2 = SparseInvertedIndex.load(spark, str(tmp_path / "sparse_idx"))
+    after = _collect(idx2.search(query_df, k=K))
+    assert {q: [i for i, _ in v] for q, v in before.items()} == {
+        q: [i for i, _ in v] for q, v in after.items()
+    }
+
+
+def test_text_to_sparse(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a dog; a DOG!")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in text_to_sparse(df).collect()}
+    assert rows[0]["vec"]["the"] == 2.0
+    assert rows[0]["doc_len"] == 6.0
+    assert rows[1]["vec"]["dog"] == 2.0 and rows[1]["vec"]["a"] == 2.0
+    assert rows[1]["doc_len"] == 4.0

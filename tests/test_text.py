@@ -1,0 +1,81 @@
+"""Text-analysis functions: tokenization contract, quality features,
+language-ID heuristic, fingerprints, shingles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowhere_spark.functions.text import (
+    fingerprint_expr,
+    langid_expr,
+    quality_features_expr,
+    shingles_expr,
+    term_hash_expr,
+    token_count_expr,
+    tokens_expr,
+)
+
+
+def test_tokens_contract(spark):
+    df = spark.createDataFrame([("Hello, World!  x2  ",)], "text string")
+    [row] = df.select(tokens_expr(F.col("text")).alias("t")).collect()
+    assert row["t"] == ["hello", "world", "x2"]
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat, the dog: and a bird!"), (1, "")], "id long, text string"
+    )
+    feats = quality_features_expr(F.col("text"))
+    rows = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in feats.items()]).collect()}
+    assert rows[0]["n_tokens"] == 7
+    assert rows[0]["stopword_ratio"] == 4 / 7  # the, the, and, a
+    assert rows[0]["punct_ratio"] > 0
+    assert rows[1]["n_tokens"] == 0 and rows[1]["stopword_ratio"] == 0.0
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is happy"),
+            (1, "el gato y la casa de los perros en un dia"),
+            (2, "le chat et les maisons dans une ville"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["lang"] for r in df.select("id", langid_expr(F.col("text")).alias("lang")).collect()}
+    assert rows[0] == "en" and rows[1] == "es" and rows[2] == "fr" and rows[3] == "unknown"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Spark JOIN window"), (1, "spark join... WINDOW!"), (2, "spark join windows")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["fp"] for r in df.select("id", fingerprint_expr(F.col("text")).alias("fp")).collect()}
+    assert rows[0] == rows[1] != rows[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    [row] = df.select(shingles_expr(F.col("text"), 3).alias("s")).collect()
+    assert sorted(row["s"]) == ["a b c", "b c d"]
+
+
+def test_term_hash_matches_duckdb(spark):
+    """Cross-engine portability of the md5-based term hash."""
+    import duckdb
+
+    terms = ["spark", "join", "x1", "ünïcode"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["h"]
+        for r in df.select("term", term_hash_expr(F.col("term")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for t in terms:
+        [(want,)] = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [t]
+        ).fetchall()
+        assert got[t] == want, t
