@@ -316,6 +316,16 @@ def q_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
+def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowhere_spark.config import IvfPqConfig
+    from knowhere_spark.operators.pq import IVFPqIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = IvfPqConfig(metric_type="L2", nlist=16, nprobe=8, m=16, k=K)
+    idx = IVFPqIndex.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K))
+
+
 def q_scann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import ScannConfig
     from knowhere_spark.operators.refine import ScannIndex
@@ -347,6 +357,112 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binary metrics over sign-bit-packed embeddings (word-packed native
+# path: functions/binary.py pack_bits_expr + bit_count kernels; reference
+# semantics brute_force.cc:212-236) -----------------------------------------
+
+_BIN_DIM = 64   # embeddings table dimensionality
+
+
+def _emb_words(spark: SparkSession, sf_dir: str):
+    from knowhere_spark.functions.binary import pack_bits_expr
+
+    base, queries_ = _emb(spark, sf_dir)
+    b = base.select("id", pack_bits_expr(F.col("vec"), _BIN_DIM).alias("words"))
+    q = queries_.select(
+        "query_id", pack_bits_expr(F.col("vec"), _BIN_DIM).alias("qwords")
+    )
+    return b, q
+
+
+def _bin_knn(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    from knowhere_spark.functions.binary import binary_words_distance_expr
+
+    b, q = _emb_words(spark, sf_dir)
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        binary_words_distance_expr(metric, F.col("words"), F.col("qwords")).alias(
+            "distance"
+        ),
+    )
+    return _knn_out(
+        topk_per_key(
+            scored, "query_id", "distance", K, ascending=True, tie_breaker="neighbor_id"
+        )
+    )
+
+
+def q_bin_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN_FLAT HAMMING: popcount(xor) on packed sign bits, JVM-native
+    (brute_force.cc:218-228)."""
+    return _bin_knn(spark, sf_dir, "HAMMING")
+
+
+def q_bin_knn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN_FLAT JACCARD: 1-|and|/|or| (brute_force.cc:212-217)."""
+    return _bin_knn(spark, sf_dir, "JACCARD")
+
+
+def q_bin_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRUCTURE match-collect (binary_knn_mc, brute_force.cc:229-236).
+
+    Query i = bits(i) AND bits(i+1), so each query is contained in >= 2
+    base rows — guarantees a non-trivial result set.
+    """
+    from knowhere_spark.functions.binary import substructure_words_expr
+
+    b, _ = _emb_words(spark, sf_dir)
+    qs = (
+        b.alias("a")
+        .filter(F.col("a.id") < NQ)
+        .join(b.alias("c"), F.expr("c.id = a.id + 1"))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.zip_with("a.words", "c.words", lambda x, y: x.bitwiseAND(y)).alias(
+                "qwords"
+            ),
+        )
+    )
+    pairs = b.crossJoin(F.broadcast(qs))
+    return pairs.filter(
+        substructure_words_expr(F.col("words"), F.col("qwords"))
+    ).select("query_id", F.col("id").alias("neighbor_id"))
+
+
+def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN_IVF_FLAT hamming (ivf.cc:607-620) — ANN, rows-only gate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+
+    def _sign_bytes(v):
+        M = np.array(list(v.to_numpy()), dtype=np.float64)
+        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
+        return pd.Series([bytes(r) for r in packed])
+
+    # explicit wrap: string type hints don't resolve under
+    # `from __future__ import annotations` with a locally-imported pandas
+    sign_bytes = F.pandas_udf(_sign_bytes, BinaryType())
+
+    base, queries_ = _emb(spark, sf_dir)
+    b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
+    q = queries_.select("query_id", sign_bytes(F.col("vec")).alias("vec"))
+    idx = BinaryIVFIndex.build(
+        b, IvfConfig(metric_type="HAMMING", nlist=16, nprobe=8, k=K)
+    )
+    out = idx.search(q, k=K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("distance").cast("double").alias("distance"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-k over the embeddings table at sf0.001."""
     return q_flat_knn_cosine(spark, "/root/testdata/sf0.001")
@@ -374,8 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_neardup": q_embed_cosine_neardup,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
+        "bin_knn_hamming": q_bin_knn_hamming,
+        "bin_knn_jaccard": q_bin_knn_jaccard,
+        "bin_substructure": q_bin_substructure,
+        "bin_ivf_knn": q_bin_ivf_knn,
         "ivf_flat_knn": q_ivf_flat_knn,
         "ivf_sq8_knn": q_ivf_sq8_knn,
+        "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
         "kmeans_assign": q_kmeans_assign,
         "simhash_pairs": q_simhash_pairs,
@@ -462,6 +583,70 @@ SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.7
 _EV_FMT = "'%Y-%m-%d %H:%M:%S'"
 
 
+# -- binary word-packing mirrors (pack_bits_expr: bit i of word w = sign of
+#    dim 32w+i; pow(2,i) exact in float64 for i <= 31 on both engines) ------
+
+def _pack_sql(col: str) -> str:
+    words = []
+    n_words = (_BIN_DIM + 31) // 32
+    for w in range(n_words):
+        width = min(32, _BIN_DIM - 32 * w)
+        words.append(
+            f"list_sum(list_transform(range(0, {width}), "
+            f"i -> CASE WHEN {col}[{32 * w} + i + 1] > 0 "
+            f"THEN CAST(round(2**i) AS BIGINT) ELSE CAST(0 AS BIGINT) END))"
+        )
+    return "[" + ", ".join(words) + "]"
+
+
+_HAMMING_SQL = (
+    "CAST(list_sum(list_transform(list_zip(b.words, q.qwords), "
+    "p -> bit_count(xor(p[1], p[2])))) AS DOUBLE)"
+)
+_BIN_INTER = (
+    "CAST(list_sum(list_transform(list_zip(b.words, q.qwords), "
+    "p -> bit_count(p[1] & p[2]))) AS DOUBLE)"
+)
+_BIN_UNION = (
+    "CAST(list_sum(list_transform(list_zip(b.words, q.qwords), "
+    "p -> bit_count(p[1] | p[2]))) AS DOUBLE)"
+)
+_JACCARD_SQL = (
+    f"CASE WHEN {_BIN_UNION} > 0 THEN 1.0 - {_BIN_INTER} / {_BIN_UNION} ELSE 1.0 END"
+)
+
+
+def _bin_knn_oracle(dist: str) -> str:
+    return f"""
+WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
+q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ}),
+d AS (
+  SELECT q.query_id, b.id AS neighbor_id, {dist} AS dd FROM b, q
+),
+r AS (
+  SELECT query_id, neighbor_id, dd,
+         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rk
+  FROM d
+)
+SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= {K}
+"""
+
+
+_BIN_SUBSTRUCTURE_SQL = f"""
+WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
+q AS (
+  SELECT a.id AS query_id,
+         list_transform(list_zip(a.words, c.words), p -> p[1] & p[2]) AS qwords
+  FROM b a JOIN b c ON c.id = a.id + 1 WHERE a.id < {NQ}
+)
+SELECT q.query_id, b.id AS neighbor_id
+FROM b, q
+WHERE len(list_filter(list_zip(q.qwords, b.words),
+                      p -> (p[1] & p[2]) = p[1])) = len(q.qwords)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     langs = sorted(_LANG_SQL)  # de, en, es, fr — lexicographic tie-break order
     lang_counts = ", ".join(
@@ -481,6 +666,9 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_ip": _knn_oracle(_IP, "DESC"),
         "flat_knn_cosine": _knn_oracle(_COS, "DESC"),
         "flat_knn_l2_filtered": _knn_oracle(_L2, "ASC", "e.label % 5 <> 0"),
+        "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
+        "bin_knn_jaccard": _bin_knn_oracle(_JACCARD_SQL),
+        "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
         "flat_range_l2": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
         "flat_range_cosine": _range_oracle(_COS, "dd > 0.25 AND dd <= 1.01"),
         "get_vector_by_ids": """

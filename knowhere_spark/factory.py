@@ -1,0 +1,183 @@
+"""Index factory — ``IndexFactory::Create`` + ``Index::Build`` analog
+(reference: src/index/index_factory.cc:45-90, include/knowhere/index/
+index_node.h:70-74).
+
+The reference keys its registry on ``name_dtype`` (utils.h:95-110) and
+checks per-index dtype feature bits (operands.h:149-169).  Here the dtype
+axis collapses into the DataFrame schema (fp16/bf16/int8 compute as fp32,
+operands.h:180-198): dense indexes expect ``ARRAY<FLOAT/DOUBLE>``, binary
+indexes ``BINARY``, sparse indexes ``MAP<INT,FLOAT>``.
+
+Usage::
+
+    idx = create_index("IVF_FLAT", {"metric_type": "L2", "nlist": 64})
+    built = idx.build(base_df)            # Train + Add
+    res = built.search(query_df, k=10)    # (query_id, neighbor_id, distance, rank)
+
+``DISKANN`` is deliberately served by the IVF plan: a cell-partitioned
+Parquet index scanned by probe *is* Spark's disk-resident ANN
+(SURVEY.md §2.3 — index ≫ RAM, scan-what-you-probe); ``search_list_size``
+maps onto ``nprobe``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import (
+    BaseConfig,
+    IndexType,
+    IvfConfig,
+    MetricType,
+    load_config,
+)
+from knowhere_spark.operators.brute_force import BruteForce
+
+
+class FlatIndex:
+    """FLAT / BIN_FLAT — no train step (``NO_TRAIN`` feature,
+    src/index/flat/flat.cc:398-414); the "index" is the raw table and every
+    search is the exact kernel."""
+
+    def __init__(self, base_df: DataFrame, config: BaseConfig, index_type: IndexType):
+        self.base = base_df
+        self.config = config
+        self.index_type = index_type
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: BaseConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        index_type: IndexType = IndexType.FLAT,
+    ) -> "FlatIndex":
+        base = base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        return cls(base, config, index_type)
+
+    def count(self) -> int:
+        return self.base.count()
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        return True   # flat.cc:257-285: FLAT always has raw data
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        filter_expr: Column | str | None = None,
+        **kw,
+    ) -> DataFrame:
+        k = k if k is not None else self.config.k
+        return BruteForce.search(
+            self.base, query_df, k, self.config.metric_type,
+            filter_expr=filter_expr, **kw,
+        )
+
+    def range_search(self, query_df: DataFrame, **kw) -> DataFrame:
+        return BruteForce.range_search(self.base, query_df, self.config, **kw)
+
+    def get_vector_by_ids(self, ids_df: DataFrame) -> DataFrame:
+        return BruteForce.get_vector_by_ids(self.base, ids_df)
+
+
+@dataclass
+class IndexHandle:
+    """Unbuilt index: validated config + build dispatch — what
+    ``IndexFactory::Create`` returns before ``Build`` runs."""
+
+    index_type: IndexType
+    config: BaseConfig
+
+    def build(self, base_df: DataFrame, **kw):
+        """Train + Add (index_node.h:70-74) → built index object."""
+        t = self.index_type
+        if t in (IndexType.FLAT, IndexType.BIN_FLAT):
+            return FlatIndex.build(base_df, self.config, index_type=t, **kw)
+        if t == IndexType.IVF_FLAT:
+            from knowhere_spark.operators.ivf import IVFFlatIndex
+
+            return IVFFlatIndex.build(base_df, self.config, **kw)
+        if t == IndexType.IVF_SQ8:
+            from knowhere_spark.operators.sq import IVFSq8Index
+
+            return IVFSq8Index.build(base_df, self.config, **kw)
+        if t == IndexType.IVF_PQ:
+            from knowhere_spark.operators.pq import IVFPqIndex
+
+            return IVFPqIndex.build(base_df, self.config, **kw)
+        if t == IndexType.SCANN:
+            from knowhere_spark.operators.refine import ScannIndex
+
+            return ScannIndex.build(base_df, self.config, **kw)
+        if t == IndexType.BIN_IVF_FLAT:
+            from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+
+            return BinaryIVFIndex.build(base_df, self.config, **kw)
+        if t == IndexType.HNSW:
+            from knowhere_spark.operators.hnsw import HNSWIndex
+
+            return HNSWIndex.build(base_df, self.config, **kw)
+        if t == IndexType.DISKANN:
+            from knowhere_spark.operators.ivf import IVFFlatIndex
+
+            # DiskANN → cell-partitioned IVF on Parquet (module docstring);
+            # search_list_size plays nprobe's role (diskann_config.h:96-101).
+            cfg = self.config
+            ivf_cfg = IvfConfig(
+                metric_type=MetricType(cfg.metric_type),
+                k=cfg.k,
+                nlist=max(128, int(getattr(cfg, "max_degree", 48)) * 4),
+                nprobe=max(8, int(getattr(cfg, "search_list_size", 100)) // 8),
+                seed=getattr(cfg, "seed", 42),
+            )
+            return IVFFlatIndex.build(base_df, ivf_cfg, index_type=IndexType.DISKANN, **kw)
+        if t in (IndexType.SPARSE_INVERTED_INDEX, IndexType.SPARSE_WAND):
+            from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+            return SparseInvertedIndex.build(base_df, self.config, **kw)
+        if t == IndexType.KMEANS:
+            from knowhere_spark.operators.cluster import KMeansCluster
+
+            return KMeansCluster.train(base_df, self.config, **kw)
+        raise NotImplementedError(f"index type {t.value} has no build path")
+
+
+def create_index(index_type: IndexType | str, params: dict | None = None) -> IndexHandle:
+    """Validated factory entry — raises ``ConfigError`` on bad type/params
+    exactly where the reference's ``Create`` + ``FormatAndCheck`` would."""
+    cfg = load_config(index_type, params)
+    t = IndexType(index_type.upper()) if isinstance(index_type, str) else index_type
+    return IndexHandle(t, cfg)
+
+
+def build_index(
+    base_df: DataFrame, index_type: IndexType | str, params: dict | None = None, **kw
+):
+    """One-shot ``Create`` + ``Build``."""
+    return create_index(index_type, params).build(base_df, **kw)
+
+
+def load_index(spark: SparkSession, path: str):
+    """``Deserialize`` dispatch: read the manifest, route to the index's
+    loader (index_node.h:371-401 → SURVEY.md §1.4: deserialize = spark.read)."""
+    from knowhere_spark.sources.index_store import IndexStore
+
+    m = IndexStore(path).read_manifest()
+    t = IndexType(m["index_type"])
+    if t in (IndexType.IVF_FLAT, IndexType.DISKANN):
+        from knowhere_spark.operators.ivf import IVFFlatIndex
+
+        return IVFFlatIndex.load(spark, path)
+    raise NotImplementedError(f"no loader for {t.value}")

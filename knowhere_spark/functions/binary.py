@@ -67,6 +67,101 @@ def superstructure_udf(base: pd.Series, query: pd.Series) -> pd.Series:
     return pd.Series((np.bitwise_and(q, b) == b).all(axis=1))
 
 
+# ---------------------------------------------------------------------------
+# Word-packed representation: ARRAY<BIGINT>, 32 bits per word.
+#
+# The JVM-native fast path for binary metrics: ``bit_count`` + bitwise ops
+# stay inside whole-stage codegen (no Python), and the packing itself is a
+# deterministic integer expression that DuckDB can mirror 1:1 — so these
+# are oracle-checkable, unlike the byte-string UDF path.  32 bits per
+# BIGINT word keeps every intermediate < 2^32 (no signed-overflow edge).
+# ---------------------------------------------------------------------------
+
+_WORD_BITS = 32
+
+
+def pack_bits_expr(vec: Column, dim: int) -> Column:
+    """Pack the sign bits (``x > 0``) of a ``dim``-length float array into
+    ``ceil(dim/32)`` BIGINT words — bit ``i`` of word ``w`` is dim ``32w+i``.
+
+    The standard binarization of an embedding column (sign-bit hashing);
+    gives the reference's packed-bit layout (tests/ut/utils.h:65-75) a
+    columnar, codegen-friendly shape.
+    """
+    n_words = (dim + _WORD_BITS - 1) // _WORD_BITS
+    words = []
+    for w in range(n_words):
+        lo = w * _WORD_BITS
+        width = min(_WORD_BITS, dim - lo)
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(vec, lo + 1, width),
+                    F.sequence(F.lit(0), F.lit(width - 1)),
+                    # pow(2, i) is exact in float64 for i <= 31; shiftleft
+                    # needs a literal shift amount so it can't take the
+                    # zip_with index column
+                    lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*words)
+
+
+def hamming_words_expr(a: Column, b: Column) -> Column:
+    """popcount(xor) over word-packed vectors (brute_force.cc:218-228),
+    fully JVM-native."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+
+
+def _popcount_and(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def jaccard_words_expr(a: Column, b: Column) -> Column:
+    """1 - |and|/|or| over word-packed vectors (brute_force.cc:212-217)."""
+    inter = _popcount_and(a, b).cast("double")
+    union = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    return F.when(union > 0, F.lit(1.0) - inter / union).otherwise(F.lit(1.0))
+
+
+def substructure_words_expr(base: Column, query: Column) -> Column:
+    """query ⊆ base: every query bit present in base (brute_force.cc:229-236)."""
+    return F.forall(
+        F.zip_with(query, base, lambda q, b: q.bitwiseAND(b) == q), lambda x: x
+    )
+
+
+def superstructure_words_expr(base: Column, query: Column) -> Column:
+    """base ⊆ query."""
+    return F.forall(
+        F.zip_with(query, base, lambda q, b: q.bitwiseAND(b) == b), lambda x: x
+    )
+
+
+def binary_words_distance_expr(metric: MetricType, base: Column, query: Column) -> Column:
+    metric = MetricType(metric)
+    if metric == MetricType.HAMMING:
+        return hamming_words_expr(base, query)
+    if metric == MetricType.JACCARD:
+        return jaccard_words_expr(base, query)
+    raise ValueError(f"binary_words_distance_expr does not support {metric}")
+
+
 def binary_distance_expr(metric: MetricType, base: Column, query: Column) -> Column:
     metric = MetricType(metric)
     if metric == MetricType.HAMMING:

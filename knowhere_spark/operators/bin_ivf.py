@@ -1,0 +1,196 @@
+"""BIN_IVF_FLAT — IVF over packed-bit binary vectors with HAMMING/JACCARD
+(reference: src/index/ivf/ivf.cc:607-620 `IvfBin`, faiss binary kmeans).
+
+Spark-first split of the reference's binary IVF:
+
+- **Train**: binary k-means (Lloyd iterations with hamming assignment and
+  majority-vote centroid update) over a bounded driver-side sample — the
+  centroid matrix is tiny (``nlist × dim/8`` bytes); the sample bound keeps
+  the driver safe at 100 TB while the full assignment pass stays
+  distributed.
+- **Add**: hamming argmin against broadcast centroids via ``mapInPandas``
+  (Arrow-batched numpy popcount), assignments partitioned by ``cell_id``.
+- **Search**: probe ``nprobe`` nearest cells per query (driver-side over
+  the tiny centroid matrix), broadcast the probe list, scan only probed
+  cells with the binary distance kernel, partial-then-final top-k — the
+  same plan shape as the dense IVF (operators/ivf.py), so partition
+  pruning on ``cell_id`` does the byte-skipping at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import IndexType, IvfConfig, MetricType
+from knowhere_spark.functions.binary import binary_distance_expr, hamming_np
+from knowhere_spark.operators.topk import topk_per_key
+
+_TRAIN_SAMPLE_MAX = 100_000
+
+
+def _hamming_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, nbytes) × (nlist, nbytes) → (n, nlist) hamming distances via a
+    256-entry popcount LUT (vectorized, no per-row Python)."""
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    # xor broadcast: (n, 1, nbytes) ^ (1, nlist, nbytes)
+    x = np.bitwise_xor(X[:, None, :], C[None, :, :])
+    return lut[x].sum(axis=2)
+
+
+def _binary_kmeans(X: np.ndarray, nlist: int, seed: int, n_iter: int = 10) -> np.ndarray:
+    """Lloyd with hamming assignment + per-bit majority-vote update — the
+    binary analog of faiss kmeans used by the reference's BIN_IVF train."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = _hamming_matrix(X, C).argmin(axis=1)
+        bits = np.unpackbits(X, axis=1)  # (n, dim)
+        newC = np.zeros((nlist, bits.shape[1]), dtype=np.uint8)
+        for c in range(nlist):
+            members = bits[assign == c]
+            if len(members) == 0:
+                newC[c] = np.unpackbits(X[rng.integers(len(X))])
+            else:
+                newC[c] = (members.mean(axis=0) >= 0.5).astype(np.uint8)
+        C_next = np.packbits(newC, axis=1)
+        if np.array_equal(C_next, C):
+            break
+        C = C_next
+    return C
+
+
+class BinaryIVFIndex:
+    """Built BIN_IVF_FLAT: packed-byte centroids + cell-partitioned rows."""
+
+    def __init__(self, centroids: np.ndarray, assignments: DataFrame, config: IvfConfig):
+        self.centroids = centroids          # (nlist, dim/8) uint8
+        self.assignments = assignments      # (id, cell_id, vec binary)
+        self.config = config
+        self.index_type = IndexType.BIN_IVF_FLAT
+
+    def count(self) -> int:
+        return self.assignments.count()
+
+    def dim(self) -> int:
+        return int(self.centroids.shape[1] * 8)
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        return True
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: IvfConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "BinaryIVFIndex":
+        base = base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        n = base.count()
+        nlist = config.match_nlist(n)
+        sample = base
+        if n > _TRAIN_SAMPLE_MAX:
+            sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed)
+        rows = sample.select("vec").collect()
+        X = np.frombuffer(b"".join(r["vec"] for r in rows), dtype=np.uint8).reshape(
+            len(rows), -1
+        )
+        centroids = _binary_kmeans(X, nlist, config.seed)
+        assignments = _assign_binary(base, centroids)
+        import dataclasses
+
+        cfg = dataclasses.replace(config, nlist=nlist)
+        return cls(centroids, assignments, cfg)
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        nprobe: int | None = None,
+        *,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Top-k within probed cells; metric from config (HAMMING/JACCARD)."""
+        k = k if k is not None else self.config.k
+        nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
+        metric = MetricType(self.config.metric_type)
+        spark = self.assignments.sparkSession
+
+        qrows = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).collect()
+        Q = np.frombuffer(b"".join(r["qvec"] for r in qrows), dtype=np.uint8).reshape(
+            len(qrows), -1
+        )
+        # probe by hamming-to-centroid regardless of scan metric (the
+        # reference's binary coarse quantizer is hamming-based)
+        order = np.argsort(_hamming_matrix(Q, self.centroids), axis=1, kind="stable")[
+            :, :nprobe
+        ]
+        probe_rows = [
+            (int(r["query_id"]), int(c), bytes(r["qvec"]))
+            for r, cells in zip(qrows, order)
+            for c in cells
+        ]
+        probe_df = spark.createDataFrame(
+            probe_rows, "query_id long, cell_id int, qvec binary"
+        )
+        cells = sorted({c for _, c, _ in probe_rows})
+        cand = self.assignments
+        if filter_expr is not None:
+            cand = cand.filter(filter_expr)
+        cand = cand.filter(F.col("cell_id").isin(cells))
+        joined = cand.join(F.broadcast(probe_df), "cell_id")
+        scored = joined.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            binary_distance_expr(metric, F.col("vec"), F.col("qvec")).alias("distance"),
+        )
+        return topk_per_key(
+            scored, "query_id", "distance", k, ascending=True, tie_breaker="neighbor_id"
+        )
+
+
+def _assign_binary(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.frombuffer(b"".join(pdf["vec"]), dtype=np.uint8).reshape(len(pdf), -1)
+            out = pdf.copy()
+            out["cell_id"] = _hamming_matrix(X, C).argmin(axis=1).astype(np.int32)
+            yield out[["id", "cell_id", "vec"]]
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cell_id", IntegerType()),
+            StructField("vec", BinaryType()),
+        ]
+    )
+    return df.mapInPandas(kernel, schema)

@@ -1,0 +1,263 @@
+"""IVF_PQ — product quantization over an IVF coarse partition
+(reference: src/index/ivf/ivf.cc:535-554; params m / nbits with
+``dim % m == 0``, src/index/ivf/ivf_config.h:68-98).
+
+Spark-first split:
+
+- **Train**: IVF coarse centroids via MLlib KMeans (shared with IVF_FLAT),
+  then ``m`` per-subspace codebooks of ``2^nbits`` centroids fit with a
+  small numpy Lloyd on a bounded driver-side sample — the codebook tensor
+  is tiny (``m × 2^nbits × dim/m`` floats) and broadcasts everywhere.
+- **Add**: encode every row to ``m`` uint8 codes (nearest codebook entry
+  per subspace) in a ``mapInPandas`` pass; the index table stores ONLY
+  ``(id, cell_id, codes ARRAY<SMALLINT>)`` — a ~dim/ m·4-fold byte
+  reduction, which is the whole point at 100 TB: the probe scan reads
+  codes, never raw vectors.
+- **Search (ADC)**: per query build the ``(m, 2^nbits)`` lookup table of
+  sub-distances once on the driver, broadcast all LUTs, probe ``nprobe``
+  cells, and score candidates with a vectorized ``np.take`` gather in an
+  Arrow-batched pandas UDF — the classic asymmetric-distance scan.
+
+Vectors are encoded directly (no residual subtraction) — the
+``by_residual=false`` faiss variant — so one LUT per query serves every
+probed cell and the plan stays a single broadcast join.  COSINE follows
+the normalize-at-train contract (ivf.cc:462-470): encode normalized
+vectors and score IP.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import IndexType, IvfPqConfig, MetricType
+from knowhere_spark.functions.distance import normalize_expr
+from knowhere_spark.operators.ivf import IVFFlatIndex
+from knowhere_spark.operators.topk import topk_per_key
+
+_TRAIN_SAMPLE_MAX = 100_000
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
+    """Plain numpy Lloyd for one subspace codebook ((n, subdim) → (k, subdim))."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        moved = False
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                nc = members.mean(axis=0)
+                if not np.allclose(nc, C[c]):
+                    C[c] = nc
+                    moved = True
+        if not moved:
+            break
+    return C
+
+
+class IVFPqIndex:
+    """Built IVF_PQ: coarse centroids + per-subspace codebooks + codes table."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,       # (nlist, dim)
+        codebooks: np.ndarray,       # (m, ksub, dim/m) float64
+        codes: DataFrame,            # (id, cell_id, codes ARRAY<SMALLINT>)
+        config: IvfPqConfig,
+    ):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.codes = codes
+        self.config = config
+        self.index_type = IndexType.IVF_PQ
+
+    def count(self) -> int:
+        return self.codes.count()
+
+    def dim(self) -> int:
+        return int(self.codebooks.shape[0] * self.codebooks.shape[2])
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        return False   # PQ drops raw data (flat.cc:257-285 HasRawData rules)
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: IvfPqConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "IVFPqIndex":
+        metric = MetricType(config.metric_type)
+        base = base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        # coarse quantizer shared with IVF_FLAT (normalizes for COSINE)
+        flat = IVFFlatIndex.build(base, config, index_type=IndexType.IVF_PQ)
+        dim = flat.dim()
+        config.validate_dim(dim)
+        m, ksub = config.m, 1 << config.nbits
+        subdim = dim // m
+
+        n = flat.assignments.count()
+        sample = flat.assignments
+        if n > _TRAIN_SAMPLE_MAX:
+            sample = sample.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed)
+        S = np.array(
+            [r["vec"] for r in sample.select("vec").collect()], dtype=np.float64
+        )
+        codebooks = np.stack(
+            [
+                _lloyd(S[:, j * subdim : (j + 1) * subdim], ksub, config.seed + j)
+                for j in range(m)
+            ]
+        )  # (m, ksub', subdim) — ksub' may be < ksub on tiny samples
+        spark = base.sparkSession
+        bc = spark.sparkContext.broadcast(codebooks)
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            CB = bc.value
+            mm, _, sd = CB.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                codes = np.empty((len(X), mm), dtype=np.int16)
+                for j in range(mm):
+                    sub = X[:, j * sd : (j + 1) * sd]
+                    d = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * sub @ CB[j].T
+                        + (CB[j] * CB[j]).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "cell_id": pdf["cell_id"].to_numpy(),
+                        "codes": list(codes),
+                    }
+                )
+
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("cell_id", IntegerType()),
+                StructField("codes", ArrayType(ShortType())),
+            ]
+        )
+        codes_df = flat.assignments.mapInPandas(encode, schema)
+        import dataclasses
+
+        cfg = dataclasses.replace(config, nlist=flat.config.nlist)
+        return cls(flat.centroids, codebooks, codes_df, cfg)
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        nprobe: int | None = None,
+        *,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """ADC top-k over probed cells (the LUT-scan of ivf.cc's PQ path)."""
+        k = k if k is not None else self.config.k
+        nprobe = min(
+            nprobe if nprobe is not None else self.config.nprobe, self.config.nlist
+        )
+        metric = MetricType(self.config.metric_type)
+        spark = self.codes.sparkSession
+
+        qrows = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        if metric == MetricType.COSINE:
+            qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qmat = qmat / qn
+
+        m, ksub, subdim = self.codebooks.shape
+        sim = metric.is_similarity
+        # per-query LUT: (nq, m, ksub) sub-distance tables
+        luts = np.empty((len(qids), m, ksub))
+        for j in range(m):
+            qs = qmat[:, j * subdim : (j + 1) * subdim]      # (nq, subdim)
+            CB = self.codebooks[j]                            # (ksub, subdim)
+            if sim:
+                luts[:, j, :] = qs @ CB.T
+            else:
+                luts[:, j, :] = (
+                    (qs * qs).sum(axis=1)[:, None]
+                    - 2.0 * qs @ CB.T
+                    + (CB * CB).sum(axis=1)[None, :]
+                )
+        lut_by_qid = {int(q): luts[i] for i, q in enumerate(qids)}
+        bc = spark.sparkContext.broadcast(lut_by_qid)
+
+        # probe cells on the (tiny) coarse centroid matrix — same rule as IVF
+        probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        from knowhere_spark.functions.distance import pairwise_distances
+
+        d = pairwise_distances(self.centroids, qmat, probe_metric)   # (nlist, nq)
+        key = -d if probe_metric.is_similarity else d
+        order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]
+        probe_rows = [
+            (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
+        ]
+        probe_df = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
+        cells = sorted({c for _, c in probe_rows})
+
+        cand = self.codes
+        if filter_expr is not None:
+            cand = cand.filter(filter_expr)
+        cand = cand.filter(F.col("cell_id").isin(cells))
+        joined = cand.join(F.broadcast(probe_df), "cell_id")
+
+        def adc(qid_s: pd.Series, codes_s: pd.Series) -> pd.Series:
+            tables = bc.value
+            out = np.empty(len(qid_s))
+            codes = np.array(list(codes_s.to_numpy()), dtype=np.int64)
+            qid_arr = qid_s.to_numpy()
+            for q in np.unique(qid_arr):
+                mask = qid_arr == q
+                lut = tables[int(q)]                         # (m, ksub)
+                cc = codes[mask]                             # (nc, m)
+                out[mask] = lut[np.arange(lut.shape[0])[None, :], cc].sum(axis=1)
+            return pd.Series(out)
+
+        adc_udf = F.pandas_udf(adc, DoubleType())
+        scored = joined.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adc_udf(F.col("query_id"), F.col("codes")).alias("distance"),
+        )
+        return topk_per_key(
+            scored, "query_id", "distance", k,
+            ascending=not sim, tie_breaker="neighbor_id",
+        )

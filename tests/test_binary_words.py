@@ -1,0 +1,154 @@
+"""Word-packed binary metrics (native bit ops) + BIN_IVF_FLAT recall +
+factory dispatch — reference semantics from brute_force.cc:212-236 and
+ivf.cc:607-620, test pattern from tests/ut/test_search.cc."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import ConfigError, IvfConfig, MetricType
+from knowhere_spark.factory import build_index, create_index
+from knowhere_spark.functions.binary import (
+    hamming_np,
+    hamming_words_expr,
+    jaccard_np,
+    jaccard_words_expr,
+    pack_bits_expr,
+    substructure_words_expr,
+)
+from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+
+from conftest import (
+    BIN_QUERY_SCHEMA,
+    binary_df,
+    gen_binary,
+    gen_dense,
+    dense_df,
+    recall_at_k,
+)
+
+
+def _sign_pack_np(mat: np.ndarray) -> np.ndarray:
+    """numpy oracle for pack_bits_expr: (n, ceil(dim/32)) int64 words."""
+    bits = (mat > 0).astype(np.uint8)
+    n, dim = bits.shape
+    n_words = (dim + 31) // 32
+    out = np.zeros((n, n_words), dtype=np.int64)
+    for w in range(n_words):
+        for i in range(min(32, dim - 32 * w)):
+            out[:, w] |= bits[:, 32 * w + i].astype(np.int64) << i
+    return out
+
+
+def test_pack_bits_matches_numpy(spark):
+    mat = gen_dense(50, 64) - 50.0   # mix of signs
+    df = dense_df(spark, mat)
+    got = {
+        r["id"]: r["words"]
+        for r in df.select("id", pack_bits_expr(F.col("vec"), 64).alias("words")).collect()
+    }
+    want = _sign_pack_np(mat)
+    for i in range(len(mat)):
+        assert got[i] == list(want[i])
+
+
+def test_hamming_jaccard_words_vs_bytes_kernel(spark):
+    base = gen_dense(40, 96, seed=1) - 50.0
+    qs = gen_dense(5, 96, seed=2) - 50.0
+    bw, qw = _sign_pack_np(base), _sign_pack_np(qs)
+    rows = [
+        (int(i), list(map(int, bw[i])), int(j), list(map(int, qw[j])))
+        for i in range(len(base))
+        for j in range(len(qs))
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<long>, qid long, b array<long>"
+    )
+    got = df.select(
+        "id",
+        "qid",
+        hamming_words_expr(F.col("a"), F.col("b")).alias("h"),
+        jaccard_words_expr(F.col("a"), F.col("b")).alias("j"),
+    ).collect()
+    # byte-level numpy kernels are the established oracle
+    packed_b = np.packbits(
+        np.stack([[(w >> i) & 1 for w in row for i in range(32)] for row in bw]).astype(np.uint8),
+        axis=1, bitorder="little",
+    )
+    packed_q = np.packbits(
+        np.stack([[(w >> i) & 1 for w in row for i in range(32)] for row in qw]).astype(np.uint8),
+        axis=1, bitorder="little",
+    )
+    for r in got:
+        i, j = r["id"], r["qid"]
+        assert r["h"] == hamming_np(packed_b[i : i + 1], packed_q[j : j + 1])[0]
+        assert r["j"] == pytest.approx(
+            jaccard_np(packed_b[i : i + 1], packed_q[j : j + 1])[0]
+        )
+
+
+def test_substructure_words(spark):
+    # a ⊃ q  when q's bits are a subset
+    rows = [
+        (1, [0b1111, 0b0011], [0b0101, 0b0011], True),
+        (2, [0b1111, 0b0001], [0b0101, 0b0011], False),
+    ]
+    df = spark.createDataFrame(rows, "id int, base array<long>, q array<long>, want boolean")
+    got = df.select(
+        "id", "want", substructure_words_expr(F.col("base"), F.col("q")).alias("m")
+    ).collect()
+    for r in got:
+        assert r["m"] == r["want"]
+
+
+def test_bin_ivf_recall(spark):
+    nb, dim, nq, k = 1000, 128, 10, 10
+    base = gen_binary(nb, dim, seed=7)
+    qs = gen_binary(nq, dim, seed=8)
+    base_df = binary_df(spark, base)
+    q_df = binary_df(spark, qs, BIN_QUERY_SCHEMA)
+
+    # uniform-random binary has no cluster structure, so recall tracks the
+    # probed fraction; nprobe=8/nlist=16 comfortably clears the 0.6 UT floor
+    idx = BinaryIVFIndex.build(
+        base_df, IvfConfig(metric_type=MetricType.HAMMING, nlist=16, nprobe=8)
+    )
+    res = idx.search(q_df, k=k)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+
+    d = hamming_np(
+        np.repeat(base, nq, axis=0), np.tile(qs, (nb, 1))
+    ).reshape(nb, nq)
+    truth = {
+        q: [(int(i), float(d[i, q])) for i in np.lexsort((np.arange(nb), d[:, q]))[:k]]
+        for q in range(nq)
+    }
+    assert recall_at_k(got, truth, k) >= 0.6   # UT floor, test_search.cc:28
+
+
+def test_factory_dispatch_and_validation(spark):
+    mat = gen_dense(200, 16, seed=3)
+    df = dense_df(spark, mat)
+    qdf = dense_df(spark, gen_dense(3, 16, seed=4)).withColumnRenamed("id", "query_id")
+
+    for t, params in [
+        ("FLAT", {"metric_type": "L2"}),
+        ("IVF_FLAT", {"metric_type": "L2", "nlist": 8, "nprobe": 8}),
+        ("DISKANN", {"metric_type": "L2"}),
+    ]:
+        built = build_index(df, t, params)
+        out = built.search(qdf, k=5)
+        assert out.count() == 15
+        assert set(out.columns) == {"query_id", "neighbor_id", "distance", "rank"}
+
+    with pytest.raises(ConfigError):
+        create_index("IVF_FLAT", {"metric_type": "L2", "bogus_param": 1})
+    with pytest.raises(ConfigError):
+        create_index("NO_SUCH_INDEX", {})
+    with pytest.raises(ConfigError):
+        # metric/index incompatibility (feature.h:21-31 flags)
+        create_index("IVF_FLAT", {"metric_type": "HAMMING"})

@@ -1,0 +1,59 @@
+"""IVF_PQ ADC search — recall vs exact numpy oracle (test_search.cc
+pattern, ANN floor 0.6) + config validation (dim % m, ivf_config.h:68-98)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from knowhere_spark.config import ConfigError, IvfPqConfig, load_config
+from knowhere_spark.factory import build_index
+from knowhere_spark.operators.pq import IVFPqIndex
+
+from conftest import QUERY_SCHEMA, dense_df, gen_dense, np_knn, recall_at_k
+
+
+def _run(spark, metric, nb=1000, dim=64, nq=10, k=10, m=16, nprobe=8, nlist=8):
+    base = gen_dense(nb, dim, seed=11)
+    qs = gen_dense(nq, dim, seed=12)
+    idx = IVFPqIndex.build(
+        dense_df(spark, base),
+        IvfPqConfig(metric_type=metric, nlist=nlist, nprobe=nprobe, m=m, k=k),
+    )
+    res = idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    truth = np_knn(base, qs, k, metric)
+    return recall_at_k(got, truth, k), idx
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
+def test_pq_recall(spark, metric):
+    recall, idx = _run(spark, metric)
+    assert recall >= 0.6          # ANN UT floor (test_search.cc:28)
+    assert not idx.has_raw_data()  # PQ drops raw vectors
+    assert idx.dim() == 64
+
+
+def test_pq_dim_validation(spark):
+    base = gen_dense(100, 30, seed=1)   # 30 % 16 != 0
+    with pytest.raises(ConfigError):
+        IVFPqIndex.build(
+            dense_df(spark, base), IvfPqConfig(metric_type="L2", nlist=4, m=16)
+        )
+
+
+def test_pq_via_factory(spark):
+    base = gen_dense(300, 32, seed=5)
+    qdf = dense_df(spark, gen_dense(3, 32, seed=6), QUERY_SCHEMA).withColumnRenamed(
+        "vec", "vec"
+    )
+    built = build_index(
+        dense_df(spark, base),
+        "IVF_PQ",
+        {"metric_type": "L2", "nlist": 4, "nprobe": 4, "m": 8},
+    )
+    out = built.search(qdf, k=5)
+    assert out.count() == 15
+    assert set(out.columns) == {"query_id", "neighbor_id", "distance", "rank"}
