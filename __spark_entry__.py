@@ -463,6 +463,38 @@ def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_search_while_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_FLAT_CC analog (ivf.cc:513-534): build sealed index on half the
+    embeddings, stream the rest in via foreachBatch, search the union.
+    Genuinely streaming (Structured Streaming + availableNow) — rows-only
+    gate, equivalence-tested in tests/test_streaming.py."""
+    import tempfile
+
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.streaming.cc import GrowingIVFIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    n = base.count()
+    sealed_half = base.filter(F.col("id") % 2 == 0)
+    stream_half = base.filter(F.col("id") % 2 == 1)
+
+    tmp = tempfile.mkdtemp(prefix="knowhere_cc_")
+    idx = GrowingIVFIndex.build(
+        sealed_half,
+        IvfConfig(metric_type="L2", nlist=16, nprobe=8, k=K),
+        f"{tmp}/growing",
+    )
+    src = f"{tmp}/src"
+    stream_half.select("id", "vec").write.parquet(src)
+    stream = spark.readStream.schema(
+        stream_half.select("id", "vec").schema
+    ).parquet(src)
+    q = idx.start_ingest(stream, f"{tmp}/ckpt", trigger={"availableNow": True})
+    q.awaitTermination()
+    out = idx.search(queries_, k=K)
+    return _knn_out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-k over the embeddings table at sf0.001."""
     return q_flat_knn_cosine(spark, "/root/testdata/sf0.001")
@@ -499,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
         "kmeans_assign": q_kmeans_assign,
+        "cc_search_while_insert": q_cc_search_while_insert,
         "simhash_pairs": q_simhash_pairs,
     }
 

@@ -1,0 +1,125 @@
+"""Search-while-insert — the Structured Streaming analog of the
+reference's concurrent (``*_CC``) indexes: IVF_FLAT_CC's growing segments
+(src/index/ivf/ivf.cc:513-534, segment size ``ssize``) and
+SparseInvertedIndexNodeCC (src/index/sparse/sparse_index_node.cc:431-585).
+
+The reference interleaves inserts and searches under a lock over sealed +
+growing segments.  In Spark the same contract is a kappa split:
+
+- **sealed** segment: the built IVF index (cell-partitioned Parquet).
+- **growing** segment: an append-only Parquet directory fed by
+  ``writeStream.foreachBatch`` — each micro-batch is assigned to cells
+  with the SAME broadcast-centroid kernel the batch path uses
+  (operators/ivf._assign_cells), so a growing row is searchable the
+  moment its batch commits.
+- **search** runs over ``sealed ∪ growing`` — one DataFrame union, same
+  probe plan; Parquet's snapshot isolation gives the consistent view the
+  reference takes a lock for.
+
+At 100 TB the growing directory stays small relative to sealed (it's one
+ingest window); a periodic ``seal()`` compacts growing into sealed —
+the Milvus-side segment-seal lifecycle expressed as one batch job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from knowhere_spark.config import IvfConfig
+from knowhere_spark.operators.ivf import IVFFlatIndex, _assign_cells
+
+
+class GrowingIVFIndex:
+    """IVF_FLAT_CC analog: sealed IVF index + streaming-appended growing
+    segment, searched as one."""
+
+    def __init__(self, sealed: IVFFlatIndex, growing_path: str):
+        self.sealed = sealed
+        self.growing_path = growing_path
+        self._spark = sealed.assignments.sparkSession
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: IvfConfig,
+        growing_path: str,
+        **kw,
+    ) -> "GrowingIVFIndex":
+        return cls(IVFFlatIndex.build(base_df, config, **kw), growing_path)
+
+    # -- ingest ---------------------------------------------------------------
+    def start_ingest(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        trigger: dict | None = None,
+    ):
+        """Attach a streaming source of ``(id, vec)`` rows; every
+        micro-batch is cell-assigned and appended (``IndexNode::Add`` under
+        the stream, ivf.cc:513-534).  Returns the StreamingQuery."""
+        from pyspark.sql import functions as F
+
+        centroids = self.sealed.centroids
+
+        def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("vec"),
+            )
+            assigned = _assign_cells(rows, centroids)
+            (
+                assigned.write.mode("append")
+                .partitionBy("cell_id")
+                .parquet(self.growing_path)
+            )
+
+        writer = (
+            stream_df.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    # -- search over sealed ∪ growing ----------------------------------------
+    def _growing_df(self) -> DataFrame | None:
+        if not os.path.isdir(self.growing_path):
+            return None
+        try:
+            df = self._spark.read.parquet(self.growing_path)
+        except Exception:
+            return None   # no committed files yet
+        return df.select("id", "cell_id", "vec")
+
+    def searchable(self) -> IVFFlatIndex:
+        """A point-in-time view over sealed + growing rows."""
+        growing = self._growing_df()
+        assignments = self.sealed.assignments.select("id", "cell_id", "vec")
+        if growing is not None:
+            assignments = assignments.unionByName(growing)
+        return IVFFlatIndex(
+            self.sealed.centroids,
+            assignments,
+            self.sealed.config,
+            index_type=self.sealed.index_type,
+        )
+
+    def search(self, query_df: DataFrame, k: int | None = None, **kw) -> DataFrame:
+        return self.searchable().search(query_df, k, **kw)
+
+    def count(self) -> int:
+        return self.searchable().count()
+
+    # -- seal (compaction) ----------------------------------------------------
+    def seal(self) -> "GrowingIVFIndex":
+        """Fold the growing segment into sealed — the segment-seal step of
+        the CC lifecycle; centroids are unchanged (the reference never
+        retrains on insert either)."""
+        return GrowingIVFIndex(self.searchable(), self.growing_path + "_next")

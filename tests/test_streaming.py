@@ -1,0 +1,86 @@
+"""Streaming surface: IVF_FLAT_CC search-while-insert analog (growing
+segment via foreachBatch, ivf.cc:513-534) and watermarked window agg
+equivalence against the batch expression."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import IvfConfig
+from knowhere_spark.operators.events import window_agg
+from knowhere_spark.streaming.cc import GrowingIVFIndex
+from knowhere_spark.streaming.events import run_available_now, stream_window_agg
+
+from conftest import QUERY_SCHEMA, DENSE_SCHEMA, dense_df, gen_dense
+
+
+def test_cc_search_while_insert(spark, tmp_path):
+    nb, dim, k = 400, 16, 5
+    base = gen_dense(nb, dim, seed=21)
+    extra = gen_dense(50, dim, seed=22) + 200.0   # shifted cluster, distinct ids
+
+    idx = GrowingIVFIndex.build(
+        dense_df(spark, base),
+        IvfConfig(metric_type="L2", nlist=8, nprobe=8),
+        str(tmp_path / "growing"),
+    )
+    assert idx.count() == nb
+
+    # stream the extra rows in via a file source
+    src = str(tmp_path / "src")
+    extra_df = spark.createDataFrame(
+        [(nb + i, [float(x) for x in row]) for i, row in enumerate(extra)],
+        DENSE_SCHEMA,
+    )
+    extra_df.write.parquet(src)
+    stream = spark.readStream.schema(DENSE_SCHEMA).parquet(src)
+    q = idx.start_ingest(
+        stream, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+
+    assert idx.count() == nb + 50
+    # a query at the shifted cluster must hit streamed-in neighbors
+    qdf = dense_df(spark, extra[:1] + 0.01, QUERY_SCHEMA)
+    res = idx.search(qdf, k=k).collect()
+    assert len(res) == k
+    assert all(r["neighbor_id"] >= nb for r in res)
+
+    # seal folds growing into sealed; search result is unchanged
+    sealed = idx.seal()
+    res2 = sealed.search(qdf, k=k).collect()
+    assert sorted(r["neighbor_id"] for r in res2) == sorted(
+        r["neighbor_id"] for r in res
+    )
+
+
+def test_stream_window_agg_matches_batch(spark, tmp_path):
+    rows = [
+        (i, f"2026-01-01 {h:02d}:{m:02d}:00", "click" if i % 2 else "view", float(i))
+        for i, (h, m) in enumerate(
+            [(0, 5), (0, 40), (1, 10), (1, 59), (2, 0), (2, 30), (3, 15)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    src = str(tmp_path / "events_src")
+    df.write.parquet(src)
+
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in window_agg(df).collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_window_agg(stream, watermark="1 minute")
+    run_available_now(out, "win_agg_test", str(tmp_path / "ckpt2"))
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_agg_test").collect()
+    }
+    assert got == batch
