@@ -336,6 +336,17 @@ def q_scann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph build + BFS-beam batch search (SURVEY.md §2.3 HNSW
+    design note) — ANN, rows-only gate."""
+    from knowhere_spark.config import HnswConfig
+    from knowhere_spark.operators.hnsw import HNSWIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    idx = HNSWIndex.build(base, HnswConfig(metric_type="L2", M=16, ef=32, k=K))
+    return _knn_out(idx.search(queries_, k=K, max_hops=3))
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import KMeansConfig
     from knowhere_spark.operators.cluster import KMeansCluster
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq8_knn": q_ivf_sq8_knn,
         "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
+        "hnsw_knn": q_hnsw_knn,
         "kmeans_assign": q_kmeans_assign,
         "cc_search_while_insert": q_cc_search_while_insert,
         "simhash_pairs": q_simhash_pairs,

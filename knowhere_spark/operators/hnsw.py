@@ -1,0 +1,266 @@
+"""HNSW re-expressed for Spark — graph *construction* as a distributed
+batch job, batch *search* as bounded iterative frontier expansion.
+
+Reference: src/index/hnsw/hnsw.h (hnswlib legacy) and
+src/index/hnsw/faiss_hnsw.cc; params M (30) / efConstruction (360) /
+``ef >= k`` from src/index/hnsw/base_hnsw_config.h:34-79.
+
+SURVEY.md §2.3 is explicit about the design call: pointer-chasing greedy
+serving is not Spark-shaped, so
+
+- **Build** produces the graph artifact — a proximity graph with <= M
+  out-edges per node — via *blocked* construction: rows are assigned to
+  their top-2 nearest coarse cells (so boundary neighbors share a block),
+  each cell computes its local exact KNN with ``applyInPandas`` (bounded
+  cell population => bounded memory), and edges are symmetrized then
+  re-pruned to M per node.  Every step is a DataFrame op; cells are the
+  parallelism axis, so construction scales with executors.
+- **Search** is an honest BFS-beam: per hop, frontier ⋈ edges expands
+  candidates, exact distances re-rank, the per-query top-``ef`` become
+  the next frontier (``ef >= k`` enforced like base_hnsw_config.h:55-79),
+  bounded hop count.  Each hop is one shuffle join — batch-friendly, and
+  the documented contract is recall-vs-hops, not graph-serving latency.
+  For serving-style ANN use the IVF family; this operator exists for
+  graph-artifact parity (and the edges table is itself a useful
+  similarity-graph output for dedup/clustering pipelines).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import HnswConfig, IndexType, MetricType
+from knowhere_spark.functions.distance import pairwise_distances
+from knowhere_spark.operators.ivf import _assign_cells
+from knowhere_spark.operators.topk import topk_per_key
+
+_CELL_TARGET_ROWS = 512     # block population target for local-KNN build
+_TRAIN_SAMPLE_MAX = 50_000
+
+_EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+        StructField("dist", DoubleType()),
+    ]
+)
+
+
+class HNSWIndex:
+    """Graph artifact: (id, vec) vectors + <=M out-edges per node."""
+
+    def __init__(
+        self,
+        vectors: DataFrame,      # (id, vec)
+        edges: DataFrame,        # (src, dst, dist)
+        config: HnswConfig,
+        entry_ids: list[int],
+    ):
+        self.vectors = vectors
+        self.edges = edges
+        self.config = config
+        self.entry_ids = entry_ids
+        self.index_type = IndexType.HNSW
+
+    def count(self) -> int:
+        return self.vectors.count()
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        return True
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: HnswConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "HNSWIndex":
+        metric = MetricType(config.metric_type)
+        base = base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        n = base.count()
+        spark = base.sparkSession
+        nlist = max(4, n // _CELL_TARGET_ROWS)
+
+        # coarse cells from a bounded sample (same kernel family as IVF)
+        sample = base
+        if n > _TRAIN_SAMPLE_MAX:
+            sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=42)
+        S = np.array([r["vec"] for r in sample.select("vec").collect()], dtype=np.float64)
+        rng = np.random.default_rng(42)
+        centroids = S[rng.choice(len(S), size=min(nlist, len(S)), replace=False)]
+
+        # top-2 cell assignment => boundary rows co-occur in both blocks
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                d = pairwise_distances(X, C, MetricType.L2)
+                top2 = np.argsort(d, axis=1, kind="stable")[:, :2]
+                out = pd.concat(
+                    [
+                        pdf.assign(cell_id=top2[:, 0].astype(np.int32)),
+                        pdf.assign(cell_id=top2[:, 1].astype(np.int32)),
+                    ]
+                )
+                yield out[["id", "cell_id", "vec"]]
+
+        vec_type = base.schema["vec"].dataType
+        blocks = base.mapInPandas(
+            assign2,
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("cell_id", IntegerType()),
+                    StructField("vec", vec_type),
+                ]
+            ),
+        )
+
+        M = config.M
+
+        def local_knn(key, pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                    {"src": np.int64, "dst": np.int64, "dist": np.float64}
+                )
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            d = pairwise_distances(X, X, metric)
+            sim = metric.is_similarity
+            key_m = -d if sim else d
+            np.fill_diagonal(key_m, np.inf)      # no self-edges
+            kk = min(M, len(pdf) - 1)
+            nbr = np.argsort(key_m, axis=1, kind="stable")[:, :kk]
+            src = np.repeat(ids, kk)
+            dst = ids[nbr.ravel()]
+            dist = d[np.repeat(np.arange(len(ids)), kk), nbr.ravel()]
+            return pd.DataFrame({"src": src, "dst": dst, "dist": dist})
+
+        raw_edges = blocks.groupBy("cell_id").applyInPandas(local_knn, _EDGE_SCHEMA)
+        # symmetrize, dedup (a pair can appear in 2 shared blocks), prune to M
+        sym = raw_edges.unionByName(
+            raw_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+            )
+        ).dropDuplicates(["src", "dst"])
+        edges = (
+            topk_per_key(
+                sym.withColumnRenamed("dist", "distance"),
+                "src",
+                "distance",
+                M,
+                ascending=not metric.is_similarity,
+                tie_breaker="dst",
+            )
+            .select("src", "dst", F.col("distance").alias("dist"))
+        )
+
+        # entry points: a small deterministic sample (multi-entry beam
+        # replaces the hierarchy's zoom-out layers)
+        entry_ids = [
+            int(r["id"])
+            for r in base.orderBy(F.pmod(F.col("id"), F.lit(997)), "id").limit(8).collect()
+        ]
+        return cls(base, edges, config, entry_ids)
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        ef: int | None = None,
+        max_hops: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Bounded BFS-beam over the edges table.
+
+        Per hop: frontier ⋈ edges → new candidates → exact distance →
+        per-query top-ef frontier; results are the best k over everything
+        visited.  ``ef >= k`` (base_hnsw_config.h:55-79).
+        """
+        k = k if k is not None else self.config.k
+        ef = max(ef if ef is not None else self.config.ef, k)
+        metric = MetricType(self.config.metric_type)
+        spark = self.vectors.sparkSession
+
+        queries = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).cache()
+
+        def score(cand: DataFrame) -> DataFrame:
+            """(query_id, node_id) -> + exact distance (join vectors ⋈ broadcast queries)."""
+            from knowhere_spark.functions.distance import distance_expr
+
+            withvec = cand.join(
+                self.vectors, cand["node_id"] == self.vectors["id"]
+            ).select("query_id", "node_id", "vec")
+            return withvec.join(F.broadcast(queries), "query_id").select(
+                "query_id",
+                "node_id",
+                distance_expr(metric, F.col("vec"), F.col("qvec")).alias("distance"),
+            )
+
+        entry_df = spark.createDataFrame(
+            [(e,) for e in self.entry_ids], "node_id long"
+        )
+        frontier = queries.select("query_id").crossJoin(entry_df)
+        visited = score(frontier).cache()
+        visited.count()
+        frontier = visited.select("query_id", "node_id")
+
+        for _ in range(max_hops):
+            expanded = (
+                frontier.join(self.edges, frontier["node_id"] == self.edges["src"])
+                .select("query_id", F.col("dst").alias("node_id"))
+                .distinct()
+                .join(visited.select("query_id", "node_id"), ["query_id", "node_id"], "left_anti")
+            )
+            scored = score(expanded)
+            new_visited = visited.unionByName(scored).cache()
+            new_visited.count()
+            visited.unpersist()
+            visited = new_visited
+            # next frontier: per-query best ef among the newly scored nodes
+            frontier = (
+                topk_per_key(
+                    scored, "query_id", "distance", ef,
+                    ascending=not metric.is_similarity, tie_breaker="node_id",
+                )
+                .select("query_id", "node_id")
+            )
+
+        out = topk_per_key(
+            visited.withColumnRenamed("node_id", "neighbor_id"),
+            "query_id",
+            "distance",
+            k,
+            ascending=not metric.is_similarity,
+            tie_breaker="neighbor_id",
+        )
+        queries.unpersist()
+        return out
