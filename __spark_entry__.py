@@ -474,6 +474,38 @@ def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling — native explode over the frame-index
+    sequence (operators/multimodal.py); metadata synthesis is portable
+    arithmetic so the whole plan is oracle-checkable."""
+    from knowhere_spark.operators.multimodal import sample_frames, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return sample_frames(media, every_n=2).select(
+        "media_id",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract pipeline over BINARY payloads (stubbed
+    codec, real mapInPandas plumbing) — rows-only gate, determinism
+    tested in tests/test_multimodal.py."""
+    from knowhere_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media, feature_dim=16)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+        F.size("features").alias("feature_dim"),
+    )
+
+
 def q_cc_search_while_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF_FLAT_CC analog (ivf.cc:513-534): build sealed index on half the
     embeddings, stream the rest in via foreachBatch, search the union.
@@ -544,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_knn": q_hnsw_knn,
         "kmeans_assign": q_kmeans_assign,
         "cc_search_while_insert": q_cc_search_while_insert,
+        "media_frame_sample": q_media_frame_sample,
+        "multimodal_features": q_multimodal_features,
         "simhash_pairs": q_simhash_pairs,
     }
 
@@ -830,6 +864,16 @@ WITH d AS (
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.95
+""",
+        "media_frame_sample": """
+WITH m AS (
+  SELECT doc_id AS media_id, (length(text)*31 + doc_id) AS h FROM documents
+),
+v AS (
+  SELECT media_id, CAST(h % 10 + 1 AS INT) AS n_frames FROM m WHERE h % 3 = 2
+)
+SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+FROM v
 """,
         "events_window_agg": f"""
 SELECT strftime(date_trunc('hour', ts), {_EV_FMT}) AS window_start,
