@@ -39,8 +39,15 @@ def build_spark() -> SparkSession:
 
 def bench_queries(spark: SparkSession) -> dict[str, float]:
     """name -> callable returning a DataFrame to be fully consumed."""
-    from knowhere_spark.config import BaseConfig
+    from knowhere_spark.config import BaseConfig, IvfConfig
+    from knowhere_spark.functions.binary import (
+        binary_words_distance_expr,
+        pack_bits_expr,
+    )
     from knowhere_spark.operators.brute_force import BruteForce
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs
+    from knowhere_spark.operators.events import sessionize, window_agg
+    from knowhere_spark.operators.ivf import IVFFlatIndex
     from knowhere_spark.operators.topk import topk_per_key
     from knowhere_spark.sources.tables import embeddings_as_dataset, load_table
 
@@ -48,6 +55,13 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     n_emb = emb.count()
     all_queries = emb.select(F.col("id").alias("query_id"), "vec")
     li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    events = load_table(spark, SF_DIR, "events")
+
+    # amortize one-time Python-worker/Arrow spin-up outside the timings
+    BruteForce.search(
+        emb.limit(256), all_queries.limit(1), 1, "L2", strategy="gemm"
+    ).count()
 
     out = {}
 
@@ -74,6 +88,64 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["bf_knn_l2_all"] = q_bf_knn_l2_all
     out["bf_range_l2"] = q_bf_range_l2
     out["topk_per_key"] = q_topk_per_key
+
+    # IVF: build timed separately from search (train+assign vs probe plan)
+    ivf_state = {}
+
+    def q_ivf_build():
+        idx = IVFFlatIndex.build(
+            emb, IvfConfig(metric_type="L2", nlist=64, nprobe=8)
+        )
+        idx.assignments.cache()
+        ivf_state["idx"] = idx
+        return idx.assignments
+
+    def q_ivf_search():
+        return ivf_state["idx"].search(
+            all_queries.filter(F.col("query_id") < 1000), k=100, nprobe=8
+        )
+
+    out["ivf_build"] = q_ivf_build
+    out["ivf_search_nq1000"] = q_ivf_search
+
+    def q_bin_hamming():
+        # JVM-native bit_count path, nq=1000 over the full table
+        b = emb.select("id", pack_bits_expr(F.col("vec"), 64).alias("words"))
+        q = (
+            emb.filter(F.col("id") < 1000)
+            .select(F.col("id").alias("query_id"),
+                    pack_bits_expr(F.col("vec"), 64).alias("qwords"))
+        )
+        scored = b.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            binary_words_distance_expr("HAMMING", F.col("words"), F.col("qwords")).alias("distance"),
+        )
+        return topk_per_key(scored, "query_id", "distance", 100,
+                            ascending=True, tie_breaker="neighbor_id")
+
+    out["bin_hamming_nq1000"] = q_bin_hamming
+
+    def q_sparse_bm25():
+        # postings build + BM25 scoring, exactly the entry-query pipeline
+        from __spark_entry__ import q_sparse_bm25_topk
+
+        return q_sparse_bm25_topk(spark, SF_DIR)
+
+    out["sparse_bm25"] = q_sparse_bm25
+
+    def q_dedup_minhash():
+        return minhash_lsh_pairs(docs, 0.7, num_perm=64, bands=32)
+
+    def q_events_window():
+        return window_agg(events, window_duration="1 hour")
+
+    def q_events_sessionize():
+        return sessionize(events, gap_minutes=30)
+
+    out["dedup_minhash"] = q_dedup_minhash
+    out["events_window"] = q_events_window
+    out["events_sessionize"] = q_events_sessionize
     return out
 
 

@@ -30,7 +30,10 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from knowhere_spark.functions.text import shingles_expr, tokens_expr
 
-_MERSENNE = (1 << 61) - 1
+# universal-hash domain sized so a*h+b stays inside int64:
+# shingle hashes are 28-bit (7 md5 hex chars), a/b < 2^31-1, so the
+# product is < 2^59 — vectorized numpy int64, no object-dtype bigints
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_constants(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -116,7 +119,8 @@ def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
         "doc_id",
         F.transform(
             F.col("sh"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            # 7 hex chars = 28 bits — fits the int64 universal-hash domain
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
         ).alias("hashes"),
     )
 
@@ -135,7 +139,6 @@ def minhash_signatures(
     Permutation mins are computed in a vectorized Arrow kernel:
     ``min((a*h + b) mod M)`` per permutation over the shingle-hash array.
     """
-    hashed = _shingle_hashes(df, id_col, text_col, shingle_n)
     a, b = _perm_constants(num_perm, seed)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((a, b))
@@ -143,25 +146,53 @@ def minhash_signatures(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
     )
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
 
     def kernel(batches):
+        # single pass text → tokens → shingles → 28-bit hash → signature,
+        # all inside one Arrow batch: interpreted SQL higher-order
+        # functions (slice-in-transform) are ~5x slower than this at scale
+        import re
+        import zlib
+
         a_, b_ = bc.value
         M = _MERSENNE
+        n_perm = len(a_)
+        tok_re = re.compile(r"[^a-z0-9]+")
+        mask28 = (1 << 28) - 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sigs = []
-            for hs in pdf["hashes"]:
-                h = np.asarray(hs, dtype=np.int64)
-                if len(h) == 0:
-                    sigs.append(np.full(len(a_), M, dtype=np.int64).tolist())
-                    continue
-                # (num_perm, n_shingles) universal-hash matrix, min per row
-                m = (a_[:, None].astype(object) * h[None, :].astype(object) + b_[:, None]) % M
-                sigs.append(np.min(m.astype(np.int64), axis=1).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            hs_list = []
+            for text in pdf["text"]:
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                n_sh = max(len(toks) - shingle_n + 1, 1 if toks else 0)
+                sh = {
+                    " ".join(toks[i : i + shingle_n]) for i in range(n_sh)
+                }
+                hs_list.append(
+                    np.fromiter(
+                        (zlib.crc32(s.encode()) & mask28 for s in sh),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                )
+            lens = np.array([len(h) for h in hs_list])
+            out = np.full((len(pdf), n_perm), M, dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate([h for h in hs_list if len(h)])
+                # (num_perm, total) universal-hash matrix, segment-min per
+                # doc via reduceat (int64-safe: see _MERSENNE sizing note)
+                m = (a_[:, None] * flat[None, :] + b_[:, None]) % M
+                starts = np.zeros(nz.sum(), dtype=np.int64)
+                starts[1:] = np.cumsum(lens[nz])[:-1]
+                out[nz] = np.minimum.reduceat(m, starts, axis=1).T
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(out)})
 
-    return hashed.mapInPandas(kernel, schema)
+    return src.mapInPandas(kernel, schema)
 
 
 def minhash_lsh_pairs(
@@ -187,10 +218,12 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
+    # cached: the band self-join reads signatures from BOTH sides — without
+    # this the signature kernel runs twice
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
         shingle_n=shingle_n, seed=seed,
-    )
+    ).cache()
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -220,9 +253,21 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_expr(F.col(text_col), shingle_n).alias("sh"),
+    # exact-verify only the candidate docs — the shingle expression is the
+    # expensive part, and candidates are a vanishing fraction of the corpus
+    cand = cand.cache()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("__text"),
+        )
+        .join(F.broadcast(cand_ids), "doc_id")
+        .select("doc_id", shingles_expr(F.col("__text"), shingle_n).alias("sh"))
     )
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")

@@ -57,6 +57,7 @@ class IVFFlatIndex:
         self.assignments = assignments
         self.config = config
         self.index_type = index_type
+        self._cell_counts: dict[int, int] | None = None   # lazy stats
 
     # -- introspection verbs (index_node.h:411-434) -------------------------
     def count(self) -> int:
@@ -167,44 +168,70 @@ class IVFFlatIndex:
             qnorm[qnorm == 0] = 1.0
             qmat = qmat / qnorm
 
-        probe = self._probe_cells(qids, qmat, nprobe)     # (query_id, cell_id, qvec) pandas
-        out = self._search_probed(spark, probe, k, metric, filter_expr)
+        # query vectors ship ONCE (nq rows); probe list is bare
+        # (query_id, cell_id) pairs — nq*nprobe ints, not nq*nprobe vectors
+        qvec_df = spark.createDataFrame(
+            [(int(q), [float(x) for x in qmat[i]]) for i, q in enumerate(qids)],
+            "query_id long, qvec array<double>",
+        )
+        pairs = self._probe_pairs(qids, qmat, nprobe)
+        out = self._search_probed(spark, pairs, qvec_df, k, metric, filter_expr)
 
         if self.config.ensure_topk_full:
             # probe-all fallback for underfilled queries (ivf.cc:753-762)
-            counts = {r["query_id"]: r["cnt"] for r in out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
-            refill = [i for i, qid in enumerate(qids) if counts.get(int(qid), 0) < k]
+            if filter_expr is None:
+                # cheap path: per-query candidate counts from cell stats —
+                # no filter means candidates >= k guarantees k results,
+                # so no extra Spark job at all in the common case
+                cc = self._get_cell_counts()
+                by_q: dict[int, int] = {}
+                for qid, cell in pairs:
+                    by_q[qid] = by_q.get(qid, 0) + cc.get(cell, 0)
+                refill = [i for i, qid in enumerate(qids) if by_q.get(int(qid), 0) < k]
+            else:
+                out = out.cache()   # the count below must not recompute twice
+                counts = {r["query_id"]: r["cnt"] for r in out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+                refill = [i for i, qid in enumerate(qids) if counts.get(int(qid), 0) < k]
             if refill:
-                all_cells = np.arange(self.config.nlist)
-                rows = [
-                    (int(qids[i]), int(c), [float(x) for x in qmat[i]])
+                all_pairs = [
+                    (int(qids[i]), int(c))
                     for i in refill
-                    for c in all_cells
+                    for c in range(self.config.nlist)
                 ]
-                probe_df = spark.createDataFrame(rows, "query_id long, cell_id int, qvec array<double>")
-                refill_out = self._search_probed(spark, probe_df, k, metric, filter_expr, probe_is_df=True)
+                refill_out = self._search_probed(
+                    spark, all_pairs, qvec_df, k, metric, filter_expr
+                )
                 kept = out.filter(~F.col("query_id").isin([int(qids[i]) for i in refill]))
                 out = kept.unionByName(refill_out)
         return out
 
-    def _probe_cells(self, qids: np.ndarray, qmat: np.ndarray, nprobe: int):
-        """Driver-side top-nprobe cells per query over the tiny centroid matrix."""
+    def _get_cell_counts(self) -> dict[int, int]:
+        """Rows per cell — computed once, the index's only statistic
+        (the reference tracks live counts per segment similarly)."""
+        if self._cell_counts is None:
+            self._cell_counts = {
+                int(r["cell_id"]): int(r["cnt"])
+                for r in self.assignments.groupBy("cell_id")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+        return self._cell_counts
+
+    def _probe_pairs(self, qids: np.ndarray, qmat: np.ndarray, nprobe: int):
+        """Driver-side top-nprobe cells per query over the tiny centroid
+        matrix → bare (query_id, cell_id) pairs."""
         probe_metric = MetricType.IP if MetricType(self.config.metric_type) == MetricType.COSINE else MetricType(self.config.metric_type)
         d = pairwise_distances(self.centroids, qmat, probe_metric)    # (nlist, nq)
         largest = probe_metric.is_similarity
         key = -d if largest else d
         order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]    # (nprobe, nq)
-        rows = []
-        for qi in range(len(qids)):
-            for c in order[:, qi]:
-                rows.append((int(qids[qi]), int(c), [float(x) for x in qmat[qi]]))
-        return rows
+        return [
+            (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
+        ]
 
-    def _search_probed(self, spark, probe, k, metric, filter_expr, probe_is_df=False):
-        probe_df = probe if probe_is_df else spark.createDataFrame(
-            probe, "query_id long, cell_id int, qvec array<double>"
-        )
-        cells = [r["cell_id"] for r in probe_df.select("cell_id").distinct().collect()]
+    def _search_probed(self, spark, pairs, qvec_df, k, metric, filter_expr):
+        probe_df = spark.createDataFrame(pairs, "query_id long, cell_id int")
+        cells = sorted({c for _, c in pairs})
         cand = self.assignments
         if filter_expr is not None:
             cand = cand.filter(filter_expr)
@@ -212,7 +239,9 @@ class IVFFlatIndex:
         # a cell-partitioned parquet index (see save/load)
         cand = cand.filter(F.col("cell_id").isin(cells))
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
-        joined = cand.join(F.broadcast(probe_df), "cell_id")
+        joined = cand.join(F.broadcast(probe_df), "cell_id").join(
+            F.broadcast(qvec_df), "query_id"
+        )
         scored = joined.select(
             "query_id",
             F.col("id").alias("neighbor_id"),
