@@ -71,6 +71,12 @@ class IndexType(str, Enum):
     SCANN = "SCANN"
     BIN_IVF_FLAT = "BIN_IVF_FLAT"
     HNSW = "HNSW"
+    # quantized HNSW variants (faiss_hnsw.cc registrations 2918-2939):
+    # compute collapses to the fp32 path, as the reference's own mock
+    # contract does for reduced-precision dtypes (operands.h:180-198)
+    HNSW_SQ = "HNSW_SQ"
+    HNSW_PQ = "HNSW_PQ"
+    HNSW_PRQ = "HNSW_PRQ"
     DISKANN = "DISKANN"
     SPARSE_INVERTED_INDEX = "SPARSE_INVERTED_INDEX"
     SPARSE_WAND = "SPARSE_WAND"
@@ -94,6 +100,9 @@ SUPPORTED_METRICS: dict[IndexType, frozenset[MetricType]] = {
     IndexType.SCANN: _DENSE_METRICS,
     IndexType.BIN_IVF_FLAT: frozenset({MetricType.HAMMING, MetricType.JACCARD}),
     IndexType.HNSW: _DENSE_METRICS,
+    IndexType.HNSW_SQ: _DENSE_METRICS,
+    IndexType.HNSW_PQ: _DENSE_METRICS,
+    IndexType.HNSW_PRQ: _DENSE_METRICS,
     IndexType.DISKANN: _DENSE_METRICS,
     IndexType.SPARSE_INVERTED_INDEX: _SPARSE_METRICS,
     IndexType.SPARSE_WAND: _SPARSE_METRICS,
@@ -326,6 +335,9 @@ CONFIG_FOR_INDEX: dict[IndexType, type[BaseConfig]] = {
     IndexType.SCANN: ScannConfig,
     IndexType.BIN_IVF_FLAT: IvfConfig,
     IndexType.HNSW: HnswConfig,
+    IndexType.HNSW_SQ: HnswConfig,
+    IndexType.HNSW_PQ: HnswConfig,
+    IndexType.HNSW_PRQ: HnswConfig,
     IndexType.DISKANN: DiskAnnConfig,
     IndexType.SPARSE_INVERTED_INDEX: SparseConfig,
     IndexType.SPARSE_WAND: SparseConfig,

@@ -125,9 +125,15 @@ class IndexHandle:
             from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
 
             return BinaryIVFIndex.build(base_df, self.config, **kw)
-        if t == IndexType.HNSW:
+        if t in (
+            IndexType.HNSW,
+            IndexType.HNSW_SQ,
+            IndexType.HNSW_PQ,
+            IndexType.HNSW_PRQ,
+        ):
             from knowhere_spark.operators.hnsw import HNSWIndex
 
+            # quantized variants ride the fp32 graph (config.py note)
             return HNSWIndex.build(base_df, self.config, **kw)
         if t == IndexType.DISKANN:
             from knowhere_spark.operators.ivf import IVFFlatIndex
@@ -180,4 +186,24 @@ def load_index(spark: SparkSession, path: str):
         from knowhere_spark.operators.ivf import IVFFlatIndex
 
         return IVFFlatIndex.load(spark, path)
+    if t == IndexType.IVF_SQ8:
+        from knowhere_spark.operators.sq import IVFSq8Index
+
+        return IVFSq8Index.load(spark, path)
+    if t == IndexType.IVF_PQ:
+        from knowhere_spark.operators.pq import IVFPqIndex
+
+        return IVFPqIndex.load(spark, path)
+    if t == IndexType.BIN_IVF_FLAT:
+        from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+
+        return BinaryIVFIndex.load(spark, path)
+    if t == IndexType.HNSW:
+        from knowhere_spark.operators.hnsw import HNSWIndex
+
+        return HNSWIndex.load(spark, path)
+    if t in (IndexType.SPARSE_INVERTED_INDEX, IndexType.SPARSE_WAND):
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+        return SparseInvertedIndex.load(spark, path)
     raise NotImplementedError(f"no loader for {t.value}")

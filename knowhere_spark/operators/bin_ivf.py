@@ -172,6 +172,43 @@ class BinaryIVFIndex:
         )
 
 
+    # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
+    def save(self, path: str) -> None:
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": self.index_type.value,
+                "metric_type": self.config.metric_type.value,
+                "nlist": self.config.nlist,
+                "nprobe": self.config.nprobe,
+                "dim": self.dim(),
+                "count": self.count(),
+                "centroids_hex": self.centroids.tobytes().hex(),
+                "centroid_bytes": int(self.centroids.shape[1]),
+            }
+        )
+        store.write_table("assignments", self.assignments, partition_by=["cell_id"])
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BinaryIVFIndex":
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        m = store.read_manifest()
+        nbytes = int(m["centroid_bytes"])
+        centroids = np.frombuffer(
+            bytes.fromhex(m["centroids_hex"]), dtype=np.uint8
+        ).reshape(-1, nbytes)
+        cfg = IvfConfig(
+            metric_type=MetricType(m["metric_type"]),
+            nlist=int(m["nlist"]),
+            nprobe=int(m["nprobe"]),
+        )
+        return cls(centroids, store.read_table(spark, "assignments"), cfg)
+
+
 def _assign_binary(df: DataFrame, centroids: np.ndarray) -> DataFrame:
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)

@@ -186,6 +186,41 @@ class HNSWIndex:
         ]
         return cls(base, edges, config, entry_ids)
 
+    # -- Serialize / Deserialize (index_node.h:371-401): the graph is two
+    #    plain tables — exactly the artifact role SURVEY.md §2.3 assigns ----
+    def save(self, path: str) -> None:
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": self.index_type.value,
+                "metric_type": self.config.metric_type.value,
+                "M": self.config.M,
+                "ef": self.config.ef,
+                "count": self.count(),
+                "entry_ids": self.entry_ids,
+            }
+        )
+        store.write_table("vectors", self.vectors)
+        store.write_table("edges", self.edges)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "HNSWIndex":
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        m = store.read_manifest()
+        cfg = HnswConfig(
+            metric_type=MetricType(m["metric_type"]), M=int(m["M"]), ef=int(m["ef"])
+        )
+        return cls(
+            store.read_table(spark, "vectors"),
+            store.read_table(spark, "edges"),
+            cfg,
+            [int(e) for e in m["entry_ids"]],
+        )
+
     def search(
         self,
         query_df: DataFrame,

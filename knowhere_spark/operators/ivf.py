@@ -256,6 +256,74 @@ class IVFFlatIndex:
             tie_breaker="neighbor_id",
         )
 
+    # -- RangeSearch (index_node.h:169-326; ivf.cc range path) ----------------
+    def range_search(
+        self,
+        query_df: DataFrame,
+        *,
+        nprobe: int | None = None,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Distance-in-range neighbors within probed cells — the same
+        half-open semantics as BruteForce.range_search (range_util.h:22-25);
+        probe-limited like the reference's IVF range path.  ``nprobe=nlist``
+        makes it exact."""
+        nprobe = min(
+            nprobe if nprobe is not None else self.config.nprobe, self.config.nlist
+        )
+        metric = MetricType(self.config.metric_type)
+        spark = self.assignments.sparkSession
+
+        qrows = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        if metric == MetricType.COSINE:
+            qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qmat = qmat / qn
+        qvec_df = spark.createDataFrame(
+            [(int(q), [float(x) for x in qmat[i]]) for i, q in enumerate(qids)],
+            "query_id long, qvec array<double>",
+        )
+        pairs = self._probe_pairs(qids, qmat, nprobe)
+        probe_df = spark.createDataFrame(pairs, "query_id long, cell_id int")
+        cand = self.assignments
+        if filter_expr is not None:
+            cand = cand.filter(filter_expr)
+        cand = cand.filter(F.col("cell_id").isin(sorted({c for _, c in pairs})))
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        scored = (
+            cand.join(F.broadcast(probe_df), "cell_id")
+            .join(F.broadcast(qvec_df), "query_id")
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                distance_expr(dist_metric, F.col("vec"), F.col("qvec")).alias("distance"),
+            )
+        )
+        lo, hi, sim = self.config.range_bounds()
+        if sim:
+            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+        else:
+            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+        out = scored.filter(cond)
+        if self.config.range_search_k and self.config.range_search_k > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", self.config.range_search_k,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
+    # -- GetVectorByIds (index_node.h:340-350; HasRawData true for IVF_FLAT) --
+    def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
+        ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
+        return self.assignments.select("id", "vec").join(F.broadcast(ids), "id")
+
     # -- Serialize / Deserialize (index_node.h:371-401) ------------------------
     def save(self, path: str) -> None:
         store = IndexStore(path)

@@ -261,3 +261,44 @@ class IVFPqIndex:
             scored, "query_id", "distance", k,
             ascending=not sim, tie_breaker="neighbor_id",
         )
+
+    # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
+    def save(self, path: str) -> None:
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": self.index_type.value,
+                "metric_type": self.config.metric_type.value,
+                "nlist": self.config.nlist,
+                "nprobe": self.config.nprobe,
+                "m": self.config.m,
+                "nbits": self.config.nbits,
+                "dim": self.dim(),
+                "count": self.count(),
+                "centroids": self.centroids.tolist(),
+                "codebooks": self.codebooks.tolist(),
+            }
+        )
+        store.write_table("codes", self.codes, partition_by=["cell_id"])
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPqIndex":
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        m = store.read_manifest()
+        cfg = IvfPqConfig(
+            metric_type=MetricType(m["metric_type"]),
+            nlist=int(m["nlist"]),
+            nprobe=int(m["nprobe"]),
+            m=int(m["m"]),
+            nbits=int(m["nbits"]),
+        )
+        return cls(
+            np.array(m["centroids"], dtype=np.float64),
+            np.array(m["codebooks"], dtype=np.float64),
+            store.read_table(spark, "codes"),
+            cfg,
+        )

@@ -1,0 +1,83 @@
+"""Physical-plan quality gates — the 100 TB claims, asserted on .explain:
+
+- predicate pushdown reaches the parquet scan (PushedFilters),
+- column pruning keeps payload columns out of metadata-only plans,
+- probe joins are broadcast (no SortMergeJoin / CartesianProduct on the
+  base side),
+- a saved cell-partitioned IVF index is partition-pruned at probe time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import IvfConfig
+from knowhere_spark.operators.ivf import IVFFlatIndex
+from knowhere_spark.sources.tables import load_table
+
+from conftest import QUERY_SCHEMA, dense_df, gen_dense
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    emb = load_table(spark, TESTDATA, "embeddings")
+    out = emb.filter(F.col("label") % 5 != 0).select("vec_id")
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan
+    assert "label" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_metadata_only(spark):
+    # metadata-only query over a payload-carrying table must not read text
+    docs = load_table(spark, TESTDATA, "documents")
+    out = docs.select("doc_id").filter(F.col("doc_id") < 10)
+    read_schema = _plan(out).split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_brute_force_sql_path_broadcasts_queries(spark):
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    emb = load_table(spark, TESTDATA, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    qs = dense_df(spark, gen_dense(3, 64, seed=71), QUERY_SCHEMA)
+    out = BruteForce.search(emb, qs, 5, "L2", strategy="sql")
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    base = dense_df(spark, gen_dense(400, 16, seed=72))
+    qs = dense_df(spark, gen_dense(3, 16, seed=73), QUERY_SCHEMA)
+    idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=8, nprobe=4))
+    out = idx.search(qs, k=5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_saved_ivf_probe_prunes_partitions(spark, tmp_path):
+    base = dense_df(spark, gen_dense(400, 16, seed=74))
+    qs = dense_df(spark, gen_dense(2, 16, seed=75), QUERY_SCHEMA)
+    idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=8, nprobe=2))
+    path = str(tmp_path / "ivf_pruned")
+    idx.save(path)
+    loaded = IVFFlatIndex.load(spark, path)
+    out = loaded.search(qs, k=3)
+    plan = _plan(out)
+    # the cell_id IN-list must land in PartitionFilters of the file scan,
+    # i.e. probing reads only nprobe/nlist of the index bytes
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1][:300]
+    assert "cell_id" in pf
