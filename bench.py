@@ -146,6 +146,45 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["dedup_minhash"] = q_dedup_minhash
     out["events_window"] = q_events_window
     out["events_sessionize"] = q_events_sessionize
+
+    # --- vector ops at real scale: the embeddings table is small at sf0.1,
+    # so expand it 50x deterministically (id-shifted, slightly perturbed)
+    # to measure the GEMM/IVF paths on ~100k rows ------------------------------
+    big = (
+        emb.crossJoin(spark.range(50).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("id") + F.col("rep") * 1_000_000).alias("id"),
+            F.transform(
+                "vec", lambda x: x + F.col("rep").cast("float") * F.lit(0.001)
+            ).alias("vec"),
+        )
+        .cache()
+    )
+    n_big = big.count()
+    big_queries = big.filter(F.col("id") < 100).select(
+        F.col("id").alias("query_id"), "vec"
+    )
+
+    def q_bf_knn_100k():
+        return BruteForce.search(big, big_queries, 100, "L2", strategy="gemm")
+
+    big_ivf_state = {}
+
+    def q_ivf_100k_build():
+        idx = IVFFlatIndex.build(
+            big, IvfConfig(metric_type="L2", nlist=128, nprobe=8)
+        )
+        idx.assignments.cache()
+        idx.assignments.count()
+        big_ivf_state["idx"] = idx
+        return idx.assignments.limit(1)
+
+    def q_ivf_100k_search():
+        return big_ivf_state["idx"].search(big_queries, k=100, nprobe=8)
+
+    out["bf_knn_100k_nq100"] = q_bf_knn_100k
+    out["ivf_100k_build"] = q_ivf_100k_build
+    out["ivf_100k_search_nq100"] = q_ivf_100k_search
     return out
 
 

@@ -96,8 +96,16 @@ class IVFFlatIndex:
             # normalize-at-train contract (ivf.cc:462-470)
             base = base.select("id", normalize_expr(F.col("vec")).alias("vec"))
 
-        nlist = config.match_nlist(base.count())
+        n = base.count()
+        nlist = config.match_nlist(n)
         feats = base.withColumn("__features", array_to_vector(F.col("vec").cast("array<double>")))
+        # faiss trains on <= 256 points per centroid (its default
+        # max_points_per_centroid); same subsampling keeps MLlib KMeans
+        # cost bounded regardless of table size
+        train_cap = 256 * nlist
+        train_feats = feats
+        if n > train_cap:
+            train_feats = feats.sample(fraction=train_cap / n, seed=config.seed)
         km = KMeans(
             k=nlist,
             seed=config.seed,
@@ -105,7 +113,7 @@ class IVFFlatIndex:
             featuresCol="__features",
             predictionCol="cell_id",
         )
-        model = km.fit(feats)
+        model = km.fit(train_feats)
         centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
         assignments = (
             model.transform(feats)
@@ -168,14 +176,8 @@ class IVFFlatIndex:
             qnorm[qnorm == 0] = 1.0
             qmat = qmat / qnorm
 
-        # query vectors ship ONCE (nq rows); probe list is bare
-        # (query_id, cell_id) pairs — nq*nprobe ints, not nq*nprobe vectors
-        qvec_df = spark.createDataFrame(
-            [(int(q), [float(x) for x in qmat[i]]) for i, q in enumerate(qids)],
-            "query_id long, qvec array<double>",
-        )
         pairs = self._probe_pairs(qids, qmat, nprobe)
-        out = self._search_probed(spark, pairs, qvec_df, k, metric, filter_expr)
+        out = self._search_probed(spark, pairs, qids, qmat, k, metric, filter_expr)
 
         if self.config.ensure_topk_full:
             # probe-all fallback for underfilled queries (ivf.cc:753-762)
@@ -199,7 +201,7 @@ class IVFFlatIndex:
                     for c in range(self.config.nlist)
                 ]
                 refill_out = self._search_probed(
-                    spark, all_pairs, qvec_df, k, metric, filter_expr
+                    spark, all_pairs, qids, qmat, k, metric, filter_expr
                 )
                 kept = out.filter(~F.col("query_id").isin([int(qids[i]) for i in refill]))
                 out = kept.unionByName(refill_out)
@@ -229,8 +231,19 @@ class IVFFlatIndex:
             (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
         ]
 
-    def _search_probed(self, spark, pairs, qvec_df, k, metric, filter_expr):
-        probe_df = spark.createDataFrame(pairs, "query_id long, cell_id int")
+    def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr):
+        """Partial-then-final top-k over probed cells.
+
+        The scan is a GEMM kernel per partition emitting at most
+        ``partitions·nq·k`` rows into the final window — the same
+        parallelism inversion as BruteForce's gemm path (SURVEY.md §3.2);
+        a naive SQL-distance + global window would shuffle every scored
+        candidate instead."""
+        import pandas as pd
+
+        from knowhere_spark.functions.distance import local_topk
+        from knowhere_spark.operators.brute_force import RESULT_SCHEMA
+
         cells = sorted({c for _, c in pairs})
         cand = self.assignments
         if filter_expr is not None:
@@ -238,15 +251,48 @@ class IVFFlatIndex:
         # literal IN-list → partition pruning when assignments are read from
         # a cell-partitioned parquet index (see save/load)
         cand = cand.filter(F.col("cell_id").isin(cells))
+
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
-        joined = cand.join(F.broadcast(probe_df), "cell_id").join(
-            F.broadcast(qvec_df), "query_id"
+        qids_arr = np.asarray(qids, dtype=np.int64)
+        qmat = np.asarray(qmat, dtype=np.float64)
+        probe_sets: dict[int, set[int]] = {}
+        for qid, cell in pairs:
+            probe_sets.setdefault(qid, set()).add(cell)
+        bc = spark.sparkContext.broadcast(
+            (qids_arr, qmat, probe_sets, dist_metric.value)
         )
-        scored = joined.select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            distance_expr(dist_metric, F.col("vec"), F.col("qvec")).alias("distance"),
-        )
+        largest = dist_metric.is_similarity
+
+        def kernel(batches):
+            b_qids, b_qmat, b_probe, dm = bc.value
+            dm = MetricType(dm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                cell = pdf["cell_id"].to_numpy()
+                dist = pairwise_distances(X, b_qmat, dm)      # (n, nq)
+                frames = []
+                for qi in range(len(b_qids)):
+                    qid = int(b_qids[qi])
+                    mask = np.isin(cell, list(b_probe.get(qid, ())))
+                    if not mask.any():
+                        continue
+                    dq = dist[mask, qi]
+                    idq = ids[mask]
+                    kk = min(k, len(dq))
+                    keyq = -dq if largest else dq
+                    sel = np.argpartition(keyq, kk - 1)[:kk] if kk < len(dq) else np.arange(len(dq))
+                    frames.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "neighbor_id": idq[sel], "distance": dq[sel]}
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames)
+
+        scored = cand.mapInPandas(kernel, RESULT_SCHEMA)
         return topk_per_key(
             scored,
             "query_id",

@@ -41,6 +41,39 @@ def stream_window_agg(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions over a stream via native ``session_window`` —
+    Spark's built-in merging session state, the idiomatic replacement for
+    a hand-rolled ``applyInPandasWithState`` operator (the escape hatch
+    remains for logic session_window can't express).
+
+    Output ``(user_id, n_events, session_start, session_end)`` where
+    ``session_end`` is the last event's time — comparable to the batch
+    ``operators.events.sessionize`` (whose window.end would be
+    ``last_ts + gap``).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(user_col, "n_events", "session_start", "session_end")
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint: str, *, output_mode: str = "complete"
 ):

@@ -57,14 +57,16 @@ def test_brute_force_sql_path_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ivf_probe_join_is_broadcast(spark):
+def test_ivf_probe_plan_shape(spark):
     base = dense_df(spark, gen_dense(400, 16, seed=72))
     qs = dense_df(spark, gen_dense(3, 16, seed=73), QUERY_SCHEMA)
     idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=8, nprobe=4))
     out = idx.search(qs, k=5)
     plan = _plan(out)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # partial-topk GEMM kernel over probed cells: one MapInPandas scan,
+    # no join of the base side at all (queries ride a broadcast variable)
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_saved_ivf_probe_prunes_partitions(spark, tmp_path):

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 from knowhere_spark.config import IvfConfig
 from knowhere_spark.operators.events import window_agg
 from knowhere_spark.streaming.cc import GrowingIVFIndex
-from knowhere_spark.streaming.events import run_available_now, stream_window_agg
+from knowhere_spark.streaming.events import (
+    run_available_now,
+    stream_sessionize,
+    stream_window_agg,
+)
 
 from conftest import QUERY_SCHEMA, DENSE_SCHEMA, dense_df, gen_dense
 
@@ -82,5 +86,38 @@ def test_stream_window_agg_matches_batch(spark, tmp_path):
     got = {
         (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("SELECT * FROM win_agg_test").collect()
+    }
+    assert got == batch
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from knowhere_spark.operators.events import sessionize
+
+    # two users; user 1 has a 40-minute gap → two sessions
+    rows = [
+        (1, "2026-01-01 10:00:00", 7),
+        (2, "2026-01-01 10:10:00", 7),
+        (3, "2026-01-01 10:55:00", 7),    # 45 min after prev → new session
+        (4, "2026-01-01 11:00:00", 7),
+        (5, "2026-01-01 10:00:00", 8),
+        (6, "2026-01-01 10:20:00", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    batch = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], str(r["session_end"]))
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_sessionize(stream, gap_minutes=30, watermark="1 minute")
+    run_available_now(out, "sess_test", str(tmp_path / "ckpt3"))
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], str(r["session_end"]))
+        for r in spark.sql("SELECT * FROM sess_test").collect()
     }
     assert got == batch
