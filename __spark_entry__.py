@@ -306,6 +306,19 @@ def q_ivf_flat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
+def q_ivf_flat_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_FLAT probing ALL cells (nprobe=nlist) — exact by construction,
+    so it shares the brute-force L2 oracle; proves the probe plan loses
+    nothing when the probe set covers the index."""
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = IvfConfig(metric_type="L2", nlist=16, nprobe=16, k=K)
+    idx = IVFFlatIndex.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K))
+
+
 def q_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import IvfSq8Config
     from knowhere_spark.operators.sq import IVFSq8Index
@@ -570,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_substructure": q_bin_substructure,
         "bin_ivf_knn": q_bin_ivf_knn,
         "ivf_flat_knn": q_ivf_flat_knn,
+        "ivf_flat_knn_exact": q_ivf_flat_knn_exact,
         "ivf_sq8_knn": q_ivf_sq8_knn,
         "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
@@ -745,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_ip": _knn_oracle(_IP, "DESC"),
         "flat_knn_cosine": _knn_oracle(_COS, "DESC"),
         "flat_knn_l2_filtered": _knn_oracle(_L2, "ASC", "e.label % 5 <> 0"),
+        "ivf_flat_knn_exact": _knn_oracle(_L2, "ASC"),
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_jaccard": _bin_knn_oracle(_JACCARD_SQL),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,

@@ -160,6 +160,38 @@ class IndexHandle:
         raise NotImplementedError(f"index type {t.value} has no build path")
 
 
+def estimate_index_size(
+    index_type: IndexType | str, rows: int, dim: int, params: dict | None = None
+) -> int:
+    """``IndexStaticFaced::EstimateLoadResource`` analog
+    (include/knowhere/index/index_static.h:52-140): rough bytes the index
+    tables occupy, from row count + dim + params — used for capacity
+    planning before a build, no data touched."""
+    t = IndexType(index_type.upper()) if isinstance(index_type, str) else index_type
+    p = dict(params or {})
+    fp = 4  # float32 storage
+    if t in (IndexType.FLAT, IndexType.IVF_FLAT, IndexType.DISKANN, IndexType.HNSW,
+             IndexType.HNSW_SQ, IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
+        base = rows * (dim * fp + 8)
+        if t.value.startswith("HNSW"):
+            base += rows * int(p.get("M", 30)) * 20   # edges (src,dst,dist)
+        return base
+    if t == IndexType.IVF_SQ8:
+        return rows * (dim + 12) + 2 * dim * 8        # codes + min/max scales
+    if t == IndexType.IVF_PQ:
+        m = int(p.get("m", 8))
+        ksub = 1 << int(p.get("nbits", 8))
+        return rows * (m * 2 + 12) + m * ksub * (dim // max(m, 1)) * 8
+    if t in (IndexType.BIN_FLAT, IndexType.BIN_IVF_FLAT):
+        return rows * (dim // 8 + 12)
+    if t in (IndexType.SPARSE_INVERTED_INDEX, IndexType.SPARSE_WAND):
+        nnz = int(p.get("avg_nnz", 64))
+        return rows * nnz * 16                         # postings (term,doc,val)
+    if t == IndexType.KMEANS:
+        return int(p.get("num_clusters", 8)) * dim * 8 + rows * 12
+    raise NotImplementedError(f"no size estimate for {t.value}")
+
+
 def create_index(index_type: IndexType | str, params: dict | None = None) -> IndexHandle:
     """Validated factory entry — raises ``ConfigError`` on bad type/params
     exactly where the reference's ``Create`` + ``FormatAndCheck`` would."""

@@ -91,16 +91,24 @@ class SparseInvertedIndex:
         postings = sparse_to_postings(df, id_col=id_col, vec_col=vec_col)
         if n_partitions:
             postings = postings.repartition(n_partitions, "term")
+        # cached: doc stats, term stats AND every search read the postings;
+        # without this the explode/tokenize lineage recomputes per action
+        postings = postings.cache()
         doc_stats = postings.groupBy("doc_id").agg(
             F.sum("value").alias("doc_len")   # row sum = doc_len (sparse_utils.h:60-66)
-        )
+        ).cache()
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"),
             F.count("*").alias("df"),
         )
-        n_docs = doc_stats.count()
-        avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0]
-        return cls(postings, doc_stats, term_stats, config, n_docs=n_docs, avgdl=float(avgdl))
+        # one action for both build-time statistics
+        row = doc_stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        return cls(
+            postings, doc_stats, term_stats, config,
+            n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+        )
 
     @property
     def avgdl(self) -> float:

@@ -69,6 +69,21 @@ def test_ivf_probe_plan_shape(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_topk_per_key_has_window_group_limit(spark):
+    """The per-key top-k must shuffle only partial winners: Spark's
+    WindowGroupLimit (Partial before the exchange, Final after) is the
+    free map-side-combine SURVEY.md §7 called for — assert it fires."""
+    from knowhere_spark.operators.topk import topk_per_key
+
+    li = load_table(spark, TESTDATA, "lineitem")
+    out = topk_per_key(
+        li, "l_orderkey", "l_extendedprice", 3,
+        ascending=False, tie_breaker="l_linenumber",
+    )
+    plan = _plan(out)
+    assert plan.count("WindowGroupLimit") >= 2   # Partial + Final
+
+
 def test_saved_ivf_probe_prunes_partitions(spark, tmp_path):
     base = dense_df(spark, gen_dense(400, 16, seed=74))
     qs = dense_df(spark, gen_dense(2, 16, seed=75), QUERY_SCHEMA)
