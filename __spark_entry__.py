@@ -487,6 +487,21 @@ def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed semantic near-dup (operators/lsh.py) — the scale path
+    for embed_cosine_neardup; exact-cosine verified so precision is 1.0,
+    recall governed by OR-amplification.  Rows-only gate; planted-recall
+    tested in tests/test_lsh.py."""
+    from knowhere_spark.operators.lsh import LshIndex
+
+    base, _ = _emb(spark, sf_dir)
+    idx = LshIndex.build(base, dim=64, n_bits=10, n_tables=12)
+    out = idx.neardup_pairs(0.4)   # testdata max pairwise cosine ≈ 0.51
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling — native explode over the frame-index
     sequence (operators/multimodal.py); metadata synthesis is portable
@@ -576,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "embed_cosine_neardup": q_embed_cosine_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "bin_knn_hamming": q_bin_knn_hamming,

@@ -1,0 +1,50 @@
+"""Recommended SparkSession configuration for this engine.
+
+One place encoding the scale decisions (SURVEY.md §4 / pyspark guide):
+AQE on (runtime re-plan, skew-join splitting), Arrow on (every pandas-UDF
+kernel in this engine is Arrow-batched), shuffle partitions sized to the
+cluster, generous broadcast threshold (query sets / probe lists / stats
+tables are all deliberately-broadcast small sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str | None = None,
+    *,
+    app_name: str = "knowhere-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """A SparkSession tuned for this engine's plan shapes.
+
+    ``shuffle_partitions`` should track total executor cores (local runs)
+    or 2-3x cores (clusters, letting AQE coalesce); defaults to Spark's
+    AQE-managed behavior when unset.
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    conf = {
+        # runtime re-planning: partition coalescing, skew-join splitting,
+        # plan switches at stage boundaries
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # every custom kernel here is an Arrow-batched pandas UDF
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # probe lists / query sets / stats tables are small by contract
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # parquet scans: pushdown + pruning are load-bearing (see
+        # tests/test_plan_quality.py)
+        "spark.sql.parquet.filterPushdown": "true",
+    }
+    if shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
