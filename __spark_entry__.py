@@ -218,6 +218,19 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", langid_expr(F.col("text")).alias("pred_lang"))
 
 
+def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting for corpus budgeting (functions/text.py
+    bpe_token_count_expr) — whitespace count + subword-regex count."""
+    from knowhere_spark.functions.text import bpe_token_count_expr, token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.functions.text import fingerprint_expr
 
@@ -587,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "text_token_budget": q_text_token_budget,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -895,6 +909,14 @@ WITH d AS (
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.95
+""",
+        "text_token_budget": r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(
+            regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+', 0),
+            p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents
 """,
         "media_frame_sample": """
 WITH m AS (

@@ -60,6 +60,22 @@ class MetricType(str, Enum):
         )
 
 
+class VecType(str, Enum):
+    """Vector element types (enum VecType,
+    include/knowhere/comp/index_param.h:196-203).  Compute is fp32 for
+    every reduced-precision dtype — the reference's own contract
+    (``MockData`` promotes fp16/bf16/int8 to fp32, operands.h:180-198);
+    the dtype axis here gates index compatibility (operands.h:149-175
+    typeCheck) and documents the storage intent."""
+
+    FP32 = "FP32"
+    FP16 = "FP16"
+    BF16 = "BF16"
+    INT8 = "INT8"
+    BIN1 = "BIN1"             # packed binary
+    SPARSE_FP32 = "SPARSE_FP32"
+
+
 class IndexType(str, Enum):
     """Index factory names (include/knowhere/comp/index_param.h:27-66)."""
 
@@ -324,6 +340,43 @@ class KMeansConfig(BaseConfig):
         super().check_and_adjust()
         _check_range("num_clusters", self.num_clusters, 1, 1_048_576)
         _check_range("max_iter", self.max_iter, 1, 1000)
+
+
+#: dtype compatibility per index family — the ``name_dtype`` registry key
+#: + feature-bit check of the reference factory (utils.h:95-110,
+#: index_factory.cc:76-90, operands.h:149-175).
+_DENSE_VECTYPES = frozenset(
+    {VecType.FP32, VecType.FP16, VecType.BF16, VecType.INT8}
+)
+SUPPORTED_VECTYPES: dict[IndexType, frozenset[VecType]] = {
+    IndexType.FLAT: _DENSE_VECTYPES,
+    IndexType.BIN_FLAT: frozenset({VecType.BIN1}),
+    IndexType.IVF_FLAT: _DENSE_VECTYPES,
+    IndexType.IVF_SQ8: _DENSE_VECTYPES,
+    IndexType.IVF_PQ: _DENSE_VECTYPES,
+    IndexType.SCANN: _DENSE_VECTYPES,
+    IndexType.BIN_IVF_FLAT: frozenset({VecType.BIN1}),
+    IndexType.HNSW: _DENSE_VECTYPES,
+    IndexType.HNSW_SQ: _DENSE_VECTYPES,
+    IndexType.HNSW_PQ: _DENSE_VECTYPES,
+    IndexType.HNSW_PRQ: _DENSE_VECTYPES,
+    IndexType.DISKANN: _DENSE_VECTYPES,
+    IndexType.SPARSE_INVERTED_INDEX: frozenset({VecType.SPARSE_FP32}),
+    IndexType.SPARSE_WAND: frozenset({VecType.SPARSE_FP32}),
+    IndexType.KMEANS: frozenset({VecType.FP32}),
+}
+
+
+def check_vectype(index_type: IndexType, vec_type: VecType | str) -> VecType:
+    """Feature-bit dtype check (index_factory.cc:76-90); raises
+    :class:`ConfigError` on an unsupported (index, dtype) pair."""
+    vt = VecType(vec_type.upper()) if isinstance(vec_type, str) else vec_type
+    if vt not in SUPPORTED_VECTYPES[index_type]:
+        raise ConfigError(
+            f"{index_type.value} does not support dtype {vt.value} "
+            f"(supported: {sorted(v.value for v in SUPPORTED_VECTYPES[index_type])})"
+        )
+    return vt
 
 
 CONFIG_FOR_INDEX: dict[IndexType, type[BaseConfig]] = {

@@ -32,6 +32,7 @@ from knowhere_spark.config import (
     IndexType,
     IvfConfig,
     MetricType,
+    VecType,
     load_config,
 )
 from knowhere_spark.operators.brute_force import BruteForce
@@ -99,6 +100,7 @@ class IndexHandle:
 
     index_type: IndexType
     config: BaseConfig
+    vec_type: "VecType | None" = None   # storage-intent dtype (compute is fp32)
 
     def build(self, base_df: DataFrame, **kw):
         """Train + Add (index_node.h:70-74) → built index object."""
@@ -192,12 +194,25 @@ def estimate_index_size(
     raise NotImplementedError(f"no size estimate for {t.value}")
 
 
-def create_index(index_type: IndexType | str, params: dict | None = None) -> IndexHandle:
+def create_index(
+    index_type: IndexType | str,
+    params: dict | None = None,
+    *,
+    dtype: "VecType | str | None" = None,
+) -> IndexHandle:
     """Validated factory entry — raises ``ConfigError`` on bad type/params
-    exactly where the reference's ``Create`` + ``FormatAndCheck`` would."""
+    exactly where the reference's ``Create`` + ``FormatAndCheck`` would.
+
+    ``dtype`` is the reference factory's ``name_dtype`` axis
+    (utils.h:95-110): checked against the index's supported set
+    (operands.h:149-175); fp16/bf16/int8 compute as fp32 (the reference's
+    MockData contract) so it gates compatibility, not kernels."""
+    from knowhere_spark.config import check_vectype
+
     cfg = load_config(index_type, params)
     t = IndexType(index_type.upper()) if isinstance(index_type, str) else index_type
-    return IndexHandle(t, cfg)
+    vt = check_vectype(t, dtype) if dtype is not None else None
+    return IndexHandle(t, cfg, vt)
 
 
 def build_index(

@@ -32,6 +32,25 @@ def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+#: BPE-ish pre-tokenizer: the GPT-2 pattern's shape — contractions,
+#: letter runs, digit runs, non-space symbol runs — approximated with
+#: POSIX classes so DuckDB's regexp engine computes the identical split.
+BPE_TOKEN_RE = r"'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Subword-style token count: count of BPE-pre-tokenizer matches plus
+    a length penalty for long pieces (every started 4-char chunk beyond
+    the first counts again) — the cheap engine-portable stand-in for a
+    real BPE vocab merge, good for corpus token budgeting."""
+    pieces = F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), 0)
+    per_piece = F.transform(
+        pieces,
+        lambda p: F.lit(1) + F.floor((F.length(p) - 1) / F.lit(4)).cast("int"),
+    )
+    return F.aggregate(per_piece, F.lit(0), lambda acc, x: acc + x).cast("long")
+
+
 def term_hash_expr(term: Column, dim: int | None = None) -> Column:
     """Stable term → int id via md5 (first 15 hex digits → bigint), optionally
     folded into [0, dim).  Engine-portable: DuckDB computes the identical

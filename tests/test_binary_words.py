@@ -152,3 +152,16 @@ def test_factory_dispatch_and_validation(spark):
     with pytest.raises(ConfigError):
         # metric/index incompatibility (feature.h:21-31 flags)
         create_index("IVF_FLAT", {"metric_type": "HAMMING"})
+
+
+def test_factory_dtype_axis():
+    from knowhere_spark.config import VecType
+
+    h = create_index("IVF_FLAT", {"metric_type": "L2"}, dtype="fp16")
+    assert h.vec_type == VecType.FP16    # accepted; computes as fp32
+    with pytest.raises(ConfigError):
+        create_index("IVF_FLAT", {"metric_type": "L2"}, dtype="bin1")
+    with pytest.raises(ConfigError):
+        create_index("BIN_FLAT", {"metric_type": "HAMMING"}, dtype="fp32")
+    with pytest.raises(ConfigError):
+        create_index("SPARSE_INVERTED_INDEX", {"metric_type": "IP"}, dtype="int8")

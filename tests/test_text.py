@@ -79,3 +79,25 @@ def test_term_hash_matches_duckdb(spark):
             "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [t]
         ).fetchall()
         assert got[t] == want, t
+
+
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from knowhere_spark.functions.text import bpe_token_count_expr
+
+    rows = [
+        (1, "hello world"),          # 2 pieces, len 5 each -> 2*2 = 4
+        (2, "it's fine"),            # it + 's + fine -> 1 + 1 + 1 = 3
+        (3, ""),                     # empty -> 0
+        (4, "a1b2!!"),               # a,1,b,2,!! -> 5
+        (5, "internationalization"), # len 20 -> 1 + floor(19/4) = 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count_expr(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 0, 4: 5, 5: 5}
