@@ -216,6 +216,35 @@ class BruteForce:
         )
 
     @staticmethod
+    def search_sparse(
+        base_df: DataFrame,
+        query_df: DataFrame,
+        k: int,
+        metric: MetricType | str = MetricType.IP,
+        *,
+        config=None,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """``BruteForce::SearchSparse`` (brute_force.h:44-50) — exact
+        sparse top-k without a prebuilt index: transient postings, full
+        TAAT evaluation (no pruning), so it serves as the sparse oracle."""
+        from knowhere_spark.config import SparseConfig
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+        cfg = config or SparseConfig(
+            metric_type=MetricType(metric), inverted_index_algo="TAAT_NAIVE", k=k
+        )
+        idx = SparseInvertedIndex.build(base_df, cfg, id_col=id_col, vec_col=vec_col)
+        return idx.search(
+            query_df, k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            prune_terms=False, drop_ratio_search=0.0,
+        )
+
+    @staticmethod
     def get_vector_by_ids(
         base_df: DataFrame,
         ids_df: DataFrame,

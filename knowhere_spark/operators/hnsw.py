@@ -186,6 +186,54 @@ class HNSWIndex:
         ]
         return cls(base, edges, config, entry_ids)
 
+    # -- graph refinement (NN-Descent step) -----------------------------------
+    def refine(self, iterations: int = 1) -> "HNSWIndex":
+        """NN-Descent-style improvement: each node considers its
+        neighbors-of-neighbors as candidates and re-prunes to the best M —
+        the distributed stand-in for efConstruction quality (the blocked
+        build only sees within-cell candidates; 2-hop expansion recovers
+        cross-cell edges).  Pure joins: edges ⋈ edges → score → top-M.
+        """
+        metric = MetricType(self.config.metric_type)
+        M = self.config.M
+        from knowhere_spark.functions.distance import distance_expr
+
+        vec_s = self.vectors.select(
+            F.col("id").alias("src"), F.col("vec").alias("vec_s")
+        )
+        vec_d = self.vectors.select(
+            F.col("id").alias("dst"), F.col("vec").alias("vec_d")
+        )
+        edges = self.edges
+        for _ in range(iterations):
+            e = edges.select("src", "dst")
+            hop2 = (
+                e.alias("a")
+                .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+            )
+            cand = e.unionByName(hop2).distinct()
+            scored = (
+                cand.join(vec_s, "src")
+                .join(vec_d, "dst")
+                .select(
+                    "src",
+                    "dst",
+                    distance_expr(metric, F.col("vec_s"), F.col("vec_d")).alias(
+                        "distance"
+                    ),
+                )
+            )
+            edges = (
+                topk_per_key(
+                    scored, "src", "distance", M,
+                    ascending=not metric.is_similarity, tie_breaker="dst",
+                )
+                .select("src", "dst", F.col("distance").alias("dist"))
+            )
+        return HNSWIndex(self.vectors, edges, self.config, self.entry_ids)
+
     # -- Serialize / Deserialize (index_node.h:371-401): the graph is two
     #    plain tables — exactly the artifact role SURVEY.md §2.3 assigns ----
     def save(self, path: str) -> None:

@@ -29,4 +29,31 @@ def test_hnsw_recall_l2(spark):
     for r in res.collect():
         got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
     truth = np_knn(base, qs, k, "L2")
-    assert recall_at_k(got, truth, k) >= 0.6
+    base_recall = recall_at_k(got, truth, k)
+    assert base_recall >= 0.6
+
+
+def test_hnsw_refine_improves_graph(spark):
+    """NN-Descent refinement must not hurt recall, and the refined edge
+    set must differ from the blocked build (cross-cell edges recovered)."""
+    nb, dim, nq, k = 800, 32, 8, 10
+    base = gen_dense(nb, dim, seed=33)
+    qs = gen_dense(nq, dim, seed=34)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=12, ef=24)
+    )
+    refined = idx.refine(iterations=1)
+    # still <= M out-edges, no self-edges
+    assert refined.edges.groupBy("src").count().agg(F.max("count")).collect()[0][0] <= 12
+    assert refined.edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+    def recall(index):
+        res = index.search(dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=24, max_hops=3)
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+        return recall_at_k(got, np_knn(base, qs, k, "L2"), k)
+
+    r0, r1 = recall(idx), recall(refined)
+    assert r1 >= r0 - 0.05        # refinement must not regress materially
+    assert r1 >= 0.6

@@ -167,3 +167,30 @@ def test_text_to_sparse(spark):
     assert rows[0]["doc_len"] == 6.0
     assert rows[1]["vec"]["dog"] == 2.0 and rows[1]["vec"]["a"] == 2.0
     assert rows[1]["doc_len"] == 4.0
+
+
+def test_brute_force_search_sparse_matches_index(spark):
+    """Index-less SearchSparse (brute_force.h:44-50) == unpruned index search."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.brute_force import BruteForce
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    from conftest import gen_sparse
+
+    rows = gen_sparse(80, 400, 0.9, seed=91)
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "id long, vec map<int,float>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows[:3])], "query_id long, vec map<int,float>"
+    )
+    a = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 6))
+        for r in BruteForce.search_sparse(df, qdf, 5).collect()
+    )
+    idx = SparseInvertedIndex.build(df, SparseConfig(metric_type="IP"))
+    b = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 6))
+        for r in idx.search(qdf, k=5, prune_terms=False).collect()
+    )
+    assert a == b
