@@ -142,3 +142,44 @@ def local_topk(
     nid = ids[sel.ravel()]
     dd = dist[sel.ravel(), np.tile(np.arange(n_q), (kk, 1)).ravel()]
     return qidx, nid, dd
+
+
+def numpy_kmeans(
+    X: np.ndarray,
+    k: int,
+    *,
+    iters: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side Lloyd k-means over a bounded training sample.
+
+    The reference trains IVF centroids single-node on a subsample capped at
+    256 points/centroid (faiss ``max_points_per_centroid``; ivf.cc:492-512)
+    — the identical regime: the sample always fits one machine, so a
+    vectorized numpy Lloyd beats a distributed fit by the per-iteration
+    job-scheduling constant.  Init = k distinct data rows (faiss-style
+    random subset); empty clusters reseed to the points currently farthest
+    from their centroid (faiss splits the largest cluster — same effect).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    prev = None
+    for _ in range(iters):
+        d = pairwise_distances(X, C, MetricType.L2)      # (n, k)
+        assign = d.argmin(axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        empty = np.flatnonzero(~nonempty)
+        if len(empty):
+            far = np.argsort(-d[np.arange(n), assign])[: len(empty)]
+            C[empty] = X[far]
+    return C

@@ -4,9 +4,13 @@ configs src/index/ivf/ivf_config.h).
 
 Spark-first design (SURVEY.md §2.3):
 
-- **Train** = MLlib KMeans fit (the reference's faiss kmeans with Elkan,
-  ivf.cc:492-512, substituted by MLlib's implementation) over the base
-  vectors — executors do the heavy lifting, the driver holds only the
+- **Train** = kmeans over a sample capped at 256 points/centroid (the
+  reference's faiss ``max_points_per_centroid``, ivf.cc:492-512).  The
+  capped sample is small by construction, so the default path collects it
+  and runs a vectorized numpy Lloyd on the driver — the same single-node
+  training regime as faiss, without ~20 distributed-job round-trips; an
+  MLlib KMeans fit takes over only when ``nlist`` is so large the sample
+  exceeds driver memory.  Either way the driver ends up holding only the
   ``nlist × dim`` centroid matrix.
 - **Add** = assign every row to its nearest centroid and persist the
   assignment table **partitioned by cell_id**.  On disk this is Hive-style
@@ -44,6 +48,11 @@ from knowhere_spark.sources.index_store import IndexStore
 
 class IVFFlatIndex:
     """Built IVF_FLAT index: centroid matrix + cell-partitioned assignments."""
+
+    #: train-sample collect threshold: rows*dim <= 2^25 (~268 MB fp64).
+    #: At 256 points/centroid this covers nlist up to ~1024 at dim 128 —
+    #: beyond that the distributed MLlib fit takes over.
+    _DRIVER_TRAIN_MAX_ELEMS = 1 << 25
 
     def __init__(
         self,
@@ -85,8 +94,7 @@ class IVFFlatIndex:
         index_type: IndexType = IndexType.IVF_FLAT,
     ) -> "IVFFlatIndex":
         """Train (kmeans) + Add (assign) — ``IndexNode::Build`` (index_node.h:70-74)."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from knowhere_spark.functions.distance import numpy_kmeans
 
         metric = MetricType(config.metric_type)
         base = base_df.select(
@@ -98,27 +106,51 @@ class IVFFlatIndex:
 
         n = base.count()
         nlist = config.match_nlist(n)
-        feats = base.withColumn("__features", array_to_vector(F.col("vec").cast("array<double>")))
         # faiss trains on <= 256 points per centroid (its default
-        # max_points_per_centroid); same subsampling keeps MLlib KMeans
-        # cost bounded regardless of table size
+        # max_points_per_centroid); the same subsampling bounds the training
+        # set regardless of table size
         train_cap = 256 * nlist
-        train_feats = feats
+        train_df = base
         if n > train_cap:
-            train_feats = feats.sample(fraction=train_cap / n, seed=config.seed)
-        km = KMeans(
-            k=nlist,
-            seed=config.seed,
-            maxIter=20,
-            featuresCol="__features",
-            predictionCol="cell_id",
-        )
-        model = km.fit(train_feats)
-        centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
-        assignments = (
-            model.transform(feats)
-            .select("id", F.col("cell_id").cast("int"), "vec")
-        )
+            train_df = base.sample(fraction=train_cap / n, seed=config.seed)
+        head = base.select("vec").head()
+        dim = len(head["vec"]) if head else 0
+        if min(n, train_cap) * max(dim, 1) <= cls._DRIVER_TRAIN_MAX_ELEMS:
+            # the capped sample fits the driver comfortably — train exactly
+            # where the reference does (single-node over the subsample),
+            # skipping ~20 distributed-job round-trips of an MLlib fit
+            X = np.array(
+                [r["vec"] for r in train_df.select("vec").collect()],
+                dtype=np.float64,
+            )
+            centroids = numpy_kmeans(X, nlist, iters=20, seed=config.seed)
+            nlist = len(centroids)
+            assignments = _assign_cells(base, centroids)
+        else:
+            # huge nlist (sample beyond driver memory): distributed fit
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feats = base.withColumn(
+                "__features", array_to_vector(F.col("vec").cast("array<double>"))
+            )
+            train_feats = feats if n <= train_cap else feats.sample(
+                fraction=train_cap / n, seed=config.seed
+            )
+            km = KMeans(
+                k=nlist,
+                seed=config.seed,
+                maxIter=20,
+                featuresCol="__features",
+                predictionCol="cell_id",
+            )
+            model = km.fit(train_feats)
+            centroids = np.array(
+                [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+            )
+            assignments = model.transform(feats).select(
+                "id", F.col("cell_id").cast("int"), "vec"
+            )
         import dataclasses
 
         cfg = dataclasses.replace(config, nlist=nlist)

@@ -117,51 +117,6 @@ class SparseInvertedIndex:
     def count(self) -> int:
         return self._n_docs
 
-    # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
-    def save(self, path: str) -> None:
-        from knowhere_spark.sources.index_store import IndexStore
-
-        store = IndexStore(path)
-        store.write_manifest(
-            {
-                "index_type": "SPARSE_INVERTED_INDEX",
-                "metric_type": self.config.metric_type.value,
-                "inverted_index_algo": self.config.inverted_index_algo,
-                "drop_ratio_search": self.config.drop_ratio_search,
-                "bm25_k1": self.config.bm25_k1,
-                "bm25_b": self.config.bm25_b,
-                "n_docs": self._n_docs,
-                "avgdl": self._avgdl,
-            }
-        )
-        store.write_table("postings", self.postings)
-        store.write_table("doc_stats", self.doc_stats)
-        store.write_table("term_stats", self.term_stats)
-
-    @classmethod
-    def load(cls, spark, path: str) -> "SparseInvertedIndex":
-        from knowhere_spark.config import SparseConfig
-        from knowhere_spark.sources.index_store import IndexStore
-
-        store = IndexStore(path)
-        m = store.read_manifest()
-        cfg = SparseConfig(
-            metric_type=MetricType(m["metric_type"]),
-            inverted_index_algo=m["inverted_index_algo"],
-            drop_ratio_search=float(m["drop_ratio_search"]),
-            bm25_k1=float(m["bm25_k1"]),
-            bm25_b=float(m["bm25_b"]),
-            bm25_avgdl=float(m["avgdl"]) if m.get("avgdl") else None,
-        )
-        return cls(
-            store.read_table(spark, "postings"),
-            store.read_table(spark, "doc_stats"),
-            store.read_table(spark, "term_stats"),
-            cfg,
-            n_docs=int(m["n_docs"]),
-            avgdl=float(m["avgdl"]),
-        )
-
     # -- Search ---------------------------------------------------------------
     def search(
         self,
@@ -264,7 +219,7 @@ class SparseInvertedIndex:
             .select("query_id", "term", "qval")
         )
 
-    # -- Serialize / Deserialize ----------------------------------------------
+    # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
     def save(self, path: str) -> None:
         store = IndexStore(path)
         store.write_manifest(
@@ -272,10 +227,11 @@ class SparseInvertedIndex:
                 "index_type": "SPARSE_INVERTED_INDEX",
                 "metric_type": self.config.metric_type.value,
                 "inverted_index_algo": self.config.inverted_index_algo,
-                "n_docs": self._n_docs,
-                "avgdl": self._avgdl,
+                "drop_ratio_search": self.config.drop_ratio_search,
                 "bm25_k1": self.config.bm25_k1,
                 "bm25_b": self.config.bm25_b,
+                "n_docs": self._n_docs,
+                "avgdl": self._avgdl,
             }
         )
         store.write_table("postings", self.postings)
@@ -289,6 +245,7 @@ class SparseInvertedIndex:
         cfg = SparseConfig(
             metric_type=MetricType(m["metric_type"]),
             inverted_index_algo=m["inverted_index_algo"],
+            drop_ratio_search=float(m.get("drop_ratio_search", 0.0)),
             bm25_k1=float(m["bm25_k1"]),
             bm25_b=float(m["bm25_b"]),
             bm25_avgdl=float(m["avgdl"]) if m.get("avgdl") else None,
