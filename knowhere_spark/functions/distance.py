@@ -174,9 +174,17 @@ def numpy_kmeans(
             break
         prev = assign
         counts = np.bincount(assign, minlength=k)
+        # segment-sum via sort + reduceat (np.add.at's unbuffered scatter
+        # is ~10x slower at this shape)
+        order = np.argsort(assign, kind="stable")
+        starts = np.zeros(k, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
         sums = np.zeros_like(C)
-        np.add.at(sums, assign, X)
         nonempty = counts > 0
+        seg = np.add.reduceat(X[order], starts[nonempty], axis=0)
+        # reduceat with strictly-increasing unique starts: one row per
+        # nonempty cluster, in cluster order
+        sums[nonempty] = seg
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
         empty = np.flatnonzero(~nonempty)
         if len(empty):
