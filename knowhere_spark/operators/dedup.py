@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from knowhere_spark.functions.text import shingles_expr, tokens_expr
+from knowhere_spark.session import ensure_parallelism
 
 # universal-hash domain sized so a*h+b stays inside int64:
 # shingle hashes are 28-bit (7 md5 hex chars), a/b < 2^31-1, so the
@@ -139,8 +140,10 @@ def shingle_sets(
     """
     from pyspark.sql.types import StringType
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("sh", ArrayType(StringType()))]
@@ -188,8 +191,10 @@ def minhash_signatures(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
     )
-    src = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
 
     def kernel(batches):
@@ -331,9 +336,11 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash BIGINT): tf-weighted sign aggregation of token
     hash bits — vectorized Arrow kernel."""
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        tokens_expr(F.col(text_col)).alias("toks"),
+    toks = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_expr(F.col(text_col)).alias("toks"),
+        )
     )
 
     schema = StructType(

@@ -9,7 +9,24 @@ tables are all deliberately-broadcast small sides).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition *only when* the plan has fewer partitions
+    than the cluster has task slots.
+
+    Small parquet files arrive as a single split, which would serialize
+    every downstream Arrow kernel onto one core; a 100 TB scan arrives as
+    thousands of splits, where this is a no-op (no shuffle added).  Use at
+    the entry of per-row Python kernels whose per-row cost dwarfs the
+    one-time shuffle of a small input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def build_session(
