@@ -178,19 +178,28 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    with_shingle_hashes: bool = False,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_perm]) MinHash signatures.
 
     Permutation mins are computed in a vectorized Arrow kernel:
     ``min((a*h + b) mod M)`` per permutation over the shingle-hash array.
+
+    ``with_shingle_hashes`` additionally emits ``sh ARRAY<BIGINT>`` — the
+    60-bit md5 hash of every distinct shingle.  Jaccard over these equals
+    exact string-shingle Jaccard (collision prob < 1e-11 per pair at
+    ~2k shingles), which lets :func:`minhash_lsh_pairs` verify candidates
+    from the same cached pass instead of re-tokenizing the corpus through
+    a second kernel + join.
     """
     a, b = _perm_constants(num_perm, seed)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((a, b))
 
-    schema = StructType(
-        [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
-    )
+    fields = [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
+    if with_shingle_hashes:
+        fields.append(StructField("sh", ArrayType(LongType())))
+    schema = StructType(fields)
     src = ensure_parallelism(
         df.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
@@ -198,46 +207,52 @@ def minhash_signatures(
     )
 
     def kernel(batches):
-        # single pass text → tokens → shingles → 28-bit hash → signature,
-        # all inside one Arrow batch: interpreted SQL higher-order
-        # functions (slice-in-transform) are ~5x slower than this at scale
+        # single pass text → tokens → shingles → md5 → signature, all
+        # inside one Arrow batch: interpreted SQL higher-order functions
+        # (slice-in-transform) are ~5x slower than this at scale.  One md5
+        # per shingle serves both the 28-bit minhash domain (low bits) and
+        # the 60-bit verification hash.
+        import hashlib
         import re
-        import zlib
 
         a_, b_ = bc.value
         M = _MERSENNE
-        n_perm = len(a_)
         tok_re = re.compile(r"[^a-z0-9]+")
         mask28 = (1 << 28) - 1
+        mask60 = (1 << 60) - 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            hs_list = []
+            h60_list = []
             for text in pdf["text"]:
                 toks = [t for t in tok_re.split((text or "").lower()) if t]
-                n_sh = max(len(toks) - shingle_n + 1, 1 if toks else 0)
-                sh = {
-                    " ".join(toks[i : i + shingle_n]) for i in range(n_sh)
-                }
-                hs_list.append(
+                # shingles_expr semantics: sequence(0, greatest(size-n, 0))
+                # always yields >= 1 shingle; empty text contributes {""}
+                n_sh = max(len(toks) - shingle_n, 0) + 1
+                sh = {" ".join(toks[i : i + shingle_n]) for i in range(n_sh)}
+                h60_list.append(
                     np.fromiter(
-                        (zlib.crc32(s.encode()) & mask28 for s in sh),
+                        (
+                            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                            & mask60
+                            for s in sh
+                        ),
                         dtype=np.int64,
                         count=len(sh),
                     )
                 )
-            lens = np.array([len(h) for h in hs_list])
-            out = np.full((len(pdf), n_perm), M, dtype=np.int64)
-            nz = lens > 0
-            if nz.any():
-                flat = np.concatenate([h for h in hs_list if len(h)])
-                # (num_perm, total) universal-hash matrix, segment-min per
-                # doc via reduceat (int64-safe: see _MERSENNE sizing note)
-                m = (a_[:, None] * flat[None, :] + b_[:, None]) % M
-                starts = np.zeros(nz.sum(), dtype=np.int64)
-                starts[1:] = np.cumsum(lens[nz])[:-1]
-                out[nz] = np.minimum.reduceat(m, starts, axis=1).T
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(out)})
+            lens = np.array([len(h) for h in h60_list])
+            flat = np.concatenate(h60_list)
+            # (num_perm, total) universal-hash matrix, segment-min per
+            # doc via reduceat (int64-safe: see _MERSENNE sizing note)
+            m = (a_[:, None] * (flat & mask28)[None, :] + b_[:, None]) % M
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            sig = np.minimum.reduceat(m, starts, axis=1).T
+            out = {"doc_id": pdf["doc_id"], "sig": list(sig)}
+            if with_shingle_hashes:
+                out["sh"] = h60_list
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(kernel, schema)
 
@@ -266,10 +281,11 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     # cached: the band self-join reads signatures from BOTH sides — without
-    # this the signature kernel runs twice
+    # this the signature kernel runs twice.  Shingle hashes ride along so
+    # verification is an array-intersect on this same cached table.
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        shingle_n=shingle_n, seed=seed,
+        shingle_n=shingle_n, seed=seed, with_shingle_hashes=verify,
     ).cache()
     banded = sigs.select(
         "doc_id",
@@ -300,21 +316,11 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # exact-verify only the candidate docs — the shingle expression is the
-    # expensive part, and candidates are a vanishing fraction of the corpus
-    cand = cand.cache()
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    src = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text")
-    )
-    sh = shingle_sets(
-        src.join(F.broadcast(cand_ids), "doc_id"),
-        id_col="doc_id", text_col="__text", n=shingle_n,
-    )
+    # exact-verify candidates from the cached signature pass: Jaccard over
+    # the 60-bit shingle hashes equals string-shingle Jaccard (collision
+    # prob < 1e-11/pair), with no second tokenization kernel and no join
+    # back to the raw corpus
+    sh = sigs.select("doc_id", "sh")
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
