@@ -164,9 +164,9 @@ def q_sparse_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import SparseConfig
     from knowhere_spark.operators.sparse import SparseInvertedIndex
 
-    sv = _doc_sparse(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     cfg = SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=20)
-    idx = SparseInvertedIndex.build(sv, cfg)
+    idx = SparseInvertedIndex.build_from_text(docs, cfg)
     out = idx.search(_term_query(spark), k=20)
     return out.select(
         "query_id", "doc_id",
@@ -181,12 +181,12 @@ def q_sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import SparseConfig
     from knowhere_spark.operators.sparse import SparseInvertedIndex
 
-    sv = _doc_sparse(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     cfg = SparseConfig(
         metric_type="BM25", inverted_index_algo="TAAT_NAIVE", k=20,
         bm25_k1=_BM25_K1, bm25_b=_BM25_B,
     )
-    idx = SparseInvertedIndex.build(sv, cfg)
+    idx = SparseInvertedIndex.build_from_text(docs, cfg)
     out = idx.search(_term_query(spark), k=20)
     return out.select(
         "query_id", "doc_id",

@@ -62,6 +62,15 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     BruteForce.search(
         emb.limit(256), all_queries.limit(1), 1, "L2", strategy="gemm"
     ).count()
+    # ... and the text-pipeline codegen (tokenize/explode/groupBy shapes used
+    # by the sparse + dedup queries)
+    from knowhere_spark.functions.text import tokens_expr
+
+    (
+        docs.limit(64)
+        .select(F.explode(tokens_expr(F.col("text"))).alias("t"))
+        .groupBy("t").count().count()
+    )
 
     out = {}
 

@@ -110,6 +110,48 @@ class SparseInvertedIndex:
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
         )
 
+    @classmethod
+    def build_from_text(
+        cls,
+        df: DataFrame,
+        config: SparseConfig,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_partitions: int | None = None,
+    ) -> "SparseInvertedIndex":
+        """Build straight from a text column: tokenize → term-frequency
+        postings in ONE shuffle (`groupBy(doc_id, term)`), skipping the
+        MAP<term,tf> vector roundtrip of ``text_to_sparse`` + ``build``
+        (which costs two extra shuffles and a map build/explode).  Postings
+        and stats are identical to the two-step path."""
+        from knowhere_spark.functions.text import tokens_expr
+
+        toks = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(tokens_expr(F.col(text_col))).alias("term"),
+        )
+        postings = toks.groupBy("doc_id", "term").agg(
+            F.count("*").cast("float").alias("value")
+        )
+        if n_partitions:
+            postings = postings.repartition(n_partitions, "term")
+        postings = postings.select("term", "doc_id", "value").cache()
+        doc_stats = postings.groupBy("doc_id").agg(
+            F.sum("value").alias("doc_len")
+        ).cache()
+        term_stats = postings.groupBy("term").agg(
+            F.max("value").alias("max_value"),
+            F.count("*").alias("df"),
+        )
+        row = doc_stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        return cls(
+            postings, doc_stats, term_stats, config,
+            n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+        )
+
     @property
     def avgdl(self) -> float:
         return self._avgdl
