@@ -373,6 +373,21 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K, max_hops=3))
 
 
+def q_hnsw_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW_SQ: beam over SQ8 codes + exact refine of 2k candidates
+    (faiss_hnsw_config.h:95-151 + refine contract 22-93) — ANN, rows-only."""
+    from knowhere_spark.config import HnswSqConfig
+    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    idx = QuantizedHNSWIndex.build(
+        base,
+        HnswSqConfig(metric_type="L2", M=16, ef=32, k=K, sq_type="SQ8",
+                     refine=True, refine_k=2.0),
+    )
+    return _knn_out(idx.search(queries_, k=K, max_hops=3))
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import KMeansConfig
     from knowhere_spark.operators.cluster import KMeansCluster
@@ -618,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
         "hnsw_knn": q_hnsw_knn,
+        "hnsw_sq_knn": q_hnsw_sq_knn,
         "kmeans_assign": q_kmeans_assign,
         "cc_search_while_insert": q_cc_search_while_insert,
         "media_frame_sample": q_media_frame_sample,

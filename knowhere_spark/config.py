@@ -88,8 +88,8 @@ class IndexType(str, Enum):
     BIN_IVF_FLAT = "BIN_IVF_FLAT"
     HNSW = "HNSW"
     # quantized HNSW variants (faiss_hnsw.cc registrations 2918-2939):
-    # compute collapses to the fp32 path, as the reference's own mock
-    # contract does for reduced-precision dtypes (operands.h:180-198)
+    # graph rides the fp32 build; beam scoring runs on SQ/PQ/PRQ codes
+    # with optional exact refine (operators/hnsw_quant.py)
     HNSW_SQ = "HNSW_SQ"
     HNSW_PQ = "HNSW_PQ"
     HNSW_PRQ = "HNSW_PRQ"
@@ -262,6 +262,15 @@ class HnswConfig(BaseConfig):
     M: int = 30
     efConstruction: int = 360
     ef: int | None = None
+    # refine contract shared by the faiss-HNSW family
+    # (src/index/hnsw/faiss_hnsw_config.h:22-93): `refine` keeps a raw/
+    # higher-precision table at build, `refine_k >= 1` widens the candidate
+    # set re-ranked exactly at search, `refine_type` names its storage.
+    refine: bool = False
+    refine_k: float = 1.0
+    refine_type: str | None = None
+
+    _REFINE_TYPES = ("sq6", "sq8", "fp16", "bf16", "fp32", "flat")
 
     def check_and_adjust(self) -> None:
         super().check_and_adjust()
@@ -271,6 +280,60 @@ class HnswConfig(BaseConfig):
             self.ef = max(64, self.k)   # DEFAULT_EF pattern
         if self.ef < self.k:
             raise ConfigError(f"ef={self.ef} must be >= k={self.k}")
+        if self.refine_k < 1.0:
+            raise ConfigError(f"refine_k={self.refine_k} must be >= 1")
+        if self.refine_type is not None and self.refine_type.lower() not in self._REFINE_TYPES:
+            raise ConfigError(
+                f"invalid refine type: {self.refine_type}, optional types are "
+                f"{list(self._REFINE_TYPES)}"
+            )
+        if self.refine_type is not None:
+            self.refine = True   # faiss_hnsw_config.h:86 — naming a type implies refine
+
+
+@dataclass
+class HnswSqConfig(HnswConfig):
+    """HNSW over scalar-quantized codes
+    (FaissHnswSqConfig, src/index/hnsw/faiss_hnsw_config.h:95-151)."""
+
+    sq_type: str = "SQ8"
+
+    _SQ_TYPES = ("sq6", "sq8", "fp16", "bf16")
+
+    def check_and_adjust(self) -> None:
+        super().check_and_adjust()
+        if self.sq_type.lower() not in self._SQ_TYPES:
+            raise ConfigError(
+                f"invalid scalar quantizer type: {self.sq_type}, allowed {list(self._SQ_TYPES)}"
+            )
+
+
+@dataclass
+class HnswPqConfig(HnswConfig):
+    """HNSW over product-quantized codes
+    (FaissHnswPqConfig, src/index/hnsw/faiss_hnsw_config.h:153-196).
+    ``dim % m == 0`` is enforced at build, where dim is known."""
+
+    m: int = 32
+    nbits: int = 8
+
+    def check_and_adjust(self) -> None:
+        super().check_and_adjust()
+        _check_range("m", self.m, 1, 65_536)
+        _check_range("nbits", self.nbits, 1, 24)
+
+
+@dataclass
+class HnswPrqConfig(HnswPqConfig):
+    """HNSW over product-residual-quantized codes
+    (FaissHnswPrqConfig, src/index/hnsw/faiss_hnsw_config.h:198-230)."""
+
+    m: int = 2
+    nrq: int = 2
+
+    def check_and_adjust(self) -> None:
+        super().check_and_adjust()
+        _check_range("nrq", self.nrq, 1, 16)
 
 
 @dataclass
@@ -388,9 +451,9 @@ CONFIG_FOR_INDEX: dict[IndexType, type[BaseConfig]] = {
     IndexType.SCANN: ScannConfig,
     IndexType.BIN_IVF_FLAT: IvfConfig,
     IndexType.HNSW: HnswConfig,
-    IndexType.HNSW_SQ: HnswConfig,
-    IndexType.HNSW_PQ: HnswConfig,
-    IndexType.HNSW_PRQ: HnswConfig,
+    IndexType.HNSW_SQ: HnswSqConfig,
+    IndexType.HNSW_PQ: HnswPqConfig,
+    IndexType.HNSW_PRQ: HnswPrqConfig,
     IndexType.DISKANN: DiskAnnConfig,
     IndexType.SPARSE_INVERTED_INDEX: SparseConfig,
     IndexType.SPARSE_WAND: SparseConfig,

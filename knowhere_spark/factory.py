@@ -127,16 +127,15 @@ class IndexHandle:
             from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
 
             return BinaryIVFIndex.build(base_df, self.config, **kw)
-        if t in (
-            IndexType.HNSW,
-            IndexType.HNSW_SQ,
-            IndexType.HNSW_PQ,
-            IndexType.HNSW_PRQ,
-        ):
+        if t == IndexType.HNSW:
             from knowhere_spark.operators.hnsw import HNSWIndex
 
-            # quantized variants ride the fp32 graph (config.py note)
             return HNSWIndex.build(base_df, self.config, **kw)
+        if t in (IndexType.HNSW_SQ, IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
+            from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+
+            # fp32 graph; SQ/PQ/PRQ codes score the beam, refine re-ranks
+            return QuantizedHNSWIndex.build(base_df, self.config, index_type=t, **kw)
         if t == IndexType.DISKANN:
             from knowhere_spark.operators.ivf import IVFFlatIndex
 
@@ -249,6 +248,10 @@ def load_index(spark: SparkSession, path: str):
         from knowhere_spark.operators.hnsw import HNSWIndex
 
         return HNSWIndex.load(spark, path)
+    if t in (IndexType.HNSW_SQ, IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
+        from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+
+        return QuantizedHNSWIndex.load(spark, path)
     if t in (IndexType.SPARSE_INVERTED_INDEX, IndexType.SPARSE_WAND):
         from knowhere_spark.operators.sparse import SparseInvertedIndex
 

@@ -278,12 +278,17 @@ class HNSWIndex:
         max_hops: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        score_fn=None,
     ) -> DataFrame:
         """Bounded BFS-beam over the edges table.
 
         Per hop: frontier ⋈ edges → new candidates → exact distance →
         per-query top-ef frontier; results are the best k over everything
         visited.  ``ef >= k`` (base_hnsw_config.h:55-79).
+
+        ``score_fn(cand_df, queries_df) -> (query_id, node_id, distance)``
+        replaces the exact-vector scorer — the hook the quantized variants
+        use to run the beam over SQ/PQ codes (operators/hnsw_quant.py).
         """
         k = k if k is not None else self.config.k
         ef = max(ef if ef is not None else self.config.ef, k)
@@ -295,7 +300,7 @@ class HNSWIndex:
             F.col(query_vec_col).alias("qvec"),
         ).cache()
 
-        def score(cand: DataFrame) -> DataFrame:
+        def exact_score(cand: DataFrame, queries: DataFrame) -> DataFrame:
             """(query_id, node_id) -> + exact distance (join vectors ⋈ broadcast queries)."""
             from knowhere_spark.functions.distance import distance_expr
 
@@ -307,6 +312,9 @@ class HNSWIndex:
                 "node_id",
                 distance_expr(metric, F.col("vec"), F.col("qvec")).alias("distance"),
             )
+
+        def score(cand: DataFrame) -> DataFrame:
+            return (score_fn or exact_score)(cand, queries)
 
         entry_df = spark.createDataFrame(
             [(e,) for e in self.entry_ids], "node_id long"

@@ -1,0 +1,460 @@
+"""Quantized HNSW variants — HNSW_SQ / HNSW_PQ / HNSW_PRQ.
+
+Reference: faiss-HNSW family registrations (src/index/hnsw/faiss_hnsw.cc:
+2918-2939) with configs FaissHnswSqConfig / FaissHnswPqConfig /
+FaissHnswPrqConfig (src/index/hnsw/faiss_hnsw_config.h:95-230) and the
+shared refine contract (faiss_hnsw_config.h:22-93): search runs over a
+compressed representation, then the top ``k * refine_k`` candidates are
+re-ranked with the refine index (raw/higher-precision vectors).
+
+Spark shape: the proximity graph is the fp32 artifact from
+:class:`~knowhere_spark.operators.hnsw.HNSWIndex` (building the graph on
+exact distances is strictly better than on codes, and the build is a batch
+job where raw vectors are available anyway).  What quantization changes at
+scale is the *beam scoring* I/O: every hop scores ``|frontier| × M``
+candidates, so scoring against a codes table (dim bytes for SQ8,
+``m`` bytes for PQ vs ``4·dim``) cuts the shuffled/scanned bytes 4-16x.
+The beam plugs into ``HNSWIndex.search(score_fn=...)``; refine is the
+generic exact re-rank operator (operators/refine.py), the same SCANN uses.
+
+Quantizers:
+
+- ``SQ`` (sq_type sq6/sq8): global per-dim min/max affine code,
+  ``levels = 2^bits - 1`` (reuses the IVF_SQ8 min/max pass).
+  fp16/bf16 sq_types store rounded half-precision floats (the reference's
+  reduced-precision storage; compute stays fp32, operands.h:180-198).
+- ``PQ`` (m, nbits): per-subspace codebooks fit on a driver-side sample
+  with the same numpy Lloyd as IVF_PQ; codes = nearest entry per subspace.
+- ``PRQ`` (m, nrq, nbits): ``nrq`` product-quantization stages over
+  successive residuals; decode sums the stage reconstructions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+from knowhere_spark.config import (
+    HnswConfig,
+    HnswPqConfig,
+    HnswPrqConfig,
+    HnswSqConfig,
+    IndexType,
+    MetricType,
+)
+from knowhere_spark.operators.hnsw import HNSWIndex
+from knowhere_spark.operators.refine import refine as exact_refine
+from knowhere_spark.sources.index_store import IndexStore
+
+_TRAIN_SAMPLE_MAX = 100_000
+
+
+def _half_round(X: np.ndarray, kind: str) -> np.ndarray:
+    """Round fp64 → fp16/bf16 storage precision (compute stays fp64)."""
+    if kind == "fp16":
+        return X.astype(np.float16).astype(np.float64)
+    # bf16: fp32 with the mantissa truncated to 7 bits
+    as32 = X.astype(np.float32)
+    u = as32.view(np.uint32) & np.uint32(0xFFFF0000)
+    return u.view(np.float32).astype(np.float64)
+
+
+def _row_distances(X: np.ndarray, Q: np.ndarray, metric: MetricType) -> np.ndarray:
+    """Row-wise distance between X[i] and Q[i] (same-length batches)."""
+    if metric == MetricType.L2:
+        d = X - Q
+        return np.einsum("ij,ij->i", d, d)
+    dot = np.einsum("ij,ij->i", X, Q)
+    if metric == MetricType.IP:
+        return dot
+    nx = np.linalg.norm(X, axis=1)
+    nq = np.linalg.norm(Q, axis=1)
+    denom = nx * nq
+    denom[denom == 0] = 1.0
+    return dot / denom
+
+
+class QuantizedHNSWIndex:
+    """HNSW graph + codes table; beam scores codes, refine re-ranks raw."""
+
+    def __init__(
+        self,
+        graph: HNSWIndex,
+        codes: DataFrame,                 # (id, codes)
+        quant: dict,                      # driver-side decode params
+        config: HnswConfig,
+        index_type: IndexType,
+    ):
+        self.graph = graph
+        self.codes = codes
+        self.quant = quant
+        self.config = config
+        self.index_type = index_type
+
+    # -- introspection (index_node.h:411-434) ---------------------------------
+    def count(self) -> int:
+        return self.graph.count()
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        # HasRawData rules (flat.cc:257-285 family): quantized storage only
+        # serves raw data when refine holds a full-precision table
+        return bool(self.config.refine) and (self.config.refine_type or "fp32").lower() in (
+            "fp32",
+            "flat",
+        )
+
+    # -- Build (Train codebooks + Add codes, index_node.h:70-74) --------------
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: HnswConfig,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        index_type: IndexType = IndexType.HNSW_SQ,
+    ) -> "QuantizedHNSWIndex":
+        graph = HNSWIndex.build(base_df, config, id_col=id_col, vec_col=vec_col)
+        base = graph.vectors   # (id, vec), already normalized column names
+        spark = base.sparkSession
+
+        if index_type == IndexType.HNSW_SQ:
+            assert isinstance(config, HnswSqConfig)
+            sq_type = config.sq_type.lower()
+            if sq_type in ("fp16", "bf16"):
+                quant = {"mode": "half", "kind": sq_type}
+                bc = spark.sparkContext.broadcast(sq_type)
+
+                def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    kind = bc.value
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                        yield pd.DataFrame(
+                            {
+                                "id": pdf["id"].to_numpy(),
+                                "codes": list(_half_round(X, kind).astype(np.float32)),
+                            }
+                        )
+
+                schema = StructType(
+                    [StructField("id", LongType()), StructField("codes", ArrayType(FloatType()))]
+                )
+            else:
+                from knowhere_spark.operators.sq import array_minmax
+
+                dim = len(base.select("vec").first()["vec"])
+                lo, hi = array_minmax(base, "vec", dim)
+                diff = hi - lo
+                diff[diff == 0] = 1.0
+                levels = 255 if sq_type == "sq8" else 63
+                quant = {"mode": "sq", "lo": lo, "diff": diff, "levels": levels}
+                bc = spark.sparkContext.broadcast((lo, diff, levels))
+
+                def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    lo_, diff_, lv = bc.value
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                        c = np.clip(np.round((X - lo_) / diff_ * lv), 0, lv).astype(np.int16)
+                        yield pd.DataFrame(
+                            {"id": pdf["id"].to_numpy(), "codes": list(c)}
+                        )
+
+                schema = StructType(
+                    [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
+                )
+        elif index_type in (IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
+            assert isinstance(config, HnswPqConfig)
+            from knowhere_spark.operators.pq import _lloyd
+
+            dim = len(base.select("vec").first()["vec"])
+            m = config.m
+            if dim % m != 0:
+                from knowhere_spark.config import ConfigError
+
+                raise ConfigError(
+                    f"The dimension of the vector (dim) should be a multiple of the "
+                    f"number of subquantizers (m). Dimension: {dim}, m: {m}"
+                )
+            nrq = config.nrq if isinstance(config, HnswPrqConfig) else 1
+            ksub = 1 << config.nbits
+            subdim = dim // m
+
+            n = base.count()
+            sample = base
+            seed = getattr(config, "seed", 42)
+            if n > _TRAIN_SAMPLE_MAX:
+                sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=seed)
+            S = np.array([r["vec"] for r in sample.select("vec").collect()], dtype=np.float64)
+            # nrq residual stages of m per-subspace codebooks
+            stages = []
+            R = S.copy()
+            for r in range(nrq):
+                cb = np.stack(
+                    [
+                        _lloyd(R[:, j * subdim : (j + 1) * subdim], ksub, seed + 97 * r + j)
+                        for j in range(m)
+                    ]
+                )  # (m, ksub', subdim)
+                stages.append(cb)
+                for j in range(m):
+                    sub = R[:, j * subdim : (j + 1) * subdim]
+                    d = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * sub @ cb[j].T
+                        + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                    )
+                    R[:, j * subdim : (j + 1) * subdim] = sub - cb[j][d.argmin(axis=1)]
+            quant = {"mode": "pq", "stages": stages, "m": m, "subdim": subdim}
+            bc = spark.sparkContext.broadcast((stages, m, subdim))
+
+            def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                stages_, mm, sd = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                    R = X.copy()
+                    codes = np.empty((len(X), len(stages_) * mm), dtype=np.int16)
+                    for r, cb in enumerate(stages_):
+                        for j in range(mm):
+                            sub = R[:, j * sd : (j + 1) * sd]
+                            d = (
+                                (sub * sub).sum(axis=1)[:, None]
+                                - 2.0 * sub @ cb[j].T
+                                + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                            )
+                            idx = d.argmin(axis=1)
+                            codes[:, r * mm + j] = idx
+                            R[:, j * sd : (j + 1) * sd] = sub - cb[j][idx]
+                    yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+
+            schema = StructType(
+                [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
+            )
+        else:
+            raise ValueError(f"not a quantized HNSW type: {index_type}")
+
+        codes_df = base.mapInPandas(encode, schema)
+        return cls(graph, codes_df, quant, config, index_type)
+
+    # -- decode (driver-side params, executor-side numpy) ---------------------
+    @staticmethod
+    def _decode(codes: np.ndarray, quant: dict) -> np.ndarray:
+        mode = quant["mode"]
+        if mode == "half":
+            return codes.astype(np.float64)
+        if mode == "sq":
+            return quant["lo"] + codes.astype(np.float64) / quant["levels"] * quant["diff"]
+        # pq / prq
+        stages, m, sd = quant["stages"], quant["m"], quant["subdim"]
+        n = len(codes)
+        X = np.zeros((n, m * sd), dtype=np.float64)
+        for r, cb in enumerate(stages):
+            for j in range(m):
+                X[:, j * sd : (j + 1) * sd] += cb[j][codes[:, r * m + j].astype(np.int64)]
+        return X
+
+    # -- Search: quantized beam + exact refine --------------------------------
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        ef: int | None = None,
+        refine_k: float | None = None,
+        max_hops: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        k = k if k is not None else self.config.k
+        refine_k = refine_k if refine_k is not None else self.config.refine_k
+        do_refine = self.config.refine or refine_k > 1.0
+        kk = int(math.ceil(k * refine_k)) if do_refine else k
+        metric = MetricType(self.config.metric_type)
+        spark = self.codes.sparkSession
+
+        queries = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+        qrows = queries.collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        bq = spark.sparkContext.broadcast((qpos, qmat, self.quant, metric.value))
+        codes = self.codes
+
+        out_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("node_id", LongType()),
+                StructField("distance", DoubleType()),
+            ]
+        )
+
+        def quant_score(cand: DataFrame, _queries: DataFrame) -> DataFrame:
+            withcodes = cand.join(codes, cand["node_id"] == codes["id"]).select(
+                "query_id", "node_id", "codes"
+            )
+
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                qpos_, qmat_, quant_, mv = bq.value
+                mt = MetricType(mv)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = QuantizedHNSWIndex._decode(
+                        np.array(list(pdf["codes"].to_numpy())), quant_
+                    )
+                    qi = np.array([qpos_[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+                    d = _row_distances(X, qmat_[qi], mt)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pdf["query_id"].to_numpy(),
+                            "node_id": pdf["node_id"].to_numpy(),
+                            "distance": d,
+                        }
+                    )
+
+            return withcodes.mapInPandas(kernel, out_schema)
+
+        approx = self.graph.search(
+            queries,
+            kk,
+            ef=max(ef if ef is not None else self.config.ef, kk),
+            max_hops=max_hops,
+            query_id_col="query_id",
+            query_vec_col="qvec",
+            score_fn=quant_score,
+        )
+        if not do_refine:
+            return approx
+        # exact re-rank of the widened candidate set (refine contract,
+        # faiss_hnsw_config.h:44-48; generic operator shared with SCANN)
+        return exact_refine(
+            approx.select("query_id", "neighbor_id"),
+            self.graph.vectors,
+            queries,
+            k,
+            metric,
+            query_vec_col="qvec",
+        )
+
+    # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
+    def save(self, path: str) -> None:
+        store = IndexStore(path)
+        q = self.quant
+        manifest = {
+            "index_type": self.index_type.value,
+            "metric_type": self.config.metric_type.value,
+            "M": self.config.M,
+            "ef": self.config.ef,
+            "refine": self.config.refine,
+            "refine_k": self.config.refine_k,
+            "refine_type": self.config.refine_type,
+            "entry_ids": self.graph.entry_ids,
+            "mode": q["mode"],
+        }
+        if q["mode"] == "half":
+            manifest["kind"] = q["kind"]
+        elif q["mode"] == "sq":
+            manifest["sq_type"] = getattr(self.config, "sq_type", "SQ8")
+            manifest["levels"] = q["levels"]
+            manifest["lo"] = [float(x) for x in q["lo"]]
+            manifest["diff"] = [float(x) for x in q["diff"]]
+        else:
+            manifest["m"] = q["m"]
+            manifest["subdim"] = q["subdim"]
+            manifest["nbits"] = self.config.nbits
+            if isinstance(self.config, HnswPrqConfig):
+                manifest["nrq"] = self.config.nrq
+            spark = self.codes.sparkSession
+            rows = [
+                (r, j, c, q["stages"][r][j][c].tolist())
+                for r in range(len(q["stages"]))
+                for j in range(q["m"])
+                for c in range(len(q["stages"][r][j]))
+            ]
+            store.write_table(
+                "codebooks",
+                spark.createDataFrame(
+                    rows, "stage int, sub int, code int, vec array<double>"
+                ),
+            )
+        store.write_manifest(manifest)
+        store.write_table("vectors", self.graph.vectors)
+        store.write_table("edges", self.graph.edges)
+        store.write_table("codes", self.codes)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "QuantizedHNSWIndex":
+        store = IndexStore(path)
+        m = store.read_manifest()
+        t = IndexType(m["index_type"])
+        common = dict(
+            metric_type=MetricType(m["metric_type"]),
+            M=int(m["M"]),
+            ef=int(m["ef"]),
+            refine=bool(m.get("refine", False)),
+            refine_k=float(m.get("refine_k", 1.0)),
+            refine_type=m.get("refine_type"),
+        )
+        mode = m["mode"]
+        if mode == "half":
+            cfg = HnswSqConfig(sq_type=m["kind"], **common)
+            quant = {"mode": "half", "kind": m["kind"]}
+        elif mode == "sq":
+            cfg = HnswSqConfig(sq_type=m.get("sq_type", "SQ8"), **common)
+            quant = {
+                "mode": "sq",
+                "lo": np.array(m["lo"], dtype=np.float64),
+                "diff": np.array(m["diff"], dtype=np.float64),
+                "levels": int(m["levels"]),
+            }
+        else:
+            mm, subdim = int(m["m"]), int(m["subdim"])
+            if "nrq" in m:
+                cfg = HnswPrqConfig(m=mm, nbits=int(m["nbits"]), nrq=int(m["nrq"]), **common)
+            else:
+                cfg = HnswPqConfig(m=mm, nbits=int(m["nbits"]), **common)
+            cb_rows = store.read_table(spark, "codebooks").collect()
+            n_stages = 1 + max(r["stage"] for r in cb_rows)
+            stages = []
+            for r in range(n_stages):
+                per_sub = []
+                for j in range(mm):
+                    entries = sorted(
+                        ((row["code"], row["vec"]) for row in cb_rows
+                         if row["stage"] == r and row["sub"] == j),
+                    )
+                    per_sub.append(np.array([v for _, v in entries], dtype=np.float64))
+                stages.append(np.stack(per_sub))
+            quant = {"mode": "pq", "stages": stages, "m": mm, "subdim": subdim}
+        graph = HNSWIndex(
+            store.read_table(spark, "vectors"),
+            store.read_table(spark, "edges"),
+            HnswConfig(metric_type=MetricType(m["metric_type"]), M=int(m["M"]), ef=int(m["ef"])),
+            [int(e) for e in m["entry_ids"]],
+        )
+        return cls(graph, store.read_table(spark, "codes"), quant, cfg, t)

@@ -69,6 +69,7 @@ class SparseInvertedIndex:
         *,
         n_docs: int | None = None,
         avgdl: float | None = None,
+        n_term_buckets: int | None = None,
     ):
         self.postings = postings
         self.doc_stats = doc_stats
@@ -76,6 +77,10 @@ class SparseInvertedIndex:
         self.config = config
         self._n_docs = n_docs
         self._avgdl = avgdl
+        # set on load of a bucket-partitioned index: postings carry a
+        # `term_bucket` partition column and search prunes to the query
+        # terms' buckets
+        self._n_term_buckets = n_term_buckets
 
     # -- Build ---------------------------------------------------------------
     @classmethod
@@ -188,6 +193,26 @@ class SparseInvertedIndex:
             F.col(query_id_col).cast("long").alias("query_id"),
             F.explode(F.col(query_vec_col)).alias("term", "qval"),
         )
+
+        postings_src = self.postings
+        if self._n_term_buckets:
+            # scale path: postings live partitioned by term-hash bucket —
+            # a literal bucket filter prunes the scan to the query terms'
+            # partitions (the inverted-list seek of sparse_inverted_index.h,
+            # expressed as Parquet partition pruning).  Queries are small by
+            # contract, so materializing their bucket set is one tiny job.
+            buckets = [
+                r[0]
+                for r in query_df.select(
+                    F.explode(F.map_keys(F.col(query_vec_col))).alias("t")
+                )
+                .select(
+                    F.pmod(F.hash("t"), F.lit(self._n_term_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            postings_src = postings_src.filter(F.col("term_bucket").isin(buckets))
         if drop > 0:
             # drop the lowest-valued `drop` fraction of query terms
             from pyspark.sql import Window
@@ -201,7 +226,7 @@ class SparseInvertedIndex:
                 .drop("__rn", "__n")
             )
 
-        postings = self.postings
+        postings = postings_src
         if filter_expr is not None:
             allowed = self.doc_stats.filter(filter_expr).select("doc_id")
             postings = postings.join(F.broadcast(allowed), "doc_id")
@@ -262,7 +287,11 @@ class SparseInvertedIndex:
         )
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, *, n_term_buckets: int = 64) -> None:
+        """Persist with postings partitioned by ``pmod(hash(term), n_term_buckets)``
+        — the on-disk inverted-list layout: a query touches only its terms'
+        buckets (Parquet partition pruning), so search I/O scales with query
+        size, not corpus size.  ``n_term_buckets=0`` writes unpartitioned."""
         store = IndexStore(path)
         store.write_manifest(
             {
@@ -274,9 +303,16 @@ class SparseInvertedIndex:
                 "bm25_b": self.config.bm25_b,
                 "n_docs": self._n_docs,
                 "avgdl": self._avgdl,
+                "n_term_buckets": n_term_buckets,
             }
         )
-        store.write_table("postings", self.postings)
+        if n_term_buckets:
+            bucketed = self.postings.withColumn(
+                "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))
+            )
+            store.write_table("postings", bucketed, partition_by=["term_bucket"])
+        else:
+            store.write_table("postings", self.postings)
         store.write_table("doc_stats", self.doc_stats)
         store.write_table("term_stats", self.term_stats)
 
@@ -299,6 +335,7 @@ class SparseInvertedIndex:
             cfg,
             n_docs=int(m["n_docs"]),
             avgdl=float(m["avgdl"]),
+            n_term_buckets=int(m.get("n_term_buckets", 0)) or None,
         )
 
 

@@ -1,0 +1,150 @@
+"""Quantized HNSW variants (HNSW_SQ / HNSW_PQ / HNSW_PRQ): recall vs the
+exact oracle (ANN floor 0.6, tests/ut/test_search.cc:28), the refine
+contract (faiss_hnsw_config.h:22-93), config validation, and save/load."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import ConfigError
+from knowhere_spark.factory import build_index, create_index, load_index
+
+from conftest import QUERY_SCHEMA, dense_df, gen_dense, np_knn, recall_at_k
+
+
+def _recall(idx, base, qs, spark, k=10, **kw):
+    res = idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k, **kw)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    return recall_at_k(got, np_knn(base, qs, k, "L2"), k)
+
+
+def test_hnsw_sq8_recall_and_refine(spark):
+    nb, dim, nq, k = 1000, 32, 8, 10
+    base = gen_dense(nb, dim, seed=41)
+    qs = gen_dense(nq, dim, seed=42)
+    idx = build_index(
+        dense_df(spark, base), "HNSW_SQ",
+        {"metric_type": "L2", "M": 16, "ef": 32, "sq_type": "SQ8",
+         "refine": True, "refine_k": 2.0},
+    )
+    assert idx.type() == "HNSW_SQ"
+    assert idx.has_raw_data()          # refine holds the fp32 table
+    assert _recall(idx, base, qs, spark, k=k, ef=32, max_hops=4) >= 0.6
+
+
+def test_hnsw_sq_fp16_codes_store_halves(spark):
+    nb, dim = 300, 16
+    base = gen_dense(nb, dim, seed=43)
+    idx = build_index(
+        dense_df(spark, base), "HNSW_SQ",
+        {"metric_type": "L2", "M": 8, "ef": 16, "sq_type": "fp16"},
+    )
+    row = idx.codes.orderBy("id").first()
+    stored = np.array(row["codes"], dtype=np.float64)
+    expect = base[int(row["id"])].astype(np.float16).astype(np.float64)
+    assert np.allclose(stored, expect)
+
+
+def test_hnsw_pq_recall_with_refine(spark):
+    nb, dim, nq, k = 1000, 32, 8, 10
+    base = gen_dense(nb, dim, seed=44)
+    qs = gen_dense(nq, dim, seed=45)
+    idx = build_index(
+        dense_df(spark, base), "HNSW_PQ",
+        {"metric_type": "L2", "M": 16, "ef": 32, "m": 8, "nbits": 6,
+         "refine": True, "refine_k": 4.0},
+    )
+    # codes are m entries of < 2^nbits
+    row = idx.codes.first()
+    assert len(row["codes"]) == 8 and max(row["codes"]) < 64
+    assert _recall(idx, base, qs, spark, k=k, ef=32, max_hops=4) >= 0.6
+
+
+def test_hnsw_prq_residual_stages_reduce_error(spark):
+    """PRQ decode error must be below single-stage PQ error on the same
+    data (the point of residual stages, faiss_hnsw_config.h:198-230)."""
+    from knowhere_spark.config import load_config
+    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+    from knowhere_spark.config import IndexType
+
+    nb, dim = 400, 16
+    base = gen_dense(nb, dim, seed=46)
+    df = dense_df(spark, base)
+
+    def decode_err(index):
+        rows = index.codes.orderBy("id").collect()
+        codes = np.array([r["codes"] for r in rows])
+        X = QuantizedHNSWIndex._decode(codes, index.quant)
+        return float(np.mean((X - base) ** 2))
+
+    pq = QuantizedHNSWIndex.build(
+        df, load_config("HNSW_PQ", {"metric_type": "L2", "M": 8, "m": 4, "nbits": 4}),
+        index_type=IndexType.HNSW_PQ,
+    )
+    prq = QuantizedHNSWIndex.build(
+        df, load_config("HNSW_PRQ", {"metric_type": "L2", "M": 8, "m": 4, "nbits": 4, "nrq": 3}),
+        index_type=IndexType.HNSW_PRQ,
+    )
+    assert decode_err(prq) < decode_err(pq)
+
+
+def test_hnsw_quant_config_validation():
+    with pytest.raises(ConfigError):
+        create_index("HNSW_SQ", {"metric_type": "L2", "sq_type": "SQ99"})
+    with pytest.raises(ConfigError):
+        create_index("HNSW_SQ", {"metric_type": "L2", "refine_k": 0.5})
+    with pytest.raises(ConfigError):
+        create_index("HNSW_PQ", {"metric_type": "L2", "nbits": 30})
+    with pytest.raises(ConfigError):
+        create_index("HNSW_SQ", {"metric_type": "L2", "refine_type": "int4"})
+    # naming a refine type implies refine (faiss_hnsw_config.h:86)
+    h = create_index("HNSW_SQ", {"metric_type": "L2", "refine_type": "fp32"})
+    assert h.config.refine is True
+
+
+def test_hnsw_pq_dim_multiple_enforced(spark):
+    base = gen_dense(100, 30, seed=47)
+    with pytest.raises(ConfigError, match="multiple"):
+        build_index(
+            dense_df(spark, base), "HNSW_PQ",
+            {"metric_type": "L2", "M": 8, "m": 8},
+        )
+
+
+def test_hnsw_sq_save_load_roundtrip(spark, tmp_path):
+    nb, dim, nq, k = 500, 16, 4, 5
+    base = gen_dense(nb, dim, seed=48)
+    qs = gen_dense(nq, dim, seed=49)
+    idx = build_index(
+        dense_df(spark, base), "HNSW_SQ",
+        {"metric_type": "L2", "M": 12, "ef": 24, "sq_type": "SQ8",
+         "refine": True, "refine_k": 2.0},
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in
+         idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k).collect()}
+    path = str(tmp_path / "hnsw_sq")
+    idx.save(path)
+    loaded = load_index(spark, path)
+    assert loaded.type() == "HNSW_SQ"
+    b = {(r["query_id"], r["neighbor_id"]) for r in
+         loaded.search(dense_df(spark, qs, QUERY_SCHEMA), k=k).collect()}
+    assert a == b
+
+
+def test_hnsw_pq_save_load_roundtrip(spark, tmp_path):
+    nb, dim = 300, 16
+    base = gen_dense(nb, dim, seed=50)
+    idx = build_index(
+        dense_df(spark, base), "HNSW_PRQ",
+        {"metric_type": "L2", "M": 8, "m": 4, "nbits": 4, "nrq": 2},
+    )
+    path = str(tmp_path / "hnsw_prq")
+    idx.save(path)
+    loaded = load_index(spark, path)
+    assert loaded.type() == "HNSW_PRQ"
+    for s_a, s_b in zip(idx.quant["stages"], loaded.quant["stages"]):
+        assert np.allclose(s_a, s_b)

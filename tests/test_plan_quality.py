@@ -98,3 +98,35 @@ def test_saved_ivf_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters:" in plan
     pf = plan.split("PartitionFilters:")[1][:300]
     assert "cell_id" in pf
+
+def test_saved_sparse_postings_prune_term_buckets(spark, tmp_path):
+    """A loaded term-bucketed sparse index must scan only the query terms'
+    buckets (partition pruning = the on-disk inverted-list seek)."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    from conftest import gen_sparse
+
+    rows = gen_sparse(200, 400, 0.9, seed=76)
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "id long, vec map<int,float>"
+    )
+    qdf = spark.createDataFrame(
+        [(0, rows[0])], "query_id long, vec map<int,float>"
+    )
+    idx = SparseInvertedIndex.build(df, SparseConfig(metric_type="IP"))
+    path = str(tmp_path / "sparse_bucketed")
+    idx.save(path, n_term_buckets=16)
+    loaded = SparseInvertedIndex.load(spark, path)
+    out = loaded.search(qdf, k=5)
+    plan = _plan(out)
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1][:300]
+    assert "term_bucket" in pf
+    # and results still match the in-memory index
+    a = sorted((r["query_id"], r["doc_id"], round(r["score"], 6)) for r in out.collect())
+    b = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 6))
+        for r in idx.search(qdf, k=5).collect()
+    )
+    assert a == b
