@@ -195,6 +195,26 @@ def q_sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparse_bm25_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse BM25 range search: radius < score <= range_filter
+    (range_util.h:22-25 similarity direction; served via the default
+    iterator path in the reference, sparse_index_node.cc:35)."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = SparseConfig(
+        metric_type="BM25", inverted_index_algo="TAAT_NAIVE",
+        bm25_k1=_BM25_K1, bm25_b=_BM25_B,
+        radius=2.0, range_filter=1e9,
+    )
+    idx = SparseInvertedIndex.build_from_text(docs, cfg)
+    out = idx.range_search(_term_query(spark), cfg)
+    return out.select(
+        "query_id", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ordered_neighbors": q_ann_ordered_neighbors,
         "sparse_ip_topk": q_sparse_ip_topk,
         "sparse_bm25_topk": q_sparse_bm25_topk,
+        "sparse_bm25_range": q_sparse_bm25_range,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -874,6 +895,20 @@ r AS (
 )
 SELECT query_id, doc_id, ROUND(score, 4) AS score, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 20
+""",
+        "sparse_bm25_range": f"""
+WITH {_SPARSE_BASE},
+stats AS (SELECT AVG(doc_len) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(1.0 * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN q ON tf.term = q.term
+  GROUP BY tf.doc_id
+)
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id, ROUND(score, 4) AS score
+FROM scored WHERE score > 2.0 AND score <= 1e9
 """,
         "text_quality": f"""
 WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)

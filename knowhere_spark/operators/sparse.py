@@ -165,25 +165,21 @@ class SparseInvertedIndex:
         return self._n_docs
 
     # -- Search ---------------------------------------------------------------
-    def search(
+    def _scores(
         self,
         query_df: DataFrame,
-        k: int | None = None,
         *,
-        metric: MetricType | str | None = None,
-        drop_ratio_search: float | None = None,
-        query_id_col: str = "query_id",
-        query_vec_col: str = "vec",
-        filter_expr: Column | str | None = None,
-        prune_terms: bool | None = None,
+        metric: MetricType,
+        drop: float,
+        prune_terms: bool,
+        k: int,
+        query_id_col: str,
+        query_vec_col: str,
+        filter_expr: Column | str | None,
     ) -> DataFrame:
-        """Top-k docs per sparse query → (query_id, doc_id, score, rank)."""
+        """Shared scoring pipeline → (query_id, doc_id, score); top-k and
+        range search differ only in the final shaping."""
         cfg = self.config
-        k = k if k is not None else cfg.k
-        metric = MetricType(metric if metric is not None else cfg.metric_type)
-        drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
-        if prune_terms is None:
-            prune_terms = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
         if metric == MetricType.BM25:
             avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
             if not avgdl or avgdl <= 0:
@@ -253,12 +249,77 @@ class SparseInvertedIndex:
             qterms = self._prune_query_terms(qterms, metric, k)
 
         joined = scored_postings.join(F.broadcast(qterms), "term")
-        scores = joined.groupBy("query_id", "doc_id").agg(
+        return joined.groupBy("query_id", "doc_id").agg(
             F.sum(F.col("qval").cast("double") * F.col("__w")).alias("score")
+        )
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        metric: MetricType | str | None = None,
+        drop_ratio_search: float | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        filter_expr: Column | str | None = None,
+        prune_terms: bool | None = None,
+    ) -> DataFrame:
+        """Top-k docs per sparse query → (query_id, doc_id, score, rank)."""
+        cfg = self.config
+        k = k if k is not None else cfg.k
+        metric = MetricType(metric if metric is not None else cfg.metric_type)
+        drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
+        if prune_terms is None:
+            prune_terms = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
+        scores = self._scores(
+            query_df, metric=metric, drop=drop, prune_terms=prune_terms, k=k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            filter_expr=filter_expr,
         )
         return topk_per_key(
             scores, "query_id", "score", k, ascending=False, tie_breaker="doc_id"
         )
+
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config: SparseConfig | None = None,
+        *,
+        drop_ratio_search: float | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        filter_expr: Column | str | None = None,
+    ) -> DataFrame:
+        """All docs with score in the similarity range
+        ``radius < score <= range_filter`` (include/knowhere/range_util.h:
+        22-25 — IP/BM25 are similarity-direction; the reference serves
+        sparse range search through the default iterator implementation,
+        sparse_index_node.cc:35).  ``range_search_k > 0`` truncates to the
+        best ``range_search_k`` hits per query (config.h:665-669).
+
+        Docs sharing no term with the query have implicit score 0 and are
+        absent — consistent with ``radius`` defaulting to 0 for
+        similarity metrics (config.h:661-673)."""
+        cfg = config or self.config
+        metric = MetricType(cfg.metric_type)
+        drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
+        prune = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
+        scores = self._scores(
+            query_df, metric=metric, drop=drop, prune_terms=prune, k=cfg.k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            filter_expr=filter_expr,
+        )
+        lo, hi, _sim = cfg.range_bounds()
+        hits = scores.filter(
+            (F.col("score") > F.lit(float(lo))) & (F.col("score") <= F.lit(float(hi)))
+        )
+        rsk = int(getattr(cfg, "range_search_k", -1) or -1)
+        if rsk > 0:
+            hits = topk_per_key(
+                hits, "query_id", "score", rsk, ascending=False, tie_breaker="doc_id"
+            ).drop("rank")
+        return hits.select("query_id", "doc_id", "score")
 
     def doc_stats_small(self) -> DataFrame:
         return self.doc_stats.select("doc_id", "doc_len")

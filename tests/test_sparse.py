@@ -194,3 +194,45 @@ def test_brute_force_search_sparse_matches_index(spark):
         for r in idx.search(qdf, k=5, prune_terms=False).collect()
     )
     assert a == b
+
+
+def test_sparse_range_search_ip(spark, data):
+    """radius < score <= range_filter (similarity direction,
+    range_util.h:22-25) against the python oracle."""
+    base, queries, base_df, query_df = data
+    idx = SparseInvertedIndex.build(base_df, SparseConfig(metric_type="IP"))
+    radius, range_filter = 2.0, 100.0
+    cfg = SparseConfig(metric_type="IP", radius=radius, range_filter=range_filter)
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in idx.range_search(query_df, cfg).collect()
+    }
+    expect = {}
+    for qi, q in enumerate(queries):
+        for di, d in enumerate(base):
+            s = sum(qv * d.get(t, 0.0) for t, qv in q.items())
+            if radius < s <= range_filter:
+                expect[(qi, di)] = s
+    assert set(got) == set(expect)
+    for p in expect:
+        assert got[p] == pytest.approx(expect[p], rel=1e-9)
+
+
+def test_sparse_range_search_k_truncates(spark, data):
+    base, queries, base_df, query_df = data
+    idx = SparseInvertedIndex.build(base_df, SparseConfig(metric_type="IP"))
+    cfg = SparseConfig(metric_type="IP", radius=0.5, range_filter=1e9, range_search_k=3)
+    rows = idx.range_search(query_df, cfg).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["score"])
+    full = idx.range_search(
+        query_df, SparseConfig(metric_type="IP", radius=0.5, range_filter=1e9)
+    ).collect()
+    full_q = {}
+    for r in full:
+        full_q.setdefault(r["query_id"], []).append(r["score"])
+    for q, scores in per_q.items():
+        assert len(scores) <= 3
+        # truncation keeps the best hits
+        assert sorted(scores, reverse=True) == sorted(full_q[q], reverse=True)[: len(scores)]
