@@ -123,3 +123,118 @@ class GrowingIVFIndex:
         the CC lifecycle; centroids are unchanged (the reference never
         retrains on insert either)."""
         return GrowingIVFIndex(self.searchable(), self.growing_path + "_next")
+
+
+class GrowingSparseIndex:
+    """SparseInvertedIndexNodeCC analog (sparse_index_node.cc:431-585):
+    sealed postings + streaming-appended growing postings, searched as one.
+
+    BM25 statistics follow the reference's CC contract: ``avgdl`` is pinned
+    at build/load time (the WAND load-time pinning rule, config.h:734-760)
+    rather than recomputed per insert — growing rows are scored against the
+    sealed corpus statistics until :meth:`seal` recomputes them."""
+
+    def __init__(self, sealed, growing_path: str):
+        self.sealed = sealed
+        self.growing_path = growing_path
+        self._spark = sealed.postings.sparkSession
+
+    @classmethod
+    def build(cls, base_df: DataFrame, config, growing_path: str, **kw) -> "GrowingSparseIndex":
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+        return cls(SparseInvertedIndex.build(base_df, config, **kw), growing_path)
+
+    # -- ingest ---------------------------------------------------------------
+    def start_ingest(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        trigger: dict | None = None,
+    ):
+        """Attach a streaming source of ``(id, vec MAP)`` rows; every
+        micro-batch explodes to postings and appends — a row is searchable
+        the moment its batch commits (the CC add-under-search contract)."""
+        from knowhere_spark.operators.sparse import sparse_to_postings
+
+        def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+            postings = sparse_to_postings(batch_df, id_col=id_col, vec_col=vec_col)
+            postings.select("term", "doc_id", "value").write.mode("append").parquet(
+                self.growing_path
+            )
+
+        writer = (
+            stream_df.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    # -- search over sealed ∪ growing ----------------------------------------
+    def _growing_postings(self) -> DataFrame | None:
+        if not os.path.isdir(self.growing_path):
+            return None
+        try:
+            df = self._spark.read.parquet(self.growing_path)
+        except Exception:
+            return None   # no committed files yet
+        return df.select("term", "doc_id", "value")
+
+    def searchable(self):
+        """A point-in-time view over sealed ∪ growing postings."""
+        from pyspark.sql import functions as F
+
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+        sealed = self.sealed
+        growing = self._growing_postings()
+        if growing is None:
+            return sealed
+        postings = sealed.postings.unionByName(growing)
+        doc_stats = sealed.doc_stats.unionByName(
+            growing.groupBy("doc_id").agg(F.sum("value").alias("doc_len"))
+        )
+        term_stats = postings.groupBy("term").agg(
+            F.max("value").alias("max_value"), F.count("*").alias("df")
+        )
+        n_docs = sealed.count() + growing.select("doc_id").distinct().count()
+        return SparseInvertedIndex(
+            postings, doc_stats, term_stats, sealed.config,
+            n_docs=n_docs,
+            avgdl=sealed.avgdl,   # pinned (see class docstring)
+        )
+
+    def search(self, query_df: DataFrame, k: int | None = None, **kw) -> DataFrame:
+        return self.searchable().search(query_df, k, **kw)
+
+    def count(self) -> int:
+        return self.searchable().count()
+
+    # -- seal (compaction) ----------------------------------------------------
+    def seal(self) -> "GrowingSparseIndex":
+        """Fold growing into sealed and recompute corpus statistics (the
+        segment-seal step; unlike :meth:`searchable`, avgdl/n_docs refresh
+        here — the Milvus-side flush-and-reload)."""
+        from pyspark.sql import functions as F
+
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+        view = self.searchable()
+        if view is self.sealed:
+            return GrowingSparseIndex(self.sealed, self.growing_path + "_next")
+        postings = view.postings.cache()
+        doc_stats = postings.groupBy("doc_id").agg(F.sum("value").alias("doc_len")).cache()
+        term_stats = postings.groupBy("term").agg(
+            F.max("value").alias("max_value"), F.count("*").alias("df")
+        )
+        row = doc_stats.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
+        sealed = SparseInvertedIndex(
+            postings, doc_stats, term_stats, self.sealed.config,
+            n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+        )
+        return GrowingSparseIndex(sealed, self.growing_path + "_next")

@@ -121,3 +121,48 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_test").collect()
     }
     assert got == batch
+
+
+def test_sparse_cc_search_while_insert(spark, tmp_path):
+    """SparseInvertedIndexNodeCC analog: streamed-in docs are searchable,
+    avgdl stays pinned until seal (sparse_index_node.cc:431-585)."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.streaming.cc import GrowingSparseIndex
+
+    from conftest import gen_sparse
+
+    base = gen_sparse(100, 200, 0.9, seed=61)
+    extra = gen_sparse(20, 200, 0.9, seed=62)
+    schema = "id long, vec map<int,float>"
+    base_df = spark.createDataFrame(list(enumerate(base)), schema)
+
+    idx = GrowingSparseIndex.build(
+        base_df, SparseConfig(metric_type="IP"), str(tmp_path / "growing_sp")
+    )
+    assert idx.count() == 100
+    pinned_avgdl = idx.sealed.avgdl
+
+    src = str(tmp_path / "sp_src")
+    spark.createDataFrame(
+        [(100 + i, r) for i, r in enumerate(extra)], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = idx.start_ingest(stream, str(tmp_path / "sp_ckpt"), trigger={"availableNow": True})
+    q.awaitTermination()
+
+    assert idx.count() == 120
+    # a streamed doc queried by its own vector must rank itself first
+    qdf = spark.createDataFrame([(0, extra[0])], "query_id long, vec map<int,float>")
+    res = idx.search(qdf, k=3).collect()
+    assert res and sorted(res, key=lambda r: r["rank"])[0]["doc_id"] == 100
+    # avgdl pinned while growing
+    assert idx.searchable().avgdl == pinned_avgdl
+
+    # seal refreshes statistics and preserves results
+    sealed = idx.seal()
+    assert sealed.sealed.count() == 120
+    assert sealed.sealed.avgdl != pinned_avgdl
+    res2 = sealed.search(qdf, k=3).collect()
+    assert {r["doc_id"] for r in res2} == {r["doc_id"] for r in res}
