@@ -101,14 +101,20 @@ def q_flat_range_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_get_vector_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GetVectorByIds (index_node.h:340-350): fetch raw vectors by id."""
+    """GetVectorByIds (index_node.h:340-350): fetch raw vectors by id.
+
+    Emitted in exploded ``(id, pos, val)`` long form so the gate can
+    canonicalize (raw array columns are unhashable in the compare layer).
+    """
     base = embeddings_as_dataset(spark, sf_dir)
     ids = base.select("id").filter(F.col("id") % 7 == 0)
     out = BruteForce.get_vector_by_ids(base, ids)
     return out.select(
         "id",
-        F.transform(F.col("vec").cast("array<double>"), lambda x: F.round(x, 4)).alias("vec"),
-    )
+        F.posexplode(
+            F.transform(F.col("vec").cast("array<double>"), lambda x: F.round(x, 4))
+        ).alias("pos", "val"),
+    ).select("id", F.col("pos").cast("int").alias("pos"), "val")
 
 
 def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,7 +840,8 @@ def oracle_sql() -> dict[str, str]:
         "flat_range_cosine": _range_oracle(_COS, "dd > 0.25 AND dd <= 1.01"),
         "get_vector_by_ids": """
 SELECT vec_id AS id,
-       list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 4)) AS vec
+       CAST(unnest(range(len(embedding))) AS INT) AS pos,
+       unnest(list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 4))) AS val
 FROM embeddings WHERE vec_id % 7 = 0
 """,
         "topk_per_key": """

@@ -200,13 +200,18 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 def main() -> None:
     spark = build_spark()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in bench_queries(spark).items():
         t0 = time.monotonic()
-        df = fn()
-        n = df.count()   # full consumption
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        try:
+            df = fn()
+            n = df.count()   # full consumption
+            dt = time.monotonic() - t0
+            timings[name] = round(dt, 3)
+            print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # one broken query must never zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -216,6 +221,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -57,11 +57,13 @@ def sessionize(
     running-sum-of-boundaries window idiom — one shuffle on user_id.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
-    gap = F.lag(ts_col).over(w)
+    # unix_micros requires TIMESTAMP; parquet event tables may carry
+    # TIMESTAMP_NTZ, so normalize once and lag the normalized column.
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = F.lag(micros).over(w)
     # microsecond-exact gap comparison (event timestamps carry sub-second parts)
     is_new = (
-        gap.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(gap) > gap_minutes * 60 * 1_000_000)
+        gap.isNull() | (micros - gap > gap_minutes * 60 * 1_000_000)
     ).cast("int")
     sessions = events.withColumn("__new", is_new).withColumn(
         "session_id", F.sum("__new").over(w)

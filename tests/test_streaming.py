@@ -123,6 +123,30 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_sessionize_timestamp_ntz(spark):
+    """Regression: driver parquet carries TIMESTAMP_NTZ; unix_micros requires
+    TIMESTAMP, so sessionize must normalize before the gap comparison."""
+    from knowhere_spark.operators.events import sessionize
+
+    rows = [
+        (1, "2026-01-01 10:00:00", 7),
+        (2, "2026-01-01 10:10:00", 7),
+        (3, "2026-01-01 10:55:00", 7),    # 45 min gap → new session
+        (4, "2026-01-01 10:00:00", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "user_id"
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {(7, 1): 2, (7, 2): 2, (8, 1): 1}
+
+
 def test_sparse_cc_search_while_insert(spark, tmp_path):
     """SparseInvertedIndexNodeCC analog: streamed-in docs are searchable,
     avgdl stays pinned until seal (sparse_index_node.cc:431-585)."""
