@@ -144,7 +144,7 @@ def test_sessionize_timestamp_ntz(spark):
         (r["user_id"], r["session_id"]): r["n_events"]
         for r in sessionize(df, gap_minutes=30).collect()
     }
-    assert got == {(7, 1): 2, (7, 2): 2, (8, 1): 1}
+    assert got == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
 
 
 def test_sparse_cc_search_while_insert(spark, tmp_path):
