@@ -267,10 +267,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the corpus plus planted duplicates (every 50th doc
+    re-appears id-shifted) so the oracle exercises real duplicate groups —
+    the raw testdata has none, and a 0-row match is vacuous."""
     from knowhere_spark.operators.dedup import exact_duplicates
 
-    docs = load_table(spark, sf_dir, "documents")
-    out = exact_duplicates(docs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = exact_duplicates(docs.unionByName(planted))
     return out.select(
         "doc_id", "group_key",
         F.col("group_size").cast("long").alias("group_size"),
@@ -297,10 +303,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs.  Threshold 0.4 sits inside the testdata's
+    actual cosine range (max pairwise ≈ 0.51) so the oracle checks real
+    rows — at 0.95 the result set is empty and the match is vacuous."""
     from knowhere_spark.operators.dedup import embedding_neardup_pairs
 
     emb = embeddings_as_dataset(spark, sf_dir)
-    out = embedding_neardup_pairs(emb, 0.95)
+    out = embedding_neardup_pairs(emb, 0.4)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -799,6 +808,60 @@ FROM r WHERE rk <= {K}
 """
 
 
+# -- SimHash mirror: 64-bit md5 token hash (first 16 hex chars), tf-weighted
+#    ±1 bit aggregation, sign bit-pack, 4×16-bit band candidates + hamming
+#    filter — exact HUGEINT arithmetic (2^i literals; pow() would be lossy) --
+
+_POW2 = ", ".join(f"({i}, '{2 ** i}'::HUGEINT)" for i in range(64))
+_BANDP = ", ".join(f"({j}, '{2 ** (16 * j)}'::HUGEINT)" for j in range(4))
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    return f"""
+WITH p(i, v) AS (VALUES {_POW2}),
+bp(j, v) AS (VALUES {_BANDP}),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*)::HUGEINT AS tf FROM terms GROUP BY 1, 2),
+th AS (SELECT DISTINCT term,
+              CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)::HUGEINT
+                * '4294967296'::HUGEINT
+              + CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT)::HUGEINT AS h
+       FROM terms),
+bitsum AS (
+  SELECT tf.doc_id, p.i, SUM(tf.tf * (2 * ((th.h // p.v) % 2) - 1)) AS s
+  FROM tf JOIN th USING (term) CROSS JOIN p
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN p.v ELSE 0::HUGEINT END) AS u
+  FROM bitsum JOIN p USING (i) GROUP BY doc_id
+),
+allsig AS (
+  SELECT d.doc_id, COALESCE(sig.u, 0::HUGEINT) AS u
+  FROM documents d LEFT JOIN sig USING (doc_id)
+),
+s2 AS (
+  SELECT doc_id, u,
+         CAST(CASE WHEN u >= '{2 ** 63}'::HUGEINT
+              THEN u - '{2 ** 64}'::HUGEINT ELSE u END AS BIGINT) AS sig64
+  FROM allsig
+),
+banded AS (
+  SELECT doc_id, sig64, bp.j, CAST((u // bp.v) % 65536 AS BIGINT) AS band_val
+  FROM s2 CROSS JOIN bp
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig64 AS sa, b.sig64 AS sb
+  FROM banded a JOIN banded b
+    ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 _BIN_SUBSTRUCTURE_SQL = f"""
 WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
 q AS (
@@ -944,7 +1007,12 @@ SELECT doc_id,
 FROM toks
 """,
         "dedup_exact": f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
 k AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS group_key FROM toks),
 g AS (
   SELECT doc_id, group_key,
@@ -955,6 +1023,7 @@ g AS (
 SELECT doc_id, group_key, group_size, is_canonical FROM g WHERE group_size > 1
 """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS,
+        "simhash_pairs": _simhash_oracle(3),
         # LSH banding (32 bands × 2 rows) + exact verification reproduces the
         # exact pairwise result at j >= 0.7 (miss prob < 1e-9 per pair)
         "dedup_minhash_lsh": _JACCARD_PAIRS,
@@ -966,7 +1035,7 @@ WITH d AS (
             * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))) AS c
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.95
+SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.4
 """,
         "text_token_budget": r"""
 SELECT doc_id,

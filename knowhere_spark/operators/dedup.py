@@ -207,51 +207,84 @@ def minhash_signatures(
     )
 
     def kernel(batches):
-        # single pass text → tokens → shingles → md5 → signature, all
-        # inside one Arrow batch: interpreted SQL higher-order functions
-        # (slice-in-transform) are ~5x slower than this at scale.  One md5
-        # per shingle serves both the 28-bit minhash domain (low bits) and
-        # the 60-bit verification hash.
+        # single pass text → tokens → shingles → signature inside one
+        # Arrow batch.  The expensive digest is paid ONCE PER UNIQUE TOKEN
+        # in the batch (the vocabulary, thousands), never per shingle
+        # (millions): shingle hashes are a vectorized uint64 FNV-style mix
+        # of the windowed token hashes.  The shingle hash only needs to be
+        # deterministic and injective-enough that hash-Jaccard equals
+        # string-Jaccard — the verification/oracle contract — so a
+        # non-cryptographic mix is sound (collision prob ~2^-60/pair).
         import hashlib
         import re
 
         a_, b_ = bc.value
         M = _MERSENNE
         tok_re = re.compile(r"[^a-z0-9]+")
-        mask28 = (1 << 28) - 1
-        mask60 = (1 << 60) - 1
+        mask28 = np.uint64((1 << 28) - 1)
+        mask60 = np.uint64((1 << 60) - 1)
+        FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+        FNV_PRIME = np.uint64(0x100000001B3)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h60_list = []
-            for text in pdf["text"]:
-                toks = [t for t in tok_re.split((text or "").lower()) if t]
-                # shingles_expr semantics: sequence(0, greatest(size-n, 0))
-                # always yields >= 1 shingle; empty text contributes {""}
-                n_sh = max(len(toks) - shingle_n, 0) + 1
-                sh = {" ".join(toks[i : i + shingle_n]) for i in range(n_sh)}
-                h60_list.append(
-                    np.fromiter(
-                        (
-                            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                            & mask60
-                            for s in sh
-                        ),
-                        dtype=np.int64,
-                        count=len(sh),
-                    )
-                )
-            lens = np.array([len(h) for h in h60_list])
-            flat = np.concatenate(h60_list)
+            docs_toks = [
+                [t for t in tok_re.split((text or "").lower()) if t]
+                for text in pdf["text"]
+            ]
+            lens = np.array([len(t) for t in docs_toks], dtype=np.int64)
+            flat_toks = np.array(
+                [t for toks in docs_toks for t in toks] or [""], dtype=object
+            )
+            # digest once per unique token in the batch
+            vocab, inverse = np.unique(flat_toks, return_inverse=True)
+            tok_h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in vocab
+                ),
+                dtype=np.uint64,
+                count=len(vocab),
+            )
+            th = tok_h[inverse]
+            # shingles_expr semantics: count = max(len-n, 0) + 1 per doc;
+            # the final shingle truncates when the doc has < n tokens, and
+            # an empty doc yields one sentinel shingle (the FNV offset),
+            # matching the {""} edge of the string path.
+            n_sh = np.maximum(lens - shingle_n, 0) + 1
+            n_docs = len(lens)
+            seg_starts = np.zeros(n_docs, dtype=np.int64)
+            seg_starts[1:] = np.cumsum(lens)[:-1]
+            doc_of_sh = np.repeat(np.arange(n_docs), n_sh)
+            sh_offsets = np.cumsum(n_sh) - n_sh
+            idx_in_doc = np.arange(n_sh.sum()) - sh_offsets[doc_of_sh]
+            start = seg_starts[doc_of_sh] + idx_in_doc
+            seg_end = seg_starts[doc_of_sh] + lens[doc_of_sh]
+            h = np.full(n_sh.sum(), FNV_OFFSET, dtype=np.uint64)
+            for j in range(shingle_n):
+                pos = start + j
+                valid = pos < seg_end
+                h[valid] = (h[valid] ^ th[pos[valid]]) * FNV_PRIME
+            h &= mask60  # positive int64 range for Spark ARRAY<BIGINT>
+            # distinct shingles per doc: sort by (doc, hash), drop repeats
+            order = np.lexsort((h, doc_of_sh))
+            hs, ds = h[order], doc_of_sh[order]
+            keep = np.ones(len(hs), dtype=bool)
+            keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+            hs, ds = hs[keep], ds[keep]
+            uniq_counts = np.bincount(ds, minlength=n_docs)
             # (num_perm, total) universal-hash matrix, segment-min per
             # doc via reduceat (int64-safe: see _MERSENNE sizing note)
-            m = (a_[:, None] * (flat & mask28)[None, :] + b_[:, None]) % M
-            starts = np.zeros(len(pdf), dtype=np.int64)
-            starts[1:] = np.cumsum(lens)[:-1]
+            m = (
+                a_[:, None] * (hs & mask28).astype(np.int64)[None, :] + b_[:, None]
+            ) % M
+            starts = np.zeros(n_docs, dtype=np.int64)
+            starts[1:] = np.cumsum(uniq_counts)[:-1]
             sig = np.minimum.reduceat(m, starts, axis=1).T
             out = {"doc_id": pdf["doc_id"], "sig": list(sig)}
             if with_shingle_hashes:
-                out["sh"] = h60_list
+                h64 = hs.astype(np.int64)
+                out["sh"] = np.split(h64, np.cumsum(uniq_counts)[:-1])
             yield pd.DataFrame(out)
 
     return src.mapInPandas(kernel, schema)
@@ -354,28 +387,48 @@ def simhash_signatures(
     )
 
     def kernel(batches):
+        # md5 once per unique token in the batch (the vocabulary), then
+        # fully vectorized tf-weighted ±1 bit aggregation: contributions
+        # per flat token occurrence, segment-summed per doc via reduceat.
         import hashlib
 
+        shifts = np.arange(bits, dtype=np.uint64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
-            for tok_list in pdf["toks"]:
-                acc = np.zeros(bits, dtype=np.float64)
-                vals, counts = np.unique(np.asarray(tok_list, dtype=object), return_counts=True)
-                for t, c in zip(vals, counts):
-                    h = int(hashlib.md5(str(t).encode()).hexdigest()[:16], 16)
-                    bitvec = np.array([(h >> i) & 1 for i in range(bits)], dtype=np.float64)
-                    acc += c * (2.0 * bitvec - 1.0)
-                sig = 0
-                for i in range(bits):
-                    if acc[i] > 0:
-                        sig |= 1 << i
-                # store as signed 64-bit
-                if sig >= 1 << 63:
-                    sig -= 1 << 64
-                out.append(sig)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+            tok_lists = [list(t) for t in pdf["toks"]]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            flat = np.array(
+                [t for toks in tok_lists for t in toks] or [""], dtype=object
+            )
+            vocab, inverse = np.unique(flat, return_inverse=True)
+            tok_h = np.fromiter(
+                (
+                    int(hashlib.md5(str(t).encode()).hexdigest()[:16], 16)
+                    for t in vocab
+                ),
+                dtype=np.uint64,
+                count=len(vocab),
+            )
+            # (vocab, bits) ±1 matrix; per-occurrence contributions summed
+            # per doc segment (tf weighting = occurrence repetition)
+            pm = (
+                ((tok_h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                * 2 - 1
+            )
+            contrib = pm[inverse]
+            n_docs = len(lens)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            # clip: a trailing empty doc would index one past the end
+            acc = np.add.reduceat(contrib, np.minimum(starts, len(contrib) - 1), axis=0)
+            acc[lens == 0] = 0   # empty docs: reduceat grabs a neighbor's row
+            sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": sig.astype(np.int64)}
+            )
 
     return toks.mapInPandas(kernel, schema)
 
