@@ -141,6 +141,71 @@ class BruteForce:
         )
 
     @staticmethod
+    def search_distributed(
+        base_df: DataFrame,
+        query_df: DataFrame,
+        k: int,
+        metric: MetricType | str = MetricType.L2,
+        *,
+        n_blocks: int | None = None,
+        filter_expr: Column | str | None = None,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Exact top-k with NO driver collect of either side — the
+        corpus-vs-corpus regime where ``nq`` is far past broadcast range
+        (the gemm path's ``queries.collect()`` contract is nq<=10k).
+
+        Block nested-loop GEMM: the base is hashed into ``n_blocks``
+        blocks, the query set is replicated once per block (a shuffle,
+        never a broadcast), and each cogroup runs one float64 GEMM +
+        partial top-k; a final window reduces ``n_blocks·k`` candidates
+        per query.  Same results as ``search`` (exact, same tie-break).
+        """
+        metric = MetricType(metric)
+        base, queries = _prep(
+            base_df, query_df, id_col, vec_col, query_id_col, query_vec_col, filter_expr
+        )
+        spark = base.sparkSession
+        B = n_blocks or spark.sparkContext.defaultParallelism
+        base_b = base.withColumn(
+            "block_id", F.pmod(F.hash("id"), F.lit(B)).cast("int")
+        )
+        qrep = queries.withColumn(
+            "block_id", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+        ).withColumn("block_id", F.col("block_id").cast("int"))
+        largest = metric.is_similarity
+
+        def block_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "distance": []})
+            X = np.array(list(left["vec"]), dtype=np.float64)
+            ids = left["id"].to_numpy(dtype=np.int64)
+            Q = np.array(list(right["qvec"]), dtype=np.float64)
+            qids = right["query_id"].to_numpy(dtype=np.int64)
+            dist = pairwise_distances(X, Q, metric)
+            qidx, nid, dd = local_topk(dist, ids, k, largest)
+            return pd.DataFrame(
+                {"query_id": qids[qidx], "neighbor_id": nid, "distance": dd}
+            )
+
+        scored = (
+            base_b.groupby("block_id")
+            .cogroup(qrep.groupby("block_id"))
+            .applyInPandas(block_kernel, RESULT_SCHEMA)
+        )
+        return topk_per_key(
+            scored,
+            "query_id",
+            "distance",
+            k,
+            ascending=not largest,
+            tie_breaker="neighbor_id",
+        )
+
+    @staticmethod
     def range_search(
         base_df: DataFrame,
         query_df: DataFrame,

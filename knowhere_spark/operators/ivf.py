@@ -175,6 +175,10 @@ class IVFFlatIndex:
             index_type=self.index_type,
         )
 
+    #: auto-strategy cutover: beyond this many queries the driver no longer
+    #: collects the query set; probe assignment and scoring both distribute
+    _DRIVER_NQ_MAX = 10_000
+
     # -- Search ---------------------------------------------------------------
     def search(
         self,
@@ -185,22 +189,45 @@ class IVFFlatIndex:
         filter_expr: Column | str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
     ) -> DataFrame:
         """Top-k over the probed cells (ivf.cc:715-800).
 
         Returns ``(query_id, neighbor_id, distance, rank)``.  Distances for
         COSINE are true cosine similarities (computed on the normalized
         stored vectors).
+
+        ``strategy``: ``driver`` collects the query set once and broadcasts
+        it (the reference's nq<=10k serving regime); ``distributed`` never
+        collects — probe assignment runs as ``mapInPandas`` against
+        broadcast centroids and scoring cogroups base cells with their
+        probing queries (the corpus-vs-corpus regime, e.g. semantic dedup
+        of 100 TB against itself).  ``auto`` picks by query count.
         """
         k = k if k is not None else self.config.k
         nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
         metric = MetricType(self.config.metric_type)
         spark = self.assignments.sparkSession
 
-        qrows = query_df.select(
+        queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
-        ).collect()
+        )
+        if strategy == "auto":
+            # peek one row past the cutover: if the query set is small we
+            # already hold the rows and reuse them for the driver path
+            qrows = queries.limit(self._DRIVER_NQ_MAX + 1).collect()
+            if len(qrows) > self._DRIVER_NQ_MAX:
+                strategy = "distributed"
+            else:
+                strategy = "driver"
+        elif strategy == "driver":
+            qrows = queries.collect()
+        if strategy == "distributed":
+            return self._search_distributed(queries, k, nprobe, filter_expr)
+        if strategy != "driver":
+            raise ValueError(f"unknown strategy {strategy!r}")
+
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
         if metric == MetricType.COSINE:
@@ -262,6 +289,166 @@ class IVFFlatIndex:
         return [
             (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
         ]
+
+    def probe_assign(self, queries: DataFrame, nprobe: int) -> DataFrame:
+        """Distributed probe assignment: ``mapInPandas`` over the query set
+        against the broadcast ``nlist × dim`` centroid matrix, emitting one
+        ``(query_id, qvec, cell_id)`` row per probed cell.  The query set
+        never touches the driver — this is the large-nq half of the
+        reference's search fan-out (ivf.cc:715-800) with Spark's data
+        parallelism on the query axis."""
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        metric = MetricType(self.config.metric_type)
+        probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        spark = self.assignments.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.centroids, probe_metric.value, metric == MetricType.COSINE)
+        )
+        schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("qvec", ArrayType(DoubleType())),
+                StructField("cell_id", IntegerType()),
+            ]
+        )
+
+        def kernel(batches):
+            C, pm, normalize = bc.value
+            pm = MetricType(pm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.array(list(pdf["qvec"].to_numpy()), dtype=np.float64)
+                if normalize:
+                    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+                    qn[qn == 0] = 1.0
+                    Q = Q / qn
+                d = pairwise_distances(C, Q, pm)              # (nlist, nq)
+                key = -d if pm.is_similarity else d
+                npb = min(nprobe, len(C))
+                order = (
+                    np.argpartition(key, npb - 1, axis=0)[:npb, :]
+                    if npb < len(C)
+                    else np.argsort(key, axis=0)
+                )                                              # (npb, nq)
+                qids = pdf["query_id"].to_numpy(dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, npb),
+                        "qvec": np.repeat(Q, npb, axis=0).tolist(),
+                        "cell_id": order.T.ravel().astype(np.int32),
+                    }
+                )
+
+        return queries.mapInPandas(kernel, schema)
+
+    def _search_distributed(self, queries, k, nprobe, filter_expr):
+        """Corpus-vs-corpus scoring: cogroup base cells with their probing
+        queries on ``cell_id`` and GEMM within each cell — one shuffle of
+        each side keyed by cell, no driver collect, no broadcast of the
+        query set.  ``ensure_topk_full`` refills underfilled queries with
+        an all-cells probe, decided distributedly."""
+        probes = self.probe_assign(queries, nprobe)
+        out = self._cogroup_topk(probes, k, filter_expr)
+        if not self.config.ensure_topk_full:
+            return out
+        spark = self.assignments.sparkSession
+        if filter_expr is None:
+            # candidate counts >= k guarantee k results when unfiltered
+            cc = self._get_cell_counts()
+            cc_df = spark.createDataFrame(
+                [(int(c), int(n)) for c, n in cc.items()], "cell_id int, cnt long"
+            )
+            under = (
+                probes.join(F.broadcast(cc_df), "cell_id", "left")
+                .groupBy("query_id")
+                .agg(F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("cand"))
+                .filter(F.col("cand") < k)
+                .select("query_id")
+            )
+        else:
+            out = out.cache()
+            under = (
+                out.groupBy("query_id")
+                .agg(F.count("*").alias("cnt"))
+                .filter(F.col("cnt") < k)
+                .select("query_id")
+            )
+            # queries with zero results never appear in `out` at all
+            under = queries.select("query_id").exceptAll(
+                out.select("query_id").distinct()
+            ).unionByName(under)
+        all_cells = spark.createDataFrame(
+            [(int(c),) for c in range(self.config.nlist)], "cell_id int"
+        )
+        refill_probes = (
+            probes.join(F.broadcast(under), "query_id", "left_semi")
+            .select("query_id", "qvec")
+            .dropDuplicates(["query_id"])
+            .crossJoin(F.broadcast(all_cells))
+            .select("query_id", "qvec", "cell_id")
+        )
+        refill_out = self._cogroup_topk(refill_probes, k, filter_expr)
+        kept = out.join(F.broadcast(under), "query_id", "left_anti")
+        return kept.unionByName(refill_out)
+
+    def _cogroup_topk(self, probes: DataFrame, k, filter_expr):
+        """Per-cell GEMM top-k via cogrouped ``applyInPandas``; final exact
+        top-k over <= cells_probed·k candidate rows per query."""
+        import pandas as pd
+
+        from knowhere_spark.functions.distance import local_topk
+        from knowhere_spark.operators.brute_force import RESULT_SCHEMA
+
+        metric = MetricType(self.config.metric_type)
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        largest = dist_metric.is_similarity
+        cand = self.assignments
+        if filter_expr is not None:
+            cand = cand.filter(filter_expr)
+        # prune unprobed cells before the shuffle (cheap when nq·nprobe
+        # covers most cells, decisive when it doesn't)
+        cand = cand.join(
+            probes.select("cell_id").distinct(), "cell_id", "left_semi"
+        )
+
+        def cell_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "distance": []}
+                )
+            X = np.array(list(left["vec"]), dtype=np.float64)
+            ids = left["id"].to_numpy(dtype=np.int64)
+            Q = np.array(list(right["qvec"]), dtype=np.float64)
+            qids = right["query_id"].to_numpy(dtype=np.int64)
+            dist = pairwise_distances(X, Q, dist_metric)      # (n, nq)
+            qidx, nid, dd = local_topk(dist, ids, k, largest)
+            return pd.DataFrame(
+                {"query_id": qids[qidx], "neighbor_id": nid, "distance": dd}
+            )
+
+        scored = (
+            cand.groupby("cell_id")
+            .cogroup(probes.groupby("cell_id"))
+            .applyInPandas(cell_kernel, RESULT_SCHEMA)
+        )
+        return topk_per_key(
+            scored,
+            "query_id",
+            "distance",
+            k,
+            ascending=not metric.is_similarity,
+            tie_breaker="neighbor_id",
+        )
 
     def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr):
         """Partial-then-final top-k over probed cells.
