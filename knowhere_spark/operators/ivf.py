@@ -291,65 +291,10 @@ class IVFFlatIndex:
         ]
 
     def probe_assign(self, queries: DataFrame, nprobe: int) -> DataFrame:
-        """Distributed probe assignment: ``mapInPandas`` over the query set
-        against the broadcast ``nlist × dim`` centroid matrix, emitting one
-        ``(query_id, qvec, cell_id)`` row per probed cell.  The query set
-        never touches the driver — this is the large-nq half of the
-        reference's search fan-out (ivf.cc:715-800) with Spark's data
-        parallelism on the query axis."""
-        import pandas as pd
-        from pyspark.sql.types import (
-            ArrayType,
-            DoubleType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
+        """Distributed probe assignment — see :func:`probe_assign_df`."""
+        return probe_assign_df(
+            queries, self.centroids, MetricType(self.config.metric_type), nprobe
         )
-
-        metric = MetricType(self.config.metric_type)
-        probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
-        spark = self.assignments.sparkSession
-        bc = spark.sparkContext.broadcast(
-            (self.centroids, probe_metric.value, metric == MetricType.COSINE)
-        )
-        schema = StructType(
-            [
-                StructField("query_id", LongType()),
-                StructField("qvec", ArrayType(DoubleType())),
-                StructField("cell_id", IntegerType()),
-            ]
-        )
-
-        def kernel(batches):
-            C, pm, normalize = bc.value
-            pm = MetricType(pm)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                Q = np.array(list(pdf["qvec"].to_numpy()), dtype=np.float64)
-                if normalize:
-                    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-                    qn[qn == 0] = 1.0
-                    Q = Q / qn
-                d = pairwise_distances(C, Q, pm)              # (nlist, nq)
-                key = -d if pm.is_similarity else d
-                npb = min(nprobe, len(C))
-                order = (
-                    np.argpartition(key, npb - 1, axis=0)[:npb, :]
-                    if npb < len(C)
-                    else np.argsort(key, axis=0)
-                )                                              # (npb, nq)
-                qids = pdf["query_id"].to_numpy(dtype=np.int64)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids, npb),
-                        "qvec": np.repeat(Q, npb, axis=0).tolist(),
-                        "cell_id": order.T.ravel().astype(np.int32),
-                    }
-                )
-
-        return queries.mapInPandas(kernel, schema)
 
     def _search_distributed(self, queries, k, nprobe, filter_expr):
         """Corpus-vs-corpus scoring: cogroup base cells with their probing
@@ -402,52 +347,12 @@ class IVFFlatIndex:
         return kept.unionByName(refill_out)
 
     def _cogroup_topk(self, probes: DataFrame, k, filter_expr):
-        """Per-cell GEMM top-k via cogrouped ``applyInPandas``; final exact
-        top-k over <= cells_probed·k candidate rows per query."""
-        import pandas as pd
-
-        from knowhere_spark.functions.distance import local_topk
-        from knowhere_spark.operators.brute_force import RESULT_SCHEMA
-
         metric = MetricType(self.config.metric_type)
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
-        largest = dist_metric.is_similarity
-        cand = self.assignments
-        if filter_expr is not None:
-            cand = cand.filter(filter_expr)
-        # prune unprobed cells before the shuffle (cheap when nq·nprobe
-        # covers most cells, decisive when it doesn't)
-        cand = cand.join(
-            probes.select("cell_id").distinct(), "cell_id", "left_semi"
-        )
-
-        def cell_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "distance": []}
-                )
-            X = np.array(list(left["vec"]), dtype=np.float64)
-            ids = left["id"].to_numpy(dtype=np.int64)
-            Q = np.array(list(right["qvec"]), dtype=np.float64)
-            qids = right["query_id"].to_numpy(dtype=np.int64)
-            dist = pairwise_distances(X, Q, dist_metric)      # (n, nq)
-            qidx, nid, dd = local_topk(dist, ids, k, largest)
-            return pd.DataFrame(
-                {"query_id": qids[qidx], "neighbor_id": nid, "distance": dd}
-            )
-
-        scored = (
-            cand.groupby("cell_id")
-            .cogroup(probes.groupby("cell_id"))
-            .applyInPandas(cell_kernel, RESULT_SCHEMA)
-        )
-        return topk_per_key(
-            scored,
-            "query_id",
-            "distance",
-            k,
-            ascending=not metric.is_similarity,
-            tie_breaker="neighbor_id",
+        return cogroup_cells_topk(
+            self.assignments, probes, k, dist_metric,
+            filter_expr=filter_expr,
+            row_matrix=lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64),
         )
 
     def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr):
@@ -618,6 +523,125 @@ class IVFFlatIndex:
             nprobe=int(m["nprobe"]),
         )
         return cls(centroids, assignments, cfg, index_type=IndexType(m["index_type"]))
+
+
+def probe_assign_df(
+    queries: DataFrame, centroids: np.ndarray, metric: MetricType, nprobe: int
+) -> DataFrame:
+    """Distributed probe assignment: ``mapInPandas`` over the query set
+    against the broadcast ``nlist × dim`` centroid matrix, emitting one
+    ``(query_id, qvec, cell_id)`` row per probed cell.  The query set never
+    touches the driver — the large-nq half of the reference's search
+    fan-out (ivf.cc:715-800) with Spark's data parallelism on the query
+    axis.  COSINE queries come out normalized (ivf.cc:462-470 contract)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (centroids, probe_metric.value, metric == MetricType.COSINE)
+    )
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("qvec", ArrayType(DoubleType())),
+            StructField("cell_id", IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        C, pm, normalize = bc.value
+        pm = MetricType(pm)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf["qvec"].to_numpy()), dtype=np.float64)
+            if normalize:
+                qn = np.linalg.norm(Q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                Q = Q / qn
+            d = pairwise_distances(C, Q, pm)                  # (nlist, nq)
+            key = -d if pm.is_similarity else d
+            npb = min(nprobe, len(C))
+            order = (
+                np.argpartition(key, npb - 1, axis=0)[:npb, :]
+                if npb < len(C)
+                else np.argsort(key, axis=0)
+            )                                                  # (npb, nq)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, npb),
+                    "qvec": np.repeat(Q, npb, axis=0).tolist(),
+                    "cell_id": order.T.ravel().astype(np.int32),
+                }
+            )
+
+    return queries.mapInPandas(kernel, schema)
+
+
+def cogroup_cells_topk(
+    assignments: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dist_metric: MetricType,
+    *,
+    filter_expr: Column | str | None = None,
+    row_matrix=None,
+) -> DataFrame:
+    """Per-cell GEMM top-k via cogrouped ``applyInPandas``: base cells meet
+    their probing queries after one shuffle of each side keyed by
+    ``cell_id``; a final window reduces <= cells_probed·k candidates per
+    query.  ``row_matrix(pdf) -> (n, dim) float64`` turns a cell's rows
+    into the GEMM operand — raw vectors for IVF_FLAT, decoded codes for the
+    quantized families (decode-then-GEMM is arithmetically identical to the
+    reference's ADC/affine scan: the LUT entry IS the sub-distance to the
+    decoded centroid).  Shared by every IVF-family distributed search."""
+    import pandas as pd
+
+    from knowhere_spark.functions.distance import local_topk
+    from knowhere_spark.operators.brute_force import RESULT_SCHEMA
+
+    if row_matrix is None:
+        row_matrix = lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64)
+    largest = dist_metric.is_similarity
+    cand = assignments
+    if filter_expr is not None:
+        cand = cand.filter(filter_expr)
+    # prune unprobed cells before the shuffle (cheap when nq·nprobe covers
+    # most cells, decisive when it doesn't)
+    cand = cand.join(probes.select("cell_id").distinct(), "cell_id", "left_semi")
+
+    def cell_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "distance": []})
+        X = row_matrix(left)
+        ids = left["id"].to_numpy(dtype=np.int64)
+        Q = np.array(list(right["qvec"]), dtype=np.float64)
+        qids = right["query_id"].to_numpy(dtype=np.int64)
+        dist = pairwise_distances(X, Q, dist_metric)          # (n, nq)
+        qidx, nid, dd = local_topk(dist, ids, k, largest)
+        return pd.DataFrame(
+            {"query_id": qids[qidx], "neighbor_id": nid, "distance": dd}
+        )
+
+    scored = (
+        cand.groupby("cell_id")
+        .cogroup(probes.groupby("cell_id"))
+        .applyInPandas(cell_kernel, RESULT_SCHEMA)
+    )
+    return topk_per_key(
+        scored, "query_id", "distance", k,
+        ascending=not largest, tie_breaker="neighbor_id",
+    )
 
 
 def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:

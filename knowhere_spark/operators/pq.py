@@ -182,8 +182,16 @@ class IVFPqIndex:
         filter_expr: Column | str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
     ) -> DataFrame:
-        """ADC top-k over probed cells (the LUT-scan of ivf.cc's PQ path)."""
+        """ADC top-k over probed cells (the LUT-scan of ivf.cc's PQ path).
+
+        ``strategy='distributed'`` never collects the query set: probes
+        assign via ``mapInPandas`` and scoring cogroups cells with their
+        probing queries, reconstructing vectors from codes inside the GEMM
+        kernel — decode-then-GEMM is arithmetically identical to the ADC
+        LUT sum (each LUT entry IS the sub-distance to the decoded
+        codeword)."""
         k = k if k is not None else self.config.k
         nprobe = min(
             nprobe if nprobe is not None else self.config.nprobe, self.config.nlist
@@ -191,10 +199,21 @@ class IVFPqIndex:
         metric = MetricType(self.config.metric_type)
         spark = self.codes.sparkSession
 
-        qrows = query_df.select(
+        queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
-        ).collect()
+        )
+        if strategy == "auto":
+            qrows = queries.limit(IVFFlatIndex._DRIVER_NQ_MAX + 1).collect()
+            strategy = (
+                "distributed" if len(qrows) > IVFFlatIndex._DRIVER_NQ_MAX else "driver"
+            )
+        elif strategy == "driver":
+            qrows = queries.collect()
+        if strategy == "distributed":
+            return self._search_distributed(queries, k, nprobe, metric, filter_expr)
+        if strategy != "driver":
+            raise ValueError(f"unknown strategy {strategy!r}")
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
         if metric == MetricType.COSINE:
@@ -260,6 +279,25 @@ class IVFPqIndex:
         return topk_per_key(
             scored, "query_id", "distance", k,
             ascending=not sim, tie_breaker="neighbor_id",
+        )
+
+    def _search_distributed(self, queries, k, nprobe, metric, filter_expr):
+        from knowhere_spark.operators.ivf import cogroup_cells_topk, probe_assign_df
+
+        probes = probe_assign_df(queries, self.centroids, metric, nprobe)
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        CB = self.codebooks   # (m, ksub, subdim) — small, task-pickled
+
+        def decode(pdf):
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)   # (n, m)
+            mm = CB.shape[0]
+            return np.concatenate(
+                [CB[j][codes[:, j]] for j in range(mm)], axis=1
+            )
+
+        return cogroup_cells_topk(
+            self.codes, probes, k, dist_metric,
+            filter_expr=filter_expr, row_matrix=decode,
         )
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------

@@ -165,17 +165,34 @@ class IVFSq8Index:
         filter_expr: Column | str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
     ) -> DataFrame:
-        """Probe + decode-and-score over quantized codes (ivf.cc:587-606)."""
+        """Probe + decode-and-score over quantized codes (ivf.cc:587-606).
+
+        ``strategy`` mirrors :meth:`IVFFlatIndex.search`: ``distributed``
+        never collects the query set — probe assignment distributes and
+        scoring cogroups cells with their probing queries, decoding codes
+        inside the GEMM kernel."""
         k = k if k is not None else self.config.k
         nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
         metric = MetricType(self.config.metric_type)
         spark = self.assignments.sparkSession
 
-        qrows = query_df.select(
+        queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
-        ).collect()
+        )
+        if strategy == "auto":
+            qrows = queries.limit(IVFFlatIndex._DRIVER_NQ_MAX + 1).collect()
+            strategy = (
+                "distributed" if len(qrows) > IVFFlatIndex._DRIVER_NQ_MAX else "driver"
+            )
+        elif strategy == "driver":
+            qrows = queries.collect()
+        if strategy == "distributed":
+            return self._search_distributed(queries, k, nprobe, metric, filter_expr)
+        if strategy != "driver":
+            raise ValueError(f"unknown strategy {strategy!r}")
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
         if metric == MetricType.COSINE:
@@ -243,6 +260,22 @@ class IVFSq8Index:
         return topk_per_key(
             scored, "query_id", "distance", k,
             ascending=not largest, tie_breaker="neighbor_id",
+        )
+
+    def _search_distributed(self, queries, k, nprobe, metric, filter_expr):
+        from knowhere_spark.operators.ivf import cogroup_cells_topk, probe_assign_df
+
+        probes = probe_assign_df(queries, self.centroids, metric, nprobe)
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        lo_, diff_ = self.vmin, self.vdiff   # tiny per-dim arrays, task-pickled
+
+        def decode(pdf):
+            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+            return lo_ + codes / 255.0 * diff_
+
+        return cogroup_cells_topk(
+            self.assignments, probes, k, dist_metric,
+            filter_expr=filter_expr, row_matrix=decode,
         )
 
     def raw_vectors(self) -> DataFrame:

@@ -21,8 +21,10 @@ from tests.conftest import QUERY_SCHEMA, dense_df, gen_dense
 
 
 def _rows(df):
+    # 6 decimals: the ADC LUT sums per subspace, the GEMM over full dim —
+    # same math, different FP association order (~1e-9 relative)
     return sorted(
-        (r["query_id"], r["neighbor_id"], round(r["distance"], 9), r["rank"])
+        (r["query_id"], r["neighbor_id"], round(r["distance"], 6), r["rank"])
         for r in df.collect()
     )
 
@@ -113,6 +115,39 @@ def test_ivf_distributed_ensure_topk_full(spark, monkeypatch):
     # refilled results equal an all-cells exact search
     exact = idx.search(q_df, k=k, nprobe=25, strategy="driver")
     assert _rows(out) == _rows(exact)
+
+
+def test_sq8_distributed_matches_driver(spark, monkeypatch):
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    base = gen_dense(1200, 16, seed=41)
+    q = gen_dense(150, 16, seed=42)
+    idx = IVFSq8Index.build(
+        dense_df(spark, base), IvfSq8Config(metric_type="L2", nlist=12, nprobe=4)
+    )
+    idx.assignments.cache().count()
+    q_df = dense_df(spark, q, QUERY_SCHEMA)
+    with _NoCollect(monkeypatch):
+        dist_df = idx.search(q_df, k=10, nprobe=4, strategy="distributed")
+    assert _rows(dist_df) == _rows(idx.search(q_df, k=10, nprobe=4, strategy="driver"))
+
+
+def test_pq_distributed_matches_driver(spark, monkeypatch):
+    """Decode-then-GEMM == ADC LUT sum, distributed vs driver."""
+    from knowhere_spark.config import IvfPqConfig
+    from knowhere_spark.operators.pq import IVFPqIndex
+
+    base = gen_dense(1000, 16, seed=43)
+    q = gen_dense(120, 16, seed=44)
+    idx = IVFPqIndex.build(
+        dense_df(spark, base), IvfPqConfig(metric_type="L2", nlist=10, nprobe=4, m=8)
+    )
+    idx.codes.cache().count()
+    q_df = dense_df(spark, q, QUERY_SCHEMA)
+    with _NoCollect(monkeypatch):
+        dist_df = idx.search(q_df, k=10, nprobe=4, strategy="distributed")
+    assert _rows(dist_df) == _rows(idx.search(q_df, k=10, nprobe=4, strategy="driver"))
 
 
 def test_bf_distributed_matches_gemm(spark, monkeypatch):
