@@ -162,6 +162,11 @@ class SparseInvertedIndex:
         return self._avgdl
 
     def count(self) -> int:
+        if self._n_docs is None:
+            # lazy: views built over a snapshot (streaming/cc.py) defer the
+            # count so search() never pays an extra eager job for a
+            # statistic scoring doesn't use
+            self._n_docs = self.doc_stats.count()
         return self._n_docs
 
     # -- Search ---------------------------------------------------------------

@@ -26,9 +26,26 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
 
 from knowhere_spark.config import IvfConfig
 from knowhere_spark.operators.ivf import IVFFlatIndex, _assign_cells
+
+
+def _snapshot_files(path: str) -> list[str]:
+    """Committed parquet files under ``path`` at this instant.  Reading this
+    explicit list (instead of the directory) pins a point-in-time view: a
+    micro-batch committing between two actions on the same DataFrame cannot
+    change what the lineage re-reads — the consistency the reference takes
+    a lock for."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for root, _dirs, fnames in os.walk(path):
+        for f in fnames:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 class GrowingIVFIndex:
@@ -90,16 +107,21 @@ class GrowingIVFIndex:
 
     # -- search over sealed ∪ growing ----------------------------------------
     def _growing_df(self) -> DataFrame | None:
-        if not os.path.isdir(self.growing_path):
+        files = _snapshot_files(self.growing_path)
+        if not files:
             return None
         try:
-            df = self._spark.read.parquet(self.growing_path)
-        except Exception:
-            return None   # no committed files yet
+            # basePath keeps the cell_id partition column when reading an
+            # explicit file list out of the partitioned layout
+            df = self._spark.read.option("basePath", self.growing_path).parquet(*files)
+        except AnalysisException:
+            return None   # no committed files yet / racing directory create
         return df.select("id", "cell_id", "vec")
 
     def searchable(self) -> IVFFlatIndex:
-        """A point-in-time view over sealed + growing rows."""
+        """A point-in-time view over sealed + growing rows: the growing side
+        is pinned to the file list committed at call time, so every action
+        on the returned index sees the same rows."""
         growing = self._growing_df()
         assignments = self.sealed.assignments.select("id", "cell_id", "vec")
         if growing is not None:
@@ -118,11 +140,34 @@ class GrowingIVFIndex:
         return self.searchable().count()
 
     # -- seal (compaction) ----------------------------------------------------
-    def seal(self) -> "GrowingIVFIndex":
+    def seal(self, seal_path: str | None = None) -> "GrowingIVFIndex":
         """Fold the growing segment into sealed — the segment-seal step of
         the CC lifecycle; centroids are unchanged (the reference never
-        retrains on insert either)."""
-        return GrowingIVFIndex(self.searchable(), self.growing_path + "_next")
+        retrains on insert either).
+
+        The compacted assignment table is **materialized durably** (written
+        to ``seal_path`` and re-read) so the new sealed index has no lineage
+        back to the growing directory: rows appended after this call — e.g.
+        by an ingest stream the caller should stop or redirect first — are
+        deterministically excluded rather than sometimes recomputed in.
+        """
+        view = self.searchable()
+        seal_path = seal_path or self.growing_path + "_sealed"
+        (
+            view.assignments.write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(seal_path)
+        )
+        assignments = self._spark.read.parquet(seal_path).select(
+            "id", "cell_id", "vec"
+        )
+        sealed = IVFFlatIndex(
+            self.sealed.centroids,
+            assignments,
+            self.sealed.config,
+            index_type=self.sealed.index_type,
+        )
+        return GrowingIVFIndex(sealed, self.growing_path + "_next")
 
 
 class GrowingSparseIndex:
@@ -177,16 +222,25 @@ class GrowingSparseIndex:
 
     # -- search over sealed ∪ growing ----------------------------------------
     def _growing_postings(self) -> DataFrame | None:
-        if not os.path.isdir(self.growing_path):
+        files = _snapshot_files(self.growing_path)
+        if not files:
             return None
         try:
-            df = self._spark.read.parquet(self.growing_path)
-        except Exception:
-            return None   # no committed files yet
+            df = self._spark.read.parquet(*files)
+        except AnalysisException:
+            return None   # racing directory create
         return df.select("term", "doc_id", "value")
 
     def searchable(self):
-        """A point-in-time view over sealed ∪ growing postings."""
+        """A point-in-time view over sealed ∪ growing postings.
+
+        The growing side is pinned to the file list committed at call time,
+        so postings, doc_stats and count all derive from one snapshot — a
+        micro-batch landing between two actions cannot make the BM25
+        doc_stats join drop a doc.  If a streamed doc_id also exists in
+        sealed (a re-add), its doc_len combines across segments — one
+        doc_stats row, no posting double-join; n_docs counts it once.
+        """
         from pyspark.sql import functions as F
 
         from knowhere_spark.operators.sparse import SparseInvertedIndex
@@ -195,17 +249,25 @@ class GrowingSparseIndex:
         growing = self._growing_postings()
         if growing is None:
             return sealed
-        postings = sealed.postings.unionByName(growing)
-        doc_stats = sealed.doc_stats.unionByName(
-            growing.groupBy("doc_id").agg(F.sum("value").alias("doc_len"))
+        # sealed may be bucket-partitioned (save(n_term_buckets>0)): project
+        # to the bare posting columns; the merged view scores unbucketed and
+        # seal() re-buckets on save
+        postings = sealed.postings.select("term", "doc_id", "value").unionByName(
+            growing
+        )
+        doc_stats = (
+            sealed.doc_stats.unionByName(
+                growing.groupBy("doc_id").agg(F.sum("value").alias("doc_len"))
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("doc_len").alias("doc_len"))
         )
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"), F.count("*").alias("df")
         )
-        n_docs = sealed.count() + growing.select("doc_id").distinct().count()
         return SparseInvertedIndex(
             postings, doc_stats, term_stats, sealed.config,
-            n_docs=n_docs,
+            n_docs=None,          # lazy: counted from this snapshot on demand
             avgdl=sealed.avgdl,   # pinned (see class docstring)
         )
 
@@ -216,10 +278,17 @@ class GrowingSparseIndex:
         return self.searchable().count()
 
     # -- seal (compaction) ----------------------------------------------------
-    def seal(self) -> "GrowingSparseIndex":
+    def seal(self, seal_path: str | None = None) -> "GrowingSparseIndex":
         """Fold growing into sealed and recompute corpus statistics (the
         segment-seal step; unlike :meth:`searchable`, avgdl/n_docs refresh
-        here — the Milvus-side flush-and-reload)."""
+        here — the Milvus-side flush-and-reload).
+
+        Compacted postings are **materialized durably** (written to
+        ``seal_path`` and re-read), severing all lineage to the growing
+        directory: rows appended after this call — stop or redirect the
+        ingest stream first — are deterministically excluded, and executor
+        loss can never silently resurrect them into a frozen-stats index.
+        """
         from pyspark.sql import functions as F
 
         from knowhere_spark.operators.sparse import SparseInvertedIndex
@@ -227,12 +296,18 @@ class GrowingSparseIndex:
         view = self.searchable()
         if view is self.sealed:
             return GrowingSparseIndex(self.sealed, self.growing_path + "_next")
-        postings = view.postings.cache()
-        doc_stats = postings.groupBy("doc_id").agg(F.sum("value").alias("doc_len")).cache()
+        seal_path = seal_path or self.growing_path + "_sealed"
+        view.postings.write.mode("overwrite").parquet(seal_path)
+        postings = self._spark.read.parquet(seal_path).select(
+            "term", "doc_id", "value"
+        )
+        doc_stats = postings.groupBy("doc_id").agg(F.sum("value").alias("doc_len"))
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"), F.count("*").alias("df")
         )
-        row = doc_stats.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
+        row = doc_stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
         sealed = SparseInvertedIndex(
             postings, doc_stats, term_stats, self.sealed.config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),

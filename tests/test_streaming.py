@@ -123,6 +123,70 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_sparse_cc_bucketed_sealed_union(spark, tmp_path):
+    """Regression: a bucket-partitioned sealed index (save(n_term_buckets>0))
+    carries a term_bucket column; the growing union must still work."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+    from knowhere_spark.streaming.cc import GrowingSparseIndex
+
+    from conftest import gen_sparse
+
+    base = gen_sparse(60, 100, 0.9, seed=63)
+    schema = "id long, vec map<int,float>"
+    base_df = spark.createDataFrame(list(enumerate(base)), schema)
+    idx0 = SparseInvertedIndex.build(base_df, SparseConfig(metric_type="IP"))
+    p = str(tmp_path / "bucketed_idx")
+    idx0.save(p, n_term_buckets=8)
+    sealed = SparseInvertedIndex.load(spark, p)
+    assert sealed._n_term_buckets == 8
+
+    g = GrowingSparseIndex(sealed, str(tmp_path / "growing_b"))
+    extra = gen_sparse(10, 100, 0.9, seed=64)
+    src = str(tmp_path / "b_src")
+    spark.createDataFrame(
+        [(60 + i, r) for i, r in enumerate(extra)], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = g.start_ingest(stream, str(tmp_path / "b_ckpt"), trigger={"availableNow": True})
+    q.awaitTermination()
+
+    assert g.count() == 70
+    qdf = spark.createDataFrame([(0, extra[0])], "query_id long, vec map<int,float>")
+    res = g.search(qdf, k=3).collect()
+    assert res and sorted(res, key=lambda r: r["rank"])[0]["doc_id"] == 60
+
+
+def test_sparse_cc_readd_combines_doc_stats(spark, tmp_path):
+    """A doc_id streamed in again (re-add) must not double its doc_stats
+    row — the BM25 join would duplicate every posting and inflate scores;
+    n_docs counts it once."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.streaming.cc import GrowingSparseIndex
+
+    schema = "id long, vec map<int,float>"
+    base_df = spark.createDataFrame(
+        [(0, {1: 2.0, 2: 1.0}), (1, {1: 1.0})], schema
+    )
+    g = GrowingSparseIndex.build(
+        base_df, SparseConfig(metric_type="IP"), str(tmp_path / "growing_r")
+    )
+    src = str(tmp_path / "r_src")
+    spark.createDataFrame([(0, {3: 5.0})], schema).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = g.start_ingest(stream, str(tmp_path / "r_ckpt"), trigger={"availableNow": True})
+    q.awaitTermination()
+
+    view = g.searchable()
+    stats = {r["doc_id"]: r["doc_len"] for r in view.doc_stats.collect()}
+    assert stats == {0: 8.0, 1: 1.0}   # doc 0: 3.0 sealed + 5.0 growing
+    assert g.count() == 2
+    # IP score for a query on term 1 sees doc 0's posting exactly once
+    qdf = spark.createDataFrame([(0, {1: 1.0})], "query_id long, vec map<int,float>")
+    res = {r["doc_id"]: r["score"] for r in view.search(qdf, k=5).collect()}
+    assert res == {0: 2.0, 1: 1.0}
+
+
 def test_sessionize_timestamp_ntz(spark):
     """Regression: driver parquet carries TIMESTAMP_NTZ; unix_micros requires
     TIMESTAMP, so sessionize must normalize before the gap comparison."""
