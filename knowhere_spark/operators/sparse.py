@@ -181,9 +181,15 @@ class SparseInvertedIndex:
         query_id_col: str,
         query_vec_col: str,
         filter_expr: Column | str | None,
+        candidates: DataFrame | None = None,
     ) -> DataFrame:
         """Shared scoring pipeline → (query_id, doc_id, score); top-k and
-        range search differ only in the final shaping."""
+        range search differ only in the final shaping.
+
+        ``candidates``: optional small ``(query_id, doc_id)`` set — scoring
+        is restricted to these pairs (the refine re-rank pass: postings
+        scan pruned to candidate docs, pair filter before the aggregate).
+        """
         cfg = self.config
         if metric == MetricType.BM25:
             avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
@@ -231,6 +237,10 @@ class SparseInvertedIndex:
         if filter_expr is not None:
             allowed = self.doc_stats.filter(filter_expr).select("doc_id")
             postings = postings.join(F.broadcast(allowed), "doc_id")
+        if candidates is not None:
+            postings = postings.join(
+                F.broadcast(candidates.select("doc_id").distinct()), "doc_id"
+            )
 
         if metric == MetricType.BM25:
             avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
@@ -254,6 +264,8 @@ class SparseInvertedIndex:
             qterms = self._prune_query_terms(qterms, metric, k)
 
         joined = scored_postings.join(F.broadcast(qterms), "term")
+        if candidates is not None:
+            joined = joined.join(F.broadcast(candidates), ["query_id", "doc_id"])
         return joined.groupBy("query_id", "doc_id").agg(
             F.sum(F.col("qval").cast("double") * F.col("__w")).alias("score")
         )
@@ -269,12 +281,22 @@ class SparseInvertedIndex:
         query_vec_col: str = "vec",
         filter_expr: Column | str | None = None,
         prune_terms: bool | None = None,
+        refine_factor: int | None = None,
     ) -> DataFrame:
-        """Top-k docs per sparse query → (query_id, doc_id, score, rank)."""
+        """Top-k docs per sparse query → (query_id, doc_id, score, rank).
+
+        With ``drop_ratio_search > 0`` and ``refine_factor > 1`` the search
+        follows the reference's approximate contract
+        (sparse_inverted_index.h:440-459): the pruned query generates
+        ``refine_factor·k`` candidates, which are re-scored with the FULL
+        query (all terms) and reduced to the final top-k — recovering most
+        of the recall the dropped terms cost.
+        """
         cfg = self.config
         k = k if k is not None else cfg.k
         metric = MetricType(metric if metric is not None else cfg.metric_type)
         drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
+        rf = refine_factor if refine_factor is not None else cfg.refine_factor
         if prune_terms is None:
             prune_terms = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
         scores = self._scores(
@@ -282,6 +304,16 @@ class SparseInvertedIndex:
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             filter_expr=filter_expr,
         )
+        if drop > 0 and rf > 1:
+            cand = topk_per_key(
+                scores, "query_id", "score", rf * k,
+                ascending=False, tie_breaker="doc_id",
+            ).select("query_id", "doc_id")
+            scores = self._scores(
+                query_df, metric=metric, drop=0.0, prune_terms=False, k=k,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                filter_expr=filter_expr, candidates=cand,
+            )
         return topk_per_key(
             scores, "query_id", "score", k, ascending=False, tie_breaker="doc_id"
         )

@@ -122,6 +122,52 @@ def test_sparse_drop_ratio_recall(data):
     assert recall_at_k(res3, truth, K) >= 0.75
 
 
+def test_sparse_refine_factor_recovers_recall(data):
+    """The approximate contract (sparse_inverted_index.h:440-459 +
+    sparse_inverted_index_config.h:20-108): drop_ratio_search>0 generates
+    refine_factor*k candidates with the pruned query, full re-score picks
+    the final top-k.  Recall floor >= 0.9 under heavy pruning, mirroring
+    test_sparse.cc's pattern, and refine must not lose to no-refine."""
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(
+        metric_type="IP", inverted_index_algo="DAAT_MAXSCORE",
+        k=K, drop_ratio_search=0.3, refine_factor=5,
+    )
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    truth = py_ip_topk(base, queries, K)
+    refined = _collect(idx.search(query_df, k=K))
+    unrefined = _collect(idx.search(query_df, k=K, refine_factor=1))
+    r_ref = recall_at_k(refined, truth, K)
+    r_unref = recall_at_k(unrefined, truth, K)
+    assert r_ref >= 0.9, (r_ref, r_unref)
+    assert r_ref >= r_unref
+    # refined scores are FULL-query scores (exact for the docs returned)
+    full = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in idx.search(query_df, k=K, drop_ratio_search=0.0).collect()}
+    for r in idx.search(query_df, k=K).collect():
+        key = (r["query_id"], r["doc_id"])
+        if key in full:
+            assert r["score"] == pytest.approx(full[key], rel=1e-9)
+
+
+def test_sparse_bm25_refine_factor(data):
+    """Refine under BM25 scoring: candidates from the pruned query,
+    re-ranked by full BM25 (the k1/b/avgdl contract unchanged)."""
+    base, queries, base_df, query_df = data
+    k1, b = 1.2, 0.75
+    cfg = SparseConfig(
+        metric_type="BM25", inverted_index_algo="DAAT_WAND",
+        k=K, bm25_k1=k1, bm25_b=b,
+        drop_ratio_search=0.3, refine_factor=5,
+    )
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    doc_lens = [sum(d.values()) for d in base]
+    avgdl = sum(doc_lens) / len(doc_lens)
+    truth = py_bm25_topk(base, queries, K, k1, b, avgdl)
+    refined = _collect(idx.search(query_df, k=K))
+    assert recall_at_k(refined, truth, K) >= 0.9
+
+
 def test_sparse_maxscore_pruning_still_topk(data):
     """DAAT_MAXSCORE stats pre-filter keeps the top-k intact on this corpus."""
     base, queries, base_df, query_df = data
