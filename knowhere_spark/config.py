@@ -461,10 +461,60 @@ CONFIG_FOR_INDEX: dict[IndexType, type[BaseConfig]] = {
 }
 
 
+def _coerce_param(name: str, annotation: str, value):
+    """String→typed coercion + type conflict checks, mirroring
+    ``Config::FormatAndCheck`` (src/common/config.cc: stoll/stof with
+    trailing-junk rejection) and ``Config::Load``'s type gates
+    (config.h:345-556: a non-integer JSON number for an int param is a
+    ``type_conflict_in_json``)."""
+    ann = annotation.replace(" ", "").split("|")[0]
+    if value is None:
+        return value
+    if ann == "bool":
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str) and value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        raise ConfigError(
+            f"type conflict: param '{name}'={value!r} should be boolean"
+        )
+    if ann == "int":
+        if isinstance(value, bool):
+            raise ConfigError(f"type conflict: param '{name}'={value!r} should be integer")
+        if isinstance(value, int):
+            return value
+        if isinstance(value, str):
+            try:
+                return int(value, 10)   # "128abc"/"1.5" rejected like stoll+sz check
+            except ValueError as exc:
+                raise ConfigError(
+                    f"invalid integer value, key: '{name}', value: '{value}'"
+                ) from exc
+        # reference rejects JSON floats for int params even when integral
+        raise ConfigError(f"type conflict: param '{name}'={value!r} should be integer")
+    if ann == "float":
+        if isinstance(value, bool):
+            raise ConfigError(f"type conflict: param '{name}'={value!r} should be a number")
+        if isinstance(value, (int, float)):
+            return float(value)
+        if isinstance(value, str):
+            try:
+                return float(value)
+            except ValueError as exc:
+                raise ConfigError(
+                    f"invalid float value, key: '{name}', value: '{value}'"
+                ) from exc
+        raise ConfigError(f"type conflict: param '{name}'={value!r} should be a number")
+    if ann == "str" and not isinstance(value, str):
+        raise ConfigError(f"type conflict: param '{name}'={value!r} should be a string")
+    return value
+
+
 def load_config(index_type: IndexType | str, params: dict | None = None) -> BaseConfig:
     """``Config::FormatAndCheck`` + ``Load`` analog (config.h:345-556).
 
-    Coerces a raw dict into the typed config for ``index_type``, applying
+    Coerces a raw dict into the typed config for ``index_type`` — string
+    values parse to the declared type, type conflicts raise — then applies
     defaults, range checks and CheckAndAdjust; raises :class:`ConfigError`.
     """
     if isinstance(index_type, str):
@@ -474,10 +524,12 @@ def load_config(index_type: IndexType | str, params: dict | None = None) -> Base
             raise ConfigError(f"unknown index type {index_type!r}") from exc
     cls = CONFIG_FOR_INDEX[index_type]
     params = dict(params or {})
-    known = {f.name for f in dataclasses.fields(cls)}
-    unknown = set(params) - known
+    fields_by_name = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(params) - set(fields_by_name)
     if unknown:
         raise ConfigError(f"unknown params for {index_type.value}: {sorted(unknown)}")
+    for name, value in params.items():
+        params[name] = _coerce_param(name, str(fields_by_name[name].type), value)
     cfg = cls(**params)
     cfg.validate_for(index_type)
     return cfg
