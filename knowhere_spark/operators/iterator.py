@@ -54,6 +54,51 @@ class AnnIterator:
         )
         return cls(ranked, page_size=page_size)
 
+    @classmethod
+    def quantized_refine(
+        cls,
+        approx_ranked: DataFrame,
+        raw_df: DataFrame,
+        query_df: DataFrame,
+        metric: MetricType | str,
+        *,
+        refine_ratio: float = 2.0,
+        retain_iterator_order: bool = False,
+        page_size: int = 1000,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> "RefinedAnnIterator":
+        """Quantized-first iterator with exact refinement
+        (index_node.h:527-570): the cheap full ordering comes from a
+        quantized index (``approx_ranked``: the complete
+        ``(query_id, neighbor_id, distance, rank)`` stream over codes);
+        each consumed page is re-scored against the raw vectors.
+
+        ``refine_ratio`` sizes the lookahead buffer: serving refined ranks
+        up to ``hi`` exact-scores only the first ``hi·refine_ratio``
+        quantized ranks — the scan saving that makes the quantized
+        iterator worth it at scale.  ``retain_iterator_order=True``
+        re-orders each served window by the refined distance (the
+        strictly-ordered contract); ``False`` keeps the quantized order
+        and only refines the reported distances.
+        """
+        return RefinedAnnIterator(
+            approx_ranked,
+            raw_df.select(
+                F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            ),
+            query_df.select(
+                F.col(query_id_col).cast("long").alias("query_id"),
+                F.col(query_vec_col).alias("qvec"),
+            ),
+            MetricType(metric),
+            refine_ratio=refine_ratio,
+            retain_iterator_order=retain_iterator_order,
+            page_size=page_size,
+        )
+
     def next_batch(self, size: int | None = None) -> DataFrame:
         """The next ``size`` neighbors per query (empty when exhausted)."""
         size = size or self.page_size
@@ -73,3 +118,94 @@ class AnnIterator:
 
     def close(self) -> None:
         self._ranked.unpersist()
+
+
+class RefinedAnnIterator:
+    """Quantized-then-refine neighbor stream (index_node.h:527-570).
+
+    Pages are served from the cached quantized ordering; exact distances
+    are computed only for the lookahead window (``hi·refine_ratio``
+    quantized ranks), via a join against the raw-vector table — never a
+    full re-scan."""
+
+    def __init__(
+        self,
+        approx_ranked: DataFrame,
+        raw_df: DataFrame,
+        queries: DataFrame,
+        metric: MetricType,
+        *,
+        refine_ratio: float = 2.0,
+        retain_iterator_order: bool = False,
+        page_size: int = 1000,
+    ):
+        if refine_ratio < 1.0:
+            from knowhere_spark.config import ConfigError
+
+            raise ConfigError(f"refine_ratio={refine_ratio} must be >= 1")
+        self._approx = approx_ranked.cache()
+        self._raw = raw_df
+        self._queries = queries
+        self._metric = metric
+        self.refine_ratio = float(refine_ratio)
+        self.retain_iterator_order = retain_iterator_order
+        self.page_size = page_size
+        self._pos = 0
+
+    def _exact(self, cand: DataFrame) -> DataFrame:
+        """Re-score candidate rows by true distance on raw vectors."""
+        from knowhere_spark.functions.distance import distance_expr
+
+        return (
+            cand.join(
+                self._raw.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+            )
+            .join(F.broadcast(self._queries), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").alias("approx_rank"),
+                distance_expr(self._metric, F.col("vec"), F.col("qvec")).alias(
+                    "distance"
+                ),
+            )
+        )
+
+    def next_batch(self, size: int | None = None) -> DataFrame:
+        """The next ``size`` neighbors per query with refined distances."""
+        import math
+
+        from knowhere_spark.operators.topk import topk_per_key
+
+        size = size or self.page_size
+        lo, hi = self._pos, self._pos + size
+        self._pos = hi
+        if not self.retain_iterator_order:
+            # quantized order, refined distances (the cheap mode)
+            page = self._approx.filter(
+                (F.col("rank") > lo) & (F.col("rank") <= hi)
+            )
+            return self._exact(page).withColumnRenamed("approx_rank", "rank")
+        # strictly-ordered mode: exact-score the lookahead buffer and emit
+        # the refined ranks in (lo, hi]
+        lookahead = math.ceil(hi * self.refine_ratio)
+        cand = self._approx.filter(F.col("rank") <= lookahead)
+        refined = topk_per_key(
+            self._exact(cand).drop("approx_rank"),
+            "query_id",
+            "distance",
+            hi,
+            ascending=not self._metric.is_similarity,
+            tie_breaker="neighbor_id",
+        )
+        return refined.filter(F.col("rank") > lo)
+
+    def pages(self) -> Iterator[DataFrame]:
+        while True:
+            page = self.next_batch()
+            if page.limit(1).count() == 0:
+                break
+            yield page
+
+    def close(self) -> None:
+        self._approx.unpersist()

@@ -35,3 +35,79 @@ def test_iterator_pages_ordered_and_complete(spark):
         dists = [x for _, x in seen[q]]
         assert dists == sorted(dists)                        # globally ordered
         np.testing.assert_allclose(dists[0], d[:, q].min())
+
+
+def test_refined_iterator_relative_recall(spark):
+    """Quantized-first iterator + refine_ratio re-scoring
+    (index_node.h:527-570), the relative-recall pattern of
+    tests/ut/test_iterator.cc:250-251: the first k refined results must
+    recover the true top-k well past the ANN floor."""
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    nb, dim, nq, k = 400, 16, 4, 20
+    base = gen_dense(nb, dim, seed=71)
+    qs = gen_dense(nq, dim, seed=72)
+    base_df = dense_df(spark, base)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+
+    sq = IVFSq8Index.build(
+        base_df, IvfSq8Config(metric_type="L2", nlist=8, nprobe=8),
+        with_raw_data=True,
+    )
+    approx = sq.search(q_df, k=nb, nprobe=8)   # full quantized ordering
+
+    it = AnnIterator.quantized_refine(
+        approx, sq.raw_vectors(), q_df, "L2",
+        refine_ratio=2.0, retain_iterator_order=True, page_size=k,
+    )
+    first = it.next_batch()
+    got = {}
+    for r in first.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["distance"]))
+    d = np_distances(base, qs, "L2")
+    for q in range(nq):
+        rows = sorted(got[q])
+        assert len(rows) == k
+        dists = [x for _, _, x in rows]
+        assert dists == sorted(dists)            # strictly-ordered contract
+        truth = set(np.argsort(d[:, q], kind="stable")[:k].tolist())
+        rel_recall = len({nid for _, nid, _ in rows} & truth) / k
+        assert rel_recall >= 0.9, rel_recall     # > reference 0.6 ANN floor
+        # refined distances are exact raw distances
+        for _, nid, dist in rows:
+            np.testing.assert_allclose(dist, d[nid, q], rtol=1e-9)
+    it.close()
+
+
+def test_refined_iterator_unordered_mode(spark):
+    """retain_iterator_order=False keeps the quantized order but reports
+    exact refined distances — pages stay disjoint and complete."""
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    nb, dim, nq = 150, 8, 2
+    base = gen_dense(nb, dim, seed=73)
+    qs = gen_dense(nq, dim, seed=74)
+    base_df = dense_df(spark, base)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    sq = IVFSq8Index.build(
+        base_df, IvfSq8Config(metric_type="L2", nlist=4, nprobe=4),
+        with_raw_data=True,
+    )
+    approx = sq.search(q_df, k=nb, nprobe=4)
+    it = AnnIterator.quantized_refine(
+        approx, sq.raw_vectors(), q_df, "L2",
+        retain_iterator_order=False, page_size=60,
+    )
+    d = np_distances(base, qs, "L2")
+    seen: dict[int, set[int]] = {}
+    for page in it.pages():
+        for r in page.collect():
+            assert r["neighbor_id"] not in seen.setdefault(r["query_id"], set())
+            seen[r["query_id"]].add(r["neighbor_id"])
+            np.testing.assert_allclose(
+                r["distance"], d[r["neighbor_id"], r["query_id"]], rtol=1e-9
+            )
+    assert all(len(s) == nb for s in seen.values())
+    it.close()
