@@ -137,19 +137,13 @@ class IndexHandle:
             # fp32 graph; SQ/PQ/PRQ codes score the beam, refine re-ranks
             return QuantizedHNSWIndex.build(base_df, self.config, index_type=t, **kw)
         if t == IndexType.DISKANN:
-            from knowhere_spark.operators.ivf import IVFFlatIndex
+            from knowhere_spark.operators.diskann import DiskAnnIndex
 
-            # DiskANN → cell-partitioned IVF on Parquet (module docstring);
-            # search_list_size plays nprobe's role (diskann_config.h:96-101).
-            cfg = self.config
-            ivf_cfg = IvfConfig(
-                metric_type=MetricType(cfg.metric_type),
-                k=cfg.k,
-                nlist=max(128, int(getattr(cfg, "max_degree", 48)) * 4),
-                nprobe=max(8, int(getattr(cfg, "search_list_size", 100)) // 8),
-                seed=getattr(cfg, "seed", 42),
-            )
-            return IVFFlatIndex.build(base_df, ivf_cfg, index_type=IndexType.DISKANN, **kw)
+            # DiskANN → cell-partitioned IVF on Parquet (operators/diskann
+            # docstring); search_list_size/beamwidth size the probe breadth
+            # and range search runs the doubling-k protocol
+            # (diskann_config.h:150-159).
+            return DiskAnnIndex.build(base_df, self.config, **kw)
         if t in (IndexType.SPARSE_INVERTED_INDEX, IndexType.SPARSE_WAND):
             from knowhere_spark.operators.sparse import SparseInvertedIndex
 

@@ -179,7 +179,9 @@ class HNSWIndex:
         )
 
         # entry points: a small deterministic sample (multi-entry beam
-        # replaces the hierarchy's zoom-out layers)
+        # replaces the hierarchy's zoom-out layers).  orderBy+limit(8)
+        # compiles to TakeOrderedAndProject — per-partition top-8 then a
+        # driver merge, never a global sort of the table.
         entry_ids = [
             int(r["id"])
             for r in base.orderBy(F.pmod(F.col("id"), F.lit(997)), "id").limit(8).collect()

@@ -52,24 +52,12 @@ _TRAIN_SAMPLE_MAX = 100_000
 
 
 def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
-    """Plain numpy Lloyd for one subspace codebook ((n, subdim) → (k, subdim))."""
-    rng = np.random.default_rng(seed)
-    k = min(k, len(X))
-    C = X[rng.choice(len(X), size=k, replace=False)].copy()
-    for _ in range(n_iter):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        moved = False
-        for c in range(k):
-            members = X[assign == c]
-            if len(members):
-                nc = members.mean(axis=0)
-                if not np.allclose(nc, C[c]):
-                    C[c] = nc
-                    moved = True
-        if not moved:
-            break
-    return C
+    """One subspace codebook ((n, subdim) → (k, subdim)) — the shared
+    vectorized Lloyd (functions/distance.numpy_kmeans: GEMM assignment +
+    sort/reduceat update; no per-centroid Python loop)."""
+    from knowhere_spark.functions.distance import numpy_kmeans
+
+    return numpy_kmeans(X, k, iters=n_iter, seed=seed)
 
 
 class IVFPqIndex:

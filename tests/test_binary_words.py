@@ -165,3 +165,52 @@ def test_factory_dtype_axis():
         create_index("BIN_FLAT", {"metric_type": "HAMMING"}, dtype="fp32")
     with pytest.raises(ConfigError):
         create_index("SPARSE_INVERTED_INDEX", {"metric_type": "IP"}, dtype="int8")
+
+
+def test_diskann_doubling_k_range_search(spark):
+    """DiskANN range search doubles k from min_k until each query's
+    horizon clears the radius bound (diskann_config.h:150-159); with an
+    all-cells probe it must equal the brute-force range result."""
+    import numpy as np
+
+    from knowhere_spark.config import BaseConfig, DiskAnnConfig
+    from knowhere_spark.operators.brute_force import BruteForce
+    from knowhere_spark.operators.diskann import DiskAnnIndex
+
+    nb, dim, nq = 300, 8, 5
+    mat = gen_dense(nb, dim, seed=81)
+    qs = gen_dense(nq, dim, seed=82)
+    base_df = dense_df(spark, mat)
+    q_df = dense_df(spark, qs).withColumnRenamed("id", "query_id")
+
+    radius = float(np.quantile(
+        ((mat[None, :, :] - qs[:, None, :]) ** 2).sum(-1), 0.15
+    ))
+    cfg = DiskAnnConfig(
+        metric_type="L2", radius=radius, range_filter=0.0,
+        min_k=4, max_k=nb, search_list_size=100_000,  # probe everything
+    )
+    idx = DiskAnnIndex.build(base_df, cfg)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["distance"]
+        for r in idx.range_search(q_df).collect()
+    }
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["distance"]
+        for r in BruteForce.range_search(
+            base_df, q_df, BaseConfig(metric_type="L2", radius=radius, range_filter=0.0)
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    for p in truth:
+        assert abs(got[p] - truth[p]) < 1e-9
+    # max_k caps the horizon: with max_k=8 no query returns more than 8
+    capped_cfg = DiskAnnConfig(
+        metric_type="L2", radius=radius, range_filter=0.0,
+        min_k=4, max_k=8, search_list_size=100_000,
+    )
+    capped = DiskAnnIndex(idx.ivf, capped_cfg).range_search(q_df)
+    by_q = {}
+    for r in capped.collect():
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+    assert all(v <= 8 for v in by_q.values())
