@@ -367,6 +367,32 @@ def q_ivf_flat_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
+def q_ivf_knn_distributed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-nq distributed search path (probe assignment via
+    mapInPandas, per-cell cogroup GEMM — operators/ivf.py
+    probe_assign_df/cogroup_cells_topk): never collects the query set.
+    With nprobe=nlist it is exact, so it shares the brute-force L2
+    oracle — a hash gate on the corpus-vs-corpus plan itself."""
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = IvfConfig(metric_type="L2", nlist=16, nprobe=16, k=K)
+    idx = IVFFlatIndex.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K, strategy="distributed"))
+
+
+def q_bf_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact block nested-loop GEMM brute force
+    (BruteForce.search_distributed): base hashed into blocks, queries
+    replicated per block by shuffle — the no-broadcast exact path for
+    corpus-vs-corpus search.  Shares the brute-force L2 oracle."""
+    base, queries_ = _emb(spark, sf_dir)
+    return _knn_out(
+        BruteForce.search_distributed(base, queries_, K, "L2", n_blocks=8)
+    )
+
+
 def q_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import IvfSq8Config
     from knowhere_spark.operators.sq import IVFSq8Index
@@ -665,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_ivf_knn": q_bin_ivf_knn,
         "ivf_flat_knn": q_ivf_flat_knn,
         "ivf_flat_knn_exact": q_ivf_flat_knn_exact,
+        "ivf_knn_distributed_exact": q_ivf_knn_distributed_exact,
+        "bf_knn_distributed": q_bf_knn_distributed,
         "ivf_sq8_knn": q_ivf_sq8_knn,
         "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
@@ -896,6 +924,8 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_cosine": _knn_oracle(_COS, "DESC"),
         "flat_knn_l2_filtered": _knn_oracle(_L2, "ASC", "e.label % 5 <> 0"),
         "ivf_flat_knn_exact": _knn_oracle(_L2, "ASC"),
+        "ivf_knn_distributed_exact": _knn_oracle(_L2, "ASC"),
+        "bf_knn_distributed": _knn_oracle(_L2, "ASC"),
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_jaccard": _bin_knn_oracle(_JACCARD_SQL),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,

@@ -191,9 +191,18 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     def q_ivf_100k_search():
         return big_ivf_state["idx"].search(big_queries, k=100, nprobe=8)
 
+    def q_ivf_100k_selfsearch_distributed():
+        # corpus-vs-corpus: ALL 100k rows query the 100k index through the
+        # distributed path (mapInPandas probe assign + per-cell cogroup
+        # GEMM) — the semantic-dedup regime; no driver collect of queries
+        idx = big_ivf_state["idx"]
+        qs = big.select(F.col("id").alias("query_id"), "vec")
+        return idx.search(qs, k=10, nprobe=4, strategy="distributed")
+
     out["bf_knn_100k_nq100"] = q_bf_knn_100k
     out["ivf_100k_build"] = q_ivf_100k_build
     out["ivf_100k_search_nq100"] = q_ivf_100k_search
+    out["ivf_100k_selfsearch_distributed"] = q_ivf_100k_selfsearch_distributed
     return out
 
 
