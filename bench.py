@@ -58,7 +58,20 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     docs = load_table(spark, SF_DIR, "documents")
     events = load_table(spark, SF_DIR, "events")
 
-    # amortize one-time Python-worker/Arrow spin-up outside the timings
+    # amortize one-time Python-worker/Arrow spin-up outside the timings:
+    # a mapInPandas over CPUS partitions forks + imports on EVERY worker
+    # (a single-partition warmup leaves 31 workers cold — ~9s of pure
+    # interpreter spin-up billed to the first wide Python-kernel query)
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
+        _warm, "id long"
+    ).count()
     BruteForce.search(
         emb.limit(256), all_queries.limit(1), 1, "L2", strategy="gemm"
     ).count()

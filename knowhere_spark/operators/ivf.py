@@ -616,6 +616,9 @@ def cogroup_cells_topk(
     cand = assignments
     if filter_expr is not None:
         cand = cand.filter(filter_expr)
+    # the probe table feeds two plan branches (cell prune + cogroup) —
+    # cache it so the mapInPandas probe assignment runs once
+    probes = probes.cache()
     # prune unprobed cells before the shuffle (cheap when nq·nprobe covers
     # most cells, decisive when it doesn't)
     cand = cand.join(probes.select("cell_id").distinct(), "cell_id", "left_semi")
