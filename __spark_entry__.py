@@ -576,6 +576,19 @@ def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed semantic near-dup: COSINE IVF selfsearch through the
+    DISTRIBUTED path (no driver collect of the query side) — the
+    corpus-vs-corpus 100 TB shape.  Approximate via probe pruning, so
+    rows-only here; planted-pair recall >= 0.9 tested in
+    tests/test_dedup.py."""
+    from knowhere_spark.operators.dedup import embedding_neardup_ivf
+
+    emb = embeddings_as_dataset(spark, sf_dir)
+    out = embedding_neardup_ivf(emb, 0.4, nlist=16, nprobe=8)
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed semantic near-dup (operators/lsh.py) — the scale path
     for embed_cosine_neardup; exact-cosine verified so precision is 1.0,
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "embed_cosine_neardup": q_embed_cosine_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
+        "embed_neardup_ivf": q_embed_neardup_ivf,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "bin_knn_hamming": q_bin_knn_hamming,

@@ -506,3 +506,54 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_ivf(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    k: int = 20,
+    nlist: int = 128,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-routed semantic near-dup — the 100 TB shape for
+    corpus-vs-corpus dedup: build a COSINE IVF index over the table and
+    search it against itself through the **distributed** path
+    (operators/ivf: mapInPandas probe assignment + per-cell cogroup GEMM,
+    no driver collect of the query side), then keep cosine >= threshold
+    pairs with ``id_a < id_b``.
+
+    Approximate in two ways, both standard: probe pruning (a true near-dup
+    whose partner falls outside the probed cells is missed — raise
+    ``nprobe`` to trade cost for recall) and the per-query candidate cap
+    ``k`` (a row with more than k near-dups reports its k best).  Exact
+    verification is free: returned cosines are true cosines, so precision
+    is 1.0.  Recall against the exact operator is floor-tested in
+    tests/test_dedup.py."""
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    idx = IVFFlatIndex.build(
+        df,
+        IvfConfig(metric_type="COSINE", nlist=nlist, nprobe=nprobe),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    idx.assignments.cache()
+    queries = df.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("vec")
+    )
+    hits = idx.search(queries, k=k, nprobe=nprobe, strategy="distributed")
+    return (
+        hits.filter(
+            (F.col("query_id") < F.col("neighbor_id"))
+            & (F.col("distance") >= threshold)
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("distance").alias("cosine"),
+        )
+    )

@@ -108,3 +108,29 @@ def test_embedding_neardup(spark):
     assert (3, 10) in pairs
     # no self-pairs, ordered ids
     assert all(a < b for a, b in pairs)
+
+
+def test_embedding_neardup_ivf_recall(spark):
+    """The IVF-routed scale path (distributed selfsearch) recovers the
+    exact operator's planted pairs; precision is 1.0 by construction
+    (true cosines reported)."""
+    from knowhere_spark.operators.dedup import embedding_neardup_ivf
+
+    rng = np.random.default_rng(6)
+    base = rng.normal(size=(300, 16)).astype(np.float32)
+    for a, b in [(3, 210), (47, 111), (90, 255)]:          # planted near-dups
+        base[b] = base[a] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    df = dense_df(spark, base)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, 0.98).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_ivf(df, 0.98, nlist=16, nprobe=8).collect()
+    }
+    assert set(got) <= set(exact)                           # precision 1.0
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.9, (recall, exact.keys(), got.keys())
+    for p, c in got.items():
+        assert c == pytest.approx(exact[p], rel=1e-9)
