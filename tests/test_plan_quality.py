@@ -130,3 +130,33 @@ def test_saved_sparse_postings_prune_term_buckets(spark, tmp_path):
         for r in idx.search(qdf, k=5).collect()
     )
     assert a == b
+
+
+def test_distributed_search_plan_shape(spark):
+    """The corpus-vs-corpus cogroup plan: probe assignment and scoring are
+    Arrow cogroups keyed by cell_id — no CartesianProduct, no broadcast of
+    the (large) query side, and the unprobed-cell prune is present as a
+    semi join."""
+    base = dense_df(spark, gen_dense(300, 8, seed=75))
+    qs = dense_df(spark, gen_dense(50, 8, seed=76), QUERY_SCHEMA)
+    idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=8, nprobe=2))
+    out = idx.search(qs, k=5, strategy="distributed")
+    plan = _plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan          # unprobed-cell prune
+    # the query side reaches the cogroup via a shuffle on cell_id, never a
+    # driver-side local relation of collected rows
+    assert "hashpartitioning(cell_id" in plan
+
+
+def test_bf_distributed_plan_shape(spark):
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    base = dense_df(spark, gen_dense(200, 8, seed=77))
+    qs = dense_df(spark, gen_dense(40, 8, seed=78), QUERY_SCHEMA)
+    out = BruteForce.search_distributed(base, qs, 5, "L2", n_blocks=4)
+    plan = _plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(block_id" in plan
