@@ -31,6 +31,42 @@ def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.bitwise_xor(a, b), axis=1).sum(axis=1).astype(np.float64)
 
 
+#: byte → popcount lookup (the classic LUT; numpy < 2.0 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def binary_pairwise(X: np.ndarray, Q: np.ndarray, metric: MetricType) -> np.ndarray:
+    """All-pairs binary distances: (n, nbytes) × (nq, nbytes) uint8 →
+    (n, nq) float64 — the binary analog of the float GEMM kernel
+    (brute_force.cc:212-228 semantics), blocked over queries so the xor
+    intermediate stays ~32 MB regardless of nq."""
+    metric = MetricType(metric)
+    n, nbytes = X.shape
+    nq = len(Q)
+    out = np.empty((n, nq), dtype=np.float64)
+    qb = max(1, min(nq, (32 << 20) // max(1, n * nbytes)))
+    for s in range(0, nq, qb):
+        e = min(nq, s + qb)
+        if metric == MetricType.HAMMING:
+            out[:, s:e] = _POP8[np.bitwise_xor(X[:, None, :], Q[None, s:e, :])].sum(
+                axis=2
+            )
+        elif metric == MetricType.JACCARD:
+            inter = _POP8[np.bitwise_and(X[:, None, :], Q[None, s:e, :])].sum(
+                axis=2
+            ).astype(np.float64)
+            union = _POP8[np.bitwise_or(X[:, None, :], Q[None, s:e, :])].sum(
+                axis=2
+            ).astype(np.float64)
+            blk = np.ones_like(inter)
+            nz = union > 0
+            blk[nz] = 1.0 - inter[nz] / union[nz]
+            out[:, s:e] = blk
+        else:
+            raise ValueError(f"binary_pairwise does not support {metric}")
+    return out
+
+
 def jaccard_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     inter = np.unpackbits(np.bitwise_and(a, b), axis=1).sum(axis=1).astype(np.float64)
     union = np.unpackbits(np.bitwise_or(a, b), axis=1).sum(axis=1).astype(np.float64)

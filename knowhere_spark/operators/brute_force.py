@@ -113,7 +113,14 @@ class BruteForce:
         if strategy == "auto":
             strategy = "gemm"
         if metric.is_binary:
-            strategy = "sql"   # binary UDF kernels ride the join path
+            # bytes columns ride the partial-then-final binary GEMM (LUT
+            # popcount kernel); containment metrics and word-packed columns
+            # (ARRAY<BIGINT>) stay on the codegen'd join path
+            is_bytes = dict(base.dtypes).get("vec") == "binary"
+            if strategy == "gemm" and not (
+                is_bytes and metric in (MetricType.HAMMING, MetricType.JACCARD)
+            ):
+                strategy = "sql"
 
         if strategy == "sql":
             pairs = base.crossJoin(F.broadcast(queries))
@@ -126,6 +133,8 @@ class BruteForce:
                 F.col("id").alias("neighbor_id"),
                 dist.alias("distance"),
             )
+        elif strategy == "gemm" and metric.is_binary:
+            scored = _binary_gemm_partial_topk(base, queries, k, metric)
         elif strategy == "gemm":
             scored = _gemm_partial_topk(base, queries, k, metric)
         else:
@@ -322,6 +331,39 @@ class BruteForce:
         return base_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
         ).join(F.broadcast(ids), "id")
+
+
+def _binary_gemm_partial_topk(
+    base: DataFrame, queries: DataFrame, k: int, metric: MetricType
+) -> DataFrame:
+    """Partial per-partition top-k over packed-bit BYTES columns: LUT
+    popcount kernel (functions/binary.binary_pairwise) + local_topk — the
+    binary twin of the float GEMM path, so binary KNN never shuffles the
+    nq×nb scored set either."""
+    from knowhere_spark.functions.binary import _to_matrix, binary_pairwise
+
+    spark = base.sparkSession
+    qrows = queries.collect()   # nq small by contract (same as float gemm)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.frombuffer(
+        b"".join(r["qvec"] for r in qrows), dtype=np.uint8
+    ).reshape(len(qrows), -1)
+    bq = spark.sparkContext.broadcast((qids, Q))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_Q = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = _to_matrix(pdf["vec"])
+            dist = binary_pairwise(X, b_Q, metric)
+            qidx, nid, dd = local_topk(dist, ids, k, largest=False)
+            yield pd.DataFrame(
+                {"query_id": b_qids[qidx], "neighbor_id": nid, "distance": dd}
+            )
+
+    return base.mapInPandas(kernel, RESULT_SCHEMA)
 
 
 def _gemm_partial_topk(

@@ -214,3 +214,30 @@ def test_diskann_doubling_k_range_search(spark):
     for r in capped.collect():
         by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
     assert all(v <= 8 for v in by_q.values())
+
+
+def test_binary_gemm_matches_sql_path(spark):
+    """The partial-then-final binary GEMM (LUT popcount kernel) equals the
+    crossJoin+UDF path exactly, for HAMMING and JACCARD."""
+    from conftest import BIN_QUERY_SCHEMA, gen_binary
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    nb, dim, nq, k = 300, 64, 20, 10
+    base = gen_binary(nb, dim, seed=91)
+    qs = gen_binary(nq, dim, seed=92)
+    base_df = spark.createDataFrame(
+        [(i, bytes(r)) for i, r in enumerate(base)], "id long, vec binary"
+    )
+    q_df = spark.createDataFrame(
+        [(i, bytes(r)) for i, r in enumerate(qs)], "query_id long, vec binary"
+    )
+    for metric in ("HAMMING", "JACCARD"):
+        gemm = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["distance"])
+            for r in BruteForce.search(base_df, q_df, k, metric, strategy="gemm").collect()
+        )
+        sql = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["distance"])
+            for r in BruteForce.search(base_df, q_df, k, metric, strategy="sql").collect()
+        )
+        assert gemm == sql, metric
