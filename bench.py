@@ -177,7 +177,32 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
         return q_sparse_bm25_topk(spark, SF_DIR)
 
+    sparse_state = {}
+
+    def q_sparse_build():
+        from knowhere_spark.config import SparseConfig
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+        idx = SparseInvertedIndex.build_from_text(
+            docs,
+            SparseConfig(metric_type="BM25", inverted_index_algo="TAAT_NAIVE",
+                         k=20, bm25_k1=1.2, bm25_b=0.75),
+        )
+        sparse_state["idx"] = idx
+        return idx.postings.limit(1)
+
+    def q_sparse_bm25_search_only():
+        # scoring against the prebuilt (cached) postings — the serving-side
+        # latency once the index exists
+        q = spark.createDataFrame(
+            [(0, {t: 1.0 for t in ("spark", "join", "window", "query", "data")})],
+            "query_id long, vec map<string,float>",
+        )
+        return sparse_state["idx"].search(q, k=20)
+
     out["sparse_bm25"] = q_sparse_bm25
+    out["sparse_build"] = q_sparse_build
+    out["sparse_bm25_search_only"] = q_sparse_bm25_search_only
 
     def q_dedup_minhash():
         return minhash_lsh_pairs(docs, 0.7, num_perm=64, bands=32)

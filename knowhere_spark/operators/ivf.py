@@ -355,6 +355,26 @@ class IVFFlatIndex:
             row_matrix=lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64),
         )
 
+    def _range_search_distributed(self, queries, nprobe, filter_expr):
+        """Distributed range search: probes assign via ``mapInPandas``,
+        in-range pairs stream out of per-cell cogroups; ``range_search_k``
+        truncates per query at the end (config.h:665-669)."""
+        metric = MetricType(self.config.metric_type)
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        probes = self.probe_assign(queries, nprobe)
+        lo, hi, sim = self.config.range_bounds()
+        out = cogroup_cells_range(
+            self.assignments, probes, lo, hi, sim, dist_metric,
+            filter_expr=filter_expr,
+        )
+        rsk = int(self.config.range_search_k or -1)
+        if rsk > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", rsk,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
     def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr):
         """Partial-then-final top-k over probed cells.
 
@@ -435,21 +455,35 @@ class IVFFlatIndex:
         filter_expr: Column | str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
     ) -> DataFrame:
         """Distance-in-range neighbors within probed cells — the same
         half-open semantics as BruteForce.range_search (range_util.h:22-25);
         probe-limited like the reference's IVF range path.  ``nprobe=nlist``
-        makes it exact."""
+        makes it exact.  ``strategy`` mirrors :meth:`search`:
+        ``distributed`` assigns probes via ``mapInPandas`` and scores in
+        per-cell cogroups, never collecting the query set."""
         nprobe = min(
             nprobe if nprobe is not None else self.config.nprobe, self.config.nlist
         )
         metric = MetricType(self.config.metric_type)
         spark = self.assignments.sparkSession
 
-        qrows = query_df.select(
+        queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
-        ).collect()
+        )
+        if strategy == "auto":
+            qrows = queries.limit(self._DRIVER_NQ_MAX + 1).collect()
+            strategy = (
+                "distributed" if len(qrows) > self._DRIVER_NQ_MAX else "driver"
+            )
+        elif strategy == "driver":
+            qrows = queries.collect()
+        if strategy == "distributed":
+            return self._range_search_distributed(queries, nprobe, filter_expr)
+        if strategy != "driver":
+            raise ValueError(f"unknown strategy {strategy!r}")
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
         if metric == MetricType.COSINE:
@@ -644,6 +678,57 @@ def cogroup_cells_topk(
     return topk_per_key(
         scored, "query_id", "distance", k,
         ascending=not largest, tie_breaker="neighbor_id",
+    )
+
+
+def cogroup_cells_range(
+    assignments: DataFrame,
+    probes: DataFrame,
+    lo: float,
+    hi: float,
+    sim: bool,
+    dist_metric: MetricType,
+    *,
+    filter_expr: Column | str | None = None,
+    row_matrix=None,
+) -> DataFrame:
+    """Distributed range scoring: per-cell cogroup emits every in-range
+    ``(query_id, neighbor_id, distance)`` pair — half-open semantics per
+    metric direction (range_util.h:22-25).  Same shuffle shape as
+    :func:`cogroup_cells_topk`."""
+    import pandas as pd
+
+    from knowhere_spark.operators.brute_force import RESULT_SCHEMA
+
+    if row_matrix is None:
+        row_matrix = lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64)
+    cand = assignments
+    if filter_expr is not None:
+        cand = cand.filter(filter_expr)
+    probes = probes.cache()
+    cand = cand.join(probes.select("cell_id").distinct(), "cell_id", "left_semi")
+
+    def cell_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "distance": []})
+        X = row_matrix(left)
+        ids = left["id"].to_numpy(dtype=np.int64)
+        Q = np.array(list(right["qvec"]), dtype=np.float64)
+        qids = right["query_id"].to_numpy(dtype=np.int64)
+        dist = pairwise_distances(X, Q, dist_metric)          # (n, nq)
+        if sim:
+            mask = (dist > lo) & (dist <= hi)
+        else:
+            mask = (dist >= lo) & (dist < hi)
+        ri, qi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"query_id": qids[qi], "neighbor_id": ids[ri], "distance": dist[ri, qi]}
+        )
+
+    return (
+        cand.groupby("cell_id")
+        .cogroup(probes.groupby("cell_id"))
+        .applyInPandas(cell_kernel, RESULT_SCHEMA)
     )
 
 

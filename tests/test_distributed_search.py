@@ -150,6 +150,22 @@ def test_pq_distributed_matches_driver(spark, monkeypatch):
     assert _rows(dist_df) == _rows(idx.search(q_df, k=10, nprobe=4, strategy="driver"))
 
 
+def test_ivf_distributed_range_matches_driver(spark, ivf_fixture, monkeypatch):
+    import dataclasses
+
+    idx, q_df = ivf_fixture
+    cfg = dataclasses.replace(idx.config, radius=15_000.0, range_filter=0.0)
+    idx2 = IVFFlatIndex(idx.centroids, idx.assignments, cfg)
+    with _NoCollect(monkeypatch):
+        dist_df = idx2.range_search(q_df, nprobe=4, strategy="distributed")
+    driver_df = idx2.range_search(q_df, nprobe=4, strategy="driver")
+    d = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in dist_df.collect())
+    v = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in driver_df.collect())
+    assert d == v and len(d) > 0
+
+
 def test_bf_distributed_matches_gemm(spark, monkeypatch):
     base = gen_dense(1500, 16, seed=37)
     q = gen_dense(200, 16, seed=38)
