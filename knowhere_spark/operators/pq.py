@@ -288,6 +288,54 @@ class IVFPqIndex:
             filter_expr=filter_expr, row_matrix=decode,
         )
 
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config: IvfPqConfig | None = None,
+        *,
+        nprobe: int | None = None,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """ADC distance-in-range within probed cells (half-open bounds per
+        range_util.h:22-25) — codeword reconstruction inside the cogroup
+        kernel, identical arithmetic to the LUT sum."""
+        from knowhere_spark.operators.ivf import cogroup_cells_range, probe_assign_df
+        from knowhere_spark.operators.topk import topk_per_key
+
+        cfg = config or self.config
+        nprobe = min(
+            nprobe if nprobe is not None else cfg.nprobe, self.config.nlist
+        )
+        metric = MetricType(cfg.metric_type)
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        queries = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+        probes = probe_assign_df(queries, self.centroids, metric, nprobe)
+        lo, hi, sim = cfg.range_bounds()
+        CB = self.codebooks
+
+        def decode(pdf):
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            return np.concatenate(
+                [CB[j][codes[:, j]] for j in range(CB.shape[0])], axis=1
+            )
+
+        out = cogroup_cells_range(
+            self.codes, probes, lo, hi, sim, dist_metric,
+            filter_expr=filter_expr, row_matrix=decode,
+        )
+        rsk = int(getattr(cfg, "range_search_k", -1) or -1)
+        if rsk > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", rsk,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
     def save(self, path: str) -> None:
         from knowhere_spark.sources.index_store import IndexStore

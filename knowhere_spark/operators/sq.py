@@ -278,6 +278,53 @@ class IVFSq8Index:
             filter_expr=filter_expr, row_matrix=decode,
         )
 
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config: IvfSq8Config | None = None,
+        *,
+        nprobe: int | None = None,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Distance-in-range over decoded codes within probed cells —
+        the IVF range path on quantized storage (half-open bounds per
+        range_util.h:22-25).  Served through the cogroup machinery, which
+        is correct at any nq."""
+        from knowhere_spark.operators.ivf import cogroup_cells_range, probe_assign_df
+        from knowhere_spark.operators.topk import topk_per_key
+
+        cfg = config or self.config
+        nprobe = min(
+            nprobe if nprobe is not None else cfg.nprobe, self.config.nlist
+        )
+        metric = MetricType(cfg.metric_type)
+        dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        queries = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+        probes = probe_assign_df(queries, self.centroids, metric, nprobe)
+        lo, hi, sim = cfg.range_bounds()
+        lo_, diff_ = self.vmin, self.vdiff
+
+        def decode(pdf):
+            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+            return lo_ + codes / 255.0 * diff_
+
+        out = cogroup_cells_range(
+            self.assignments, probes, lo, hi, sim, dist_metric,
+            filter_expr=filter_expr, row_matrix=decode,
+        )
+        rsk = int(getattr(cfg, "range_search_k", -1) or -1)
+        if rsk > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", rsk,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
     def raw_vectors(self) -> DataFrame:
         if not self.with_raw_data:
             raise ValueError("index built without raw data (with_raw_data=False)")

@@ -84,3 +84,63 @@ def test_scann_beats_sq8(data):
     )
     r_sc = recall_at_k(_collect(sc.search(query_df, k=K)), truth, K)
     assert r_sc >= r_sq
+
+
+def test_sq8_range_search_matches_decoded_numpy(spark):
+    """SQ8 range search == numpy range over the affine-decoded codes
+    (exact arithmetic parity with the scan kernel), nprobe=nlist."""
+    import numpy as np
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    from conftest import QUERY_SCHEMA, dense_df, gen_dense
+
+    nb, dim, nq = 250, 8, 4
+    base = gen_dense(nb, dim, seed=85)
+    qs = gen_dense(nq, dim, seed=86).astype(np.float64)
+    idx = IVFSq8Index.build(
+        dense_df(spark, base), IvfSq8Config(metric_type="L2", nlist=5, nprobe=5)
+    )
+    radius = 18_000.0
+    import dataclasses
+    cfg = dataclasses.replace(idx.config, radius=radius, range_filter=0.0)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["distance"]
+        for r in idx.range_search(
+            dense_df(spark, qs.astype(np.float32), QUERY_SCHEMA), cfg, nprobe=5
+        ).collect()
+    }
+    # decode codes exactly as the kernel does
+    rows = idx.assignments.select("id", "codes").collect()
+    decoded = {
+        r["id"]: idx.vmin + np.array(r["codes"], dtype=np.float64) / 255.0 * idx.vdiff
+        for r in rows
+    }
+    expect = {}
+    for qi in range(nq):
+        for i, v in decoded.items():
+            d = float(((v - qs[qi]) ** 2).sum())
+            if 0.0 <= d < radius:
+                expect[(qi, i)] = d
+    assert set(got) == set(expect)
+    for p in got:
+        assert abs(got[p] - expect[p]) < 1e-6
+
+
+def test_pq_range_search_shapes_and_bounds(spark):
+    """PQ range search returns only in-range reconstructed distances."""
+    from knowhere_spark.config import IvfPqConfig
+    from knowhere_spark.operators.pq import IVFPqIndex
+
+    from conftest import QUERY_SCHEMA, dense_df, gen_dense
+
+    base = gen_dense(200, 8, seed=87)
+    qs = gen_dense(3, 8, seed=88)
+    idx = IVFPqIndex.build(
+        dense_df(spark, base), IvfPqConfig(metric_type="L2", nlist=4, nprobe=4, m=4)
+    )
+    import dataclasses
+    cfg = dataclasses.replace(idx.config, radius=15_000.0, range_filter=0.0)
+    rows = idx.range_search(dense_df(spark, qs, QUERY_SCHEMA), cfg, nprobe=4).collect()
+    assert rows
+    assert all(0.0 <= r["distance"] < 15_000.0 for r in rows)
