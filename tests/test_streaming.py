@@ -254,3 +254,43 @@ def test_sparse_cc_search_while_insert(spark, tmp_path):
     assert sealed.sealed.avgdl != pinned_avgdl
     res2 = sealed.search(qdf, k=3).collect()
     assert {r["doc_id"] for r in res2} == {r["doc_id"] for r in res}
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a duplicate arriving in a LATER
+    micro-batch is suppressed by the keyed state store (the property no
+    windowed aggregation gives you)."""
+    from knowhere_spark.streaming.dedup import stream_dedup_first_seen
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "dedup_src")
+    # batch 1: docs 1..3 (2 and 3 duplicates of each other)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "dup text here"), (3, "DUP, text: here!")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2 (separate file): doc 4 duplicates doc 1; doc 5 is new
+    spark.createDataFrame(
+        [(4, "Alpha beta GAMMA"), (5, "completely new")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)   # force one file per micro-batch
+        .parquet(src)
+    )
+    out = stream_dedup_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    emitted = sorted(r["doc_id"] for r in rows)
+    # 1 first-seen; 2 first of its dup-pair; 5 new. 3 (same-batch dup) and
+    # 4 (cross-batch dup of 1) suppressed.
+    assert emitted == [1, 2, 5]
