@@ -313,6 +313,82 @@ def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution (operators/groups.py): near-dup pairs →
+    transitive connected components (large-star/small-star-style min-label
+    propagation) → (doc_id, group_id, group_size, is_canonical).
+
+    Pairs come through the full MinHash-LSH scale path (already
+    hash-gate-equal to exact Jaccard at j>=0.7 via dedup_minhash_lsh);
+    planted copies (every 50th doc once, every 100th doc twice) guarantee
+    multi-member components so transitivity is actually exercised."""
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs
+    from knowhere_spark.operators.groups import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    p2 = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(p1).unionByName(p2)
+    pairs = minhash_lsh_pairs(corpus, 0.7)
+    out = dedup_groups(pairs)
+    return out.select(
+        "doc_id", "group_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        "is_canonical",
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/pipeline.py):
+    md5-bucket range lookup, a pure projection — zero shuffles, stable
+    under corpus growth."""
+    from knowhere_spark.operators.pipeline import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return deterministic_split(docs, id_col="doc_id").select("doc_id", "split")
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/pipeline.py):
+    documents laid head-to-tail in id order on a token tape cut every 2048
+    tokens.  The tape position comes from the distributed prefix sum
+    (scalable_cumsum) — no single-task global window anywhere in the plan."""
+    from knowhere_spark.functions.text import token_count_expr
+    from knowhere_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(toks, 2048, n_buckets=16).select(
+        "doc_id", "n_tokens", "chunk_id", "chunk_offset"
+    )
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline (operators/pipeline.curate_corpus):
+    token-count quality gate → MinHash-LSH pairs → connected-component
+    dedup keeping the min-id member → deterministic split.  One composed
+    Catalyst plan; planted dups ensure the dedup stage does real work."""
+    from knowhere_spark.operators.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(p1)
+    return curate_corpus(corpus, min_tokens=5, jaccard_threshold=0.7).select(
+        "doc_id", "n_tokens", "split"
+    )
+
+
 # --- events ----------------------------------------------------------------
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "dataset_split": q_dataset_split,
+        "seq_packing": q_seq_packing,
+        "corpus_curate": q_corpus_curate,
         "embed_cosine_neardup": q_embed_cosine_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_neardup_ivf": q_embed_neardup_ivf,
@@ -904,6 +984,94 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+# -- pipeline-op mirrors: recursive-CTE connected components, md5 split
+#    buckets, window prefix sum ----------------------------------------------
+
+_PLANTED_1 = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0"
+)
+_PLANTED_2 = (
+    _PLANTED_1
+    + " UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0"
+)
+
+_SPLIT_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 7)) "
+    "AS BIGINT) % 10000"
+)
+_SPLIT_CASE = (
+    "CASE WHEN bk < 9000 THEN 'train' WHEN bk < 9500 THEN 'val' ELSE 'test' END"
+)
+
+
+def _cc_ctes(corpus_sql: str, threshold: float, quality_filter: str = "TRUE") -> str:
+    """Shared CTE chain: corpus → shingle sets → jaccard edges →
+    recursive min-reachable-id component labels (mirrors
+    operators/groups.connected_components; small components keep the
+    reachability enumeration cheap)."""
+    return f"""corpus AS ({corpus_sql}),
+toks0 AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+toks AS (SELECT doc_id, t FROM toks0 WHERE {quality_filter}),
+shq AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+              THEN len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))
+              ELSE 0.0 END AS j
+  FROM shq a, shq b WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp WHERE j >= {threshold}
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jp WHERE j >= {threshold}
+),
+walk(node, front) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.front
+),
+lab AS (SELECT node AS doc_id, MIN(front) AS group_id FROM walk GROUP BY node)"""
+
+
+_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {_cc_ctes(_PLANTED_2, 0.7)}
+SELECT doc_id, group_id,
+       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+       doc_id = group_id AS is_canonical
+FROM lab
+"""
+
+_DATASET_SPLIT_SQL = f"""
+WITH b AS (SELECT doc_id, {_SPLIT_BUCKET} AS bk FROM documents)
+SELECT doc_id, {_SPLIT_CASE} AS split FROM b
+"""
+
+_SEQ_PACKING_SQL = f"""
+WITH toks AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks
+)
+SELECT doc_id, n_tokens, before // 2048 AS chunk_id, before % 2048 AS chunk_offset
+FROM c
+"""
+
+_CORPUS_CURATE_SQL = f"""
+WITH RECURSIVE {_cc_ctes(_PLANTED_1, 0.7, "len(t) BETWEEN 5 AND 100000")},
+kept AS (
+  SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens
+  FROM toks t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)
+),
+b AS (SELECT doc_id, n_tokens, {_SPLIT_BUCKET} AS bk FROM kept)
+SELECT doc_id, n_tokens, {_SPLIT_CASE} AS split FROM b
+"""
+
+
 _BIN_SUBSTRUCTURE_SQL = f"""
 WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
 q AS (
@@ -1071,6 +1239,10 @@ SELECT doc_id, group_key, group_size, is_canonical FROM g WHERE group_size > 1
         # LSH banding (32 bands × 2 rows) + exact verification reproduces the
         # exact pairwise result at j >= 0.7 (miss prob < 1e-9 per pair)
         "dedup_minhash_lsh": _JACCARD_PAIRS,
+        "dedup_groups": _DEDUP_GROUPS_SQL,
+        "dataset_split": _DATASET_SPLIT_SQL,
+        "seq_packing": _SEQ_PACKING_SQL,
+        "corpus_curate": _CORPUS_CURATE_SQL,
         "embed_cosine_neardup": """
 WITH d AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

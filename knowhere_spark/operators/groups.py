@@ -1,0 +1,160 @@
+"""Duplicate-group resolution: connected components over near-dup pairs.
+
+Every dedup operator in :mod:`knowhere_spark.operators.dedup` emits *pairs*
+``(doc_a, doc_b)``; an actual corpus-curation pipeline must resolve those
+pairs into transitive *groups* and keep one canonical document per group.
+(A found B and B found C ⇒ A,B,C are one duplicate cluster even if (A,C)
+was never emitted.)  This module supplies that step as pure DataFrame
+transformations:
+
+- :func:`connected_components` — min-label propagation with path
+  compression (the alternating "large-star/small-star" contraction of
+  Kiveris et al., *Connected Components in MapReduce and Beyond*, SoCC'14,
+  which converges in O(log n) rounds on any graph).  Each round is two
+  hash-shuffles on node id; no driver-side graph state, so the same plan
+  runs on a 1000-executor cluster.
+- :func:`dedup_groups` — pairs → ``(doc_id, group_id, group_size,
+  is_canonical)`` with ``group_id = min(doc_id)`` of the component.
+- :func:`dedup_filter` — corpus minus non-canonical members: the actual
+  "drop the duplicates" step a training pipeline runs.
+
+The reference engine stops at pair/neighbor emission (its Search/RangeSearch
+verbs, index_node.h:133-326); group resolution is the training-data
+extension layered on top, per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve undirected edges into components: ``(doc_id, group_id)``
+    where ``group_id`` is the minimum node id reachable from ``doc_id``.
+
+    Algorithm: iterated min-label propagation with path compression —
+    each round every node adopts the smallest label in its closed
+    neighborhood, then labels are compressed one hop
+    (``label = label(label)``), the same contraction family as
+    large-star/small-star (Kiveris et al. SoCC'14) with O(log n) round
+    convergence.  Per round: one groupBy(node) shuffle + one broadcast-free
+    equi-join on label — both scale-safe shapes.  The loop is driver-side
+    control flow only (a convergence flag per round, never the data);
+    ``localCheckpoint`` truncates the growing lineage each round.
+
+    Only nodes appearing in ``pairs`` are returned (singletons carry no
+    dedup information; join back to the corpus for them).
+    """
+    # symmetric edge list over a canonical node/neighbor naming
+    fwd = pairs.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    )
+    edges = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    # label(u) starts as min(u, min neighbor) — the first propagation round
+    # fused into initialization
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select("u", F.least(F.col("label"), F.col("u")).alias("label"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # propagate: candidate label for u = min over neighbors' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # path compression: label(u) <- label(label(u)).  label ids are node
+        # ids, so the lookup is a self-join on the labels table.
+        lut = updated.select(
+            F.col("u").alias("label"), F.col("label").alias("parent")
+        )
+        compressed = (
+            updated.join(lut, "label", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("parent"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+
+        # converged when no label changed this round (count of diffs — an
+        # O(1)-result action, not a collect of the data)
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs → duplicate groups:
+    ``(doc_id, group_id, group_size, is_canonical)``.
+
+    ``group_id`` is the smallest doc_id in the transitive component;
+    ``is_canonical`` marks that representative (the member a curation
+    pipeline keeps).  One extra shuffle on group_id after the component
+    resolution."""
+    cc = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    w = Window.partitionBy("group_id")
+    return (
+        cc.withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("group_id"))
+        .select("doc_id", "group_id", "group_size", "is_canonical")
+    )
+
+
+def dedup_filter(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """The curation step itself: drop every non-canonical duplicate from
+    ``corpus``, keeping untouched docs and one representative per group.
+
+    A broadcast-friendly left-anti join against the (small relative to the
+    corpus) non-canonical id set — the duplicate fraction of a corpus is
+    what's dropped, never the corpus itself shuffled."""
+    drop = (
+        dedup_groups(pairs, src_col=src_col, dst_col=dst_col)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return corpus.join(drop, id_col, "left_anti")

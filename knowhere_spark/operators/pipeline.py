@@ -1,0 +1,205 @@
+"""Training-data pipeline primitives: deterministic splits, distributed
+prefix sums, and sequence packing.
+
+These are the corpus-level operations an LLM data pipeline runs after
+cleaning/dedup (the reference engine's scope ends at search; these extend
+it per the build brief):
+
+- :func:`deterministic_split` — stable hash-based train/val/test
+  assignment.  Pure column arithmetic (md5 → bucket → range lookup), no
+  shuffle at all, reproducible across engines and runs.
+- :func:`scalable_cumsum` — exclusive prefix sum over a total order
+  WITHOUT a single-partition global window: range-bucket the order key,
+  local window per bucket, then add broadcast per-bucket offsets.  The
+  100 TB replacement for ``Window.orderBy(...)`` (which Spark executes on
+  ONE task).
+- :func:`pack_sequences` — concat-then-chunk sequence packing: documents
+  in a deterministic order are laid head-to-tail on a token tape and cut
+  into fixed-size chunks (the standard LLM pretraining packing).  Built on
+  :func:`scalable_cumsum`, so the layout is computed distributively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# deterministic split
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 10_000
+
+
+def split_bucket_expr(id_col: Column, seed: int = 42) -> Column:
+    """Stable bucket in [0, 10000): md5 of ``"<seed>:<id>"``, first 7 hex
+    chars (28 bits — exact in every engine's int64), mod 10000."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % _SPLIT_BUCKETS
+
+
+def deterministic_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a stable split label: ``df`` + ``(split STRING)``.
+
+    ``weights`` maps label → fraction (default 90/5/5 train/val/test);
+    fractions are applied as cumulative ranges over a 10k-bucket md5 hash
+    of the id, so membership is a pure function of (id, seed): adding or
+    removing rows never reassigns existing ones — the property random
+    splits lack and incremental 100 TB pipelines need.  Zero shuffles.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = split_bucket_expr(F.col(id_col), seed)
+    expr = None
+    edge = 0.0
+    labels = list(weights.items())
+    for name, frac in labels[:-1]:
+        edge += frac / total * _SPLIT_BUCKETS
+        cond = bucket < F.lit(int(round(edge)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix sum
+# ---------------------------------------------------------------------------
+
+def scalable_cumsum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over the total order given by
+    ``order_col`` (must be a unique numeric key), as ``df`` + ``out_col``.
+
+    ``Window.orderBy`` with no partition key collapses to a single task —
+    the classic 100 TB cliff.  Here the order key is range-bucketed by
+    explicit quantile boundaries (one approxQuantile action, driver holds
+    only ``n_buckets`` floats), each bucket computes its local running sum
+    under ``Window.partitionBy(bucket)``, and per-bucket totals (tiny) are
+    turned into starting offsets and broadcast back.  Result is exact and
+    independent of the boundary choice; parallelism is ``n_buckets``.
+    """
+    # one pass to fix bucket boundaries; an expression (not a repartition)
+    # assigns buckets so every downstream branch sees identical bucketing
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(order_col, probs, 0.001) if probs else []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    src = df.withColumn("__bkt", bucket)
+
+    w = Window.partitionBy("__bkt").orderBy(order_col)
+    local = src.withColumn(
+        "__local", F.sum(value_col).over(w) - F.col(value_col)
+    )
+    totals = src.groupBy("__bkt").agg(F.sum(value_col).alias("__t"))
+    wo = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_buckets rows total — the only single-task window, on a tiny frame
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(wo), F.lit(0)).cast("long")
+    ).select("__bkt", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__local")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """The whole curation pipeline as one composed plan: quality filter →
+    near-dup group resolution → canonical-only → split assignment.
+
+    Returns ``(id_col, n_tokens, split)`` for every surviving document.
+    Stages (each one already an engine operator, composed declaratively so
+    Catalyst sees a single plan): token-count quality gate (codegen'd
+    column math, no shuffle) → MinHash-LSH pair generation (banded groupBy,
+    never all-pairs) → connected-component dedup keeping the min-id member
+    (:func:`~knowhere_spark.operators.groups.dedup_filter`) →
+    :func:`deterministic_split` (pure hash arithmetic).  This is the query
+    a training pipeline actually ships; every stage holds its shape at
+    100 TB (no collect, no all-pairs, no global window)."""
+    from knowhere_spark.functions.text import token_count_expr
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs
+    from knowhere_spark.operators.groups import dedup_filter
+
+    quality = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(text_col).alias(text_col),
+            token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens").between(min_tokens, max_tokens))
+    )
+    pairs = minhash_lsh_pairs(
+        quality, jaccard_threshold, id_col=id_col, text_col=text_col
+    )
+    kept = dedup_filter(quality, pairs, id_col=id_col)
+    return deterministic_split(kept, id_col=id_col, seed=seed).select(
+        id_col, "n_tokens", "split"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-then-chunk packing: lay documents head-to-tail in ``id_col``
+    order and cut the tape every ``budget`` tokens.
+
+    Returns ``(id_col, n_tokens, chunk_id, chunk_offset)`` where
+    ``chunk_id = floor(tokens_before / budget)`` and ``chunk_offset`` is
+    the document's start position within its chunk.  A document may span
+    chunks (standard pretraining behavior); ``chunk_offset + n_tokens >
+    budget`` marks the stragglers.  The global token tape position comes
+    from :func:`scalable_cumsum` — no single-task window.
+    """
+    with_cum = scalable_cumsum(
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        ),
+        order_col=id_col,
+        value_col="n_tokens",
+        out_col="tokens_before",
+    )
+    return with_cum.select(
+        id_col,
+        "n_tokens",
+        (F.col("tokens_before") / budget).cast("long").alias("chunk_id"),
+        (F.col("tokens_before") % budget).cast("long").alias("chunk_offset"),
+    )

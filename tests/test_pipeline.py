@@ -1,0 +1,167 @@
+"""Tests for duplicate-group resolution (operators/groups.py) and the
+training-pipeline primitives (operators/pipeline.py).
+
+Oracle style mirrors the reference's brute-force-oracle discipline
+(tests/ut/test_search.cc pattern): every distributed result is compared
+exactly against a straightforward single-process computation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.operators.groups import (
+    connected_components,
+    dedup_filter,
+    dedup_groups,
+)
+from knowhere_spark.operators.pipeline import (
+    curate_corpus,
+    deterministic_split,
+    pack_sequences,
+    scalable_cumsum,
+)
+
+
+def _naive_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponents:
+    def test_chain_pair_triangle(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
+        assert got == _naive_components(edges)
+
+    def test_long_path_converges(self, spark):
+        # a 64-node path is the worst case for plain propagation; path
+        # compression keeps rounds logarithmic — must converge well inside
+        # the iteration cap
+        edges = [(i, i + 1) for i in range(64)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 65
+
+    def test_dedup_groups_shapes(self, spark):
+        pairs = spark.createDataFrame([(5, 9), (9, 7)], "doc_a long, doc_b long")
+        rows = {r["doc_id"]: r for r in dedup_groups(pairs).collect()}
+        assert rows[5]["is_canonical"] and rows[5]["group_size"] == 3
+        assert not rows[9]["is_canonical"] and rows[9]["group_id"] == 5
+
+    def test_dedup_filter_keeps_canonical_and_singletons(self, spark):
+        corpus = spark.range(10).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame([(2, 4), (4, 6)], "doc_a long, doc_b long")
+        kept = sorted(r["doc_id"] for r in dedup_filter(corpus, pairs).collect())
+        assert kept == [0, 1, 2, 3, 5, 7, 8, 9]  # 4 and 6 dropped, 2 canonical
+
+
+class TestDeterministicSplit:
+    def test_matches_reference_hash(self, spark):
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        got = {r["doc_id"]: r["split"] for r in deterministic_split(df).collect()}
+        for i in (0, 1, 17, 499):
+            b = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:7], 16) % 10_000
+            exp = "train" if b < 9000 else ("val" if b < 9500 else "test")
+            assert got[i] == exp
+
+    def test_stable_under_corpus_growth(self, spark):
+        small = spark.range(100).select(F.col("id").alias("doc_id"))
+        big = spark.range(1000).select(F.col("id").alias("doc_id"))
+        s = {r["doc_id"]: r["split"] for r in deterministic_split(small).collect()}
+        b = {r["doc_id"]: r["split"] for r in deterministic_split(big).collect()}
+        assert all(b[i] == s[i] for i in s)  # growth never reassigns
+
+    def test_custom_weights(self, spark):
+        df = spark.range(2000).select(F.col("id").alias("doc_id"))
+        out = deterministic_split(df, weights={"a": 0.5, "b": 0.5})
+        counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+        assert set(counts) == {"a", "b"}
+        assert abs(counts["a"] - 1000) < 150
+
+
+class TestScalableCumsum:
+    @pytest.mark.parametrize("n_buckets", [1, 4, 32])
+    def test_exact_prefix_sum(self, spark, n_buckets):
+        df = spark.range(500).select(
+            F.col("id").alias("k"), ((F.col("id") * 37) % 11 + 1).alias("v")
+        )
+        out = scalable_cumsum(
+            df, order_col="k", value_col="v", n_buckets=n_buckets
+        ).collect()
+        got = {r["k"]: r["cum_before"] for r in out}
+        acc = 0
+        for i in range(500):
+            assert got[i] == acc
+            acc += (i * 37) % 11 + 1
+
+    def test_no_global_single_partition_window(self, spark):
+        # the plan must not sort the full data in one task: the only
+        # unpartitioned window runs over the tiny per-bucket totals
+        df = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        plan = scalable_cumsum(
+            df, order_col="k", value_col="v", n_buckets=16
+        )._jdf.queryExecution().executedPlan().toString()
+        # local windows are partitioned by bucket; a full-data global window
+        # would show "Window [... ORDER BY ...]" with no partition spec fed
+        # by an Exchange SinglePartition of the main relation
+        assert "__bkt" in plan
+
+    def test_pack_sequences(self, spark):
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), ((F.col("id") % 7) + 1).alias("n_tokens")
+        )
+        out = {
+            r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+            for r in pack_sequences(df, 10, n_buckets=4).collect()
+        }
+        acc = 0
+        for i in range(100):
+            assert out[i] == (acc // 10, acc % 10)
+            acc += i % 7 + 1
+
+
+class TestCurateCorpus:
+    def test_end_to_end(self, spark):
+        rows = []
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        for i in range(40):
+            rows.append((i, f"{base} variant {i}"))
+        rows.append((100, rows[3][1]))          # exact dup of doc 3
+        rows.append((101, "short"))             # fails min_tokens
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = curate_corpus(docs, min_tokens=5, jaccard_threshold=0.95)
+        got = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert 101 not in got                   # quality-filtered
+        assert 3 in got and 100 not in got      # dup dropped, canonical kept
+        assert set(got.values()) <= {"train", "val", "test"}
