@@ -619,6 +619,31 @@ def q_bin_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("id").alias("neighbor_id"))
 
 
+def q_bin_range_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN_FLAT RangeSearch on HAMMING (brute_force.cc:218-228 binary
+    kernel under the RangeSearch verb; distance-direction bounds
+    ``range_filter <= d < radius``, range_util.h:22-25) — exercises the
+    byte-vector range path of BruteForce.range_search."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _sign_bytes(v):
+        M = np.array(list(v.to_numpy()), dtype=np.float64)
+        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
+        return pd.Series([bytes(r) for r in packed])
+
+    sign_bytes = F.pandas_udf(_sign_bytes, BinaryType())
+    base, queries_ = _emb(spark, sf_dir)
+    b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
+    q = queries_.select("query_id", sign_bytes(F.col("vec")).alias("vec"))
+    cfg = BaseConfig(metric_type="HAMMING", radius=24.0, range_filter=0.0)
+    out = BruteForce.range_search(b, q, cfg)
+    return out.select(
+        "query_id", "neighbor_id", F.col("distance").cast("double").alias("distance")
+    )
+
+
 def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIN_IVF_FLAT hamming (ivf.cc:607-620) — ANN, rows-only gate."""
     import numpy as np
@@ -782,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_knn_hamming": q_bin_knn_hamming,
         "bin_knn_jaccard": q_bin_knn_jaccard,
         "bin_substructure": q_bin_substructure,
+        "bin_range_hamming": q_bin_range_hamming,
         "bin_ivf_knn": q_bin_ivf_knn,
         "ivf_flat_knn": q_ivf_flat_knn,
         "ivf_flat_knn_exact": q_ivf_flat_knn_exact,
@@ -1111,6 +1137,13 @@ def oracle_sql() -> dict[str, str]:
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_jaccard": _bin_knn_oracle(_JACCARD_SQL),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
+        "bin_range_hamming": f"""
+WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
+q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ}),
+d AS (SELECT q.query_id, b.id AS neighbor_id, {_HAMMING_SQL} AS dd FROM b, q)
+SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance
+FROM d WHERE dd >= 0.0 AND dd < 24.0
+""",
         "flat_range_l2": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
         "flat_range_cosine": _range_oracle(_COS, "dd > 0.25 AND dd <= 1.01"),
         "get_vector_by_ids": """

@@ -19,6 +19,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Index-format version compatibility, mirroring knowhere::Version
+# (include/knowhere/version.h:23-57): an index written at version v loads
+# iff MINIMAL_INDEX_VERSION <= v <= CURRENT_INDEX_VERSION.  Bump CURRENT
+# on layout changes; bump MINIMAL only when dropping read support.
+MINIMAL_INDEX_VERSION = 0
+CURRENT_INDEX_VERSION = 1
+
+
+class IndexVersionError(ValueError):
+    """Manifest written by an unsupported index-format version."""
+
 
 class IndexStore:
     def __init__(self, path: str):
@@ -29,12 +40,23 @@ class IndexStore:
 
     def write_manifest(self, manifest: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
+        manifest = {"index_version": CURRENT_INDEX_VERSION, **manifest}
         with open(self.manifest_path(), "w") as f:
             json.dump(manifest, f, indent=2, default=str)
 
     def read_manifest(self) -> dict:
         with open(self.manifest_path()) as f:
-            return json.load(f)
+            m = json.load(f)
+        # pre-versioning manifests read as the minimal (oldest-supported)
+        # version — the same defaulting as Version::GetMinimalVersion
+        v = int(m.get("index_version", MINIMAL_INDEX_VERSION))
+        if not (MINIMAL_INDEX_VERSION <= v <= CURRENT_INDEX_VERSION):
+            raise IndexVersionError(
+                f"index at {self.path} has format version {v}; this build "
+                f"supports [{MINIMAL_INDEX_VERSION}, {CURRENT_INDEX_VERSION}] "
+                "(version.h:52 VerifyVersion semantics)"
+            )
+        return m
 
     def write_table(
         self, name: str, df: DataFrame, partition_by: list[str] | None = None

