@@ -230,4 +230,6 @@ def _assign_binary(df: DataFrame, centroids: np.ndarray) -> DataFrame:
             StructField("vec", BinaryType()),
         ]
     )
-    return df.mapInPandas(kernel, schema)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(kernel, schema)

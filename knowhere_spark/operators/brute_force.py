@@ -363,7 +363,9 @@ def _binary_gemm_partial_topk(
                 {"query_id": b_qids[qidx], "neighbor_id": nid, "distance": dd}
             )
 
-    return base.mapInPandas(kernel, RESULT_SCHEMA)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(base).mapInPandas(kernel, RESULT_SCHEMA)
 
 
 def _gemm_partial_topk(
@@ -399,4 +401,9 @@ def _gemm_partial_topk(
                 }
             )
 
-    return base.mapInPandas(kernel, RESULT_SCHEMA)
+    # a small/cached base can arrive as one split; the kernel cost is
+    # O(n·nq·dim) per row, so round-robin it across the task slots (no-op
+    # when the scan already has enough splits — the 100 TB case)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(base).mapInPandas(kernel, RESULT_SCHEMA)

@@ -128,7 +128,9 @@ class HNSWIndex:
                 yield out[["id", "cell_id", "vec"]]
 
         vec_type = base.schema["vec"].dataType
-        blocks = base.mapInPandas(
+        from knowhere_spark.session import ensure_parallelism
+
+        blocks = ensure_parallelism(base).mapInPandas(
             assign2,
             StructType(
                 [

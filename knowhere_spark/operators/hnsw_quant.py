@@ -255,7 +255,9 @@ class QuantizedHNSWIndex:
         else:
             raise ValueError(f"not a quantized HNSW type: {index_type}")
 
-        codes_df = base.mapInPandas(encode, schema)
+        from knowhere_spark.session import ensure_parallelism
+
+        codes_df = ensure_parallelism(base).mapInPandas(encode, schema)
         return cls(graph, codes_df, quant, config, index_type)
 
     # -- decode (driver-side params, executor-side numpy) ---------------------

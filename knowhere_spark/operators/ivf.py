@@ -619,7 +619,12 @@ def probe_assign_df(
                 }
             )
 
-    return queries.mapInPandas(kernel, schema)
+    # a small/cached query side can arrive as one split, which would run
+    # the whole assignment kernel on a single core; at real scale (many
+    # scan splits) this is a no-op
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(queries).mapInPandas(kernel, schema)
 
 
 def cogroup_cells_topk(
@@ -768,4 +773,6 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
             StructField("vec", vec_type),
         ]
     )
-    return df.mapInPandas(kernel, schema)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(kernel, schema)

@@ -86,7 +86,9 @@ def lsh_signatures(
                 )
             yield pd.concat(frames)
 
-    return src.mapInPandas(kernel, _SIG_SCHEMA)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(src).mapInPandas(kernel, _SIG_SCHEMA)
 
 
 class LshIndex:

@@ -145,7 +145,9 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(kernel, schema)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(kernel, schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
