@@ -207,6 +207,13 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     def q_dedup_minhash():
         return minhash_lsh_pairs(docs, 0.7, num_perm=64, bands=32)
 
+    def q_corpus_curate():
+        # flagship end-to-end curation: quality gate -> LSH pairs -> CC
+        # dedup -> split, one composed plan (operators/pipeline.curate_corpus)
+        from __spark_entry__ import q_corpus_curate as _q
+
+        return _q(spark, SF_DIR)
+
     def q_events_window():
         return window_agg(events, window_duration="1 hour")
 
@@ -214,6 +221,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         return sessionize(events, gap_minutes=30)
 
     out["dedup_minhash"] = q_dedup_minhash
+    out["corpus_curate"] = q_corpus_curate
     out["events_window"] = q_events_window
     out["events_sessionize"] = q_events_sessionize
 

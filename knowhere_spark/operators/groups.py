@@ -29,12 +29,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: auto-strategy cutover: below this many edges the component resolution
+#: runs as driver-side union-find (the dup-pair set is the *duplicate
+#: fraction* of a corpus — tiny relative to the corpus, which never
+#: collects); above it, the distributed label-propagation loop runs.
+DRIVER_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     *,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 25,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Resolve undirected edges into components: ``(doc_id, group_id)``
     where ``group_id`` is the minimum node id reachable from ``doc_id``.
@@ -51,11 +59,49 @@ def connected_components(
 
     Only nodes appearing in ``pairs`` are returned (singletons carry no
     dedup information; join back to the corpus for them).
+
+    ``strategy``: ``driver`` collects the edge list once and union-finds
+    it in-process — the right call whenever the pair set is small (it is
+    the *duplicate fraction* of the corpus; the corpus itself never
+    collects), and the same driver/distributed switch the ANN search
+    operators use.  ``distributed`` runs the propagation loop; ``auto``
+    picks by a bounded edge count against :data:`DRIVER_MAX_EDGES`.
     """
     # symmetric edge list over a canonical node/neighbor naming
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     )
+    edge_rows = None
+    if strategy == "auto":
+        # one bounded collect doubles as the size probe AND the driver-path
+        # edge list — the (possibly expensive) pair pipeline upstream runs
+        # exactly once either way
+        sample = fwd.limit(DRIVER_MAX_EDGES + 1).collect()
+        if len(sample) <= DRIVER_MAX_EDGES:
+            strategy, edge_rows = "driver", sample
+        else:
+            strategy = "distributed"
+    elif strategy == "driver":
+        edge_rows = fwd.collect()
+    if strategy == "driver":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            ra, rb = find(int(r["u"])), find(int(r["v"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, group_id long"
+        )
+    if strategy != "distributed":
+        raise ValueError(f"unknown strategy {strategy!r}")
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()

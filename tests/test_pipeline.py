@@ -51,7 +51,8 @@ class TestConnectedComponents:
         got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
-    def test_matches_union_find_on_random_graph(self, spark):
+    @pytest.mark.parametrize("strategy", ["driver", "distributed"])
+    def test_matches_union_find_on_random_graph(self, spark, strategy):
         import random
 
         rng = random.Random(7)
@@ -60,7 +61,10 @@ class TestConnectedComponents:
         ]
         edges = [(a, b) for a, b in edges if a != b]
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in connected_components(pairs, strategy=strategy).collect()
+        }
         assert got == _naive_components(edges)
 
     def test_long_path_converges(self, spark):
@@ -69,7 +73,10 @@ class TestConnectedComponents:
         # the iteration cap
         edges = [(i, i + 1) for i in range(64)]
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in connected_components(pairs, strategy="distributed").collect()
+        }
         assert set(got.values()) == {0}
         assert len(got) == 65
 
