@@ -769,6 +769,47 @@ def q_cc_search_while_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(out)
 
 
+def q_stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup (streaming/dedup.py): banded keyed
+    state matches each arriving doc against every doc ever seen in its
+    buckets — cross-micro-batch near-dup pairs, the ingest-time form of
+    dedup_minhash_lsh.  Genuinely streaming (applyInPandasWithState +
+    availableNow); rows-only gate, batch-agreement tested in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from knowhere_spark.streaming.dedup import stream_neardup_minhash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="knowhere_ndstream_")
+    src = f"{tmp}/src"
+    docs.coalesce(1).write.mode("append").parquet(src)
+    planted.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_neardup_minhash(stream, 0.7)
+    name = f"ndstream_{abs(hash(tmp)) % 10_000_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").dropDuplicates(["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-k over the embeddings table at sf0.001."""
     return q_flat_knn_cosine(spark, "/root/testdata/sf0.001")
@@ -820,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_sq_knn": q_hnsw_sq_knn,
         "kmeans_assign": q_kmeans_assign,
         "cc_search_while_insert": q_cc_search_while_insert,
+        "stream_neardup_minhash": q_stream_neardup_minhash,
         "media_frame_sample": q_media_frame_sample,
         "multimodal_features": q_multimodal_features,
         "simhash_pairs": q_simhash_pairs,

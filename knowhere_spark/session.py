@@ -22,6 +22,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     the entry of per-row Python kernels whose per-row cost dwarfs the
     one-time shuffle of a small input.
     """
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch parallelism is
+        # the source's concern (maxFilesPerTrigger etc.)
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -84,6 +86,132 @@ def stream_dedup_first_seen(
         fn,
         _OUT_SCHEMA,
         _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup (MinHash-LSH with banded keyed state)
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("est_jaccard", DoubleType()),
+    ]
+)
+
+
+def stream_neardup_minhash(
+    docs: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming near-duplicate detection: each arriving document is
+    MinHash-signed (the batch kernel, operators/dedup.minhash_signatures,
+    runs unchanged on the micro-batch), banded, and matched against every
+    document EVER seen in the same (band, band_hash) bucket — the bucket
+    membership lives in the keyed state store, so near-dup pairs are found
+    across micro-batches, the property the batch operator can't give an
+    ingest pipeline.
+
+    Emits ``(doc_a, doc_b, est_jaccard)`` with ``doc_a < doc_b`` and
+    ``est_jaccard >= threshold``, where ``est_jaccard`` is the signature
+    agreement fraction (the standard unbiased MinHash estimator; exact
+    shingle verification would require keeping every shingle set in state —
+    run the batch verifier over flagged pairs downstream when exactness is
+    required).  A pair sharing several buckets is emitted once per sharing
+    band in the batch it first matches; consumers dedupe with
+    ``dropDuplicates([doc_a, doc_b])``.
+
+    State per bucket is ``(ids ARRAY<LONG>, sigs flattened ARRAY<LONG>)``
+    — O(bucket population · num_perm), sharded by Spark's state store
+    exactly like the exact-dedup operator above.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from knowhere_spark.operators.dedup import minhash_signatures
+
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n, seed=seed,
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    ).select(
+        F.concat_ws(":", F.col("band").cast("string"), "band_hash").alias("bucket"),
+        "doc_id",
+        "sig",
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("sigs", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            ids, flat = list(state.get[0]), list(state.get[1])
+        else:
+            ids, flat = [], []
+        out_a, out_b, out_j = [], [], []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                doc_id = int(doc_id)
+                s = np.asarray(sig, dtype=np.int64)
+                if ids:
+                    M = np.asarray(flat, dtype=np.int64).reshape(len(ids), num_perm)
+                    est = (M == s[None, :]).mean(axis=1)
+                    for j, other in zip(est, ids):
+                        if j >= threshold and other != doc_id:
+                            out_a.append(min(other, doc_id))
+                            out_b.append(max(other, doc_id))
+                            out_j.append(float(j))
+                ids.append(doc_id)
+                flat.extend(int(x) for x in s)
+        state.update((ids, flat))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j}
+            )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        fn,
+        _PAIR_SCHEMA,
+        state_schema,
         "append",
         GroupStateTimeout.NoTimeout,
     )

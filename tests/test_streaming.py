@@ -294,3 +294,57 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
     # 1 first-seen; 2 first of its dup-pair; 5 new. 3 (same-batch dup) and
     # 4 (cross-batch dup of 1) suppressed.
     assert emitted == [1, 2, 5]
+
+
+def test_stream_neardup_minhash_across_batches(spark, tmp_path):
+    """Streaming MinHash-LSH: a near-duplicate arriving in a LATER
+    micro-batch is matched against bucket state from earlier batches, and
+    the emitted pair set agrees with the batch LSH operator run over the
+    full corpus."""
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs
+    from knowhere_spark.streaming.dedup import stream_neardup_minhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest near the old river bank"
+    )
+    schema = "doc_id long, text string"
+    rows1 = [(1, base), (2, "totally unrelated content about spark plans")]
+    # doc 3 (later batch) is a near-dup of doc 1; doc 4 is unrelated
+    rows2 = [(3, base + " today"), (4, "another unrelated document entirely")]
+
+    src = str(tmp_path / "nd_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_neardup_minhash(stream, 0.6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT * FROM neardup_stream").collect()
+    }
+    assert got == {(1, 3)}
+
+    # batch-operator agreement over the union corpus (signature estimate
+    # vs exact verify can disagree only near the threshold; this pair is
+    # far above it)
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows1 + rows2, schema), 0.6
+        ).collect()
+    }
+    assert got == batch
