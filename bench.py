@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: query-batch sizes for VPS-style reporting (reference metric:
+#: VPS = nq/elapsed, benchmark/hdf5/benchmark_float_qps.cpp:207) —
+#: filled by bench_queries for the entries that are query batches
+NQ_MAP: dict[str, int] = {}
+
 
 def build_spark() -> SparkSession:
     return (
@@ -272,6 +277,21 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["ivf_100k_build"] = q_ivf_100k_build
     out["ivf_100k_search_nq100"] = q_ivf_100k_search
     out["ivf_100k_selfsearch_distributed"] = q_ivf_100k_selfsearch_distributed
+
+    NQ_MAP.update(
+        {
+            "bf_knn_cosine_all": n_emb,
+            "bf_knn_l2_all": n_emb,
+            "bf_range_l2": 100,
+            "ivf_search_nq1000": 1000,
+            "bin_hamming_nq1000": 1000,
+            "bin_hamming_sql_nq1000": 1000,
+            "sparse_bm25_search_only": 1,
+            "bf_knn_100k_nq100": 100,
+            "ivf_100k_search_nq100": 100,
+            "ivf_100k_selfsearch_distributed": n_big,
+        }
+    )
     return out
 
 
@@ -292,6 +312,11 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    vps = {
+        name: round(NQ_MAP[name] / t, 1)
+        for name, t in timings.items()
+        if name in NQ_MAP and t > 0
+    }
     print(
         json.dumps(
             {
@@ -299,6 +324,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "vps": vps,
                 "errors": errors,
                 "sf": float(sf) if sf else None,
             }
