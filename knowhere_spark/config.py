@@ -423,7 +423,9 @@ SUPPORTED_VECTYPES: dict[IndexType, frozenset[VecType]] = {
     IndexType.HNSW_SQ: _DENSE_VECTYPES,
     IndexType.HNSW_PQ: _DENSE_VECTYPES,
     IndexType.HNSW_PRQ: _DENSE_VECTYPES,
-    IndexType.DISKANN: _DENSE_VECTYPES,
+    # DENSE_FLOAT_ALL registration — no int8 (diskann.cc:723-725,
+    # test_index_check.cc:118-120)
+    IndexType.DISKANN: frozenset({VecType.FP32, VecType.FP16, VecType.BF16}),
     IndexType.SPARSE_INVERTED_INDEX: frozenset({VecType.SPARSE_FP32}),
     IndexType.SPARSE_WAND: frozenset({VecType.SPARSE_FP32}),
     IndexType.KMEANS: frozenset({VecType.FP32}),

@@ -193,3 +193,40 @@ def test_valid_full_config_loads():
     )
     assert (cfg.nlist, cfg.nprobe, cfg.m, cfg.nbits, cfg.k) == (128, 16, 16, 8, 100)
     assert cfg.metric_type == MetricType.COSINE
+
+
+class TestIndexDtypeMatrix:
+    """Mirror of the reference's index×dtype compatibility corpus
+    (tests/ut/test_index_check.cc:24-128; registration macros define the
+    truth: DENSE_ALL = fp32/fp16/bf16/int8, DENSE_FLOAT_ALL excludes
+    int8, binary/sparse indexes are single-dtype)."""
+
+    VALID = [
+        ("BIN_FLAT", "bin1"), ("BIN_IVF_FLAT", "bin1"),
+        *[(ix, dt)
+          for ix in ("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "SCANN",
+                     "HNSW", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ")
+          for dt in ("fp32", "fp16", "bf16", "int8")],
+        ("DISKANN", "fp32"), ("DISKANN", "fp16"), ("DISKANN", "bf16"),
+        ("SPARSE_INVERTED_INDEX", "sparse_fp32"), ("SPARSE_WAND", "sparse_fp32"),
+    ]
+    INVALID = [
+        ("FLAT", "bin1"), ("BIN_FLAT", "fp32"), ("BIN_IVF_FLAT", "int8"),
+        ("HNSW", "bin1"), ("HNSW", "sparse_fp32"),
+        ("DISKANN", "int8"),
+        ("SPARSE_INVERTED_INDEX", "fp32"), ("SPARSE_WAND", "bin1"),
+        ("IVF_FLAT", "sparse_fp32"), ("KMEANS", "fp16"),
+    ]
+
+    def test_valid_pairs(self):
+        from knowhere_spark.config import IndexType, check_vectype
+
+        for ix, dt in self.VALID:
+            check_vectype(IndexType(ix), dt)   # must not raise
+
+    def test_invalid_pairs(self):
+        from knowhere_spark.config import ConfigError, IndexType, check_vectype
+
+        for ix, dt in self.INVALID:
+            with pytest.raises(ConfigError):
+                check_vectype(IndexType(ix), dt)
