@@ -120,6 +120,19 @@ class BinaryIVFIndex:
         cfg = dataclasses.replace(config, nlist=nlist)
         return cls(centroids, assignments, cfg)
 
+    def add(
+        self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "BinaryIVFIndex":
+        """Append rows: hamming-argmin against the existing binary
+        centroids, no retrain (``IndexNode::Add``, index_node.h:120-121)."""
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        assigned = _assign_binary(new, self.centroids)
+        return BinaryIVFIndex(
+            self.centroids, self.assignments.unionByName(assigned), self.config
+        )
+
     def search(
         self,
         query_df: DataFrame,

@@ -60,6 +60,47 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
     return numpy_kmeans(X, k, iters=n_iter, seed=seed)
 
 
+def _encode_df(assigned: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """(id, cell_id, vec) → (id, cell_id, codes): nearest-codeword per
+    subspace against FIXED codebooks — shared by build and Add so appended
+    rows encode exactly like the original corpus."""
+    spark = assigned.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CB = bc.value
+        mm, _, sd = CB.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            codes = np.empty((len(X), mm), dtype=np.int16)
+            for j in range(mm):
+                sub = X[:, j * sd : (j + 1) * sd]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ CB[j].T
+                    + (CB[j] * CB[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell_id": pdf["cell_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cell_id", IntegerType()),
+            StructField("codes", ArrayType(ShortType())),
+        ]
+    )
+    return assigned.mapInPandas(encode, schema)
+
+
 class IVFPqIndex:
     """Built IVF_PQ: coarse centroids + per-subspace codebooks + codes table."""
 
@@ -121,45 +162,35 @@ class IVFPqIndex:
                 for j in range(m)
             ]
         )  # (m, ksub', subdim) — ksub' may be < ksub on tiny samples
-        spark = base.sparkSession
-        bc = spark.sparkContext.broadcast(codebooks)
-
-        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            CB = bc.value
-            mm, _, sd = CB.shape
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-                codes = np.empty((len(X), mm), dtype=np.int16)
-                for j in range(mm):
-                    sub = X[:, j * sd : (j + 1) * sd]
-                    d = (
-                        (sub * sub).sum(axis=1)[:, None]
-                        - 2.0 * sub @ CB[j].T
-                        + (CB[j] * CB[j]).sum(axis=1)[None, :]
-                    )
-                    codes[:, j] = d.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(),
-                        "cell_id": pdf["cell_id"].to_numpy(),
-                        "codes": list(codes),
-                    }
-                )
-
-        schema = StructType(
-            [
-                StructField("id", LongType()),
-                StructField("cell_id", IntegerType()),
-                StructField("codes", ArrayType(ShortType())),
-            ]
-        )
-        codes_df = flat.assignments.mapInPandas(encode, schema)
+        codes_df = _encode_df(flat.assignments, codebooks)
         import dataclasses
 
         cfg = dataclasses.replace(config, nlist=flat.config.nlist)
         return cls(flat.centroids, codebooks, codes_df, cfg)
+
+    def add(
+        self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFPqIndex":
+        """Append rows with frozen train state — existing coarse centroids
+        assign the cell, existing codebooks encode the codes
+        (``IndexNode::Add``, index_node.h:120-121)."""
+        from knowhere_spark.operators.ivf import _assign_cells
+
+        metric = MetricType(self.config.metric_type)
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        if metric == MetricType.COSINE:
+            new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
+        assigned = _assign_cells(new, self.centroids)
+        encoded = _encode_df(assigned, self.codebooks)
+        out = IVFPqIndex(
+            self.centroids,
+            self.codebooks,
+            self.codes.unionByName(encoded),
+            self.config,
+        )
+        return out
 
     def search(
         self,

@@ -98,6 +98,14 @@ class ScannIndex:
     def has_raw_data(self) -> bool:
         return self.sq.with_raw_data
 
+    def add(self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec") -> "ScannIndex":
+        """Append with frozen train state (delegates to the inner SQ index;
+        raw vectors ride along when ``with_raw_data`` so refine still
+        covers added rows) — ``IndexNode::Add``, index_node.h:120-121."""
+        return ScannIndex(
+            self.sq.add(new_df, id_col=id_col, vec_col=vec_col), self.config
+        )
+
     def search(self, query_df: DataFrame, k: int | None = None, *, reorder_k: int | None = None, nprobe: int | None = None) -> DataFrame:
         k = k if k is not None else self.config.k
         reorder_k = max(reorder_k if reorder_k is not None else self.config.reorder_k, k)

@@ -61,6 +61,46 @@ def array_minmax(df: DataFrame, col: str, dim: int) -> tuple[np.ndarray, np.ndar
     return lo, hi
 
 
+def _quantize_df(
+    assigned: DataFrame, lo: np.ndarray, vdiff: np.ndarray, with_raw_data: bool
+) -> DataFrame:
+    """(id, cell_id, vec) → (id, cell_id, codes[, vec]): per-dim affine
+    uint8 quantization with a FIXED scale (the trained ``vmin/vdiff``) —
+    shared by build and Add, so added rows are encoded exactly like the
+    original corpus (faiss QT_8bit train-once contract)."""
+    spark = assigned.sparkSession
+    bc = spark.sparkContext.broadcast((lo, vdiff))
+
+    out_fields = [
+        StructField("id", LongType()),
+        StructField("cell_id", IntegerType()),
+        StructField("codes", ArrayType(ShortType())),
+    ]
+    if with_raw_data:
+        out_fields.append(assigned.schema["vec"])
+    schema = StructType(out_fields)
+
+    def quantize(batches):
+        lo_, diff_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            codes = np.clip(
+                np.round((X - lo_) / diff_ * 255.0), 0, 255
+            ).astype(np.int16)
+            out = {
+                "id": pdf["id"].to_numpy(),
+                "cell_id": pdf["cell_id"].to_numpy(),
+                "codes": list(codes),
+            }
+            if with_raw_data:
+                out["vec"] = pdf["vec"]
+            yield pd.DataFrame(out)
+
+    return assigned.mapInPandas(quantize, schema)
+
+
 class IVFSq8Index:
     """IVF probe plan over quantized codes; optionally keeps raw vectors
     (``with_raw_data``) to serve SCANN-style refine (ivf_config.h:101-162)."""
@@ -117,43 +157,40 @@ class IVFSq8Index:
         vdiff[vdiff == 0] = 1.0
         b_lo, b_diff = lo, vdiff
 
-        spark = base_df.sparkSession
-        bc = spark.sparkContext.broadcast((b_lo, b_diff))
-
-        out_fields = [
-            StructField("id", LongType()),
-            StructField("cell_id", IntegerType()),
-            StructField("codes", ArrayType(ShortType())),
-        ]
-        if with_raw_data:
-            out_fields.append(flat.assignments.schema["vec"])
-        schema = StructType(out_fields)
-
-        def quantize(batches):
-            lo_, diff_ = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-                codes = np.clip(
-                    np.round((X - lo_) / diff_ * 255.0), 0, 255
-                ).astype(np.int16)
-                out = {
-                    "id": pdf["id"].to_numpy(),
-                    "cell_id": pdf["cell_id"].to_numpy(),
-                    "codes": list(codes),
-                }
-                if with_raw_data:
-                    out["vec"] = pdf["vec"]
-                yield pd.DataFrame(out)
-
         import dataclasses
 
-        assignments = flat.assignments.mapInPandas(quantize, schema)
+        assignments = _quantize_df(flat.assignments, lo, vdiff, with_raw_data)
         cfg = dataclasses.replace(config, nlist=flat.config.nlist)
         return cls(
             flat.centroids, assignments, lo, vdiff, cfg,
             with_raw_data=with_raw_data, index_type=index_type,
+        )
+
+    def add(
+        self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFSq8Index":
+        """Append rows with frozen train state — existing centroids assign
+        the cell, the trained ``vmin/vdiff`` scale encodes the codes
+        (``IndexNode::Add``, index_node.h:120-121; out-of-range values
+        clip exactly as faiss SQ8 does)."""
+        from knowhere_spark.operators.ivf import _assign_cells
+
+        metric = MetricType(self.config.metric_type)
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        if metric == MetricType.COSINE:
+            new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
+        assigned = _assign_cells(new, self.centroids)
+        quantized = _quantize_df(assigned, self.vmin, self.vdiff, self.with_raw_data)
+        return IVFSq8Index(
+            self.centroids,
+            self.assignments.unionByName(quantized),
+            self.vmin,
+            self.vdiff,
+            self.config,
+            with_raw_data=self.with_raw_data,
+            index_type=self.index_type,
         )
 
     def search(
