@@ -190,6 +190,98 @@ class HNSWIndex:
         ]
         return cls(base, edges, config, entry_ids)
 
+    # -- Add (incremental batch insert) ---------------------------------------
+    def add(
+        self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "HNSWIndex":
+        """Batch insert (``IndexNode::Add``; hnswlib addPoint semantics,
+        batched): each new node links to its best ``M-2`` neighbors over
+        the grown table (exact candidates — stronger than an insert-time
+        beam) PLUS its 2 nearest EXISTING nodes, and reverse edges attach
+        it to the old graph.  The guaranteed old-graph links play the role
+        of hnswlib's diversity heuristic: when an added batch forms its own
+        tight cluster, pure top-M adjacency would be intra-batch only and
+        the graph would disconnect.  Cross-side (old↔new) edges are exempt
+        from the M-prune — the same laxer budget hnswlib gives layer 0
+        (maxM0 = 2M).  Entry points are unchanged.  The candidate search
+        uses the GEMM partial-top-k path, so the added batch is the only
+        driver-resident piece (same nq contract as search)."""
+        from knowhere_spark.operators.brute_force import BruteForce
+
+        metric = MetricType(self.config.metric_type)
+        M = self.config.M
+        asc = not metric.is_similarity
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        grown = self.vectors.unionByName(new)
+        queries = new.select(F.col("id").alias("query_id"), "vec")
+
+        def edges_of(cand):
+            return cand.select(
+                F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+                F.col("distance").alias("dist"),
+            )
+
+        near_all = BruteForce.search(
+            grown, queries, max(M - 2, 1) + 1, metric, strategy="gemm"
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
+        bridges = BruteForce.search(
+            self.vectors, queries, 2, metric, strategy="gemm"
+        )
+        new_out = (
+            edges_of(near_all.filter(F.col("rank") <= max(M - 2, 1)))
+            .unionByName(edges_of(bridges))
+            .dropDuplicates(["src", "dst"])
+        )
+        rev = new_out.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+        )
+        merged = (
+            self.edges.unionByName(new_out)
+            .unionByName(rev)
+            .dropDuplicates(["src", "dst"])
+        )
+        # prune same-side adjacencies to M; old<->new edges are exempt so a
+        # boundary node's bridge never loses to its M closer same-side peers
+        new_ids = new.select(F.col("id").alias("nid"))
+        tagged = (
+            merged.join(
+                F.broadcast(new_ids.withColumnRenamed("nid", "src")).withColumn(
+                    "src_new", F.lit(True)
+                ),
+                "src",
+                "left",
+            )
+            .join(
+                F.broadcast(new_ids.withColumnRenamed("nid", "dst")).withColumn(
+                    "dst_new", F.lit(True)
+                ),
+                "dst",
+                "left",
+            )
+            .select(
+                "src", "dst", "dist",
+                (
+                    F.coalesce(F.col("src_new"), F.lit(False))
+                    == F.coalesce(F.col("dst_new"), F.lit(False))
+                ).alias("same_side"),
+            )
+        )
+        same = tagged.filter("same_side").drop("same_side")
+        cross = tagged.filter(~F.col("same_side")).drop("same_side")
+        pruned_same = (
+            topk_per_key(
+                same.withColumnRenamed("dist", "distance"),
+                "src", "distance", M, ascending=asc, tie_breaker="dst",
+            )
+            .select("src", "dst", F.col("distance").alias("dist"))
+        )
+        return HNSWIndex(
+            grown, pruned_same.unionByName(cross), self.config, self.entry_ids
+        )
+
     # -- graph refinement (NN-Descent step) -----------------------------------
     def refine(self, iterations: int = 1) -> "HNSWIndex":
         """NN-Descent-style improvement: each node considers its

@@ -123,3 +123,18 @@ def test_bin_ivf_add(spark):
     q = spark.createDataFrame([(0, bytes(b"\xff" * 16))], "query_id long, vec binary")
     out = idx2.search(q, k=3, nprobe=4).collect()
     assert all(r["neighbor_id"] >= 200 and r["distance"] == 0.0 for r in out)
+
+
+def test_hnsw_add_links_new_cluster(spark):
+    from knowhere_spark.config import HnswConfig
+    from knowhere_spark.operators.hnsw import HNSWIndex
+
+    base_df, added_df, query = _base_and_added(spark)
+    idx = HNSWIndex.build(base_df, HnswConfig(metric_type="L2", M=8, ef=32, k=K))
+    idx2 = idx.add(added_df)
+    assert idx2.count() == NB + 40
+    # entry points all live in the base cluster; reaching the added rows
+    # requires the reverse edges stitched in by add()
+    out = idx2.search(query, k=K, max_hops=4).collect()
+    assert len(out) == K
+    assert all(r["neighbor_id"] >= NB for r in out), [r["neighbor_id"] for r in out]
