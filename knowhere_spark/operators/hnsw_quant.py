@@ -88,6 +88,145 @@ def _row_distances(X: np.ndarray, Q: np.ndarray, metric: MetricType) -> np.ndarr
     return dot / denom
 
 
+def _make_quant(base: DataFrame, config: HnswConfig, index_type: IndexType) -> dict:
+    """Train the quantizer state (the Train half of Build) from the base
+    table: fp16/bf16 rounding, per-dim SQ6/SQ8 affine scale, or nrq
+    residual PQ codebook stages (faiss_hnsw_config.h:95-205 families)."""
+    if index_type == IndexType.HNSW_SQ:
+        assert isinstance(config, HnswSqConfig)
+        sq_type = config.sq_type.lower()
+        if sq_type in ("fp16", "bf16"):
+            return {"mode": "half", "kind": sq_type}
+        from knowhere_spark.operators.sq import array_minmax
+
+        dim = len(base.select("vec").first()["vec"])
+        lo, hi = array_minmax(base, "vec", dim)
+        diff = hi - lo
+        diff[diff == 0] = 1.0
+        levels = 255 if sq_type == "sq8" else 63
+        return {"mode": "sq", "lo": lo, "diff": diff, "levels": levels}
+    if index_type in (IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
+        assert isinstance(config, HnswPqConfig)
+        from knowhere_spark.operators.pq import _lloyd
+
+        dim = len(base.select("vec").first()["vec"])
+        m = config.m
+        if dim % m != 0:
+            from knowhere_spark.config import ConfigError
+
+            raise ConfigError(
+                f"The dimension of the vector (dim) should be a multiple of the "
+                f"number of subquantizers (m). Dimension: {dim}, m: {m}"
+            )
+        nrq = config.nrq if isinstance(config, HnswPrqConfig) else 1
+        ksub = 1 << config.nbits
+        subdim = dim // m
+
+        n = base.count()
+        sample = base
+        seed = getattr(config, "seed", 42)
+        if n > _TRAIN_SAMPLE_MAX:
+            sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=seed)
+        S = np.array([r["vec"] for r in sample.select("vec").collect()], dtype=np.float64)
+        stages = []
+        R = S.copy()
+        for r in range(nrq):
+            cb = np.stack(
+                [
+                    _lloyd(R[:, j * subdim : (j + 1) * subdim], ksub, seed + 97 * r + j)
+                    for j in range(m)
+                ]
+            )  # (m, ksub', subdim)
+            stages.append(cb)
+            for j in range(m):
+                sub = R[:, j * subdim : (j + 1) * subdim]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ cb[j].T
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                )
+                R[:, j * subdim : (j + 1) * subdim] = sub - cb[j][d.argmin(axis=1)]
+        return {"mode": "pq", "stages": stages, "m": m, "subdim": subdim}
+    raise ValueError(f"not a quantized HNSW type: {index_type}")
+
+
+def _encode_with_quant(df: DataFrame, quant: dict) -> DataFrame:
+    """(id, vec) → (id, codes) with FIXED quantizer state — the Add half
+    of Build, shared with :meth:`QuantizedHNSWIndex.add` so appended rows
+    encode exactly like the original corpus."""
+    spark = df.sparkSession
+    mode = quant["mode"]
+    if mode == "half":
+        bc = spark.sparkContext.broadcast(quant["kind"])
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            kind = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "codes": list(_half_round(X, kind).astype(np.float32)),
+                    }
+                )
+
+        schema = StructType(
+            [StructField("id", LongType()), StructField("codes", ArrayType(FloatType()))]
+        )
+    elif mode == "sq":
+        bc = spark.sparkContext.broadcast(
+            (quant["lo"], quant["diff"], quant["levels"])
+        )
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lo_, diff_, lv = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                c = np.clip(np.round((X - lo_) / diff_ * lv), 0, lv).astype(np.int16)
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(c)})
+
+        schema = StructType(
+            [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
+        )
+    else:  # pq / prq
+        bc = spark.sparkContext.broadcast(
+            (quant["stages"], quant["m"], quant["subdim"])
+        )
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            stages_, mm, sd = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                R = X.copy()
+                codes = np.empty((len(X), len(stages_) * mm), dtype=np.int16)
+                for r, cb in enumerate(stages_):
+                    for j in range(mm):
+                        sub = R[:, j * sd : (j + 1) * sd]
+                        d = (
+                            (sub * sub).sum(axis=1)[:, None]
+                            - 2.0 * sub @ cb[j].T
+                            + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                        )
+                        idx = d.argmin(axis=1)
+                        codes[:, r * mm + j] = idx
+                        R[:, j * sd : (j + 1) * sd] = sub - cb[j][idx]
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+
+        schema = StructType(
+            [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
+        )
+
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(encode, schema)
+
+
 class QuantizedHNSWIndex:
     """HNSW graph + codes table; beam scores codes, refine re-ranks raw."""
 
@@ -133,132 +272,31 @@ class QuantizedHNSWIndex:
     ) -> "QuantizedHNSWIndex":
         graph = HNSWIndex.build(base_df, config, id_col=id_col, vec_col=vec_col)
         base = graph.vectors   # (id, vec), already normalized column names
-        spark = base.sparkSession
 
-        if index_type == IndexType.HNSW_SQ:
-            assert isinstance(config, HnswSqConfig)
-            sq_type = config.sq_type.lower()
-            if sq_type in ("fp16", "bf16"):
-                quant = {"mode": "half", "kind": sq_type}
-                bc = spark.sparkContext.broadcast(sq_type)
-
-                def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                    kind = bc.value
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-                        yield pd.DataFrame(
-                            {
-                                "id": pdf["id"].to_numpy(),
-                                "codes": list(_half_round(X, kind).astype(np.float32)),
-                            }
-                        )
-
-                schema = StructType(
-                    [StructField("id", LongType()), StructField("codes", ArrayType(FloatType()))]
-                )
-            else:
-                from knowhere_spark.operators.sq import array_minmax
-
-                dim = len(base.select("vec").first()["vec"])
-                lo, hi = array_minmax(base, "vec", dim)
-                diff = hi - lo
-                diff[diff == 0] = 1.0
-                levels = 255 if sq_type == "sq8" else 63
-                quant = {"mode": "sq", "lo": lo, "diff": diff, "levels": levels}
-                bc = spark.sparkContext.broadcast((lo, diff, levels))
-
-                def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                    lo_, diff_, lv = bc.value
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-                        c = np.clip(np.round((X - lo_) / diff_ * lv), 0, lv).astype(np.int16)
-                        yield pd.DataFrame(
-                            {"id": pdf["id"].to_numpy(), "codes": list(c)}
-                        )
-
-                schema = StructType(
-                    [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
-                )
-        elif index_type in (IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
-            assert isinstance(config, HnswPqConfig)
-            from knowhere_spark.operators.pq import _lloyd
-
-            dim = len(base.select("vec").first()["vec"])
-            m = config.m
-            if dim % m != 0:
-                from knowhere_spark.config import ConfigError
-
-                raise ConfigError(
-                    f"The dimension of the vector (dim) should be a multiple of the "
-                    f"number of subquantizers (m). Dimension: {dim}, m: {m}"
-                )
-            nrq = config.nrq if isinstance(config, HnswPrqConfig) else 1
-            ksub = 1 << config.nbits
-            subdim = dim // m
-
-            n = base.count()
-            sample = base
-            seed = getattr(config, "seed", 42)
-            if n > _TRAIN_SAMPLE_MAX:
-                sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=seed)
-            S = np.array([r["vec"] for r in sample.select("vec").collect()], dtype=np.float64)
-            # nrq residual stages of m per-subspace codebooks
-            stages = []
-            R = S.copy()
-            for r in range(nrq):
-                cb = np.stack(
-                    [
-                        _lloyd(R[:, j * subdim : (j + 1) * subdim], ksub, seed + 97 * r + j)
-                        for j in range(m)
-                    ]
-                )  # (m, ksub', subdim)
-                stages.append(cb)
-                for j in range(m):
-                    sub = R[:, j * subdim : (j + 1) * subdim]
-                    d = (
-                        (sub * sub).sum(axis=1)[:, None]
-                        - 2.0 * sub @ cb[j].T
-                        + (cb[j] * cb[j]).sum(axis=1)[None, :]
-                    )
-                    R[:, j * subdim : (j + 1) * subdim] = sub - cb[j][d.argmin(axis=1)]
-            quant = {"mode": "pq", "stages": stages, "m": m, "subdim": subdim}
-            bc = spark.sparkContext.broadcast((stages, m, subdim))
-
-            def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                stages_, mm, sd = bc.value
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-                    R = X.copy()
-                    codes = np.empty((len(X), len(stages_) * mm), dtype=np.int16)
-                    for r, cb in enumerate(stages_):
-                        for j in range(mm):
-                            sub = R[:, j * sd : (j + 1) * sd]
-                            d = (
-                                (sub * sub).sum(axis=1)[:, None]
-                                - 2.0 * sub @ cb[j].T
-                                + (cb[j] * cb[j]).sum(axis=1)[None, :]
-                            )
-                            idx = d.argmin(axis=1)
-                            codes[:, r * mm + j] = idx
-                            R[:, j * sd : (j + 1) * sd] = sub - cb[j][idx]
-                    yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
-
-            schema = StructType(
-                [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
-            )
-        else:
-            raise ValueError(f"not a quantized HNSW type: {index_type}")
-
-        from knowhere_spark.session import ensure_parallelism
-
-        codes_df = ensure_parallelism(base).mapInPandas(encode, schema)
+        quant = _make_quant(base, config, index_type)
+        codes_df = _encode_with_quant(base, quant)
         return cls(graph, codes_df, quant, config, index_type)
+
+    # -- Add (index_node.h:120-121): graph insert + frozen-quantizer encode ---
+    def add(
+        self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "QuantizedHNSWIndex":
+        """Append rows: the underlying graph takes the batch through
+        :meth:`HNSWIndex.add` (bridge-link batch insert) and the new rows
+        are encoded with the TRAINED quantizer state — codebooks/scales
+        never retrain on Add, so old codes stay byte-identical."""
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        graph2 = self.graph.add(new)
+        new_codes = _encode_with_quant(new, self.quant)
+        return QuantizedHNSWIndex(
+            graph2,
+            self.codes.unionByName(new_codes),
+            self.quant,
+            self.config,
+            self.index_type,
+        )
 
     # -- decode (driver-side params, executor-side numpy) ---------------------
     @staticmethod

@@ -138,3 +138,22 @@ def test_hnsw_add_links_new_cluster(spark):
     out = idx2.search(query, k=K, max_hops=4).collect()
     assert len(out) == K
     assert all(r["neighbor_id"] >= NB for r in out), [r["neighbor_id"] for r in out]
+
+
+def test_hnsw_sq_add(spark):
+    from knowhere_spark.config import HnswSqConfig
+    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+
+    base_df, added_df, query = _base_and_added(spark)
+    idx = QuantizedHNSWIndex.build(
+        base_df,
+        HnswSqConfig(metric_type="L2", M=8, ef=32, k=K, sq_type="SQ8",
+                     refine=True, refine_k=2.0),
+    )
+    idx2 = idx.add(added_df)
+    assert idx2.count() == NB + 40
+    out = idx2.search(query, k=K, max_hops=4).collect()
+    assert len(out) == K
+    # beam over codes + exact refine must surface added rows (out-of-range
+    # values clip under the frozen SQ scale but remain far closer)
+    assert all(r["neighbor_id"] >= NB for r in out), [r["neighbor_id"] for r in out]
