@@ -66,6 +66,13 @@ class FlatIndex:
     def count(self) -> int:
         return self.base.count()
 
+    def add(self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec") -> "FlatIndex":
+        """Append rows (``IndexNode::Add``; NO_TRAIN, so add is a union)."""
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        return FlatIndex(self.base.unionByName(new), self.config, self.index_type)
+
     def type(self) -> str:
         return self.index_type.value
 

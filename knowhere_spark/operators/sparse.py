@@ -157,6 +157,48 @@ class SparseInvertedIndex:
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
         )
 
+    # -- Add (index_node.h:120-121; batch form of the CC growing segment) -----
+    def add(
+        self, df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "SparseInvertedIndex":
+        """Append sparse rows: postings/doc_stats grow, ``n_docs``/``avgdl``
+        recompute over the grown corpus (batch Add recomputes exactly; the
+        streaming CC path pins avgdl until seal — streaming/cc.py,
+        sparse_index_node.cc:431-585 contract).  Bucketed (loaded) indexes
+        bucket the appended postings with the same term-hash layout."""
+        new_postings = sparse_to_postings(df, id_col=id_col, vec_col=vec_col)
+        if self._n_term_buckets:
+            new_postings = new_postings.withColumn(
+                "term_bucket", F.pmod(F.hash("term"), F.lit(self._n_term_buckets))
+            )
+        postings = self.postings.unionByName(new_postings).cache()
+        doc_stats = postings.groupBy("doc_id").agg(
+            F.sum("value").alias("doc_len")
+        ).cache()
+        term_stats = postings.groupBy("term").agg(
+            F.max("value").alias("max_value"),
+            F.count("*").alias("df"),
+        )
+        row = doc_stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        return SparseInvertedIndex(
+            postings, doc_stats, term_stats, self.config,
+            n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+            n_term_buckets=self._n_term_buckets,
+        )
+
+    def add_from_text(
+        self, df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "SparseInvertedIndex":
+        """Text-column form of :meth:`add` (mirrors ``build_from_text``)."""
+        from knowhere_spark.operators.sparse import text_to_sparse
+
+        return self.add(
+            text_to_sparse(df, text_col=text_col, id_col=id_col),
+            id_col="id", vec_col="vec",
+        )
+
     @property
     def avgdl(self) -> float:
         return self._avgdl

@@ -157,3 +157,40 @@ def test_hnsw_sq_add(spark):
     # beam over codes + exact refine must surface added rows (out-of-range
     # values clip under the frozen SQ scale but remain far closer)
     assert all(r["neighbor_id"] >= NB for r in out), [r["neighbor_id"] for r in out]
+
+
+def test_flat_add(spark):
+    from knowhere_spark.factory import FlatIndex
+    from knowhere_spark.config import BaseConfig
+
+    base_df, added_df, query = _base_and_added(spark)
+    idx = FlatIndex.build(base_df, BaseConfig(metric_type="L2", k=K))
+    idx2 = idx.add(added_df)
+    assert idx2.count() == NB + 40
+    _assert_added_found(idx2, query)
+
+
+def test_sparse_add_matches_full_build(spark):
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    rows = [
+        (i, f"term{i % 7} term{i % 5} common word number {i}") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    first = docs.filter(F.col("doc_id") < 30)
+    rest = docs.filter(F.col("doc_id") >= 30)
+    cfg = SparseConfig(metric_type="BM25", inverted_index_algo="TAAT_NAIVE",
+                       k=10, bm25_k1=1.2, bm25_b=0.75)
+
+    grown = SparseInvertedIndex.build_from_text(first, cfg).add_from_text(rest)
+    full = SparseInvertedIndex.build_from_text(docs, cfg)
+    assert grown.count() == full.count() == 60
+    assert abs(grown.avgdl - full.avgdl) < 1e-9
+
+    q = spark.createDataFrame(
+        [(0, {"term3": 1.0, "common": 1.0})], "query_id long, vec map<string,float>"
+    )
+    a = sorted((r["doc_id"], round(r["score"], 6)) for r in grown.search(q, k=10).collect())
+    b = sorted((r["doc_id"], round(r["score"], 6)) for r in full.search(q, k=10).collect())
+    assert a == b
