@@ -537,6 +537,26 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ClusterNode::Assign`` (cluster_node.h:26-50) with PINNED
+    centroids — the first 8 embedding vectors — so the nearest-centroid
+    assignment is deterministic and hash-gated (the train+assign pipeline
+    keeps its rows-only gate in ``kmeans_assign``; this isolates the
+    Assign verb the way the reference tests assignment given a trained
+    model)."""
+    import numpy as np
+
+    from knowhere_spark.config import KMeansConfig
+    from knowhere_spark.operators.cluster import KMeansCluster
+
+    emb = embeddings_as_dataset(spark, sf_dir)
+    crows = emb.filter(F.col("id") < 8).orderBy("id").collect()
+    centroids = np.array([r["vec"] for r in crows], dtype=np.float64)
+    cl = KMeansCluster(centroids, emb.limit(0), KMeansConfig(num_clusters=8))
+    out = cl.assign(emb)
+    return out.select("id", F.col("cluster_id").cast("int").alias("cluster_id"))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.operators.dedup import simhash_pairs
 
@@ -860,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_knn": q_hnsw_knn,
         "hnsw_sq_knn": q_hnsw_sq_knn,
         "kmeans_assign": q_kmeans_assign,
+        "kmeans_assign_fixed": q_kmeans_assign_fixed,
         "cc_search_while_insert": q_cc_search_while_insert,
         "stream_neardup_minhash": q_stream_neardup_minhash,
         "media_frame_sample": q_media_frame_sample,
@@ -1315,6 +1336,16 @@ SELECT doc_id, group_key, group_size, is_canonical FROM g WHERE group_size > 1
         # exact pairwise result at j >= 0.7 (miss prob < 1e-9 per pair)
         "dedup_minhash_lsh": _JACCARD_PAIRS,
         "dedup_groups": _DEDUP_GROUPS_SQL,
+        "kmeans_assign_fixed": """
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id AS id, c.cid,
+         list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+  FROM embeddings e, c
+),
+r AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rk FROM d)
+SELECT id, CAST(cid AS INT) AS cluster_id FROM r WHERE rk = 1
+""",
         "dataset_split": _DATASET_SPLIT_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_curate": _CORPUS_CURATE_SQL,
