@@ -225,6 +225,27 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     def q_events_sessionize():
         return sessionize(events, gap_minutes=30)
 
+    hnsw_state = {}
+
+    def q_hnsw_build():
+        from knowhere_spark.config import HnswConfig
+        from knowhere_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(emb, HnswConfig(metric_type="L2", M=16, ef=64))
+        idx.edges.cache()
+        hnsw_state["idx"] = idx
+        return idx.edges.limit(1)
+
+    def q_hnsw_search_broadcast():
+        # serving shape: graph broadcast, best-first beam in mapInPandas,
+        # every embedding as a query — zero shuffles
+        return hnsw_state["idx"].search(
+            all_queries, k=10, ef=64, strategy="broadcast"
+        )
+
+    out["hnsw_build"] = q_hnsw_build
+    out["hnsw_search_all"] = q_hnsw_search_broadcast
+
     out["dedup_minhash"] = q_dedup_minhash
     out["corpus_curate"] = q_corpus_curate
     out["events_window"] = q_events_window
@@ -287,6 +308,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             "bin_hamming_nq1000": 1000,
             "bin_hamming_sql_nq1000": 1000,
             "sparse_bm25_search_only": 1,
+            "hnsw_search_all": n_emb,
             "bf_knn_100k_nq100": 100,
             "ivf_100k_search_nq100": 100,
             "ivf_100k_selfsearch_distributed": n_big,

@@ -48,6 +48,10 @@ from knowhere_spark.operators.topk import topk_per_key
 
 _CELL_TARGET_ROWS = 512     # block population target for local-KNN build
 _TRAIN_SAMPLE_MAX = 50_000
+#: auto-strategy bound on the broadcast graph artifact (vectors + CSR
+#: adjacency).  1 GiB ~ a Milvus segment-sized HNSW shard; bigger graphs
+#: fall back to the BFS table path.
+_BROADCAST_MAX_BYTES = 1 << 30
 
 _EDGE_SCHEMA = StructType(
     [
@@ -365,6 +369,153 @@ class HNSWIndex:
             [int(e) for e in m["entry_ids"]],
         )
 
+    def _artifact_bytes(self) -> int:
+        """Estimated broadcast footprint: n*dim float32 vectors plus an
+        upper-bound M out-edges per node as int32 CSR."""
+        n = self.vectors.count()
+        if n == 0:
+            return 0
+        head = self.vectors.select("vec").head()
+        dim = len(head["vec"]) if head else 0
+        return n * dim * 4 + n * (int(self.config.M) + 1) * 4 + n * 12
+
+    def _search_broadcast(
+        self,
+        query_df: DataFrame,
+        k: int,
+        ef: int,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Best-first ef-search with the full graph broadcast to executors.
+
+        The per-query loop is the hnswlib ``searchBaseLayerST`` algorithm
+        (candidate min-heap + bounded result heap, early exit when the
+        nearest open candidate is worse than the worst kept result);
+        neighbor scoring is vectorized numpy per adjacency list.  All
+        metrics are folded to a smaller-is-better key (L2: squared
+        distance; IP/COSINE: negated similarity) and unfolded on output so
+        the ``distance`` column matches ``distance_expr`` exactly.
+        """
+        import heapq
+
+        metric = MetricType(self.config.metric_type)
+        spark = self.vectors.sparkSession
+
+        rows = self.vectors.select("id", "vec").collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        X = np.array([r["vec"] for r in rows], dtype=np.float32)
+        del rows
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        n = len(ids)
+
+        e = self.edges.select("src", "dst").collect()
+        src = np.searchsorted(ids, np.array([r["src"] for r in e], dtype=np.int64))
+        dst = np.searchsorted(ids, np.array([r["dst"] for r in e], dtype=np.int64))
+        del e
+        eo = np.argsort(src, kind="stable")
+        src, dst = src[eo], dst[eo]
+        indptr = np.searchsorted(src, np.arange(n + 1))
+        indices = dst.astype(np.int32)
+
+        if metric == MetricType.COSINE:
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            X = X / norms
+        xsq = np.einsum("ij,ij->i", X, X) if metric == MetricType.L2 else None
+        targets = np.array(self.entry_ids, dtype=np.int64)
+        pos = np.searchsorted(ids, targets)
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == targets)
+        entry_pos = pos[ok]
+        if len(entry_pos) == 0:
+            entry_pos = np.array([0], dtype=np.int64)
+
+        bc = spark.sparkContext.broadcast(
+            (ids, X, indptr, indices, xsq, entry_pos)
+        )
+        is_sim = metric.is_similarity
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_, X_, indptr_, indices_, xsq_, entries = bc.value
+            stamp = np.zeros(len(ids_), dtype=np.int64)
+            qno = 0
+            for pdf in batches:
+                out_q, out_n, out_d, out_r = [], [], [], []
+                for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
+                    q = np.asarray(qvec, dtype=np.float32)
+                    if metric == MetricType.COSINE:
+                        qn = np.linalg.norm(q)
+                        q = q / qn if qn > 0 else q
+                    if metric == MetricType.L2:
+                        qsq = float(q @ q)
+
+                        def score(pos):
+                            return xsq_[pos] + qsq - 2.0 * (X_[pos] @ q)
+                    else:
+                        def score(pos):
+                            return -(X_[pos] @ q)
+                    qno += 1
+                    skeys = score(entries)
+                    stamp[entries] = qno
+                    cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
+                    heapq.heapify(cand)
+                    # result max-heap of (−key, pos), bounded to ef
+                    res = [(-s, p) for s, p in cand]
+                    heapq.heapify(res)
+                    while len(res) > ef:
+                        heapq.heappop(res)
+                    while cand:
+                        key, p = heapq.heappop(cand)
+                        if len(res) >= ef and key > -res[0][0]:
+                            break
+                        nb = indices_[indptr_[p] : indptr_[p + 1]]
+                        nb = nb[stamp[nb] != qno]
+                        if len(nb) == 0:
+                            continue
+                        stamp[nb] = qno
+                        nkeys = score(nb)
+                        worst = -res[0][0] if len(res) >= ef else np.inf
+                        for s, np_ in zip(nkeys, nb):
+                            s = float(s)
+                            if len(res) < ef:
+                                heapq.heappush(res, (-s, int(np_)))
+                                heapq.heappush(cand, (s, int(np_)))
+                                worst = -res[0][0]
+                            elif s < worst:
+                                heapq.heapreplace(res, (-s, int(np_)))
+                                heapq.heappush(cand, (s, int(np_)))
+                                worst = -res[0][0]
+                    # (key, pos) sort == (distance, neighbor_id) tie-break,
+                    # matching topk_per_key's ordering on the BFS path
+                    top = sorted(((-nk, p) for nk, p in res))[:k]
+                    for rank, (s, p) in enumerate(top, start=1):
+                        out_q.append(qid)
+                        out_n.append(ids_[p])
+                        out_d.append(-s if is_sim else s)
+                        out_r.append(rank)
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "neighbor_id": out_n,
+                        "distance": out_d,
+                        "rank": out_r,
+                    }
+                )
+
+        from knowhere_spark.session import ensure_parallelism
+
+        queries = ensure_parallelism(
+            query_df.select(
+                F.col(query_id_col).cast("long").alias(query_id_col),
+                F.col(query_vec_col).alias(query_vec_col),
+            )
+        )
+        return queries.mapInPandas(
+            kernel, "query_id long, neighbor_id long, distance double, rank int"
+        )
+
     def search(
         self,
         query_df: DataFrame,
@@ -375,13 +526,32 @@ class HNSWIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         score_fn=None,
+        strategy: str = "auto",
     ) -> DataFrame:
-        """Bounded BFS-beam over the edges table.
+        """Batch graph search; two physical strategies.
 
-        Per hop: frontier ⋈ edges → new candidates → exact distance →
-        per-query top-ef frontier; results are the best k over everything
-        visited.  ``ef >= k`` (base_hnsw_config.h:55-79).
+        - ``"broadcast"`` — the serving shape, mirroring how the reference
+          (and Milvus segments) actually run HNSW: the whole graph artifact
+          (vectors + CSR adjacency) ships to every executor once, and each
+          query partition runs the classic best-first ef-search
+          (hnswlib ``searchBaseLayerST``, src/index/hnsw/hnsw.h) in a
+          numpy kernel inside ``mapInPandas``.  Zero shuffles after the
+          query repartition; parallelism = query partitions.  Requires the
+          artifact to fit executor memory (the same contract the in-RAM
+          reference has); at 100 TB corpus scale you shard the corpus and
+          build per-shard graphs, each of which satisfies this bound.
+        - ``"bfs"`` — bounded iterative frontier expansion over the edges
+          *table*: per hop, frontier ⋈ edges → new candidates → exact
+          distance → per-query top-ef frontier; results are the best k
+          over everything visited.  No memory bound on the graph; one
+          shuffle join per hop.  The fallback when the artifact is too
+          large to broadcast, and the path quantized variants use via
+          ``score_fn``.
+        - ``"auto"`` — broadcast when the exact-vector scorer is in play
+          and the artifact's estimated footprint fits
+          ``_BROADCAST_MAX_BYTES``, else bfs.
 
+        ``ef >= k`` enforced as in base_hnsw_config.h:55-79.
         ``score_fn(cand_df, queries_df) -> (query_id, node_id, distance)``
         replaces the exact-vector scorer — the hook the quantized variants
         use to run the beam over SQ/PQ codes (operators/hnsw_quant.py).
@@ -390,6 +560,18 @@ class HNSWIndex:
         ef = max(ef if ef is not None else self.config.ef, k)
         metric = MetricType(self.config.metric_type)
         spark = self.vectors.sparkSession
+
+        if strategy not in ("auto", "broadcast", "bfs"):
+            raise ValueError(f"unknown search strategy {strategy!r}")
+        if strategy != "bfs" and score_fn is None:
+            use_broadcast = strategy == "broadcast"
+            if strategy == "auto":
+                use_broadcast = self._artifact_bytes() <= _BROADCAST_MAX_BYTES
+            if use_broadcast:
+                return self._search_broadcast(
+                    query_df, k, ef,
+                    query_id_col=query_id_col, query_vec_col=query_vec_col,
+                )
 
         queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),

@@ -57,3 +57,54 @@ def test_hnsw_refine_improves_graph(spark):
     r0, r1 = recall(idx), recall(refined)
     assert r1 >= r0 - 0.05        # refinement must not regress materially
     assert r1 >= 0.6
+
+
+def test_hnsw_broadcast_search(spark):
+    """Broadcast best-first search: recall floor, distance values match
+    distance_expr semantics, and auto strategy picks broadcast for a
+    segment-sized graph (no per-hop shuffle joins in the plan)."""
+    nb, dim, nq, k = 1000, 32, 20, 10
+    base = gen_dense(nb, dim, seed=35)
+    qs = gen_dense(nq, dim, seed=36)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=16, ef=32)
+    )
+    qdf = dense_df(spark, qs, QUERY_SCHEMA)
+
+    res = idx.search(qdf, k=k, ef=64, strategy="broadcast")
+    # one mapInPandas, zero joins — the serving plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    truth = np_knn(base, qs, k, "L2")
+    assert recall_at_k(got, truth, k) >= 0.8
+    # distance column is squared L2, same as the BFS/exact paths
+    for qid, pairs in got.items():
+        for nid, d in pairs:
+            exact = float(np.sum((base[nid] - qs[qid]) ** 2))
+            assert abs(d - exact) <= 1e-4 * max(1.0, exact)   # fp32 kernel
+
+    # auto chooses broadcast here (artifact ~ nb*dim*4 bytes << 1 GiB)
+    res_auto = idx.search(qdf, k=k, ef=64)
+    assert "Join" not in res_auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hnsw_broadcast_cosine(spark):
+    nb, dim, nq, k = 600, 16, 10, 5
+    base = gen_dense(nb, dim, seed=37)
+    qs = gen_dense(nq, dim, seed=38)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="COSINE", M=16, ef=32)
+    )
+    res = idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=48, strategy="broadcast")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    assert recall_at_k(got, np_knn(base, qs, k, "COSINE"), k) >= 0.8
+    # similarity metric: distances descend
+    for pairs in got.values():
+        ds = [d for _, d in pairs]
+        assert ds == sorted(ds, reverse=True)
