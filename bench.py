@@ -158,12 +158,16 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         return BruteForce.search(bin_b, bin_q, 100, "HAMMING", strategy="gemm")
 
     def q_bin_hamming_sql():
-        # the JVM-codegen'd word-packed join path, for comparison
-        b = emb.select("id", pack_bits_expr(F.col("vec"), 64).alias("words"))
+        # the JVM-codegen'd word-packed join path, for comparison.
+        # cache the packed projections: without a materialization barrier,
+        # codegen collapses pack_bits_expr into the join and re-packs both
+        # sides per joined row (nq*nb times instead of nq+nb)
+        b = emb.select("id", pack_bits_expr(F.col("vec"), 64).alias("words")).cache()
         q = (
             emb.filter(F.col("id") < 1000)
             .select(F.col("id").alias("query_id"),
                     pack_bits_expr(F.col("vec"), 64).alias("qwords"))
+            .cache()
         )
         scored = b.crossJoin(F.broadcast(q)).select(
             "query_id",
