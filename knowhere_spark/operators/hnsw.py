@@ -62,6 +62,156 @@ _EDGE_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# broadcast best-first beam search (shared by HNSWIndex and the quantized
+# variants in operators/hnsw_quant.py)
+# ---------------------------------------------------------------------------
+
+def _collect_csr(edges_df: DataFrame, ids_sorted: np.ndarray):
+    """Collect the edges table into CSR adjacency over positions in
+    ``ids_sorted`` (ascending node ids)."""
+    e = edges_df.select("src", "dst").collect()
+    src = np.searchsorted(ids_sorted, np.array([r["src"] for r in e], dtype=np.int64))
+    dst = np.searchsorted(ids_sorted, np.array([r["dst"] for r in e], dtype=np.int64))
+    del e
+    eo = np.argsort(src, kind="stable")
+    src, dst = src[eo], dst[eo]
+    indptr = np.searchsorted(src, np.arange(len(ids_sorted) + 1))
+    return indptr, dst.astype(np.int32)
+
+
+def _entry_positions(ids_sorted: np.ndarray, entry_ids) -> np.ndarray:
+    targets = np.array(entry_ids, dtype=np.int64)
+    n = len(ids_sorted)
+    pos = np.searchsorted(ids_sorted, targets)
+    ok = (pos < n) & (ids_sorted[np.minimum(pos, n - 1)] == targets)
+    entry_pos = pos[ok]
+    if len(entry_pos) == 0:
+        entry_pos = np.array([0], dtype=np.int64)
+    return entry_pos
+
+
+def _keys_vs_query(Xp: np.ndarray, q: np.ndarray, metric: MetricType) -> np.ndarray:
+    """Smaller-is-better beam keys for candidate rows ``Xp`` against one
+    query: L2 → squared distance; IP/COSINE → negated similarity.  Values
+    match ``distance_expr`` after un-negation."""
+    if metric == MetricType.L2:
+        d = Xp - q
+        return np.einsum("ij,ij->i", d, d)
+    dot = Xp @ q
+    if metric == MetricType.IP:
+        return -dot
+    nx = np.linalg.norm(Xp, axis=1)
+    denom = nx * float(np.linalg.norm(q))
+    denom[denom == 0] = 1.0
+    return -(dot / denom)
+
+
+def _dense_scorer(extra, qvec):
+    """Scorer over raw fp32 vectors: extra = (X, metric_value)."""
+    X_, mv = extra
+    mt = MetricType(mv)
+    q = np.asarray(qvec, dtype=np.float32)
+
+    def score(pos):
+        return _keys_vs_query(X_[pos], q, mt)
+
+    return score
+
+
+def broadcast_beam_search(
+    query_df: DataFrame,
+    *,
+    k: int,
+    ef: int,
+    payload_bc,
+    scorer_factory,
+    is_sim: bool,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "vec",
+) -> DataFrame:
+    """Best-first ef-search with the graph artifact broadcast to executors.
+
+    ``payload_bc`` is a Spark broadcast of ``(ids_sorted, indptr, indices,
+    entry_pos, extra)``; ``scorer_factory(extra, qvec) -> score(pos_array)``
+    produces per-query smaller-is-better keys (see :func:`_keys_vs_query`).
+    The per-query loop is the hnswlib ``searchBaseLayerST`` algorithm
+    (candidate min-heap + bounded result heap, early exit when the nearest
+    open candidate is worse than the worst kept result,
+    src/index/hnsw/hnsw.h); neighbor scoring is vectorized numpy per
+    adjacency list.  Runs as one ``mapInPandas`` over query partitions —
+    zero joins/shuffles."""
+    import heapq
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, indptr_, indices_, entries, extra = payload_bc.value
+        stamp = np.zeros(len(ids_), dtype=np.int64)
+        qno = 0
+        for pdf in batches:
+            out_q, out_n, out_d, out_r = [], [], [], []
+            for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
+                score = scorer_factory(extra, qvec)
+                qno += 1
+                skeys = score(entries)
+                stamp[entries] = qno
+                cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
+                heapq.heapify(cand)
+                # result max-heap of (−key, pos), bounded to ef
+                res = [(-s, p) for s, p in cand]
+                heapq.heapify(res)
+                while len(res) > ef:
+                    heapq.heappop(res)
+                while cand:
+                    key, p = heapq.heappop(cand)
+                    if len(res) >= ef and key > -res[0][0]:
+                        break
+                    nb = indices_[indptr_[p] : indptr_[p + 1]]
+                    nb = nb[stamp[nb] != qno]
+                    if len(nb) == 0:
+                        continue
+                    stamp[nb] = qno
+                    nkeys = score(nb)
+                    worst = -res[0][0] if len(res) >= ef else np.inf
+                    for s, np_ in zip(nkeys, nb):
+                        s = float(s)
+                        if len(res) < ef:
+                            heapq.heappush(res, (-s, int(np_)))
+                            heapq.heappush(cand, (s, int(np_)))
+                            worst = -res[0][0]
+                        elif s < worst:
+                            heapq.heapreplace(res, (-s, int(np_)))
+                            heapq.heappush(cand, (s, int(np_)))
+                            worst = -res[0][0]
+                # (key, pos) sort == (distance, neighbor_id) tie-break,
+                # matching topk_per_key's ordering on the BFS path
+                top = sorted(((-nk, p) for nk, p in res))[:k]
+                for rank, (s, p) in enumerate(top, start=1):
+                    out_q.append(qid)
+                    out_n.append(ids_[p])
+                    out_d.append(-s if is_sim else s)
+                    out_r.append(rank)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "distance": out_d,
+                    "rank": out_r,
+                }
+            )
+
+    from knowhere_spark.session import ensure_parallelism
+
+    queries = ensure_parallelism(
+        query_df.select(
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(query_vec_col).alias(query_vec_col),
+        )
+    )
+    return queries.mapInPandas(
+        kernel, "query_id long, neighbor_id long, distance double, rank int"
+    )
+
+
 class HNSWIndex:
     """Graph artifact: (id, vec) vectors + <=M out-edges per node."""
 
@@ -388,18 +538,8 @@ class HNSWIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
     ) -> DataFrame:
-        """Best-first ef-search with the full graph broadcast to executors.
-
-        The per-query loop is the hnswlib ``searchBaseLayerST`` algorithm
-        (candidate min-heap + bounded result heap, early exit when the
-        nearest open candidate is worse than the worst kept result);
-        neighbor scoring is vectorized numpy per adjacency list.  All
-        metrics are folded to a smaller-is-better key (L2: squared
-        distance; IP/COSINE: negated similarity) and unfolded on output so
-        the ``distance`` column matches ``distance_expr`` exactly.
-        """
-        import heapq
-
+        """Best-first ef-search with raw fp32 vectors broadcast to
+        executors (see :func:`broadcast_beam_search`)."""
         metric = MetricType(self.config.metric_type)
         spark = self.vectors.sparkSession
 
@@ -409,111 +549,21 @@ class HNSWIndex:
         del rows
         order = np.argsort(ids)
         ids, X = ids[order], X[order]
-        n = len(ids)
 
-        e = self.edges.select("src", "dst").collect()
-        src = np.searchsorted(ids, np.array([r["src"] for r in e], dtype=np.int64))
-        dst = np.searchsorted(ids, np.array([r["dst"] for r in e], dtype=np.int64))
-        del e
-        eo = np.argsort(src, kind="stable")
-        src, dst = src[eo], dst[eo]
-        indptr = np.searchsorted(src, np.arange(n + 1))
-        indices = dst.astype(np.int32)
-
-        if metric == MetricType.COSINE:
-            norms = np.linalg.norm(X, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            X = X / norms
-        xsq = np.einsum("ij,ij->i", X, X) if metric == MetricType.L2 else None
-        targets = np.array(self.entry_ids, dtype=np.int64)
-        pos = np.searchsorted(ids, targets)
-        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == targets)
-        entry_pos = pos[ok]
-        if len(entry_pos) == 0:
-            entry_pos = np.array([0], dtype=np.int64)
-
+        indptr, indices = _collect_csr(self.edges, ids)
+        entry_pos = _entry_positions(ids, self.entry_ids)
         bc = spark.sparkContext.broadcast(
-            (ids, X, indptr, indices, xsq, entry_pos)
+            (ids, indptr, indices, entry_pos, (X, metric.value))
         )
-        is_sim = metric.is_similarity
-
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ids_, X_, indptr_, indices_, xsq_, entries = bc.value
-            stamp = np.zeros(len(ids_), dtype=np.int64)
-            qno = 0
-            for pdf in batches:
-                out_q, out_n, out_d, out_r = [], [], [], []
-                for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
-                    q = np.asarray(qvec, dtype=np.float32)
-                    if metric == MetricType.COSINE:
-                        qn = np.linalg.norm(q)
-                        q = q / qn if qn > 0 else q
-                    if metric == MetricType.L2:
-                        qsq = float(q @ q)
-
-                        def score(pos):
-                            return xsq_[pos] + qsq - 2.0 * (X_[pos] @ q)
-                    else:
-                        def score(pos):
-                            return -(X_[pos] @ q)
-                    qno += 1
-                    skeys = score(entries)
-                    stamp[entries] = qno
-                    cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
-                    heapq.heapify(cand)
-                    # result max-heap of (−key, pos), bounded to ef
-                    res = [(-s, p) for s, p in cand]
-                    heapq.heapify(res)
-                    while len(res) > ef:
-                        heapq.heappop(res)
-                    while cand:
-                        key, p = heapq.heappop(cand)
-                        if len(res) >= ef and key > -res[0][0]:
-                            break
-                        nb = indices_[indptr_[p] : indptr_[p + 1]]
-                        nb = nb[stamp[nb] != qno]
-                        if len(nb) == 0:
-                            continue
-                        stamp[nb] = qno
-                        nkeys = score(nb)
-                        worst = -res[0][0] if len(res) >= ef else np.inf
-                        for s, np_ in zip(nkeys, nb):
-                            s = float(s)
-                            if len(res) < ef:
-                                heapq.heappush(res, (-s, int(np_)))
-                                heapq.heappush(cand, (s, int(np_)))
-                                worst = -res[0][0]
-                            elif s < worst:
-                                heapq.heapreplace(res, (-s, int(np_)))
-                                heapq.heappush(cand, (s, int(np_)))
-                                worst = -res[0][0]
-                    # (key, pos) sort == (distance, neighbor_id) tie-break,
-                    # matching topk_per_key's ordering on the BFS path
-                    top = sorted(((-nk, p) for nk, p in res))[:k]
-                    for rank, (s, p) in enumerate(top, start=1):
-                        out_q.append(qid)
-                        out_n.append(ids_[p])
-                        out_d.append(-s if is_sim else s)
-                        out_r.append(rank)
-                yield pd.DataFrame(
-                    {
-                        "query_id": out_q,
-                        "neighbor_id": out_n,
-                        "distance": out_d,
-                        "rank": out_r,
-                    }
-                )
-
-        from knowhere_spark.session import ensure_parallelism
-
-        queries = ensure_parallelism(
-            query_df.select(
-                F.col(query_id_col).cast("long").alias(query_id_col),
-                F.col(query_vec_col).alias(query_vec_col),
-            )
-        )
-        return queries.mapInPandas(
-            kernel, "query_id long, neighbor_id long, distance double, rank int"
+        return broadcast_beam_search(
+            query_df,
+            k=k,
+            ef=ef,
+            payload_bc=bc,
+            scorer_factory=_dense_scorer,
+            is_sim=metric.is_similarity,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
         )
 
     def search(

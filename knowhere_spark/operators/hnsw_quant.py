@@ -56,7 +56,14 @@ from knowhere_spark.config import (
     IndexType,
     MetricType,
 )
-from knowhere_spark.operators.hnsw import HNSWIndex
+from knowhere_spark.operators.hnsw import (
+    _BROADCAST_MAX_BYTES,
+    HNSWIndex,
+    _collect_csr,
+    _entry_positions,
+    _keys_vs_query,
+    broadcast_beam_search,
+)
 from knowhere_spark.operators.refine import refine as exact_refine
 from knowhere_spark.sources.index_store import IndexStore
 
@@ -227,6 +234,21 @@ def _encode_with_quant(df: DataFrame, quant: dict) -> DataFrame:
     return ensure_parallelism(df).mapInPandas(encode, schema)
 
 
+def _quant_scorer(extra, qvec):
+    """Beam scorer over quantized codes: decode the adjacency list with
+    the frozen quantizer state, score against the raw query
+    (extra = (codes_matrix, quant_state, metric_value))."""
+    C_, quant_, mv = extra
+    mt = MetricType(mv)
+    q = np.asarray(qvec, dtype=np.float64)
+
+    def score(pos):
+        X = QuantizedHNSWIndex._decode(C_[pos], quant_)
+        return _keys_vs_query(X, q, mt)
+
+    return score
+
+
 class QuantizedHNSWIndex:
     """HNSW graph + codes table; beam scores codes, refine re-ranks raw."""
 
@@ -315,6 +337,50 @@ class QuantizedHNSWIndex:
                 X[:, j * sd : (j + 1) * sd] += cb[j][codes[:, r * m + j].astype(np.int64)]
         return X
 
+    def _artifact_bytes(self) -> int:
+        """Broadcast footprint of the *codes* artifact — the quantization
+        win at serving time: n×width int16/fp16 codes instead of n×dim
+        fp32 raw vectors (4-16× smaller), plus int32 CSR adjacency."""
+        n = self.codes.count()
+        if n == 0:
+            return 0
+        head = self.codes.select("codes").head()
+        w = len(head["codes"]) if head else 0
+        per = 4 if self.quant["mode"] == "half" else 2
+        return n * w * per + n * (int(self.config.M) + 1) * 4 + n * 12
+
+    def _search_broadcast(
+        self, queries: DataFrame, kk: int, ef: int, metric: MetricType
+    ) -> DataFrame:
+        """Best-first beam over broadcast codes: the scorer decodes each
+        adjacency list with the frozen quantizer and scores against the
+        raw query (asymmetric distance, the ADC contract of
+        faiss_hnsw_config.h:95-205)."""
+        spark = self.codes.sparkSession
+        rows = self.codes.select("id", "codes").collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        dtype = np.float32 if self.quant["mode"] == "half" else np.int16
+        C = np.array([r["codes"] for r in rows], dtype=dtype)
+        del rows
+        order = np.argsort(ids)
+        ids, C = ids[order], C[order]
+
+        indptr, indices = _collect_csr(self.graph.edges, ids)
+        entry_pos = _entry_positions(ids, self.graph.entry_ids)
+        bc = spark.sparkContext.broadcast(
+            (ids, indptr, indices, entry_pos, (C, self.quant, metric.value))
+        )
+        return broadcast_beam_search(
+            queries,
+            k=kk,
+            ef=ef,
+            payload_bc=bc,
+            scorer_factory=_quant_scorer,
+            is_sim=metric.is_similarity,
+            query_id_col="query_id",
+            query_vec_col="qvec",
+        )
+
     # -- Search: quantized beam + exact refine --------------------------------
     def search(
         self,
@@ -326,7 +392,13 @@ class QuantizedHNSWIndex:
         max_hops: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
     ) -> DataFrame:
+        """Strategies mirror :meth:`HNSWIndex.search`: ``broadcast`` ships
+        the codes + CSR adjacency to executors and beams in one
+        mapInPandas (auto-picked when the codes artifact fits
+        ``_BROADCAST_MAX_BYTES``); ``bfs`` is the frontier-join table path
+        scoring a codes *table* per hop."""
         k = k if k is not None else self.config.k
         refine_k = refine_k if refine_k is not None else self.config.refine_k
         do_refine = self.config.refine or refine_k > 1.0
@@ -338,6 +410,26 @@ class QuantizedHNSWIndex:
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
         )
+
+        if strategy not in ("auto", "broadcast", "bfs"):
+            raise ValueError(f"unknown search strategy {strategy!r}")
+        use_broadcast = strategy == "broadcast" or (
+            strategy == "auto" and self._artifact_bytes() <= _BROADCAST_MAX_BYTES
+        )
+        if use_broadcast:
+            approx = self._search_broadcast(
+                queries, kk, max(ef if ef is not None else self.config.ef, kk), metric
+            )
+            if not do_refine:
+                return approx
+            return exact_refine(
+                approx.select("query_id", "neighbor_id"),
+                self.graph.vectors,
+                queries,
+                k,
+                metric,
+                query_vec_col="qvec",
+            )
         qrows = queries.collect()
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)

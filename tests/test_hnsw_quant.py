@@ -148,3 +148,30 @@ def test_hnsw_pq_save_load_roundtrip(spark, tmp_path):
     assert loaded.type() == "HNSW_PRQ"
     for s_a, s_b in zip(idx.quant["stages"], loaded.quant["stages"]):
         assert np.allclose(s_a, s_b)
+
+
+def test_hnsw_quant_broadcast_vs_bfs(spark):
+    """Broadcast codes-beam and BFS table path both clear the recall
+    floor; the broadcast plan (no refine) is join-free — codes + CSR ship
+    once, beam runs in one mapInPandas."""
+    nb, dim, nq, k = 800, 32, 8, 10
+    base = gen_dense(nb, dim, seed=61)
+    qs = gen_dense(nq, dim, seed=62)
+    idx = build_index(
+        dense_df(spark, base), "HNSW_SQ",
+        {"metric_type": "L2", "M": 16, "ef": 32, "sq_type": "SQ8"},
+    )
+    qdf = dense_df(spark, qs, QUERY_SCHEMA)
+
+    res_b = idx.search(qdf, k=k, ef=48, strategy="broadcast")
+    assert "Join" not in res_b._jdf.queryExecution().executedPlan().toString()
+    got_b = {}
+    for r in res_b.collect():
+        got_b.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    truth = np_knn(base, qs, k, "L2")
+    assert recall_at_k(got_b, truth, k) >= 0.6
+
+    got_f = {}
+    for r in idx.search(qdf, k=k, ef=48, max_hops=4, strategy="bfs").collect():
+        got_f.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    assert recall_at_k(got_f, truth, k) >= 0.6
