@@ -133,6 +133,47 @@ class BinaryIVFIndex:
             self.centroids, self.assignments.unionByName(assigned), self.config
         )
 
+    def probe_assign(self, queries: DataFrame, nprobe: int) -> DataFrame:
+        """Distributed probe assignment: ``mapInPandas`` over the query set
+        against the broadcast packed-byte centroid matrix, one
+        ``(query_id, cell_id, qvec)`` row per probed cell.  The query set
+        never touches the driver — the binary twin of
+        :func:`knowhere_spark.operators.ivf.probe_assign_df`."""
+        spark = queries.sparkSession
+        bc = spark.sparkContext.broadcast((self.centroids, nprobe))
+        schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("cell_id", IntegerType()),
+                StructField("qvec", BinaryType()),
+            ]
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, npb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.frombuffer(
+                    b"".join(bytes(v) for v in pdf["qvec"]), dtype=np.uint8
+                ).reshape(len(pdf), -1)
+                order = np.argsort(
+                    _hamming_matrix(Q, C), axis=1, kind="stable"
+                )[:, :npb]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(pdf["query_id"].to_numpy(), npb),
+                        "cell_id": order.ravel().astype(np.int32),
+                        "qvec": [
+                            bytes(v) for v in np.repeat(pdf["qvec"].to_numpy(), npb)
+                        ],
+                    }
+                )
+
+        from knowhere_spark.session import ensure_parallelism
+
+        return ensure_parallelism(queries).mapInPandas(kernel, schema)
+
     def search(
         self,
         query_df: DataFrame,
@@ -142,39 +183,65 @@ class BinaryIVFIndex:
         filter_expr: Column | str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
     ) -> DataFrame:
-        """Top-k within probed cells; metric from config (HAMMING/JACCARD)."""
+        """Top-k within probed cells; metric from config (HAMMING/JACCARD).
+
+        ``strategy`` mirrors the dense IVF contract: ``driver`` collects
+        the query set once (nq<=10k serving regime), prunes candidate
+        cells statically and broadcasts the probe list; ``distributed``
+        never collects — probe assignment runs as ``mapInPandas`` and the
+        probe table joins candidates on ``cell_id`` (Catalyst/AQE picks
+        the join strategy).  ``auto`` cuts over by query count."""
+        from knowhere_spark.operators.ivf import IVFFlatIndex
+
         k = k if k is not None else self.config.k
         nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
         metric = MetricType(self.config.metric_type)
         spark = self.assignments.sparkSession
 
-        qrows = query_df.select(
+        queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
-        ).collect()
-        Q = np.frombuffer(b"".join(r["qvec"] for r in qrows), dtype=np.uint8).reshape(
-            len(qrows), -1
         )
-        # probe by hamming-to-centroid regardless of scan metric (the
-        # reference's binary coarse quantizer is hamming-based)
-        order = np.argsort(_hamming_matrix(Q, self.centroids), axis=1, kind="stable")[
-            :, :nprobe
-        ]
-        probe_rows = [
-            (int(r["query_id"]), int(c), bytes(r["qvec"]))
-            for r, cells in zip(qrows, order)
-            for c in cells
-        ]
-        probe_df = spark.createDataFrame(
-            probe_rows, "query_id long, cell_id int, qvec binary"
-        )
-        cells = sorted({c for _, c, _ in probe_rows})
+        nq_max = IVFFlatIndex._DRIVER_NQ_MAX
+        if strategy == "auto":
+            qrows = queries.limit(nq_max + 1).collect()
+            strategy = "distributed" if len(qrows) > nq_max else "driver"
+        elif strategy == "driver":
+            qrows = queries.collect()
+
         cand = self.assignments
         if filter_expr is not None:
             cand = cand.filter(filter_expr)
-        cand = cand.filter(F.col("cell_id").isin(cells))
-        joined = cand.join(F.broadcast(probe_df), "cell_id")
+
+        if strategy == "distributed":
+            probe_df = self.probe_assign(queries, nprobe)
+            joined = cand.join(probe_df, "cell_id")
+        elif strategy == "driver":
+            Q = np.frombuffer(
+                b"".join(r["qvec"] for r in qrows), dtype=np.uint8
+            ).reshape(len(qrows), -1)
+            # probe by hamming-to-centroid regardless of scan metric (the
+            # reference's binary coarse quantizer is hamming-based)
+            order = np.argsort(
+                _hamming_matrix(Q, self.centroids), axis=1, kind="stable"
+            )[:, :nprobe]
+            probe_rows = [
+                (int(r["query_id"]), int(c), bytes(r["qvec"]))
+                for r, cells in zip(qrows, order)
+                for c in cells
+            ]
+            probe_df = spark.createDataFrame(
+                probe_rows, "query_id long, cell_id int, qvec binary"
+            )
+            cells = sorted({c for _, c, _ in probe_rows})
+            joined = cand.filter(F.col("cell_id").isin(cells)).join(
+                F.broadcast(probe_df), "cell_id"
+            )
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+
         scored = joined.select(
             "query_id",
             F.col("id").alias("neighbor_id"),

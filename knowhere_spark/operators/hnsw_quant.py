@@ -430,11 +430,7 @@ class QuantizedHNSWIndex:
                 metric,
                 query_vec_col="qvec",
             )
-        qrows = queries.collect()
-        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
-        qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
-        qpos = {int(q): i for i, q in enumerate(qids)}
-        bq = spark.sparkContext.broadcast((qpos, qmat, self.quant, metric.value))
+        bq = spark.sparkContext.broadcast((self.quant, metric.value))
         codes = self.codes
 
         out_schema = StructType(
@@ -445,13 +441,18 @@ class QuantizedHNSWIndex:
             ]
         )
 
-        def quant_score(cand: DataFrame, _queries: DataFrame) -> DataFrame:
-            withcodes = cand.join(codes, cand["node_id"] == codes["id"]).select(
-                "query_id", "node_id", "codes"
+        def quant_score(cand: DataFrame, queries_df: DataFrame) -> DataFrame:
+            # query vectors arrive via an in-plan join (Catalyst picks
+            # broadcast vs shuffle by size) — the query set is never
+            # collected to the driver, so the BFS path survives large nq
+            withcodes = (
+                cand.join(codes, cand["node_id"] == codes["id"])
+                .join(queries_df, "query_id")
+                .select("query_id", "node_id", "codes", "qvec")
             )
 
             def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                qpos_, qmat_, quant_, mv = bq.value
+                quant_, mv = bq.value
                 mt = MetricType(mv)
                 for pdf in batches:
                     if len(pdf) == 0:
@@ -459,8 +460,8 @@ class QuantizedHNSWIndex:
                     X = QuantizedHNSWIndex._decode(
                         np.array(list(pdf["codes"].to_numpy())), quant_
                     )
-                    qi = np.array([qpos_[int(q)] for q in pdf["query_id"]], dtype=np.int64)
-                    d = _row_distances(X, qmat_[qi], mt)
+                    Q = np.array(list(pdf["qvec"].to_numpy()), dtype=np.float64)
+                    d = _row_distances(X, Q, mt)
                     yield pd.DataFrame(
                         {
                             "query_id": pdf["query_id"].to_numpy(),

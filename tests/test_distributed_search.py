@@ -191,3 +191,20 @@ def test_bf_distributed_ip_with_filter(spark, monkeypatch):
     assert _rows(dist_df) == _rows(
         BruteForce.search(base_df, q_df, 8, "IP", strategy="sql", filter_expr=flt)
     )
+
+
+def test_bin_ivf_distributed_matches_driver(spark, monkeypatch):
+    from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+    from tests.conftest import BIN_QUERY_SCHEMA, binary_df, gen_binary
+
+    base = gen_binary(1200, 64, seed=51)
+    q = gen_binary(150, 64, seed=52)
+    idx = BinaryIVFIndex.build(
+        binary_df(spark, base), IvfConfig(metric_type="HAMMING", nlist=8, nprobe=4)
+    )
+    idx.assignments.cache().count()
+    q_df = binary_df(spark, q, BIN_QUERY_SCHEMA)
+    with _NoCollect(monkeypatch):
+        dist_df = idx.search(q_df, k=10, nprobe=4, strategy="distributed")
+    driver_df = idx.search(q_df, k=10, nprobe=4, strategy="driver")
+    assert _rows(dist_df) == _rows(driver_df)
