@@ -521,13 +521,17 @@ class HNSWIndex:
 
     def _artifact_bytes(self) -> int:
         """Estimated broadcast footprint: n*dim float32 vectors plus an
-        upper-bound M out-edges per node as int32 CSR."""
-        n = self.vectors.count()
-        if n == 0:
-            return 0
-        head = self.vectors.select("vec").head()
-        dim = len(head["vec"]) if head else 0
-        return n * dim * 4 + n * (int(self.config.M) + 1) * 4 + n * 12
+        upper-bound M out-edges per node as int32 CSR.  Memoized — the
+        auto-strategy check must not cost two Spark jobs per search."""
+        if getattr(self, "_abytes", None) is None:
+            n = self.vectors.count()
+            if n == 0:
+                self._abytes = 0
+            else:
+                head = self.vectors.select("vec").head()
+                dim = len(head["vec"]) if head else 0
+                self._abytes = n * dim * 4 + n * (int(self.config.M) + 1) * 4 + n * 12
+        return self._abytes
 
     def _search_broadcast(
         self,
@@ -543,18 +547,25 @@ class HNSWIndex:
         metric = MetricType(self.config.metric_type)
         spark = self.vectors.sparkSession
 
-        rows = self.vectors.select("id", "vec").collect()
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        X = np.array([r["vec"] for r in rows], dtype=np.float32)
-        del rows
-        order = np.argsort(ids)
-        ids, X = ids[order], X[order]
+        # memoized: the graph artifact is immutable per index instance
+        # (add/refine return new instances), so collect+broadcast once and
+        # reuse across search calls — the serving amortization the
+        # reference gets from keeping the graph resident in RAM
+        bc = getattr(self, "_bc_graph", None)
+        if bc is None:
+            rows = self.vectors.select("id", "vec").collect()
+            ids = np.array([r["id"] for r in rows], dtype=np.int64)
+            X = np.array([r["vec"] for r in rows], dtype=np.float32)
+            del rows
+            order = np.argsort(ids)
+            ids, X = ids[order], X[order]
 
-        indptr, indices = _collect_csr(self.edges, ids)
-        entry_pos = _entry_positions(ids, self.entry_ids)
-        bc = spark.sparkContext.broadcast(
-            (ids, indptr, indices, entry_pos, (X, metric.value))
-        )
+            indptr, indices = _collect_csr(self.edges, ids)
+            entry_pos = _entry_positions(ids, self.entry_ids)
+            bc = spark.sparkContext.broadcast(
+                (ids, indptr, indices, entry_pos, (X, metric.value))
+            )
+            self._bc_graph = bc
         return broadcast_beam_search(
             query_df,
             k=k,

@@ -340,14 +340,19 @@ class QuantizedHNSWIndex:
     def _artifact_bytes(self) -> int:
         """Broadcast footprint of the *codes* artifact — the quantization
         win at serving time: n×width int16/fp16 codes instead of n×dim
-        fp32 raw vectors (4-16× smaller), plus int32 CSR adjacency."""
-        n = self.codes.count()
-        if n == 0:
-            return 0
-        head = self.codes.select("codes").head()
-        w = len(head["codes"]) if head else 0
-        per = 4 if self.quant["mode"] == "half" else 2
-        return n * w * per + n * (int(self.config.M) + 1) * 4 + n * 12
+        fp32 raw vectors (4-16× smaller), plus int32 CSR adjacency.
+        Memoized — the auto-strategy check must not cost two Spark jobs
+        per search."""
+        if getattr(self, "_abytes", None) is None:
+            n = self.codes.count()
+            if n == 0:
+                self._abytes = 0
+            else:
+                head = self.codes.select("codes").head()
+                w = len(head["codes"]) if head else 0
+                per = 4 if self.quant["mode"] == "half" else 2
+                self._abytes = n * w * per + n * (int(self.config.M) + 1) * 4 + n * 12
+        return self._abytes
 
     def _search_broadcast(
         self, queries: DataFrame, kk: int, ef: int, metric: MetricType
@@ -357,19 +362,23 @@ class QuantizedHNSWIndex:
         raw query (asymmetric distance, the ADC contract of
         faiss_hnsw_config.h:95-205)."""
         spark = self.codes.sparkSession
-        rows = self.codes.select("id", "codes").collect()
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        dtype = np.float32 if self.quant["mode"] == "half" else np.int16
-        C = np.array([r["codes"] for r in rows], dtype=dtype)
-        del rows
-        order = np.argsort(ids)
-        ids, C = ids[order], C[order]
+        # memoized like HNSWIndex._search_broadcast: codes + CSR ship once
+        bc = getattr(self, "_bc_codes", None)
+        if bc is None:
+            rows = self.codes.select("id", "codes").collect()
+            ids = np.array([r["id"] for r in rows], dtype=np.int64)
+            dtype = np.float32 if self.quant["mode"] == "half" else np.int16
+            C = np.array([r["codes"] for r in rows], dtype=dtype)
+            del rows
+            order = np.argsort(ids)
+            ids, C = ids[order], C[order]
 
-        indptr, indices = _collect_csr(self.graph.edges, ids)
-        entry_pos = _entry_positions(ids, self.graph.entry_ids)
-        bc = spark.sparkContext.broadcast(
-            (ids, indptr, indices, entry_pos, (C, self.quant, metric.value))
-        )
+            indptr, indices = _collect_csr(self.graph.edges, ids)
+            entry_pos = _entry_positions(ids, self.graph.entry_ids)
+            bc = spark.sparkContext.broadcast(
+                (ids, indptr, indices, entry_pos, (C, self.quant, metric.value))
+            )
+            self._bc_codes = bc
         return broadcast_beam_search(
             queries,
             k=kk,
