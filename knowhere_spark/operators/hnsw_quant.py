@@ -60,6 +60,7 @@ from knowhere_spark.operators.hnsw import (
     _BROADCAST_MAX_BYTES,
     HNSWIndex,
     _collect_csr,
+    _collect_id_matrix,
     _entry_positions,
     _keys_vs_query,
     broadcast_beam_search,
@@ -237,14 +238,16 @@ def _encode_with_quant(df: DataFrame, quant: dict) -> DataFrame:
 def _quant_scorer(extra, qvec):
     """Beam scorer over quantized codes: decode the adjacency list with
     the frozen quantizer state, score against the raw query
-    (extra = (codes_matrix, quant_state, metric_value))."""
-    C_, quant_, mv = extra
+    (extra = (codes_matrix, quant_state, metric_value, decoded_norms))."""
+    C_, quant_, mv, xnorm_ = extra
     mt = MetricType(mv)
     q = np.asarray(qvec, dtype=np.float64)
 
     def score(pos):
         X = QuantizedHNSWIndex._decode(C_[pos], quant_)
-        return _keys_vs_query(X, q, mt)
+        return _keys_vs_query(
+            X, q, mt, xnorm_[pos] if xnorm_ is not None else None
+        )
 
     return score
 
@@ -341,8 +344,8 @@ class QuantizedHNSWIndex:
         """Broadcast footprint of the *codes* artifact — the quantization
         win at serving time: n×width int16/fp16 codes instead of n×dim
         fp32 raw vectors (4-16× smaller), plus int32 CSR adjacency.
-        Memoized — the auto-strategy check must not cost two Spark jobs
-        per search."""
+        Memoized — the auto-strategy check must not cost Spark jobs on
+        every search."""
         if getattr(self, "_abytes", None) is None:
             n = self.codes.count()
             if n == 0:
@@ -351,7 +354,8 @@ class QuantizedHNSWIndex:
                 head = self.codes.select("codes").head()
                 w = len(head["codes"]) if head else 0
                 per = 4 if self.quant["mode"] == "half" else 2
-                self._abytes = n * w * per + n * (int(self.config.M) + 1) * 4 + n * 12
+                n_edges = self.graph.edges.count()
+                self._abytes = n * w * per + n_edges * 4 + n * 16
         return self._abytes
 
     def _search_broadcast(
@@ -365,18 +369,23 @@ class QuantizedHNSWIndex:
         # memoized like HNSWIndex._search_broadcast: codes + CSR ship once
         bc = getattr(self, "_bc_codes", None)
         if bc is None:
-            rows = self.codes.select("id", "codes").collect()
-            ids = np.array([r["id"] for r in rows], dtype=np.int64)
             dtype = np.float32 if self.quant["mode"] == "half" else np.int16
-            C = np.array([r["codes"] for r in rows], dtype=dtype)
-            del rows
-            order = np.argsort(ids)
-            ids, C = ids[order], C[order]
-
+            ids, C = _collect_id_matrix(self.codes, "id", "codes", dtype)
             indptr, indices = _collect_csr(self.graph.edges, ids)
             entry_pos = _entry_positions(ids, self.graph.entry_ids)
+            xnorm = None
+            if metric == MetricType.COSINE and len(ids):
+                # decoded row norms, computed once in 64k-row chunks so the
+                # hot scorer never re-norms an adjacency list and the
+                # transient decode never exceeds one chunk
+                xnorm = np.empty(len(ids), dtype=np.float64)
+                for lo in range(0, len(ids), 65536):
+                    hi = min(lo + 65536, len(ids))
+                    xnorm[lo:hi] = np.linalg.norm(
+                        self._decode(C[lo:hi], self.quant), axis=1
+                    )
             bc = spark.sparkContext.broadcast(
-                (ids, indptr, indices, entry_pos, (C, self.quant, metric.value))
+                (ids, indptr, indices, entry_pos, (C, self.quant, metric.value, xnorm))
             )
             self._bc_codes = bc
         return broadcast_beam_search(
@@ -423,7 +432,7 @@ class QuantizedHNSWIndex:
         if strategy not in ("auto", "broadcast", "bfs"):
             raise ValueError(f"unknown search strategy {strategy!r}")
         use_broadcast = strategy == "broadcast" or (
-            strategy == "auto" and self._artifact_bytes() <= _BROADCAST_MAX_BYTES
+            strategy == "auto" and 0 < self._artifact_bytes() <= _BROADCAST_MAX_BYTES
         )
         if use_broadcast:
             approx = self._search_broadcast(

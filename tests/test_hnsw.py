@@ -24,7 +24,11 @@ def test_hnsw_recall_l2(spark):
     assert deg <= 16
     assert idx.edges.filter(F.col("src") == F.col("dst")).count() == 0
 
-    res = idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=32, max_hops=4)
+    # explicit bfs: the frontier-join table path must stay correct on its
+    # own (auto would pick broadcast for a graph this small)
+    res = idx.search(
+        dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=32, max_hops=4, strategy="bfs"
+    )
     got = {}
     for r in res.collect():
         got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
