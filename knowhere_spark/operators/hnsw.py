@@ -305,7 +305,9 @@ class HNSWIndex:
         sample = base
         if n > _TRAIN_SAMPLE_MAX:
             sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=42)
-        S = np.array([r["vec"] for r in sample.select("vec").collect()], dtype=np.float64)
+        from knowhere_spark.session import collect_vec_matrix
+
+        S = collect_vec_matrix(sample, "vec")
         rng = np.random.default_rng(42)
         centroids = S[rng.choice(len(S), size=min(nlist, len(S)), replace=False)]
 

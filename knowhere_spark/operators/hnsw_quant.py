@@ -135,7 +135,9 @@ def _make_quant(base: DataFrame, config: HnswConfig, index_type: IndexType) -> d
         seed = getattr(config, "seed", 42)
         if n > _TRAIN_SAMPLE_MAX:
             sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=seed)
-        S = np.array([r["vec"] for r in sample.select("vec").collect()], dtype=np.float64)
+        from knowhere_spark.session import collect_vec_matrix
+
+        S = collect_vec_matrix(sample, "vec")
         stages = []
         R = S.copy()
         for r in range(nrq):

@@ -119,10 +119,9 @@ class IVFFlatIndex:
             # the capped sample fits the driver comfortably — train exactly
             # where the reference does (single-node over the subsample),
             # skipping ~20 distributed-job round-trips of an MLlib fit
-            X = np.array(
-                [r["vec"] for r in train_df.select("vec").collect()],
-                dtype=np.float64,
-            )
+            from knowhere_spark.session import collect_vec_matrix
+
+            X = collect_vec_matrix(train_df, "vec")
             centroids = numpy_kmeans(X, nlist, iters=20, seed=config.seed)
             nlist = len(centroids)
             assignments = _assign_cells(base, centroids)

@@ -153,9 +153,9 @@ class IVFPqIndex:
         sample = flat.assignments
         if n > _TRAIN_SAMPLE_MAX:
             sample = sample.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed)
-        S = np.array(
-            [r["vec"] for r in sample.select("vec").collect()], dtype=np.float64
-        )
+        from knowhere_spark.session import collect_vec_matrix
+
+        S = collect_vec_matrix(sample, "vec")
         codebooks = np.stack(
             [
                 _lloyd(S[:, j * subdim : (j + 1) * subdim], ksub, config.seed + j)

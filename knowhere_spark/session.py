@@ -33,6 +33,29 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df.repartition(target)
 
 
+def collect_vec_matrix(df: DataFrame, col: str = "vec", dtype=None):
+    """Collect a fixed-length array column into one ``(n, dim)`` numpy
+    matrix via Arrow.
+
+    Row-based ``collect()`` boxes every float as a Python object (~10×
+    the memory of the final matrix) — at the 50-100k-row train-sample
+    sizes the index builders use, that transient blow-up matters.  Falls
+    back to the Row path when the plan can't be served by Arrow."""
+    import numpy as np
+
+    dtype = dtype or np.float64
+    try:
+        tbl = df.select(col).toArrow()
+        lst = tbl.column(0).combine_chunks()
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+        n = len(lst)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    except Exception:
+        return np.array(
+            [r[col] for r in df.select(col).collect()], dtype=dtype
+        )
+
+
 def build_session(
     master: str | None = None,
     *,
