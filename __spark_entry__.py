@@ -510,6 +510,19 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K, max_hops=3))
 
 
+def q_hnsw_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HNSW (segment architecture): per-shard broadcast beams,
+    bounded executor memory, merged top-k — ANN, rows-only gate."""
+    from knowhere_spark.config import HnswConfig
+    from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    idx = ShardedHNSWIndex.build(
+        base, HnswConfig(metric_type="L2", M=16, ef=32, k=K), n_shards=2
+    )
+    return _knn_out(idx.search(queries_, k=K))
+
+
 def q_hnsw_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW_SQ: beam over SQ8 codes + exact refine of 2k candidates
     (faiss_hnsw_config.h:95-151 + refine contract 22-93) — ANN, rows-only."""
@@ -878,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_knn": q_ivf_pq_knn,
         "scann_knn": q_scann_knn,
         "hnsw_knn": q_hnsw_knn,
+        "hnsw_sharded_knn": q_hnsw_sharded_knn,
         "hnsw_sq_knn": q_hnsw_sq_knn,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_assign_fixed": q_kmeans_assign_fixed,

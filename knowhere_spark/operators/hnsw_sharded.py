@@ -1,0 +1,156 @@
+"""Sharded HNSW — the 100 TB shape for graph ANN.
+
+The reference is an in-RAM single-node library; the system built on it
+(segment-oriented vector databases) scales graph indexes by splitting the
+corpus into bounded *segments*, building one graph per segment, searching
+every segment, and merging per-query top-k.  This operator is that
+architecture on Spark primitives:
+
+- **Build**: rows hash-shard by id into ``n_shards`` groups sized so each
+  shard's graph artifact fits the broadcast bound
+  (:data:`knowhere_spark.operators.hnsw._BROADCAST_MAX_BYTES`); each
+  shard builds an independent :class:`HNSWIndex` (itself a distributed
+  batch job over that shard's rows).
+- **Search**: shards are searched *sequentially*, each through the
+  broadcast best-first beam; every per-shard result (nq×k rows — small)
+  is materialized before the shard's graph broadcast is released, so
+  peak executor memory is ONE shard artifact regardless of corpus size.
+  The union then takes a final per-query top-k merge — the same
+  partial-then-final shape every other top-k in this engine uses.
+
+Recall note: searching every shard with the full beam is at least as
+accurate as one graph over the union (each shard's beam is exact over a
+smaller candidate space), at the cost of shards× beam work — exactly the
+segment-count tradeoff the segment-oriented architecture makes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import HnswConfig, IndexType, MetricType
+from knowhere_spark.operators.hnsw import _BROADCAST_MAX_BYTES, HNSWIndex
+from knowhere_spark.operators.topk import topk_per_key
+
+
+class ShardedHNSWIndex:
+    """A list of per-segment HNSW graphs over a hash-sharded corpus."""
+
+    def __init__(self, shards: list[HNSWIndex], config: HnswConfig):
+        if not shards:
+            raise ValueError("ShardedHNSWIndex needs at least one shard")
+        self.shards = shards
+        self.config = config
+        self.index_type = IndexType.HNSW
+
+    def count(self) -> int:
+        return sum(s.count() for s in self.shards)
+
+    def type(self) -> str:
+        return self.index_type.value
+
+    def has_raw_data(self) -> bool:
+        return True
+
+    @classmethod
+    def build(
+        cls,
+        base_df: DataFrame,
+        config: HnswConfig,
+        *,
+        n_shards: int | None = None,
+        target_shard_bytes: int = _BROADCAST_MAX_BYTES,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "ShardedHNSWIndex":
+        """``n_shards`` defaults to the smallest count keeping each
+        shard's estimated artifact (vectors + M-degree CSR) under
+        ``target_shard_bytes``."""
+        base = base_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        if n_shards is None:
+            n = base.count()
+            head = base.select("vec").head()
+            dim = len(head["vec"]) if head else 0
+            per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
+            n_shards = max(1, math.ceil(n * per_row / target_shard_bytes))
+        sharded = base.withColumn(
+            "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
+        )
+        shards = []
+        for s in range(n_shards):
+            part = sharded.filter(F.col("__shard") == s).drop("__shard")
+            shards.append(HNSWIndex.build(part, config))
+        return cls(shards, config)
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        ef: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Per-shard broadcast beam, eager per-shard materialization (so
+        only one shard's graph is resident at a time), final top-k merge.
+
+        Ties across shards break by ``(distance, neighbor_id)`` — the
+        engine-wide ordering contract (FIXTURES.md T7)."""
+        k = k if k is not None else self.config.k
+        metric = MetricType(self.config.metric_type)
+        partials = []
+        for shard in self.shards:
+            res = shard.search(
+                query_df, k, ef=ef, strategy="broadcast",
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+            ).drop("rank")
+            res = res.cache()
+            res.count()                       # materialize before releasing
+            bc = getattr(shard, "_bc_graph", None)
+            if bc is not None:
+                bc.unpersist()                # free executor copies
+                shard._bc_graph = None        # next search re-broadcasts
+            partials.append(res)
+        merged = partials[0]
+        for p in partials[1:]:
+            merged = merged.unionByName(p)
+        out = topk_per_key(
+            merged, "query_id", "distance", k,
+            ascending=not metric.is_similarity, tie_breaker="neighbor_id",
+        )
+        return out
+
+    def save(self, path: str) -> None:
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": "SHARDED_HNSW",
+                "metric_type": self.config.metric_type.value,
+                "M": self.config.M,
+                "ef": self.config.ef,
+                "n_shards": len(self.shards),
+            }
+        )
+        for i, s in enumerate(self.shards):
+            s.save(f"{path}/shard={i}")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ShardedHNSWIndex":
+        from knowhere_spark.sources.index_store import IndexStore
+
+        m = IndexStore(path).read_manifest()
+        shards = [
+            HNSWIndex.load(spark, f"{path}/shard={i}")
+            for i in range(int(m["n_shards"]))
+        ]
+        cfg = HnswConfig(
+            metric_type=MetricType(m["metric_type"]), M=int(m["M"]), ef=int(m["ef"])
+        )
+        return cls(shards, cfg)

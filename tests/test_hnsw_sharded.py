@@ -1,0 +1,68 @@
+"""Sharded HNSW — the segment architecture: per-shard graphs searched
+sequentially with bounded executor memory, merged top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from knowhere_spark.config import HnswConfig
+from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+from conftest import QUERY_SCHEMA, dense_df, gen_dense, np_knn, recall_at_k
+
+
+def _got(res):
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    return got
+
+
+def test_sharded_hnsw_recall_and_merge(spark):
+    nb, dim, nq, k = 1200, 32, 15, 10
+    base = gen_dense(nb, dim, seed=71)
+    qs = gen_dense(nq, dim, seed=72)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base),
+        HnswConfig(metric_type="L2", M=16, ef=32),
+        n_shards=3,
+    )
+    assert idx.count() == nb
+    # every row landed in exactly one shard
+    assert sum(s.count() for s in idx.shards) == nb
+
+    res = idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=48)
+    got = _got(res)
+    truth = np_knn(base, qs, k, "L2")
+    # per-shard beams are exact over smaller candidate spaces — merged
+    # recall should beat the single-graph floor comfortably
+    assert recall_at_k(got, truth, k) >= 0.8
+    # merged result is exactly k per query, distances ascending (L2)
+    for pairs in got.values():
+        assert len(pairs) == k
+        ds = [d for _, d in pairs]
+        assert ds == sorted(ds)
+
+
+def test_sharded_hnsw_save_load(spark, tmp_path):
+    nb, dim, nq, k = 600, 16, 6, 5
+    base = gen_dense(nb, dim, seed=73)
+    qs = gen_dense(nq, dim, seed=74)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base),
+        HnswConfig(metric_type="L2", M=12, ef=24),
+        n_shards=2,
+    )
+    path = str(tmp_path / "sharded")
+    idx.save(path)
+    loaded = ShardedHNSWIndex.load(spark, path)
+    assert len(loaded.shards) == 2
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    a = sorted(
+        (r["query_id"], r["neighbor_id"]) for r in idx.search(q_df, k=k).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"]) for r in loaded.search(q_df, k=k).collect()
+    )
+    assert a == b
