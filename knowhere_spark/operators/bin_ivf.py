@@ -92,6 +92,12 @@ class BinaryIVFIndex:
     def has_raw_data(self) -> bool:
         return True
 
+    def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
+        """``GetVectorByIds`` (index_node.h:340-350) — broadcast semi-join
+        against the cell-partitioned raw bytes."""
+        ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
+        return self.assignments.select("id", "vec").join(F.broadcast(ids), "id")
+
     @classmethod
     def build(
         cls,

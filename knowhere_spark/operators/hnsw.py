@@ -535,6 +535,12 @@ class HNSWIndex:
 
     # -- Serialize / Deserialize (index_node.h:371-401): the graph is two
     #    plain tables — exactly the artifact role SURVEY.md §2.3 assigns ----
+    def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
+        """``GetVectorByIds`` (index_node.h:340-350) — broadcast semi-join
+        against the graph's raw vector table."""
+        ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
+        return self.vectors.select("id", "vec").join(F.broadcast(ids), "id")
+
     def save(self, path: str) -> None:
         from knowhere_spark.sources.index_store import IndexStore
 

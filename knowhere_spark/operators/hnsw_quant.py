@@ -325,6 +325,16 @@ class QuantizedHNSWIndex:
             self.index_type,
         )
 
+    def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
+        """``GetVectorByIds`` — only legal when the refine table keeps
+        full-precision data (HasRawData rules, flat.cc:257-285)."""
+        if not self.has_raw_data():
+            raise ValueError(
+                f"{self.type()} without fp32 refine does not keep raw data "
+                "(HasRawData=false); GetVectorByIds is unsupported"
+            )
+        return self.graph.get_vector_by_ids(ids_df, id_col=id_col)
+
     # -- decode (driver-side params, executor-side numpy) ---------------------
     @staticmethod
     def _decode(codes: np.ndarray, quant: dict) -> np.ndarray:

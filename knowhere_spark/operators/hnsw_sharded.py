@@ -125,6 +125,15 @@ class ShardedHNSWIndex:
         )
         return out
 
+    def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
+        """``GetVectorByIds`` across shards — each shard's raw table
+        semi-joins the id list; ids are disjoint across shards by
+        construction so the union is exact."""
+        out = self.shards[0].get_vector_by_ids(ids_df, id_col=id_col)
+        for s in self.shards[1:]:
+            out = out.unionByName(s.get_vector_by_ids(ids_df, id_col=id_col))
+        return out
+
     def save(self, path: str) -> None:
         from knowhere_spark.sources.index_store import IndexStore
 

@@ -98,6 +98,11 @@ class ScannIndex:
     def has_raw_data(self) -> bool:
         return self.sq.with_raw_data
 
+    def get_vector_by_ids(self, ids_df, *, id_col: str = "id"):
+        """``GetVectorByIds`` — delegates to the inner SQ index (legal
+        only when SCANN kept raw data, ivf_config.h:101-162)."""
+        return self.sq.get_vector_by_ids(ids_df, id_col=id_col)
+
     def add(self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec") -> "ScannIndex":
         """Append with frozen train state (delegates to the inner SQ index;
         raw vectors ride along when ``with_raw_data`` so refine still

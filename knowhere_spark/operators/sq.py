@@ -137,6 +137,17 @@ class IVFSq8Index:
         # SQ8 drops raw data unless refine keeps it (flat.cc:257-285 rules)
         return self.with_raw_data
 
+    def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
+        """``GetVectorByIds`` (index_node.h:340-350) — legal only with
+        ``with_raw_data`` (HasRawData rules)."""
+        if not self.with_raw_data:
+            raise ValueError(
+                f"{self.type()} built without with_raw_data keeps no raw "
+                "vectors; GetVectorByIds is unsupported"
+            )
+        ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
+        return self.assignments.select("id", "vec").join(F.broadcast(ids), "id")
+
     @classmethod
     def build(
         cls,
