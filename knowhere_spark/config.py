@@ -93,6 +93,9 @@ class IndexType(str, Enum):
     HNSW_SQ = "HNSW_SQ"
     HNSW_PQ = "HNSW_PQ"
     HNSW_PRQ = "HNSW_PRQ"
+    # engine extension (not in the reference): segment architecture over
+    # per-shard HNSW graphs (operators/hnsw_sharded.py)
+    SHARDED_HNSW = "SHARDED_HNSW"
     DISKANN = "DISKANN"
     SPARSE_INVERTED_INDEX = "SPARSE_INVERTED_INDEX"
     SPARSE_WAND = "SPARSE_WAND"
@@ -116,6 +119,7 @@ SUPPORTED_METRICS: dict[IndexType, frozenset[MetricType]] = {
     IndexType.SCANN: _DENSE_METRICS,
     IndexType.BIN_IVF_FLAT: frozenset({MetricType.HAMMING, MetricType.JACCARD}),
     IndexType.HNSW: _DENSE_METRICS,
+    IndexType.SHARDED_HNSW: _DENSE_METRICS,
     IndexType.HNSW_SQ: _DENSE_METRICS,
     IndexType.HNSW_PQ: _DENSE_METRICS,
     IndexType.HNSW_PRQ: _DENSE_METRICS,
@@ -453,6 +457,7 @@ CONFIG_FOR_INDEX: dict[IndexType, type[BaseConfig]] = {
     IndexType.SCANN: ScannConfig,
     IndexType.BIN_IVF_FLAT: IvfConfig,
     IndexType.HNSW: HnswConfig,
+    IndexType.SHARDED_HNSW: HnswConfig,
     IndexType.HNSW_SQ: HnswSqConfig,
     IndexType.HNSW_PQ: HnswPqConfig,
     IndexType.HNSW_PRQ: HnswPrqConfig,

@@ -138,6 +138,10 @@ class IndexHandle:
             from knowhere_spark.operators.hnsw import HNSWIndex
 
             return HNSWIndex.build(base_df, self.config, **kw)
+        if t == IndexType.SHARDED_HNSW:
+            from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+            return ShardedHNSWIndex.build(base_df, self.config, **kw)
         if t in (IndexType.HNSW_SQ, IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
             from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
 
@@ -173,9 +177,10 @@ def estimate_index_size(
     p = dict(params or {})
     fp = 4  # float32 storage
     if t in (IndexType.FLAT, IndexType.IVF_FLAT, IndexType.DISKANN, IndexType.HNSW,
-             IndexType.HNSW_SQ, IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
+             IndexType.SHARDED_HNSW, IndexType.HNSW_SQ, IndexType.HNSW_PQ,
+             IndexType.HNSW_PRQ):
         base = rows * (dim * fp + 8)
-        if t.value.startswith("HNSW"):
+        if "HNSW" in t.value:
             base += rows * int(p.get("M", 30)) * 20   # edges (src,dst,dist)
         return base
     if t == IndexType.IVF_SQ8:
@@ -249,6 +254,10 @@ def load_index(spark: SparkSession, path: str):
         from knowhere_spark.operators.hnsw import HNSWIndex
 
         return HNSWIndex.load(spark, path)
+    if t == IndexType.SHARDED_HNSW:
+        from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+        return ShardedHNSWIndex.load(spark, path)
     if t in (IndexType.HNSW_SQ, IndexType.HNSW_PQ, IndexType.HNSW_PRQ):
         from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
 

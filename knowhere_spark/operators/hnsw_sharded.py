@@ -44,7 +44,7 @@ class ShardedHNSWIndex:
             raise ValueError("ShardedHNSWIndex needs at least one shard")
         self.shards = shards
         self.config = config
-        self.index_type = IndexType.HNSW
+        self.index_type = IndexType.SHARDED_HNSW
 
     def count(self) -> int:
         return sum(s.count() for s in self.shards)
