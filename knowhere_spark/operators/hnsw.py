@@ -176,6 +176,7 @@ def broadcast_beam_search(
     is_sim: bool,
     query_id_col: str = "query_id",
     query_vec_col: str = "vec",
+    mask_bc=None,
 ) -> DataFrame:
     """Best-first ef-search with the graph artifact broadcast to executors.
 
@@ -193,6 +194,7 @@ def broadcast_beam_search(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, indptr_, indices_, entries, extra = payload_bc.value
         stamp = np.zeros(len(ids_), dtype=np.int64)
+        allowed = mask_bc.value if mask_bc is not None else None
         qno = 0
         for pdf in batches:
             out_q, out_n, out_d, out_r = [], [], [], []
@@ -203,8 +205,14 @@ def broadcast_beam_search(
                 stamp[entries] = qno
                 cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
                 heapq.heapify(cand)
-                # result max-heap of (−key, pos), bounded to ef
-                res = [(-s, p) for s, p in cand]
+                # result max-heap of (−key, pos), bounded to ef; a bitset
+                # filter gates RESULTS only — blocked nodes still traverse
+                # (the reference's filtered-HNSW semantics: the filter
+                # functor is checked at result insertion, hnsw.h)
+                res = [
+                    (-s, p) for s, p in cand
+                    if allowed is None or allowed[p]
+                ]
                 heapq.heapify(res)
                 while len(res) > ef:
                     heapq.heappop(res)
@@ -221,14 +229,14 @@ def broadcast_beam_search(
                     worst = -res[0][0] if len(res) >= ef else np.inf
                     for s, np_ in zip(nkeys, nb):
                         s = float(s)
-                        if len(res) < ef:
-                            heapq.heappush(res, (-s, int(np_)))
+                        if len(res) < ef or s < worst:
                             heapq.heappush(cand, (s, int(np_)))
-                            worst = -res[0][0]
-                        elif s < worst:
-                            heapq.heapreplace(res, (-s, int(np_)))
-                            heapq.heappush(cand, (s, int(np_)))
-                            worst = -res[0][0]
+                            if allowed is None or allowed[np_]:
+                                if len(res) < ef:
+                                    heapq.heappush(res, (-s, int(np_)))
+                                else:
+                                    heapq.heapreplace(res, (-s, int(np_)))
+                                worst = -res[0][0] if len(res) >= ef else np.inf
                 # (key, pos) sort == (distance, neighbor_id) tie-break,
                 # matching topk_per_key's ordering on the BFS path
                 top = sorted(((-nk, p) for nk, p in res))[:k]
@@ -591,6 +599,23 @@ class HNSWIndex:
                 self._abytes = n * dim * 4 + n_edges * 4 + n * 16
         return self._abytes
 
+    def _filter_mask_bc(self, filter_expr, ids_sorted: np.ndarray):
+        """Bitset over graph positions for a DataFrame filter: evaluate
+        the predicate once against the raw table (Catalyst-side), collect
+        the passing id set, mark positions.  One small broadcast per
+        search call (the mask varies with the filter, unlike the memoized
+        graph payload)."""
+        allowed_ids = _collect_column_numpy(
+            self.vectors.filter(filter_expr), "id", np.int64
+        )
+        mask = np.zeros(len(ids_sorted), dtype=bool)
+        pos = np.searchsorted(ids_sorted, allowed_ids)
+        ok = (pos < len(ids_sorted)) & (
+            ids_sorted[np.minimum(pos, len(ids_sorted) - 1)] == allowed_ids
+        )
+        mask[pos[ok]] = True
+        return self.vectors.sparkSession.sparkContext.broadcast(mask)
+
     def _search_broadcast(
         self,
         query_df: DataFrame,
@@ -599,6 +624,7 @@ class HNSWIndex:
         *,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        filter_expr=None,
     ) -> DataFrame:
         """Best-first ef-search with raw fp32 vectors broadcast to
         executors (see :func:`broadcast_beam_search`)."""
@@ -621,6 +647,11 @@ class HNSWIndex:
                 (ids, indptr, indices, entry_pos, (X, metric.value, xnorm))
             )
             self._bc_graph = bc
+        mask_bc = (
+            self._filter_mask_bc(filter_expr, bc.value[0])
+            if filter_expr is not None
+            else None
+        )
         return broadcast_beam_search(
             query_df,
             k=k,
@@ -630,6 +661,7 @@ class HNSWIndex:
             is_sim=metric.is_similarity,
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
+            mask_bc=mask_bc,
         )
 
     def search(
@@ -643,8 +675,13 @@ class HNSWIndex:
         query_vec_col: str = "vec",
         score_fn=None,
         strategy: str = "auto",
+        filter_expr=None,
     ) -> DataFrame:
         """Batch graph search; two physical strategies.
+
+        ``filter_expr`` (bitset analog) gates RESULTS only — blocked
+        nodes still traverse, the reference's filtered-HNSW semantics
+        (the filter functor is checked at result insertion).
 
         - ``"broadcast"`` — the serving shape, mirroring how the reference
           (and Milvus segments) actually run HNSW: the whole graph artifact
@@ -692,6 +729,7 @@ class HNSWIndex:
                 return self._search_broadcast(
                     query_df, k, ef,
                     query_id_col=query_id_col, query_vec_col=query_vec_col,
+                    filter_expr=filter_expr,
                 )
 
         queries = query_df.select(
@@ -744,8 +782,16 @@ class HNSWIndex:
                 .select("query_id", "node_id")
             )
 
+        final = visited.withColumnRenamed("node_id", "neighbor_id")
+        if filter_expr is not None:
+            # result-gating semi-join: blocked nodes traversed above but
+            # excluded from the returned set (filtered-HNSW semantics)
+            allowed = self.vectors.filter(filter_expr).select(
+                F.col("id").alias("neighbor_id")
+            )
+            final = final.join(allowed, "neighbor_id", "leftsemi")
         out = topk_per_key(
-            visited.withColumnRenamed("node_id", "neighbor_id"),
+            final,
             "query_id",
             "distance",
             k,

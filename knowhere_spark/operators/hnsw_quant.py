@@ -371,7 +371,8 @@ class QuantizedHNSWIndex:
         return self._abytes
 
     def _search_broadcast(
-        self, queries: DataFrame, kk: int, ef: int, metric: MetricType
+        self, queries: DataFrame, kk: int, ef: int, metric: MetricType,
+        filter_expr=None,
     ) -> DataFrame:
         """Best-first beam over broadcast codes: the scorer decodes each
         adjacency list with the frozen quantizer and scores against the
@@ -400,6 +401,13 @@ class QuantizedHNSWIndex:
                 (ids, indptr, indices, entry_pos, (C, self.quant, metric.value, xnorm))
             )
             self._bc_codes = bc
+        # the codes table shares the graph's id set, so positions in the
+        # codes-sorted payload match the raw table's mask positions
+        mask_bc = (
+            self.graph._filter_mask_bc(filter_expr, bc.value[0])
+            if filter_expr is not None
+            else None
+        )
         return broadcast_beam_search(
             queries,
             k=kk,
@@ -409,6 +417,7 @@ class QuantizedHNSWIndex:
             is_sim=metric.is_similarity,
             query_id_col="query_id",
             query_vec_col="qvec",
+            mask_bc=mask_bc,
         )
 
     # -- Search: quantized beam + exact refine --------------------------------
@@ -423,6 +432,7 @@ class QuantizedHNSWIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         strategy: str = "auto",
+        filter_expr=None,
     ) -> DataFrame:
         """Strategies mirror :meth:`HNSWIndex.search`: ``broadcast`` ships
         the codes + CSR adjacency to executors and beams in one
@@ -448,7 +458,8 @@ class QuantizedHNSWIndex:
         )
         if use_broadcast:
             approx = self._search_broadcast(
-                queries, kk, max(ef if ef is not None else self.config.ef, kk), metric
+                queries, kk, max(ef if ef is not None else self.config.ef, kk), metric,
+                filter_expr=filter_expr,
             )
             if not do_refine:
                 return approx
@@ -510,6 +521,7 @@ class QuantizedHNSWIndex:
             query_id_col="query_id",
             query_vec_col="qvec",
             score_fn=quant_score,
+            filter_expr=filter_expr,
         )
         if not do_refine:
             return approx

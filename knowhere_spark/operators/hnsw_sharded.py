@@ -95,6 +95,7 @@ class ShardedHNSWIndex:
         ef: int | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        filter_expr=None,
     ) -> DataFrame:
         """Per-shard broadcast beam, eager per-shard materialization (so
         only one shard's graph is resident at a time), final top-k merge.
@@ -108,6 +109,7 @@ class ShardedHNSWIndex:
             res = shard.search(
                 query_df, k, ef=ef, strategy="broadcast",
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
+                filter_expr=filter_expr,
             ).drop("rank")
             res = res.cache()
             res.count()                       # materialize before releasing

@@ -92,7 +92,11 @@ def search_with_fallback(
     """
     raw = base_df
     if raw is None:
-        raw = getattr(index, "assignments", None) or getattr(index, "base", None)
+        raw = (
+            getattr(index, "assignments", None)
+            or getattr(index, "base", None)
+            or getattr(index, "vectors", None)      # HNSW family raw table
+        )
     if raw is None:
         raise ValueError("no raw-vector table available; pass base_df")
     raw = raw.select("id", "vec")

@@ -112,3 +112,58 @@ def test_hnsw_broadcast_cosine(spark):
     for pairs in got.values():
         ds = [d for _, d in pairs]
         assert ds == sorted(ds, reverse=True)
+
+
+def test_hnsw_filtered_search(spark):
+    """Bitset-filtered search (index_node.h search-with-bitset): blocked
+    nodes never appear in results on either strategy, and recall vs the
+    FILTERED ground truth clears the ANN floor."""
+    nb, dim, nq, k = 1000, 32, 10, 10
+    base = gen_dense(nb, dim, seed=91)
+    qs = gen_dense(nq, dim, seed=92)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=16, ef=32)
+    )
+    qdf = dense_df(spark, qs, QUERY_SCHEMA)
+    flt = F.col("id") % 3 != 0          # block every third node
+
+    truth_ids = [i for i in range(nb) if i % 3 != 0]
+    sub = base[truth_ids]
+    d = ((sub[:, None, :] - qs[None, :, :]) ** 2).sum(axis=2)
+    truth = {
+        qi: [truth_ids[j] for j in np.argsort(d[:, qi], kind="stable")[:k]]
+        for qi in range(nq)
+    }
+
+    for strategy in ("broadcast", "bfs"):
+        res = idx.search(qdf, k=k, ef=64, strategy=strategy, filter_expr=flt)
+        got = {}
+        for r in res.collect():
+            assert r["neighbor_id"] % 3 != 0, f"{strategy} leaked a blocked node"
+            got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+        hits = sum(
+            len(set(n for n, _ in pairs) & set(truth[qi]))
+            for qi, pairs in got.items()
+        )
+        assert hits / (nq * k) >= 0.6, strategy
+
+
+def test_hnsw_quant_filtered_search(spark):
+    from knowhere_spark.config import HnswSqConfig
+    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+
+    nb, dim, nq, k = 600, 16, 6, 5
+    base = gen_dense(nb, dim, seed=93)
+    qs = gen_dense(nq, dim, seed=94)
+    idx = QuantizedHNSWIndex.build(
+        dense_df(spark, base),
+        HnswSqConfig(metric_type="L2", M=12, ef=24, sq_type="SQ8",
+                     refine=True, refine_k=2.0),
+    )
+    res = idx.search(
+        dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=32,
+        filter_expr=F.col("id") >= 100,
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r["neighbor_id"] >= 100 for r in rows)
