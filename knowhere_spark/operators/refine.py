@@ -111,10 +111,21 @@ class ScannIndex:
             self.sq.add(new_df, id_col=id_col, vec_col=vec_col), self.config
         )
 
-    def search(self, query_df: DataFrame, k: int | None = None, *, reorder_k: int | None = None, nprobe: int | None = None) -> DataFrame:
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        reorder_k: int | None = None,
+        nprobe: int | None = None,
+        filter_expr=None,
+    ) -> DataFrame:
         k = k if k is not None else self.config.k
         reorder_k = max(reorder_k if reorder_k is not None else self.config.reorder_k, k)
-        approx = self.sq.search(query_df, k=reorder_k, nprobe=nprobe)
+        # bitset filter applies at the approximate stage (candidates the
+        # refine re-ranks are already filtered, matching the reference's
+        # filtered two-stage search)
+        approx = self.sq.search(query_df, k=reorder_k, nprobe=nprobe, filter_expr=filter_expr)
         if not self.sq.with_raw_data:
             # no refine possible — approximate results stand (reference
             # behavior when with_raw_data=false)

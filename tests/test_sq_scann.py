@@ -144,3 +144,21 @@ def test_pq_range_search_shapes_and_bounds(spark):
     rows = idx.range_search(dense_df(spark, qs, QUERY_SCHEMA), cfg, nprobe=4).collect()
     assert rows
     assert all(0.0 <= r["distance"] < 15_000.0 for r in rows)
+
+
+def test_scann_filtered_search(spark):
+    """Bitset filter applies at the approximate stage; refined results
+    never contain blocked ids."""
+    from pyspark.sql import functions as F
+
+    base = gen_dense(600, 16, seed=95)
+    qs = gen_dense(5, 16, seed=96)
+    idx = ScannIndex.build(
+        dense_df(spark, base),
+        ScannConfig(metric_type="L2", nlist=8, nprobe=8, reorder_k=20),
+    )
+    rows = idx.search(
+        dense_df(spark, qs, QUERY_SCHEMA), k=5, filter_expr=F.col("id") >= 100
+    ).collect()
+    assert len(rows) == 25
+    assert all(r["neighbor_id"] >= 100 for r in rows)
