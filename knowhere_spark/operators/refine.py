@@ -119,13 +119,18 @@ class ScannIndex:
         reorder_k: int | None = None,
         nprobe: int | None = None,
         filter_expr=None,
+        strategy: str = "auto",
     ) -> DataFrame:
         k = k if k is not None else self.config.k
         reorder_k = max(reorder_k if reorder_k is not None else self.config.reorder_k, k)
         # bitset filter applies at the approximate stage (candidates the
         # refine re-ranks are already filtered, matching the reference's
-        # filtered two-stage search)
-        approx = self.sq.search(query_df, k=reorder_k, nprobe=nprobe, filter_expr=filter_expr)
+        # filtered two-stage search); strategy (driver/distributed large-nq
+        # switch) passes through to the inner SQ probe
+        approx = self.sq.search(
+            query_df, k=reorder_k, nprobe=nprobe,
+            filter_expr=filter_expr, strategy=strategy,
+        )
         if not self.sq.with_raw_data:
             # no refine possible — approximate results stand (reference
             # behavior when with_raw_data=false)

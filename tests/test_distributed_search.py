@@ -208,3 +208,20 @@ def test_bin_ivf_distributed_matches_driver(spark, monkeypatch):
         dist_df = idx.search(q_df, k=10, nprobe=4, strategy="distributed")
     driver_df = idx.search(q_df, k=10, nprobe=4, strategy="driver")
     assert _rows(dist_df) == _rows(driver_df)
+
+
+def test_scann_distributed_matches_driver(spark, monkeypatch):
+    from knowhere_spark.config import ScannConfig
+    from knowhere_spark.operators.refine import ScannIndex
+
+    base = gen_dense(1500, 16, seed=55)
+    q = gen_dense(200, 16, seed=56)
+    idx = ScannIndex.build(
+        dense_df(spark, base),
+        ScannConfig(metric_type="L2", nlist=12, nprobe=4, reorder_k=30),
+    )
+    q_df = dense_df(spark, q, QUERY_SCHEMA)
+    with _NoCollect(monkeypatch):
+        dist_df = idx.search(q_df, k=10, strategy="distributed")
+    driver_df = idx.search(q_df, k=10, strategy="driver")
+    assert _rows(dist_df) == _rows(driver_df)
