@@ -543,6 +543,47 @@ class HNSWIndex:
 
     # -- Serialize / Deserialize (index_node.h:371-401): the graph is two
     #    plain tables — exactly the artifact role SURVEY.md §2.3 assigns ----
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config,
+        *,
+        ef: int | None = None,
+        strategy: str = "auto",
+        filter_expr=None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """``RangeSearch`` over the graph — the reference serves it by
+        consuming the search iterator until the bound passes
+        (index_node.h:169-326); here the beam collects its best-``ef``
+        frontier and the half-open range bounds (range_util.h:22-25)
+        filter the result.  Breadth is bounded by ``ef`` (the analog of
+        the iterator's ``range_search_k`` truncation, applied on top when
+        configured); long-form output like every other range search."""
+        bounds_ef = ef if ef is not None else max(self.config.ef, 4 * self.config.k)
+        out = self.search(
+            query_df,
+            k=bounds_ef,
+            ef=bounds_ef,
+            strategy=strategy,
+            filter_expr=filter_expr,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).drop("rank")
+        lo, hi, sim = config.range_bounds()
+        if sim:
+            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+        else:
+            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+        out = out.filter(cond)
+        if getattr(config, "range_search_k", 0) and config.range_search_k > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", config.range_search_k,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
         """``GetVectorByIds`` (index_node.h:340-350) — broadcast semi-join
         against the graph's raw vector table."""

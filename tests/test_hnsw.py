@@ -167,3 +167,37 @@ def test_hnsw_quant_filtered_search(spark):
     rows = res.collect()
     assert len(rows) > 0
     assert all(r["neighbor_id"] >= 100 for r in rows)
+
+
+def test_hnsw_range_search(spark):
+    """RangeSearch via beam + half-open bounds: every returned pair
+    satisfies range_filter <= d < radius, and high-recall vs the exact
+    in-range set within the beam's ef breadth."""
+    from knowhere_spark.config import BaseConfig
+
+    nb, dim, nq = 800, 16, 8
+    base = gen_dense(nb, dim, seed=97)
+    qs = gen_dense(nq, dim, seed=98)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=16, ef=32)
+    )
+    d = ((base[:, None, :] - qs[None, :, :]) ** 2).sum(axis=2)
+    radius = float(np.quantile(d, 0.02))     # ~16 in-range pairs per query
+    cfg = BaseConfig(metric_type="L2", radius=radius, range_filter=0.0)
+
+    rows = idx.range_search(
+        dense_df(spark, qs, QUERY_SCHEMA), cfg, ef=128
+    ).collect()
+    assert len(rows) > 0
+    found = {}
+    for r in rows:
+        exact = float(d[r["neighbor_id"], r["query_id"]])
+        assert 0.0 <= r["distance"] < radius
+        assert abs(r["distance"] - exact) <= 1e-4 * max(1.0, exact)
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    truth = {
+        qi: set(np.nonzero(d[:, qi] < radius)[0].tolist()) for qi in range(nq)
+    }
+    n_truth = sum(len(s) for s in truth.values())
+    n_hit = sum(len(found.get(qi, set()) & s) for qi, s in truth.items())
+    assert n_truth > 0 and n_hit / n_truth >= 0.6
