@@ -87,6 +87,31 @@ class ShardedHNSWIndex:
             shards.append(HNSWIndex.build(part, config))
         return cls(shards, config)
 
+    def add(
+        self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    ) -> "ShardedHNSWIndex":
+        """``Add`` (index_node.h:120-121): new rows route to their shard
+        by the same id hash used at build, each shard takes its batch
+        through :meth:`HNSWIndex.add` (bridge-link insert, no retrain)."""
+        n_shards = len(self.shards)
+        new = new_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
+        )
+        hit = {
+            int(r["__shard"])
+            for r in new.select("__shard").distinct().collect()
+        }
+        shards = []
+        for s, shard in enumerate(self.shards):
+            if s in hit:
+                part = new.filter(F.col("__shard") == s).drop("__shard")
+                shards.append(shard.add(part))
+            else:
+                shards.append(shard)
+        return ShardedHNSWIndex(shards, self.config)
+
     def search(
         self,
         query_df: DataFrame,

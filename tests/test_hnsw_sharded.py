@@ -66,3 +66,28 @@ def test_sharded_hnsw_save_load(spark, tmp_path):
         (r["query_id"], r["neighbor_id"]) for r in loaded.search(q_df, k=k).collect()
     )
     assert a == b
+
+
+def test_sharded_hnsw_add(spark):
+    """Added rows route to their hash shard, become searchable, and
+    untouched shards keep their graphs."""
+    nb, dim, k = 500, 16, 5
+    base = gen_dense(nb, dim, seed=75)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base),
+        HnswConfig(metric_type="L2", M=12, ef=24),
+        n_shards=2,
+    )
+    extra = gen_dense(40, dim, seed=76)
+    extra_df = spark.createDataFrame(
+        [(nb + i, [float(x) for x in row]) for i, row in enumerate(extra)],
+        "id long, vec array<float>",
+    )
+    grown = idx.add(extra_df)
+    assert grown.count() == nb + 40
+    # an added row should be its own nearest neighbor
+    q_df = spark.createDataFrame(
+        [(0, [float(x) for x in extra[7]])], "query_id long, vec array<float>"
+    )
+    top = grown.search(q_df, k=k, ef=48).collect()
+    assert any(r["neighbor_id"] == nb + 7 for r in top)
