@@ -181,18 +181,18 @@ class BinaryIVFIndex:
 
         return ensure_parallelism(queries).mapInPandas(kernel, schema)
 
-    def search(
+    def _scored(
         self,
         query_df: DataFrame,
-        k: int | None = None,
-        nprobe: int | None = None,
+        nprobe: int,
         *,
         filter_expr: Column | str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         strategy: str = "auto",
     ) -> DataFrame:
-        """Top-k within probed cells; metric from config (HAMMING/JACCARD).
+        """Candidate scoring within probed cells — the shared sub-plan of
+        top-k and range search.
 
         ``strategy`` mirrors the dense IVF contract: ``driver`` collects
         the query set once (nq<=10k serving regime), prunes candidate
@@ -202,8 +202,6 @@ class BinaryIVFIndex:
         the join strategy).  ``auto`` cuts over by query count."""
         from knowhere_spark.operators.ivf import IVFFlatIndex
 
-        k = k if k is not None else self.config.k
-        nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
         metric = MetricType(self.config.metric_type)
         spark = self.assignments.sparkSession
 
@@ -249,14 +247,72 @@ class BinaryIVFIndex:
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
-        scored = joined.select(
+        return joined.select(
             "query_id",
             F.col("id").alias("neighbor_id"),
             binary_distance_expr(metric, F.col("vec"), F.col("qvec")).alias("distance"),
         )
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        nprobe: int | None = None,
+        *,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Top-k within probed cells; metric from config (HAMMING/JACCARD).
+        See :meth:`_scored` for the strategy contract."""
+        k = k if k is not None else self.config.k
+        nprobe = min(nprobe if nprobe is not None else self.config.nprobe, self.config.nlist)
+        scored = self._scored(
+            query_df, nprobe, filter_expr=filter_expr,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            strategy=strategy,
+        )
         return topk_per_key(
             scored, "query_id", "distance", k, ascending=True, tie_breaker="neighbor_id"
         )
+
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config=None,
+        *,
+        nprobe: int | None = None,
+        filter_expr: Column | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """``RangeSearch`` within probed cells — binary metrics are
+        distance-like, so the half-open bounds are
+        ``range_filter <= d < radius`` (range_util.h:22-25); coverage is
+        bounded by the probed cells like the reference's IVF range path."""
+        cfg = config or self.config
+        nprobe = min(
+            nprobe if nprobe is not None else cfg.nprobe, self.config.nlist
+        )
+        scored = self._scored(
+            query_df, nprobe, filter_expr=filter_expr,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            strategy=strategy,
+        )
+        lo, hi, sim = cfg.range_bounds()
+        if sim:
+            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+        else:
+            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+        out = scored.filter(cond)
+        if getattr(cfg, "range_search_k", 0) and cfg.range_search_k > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", cfg.range_search_k,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
 
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------

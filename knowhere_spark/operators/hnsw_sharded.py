@@ -152,6 +152,49 @@ class ShardedHNSWIndex:
         )
         return out
 
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config=None,
+        *,
+        ef: int | None = None,
+        filter_expr=None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """``RangeSearch`` across shards: per-shard beam + bounds, plain
+        union (shards are id-disjoint so no dedup is needed);
+        ``range_search_k`` truncation applies per query AFTER the union —
+        a per-shard cap would overshoot the global contract."""
+        import dataclasses
+
+        cfg = config or self.config
+        cap = int(getattr(cfg, "range_search_k", 0) or 0)
+        shard_cfg = (
+            dataclasses.replace(cfg, range_search_k=0) if cap > 0 else cfg
+        )
+        out = None
+        for shard in self.shards:
+            part = shard.range_search(
+                query_df, shard_cfg, ef=ef, strategy="broadcast",
+                filter_expr=filter_expr,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+            )
+            part = part.cache()
+            part.count()
+            bc = getattr(shard, "_bc_graph", None)
+            if bc is not None:
+                bc.unpersist()
+                shard._bc_graph = None
+            out = part if out is None else out.unionByName(part)
+        if cap > 0:
+            _, _, sim = cfg.range_bounds()
+            out = topk_per_key(
+                out, "query_id", "distance", cap,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
         """``GetVectorByIds`` across shards — each shard's raw table
         semi-joins the id list; ids are disjoint across shards by

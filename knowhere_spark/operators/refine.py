@@ -131,6 +131,65 @@ class ScannIndex:
             query_df, k=reorder_k, nprobe=nprobe,
             filter_expr=filter_expr, strategy=strategy,
         )
+        return self._finish(approx, query_df, k)
+
+    def range_search(
+        self,
+        query_df: DataFrame,
+        config=None,
+        *,
+        nprobe: int | None = None,
+        filter_expr=None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """``RangeSearch``: candidates come from the quantized scan's
+        range pass (coverage bounded by the quantizer, as in the
+        reference's fast-scan range path); with raw data the survivors
+        are re-scored exactly and the half-open bounds re-applied."""
+        from pyspark.sql import functions as F
+
+        from knowhere_spark.functions.distance import distance_expr
+        from knowhere_spark.operators.topk import topk_per_key
+
+        cfg = config or self.config
+        approx = self.sq.range_search(
+            query_df, cfg, nprobe=nprobe, filter_expr=filter_expr,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        if not self.sq.with_raw_data:
+            return approx
+        raw = self.sq.raw_vectors()
+        q = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+        exact = (
+            approx.select("query_id", "neighbor_id")
+            .join(raw, F.col("neighbor_id") == raw["id"])
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                distance_expr(cfg.metric_type, F.col("vec"), F.col("qvec")).alias(
+                    "distance"
+                ),
+            )
+        )
+        lo, hi, sim = cfg.range_bounds()
+        if sim:
+            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+        else:
+            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+        out = exact.filter(cond)
+        if getattr(cfg, "range_search_k", 0) and cfg.range_search_k > 0:
+            out = topk_per_key(
+                out, "query_id", "distance", cfg.range_search_k,
+                ascending=not sim, tie_breaker="neighbor_id",
+            ).drop("rank")
+        return out
+
+    def _finish(self, approx: DataFrame, query_df: DataFrame, k: int) -> DataFrame:
         if not self.sq.with_raw_data:
             # no refine possible — approximate results stand (reference
             # behavior when with_raw_data=false)
