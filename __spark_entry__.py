@@ -257,6 +257,41 @@ def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions/text.pii_scrub_expr): emails / IPv4s /
+    phone-shaped runs → typed tags.  PII is seeded deterministically into
+    every row (the synthetic corpus has none) so the oracle exercises
+    real replacements, not identity."""
+    from knowhere_spark.functions.text import pii_scrub_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" tel +1 (555) 010-"),
+            (F.col("doc_id") + 1000).cast("string"),
+        ).alias("seeded"),
+    )
+    return seeded.select(
+        "doc_id", pii_scrub_expr(F.col("seeded")).alias("scrubbed")
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase, control-char strip, whitespace
+    collapse, trim) — the pre-dedup normalization pass."""
+    from knowhere_spark.functions.text import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalize_text_expr(F.col("text")).alias("norm")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.functions.text import fingerprint_expr
 
@@ -866,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "text_token_budget": q_text_token_budget,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_normalize": q_text_normalize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1379,6 +1416,30 @@ SELECT doc_id,
        CAST(COALESCE(list_sum(list_transform(
             regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+', 0),
             p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        # PII patterns mirror functions/text.PII_PATTERNS verbatim (same
+        # order: email -> ip -> phone; 'g' = global like Spark's default)
+        "text_pii_scrub": r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+              || ' tel +1 (555) 010-' || CAST(doc_id + 1000 AS VARCHAR) AS s
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+         '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+""",
+        "text_normalize": r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                           '[ \t]+', ' ', 'g')) AS norm
 FROM documents
 """,
         "media_frame_sample": """

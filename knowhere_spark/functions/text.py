@@ -139,3 +139,38 @@ def langid_expr(text: Column, default: str = "unknown") -> Column:
     )
     best = F.array_max(pairs)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+# --- cleaning ops (standard pre-training scrub passes) ----------------------
+
+#: PII patterns kept to an engine-portable subset (no lookaround, POSIX
+#: classes) so Spark's Java regex and DuckDB's RE2 agree byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    # ipv4
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    # phone-ish: +country/area groups with separators, 7+ digits total
+    ("\\+?[0-9][0-9()\\-. ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tags — the standard PII scrub pass of a pre-training
+    pipeline.  Order matters (emails before phones, so digits inside an
+    address aren't half-eaten); every pattern is global-replace."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical text normalization: lowercase, strip control chars,
+    collapse whitespace runs to single spaces, trim — the usual
+    pre-dedup normalization so near-identical docs hash together."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, "[\\x00-\\x1f]", " ")
+    out = F.regexp_replace(out, "[ \\t]+", " ")
+    return F.trim(out)

@@ -101,3 +101,26 @@ def test_bpe_token_count(spark):
         ).collect()
     }
     assert got == {1: 4, 2: 3, 3: 0, 4: 5, 5: 5}
+
+
+def test_pii_scrub_and_normalize(spark):
+    from knowhere_spark.functions.text import normalize_text_expr, pii_scrub_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.co or call +1 (555) 010-7788"),
+            (2, "server at 192.168.10.255 \t has  logs\x01here"),
+            (3, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["s"] for r in df.select(
+        "id", pii_scrub_expr(F.col("text")).alias("s")).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert "<IP>" in out[2]
+    assert out[3] == "no pii here"
+
+    norm = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text_expr(F.col("text")).alias("n")).collect()}
+    assert norm[2] == "server at 192.168.10.255 has logs here"
+    assert norm[3] == "no pii here"
