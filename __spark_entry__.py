@@ -377,6 +377,21 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted deterministic sampling (operators/pipeline.py
+    weighted_sample): training-mix reweighting by source, membership a
+    pure hash of (id, seed) — zero shuffles, stable under growth."""
+    from knowhere_spark.operators.pipeline import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return weighted_sample(
+        docs, _MIX_RATES, key_col="source", id_col="doc_id",
+        default_rate=_MIX_DEFAULT,
+    ).select("doc_id", "source")
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (operators/pipeline.py):
     md5-bucket range lookup, a pure projection — zero shuffles, stable
@@ -908,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "dataset_split": q_dataset_split,
+        "corpus_mix": q_corpus_mix,
         "seq_packing": q_seq_packing,
         "corpus_curate": q_corpus_curate,
         "embed_cosine_neardup": q_embed_cosine_neardup,
@@ -1188,6 +1204,19 @@ WITH b AS (SELECT doc_id, {_SPLIT_BUCKET} AS bk FROM documents)
 SELECT doc_id, {_SPLIT_CASE} AS split FROM b
 """
 
+#: weighted_sample rates used by the corpus_mix entry (keep 30% of src0,
+#: 70% of src1, everything else at the 50% default)
+_MIX_RATES = {"src0": 0.30, "src1": 0.70}
+_MIX_DEFAULT = 0.50
+
+_CORPUS_MIX_SQL = f"""
+WITH b AS (SELECT doc_id, source, {_SPLIT_BUCKET} AS bk FROM documents)
+SELECT doc_id, source FROM b
+WHERE bk < (CASE source WHEN 'src0' THEN {int(_MIX_RATES["src0"] * 10000)}
+                        WHEN 'src1' THEN {int(_MIX_RATES["src1"] * 10000)}
+                        ELSE {int(_MIX_DEFAULT * 10000)} END)
+"""
+
 _SEQ_PACKING_SQL = f"""
 WITH toks AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
 c AS (
@@ -1398,6 +1427,7 @@ r AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rk
 SELECT id, CAST(cid AS INT) AS cluster_id FROM r WHERE rk = 1
 """,
         "dataset_split": _DATASET_SPLIT_SQL,
+        "corpus_mix": _CORPUS_MIX_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_curate": _CORPUS_CURATE_SQL,
         "embed_cosine_neardup": """

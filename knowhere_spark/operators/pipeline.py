@@ -68,6 +68,41 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-weighted deterministic sampling — the training-mix
+    reweighting pass (keep ``rates[domain]`` of each domain's rows).
+
+    Membership is a pure function of (id, seed) via the same 10k-bucket
+    md5 hash as :func:`deterministic_split`, so the sample is stable
+    under corpus growth, reproducible across engines, and composes with
+    the split (independent seeds → independent hashes).  One narrow
+    filter, zero shuffles — ``sampleBy``'s stratified semantics without
+    its per-run randomness.
+    """
+    for k, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = split_bucket_expr(F.col(id_col), seed)
+    thresh = None
+    for name, rate in sorted(rates.items()):
+        edge = F.lit(int(round(rate * _SPLIT_BUCKETS)))
+        cond = F.col(key_col) == F.lit(name)
+        thresh = F.when(cond, edge) if thresh is None else thresh.when(cond, edge)
+    default_edge = F.lit(int(round(default_rate * _SPLIT_BUCKETS)))
+    thresh = default_edge if thresh is None else thresh.otherwise(default_edge)
+    return df.filter(bucket < thresh)
+
+
 # ---------------------------------------------------------------------------
 # distributed prefix sum
 # ---------------------------------------------------------------------------

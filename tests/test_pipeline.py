@@ -172,3 +172,40 @@ class TestCurateCorpus:
         assert 101 not in got                   # quality-filtered
         assert 3 in got and 100 not in got      # dup dropped, canonical kept
         assert set(got.values()) <= {"train", "val", "test"}
+
+
+def test_weighted_sample_stability_and_rates(spark):
+    """Domain-weighted sampling: per-domain keep rates land near the
+    configured fractions, membership is stable under corpus growth, and
+    out-of-range rates are rejected."""
+    import pytest
+
+    from knowhere_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 0.2, "src1": 0.8}
+    kept = weighted_sample(df, rates, default_rate=0.5)
+    by_src = {
+        r["source"]: r["cnt"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert abs(by_src.get("src0", 0) / 1000 - 0.2) < 0.05
+    assert abs(by_src.get("src1", 0) / 1000 - 0.8) < 0.05
+    assert abs(by_src.get("src2", 0) / 1000 - 0.5) < 0.05
+
+    # growth stability: the same ids stay selected when the corpus doubles
+    big = spark.createDataFrame(
+        rows + [(i + 10_000, f"src{i % 3}") for i in range(3000)],
+        "doc_id long, source string",
+    )
+    kept_small = {r["doc_id"] for r in kept.collect()}
+    kept_big = {
+        r["doc_id"]
+        for r in weighted_sample(big, rates, default_rate=0.5).collect()
+        if r["doc_id"] < 10_000
+    }
+    assert kept_small == kept_big
+
+    with pytest.raises(ValueError):
+        weighted_sample(df, {"src0": 1.5})
