@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from knowhere_spark.config import BaseConfig, MetricType
+from knowhere_spark.config import BaseConfig
 from knowhere_spark.operators.brute_force import BruteForce
 from knowhere_spark.operators.topk import topk_per_key
 from knowhere_spark.sources.tables import embeddings_as_dataset, load_table

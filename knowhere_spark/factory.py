@@ -30,8 +30,6 @@ from pyspark.sql import functions as F
 from knowhere_spark.config import (
     BaseConfig,
     IndexType,
-    IvfConfig,
-    MetricType,
     VecType,
     load_config,
 )

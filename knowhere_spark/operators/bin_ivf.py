@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from knowhere_spark.config import IndexType, IvfConfig, MetricType
-from knowhere_spark.functions.binary import binary_distance_expr, hamming_np
+from knowhere_spark.functions.binary import binary_distance_expr
 from knowhere_spark.operators.topk import topk_per_key
 
 _TRAIN_SAMPLE_MAX = 100_000

@@ -15,8 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from knowhere_spark.config import KMeansConfig, MetricType
-from knowhere_spark.functions.distance import pairwise_distances
+from knowhere_spark.config import KMeansConfig
 from knowhere_spark.operators.ivf import _assign_cells
 
 

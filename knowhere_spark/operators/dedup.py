@@ -110,7 +110,6 @@ def ngram_jaccard_pairs(
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, hashes ARRAY<BIGINT>) — md5-based shingle hashes, portable."""
-    from knowhere_spark.functions.text import term_hash_expr
 
     sh = df.select(
         F.col(id_col).cast("long").alias("doc_id"),

@@ -43,7 +43,6 @@ from pyspark.sql.types import (
 
 from knowhere_spark.config import HnswConfig, IndexType, MetricType
 from knowhere_spark.functions.distance import pairwise_distances
-from knowhere_spark.operators.ivf import _assign_cells
 from knowhere_spark.operators.topk import topk_per_key
 
 _CELL_TARGET_ROWS = 512     # block population target for local-KNN build

@@ -757,7 +757,6 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
 
     from pyspark.sql.types import (
         ArrayType,
-        FloatType,
         IntegerType,
         LongType,
         StructField,

@@ -31,7 +31,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from knowhere_spark.config import MetricType
 from knowhere_spark.functions.distance import cosine_expr
 from knowhere_spark.operators.topk import topk_per_key
 
