@@ -299,6 +299,49 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (functions/text.repetition_features_expr).
+    Duplicate lines are planted on every 7th doc (the corpus is
+    single-line, so line-dup signals would otherwise be vacuously 0)."""
+    from knowhere_spark.functions.text import repetition_features_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit("\n"),
+                F.substring(F.col("text"), 1, 40), F.lit("\n"),
+                F.substring(F.col("text"), 1, 40),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    feats = repetition_features_expr(F.col("text"))
+    return planted.select(
+        "doc_id",
+        F.round(feats["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(feats["dup_line_char_frac"], 4).alias("dup_line_char_frac"),
+        F.round(feats["top_2gram_frac"], 4).alias("top_2gram_frac"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate): every 37th doc
+    plays the eval set, so its exact copy in the corpus is a guaranteed
+    planted contamination hit; returns the per-doc n-gram overlap report
+    for all contaminated docs."""
+    from knowhere_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    report = contamination_report(docs, bench, n=5)
+    return report.filter(F.col("n_hit_grams") > 0).select(
+        "doc_id", "n_grams", "n_hit_grams",
+        F.round("contamination", 4).alias("contamination"),
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_budget": q_text_token_budget,
         "text_pii_scrub": q_text_pii_scrub,
         "text_normalize": q_text_normalize,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1471,6 +1516,66 @@ SELECT doc_id,
        trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
                            '[ \t]+', ' ', 'g')) AS norm
 FROM documents
+""",
+        "text_repetition": f"""
+WITH rep AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || chr(10) || substr(text, 1, 40)
+                        || chr(10) || substr(text, 1, 40)
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM rep
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM rep),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+              ELSE []::VARCHAR[] END AS g
+  FROM toks
+)
+SELECT l.doc_id,
+       ROUND(CASE WHEN len(ls) > 0
+                  THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                  ELSE 0.0 END, 4) AS dup_line_frac,
+       ROUND(CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+                  THEN list_sum(list_transform(ls,
+                         x -> CASE WHEN len(list_filter(ls, y -> y = x)) > 1
+                                   THEN length(x) ELSE 0 END))::DOUBLE
+                       / list_sum(list_transform(ls, x -> length(x)))
+                  ELSE 0.0 END, 4) AS dup_line_char_frac,
+       ROUND(CASE WHEN len(g) > 0
+                  THEN list_max(list_transform(list_distinct(g),
+                         x -> len(list_filter(g, y -> y = x))))::DOUBLE / len(g)
+                  ELSE 0.0 END, 4) AS top_2gram_frac
+FROM lines l JOIN grams USING (doc_id)
+""",
+        "decontaminate": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(t)-5, 0)+2)]) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 37 = 0),
+dg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n_hit
+  FROM dg JOIN bench USING (gram) GROUP BY dg.doc_id
+)
+SELECT s.doc_id,
+       len(s.s)::BIGINT AS n_grams,
+       h.n_hit::BIGINT AS n_hit_grams,
+       ROUND(h.n_hit::DOUBLE / len(s.s), 4) AS contamination
+FROM sh s JOIN hits h USING (doc_id)
+WHERE h.n_hit > 0
 """,
         "media_frame_sample": """
 WITH m AS (

@@ -166,6 +166,66 @@ def pii_scrub_expr(text: Column) -> Column:
     return out
 
 
+def repetition_features_expr(text: Column) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signals (the "repetitious
+    text" filters of the Gopher/MassiveText rules), as pure native SQL
+    expressions — per-row column math, no shuffle, engine-portable:
+
+    - ``dup_line_frac``: fraction of non-empty (trimmed) lines that are
+      duplicates of another line (``1 - distinct/total``).
+    - ``dup_line_char_frac``: fraction of line characters living in lines
+      that occur more than once.
+    - ``top_2gram_frac``: fraction of the document's token 2-grams taken
+      by the single most frequent 2-gram.
+
+    The per-doc loops are quadratic in lines-per-doc / distinct-2-grams —
+    native codegen over short web documents; for book-length outliers the
+    mapInPandas numpy path is the escape hatch (same contract)."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_line_chars.cast("double") / line_chars
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens_expr(text)
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    top_2gram_frac = F.when(
+        F.size(grams) > 0, max_cnt.cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": dup_line_frac.cast("double"),
+        "dup_line_char_frac": dup_line_char_frac.cast("double"),
+        "top_2gram_frac": top_2gram_frac.cast("double"),
+    }
+
+
 def normalize_text_expr(text: Column) -> Column:
     """Canonical text normalization: lowercase, strip control chars,
     collapse whitespace runs to single spaces, trim — the usual

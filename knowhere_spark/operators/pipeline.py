@@ -201,6 +201,28 @@ def curate_corpus(
     )
 
 
+def repetition_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_frac: float = 0.20,
+) -> DataFrame:
+    """Drop repetitious documents (Gopher/MassiveText rule thresholds):
+    keep a row only when every repetition signal from
+    :func:`~knowhere_spark.functions.text.repetition_features_expr` is at
+    or below its cap.  Pure per-row column math — no shuffle, no UDF."""
+    from knowhere_spark.functions.text import repetition_features_expr
+
+    feats = repetition_features_expr(F.col(text_col))
+    return docs.filter(
+        (feats["dup_line_frac"] <= max_dup_line_frac)
+        & (feats["dup_line_char_frac"] <= max_dup_line_char_frac)
+        & (feats["top_2gram_frac"] <= max_top_2gram_frac)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------

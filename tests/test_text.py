@@ -124,3 +124,78 @@ def test_pii_scrub_and_normalize(spark):
         "id", normalize_text_expr(F.col("text")).alias("n")).collect()}
     assert norm[2] == "server at 192.168.10.255 has logs here"
     assert norm[3] == "no pii here"
+
+
+def test_repetition_features(spark):
+    from knowhere_spark.functions.text import repetition_features_expr
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta\nalpha beta\ngamma delta"),       # 2/3 dup lines
+            (1, "one two three four"),                         # clean
+            (2, "spam spam spam spam spam"),                   # modal 2-gram
+            (3, ""),                                           # empty
+        ],
+        "id long, text string",
+    )
+    feats = repetition_features_expr(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in feats.items()]
+        ).collect()
+    }
+    assert abs(rows[0]["dup_line_frac"] - 1 / 3) < 1e-9  # 1 - 2 distinct / 3
+    # dup lines hold 2*len("alpha beta")=20 of 20+11=31 line chars
+    assert abs(rows[0]["dup_line_char_frac"] - 20 / 31) < 1e-9
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["top_2gram_frac"] == 1 / 3  # all 2-grams distinct
+    assert rows[2]["top_2gram_frac"] == 1.0    # "spam spam" is every 2-gram
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["top_2gram_frac"] == 0.0
+
+
+def test_repetition_filter(spark):
+    from knowhere_spark.operators.pipeline import repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (0, "a clean document with distinct words here"),
+            (1, "copy line\ncopy line\ncopy line\ncopy line"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = repetition_filter(df)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_decontaminate(spark):
+    from knowhere_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "a completely unrelated document about spark plans"),
+            (2, "prefix words then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog",)],
+        "doc_id long, text string",
+    )
+    report = {
+        r["doc_id"]: r
+        for r in contamination_report(docs, bench, n=5).collect()
+    }
+    # doc 0 and doc 2 share all the benchmark 5-grams; doc 1 shares none
+    assert report[0]["n_hit_grams"] > 0
+    assert report[2]["n_hit_grams"] > 0
+    assert report[1]["n_hit_grams"] == 0
+    assert report[0]["contamination"] > 0.5
+
+    clean = decontaminate(docs, bench, n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1]
