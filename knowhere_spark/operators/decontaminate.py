@@ -69,8 +69,11 @@ def contamination_report(
         F.col(id_col),
         F.size(shingles_expr(F.col(text_col), n)).cast("long").alias("n_grams"),
     )
+    # the hit set is a small fraction of the corpus (and the aggregation
+    # already reduced it to one row per contaminated doc): broadcast it so
+    # the corpus-wide totals side never shuffles on doc_id
     return (
-        totals.join(hits, id_col, "left")
+        totals.join(F.broadcast(hits), id_col, "left")
         .select(
             id_col,
             "n_grams",
@@ -113,4 +116,5 @@ def decontaminate(
         (F.col("n_hit_grams") >= min_hit_grams)
         & (F.col("contamination") > max_contamination)
     ).select(id_col)
-    return docs.join(dirty, id_col, "left_anti")
+    # broadcast anti-join: the surviving corpus never shuffles
+    return docs.join(F.broadcast(dirty), id_col, "left_anti")

@@ -160,3 +160,27 @@ def test_bf_distributed_plan_shape(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(block_id" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the eval-set gram side must broadcast: the corpus never shuffles on
+    # gram, and the only exchange feeds the (tiny) per-doc hit aggregation
+    from knowhere_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    plan = _plan(contamination_report(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_decontaminate_no_corpus_shuffle(spark):
+    # end-to-end: gram join AND the report/anti joins broadcast their small
+    # side — the full-corpus lineage contains no SortMergeJoin at all
+    from knowhere_spark.operators.decontaminate import decontaminate
+
+    docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    plan = _plan(decontaminate(docs, bench, n=5))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
