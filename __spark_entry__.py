@@ -482,6 +482,32 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete hygiene chain composed as ONE Catalyst plan:
+    repetition filter (modal-2-gram cap) → benchmark decontamination
+    (every 37th doc plays the eval set) → token-count quality gate →
+    MinHash-LSH near-dup CC dedup → deterministic split.  Line-dup caps
+    are set to 1.0 (disabled) because the corpus is single-line; the
+    2-gram cap and the decontamination anti-join do real filtering."""
+    from knowhere_spark.operators.decontaminate import decontaminate
+    from knowhere_spark.operators.pipeline import curate_corpus, repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(p1)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    stage1 = repetition_filter(
+        corpus, max_dup_line_frac=1.0, max_dup_line_char_frac=1.0,
+        max_top_2gram_frac=0.2,
+    )
+    stage2 = decontaminate(stage1, bench, n=5)
+    return curate_corpus(stage2, min_tokens=5, jaccard_threshold=0.7).select(
+        "doc_id", "n_tokens", "split"
+    )
+
+
 # --- events ----------------------------------------------------------------
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "seq_packing": q_seq_packing,
         "corpus_curate": q_corpus_curate,
+        "corpus_curate_full": q_corpus_curate_full,
         "embed_cosine_neardup": q_embed_cosine_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_neardup_ivf": q_embed_neardup_ivf,
@@ -1285,6 +1312,56 @@ b AS (SELECT doc_id, n_tokens, {_SPLIT_BUCKET} AS bk FROM kept)
 SELECT doc_id, n_tokens, {_SPLIT_CASE} AS split FROM b
 """
 
+# full hygiene chain: repetition cap -> decontamination -> quality gate ->
+# CC dedup -> split (mirrors q_corpus_curate_full stage for stage)
+_CORPUS_CURATE_FULL_SQL = f"""
+WITH RECURSIVE
+corpus0 AS ({_PLANTED_1}),
+t0 AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus0),
+g0 AS (
+  SELECT doc_id, text, t,
+         CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+              ELSE []::VARCHAR[] END AS g
+  FROM t0
+),
+rep AS (
+  SELECT doc_id, text, t FROM g0
+  WHERE CASE WHEN len(g) > 0
+             THEN list_max(list_transform(list_distinct(g),
+                    x -> len(list_filter(g, y -> y = x))))::DOUBLE / len(g)
+             ELSE 0.0 END <= 0.2
+),
+bt AS (SELECT {_TOKS} AS t FROM documents WHERE doc_id % 37 = 0),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                  FOR i IN range(1, greatest(len(t)-5, 0)+2)])) AS gram
+  FROM bt
+),
+sh5 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(t)-5, 0)+2)]) AS s
+  FROM rep
+),
+dirty AS (
+  SELECT DISTINCT dg.doc_id
+  FROM (SELECT doc_id, unnest(s) AS gram FROM sh5) dg JOIN bg USING (gram)
+),
+clean AS (
+  SELECT doc_id, text FROM rep
+  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+{_cc_ctes("SELECT doc_id, text FROM clean", 0.7, "len(t) BETWEEN 5 AND 100000")},
+kept AS (
+  SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens
+  FROM toks t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)
+),
+b AS (SELECT doc_id, n_tokens, {_SPLIT_BUCKET} AS bk FROM kept)
+SELECT doc_id, n_tokens, {_SPLIT_CASE} AS split FROM b
+"""
+
 
 _BIN_SUBSTRUCTURE_SQL = f"""
 WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
@@ -1475,6 +1552,7 @@ SELECT id, CAST(cid AS INT) AS cluster_id FROM r WHERE rk = 1
         "corpus_mix": _CORPUS_MIX_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_curate": _CORPUS_CURATE_SQL,
+        "corpus_curate_full": _CORPUS_CURATE_FULL_SQL,
         "embed_cosine_neardup": """
 WITH d AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

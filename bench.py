@@ -28,6 +28,66 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: filled by bench_queries for the entries that are query batches
 NQ_MAP: dict[str, int] = {}
 
+#: recall-at-fixed-params probes for the ANN entries (reference protocol:
+#: VPS is only meaningful AT a recall operating point,
+#: benchmark_float_qps.cpp:393-394) — name -> callable() -> recall float,
+#: run AFTER the timed loop (ground truth via the exact GEMM path is not
+#: billed to the query timings)
+RECALL_MAP: dict[str, object] = {}
+
+
+#: untimed per-query setup steps (run before the stopwatch starts) — the
+#: reference's param-tuning loop, which is likewise outside the QPS timer
+PREPARE_MAP: dict[str, object] = {}
+
+#: tuned operating-point params per query, reported in the bench JSON
+PARAMS: dict[str, dict] = {}
+
+
+def _knn_recall(approx_df, base, queries, k: int, metric: str) -> float:
+    """|approx ∩ exact| / (nq·k) over the given query batch."""
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    gt = BruteForce.search(base, queries, k, metric, strategy="gemm").select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx_df.select("query_id", "neighbor_id")
+        .join(gt, ["query_id", "neighbor_id"])
+        .count()
+    )
+    return hits / (queries.count() * k)
+
+
+def _tune_nprobe(idx, base, queries, k: int, metric: str, target: float = 0.80) -> int:
+    """Binary-search the smallest nprobe hitting ``target`` recall — the
+    reference's operating-point tuner (benchmark_float_qps.cpp:55-99:
+    search params are auto-tuned to the expected recall, outside the
+    timed region)."""
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    gt = (
+        BruteForce.search(base, queries, k, metric, strategy="gemm")
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    denom = gt.count()
+    lo, hi, best = 1, idx.config.nlist, idx.config.nlist
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        hits = (
+            idx.search(queries, k=k, nprobe=mid)
+            .select("query_id", "neighbor_id")
+            .join(gt, ["query_id", "neighbor_id"])
+            .count()
+        )
+        if hits / denom >= target:
+            best, hi = mid, mid - 1
+        else:
+            lo = mid + 1
+    gt.unpersist()
+    return best
+
 
 def build_spark() -> SparkSession:
     return (
@@ -127,10 +187,23 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         ivf_state["idx"] = idx
         return idx.assignments
 
+    def prep_ivf_search():
+        # tune nprobe to the 0.80-recall operating point (untimed, like the
+        # reference's QPS harness), so the VPS below is anchored to recall
+        np_t = _tune_nprobe(
+            ivf_state["idx"], emb, all_queries.filter(F.col("query_id") < 1000),
+            100, "L2",
+        )
+        ivf_state["nprobe"] = np_t
+        PARAMS["ivf_search_nq1000"] = {"nprobe": np_t, "target_recall": 0.80}
+
     def q_ivf_search():
         return ivf_state["idx"].search(
-            all_queries.filter(F.col("query_id") < 1000), k=100, nprobe=8
+            all_queries.filter(F.col("query_id") < 1000),
+            k=100, nprobe=ivf_state.get("nprobe", 8),
         )
+
+    PREPARE_MAP["ivf_search_nq1000"] = prep_ivf_search
 
     out["ivf_build"] = q_ivf_build
     out["ivf_search_nq1000"] = q_ivf_search
@@ -290,8 +363,17 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         big_ivf_state["idx"] = idx
         return idx.assignments.limit(1)
 
+    def prep_ivf_100k_search():
+        np_t = _tune_nprobe(big_ivf_state["idx"], big, big_queries, 100, "L2")
+        big_ivf_state["nprobe"] = np_t
+        PARAMS["ivf_100k_search_nq100"] = {"nprobe": np_t, "target_recall": 0.80}
+
     def q_ivf_100k_search():
-        return big_ivf_state["idx"].search(big_queries, k=100, nprobe=8)
+        return big_ivf_state["idx"].search(
+            big_queries, k=100, nprobe=big_ivf_state.get("nprobe", 8)
+        )
+
+    PREPARE_MAP["ivf_100k_search_nq100"] = prep_ivf_100k_search
 
     def q_ivf_100k_selfsearch_distributed():
         # corpus-vs-corpus: ALL 100k rows query the 100k index through the
@@ -305,6 +387,51 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["ivf_100k_build"] = q_ivf_100k_build
     out["ivf_100k_search_nq100"] = q_ivf_100k_search
     out["ivf_100k_selfsearch_distributed"] = q_ivf_100k_selfsearch_distributed
+
+    # --- recall probes (reference protocol: recall ∈ {0.80, 0.95} targets
+    # at topk=100; here we REPORT recall at the benched params so the VPS
+    # numbers above are anchored to an operating point) ---------------------
+    q1000 = all_queries.filter(F.col("query_id") < 1000)
+
+    def r_ivf():
+        return _knn_recall(
+            ivf_state["idx"].search(q1000, k=100, nprobe=ivf_state.get("nprobe", 8)),
+            emb, q1000, 100, "L2",
+        )
+
+    def r_hnsw():
+        return _knn_recall(
+            hnsw_state["idx"].search(q1000, k=10, ef=64, strategy="broadcast"),
+            emb, q1000, 10, "L2",
+        )
+
+    def r_ivf_100k():
+        return _knn_recall(
+            big_ivf_state["idx"].search(
+                big_queries, k=100, nprobe=big_ivf_state.get("nprobe", 8)
+            ),
+            big, big_queries, 100, "L2",
+        )
+
+    def r_selfsearch():
+        # sampled query subset (~500) so the exact GT stays cheap — the
+        # ann-benchmarks fixed-query-set estimator
+        sample = big.filter(F.col("id") % 199 == 0).select(
+            F.col("id").alias("query_id"), "vec"
+        )
+        approx = big_ivf_state["idx"].search(
+            sample, k=10, nprobe=4, strategy="distributed"
+        )
+        return _knn_recall(approx, big, sample, 10, "L2")
+
+    RECALL_MAP.update(
+        {
+            "ivf_search_nq1000": r_ivf,
+            "hnsw_search_all": r_hnsw,
+            "ivf_100k_search_nq100": r_ivf_100k,
+            "ivf_100k_selfsearch_distributed": r_selfsearch,
+        }
+    )
 
     NQ_MAP.update(
         {
@@ -329,6 +456,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in bench_queries(spark).items():
+        prep = PREPARE_MAP.get(name)
+        if prep is not None:
+            try:
+                prep()  # untimed operating-point tuning
+            except Exception as exc:
+                errors[f"prepare:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
         t0 = time.monotonic()
         try:
             df = fn()
@@ -340,6 +473,15 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    recalls: dict[str, float] = {}
+    for name, rfn in RECALL_MAP.items():
+        if name not in timings:
+            continue  # the timed query failed; skip its recall probe
+        try:
+            recalls[name] = round(rfn(), 4)
+            print(f"# recall[{name}]: {recalls[name]}", file=sys.stderr)
+        except Exception as exc:
+            errors[f"recall:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     vps = {
         name: round(NQ_MAP[name] / t, 1)
@@ -354,6 +496,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "vps": vps,
+                "recall": recalls,
+                "params": PARAMS,
                 "errors": errors,
                 "sf": float(sf) if sf else None,
             }
