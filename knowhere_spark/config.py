@@ -370,6 +370,9 @@ class SparseConfig(BaseConfig):
 
     metric_type: MetricType = MetricType.IP
     inverted_index_algo: str = "DAAT_MAXSCORE"   # {TAAT_NAIVE, DAAT_WAND, DAAT_MAXSCORE}
+    drop_ratio_build: float = 0.0                # deprecated no-op, accepted for
+                                                 # parity (config.h:28-29: "won't
+                                                 # change anything")
     drop_ratio_search: float = 0.0               # query-term pruning [0, 1)
     refine_factor: int = 1
     dim_max_score_ratio: float = 1.05            # WAND bound scaling [0.5, 1.3]
@@ -383,6 +386,8 @@ class SparseConfig(BaseConfig):
             raise ConfigError(f"unknown inverted_index_algo {self.inverted_index_algo!r}")
         if not (0.0 <= self.drop_ratio_search < 1.0):
             raise ConfigError(f"drop_ratio_search={self.drop_ratio_search} out of [0, 1)")
+        if not (0.0 <= self.drop_ratio_build < 1.0):
+            raise ConfigError(f"drop_ratio_build={self.drop_ratio_build} out of [0, 1)")
         _check_range("dim_max_score_ratio", self.dim_max_score_ratio, 0.5, 1.3)
         _check_range("bm25_k1", self.bm25_k1, 0.0, 3.0)
         _check_range("bm25_b", self.bm25_b, 0.0, 1.0)

@@ -230,3 +230,15 @@ class TestIndexDtypeMatrix:
         for ix, dt in self.INVALID:
             with pytest.raises(ConfigError):
                 check_vectype(IndexType(ix), dt)
+
+
+def test_sparse_drop_ratio_build_accepted_noop():
+    # deprecated in the reference (sparse_inverted_index_config.h:28-29)
+    # but still part of the accepted surface; out-of-range still rejects
+    from knowhere_spark.config import ConfigError, SparseConfig
+
+    cfg = SparseConfig(metric_type="IP", drop_ratio_build=0.3)
+    cfg.check_and_adjust()
+    import pytest
+    with pytest.raises(ConfigError):
+        SparseConfig(metric_type="IP", drop_ratio_build=1.5).check_and_adjust()
