@@ -1281,8 +1281,15 @@ SELECT doc_id, {_SPLIT_CASE} AS split FROM b
 _MIX_RATES = {"src0": 0.30, "src1": 0.70}
 _MIX_DEFAULT = 0.50
 
+#: weighted_sample's bucket hash is salted with a "mix:" namespace so the
+#: sampling decision is independent of the split decision at equal seeds
+_MIX_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('mix:42:', CAST(doc_id AS VARCHAR))), 1, 7)) "
+    "AS BIGINT) % 10000"
+)
+
 _CORPUS_MIX_SQL = f"""
-WITH b AS (SELECT doc_id, source, {_SPLIT_BUCKET} AS bk FROM documents)
+WITH b AS (SELECT doc_id, source, {_MIX_BUCKET} AS bk FROM documents)
 SELECT doc_id, source FROM b
 WHERE bk < (CASE source WHEN 'src0' THEN {int(_MIX_RATES["src0"] * 10000)}
                         WHEN 'src1' THEN {int(_MIX_RATES["src1"] * 10000)}

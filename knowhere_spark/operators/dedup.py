@@ -415,12 +415,16 @@ def simhash_signatures(
                 ((tok_h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
                 * 2 - 1
             )
-            contrib = pm[inverse]
+            # pad one zero row so a trailing empty doc's start index stays a
+            # valid reduceat boundary — clipping it instead would shift the
+            # PREVIOUS doc's segment end and corrupt its signature
+            contrib = np.vstack(
+                [pm[inverse], np.zeros((1, bits), dtype=np.int64)]
+            )
             n_docs = len(lens)
             starts = np.zeros(n_docs, dtype=np.int64)
             starts[1:] = np.cumsum(lens)[:-1]
-            # clip: a trailing empty doc would index one past the end
-            acc = np.add.reduceat(contrib, np.minimum(starts, len(contrib) - 1), axis=0)
+            acc = np.add.reduceat(contrib, starts, axis=0)
             acc[lens == 0] = 0   # empty docs: reduceat grabs a neighbor's row
             sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
                 axis=1, dtype=np.uint64
@@ -545,14 +549,18 @@ def embedding_neardup_ivf(
         F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("vec")
     )
     hits = idx.search(queries, k=k, nprobe=nprobe, strategy="distributed")
+    # canonicalize with least/greatest, NOT a query_id < neighbor_id filter:
+    # a pair found only from the higher-id side (the lower-id row's own
+    # top-k being full of closer neighbors) would otherwise be dropped
     return (
         hits.filter(
-            (F.col("query_id") < F.col("neighbor_id"))
+            (F.col("query_id") != F.col("neighbor_id"))
             & (F.col("distance") >= threshold)
         )
         .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
             F.col("distance").alias("cosine"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )

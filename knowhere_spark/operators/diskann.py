@@ -90,10 +90,12 @@ class DiskAnnIndex:
         max_k = max(k, int(cfg.max_k))
         pending = queries
         final_parts: list[DataFrame] = []
+        cached: list[DataFrame] = [queries]
         while True:
             res = self.ivf.search(
                 pending, k=k, nprobe=nprobe, filter_expr=filter_expr
             ).cache()
+            cached.append(res)
             if k >= max_k:
                 final_parts.append(res.drop("rank"))
                 break
@@ -129,7 +131,14 @@ class DiskAnnIndex:
             cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
         else:
             cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        return out.filter(cond).select("query_id", "neighbor_id", "distance")
+        out = out.filter(cond).select("query_id", "neighbor_id", "distance")
+        # materialize once, then release every per-round cache — repeated
+        # range searches in a long-lived session must not accumulate
+        # pinned storage blocks
+        out = out.localCheckpoint(eager=True)
+        for df in cached:
+            df.unpersist()
+        return out
 
     @classmethod
     def build(cls, base_df: DataFrame, config: DiskAnnConfig, **kw) -> "DiskAnnIndex":

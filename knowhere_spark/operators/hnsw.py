@@ -329,12 +329,10 @@ class HNSWIndex:
                 X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
                 d = pairwise_distances(X, C, MetricType.L2)
                 top2 = np.argsort(d, axis=1, kind="stable")[:, :2]
-                out = pd.concat(
-                    [
-                        pdf.assign(cell_id=top2[:, 0].astype(np.int32)),
-                        pdf.assign(cell_id=top2[:, 1].astype(np.int32)),
-                    ]
-                )
+                parts = [pdf.assign(cell_id=top2[:, 0].astype(np.int32))]
+                if top2.shape[1] > 1:   # a 1-centroid corpus has no 2nd cell
+                    parts.append(pdf.assign(cell_id=top2[:, 1].astype(np.int32)))
+                out = pd.concat(parts)
                 yield out[["id", "cell_id", "vec"]]
 
         vec_type = base.schema["vec"].dataType
@@ -440,8 +438,12 @@ class HNSWIndex:
         bridges = BruteForce.search(
             self.vectors, queries, 2, metric, strategy="gemm"
         )
+        # ranks are computed BEFORE the self-match filter, so self (rank 1
+        # under distance metrics) shifts real neighbors to ranks 2..k —
+        # keep rank <= k, not rank <= k-1, or every node gets one edge
+        # fewer than the documented M-2 budget
         new_out = (
-            edges_of(near_all.filter(F.col("rank") <= max(M - 2, 1)))
+            edges_of(near_all.filter(F.col("rank") <= max(M - 2, 1) + 1))
             .unionByName(edges_of(bridges))
             .dropDuplicates(["src", "dst"])
         )

@@ -47,7 +47,7 @@ class ShardedHNSWIndex:
         self.index_type = IndexType.SHARDED_HNSW
 
     def count(self) -> int:
-        return sum(s.count() for s in self.shards)
+        return sum(s.count() for s in self.shards if s is not None)
 
     def type(self) -> str:
         return self.index_type.value
@@ -81,8 +81,18 @@ class ShardedHNSWIndex:
         sharded = base.withColumn(
             "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
         )
-        shards = []
+        # a hash shard can come up empty (small/skewed id sets); keep a None
+        # placeholder so the routing modulus (list length) is preserved —
+        # building a graph over zero rows would crash the beam kernel
+        counts = {
+            int(r["__shard"]): int(r["cnt"])
+            for r in sharded.groupBy("__shard").agg(F.count("*").alias("cnt")).collect()
+        }
+        shards: list[HNSWIndex | None] = []
         for s in range(n_shards):
+            if counts.get(s, 0) == 0:
+                shards.append(None)
+                continue
             part = sharded.filter(F.col("__shard") == s).drop("__shard")
             shards.append(HNSWIndex.build(part, config))
         return cls(shards, config)
@@ -107,7 +117,11 @@ class ShardedHNSWIndex:
         for s, shard in enumerate(self.shards):
             if s in hit:
                 part = new.filter(F.col("__shard") == s).drop("__shard")
-                shards.append(shard.add(part))
+                # first rows for a previously-empty shard: build its graph
+                shards.append(
+                    HNSWIndex.build(part, self.config) if shard is None
+                    else shard.add(part)
+                )
             else:
                 shards.append(shard)
         return ShardedHNSWIndex(shards, self.config)
@@ -131,6 +145,8 @@ class ShardedHNSWIndex:
         metric = MetricType(self.config.metric_type)
         partials = []
         for shard in self.shards:
+            if shard is None:
+                continue
             res = shard.search(
                 query_df, k, ef=ef, strategy="broadcast",
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
@@ -143,6 +159,12 @@ class ShardedHNSWIndex:
                 bc.unpersist()                # free executor copies
                 shard._bc_graph = None        # next search re-broadcasts
             partials.append(res)
+        if not partials:   # wholly-empty index: no neighbors
+            from knowhere_spark.operators.brute_force import RESULT_SCHEMA
+
+            return query_df.sparkSession.createDataFrame(
+                [], RESULT_SCHEMA.add("rank", "integer")
+            )
         merged = partials[0]
         for p in partials[1:]:
             merged = merged.unionByName(p)
@@ -150,6 +172,12 @@ class ShardedHNSWIndex:
             merged, "query_id", "distance", k,
             ascending=not metric.is_similarity, tie_breaker="neighbor_id",
         )
+        # materialize the merged top-k, then drop the per-shard caches —
+        # otherwise every search pins one result set per shard for the
+        # session's lifetime
+        out = out.localCheckpoint(eager=True)
+        for p in partials:
+            p.unpersist()
         return out
 
     def range_search(
@@ -174,7 +202,10 @@ class ShardedHNSWIndex:
             dataclasses.replace(cfg, range_search_k=0) if cap > 0 else cfg
         )
         out = None
+        parts: list = []
         for shard in self.shards:
+            if shard is None:
+                continue
             part = shard.range_search(
                 query_df, shard_cfg, ef=ef, strategy="broadcast",
                 filter_expr=filter_expr,
@@ -182,25 +213,38 @@ class ShardedHNSWIndex:
             )
             part = part.cache()
             part.count()
+            parts.append(part)
             bc = getattr(shard, "_bc_graph", None)
             if bc is not None:
                 bc.unpersist()
                 shard._bc_graph = None
             out = part if out is None else out.unionByName(part)
+        if out is None:   # wholly-empty index
+            from knowhere_spark.operators.brute_force import RESULT_SCHEMA
+
+            return query_df.sparkSession.createDataFrame([], RESULT_SCHEMA)
         if cap > 0:
             _, _, sim = cfg.range_bounds()
             out = topk_per_key(
                 out, "query_id", "distance", cap,
                 ascending=not sim, tie_breaker="neighbor_id",
             ).drop("rank")
+        out = out.localCheckpoint(eager=True)
+        for p in parts:
+            p.unpersist()
         return out
 
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
         """``GetVectorByIds`` across shards — each shard's raw table
         semi-joins the id list; ids are disjoint across shards by
         construction so the union is exact."""
-        out = self.shards[0].get_vector_by_ids(ids_df, id_col=id_col)
-        for s in self.shards[1:]:
+        live = [s for s in self.shards if s is not None]
+        if not live:
+            return ids_df.sparkSession.createDataFrame(
+                [], "id long, vec array<float>"
+            )
+        out = live[0].get_vector_by_ids(ids_df, id_col=id_col)
+        for s in live[1:]:
             out = out.unionByName(s.get_vector_by_ids(ids_df, id_col=id_col))
         return out
 
@@ -215,18 +259,23 @@ class ShardedHNSWIndex:
                 "M": self.config.M,
                 "ef": self.config.ef,
                 "n_shards": len(self.shards),
+                "empty_shards": [
+                    i for i, s in enumerate(self.shards) if s is None
+                ],
             }
         )
         for i, s in enumerate(self.shards):
-            s.save(f"{path}/shard={i}")
+            if s is not None:
+                s.save(f"{path}/shard={i}")
 
     @classmethod
     def load(cls, spark, path: str) -> "ShardedHNSWIndex":
         from knowhere_spark.sources.index_store import IndexStore
 
         m = IndexStore(path).read_manifest()
+        empty = set(m.get("empty_shards", []))
         shards = [
-            HNSWIndex.load(spark, f"{path}/shard={i}")
+            None if i in empty else HNSWIndex.load(spark, f"{path}/shard={i}")
             for i in range(int(m["n_shards"]))
         ]
         cfg = HnswConfig(

@@ -151,6 +151,11 @@ class RefinedAnnIterator:
         self.retain_iterator_order = retain_iterator_order
         self.page_size = page_size
         self._pos = 0
+        #: (query_id, neighbor_id) already served in strictly-ordered mode —
+        #: the pool grows with the lookahead window, so without this an
+        #: item re-ranked past ``lo`` would be emitted twice and an item
+        #: newly ranked under ``lo`` would be silently lost
+        self._emitted: DataFrame | None = None
 
     def _exact(self, cand: DataFrame) -> DataFrame:
         """Re-score candidate rows by true distance on raw vectors."""
@@ -186,19 +191,36 @@ class RefinedAnnIterator:
                 (F.col("rank") > lo) & (F.col("rank") <= hi)
             )
             return self._exact(page).withColumnRenamed("approx_rank", "rank")
-        # strictly-ordered mode: exact-score the lookahead buffer and emit
-        # the refined ranks in (lo, hi]
+        # strictly-ordered mode — heap-pop semantics: exact-score the
+        # lookahead buffer and serve the best ``size`` NOT-YET-EMITTED
+        # candidates per query.  (A plain rank-window over the growing
+        # pool would double-emit items pushed past ``lo`` by newly
+        # included candidates, and skip items newly ranked under it.)
         lookahead = math.ceil(hi * self.refine_ratio)
         cand = self._approx.filter(F.col("rank") <= lookahead)
-        refined = topk_per_key(
-            self._exact(cand).drop("approx_rank"),
+        scored = self._exact(cand).drop("approx_rank")
+        if self._emitted is not None:
+            scored = scored.join(
+                self._emitted, ["query_id", "neighbor_id"], "left_anti"
+            )
+        page = topk_per_key(
+            scored,
             "query_id",
             "distance",
-            hi,
+            size,
             ascending=not self._metric.is_similarity,
             tie_breaker="neighbor_id",
+        ).withColumn("rank", F.col("rank") + F.lit(lo)).cache()
+        served = page.select("query_id", "neighbor_id")
+        grown = (
+            served if self._emitted is None
+            else self._emitted.unionByName(served)
         )
-        return refined.filter(F.col("rank") > lo)
+        # localCheckpoint truncates the lineage: without it every page's
+        # anti-join nests ALL prior pages' join plans and analysis cost
+        # grows quadratically (observed: planner stall by page ~6)
+        self._emitted = grown.localCheckpoint(eager=True)
+        return page
 
     def pages(self) -> Iterator[DataFrame]:
         while True:
@@ -209,3 +231,6 @@ class RefinedAnnIterator:
 
     def close(self) -> None:
         self._approx.unpersist()
+        if self._emitted is not None:
+            self._emitted.unpersist()
+            self._emitted = None

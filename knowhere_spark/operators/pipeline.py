@@ -31,10 +31,14 @@ from pyspark.sql import functions as F
 _SPLIT_BUCKETS = 10_000
 
 
-def split_bucket_expr(id_col: Column, seed: int = 42) -> Column:
-    """Stable bucket in [0, 10000): md5 of ``"<seed>:<id>"``, first 7 hex
-    chars (28 bits — exact in every engine's int64), mod 10000."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+def split_bucket_expr(id_col: Column, seed: int = 42, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000): md5 of ``"<salt><seed>:<id>"``, first 7
+    hex chars (28 bits — exact in every engine's int64), mod 10000.
+    ``salt`` namespaces independent uses (split vs sampling) so the SAME
+    seed still yields independent bucketings."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(f"{salt}{seed}"), id_col.cast("string"))
+    )
     return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % _SPLIT_BUCKETS
 
 
@@ -81,18 +85,19 @@ def weighted_sample(
     reweighting pass (keep ``rates[domain]`` of each domain's rows).
 
     Membership is a pure function of (id, seed) via the same 10k-bucket
-    md5 hash as :func:`deterministic_split`, so the sample is stable
-    under corpus growth, reproducible across engines, and composes with
-    the split (independent seeds → independent hashes).  One narrow
-    filter, zero shuffles — ``sampleBy``'s stratified semantics without
-    its per-run randomness.
+    md5 hash family as :func:`deterministic_split`, but salted with a
+    ``mix:`` namespace — so sampling and splitting are independent even
+    at the DEFAULT seeds (an unsalted shared hash would make every
+    sampled survivor land in the same split ranges, emptying val/test
+    for down-weighted domains).  One narrow filter, zero shuffles —
+    ``sampleBy``'s stratified semantics without its per-run randomness.
     """
     for k, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    bucket = split_bucket_expr(F.col(id_col), seed)
+    bucket = split_bucket_expr(F.col(id_col), seed, salt="mix:")
     thresh = None
     for name, rate in sorted(rates.items()):
         edge = F.lit(int(round(rate * _SPLIT_BUCKETS)))

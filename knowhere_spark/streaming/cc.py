@@ -41,7 +41,11 @@ def _snapshot_files(path: str) -> list[str]:
     if not os.path.isdir(path):
         return []
     out = []
-    for root, _dirs, fnames in os.walk(path):
+    for root, dirs, fnames in os.walk(path):
+        # prune hidden/in-flight DIRECTORIES too (_temporary, _spark_metadata,
+        # .staging): files inside them have ordinary names but are not
+        # committed — pinning one races with the task-commit rename
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in fnames:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))

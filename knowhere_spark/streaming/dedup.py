@@ -73,10 +73,13 @@ def stream_dedup_first_seen(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if seen == 0 and first is None:
-                # min doc_id in this batch = the canonical row, matching
-                # the batch operator's is_canonical tie-break
-                first = pdf.nsmallest(1, "doc_id")[["group_key", "doc_id"]]
+            if seen == 0:
+                # min doc_id across the WHOLE micro-batch (a large group can
+                # arrive as several Arrow chunks) = the canonical row,
+                # matching the batch operator's is_canonical tie-break
+                cand = pdf.nsmallest(1, "doc_id")[["group_key", "doc_id"]]
+                if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
+                    first = cand
             n += len(pdf)
         state.update((seen + n,))
         if seen == 0 and first is not None:

@@ -134,3 +134,19 @@ def test_embedding_neardup_ivf_recall(spark):
     assert recall >= 0.9, (recall, exact.keys(), got.keys())
     for p, c in got.items():
         assert c == pytest.approx(exact[p], rel=1e-9)
+
+
+def test_simhash_trailing_empty_doc_batch(spark):
+    """Regression: a doc that tokenizes to zero tokens at the END of a batch
+    must not corrupt the previous doc's signature (reduceat boundary)."""
+    from knowhere_spark.operators.dedup import simhash_signatures
+
+    with_empty = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "?!")], "doc_id long, text string"
+    ).coalesce(1)
+    alone = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    sig_with = {r["doc_id"]: r["simhash"] for r in simhash_signatures(with_empty).collect()}
+    sig_alone = {r["doc_id"]: r["simhash"] for r in simhash_signatures(alone).collect()}
+    assert sig_with[0] == sig_alone[0]

@@ -91,3 +91,22 @@ def test_sharded_hnsw_add(spark):
     )
     top = grown.search(q_df, k=k, ef=48).collect()
     assert any(r["neighbor_id"] == nb + 7 for r in top)
+
+
+def test_sharded_hnsw_empty_shard(spark):
+    """Regression: a hash shard with zero rows must not crash build/search;
+    results equal brute force over the tiny corpus."""
+    from knowhere_spark.config import HnswConfig
+    from knowhere_spark.operators.brute_force import BruteForce
+    from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+    # 3 ids over 8 shards: most shards are empty by construction
+    df = dense_df(spark, gen_dense(3, 16, seed=7))
+    idx = ShardedHNSWIndex.build(df, HnswConfig(metric_type="L2", M=4, ef=8, k=2), n_shards=8)
+    assert sum(s is None for s in idx.shards) >= 5
+    q = df.select(F.col("id").alias("query_id"), "vec").limit(2)
+    got = idx.search(q, k=2)
+    exact = BruteForce.search(df, q, 2, "L2")
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert g == e

@@ -5,7 +5,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from knowhere_spark.config import MetricType
 from knowhere_spark.operators.iterator import AnnIterator
+from pyspark.sql import functions as F
 
 from conftest import QUERY_SCHEMA, dense_df, gen_dense, np_distances
 
@@ -111,3 +113,34 @@ def test_refined_iterator_unordered_mode(spark):
             )
     assert all(len(s) == nb for s in seen.values())
     it.close()
+
+
+def test_refined_iterator_ordered_pages_disjoint(spark):
+    """Regression: strictly-ordered paging must never serve the same
+    neighbor twice even when the growing lookahead pool re-ranks items."""
+    from knowhere_spark.operators.iterator import RefinedAnnIterator
+
+    rng = np.random.default_rng(7)
+    base = gen_dense(60, 8, seed=7)
+    raw = dense_df(spark, base)
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in rng.random(8)])], QUERY_SCHEMA
+    )
+    # a deliberately noisy quantized ordering (random ranks) maximizes
+    # re-rank churn between pages
+    approx = spark.createDataFrame(
+        [(0, int(i), float(r)) for i, r in enumerate(rng.permutation(60) + 1)],
+        "query_id long, neighbor_id long, rank double",
+    )
+    it = RefinedAnnIterator(
+        approx, raw, q.select("query_id", F.col("vec").alias("qvec")),
+        MetricType.L2, refine_ratio=1.5, retain_iterator_order=True,
+        page_size=7,
+    )
+    seen: set = set()
+    for page in it.pages():
+        rows = [(r["query_id"], r["neighbor_id"]) for r in page.collect()]
+        assert not (set(rows) & seen), "duplicate emission across pages"
+        seen.update(rows)
+    it.close()
+    assert len(seen) == 60   # every neighbor served exactly once
