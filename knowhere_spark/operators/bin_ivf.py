@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 
 from knowhere_spark.config import IndexType, IvfConfig, MetricType
 from knowhere_spark.functions.binary import binary_distance_expr
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
 _TRAIN_SAMPLE_MAX = 100_000
 
@@ -301,18 +301,7 @@ class BinaryIVFIndex:
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             strategy=strategy,
         )
-        lo, hi, sim = cfg.range_bounds()
-        if sim:
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
-        else:
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        out = scored.filter(cond)
-        if getattr(cfg, "range_search_k", 0) and cfg.range_search_k > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", cfg.range_search_k,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(scored, cfg)
 
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------

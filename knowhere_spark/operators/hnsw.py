@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 
 from knowhere_spark.config import HnswConfig, IndexType, MetricType
 from knowhere_spark.functions.distance import pairwise_distances
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
 _CELL_TARGET_ROWS = 512     # block population target for local-KNN build
 _TRAIN_SAMPLE_MAX = 50_000
@@ -572,18 +572,7 @@ class HNSWIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
         ).drop("rank")
-        lo, hi, sim = config.range_bounds()
-        if sim:
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
-        else:
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        out = out.filter(cond)
-        if getattr(config, "range_search_k", 0) and config.range_search_k > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", config.range_search_k,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(out, config)
 
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
         """``GetVectorByIds`` (index_node.h:340-350) — broadcast semi-join

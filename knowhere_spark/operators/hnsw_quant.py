@@ -550,7 +550,7 @@ class QuantizedHNSWIndex:
         gathers candidates (exact distances when refine holds raw data,
         quantized otherwise), then the half-open bounds filter
         (range_util.h:22-25), ``range_search_k`` truncation on top."""
-        from knowhere_spark.operators.topk import topk_per_key
+        from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
         cfg = config or self.config
         bounds_ef = ef if ef is not None else max(self.config.ef, 4 * self.config.k)
@@ -558,18 +558,7 @@ class QuantizedHNSWIndex:
             query_df, k=bounds_ef, ef=bounds_ef, filter_expr=filter_expr,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         ).drop("rank")
-        lo, hi, sim = cfg.range_bounds()
-        if sim:
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
-        else:
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        out = out.filter(cond)
-        if getattr(cfg, "range_search_k", 0) and cfg.range_search_k > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", cfg.range_search_k,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(out, cfg)
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
     def save(self, path: str) -> None:

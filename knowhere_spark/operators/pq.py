@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 from knowhere_spark.config import IndexType, IvfPqConfig, MetricType
 from knowhere_spark.functions.distance import normalize_expr
 from knowhere_spark.operators.ivf import IVFFlatIndex
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
 _TRAIN_SAMPLE_MAX = 100_000
 
@@ -333,7 +333,7 @@ class IVFPqIndex:
         range_util.h:22-25) — codeword reconstruction inside the cogroup
         kernel, identical arithmetic to the LUT sum."""
         from knowhere_spark.operators.ivf import cogroup_cells_range, probe_assign_df
-        from knowhere_spark.operators.topk import topk_per_key
+        from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
         cfg = config or self.config
         nprobe = min(
@@ -359,13 +359,7 @@ class IVFPqIndex:
             self.codes, probes, lo, hi, sim, dist_metric,
             filter_expr=filter_expr, row_matrix=decode,
         )
-        rsk = int(getattr(cfg, "range_search_k", -1) or -1)
-        if rsk > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", rsk,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(out, cfg, already_bounded=True)
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
     def save(self, path: str) -> None:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from knowhere_spark.config import MetricType
 from knowhere_spark.functions.distance import distance_expr
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
 
 def refine(
@@ -150,7 +150,7 @@ class ScannIndex:
         from pyspark.sql import functions as F
 
         from knowhere_spark.functions.distance import distance_expr
-        from knowhere_spark.operators.topk import topk_per_key
+        from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
         cfg = config or self.config
         approx = self.sq.range_search(
@@ -176,18 +176,7 @@ class ScannIndex:
                 ),
             )
         )
-        lo, hi, sim = cfg.range_bounds()
-        if sim:
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
-        else:
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        out = exact.filter(cond)
-        if getattr(cfg, "range_search_k", 0) and cfg.range_search_k > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", cfg.range_search_k,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(exact, cfg)
 
     def _finish(self, approx: DataFrame, query_df: DataFrame, k: int) -> DataFrame:
         if not self.sq.with_raw_data:

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
 from knowhere_spark.config import IndexType, IvfSq8Config, MetricType
 from knowhere_spark.functions.distance import normalize_expr, pairwise_distances
 from knowhere_spark.operators.ivf import IVFFlatIndex
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 from knowhere_spark.sources.index_store import IndexStore
 
 
@@ -341,7 +341,7 @@ class IVFSq8Index:
         range_util.h:22-25).  Served through the cogroup machinery, which
         is correct at any nq."""
         from knowhere_spark.operators.ivf import cogroup_cells_range, probe_assign_df
-        from knowhere_spark.operators.topk import topk_per_key
+        from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
         cfg = config or self.config
         nprobe = min(
@@ -365,13 +365,7 @@ class IVFSq8Index:
             self.assignments, probes, lo, hi, sim, dist_metric,
             filter_expr=filter_expr, row_matrix=decode,
         )
-        rsk = int(getattr(cfg, "range_search_k", -1) or -1)
-        if rsk > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", rsk,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(out, cfg, already_bounded=True)
 
     def raw_vectors(self) -> DataFrame:
         if not self.with_raw_data:

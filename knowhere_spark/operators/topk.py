@@ -43,3 +43,29 @@ def topk_per_key(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= F.lit(k))
     )
+
+
+def apply_range_bounds(scored, config, *, already_bounded: bool = False):
+    """Shared RangeSearch result shaping: the half-open distance bounds per
+    metric direction (range_util.h:22-25 — ``lo <= d < hi`` for distance
+    metrics, ``lo < d <= hi`` for similarities) plus the optional
+    ``range_search_k`` per-query truncation (config.h:665-669).
+
+    ``already_bounded=True`` skips the filter for kernels that emit only
+    in-range rows (the cogroup range machinery) and applies truncation
+    alone.  One definition keeps every index family's RangeSearch
+    semantics in lockstep."""
+    lo, hi, sim = config.range_bounds()
+    if not already_bounded:
+        if sim:
+            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+        else:
+            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+        scored = scored.filter(cond)
+    rsk = int(getattr(config, "range_search_k", 0) or 0)
+    if rsk > 0:
+        scored = topk_per_key(
+            scored, "query_id", "distance", rsk,
+            ascending=not sim, tie_breaker="neighbor_id",
+        ).drop("rank")
+    return scored
