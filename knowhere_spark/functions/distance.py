@@ -133,14 +133,19 @@ def local_topk(
     n_base, n_q = dist.shape
     kk = min(k, n_base)
     key = -dist if largest else dist
-    # argpartition: O(n) selection per query, then exact sort of the k block
-    part = np.argpartition(key, kk - 1, axis=0)[:kk, :]              # (kk, n_q)
-    part_key = np.take_along_axis(key, part, axis=0)
-    order = np.argsort(part_key, axis=0, kind="stable")
-    sel = np.take_along_axis(part, order, axis=0)                     # (kk, n_q)
+    # deterministic (distance, neighbor_id) selection: reorder rows by
+    # ascending id, then a STABLE sort keeps the smallest-id row among
+    # equal distances — an argpartition here would break ties arbitrarily
+    # and could drop the id the final window (and the oracle) expects when
+    # duplicates straddle the k boundary (common in dedup corpora)
+    rid = np.argsort(ids, kind="stable")
+    key = key[rid]
+    ids_by = ids[rid]
+    dist_by = dist[rid]
+    order = np.argsort(key, axis=0, kind="stable")[:kk, :]           # (kk, n_q)
     qidx = np.repeat(np.arange(n_q)[None, :], kk, axis=0).ravel()
-    nid = ids[sel.ravel()]
-    dd = dist[sel.ravel(), np.tile(np.arange(n_q), (kk, 1)).ravel()]
+    nid = ids_by[order.ravel()]
+    dd = dist_by[order.ravel(), np.tile(np.arange(n_q), (kk, 1)).ravel()]
     return qidx, nid, dd
 
 

@@ -44,7 +44,7 @@ from knowhere_spark.functions.distance import (
     local_topk,
     pairwise_distances,
 )
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
 RESULT_SCHEMA = StructType(
     [
@@ -53,10 +53,6 @@ RESULT_SCHEMA = StructType(
         StructField("distance", DoubleType()),
     ]
 )
-
-# auto strategy: switch to GEMM when the base side is non-trivial
-_AUTO_SQL_MAX_BASE_ROWS = 20_000
-
 
 def _prep(
     base_df: DataFrame,
@@ -70,13 +66,11 @@ def _prep(
     """Normalize column names → (id, vec) / (query_id, qvec); apply the
     pre-filter (BitsetView analog, include/knowhere/bitsetview.h) on the
     base side so Catalyst pushes it into the scan."""
+    if filter_expr is not None:
+        base_df = base_df.filter(filter_expr)
     base = base_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     )
-    if filter_expr is not None:
-        base = base_df.filter(filter_expr).select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-        )
     queries = query_df.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
@@ -125,7 +119,19 @@ class BruteForce:
         if strategy == "sql":
             pairs = base.crossJoin(F.broadcast(queries))
             if metric.is_binary:
-                dist = binary_distance_expr(metric, F.col("vec"), F.col("qvec"))
+                # dispatch on the physical layout: BINARY columns score via
+                # the bytes UDFs, word-packed ARRAY<BIGINT> columns via the
+                # JVM-codegen'd bit_count expressions
+                if dict(base.dtypes).get("vec", "").startswith("array"):
+                    from knowhere_spark.functions.binary import (
+                        binary_words_distance_expr,
+                    )
+
+                    dist = binary_words_distance_expr(
+                        metric, F.col("vec"), F.col("qvec")
+                    )
+                else:
+                    dist = binary_distance_expr(metric, F.col("vec"), F.col("qvec"))
             else:
                 dist = distance_expr(metric, F.col("vec"), F.col("qvec"))
             scored = pairs.select(
@@ -247,24 +253,7 @@ class BruteForce:
         scored = pairs.select(
             "query_id", F.col("id").alias("neighbor_id"), dist.alias("distance")
         )
-        lo, hi, sim = config.range_bounds()
-        if sim:
-            # radius < d <= range_filter
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
-        else:
-            # range_filter <= d < radius
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        out = scored.filter(cond)
-        if config.range_search_k and config.range_search_k > 0:
-            out = topk_per_key(
-                out,
-                "query_id",
-                "distance",
-                config.range_search_k,
-                ascending=not sim,
-                tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(scored, config)
 
     @staticmethod
     def structure_search(
@@ -344,6 +333,8 @@ def _binary_gemm_partial_topk(
 
     spark = base.sparkSession
     qrows = queries.collect()   # nq small by contract (same as float gemm)
+    if not qrows:   # empty query set => empty result, not a reshape crash
+        return spark.createDataFrame([], RESULT_SCHEMA)
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.frombuffer(
         b"".join(r["qvec"] for r in qrows), dtype=np.uint8
@@ -379,6 +370,8 @@ def _gemm_partial_topk(
     """
     spark = base.sparkSession
     qrows = queries.collect()   # nq is small by contract (reference nq=10..10k)
+    if not qrows:   # empty query set => empty result, not a reshape crash
+        return spark.createDataFrame([], RESULT_SCHEMA)
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
     bq = spark.sparkContext.broadcast((qids, qmat))

@@ -108,67 +108,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, hashes ARRAY<BIGINT>) — md5-based shingle hashes, portable."""
-
-    sh = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_expr(F.col(text_col), n).alias("sh"),
-    )
-    return sh.select(
-        "doc_id",
-        F.transform(
-            F.col("sh"),
-            # 7 hex chars = 28 bits — fits the int64 universal-hash domain
-            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
-        ).alias("hashes"),
-    )
-
-
-def shingle_sets(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-) -> DataFrame:
-    """(doc_id, sh ARRAY<STRING>) — distinct word n-gram shingles via a
-    single-pass Arrow kernel.  Matches :func:`shingles_expr` exactly
-    (including the empty-text → ``[""]`` edge) but ~10x faster: the
-    interpreted transform+slice HOF costs ~2ms/doc, the kernel ~0.2ms.
-    """
-    from pyspark.sql.types import StringType
-
-    src = ensure_parallelism(
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
-        )
-    )
-    schema = StructType(
-        [StructField("doc_id", LongType()), StructField("sh", ArrayType(StringType()))]
-    )
-
-    def kernel(batches):
-        import re
-
-        tok_re = re.compile(r"[^a-z0-9]+")
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = []
-            for text in pdf["text"]:
-                toks = [t for t in tok_re.split((text or "").lower()) if t]
-                # shingles_expr semantics: sequence(0, greatest(size-n, 0))
-                # always yields >= 1 index, so empty text produces [""]
-                n_sh = max(len(toks) - n, 0) + 1
-                out.append(
-                    list({" ".join(toks[i : i + n]) for i in range(n_sh)})
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": out})
-
-    return src.mapInPandas(kernel, schema)
-
-
 def minhash_signatures(
     df: DataFrame,
     *,

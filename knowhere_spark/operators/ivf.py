@@ -26,8 +26,11 @@ Spark-first design (SURVEY.md §2.3):
   results re-probe all cells (driver loop, one extra job).
 
 COSINE follows the reference's normalize-at-train contract
-(ivf.cc:462-470): vectors and centroids are stored normalized and the
-search metric becomes IP on normalized queries.
+(ivf.cc:462-470): vectors are stored normalized and the search metric
+becomes IP on normalized queries.  Centroids are kmeans means of the
+normalized vectors (not themselves unit-norm), which is why probe
+ranking uses the L2 assignment geometry, never raw IP against the
+centroids (see _probe_pairs).
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ from knowhere_spark.functions.distance import (
     normalize_expr,
     pairwise_distances,
 )
-from knowhere_spark.operators.topk import topk_per_key
+from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 from knowhere_spark.sources.index_store import IndexStore
 
 
@@ -279,12 +282,18 @@ class IVFFlatIndex:
 
     def _probe_pairs(self, qids: np.ndarray, qmat: np.ndarray, nprobe: int):
         """Driver-side top-nprobe cells per query over the tiny centroid
-        matrix → bare (query_id, cell_id) pairs."""
-        probe_metric = MetricType.IP if MetricType(self.config.metric_type) == MetricType.COSINE else MetricType(self.config.metric_type)
-        d = pairwise_distances(self.centroids, qmat, probe_metric)    # (nlist, nq)
-        largest = probe_metric.is_similarity
-        key = -d if largest else d
-        order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]    # (nprobe, nq)
+        matrix → bare (query_id, cell_id) pairs.
+
+        Probe ranking uses **L2 — the assignment geometry** — for every
+        float metric: cells are L2-Voronoi regions (_assign_cells), and
+        COSINE data/queries are already normalized, so nearest-by-L2 IS
+        the cell ordering consistent with where vectors live.  Ranking by
+        raw IP against unnormalized centroids would disagree with
+        assignment (a query equal to a stored vector could miss its own
+        cell).  faiss probes with the quantizer's own metric for the same
+        reason; scoring inside cells still uses the true metric."""
+        d = pairwise_distances(self.centroids, qmat, MetricType.L2)   # (nlist, nq)
+        order = np.argsort(d, axis=0, kind="stable")[:nprobe, :]      # (nprobe, nq)
         return [
             (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
         ]
@@ -366,13 +375,7 @@ class IVFFlatIndex:
             self.assignments, probes, lo, hi, sim, dist_metric,
             filter_expr=filter_expr,
         )
-        rsk = int(self.config.range_search_k or -1)
-        if rsk > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", rsk,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(out, self.config, already_bounded=True)
 
     def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr):
         """Partial-then-final top-k over probed cells.
@@ -384,7 +387,6 @@ class IVFFlatIndex:
         candidate instead."""
         import pandas as pd
 
-        from knowhere_spark.functions.distance import local_topk
         from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
         cells = sorted({c for _, c in pairs})
@@ -509,18 +511,7 @@ class IVFFlatIndex:
                 distance_expr(dist_metric, F.col("vec"), F.col("qvec")).alias("distance"),
             )
         )
-        lo, hi, sim = self.config.range_bounds()
-        if sim:
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
-        else:
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
-        out = scored.filter(cond)
-        if self.config.range_search_k and self.config.range_search_k > 0:
-            out = topk_per_key(
-                out, "query_id", "distance", self.config.range_search_k,
-                ascending=not sim, tie_breaker="neighbor_id",
-            ).drop("rank")
-        return out
+        return apply_range_bounds(scored, self.config)
 
     # -- GetVectorByIds (index_node.h:340-350; HasRawData true for IVF_FLAT) --
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
@@ -577,10 +568,11 @@ def probe_assign_df(
         StructType,
     )
 
-    probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
+    # probe ranking = assignment geometry (L2 — see _probe_pairs); only
+    # query normalization depends on the true metric
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(
-        (centroids, probe_metric.value, metric == MetricType.COSINE)
+        (centroids, MetricType.L2.value, metric == MetricType.COSINE)
     )
     schema = StructType(
         [

@@ -258,13 +258,12 @@ class IVFPqIndex:
         lut_by_qid = {int(q): luts[i] for i, q in enumerate(qids)}
         bc = spark.sparkContext.broadcast(lut_by_qid)
 
-        # probe cells on the (tiny) coarse centroid matrix — same rule as IVF
-        probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        # probe cells on the (tiny) coarse centroid matrix — same rule as
+        # IVF: L2 = the assignment geometry (see IVFFlatIndex._probe_pairs)
         from knowhere_spark.functions.distance import pairwise_distances
 
-        d = pairwise_distances(self.centroids, qmat, probe_metric)   # (nlist, nq)
-        key = -d if probe_metric.is_similarity else d
-        order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]
+        d = pairwise_distances(self.centroids, qmat, MetricType.L2)  # (nlist, nq)
+        order = np.argsort(d, axis=0, kind="stable")[:nprobe, :]
         probe_rows = [
             (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
         ]

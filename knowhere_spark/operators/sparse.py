@@ -276,8 +276,11 @@ class SparseInvertedIndex:
 
         postings = postings_src
         if filter_expr is not None:
+            # no broadcast hint: a permissive filter keeps most of the
+            # corpus, and a forced corpus-sized broadcast would OOM at
+            # scale — AQE still picks a broadcast join when it IS small
             allowed = self.doc_stats.filter(filter_expr).select("doc_id")
-            postings = postings.join(F.broadcast(allowed), "doc_id")
+            postings = postings.join(allowed, "doc_id", "left_semi")
         if candidates is not None:
             postings = postings.join(
                 F.broadcast(candidates.select("doc_id").distinct()), "doc_id"
@@ -285,8 +288,11 @@ class SparseInvertedIndex:
 
         if metric == MetricType.BM25:
             avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
+            # doc_stats is corpus-sized (one row per doc): never force a
+            # broadcast — the scalable form is an ordinary shuffle join
+            # (both sides key on doc_id), and AQE broadcasts small corpora
             scored_postings = (
-                postings.join(F.broadcast(self.doc_stats_small()), "doc_id")
+                postings.join(self.doc_stats_small(), "doc_id")
                 .withColumn(
                     "__w",
                     bm25_score_expr(
@@ -402,11 +408,22 @@ class SparseInvertedIndex:
     def doc_stats_small(self) -> DataFrame:
         return self.doc_stats.select("doc_id", "doc_len")
 
+    #: base fraction of the query's total upper bound that the weakest
+    #: terms may jointly hold before they're skipped (scaled below)
+    _PRUNE_EPS_BASE = 1e-4
+
     def _prune_query_terms(self, qterms: DataFrame, metric: MetricType, k: int) -> DataFrame:
-        """MaxScore-style stats pre-filter (SURVEY.md §4): drop query terms
-        whose maximum possible contribution is a negligible share of the
-        query's total upper bound.  Conservative cutoff keeps exactness
-        risk low while skipping long postings lists of low-weight terms."""
+        """MaxScore-style stats pre-filter (SURVEY.md §4): skip the maximal
+        suffix of weakest query terms whose COMBINED upper bound is a
+        negligible share of the query's total upper bound.  The joint
+        (tail-cumulative) test is the conservative form — per-term shares
+        could drop many small terms whose sum is material.
+
+        Both reference knobs are live (sparse_inverted_index_config.h:54-83):
+        ``dim_max_score_ratio`` scales the per-term bounds AND tightens the
+        cutoff when > 1 (looser bounds ⇒ prune less), and deeper result
+        sets (larger ``k``) prune less — the kth score is closer to the
+        bound tail."""
         cfg = self.config
         ub = F.col("qval").cast("double") * F.col("max_value").cast("double") * F.lit(
             cfg.dim_max_score_ratio
@@ -417,11 +434,18 @@ class SparseInvertedIndex:
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id")
+        worder = Window.partitionBy("query_id").orderBy(
+            F.col("__ub").asc(), F.col("term").asc()
+        )
         total = F.sum("__ub").over(w)
-        # keep terms contributing the top (1 - epsilon) of the upper bound
+        # cumulative bound of this term plus every weaker one
+        tail = F.sum("__ub").over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        eps = self._PRUNE_EPS_BASE / (cfg.dim_max_score_ratio * max(k, 1))
         return (
-            wq.withColumn("__share", F.col("__ub") / total)
-            .filter(F.col("__share") >= F.lit(1e-4))
+            wq.withColumn("__tail_share", tail / total)
+            .filter(F.col("__tail_share") >= F.lit(eps))
             .select("query_id", "term", "qval")
         )
 

@@ -248,10 +248,11 @@ class IVFSq8Index:
             qn[qn == 0] = 1.0
             qmat = qmat / qn
 
-        probe_metric = MetricType.IP if metric == MetricType.COSINE else metric
-        d = pairwise_distances(self.centroids, qmat, probe_metric)
-        key = -d if probe_metric.is_similarity else d
-        order = np.argsort(key, axis=0, kind="stable")[:nprobe, :]
+        # probe ranking = assignment geometry (L2, see IVFFlatIndex._probe_pairs);
+        # scoring inside the probed cells uses the true metric below
+        score_metric = MetricType.IP if metric == MetricType.COSINE else metric
+        d = pairwise_distances(self.centroids, qmat, MetricType.L2)
+        order = np.argsort(d, axis=0, kind="stable")[:nprobe, :]
         cells = sorted({int(c) for c in order.ravel()})
 
         cand = self.assignments
@@ -262,9 +263,9 @@ class IVFSq8Index:
         # broadcast: query matrix + per-query probed cell set
         probe_sets = {int(qids[qi]): {int(c) for c in order[:, qi]} for qi in range(len(qids))}
         bq = spark.sparkContext.broadcast(
-            (qids, qmat, probe_sets, self.vmin, self.vdiff, probe_metric.value)
+            (qids, qmat, probe_sets, self.vmin, self.vdiff, score_metric.value)
         )
-        largest = probe_metric.is_similarity
+        largest = score_metric.is_similarity
 
         out_schema = StructType(
             [

@@ -241,3 +241,26 @@ def test_binary_gemm_matches_sql_path(spark):
             for r in BruteForce.search(base_df, q_df, k, metric, strategy="sql").collect()
         )
         assert gemm == sql, metric
+
+
+def test_search_dispatches_word_packed_columns(spark):
+    """Regression: BruteForce.search over word-packed ARRAY<BIGINT> columns
+    must route to the codegen'd bit_count path (the bytes UDF crashes on
+    int arrays) and agree with the bytes path."""
+    import numpy as np
+
+    from knowhere_spark.functions.binary import pack_bits_expr
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    rows = [(i, [float(1 if x else -1) for x in rng.integers(0, 2, dim)]) for i in range(30)]
+    fl = spark.createDataFrame(rows, "id long, vec array<float>")
+    packed = fl.select("id", pack_bits_expr(F.col("vec"), 32).alias("vec"))
+    q = packed.limit(3).select(F.col("id").alias("query_id"), "vec")
+
+    got = BruteForce.search(packed, q, 5, "HAMMING")
+    rowsd = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    # rank-1 neighbor of each query is itself (distance 0)
+    for qid in [r["query_id"] for r in q.collect()]:
+        assert rowsd[(qid, 1)] == qid
