@@ -394,15 +394,9 @@ class SparseInvertedIndex:
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             filter_expr=filter_expr,
         )
-        lo, hi, _sim = cfg.range_bounds()
-        hits = scores.filter(
-            (F.col("score") > F.lit(float(lo))) & (F.col("score") <= F.lit(float(hi)))
-        )
-        rsk = int(getattr(cfg, "range_search_k", -1) or -1)
-        if rsk > 0:
-            hits = topk_per_key(
-                hits, "query_id", "score", rsk, ascending=False, tie_breaker="doc_id"
-            ).drop("rank")
+        from knowhere_spark.operators.topk import apply_range_bounds
+
+        hits = apply_range_bounds(scores, cfg, dist_col="score", id_col="doc_id")
         return hits.select("query_id", "doc_id", "score")
 
     def doc_stats_small(self) -> DataFrame:

@@ -45,7 +45,10 @@ def topk_per_key(
     )
 
 
-def apply_range_bounds(scored, config, *, already_bounded: bool = False):
+def apply_range_bounds(
+    scored, config, *, already_bounded: bool = False,
+    dist_col: str = "distance", id_col: str = "neighbor_id",
+):
     """Shared RangeSearch result shaping: the half-open distance bounds per
     metric direction (range_util.h:22-25 — ``lo <= d < hi`` for distance
     metrics, ``lo < d <= hi`` for similarities) plus the optional
@@ -53,19 +56,21 @@ def apply_range_bounds(scored, config, *, already_bounded: bool = False):
 
     ``already_bounded=True`` skips the filter for kernels that emit only
     in-range rows (the cogroup range machinery) and applies truncation
-    alone.  One definition keeps every index family's RangeSearch
-    semantics in lockstep."""
+    alone.  ``dist_col``/``id_col`` adapt to result shapes like sparse's
+    ``(query_id, doc_id, score)``.  One definition keeps every index
+    family's RangeSearch semantics in lockstep."""
     lo, hi, sim = config.range_bounds()
+    d = F.col(dist_col)
     if not already_bounded:
         if sim:
-            cond = (F.col("distance") > F.lit(lo)) & (F.col("distance") <= F.lit(hi))
+            cond = (d > F.lit(lo)) & (d <= F.lit(hi))
         else:
-            cond = (F.col("distance") >= F.lit(lo)) & (F.col("distance") < F.lit(hi))
+            cond = (d >= F.lit(lo)) & (d < F.lit(hi))
         scored = scored.filter(cond)
     rsk = int(getattr(config, "range_search_k", 0) or 0)
     if rsk > 0:
         scored = topk_per_key(
-            scored, "query_id", "distance", rsk,
-            ascending=not sim, tie_breaker="neighbor_id",
+            scored, "query_id", dist_col, rsk,
+            ascending=not sim, tie_breaker=id_col,
         ).drop("rank")
     return scored

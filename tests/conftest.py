@@ -33,12 +33,24 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "6g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_cache_module(spark):
+    """Drop leftover cached blocks at module boundaries: the session JVM
+    is shared across ~240 tests and accumulated caches otherwise OOM the
+    heap near the tail of a full run (observed on test_hnsw_quant)."""
+    yield
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 
 
 # --- deterministic generators (FIXTURES.md T1-T6) -------------------------
