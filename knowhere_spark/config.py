@@ -432,6 +432,7 @@ SUPPORTED_VECTYPES: dict[IndexType, frozenset[VecType]] = {
     IndexType.HNSW_SQ: _DENSE_VECTYPES,
     IndexType.HNSW_PQ: _DENSE_VECTYPES,
     IndexType.HNSW_PRQ: _DENSE_VECTYPES,
+    IndexType.SHARDED_HNSW: _DENSE_VECTYPES,
     # DENSE_FLOAT_ALL registration — no int8 (diskann.cc:723-725,
     # test_index_check.cc:118-120)
     IndexType.DISKANN: frozenset({VecType.FP32, VecType.FP16, VecType.BF16}),
@@ -445,6 +446,8 @@ def check_vectype(index_type: IndexType, vec_type: VecType | str) -> VecType:
     """Feature-bit dtype check (index_factory.cc:76-90); raises
     :class:`ConfigError` on an unsupported (index, dtype) pair."""
     vt = VecType(vec_type.upper()) if isinstance(vec_type, str) else vec_type
+    if index_type not in SUPPORTED_VECTYPES:
+        raise ConfigError(f"no dtype registration for {index_type.value}")
     if vt not in SUPPORTED_VECTYPES[index_type]:
         raise ConfigError(
             f"{index_type.value} does not support dtype {vt.value} "

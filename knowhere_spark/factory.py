@@ -183,6 +183,13 @@ def estimate_index_size(
         return base
     if t == IndexType.IVF_SQ8:
         return rows * (dim + 12) + 2 * dim * 8        # codes + min/max scales
+    if t == IndexType.SCANN:
+        # SQ8-quantized scan table + (with_raw_data default true) the raw
+        # refine table (ivf_config.h:101-162)
+        est = rows * (dim + 12) + 2 * dim * 8
+        if p.get("with_raw_data", True):
+            est += rows * (dim * fp + 8)
+        return est
     if t == IndexType.IVF_PQ:
         m = int(p.get("m", 8))
         ksub = 1 << int(p.get("nbits", 8))

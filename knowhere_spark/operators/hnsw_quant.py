@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     ShortType,
     StructField,
@@ -207,6 +208,13 @@ def _encode_with_quant(df: DataFrame, quant: dict) -> DataFrame:
             (quant["stages"], quant["m"], quant["subdim"])
         )
 
+        # nbits can reach 24 (reference range): codebooks past 32767
+        # entries would silently wrap an int16 code, so widen the dtype
+        wide = any(
+            len(cb[j]) > 32767 for cb in quant["stages"] for j in range(quant["m"])
+        )
+        code_np = np.int32 if wide else np.int16
+
         def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             stages_, mm, sd = bc.value
             for pdf in batches:
@@ -214,7 +222,7 @@ def _encode_with_quant(df: DataFrame, quant: dict) -> DataFrame:
                     continue
                 X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
                 R = X.copy()
-                codes = np.empty((len(X), len(stages_) * mm), dtype=np.int16)
+                codes = np.empty((len(X), len(stages_) * mm), dtype=code_np)
                 for r, cb in enumerate(stages_):
                     for j in range(mm):
                         sub = R[:, j * sd : (j + 1) * sd]
@@ -229,7 +237,12 @@ def _encode_with_quant(df: DataFrame, quant: dict) -> DataFrame:
                 yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
 
         schema = StructType(
-            [StructField("id", LongType()), StructField("codes", ArrayType(ShortType()))]
+            [
+                StructField("id", LongType()),
+                StructField(
+                    "codes", ArrayType(IntegerType() if wide else ShortType())
+                ),
+            ]
         )
 
     from knowhere_spark.session import ensure_parallelism
@@ -382,7 +395,15 @@ class QuantizedHNSWIndex:
         # memoized like HNSWIndex._search_broadcast: codes + CSR ship once
         bc = getattr(self, "_bc_codes", None)
         if bc is None:
-            dtype = np.float32 if self.quant["mode"] == "half" else np.int16
+            if self.quant["mode"] == "half":
+                dtype = np.float32
+            elif self.quant["mode"] == "pq" and any(
+                len(cb[j]) > 32767
+                for cb in self.quant["stages"] for j in range(self.quant["m"])
+            ):
+                dtype = np.int32
+            else:
+                dtype = np.int16
             ids, C = _collect_id_matrix(self.codes, "id", "codes", dtype)
             indptr, indices = _collect_csr(self.graph.edges, ids)
             entry_pos = _entry_positions(ids, self.graph.entry_ids)
@@ -569,6 +590,11 @@ class QuantizedHNSWIndex:
             "metric_type": self.config.metric_type.value,
             "M": self.config.M,
             "ef": self.config.ef,
+            # k and efConstruction must round-trip: load() rebuilds the
+            # config, and defaulting k=10 would both reject saved ef<10
+            # indexes (ConfigError) and silently reset a non-default k
+            "k": self.config.k,
+            "efConstruction": self.config.efConstruction,
             "refine": self.config.refine,
             "refine_k": self.config.refine_k,
             "refine_type": self.config.refine_type,
@@ -619,6 +645,12 @@ class QuantizedHNSWIndex:
             refine_k=float(m.get("refine_k", 1.0)),
             refine_type=m.get("refine_type"),
         )
+        if "k" in m:
+            common["k"] = int(m["k"])
+        elif int(m["ef"]) < 10:
+            common["k"] = int(m["ef"])   # legacy manifest: keep it loadable
+        if "efConstruction" in m:
+            common["efConstruction"] = int(m["efConstruction"])
         mode = m["mode"]
         if mode == "half":
             cfg = HnswSqConfig(sq_type=m["kind"], **common)

@@ -196,7 +196,9 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     Returns ``(media_id, frame_idx)`` plus passthrough metadata columns.
     """
     return (
-        media.filter(F.col("media_type") == "video")
+        media.filter(
+            (F.col("media_type") == "video") & (F.col("meta.n_frames") > 0)
+        )  # n_frames=0 would make sequence(0, -1, +step) throw; zero rows is right
         .select(
             "media_id",
             F.col("meta.n_frames").alias("n_frames"),

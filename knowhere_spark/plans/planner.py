@@ -92,11 +92,21 @@ def search_with_fallback(
     """
     raw = base_df
     if raw is None:
-        raw = (
-            getattr(index, "assignments", None)
-            or getattr(index, "base", None)
-            or getattr(index, "vectors", None)      # HNSW family raw table
-        )
+        # probe the index families' raw-vector homes; a codes-only
+        # .assignments (quantized IVF without raw data) must NOT match,
+        # so candidates are accepted only when they carry a vec column
+        sq = getattr(index, "sq", None)          # SCANN refine source
+        graph = getattr(index, "graph", None)    # quantized-HNSW raw graph
+        for cand in (
+            getattr(index, "assignments", None),
+            getattr(index, "base", None),
+            getattr(index, "vectors", None),     # HNSW family raw table
+            getattr(sq, "assignments", None) if sq is not None else None,
+            getattr(graph, "vectors", None) if graph is not None else None,
+        ):
+            if cand is not None and "vec" in cand.columns:
+                raw = cand
+                break
     if raw is None:
         raise ValueError("no raw-vector table available; pass base_df")
     raw = raw.select("id", "vec")
@@ -128,18 +138,24 @@ def search_widening(
     nprobe until every query has k results or the probe covers all cells."""
     nlist = index.config.nlist
     nprobe = start_nprobe or index.config.nprobe
+    nq = query_df.count()   # loop-invariant
     while True:
         out = index.search(query_df, k, nprobe=min(nprobe, nlist), **kw)
         if nprobe >= nlist:
             return out
-        underfilled = (
+        out = out.cache()   # one probe scan serves the check AND the caller
+        # one aggregation answers both exit conditions: every query present
+        # and none underfilled
+        stats = (
             out.groupBy("query_id")
             .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") < k)
-            .count()
+            .agg(
+                F.count("*").alias("n_queries"),
+                F.sum(F.when(F.col("cnt") < k, 1).otherwise(0)).alias("under"),
+            )
+            .first()
         )
-        nq = query_df.count()
-        n_results = out.select("query_id").distinct().count()
-        if underfilled == 0 and n_results == nq:
+        if stats["under"] == 0 and stats["n_queries"] == nq:
             return out
+        out.unpersist()
         nprobe *= 2

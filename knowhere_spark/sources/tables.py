@@ -37,8 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # casting TIMESTAMP_NS to TIMESTAMP, so oracles stay comparable.
         from pyspark.sql import functions as F
 
+        # scope the legacy conf to this read: leaving it set session-wide
+        # would silently turn ANY later TIMESTAMP(NANOS) parquet read in
+        # the same session into bigint columns
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            # force schema resolution while the conf is active; the
+            # DataFrame's schema is then fixed for its lifetime
+            df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer `div`, not `/`: epoch nanos exceed double's 53-bit
             # exact-integer range, so float division can be off by ~1 us
