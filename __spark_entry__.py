@@ -618,6 +618,25 @@ def q_scann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
+def q_scann_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCANN with an exact-recoverable config: nprobe=nlist (all cells
+    probed) + raw-data reorder with a wide candidate margin, so the
+    quantize-then-refine plan must reproduce the brute-force L2 top-k —
+    shares the ``flat_knn_l2`` oracle (exactness discipline of
+    tests/ut/test_search.cc:28-29, as already done for IVF_FLAT in
+    ``ivf_flat_knn_exact``)."""
+    from knowhere_spark.config import ScannConfig
+    from knowhere_spark.operators.refine import ScannIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = ScannConfig(
+        metric_type="L2", nlist=16, nprobe=16, k=K,
+        reorder_k=20 * K, with_raw_data=True,
+    )
+    idx = ScannIndex.build(base, cfg)
+    return _knn_out(idx.search(queries_, k=K))
+
+
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW graph build + BFS-beam batch search (SURVEY.md §2.3 HNSW
     design note) — ANN, rows-only gate."""
@@ -829,6 +848,34 @@ def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bin_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN_IVF_FLAT probing ALL cells (nprobe=nlist) — exact by
+    construction, so it shares the ``bin_knn_hamming`` oracle; proves the
+    binary probe plan loses nothing when the probe set covers the index
+    (exactness discipline of tests/ut/test_search.cc:28-29, the
+    ``ivf_flat_knn_exact`` pattern applied to the binary family)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+
+    def _sign_bytes(v):
+        M = np.array(list(v.to_numpy()), dtype=np.float64)
+        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
+        return pd.Series([bytes(r) for r in packed])
+
+    sign_bytes = F.pandas_udf(_sign_bytes, BinaryType())
+    base, queries_ = _emb(spark, sf_dir)
+    b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
+    q = queries_.select("query_id", sign_bytes(F.col("vec")).alias("vec"))
+    idx = BinaryIVFIndex.build(
+        b, IvfConfig(metric_type="HAMMING", nlist=16, nprobe=16, k=K)
+    )
+    return _knn_out(idx.search(q, k=K))
+
+
 def q_embed_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed semantic near-dup: COSINE IVF selfsearch through the
     DISTRIBUTED path (no driver collect of the query side) — the
@@ -968,16 +1015,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (the driver gate evaluates at most 50, in dict
+    order — CORRECTNESS_r02 truncated a 56-entry list), oracle-bearing
+    queries first so every hash gate is guaranteed a row.  Dropped r2
+    entries whose evidence is superseded: ``ivf_flat_knn``/``bin_ivf_knn``/
+    ``scann_knn``/``kmeans_assign`` (each replaced by an exact-config
+    oracle gate on the same code path + pytest recall floors),
+    ``ann_ordered_neighbors`` (same kernel as flat_knn_l2 at k=50),
+    ``corpus_curate`` (strict subset of ``corpus_curate_full``),
+    ``flat_range_cosine`` (similarity-direction range bounds still
+    oracle-covered by ``sparse_bm25_range``; distance direction by
+    ``flat_range_l2``/``bin_range_hamming``), ``embed_neardup_lsh``
+    (planted-recall tested in tests/test_lsh.py; the IVF distributed
+    near-dup path keeps its driver row)."""
     return {
+        # --- oracle-gated (rows+schema+hash) -------------------------------
         "flat_knn_l2": q_flat_knn_l2,
         "flat_knn_ip": q_flat_knn_ip,
         "flat_knn_cosine": q_flat_knn_cosine,
         "flat_knn_l2_filtered": q_flat_knn_l2_filtered,
         "flat_range_l2": q_flat_range_l2,
-        "flat_range_cosine": q_flat_range_cosine,
         "get_vector_by_ids": q_get_vector_by_ids,
         "topk_per_key": q_topk_per_key,
-        "ann_ordered_neighbors": q_ann_ordered_neighbors,
         "sparse_ip_topk": q_sparse_ip_topk,
         "sparse_bm25_topk": q_sparse_bm25_topk,
         "sparse_bm25_range": q_sparse_bm25_range,
@@ -992,39 +1051,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
         "dataset_split": q_dataset_split,
         "corpus_mix": q_corpus_mix,
         "seq_packing": q_seq_packing,
-        "corpus_curate": q_corpus_curate,
         "corpus_curate_full": q_corpus_curate_full,
         "embed_cosine_neardup": q_embed_cosine_neardup,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
-        "embed_neardup_ivf": q_embed_neardup_ivf,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "bin_knn_hamming": q_bin_knn_hamming,
         "bin_knn_jaccard": q_bin_knn_jaccard,
         "bin_substructure": q_bin_substructure,
         "bin_range_hamming": q_bin_range_hamming,
-        "bin_ivf_knn": q_bin_ivf_knn,
-        "ivf_flat_knn": q_ivf_flat_knn,
+        "bin_ivf_knn_exact": q_bin_ivf_knn_exact,
         "ivf_flat_knn_exact": q_ivf_flat_knn_exact,
         "ivf_knn_distributed_exact": q_ivf_knn_distributed_exact,
         "bf_knn_distributed": q_bf_knn_distributed,
+        "scann_knn_exact": q_scann_knn_exact,
+        "kmeans_assign_fixed": q_kmeans_assign_fixed,
+        "media_frame_sample": q_media_frame_sample,
+        # --- rows-only (approximate / non-SQL-expressible; recall floors
+        # and behavior tested in tests/) ------------------------------------
         "ivf_sq8_knn": q_ivf_sq8_knn,
         "ivf_pq_knn": q_ivf_pq_knn,
-        "scann_knn": q_scann_knn,
         "hnsw_knn": q_hnsw_knn,
         "hnsw_sharded_knn": q_hnsw_sharded_knn,
         "hnsw_sq_knn": q_hnsw_sq_knn,
-        "kmeans_assign": q_kmeans_assign,
-        "kmeans_assign_fixed": q_kmeans_assign_fixed,
+        "embed_neardup_ivf": q_embed_neardup_ivf,
         "cc_search_while_insert": q_cc_search_while_insert,
         "stream_neardup_minhash": q_stream_neardup_minhash,
-        "media_frame_sample": q_media_frame_sample,
         "multimodal_features": q_multimodal_features,
-        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1304,7 +1361,9 @@ c AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
   FROM toks
 )
-SELECT doc_id, n_tokens, before // 2048 AS chunk_id, before % 2048 AS chunk_offset
+SELECT doc_id, n_tokens,
+       CAST(before // 2048 AS BIGINT) AS chunk_id,
+       CAST(before % 2048 AS BIGINT) AS chunk_offset
 FROM c
 """
 
@@ -1406,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_flat_knn_exact": _knn_oracle(_L2, "ASC"),
         "ivf_knn_distributed_exact": _knn_oracle(_L2, "ASC"),
         "bf_knn_distributed": _knn_oracle(_L2, "ASC"),
+        "scann_knn_exact": _knn_oracle(_L2, "ASC"),
+        "bin_ivf_knn_exact": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_jaccard": _bin_knn_oracle(_JACCARD_SQL),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
@@ -1417,7 +1478,6 @@ SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance
 FROM d WHERE dd >= 0.0 AND dd < 24.0
 """,
         "flat_range_l2": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
-        "flat_range_cosine": _range_oracle(_COS, "dd > 0.25 AND dd <= 1.01"),
         "get_vector_by_ids": """
 SELECT vec_id AS id,
        CAST(unnest(range(len(embedding))) AS INT) AS pos,
@@ -1434,20 +1494,6 @@ WITH r AS (
 SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS l_extendedprice,
        CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 3
-""",
-        "ann_ordered_neighbors": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
-d AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id, {_L2} AS dd
-  FROM embeddings e, q
-),
-r AS (
-  SELECT query_id, neighbor_id, dd,
-         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rk
-  FROM d
-)
-SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance, CAST(rk AS INT) AS rank
-FROM r WHERE rk <= 50
 """,
         "sparse_ip_topk": f"""
 WITH {_SPARSE_BASE},
@@ -1558,7 +1604,6 @@ SELECT id, CAST(cid AS INT) AS cluster_id FROM r WHERE rk = 1
         "dataset_split": _DATASET_SPLIT_SQL,
         "corpus_mix": _CORPUS_MIX_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
-        "corpus_curate": _CORPUS_CURATE_SQL,
         "corpus_curate_full": _CORPUS_CURATE_FULL_SQL,
         "embed_cosine_neardup": """
 WITH d AS (
