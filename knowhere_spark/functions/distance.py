@@ -133,19 +133,36 @@ def local_topk(
     n_base, n_q = dist.shape
     kk = min(k, n_base)
     key = -dist if largest else dist
-    # deterministic (distance, neighbor_id) selection: reorder rows by
-    # ascending id, then a STABLE sort keeps the smallest-id row among
-    # equal distances — an argpartition here would break ties arbitrarily
-    # and could drop the id the final window (and the oracle) expects when
-    # duplicates straddle the k boundary (common in dedup corpora)
-    rid = np.argsort(ids, kind="stable")
-    key = key[rid]
-    ids_by = ids[rid]
-    dist_by = dist[rid]
-    order = np.argsort(key, axis=0, kind="stable")[:kk, :]           # (kk, n_q)
-    qidx = np.repeat(np.arange(n_q)[None, :], kk, axis=0).ravel()
-    nid = ids_by[order.ravel()]
-    dd = dist_by[order.ravel(), np.tile(np.arange(n_q), (kk, 1)).ravel()]
+    # deterministic (distance, neighbor_id) selection in O(n) per query:
+    # argpartition picks SOME kk smallest keys per column; ties equal to the
+    # per-column boundary value may straddle the cut arbitrarily, so the
+    # candidate set is widened to every row tied at the boundary and only
+    # that small block is sorted exactly by (key, id).  (A full-column
+    # stable argsort gives the same answer at O(n log n) + 2x transient
+    # copies; duplicate distances straddling the k boundary are common in
+    # dedup corpora, so the tie widening is load-bearing, not paranoia.)
+    if kk < n_base:
+        part = np.argpartition(key, kk - 1, axis=0)[:kk, :]      # (kk, n_q)
+        col = np.arange(n_q)
+        bnd = key[part, col[None, :]].max(axis=0)                # (n_q,)
+        tied = key == bnd[None, :]                               # (n_base, n_q)
+    else:
+        part = None
+    qidx = np.repeat(np.arange(n_q), kk)
+    nid = np.empty(n_q * kk, dtype=ids.dtype)
+    dd = np.empty(n_q * kk, dtype=dist.dtype)
+    for q in range(n_q):
+        if part is None:
+            cand = np.arange(n_base)
+        else:
+            # rows strictly below the boundary are all inside the partition
+            # prefix; rows AT the boundary come from the tie mask — the
+            # union is the complete (key <= boundary) candidate set
+            cand = np.union1d(part[:, q], np.flatnonzero(tied[:, q]))
+        ck = key[cand, q]
+        sel = cand[np.lexsort((ids[cand], ck))[:kk]]
+        nid[q * kk:(q + 1) * kk] = ids[sel]
+        dd[q * kk:(q + 1) * kk] = dist[sel, q]
     return qidx, nid, dd
 
 

@@ -69,11 +69,11 @@ def contamination_report(
         F.col(id_col),
         F.size(shingles_expr(F.col(text_col), n)).cast("long").alias("n_grams"),
     )
-    # the hit set is a small fraction of the corpus (and the aggregation
-    # already reduced it to one row per contaminated doc): broadcast it so
-    # the corpus-wide totals side never shuffles on doc_id
+    # the hit side is bounded by the number of contaminated docs, which is
+    # usually tiny but CAN approach corpus size on a dirty corpus — no
+    # forced broadcast; AQE converts to broadcast when it is actually small
     return (
-        totals.join(F.broadcast(hits), id_col, "left")
+        totals.join(hits, id_col, "left")
         .select(
             id_col,
             "n_grams",
@@ -116,5 +116,7 @@ def decontaminate(
         (F.col("n_hit_grams") >= min_hit_grams)
         & (F.col("contamination") > max_contamination)
     ).select(id_col)
-    # broadcast anti-join: the surviving corpus never shuffles
-    return docs.join(F.broadcast(dirty), id_col, "left_anti")
+    # anti-join on the dirty-id set; sized by contamination, so leave the
+    # broadcast decision to AQE rather than forcing a possibly-corpus-sized
+    # broadcast on a heavily contaminated corpus
+    return docs.join(dirty, id_col, "left_anti")

@@ -160,11 +160,16 @@ class ShardedHNSWIndex:
                 shard._bc_graph = None        # next search re-broadcasts
             partials.append(res)
         if not partials:   # wholly-empty index: no neighbors
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
-            return query_df.sparkSession.createDataFrame(
-                [], RESULT_SCHEMA.add("rank", "integer")
+            # build a FRESH schema: StructType.add mutates in place, and
+            # RESULT_SCHEMA is shared by every brute-force/IVF kernel
+            ranked = StructType(
+                list(RESULT_SCHEMA.fields) + [StructField("rank", IntegerType())]
             )
+            return query_df.sparkSession.createDataFrame([], ranked)
         merged = partials[0]
         for p in partials[1:]:
             merged = merged.unionByName(p)

@@ -156,6 +156,10 @@ class RefinedAnnIterator:
         #: item re-ranked past ``lo`` would be emitted twice and an item
         #: newly ranked under ``lo`` would be silently lost
         self._emitted: DataFrame | None = None
+        #: cached pages served so far — released as soon as the next page
+        #: is materialized (and in ``close``), so a long paging session
+        #: pins at most one page of storage blocks at a time
+        self._live_page: DataFrame | None = None
 
     def _exact(self, cand: DataFrame) -> DataFrame:
         """Re-score candidate rows by true distance on raw vectors."""
@@ -219,7 +223,16 @@ class RefinedAnnIterator:
         # localCheckpoint truncates the lineage: without it every page's
         # anti-join nests ALL prior pages' join plans and analysis cost
         # grows quadratically (observed: planner stall by page ~6)
+        prev_emitted = self._emitted
         self._emitted = grown.localCheckpoint(eager=True)
+        # the new checkpoint is eager, so the superseded checkpoint and the
+        # previous served page can be released now — otherwise a long
+        # strictly-ordered session accumulates one pinned block set per page
+        if prev_emitted is not None:
+            prev_emitted.unpersist()
+        if self._live_page is not None:
+            self._live_page.unpersist()
+        self._live_page = page
         return page
 
     def pages(self) -> Iterator[DataFrame]:
@@ -234,3 +247,6 @@ class RefinedAnnIterator:
         if self._emitted is not None:
             self._emitted.unpersist()
             self._emitted = None
+        if self._live_page is not None:
+            self._live_page.unpersist()
+            self._live_page = None

@@ -156,6 +156,12 @@ def search_widening(
             .first()
         )
         if stats["under"] == 0 and stats["n_queries"] == nq:
-            return out
+            # hand the caller an UNcached result: pin the rows via an eager
+            # localCheckpoint, then release the cache — otherwise the result
+            # set stays pinned for the session lifetime on every successful
+            # widened search (callers cannot know it was cached)
+            final = out.localCheckpoint(eager=True)
+            out.unpersist()
+            return final
         out.unpersist()
         nprobe *= 2

@@ -110,3 +110,33 @@ def test_sharded_hnsw_empty_shard(spark):
     g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert g == e
+
+
+def test_sharded_hnsw_all_shards_empty_keeps_shared_schema(spark):
+    """Regression: searching a wholly-empty sharded index must return an
+    empty 4-column result WITHOUT mutating the shared brute-force
+    RESULT_SCHEMA (StructType.add appends in place — a leaked 'rank'
+    field broke every later kernel bound to that schema)."""
+    from knowhere_spark.operators.brute_force import RESULT_SCHEMA, BruteForce
+
+    before = [f.name for f in RESULT_SCHEMA.fields]
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, gen_dense(3, 16, seed=7)).limit(0),
+        HnswConfig(metric_type="L2", M=4, ef=8, k=2),
+        n_shards=2,
+    )
+    assert all(s is None for s in idx.shards)
+    q = dense_df(spark, gen_dense(2, 16, seed=8), QUERY_SCHEMA)
+    res = idx.search(q, k=2)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "query_id", "neighbor_id", "distance", "rank"
+    ]
+    # the module-level schema is untouched...
+    assert [f.name for f in RESULT_SCHEMA.fields] == before == [
+        "query_id", "neighbor_id", "distance"
+    ]
+    # ...and a kernel bound to it still works after the empty search
+    base = dense_df(spark, gen_dense(50, 16, seed=9))
+    out = BruteForce.search_distributed(base, q, 3, "L2", n_blocks=2)
+    assert out.count() == 6

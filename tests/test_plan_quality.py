@@ -163,24 +163,30 @@ def test_bf_distributed_plan_shape(spark):
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
-    # the eval-set gram side must broadcast: the corpus never shuffles on
-    # gram, and the only exchange feeds the (tiny) per-doc hit aggregation
+    # the eval-set gram side must broadcast STATICALLY (explicit hint —
+    # it is bounded by the benchmark, never the corpus): the corpus never
+    # shuffles on gram
     from knowhere_spark.operators.decontaminate import contamination_report
 
     docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 37 == 0)
-    plan = _plan(contamination_report(docs, bench, n=5))
+    out = contamination_report(docs, bench, n=5)
+    plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
 
 
 def test_decontaminate_no_corpus_shuffle(spark):
-    # end-to-end: gram join AND the report/anti joins broadcast their small
-    # side — the full-corpus lineage contains no SortMergeJoin at all
+    # end-to-end: the hit/dirty sides carry NO forced broadcast hint (they
+    # are sized by contamination, so forcing would OOM on a dirty corpus);
+    # instead AQE must convert them to broadcast at runtime when they are
+    # actually small — assert the FINAL adaptive plan has no SortMergeJoin
     from knowhere_spark.operators.decontaminate import decontaminate
 
     docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 37 == 0)
-    plan = _plan(decontaminate(docs, bench, n=5))
+    out = decontaminate(docs, bench, n=5)
+    # parquet size stats are enough for Catalyst to pick broadcast joins
+    # statically here; at scale AQE re-decides per actual runtime sizes
+    plan = _plan(out)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
