@@ -400,42 +400,59 @@ class IVFFlatIndex:
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
         qids_arr = np.asarray(qids, dtype=np.int64)
         qmat = np.asarray(qmat, dtype=np.float64)
-        probe_sets: dict[int, set[int]] = {}
+        # (nlist, nq) boolean probe-membership matrix: one fancy-index per
+        # partition batch replaces the former per-query np.isin over the
+        # cell column (O(nq·n) Python-side mask work per batch)
+        qcol = {int(q): i for i, q in enumerate(qids_arr)}
+        probe_matrix = np.zeros((self.config.nlist, len(qids_arr)), dtype=bool)
         for qid, cell in pairs:
-            probe_sets.setdefault(qid, set()).add(cell)
+            probe_matrix[int(cell), qcol[int(qid)]] = True
         bc = spark.sparkContext.broadcast(
-            (qids_arr, qmat, probe_sets, dist_metric.value)
+            (qids_arr, qmat, probe_matrix, dist_metric.value)
         )
         largest = dist_metric.is_similarity
 
         def kernel(batches):
-            b_qids, b_qmat, b_probe, dm = bc.value
+            b_qids, b_qmat, b_member, dm = bc.value
             dm = MetricType(dm)
+            nq = len(b_qids)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
                 ids = pdf["id"].to_numpy(dtype=np.int64)
-                cell = pdf["cell_id"].to_numpy()
+                cell = pdf["cell_id"].to_numpy(dtype=np.int64)
+                n = len(ids)
                 dist = pairwise_distances(X, b_qmat, dm)      # (n, nq)
-                frames = []
-                for qi in range(len(b_qids)):
-                    qid = int(b_qids[qi])
-                    mask = np.isin(cell, list(b_probe.get(qid, ())))
-                    if not mask.any():
-                        continue
-                    dq = dist[mask, qi]
-                    idq = ids[mask]
-                    kk = min(k, len(dq))
-                    keyq = -dq if largest else dq
-                    sel = np.argpartition(keyq, kk - 1)[:kk] if kk < len(dq) else np.arange(len(dq))
-                    frames.append(
-                        pd.DataFrame(
-                            {"query_id": qid, "neighbor_id": idq[sel], "distance": dq[sel]}
-                        )
-                    )
-                if frames:
-                    yield pd.concat(frames)
+                member = b_member[cell]                       # (n, nq)
+                key = -dist if largest else dist
+                key = np.where(member, key, np.inf)           # mask non-probed
+                kk = min(k, n)
+                sel = np.zeros((n, nq), dtype=bool)
+                if kk < n:
+                    part = np.argpartition(key, kk - 1, axis=0)[:kk]  # (kk, nq)
+                    col = np.arange(nq)
+                    sel[part, col[None, :]] = True
+                    # widen to rows tied at a FINITE per-query boundary so a
+                    # smallest-id duplicate can't be dropped at the partial
+                    # cut (the final window tie-breaks (distance, id))
+                    bnd = key[part, col[None, :]].max(axis=0)         # (nq,)
+                    finite_b = np.isfinite(bnd)
+                    if finite_b.any():
+                        sel |= (key == bnd[None, :]) & finite_b[None, :]
+                else:
+                    sel[:] = True
+                sel &= member
+                rows_f, q_f = np.nonzero(sel)
+                if len(rows_f) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[q_f],
+                        "neighbor_id": ids[rows_f],
+                        "distance": dist[rows_f, q_f],
+                    }
+                )
 
         scored = cand.mapInPandas(kernel, RESULT_SCHEMA)
         return topk_per_key(
