@@ -543,6 +543,87 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["ivf_100k_search_nq100"] = q_ivf_100k_search
     out["ivf_100k_selfsearch_distributed"] = q_ivf_100k_selfsearch_distributed
 
+    # --- sf1-equivalent scale probe: a second point on the scaling curve
+    # the 100 TB claims extrapolate from (no sf1 driver data exists, so
+    # expand in-memory 500x/10x like the 100k section).  OPT-IN via
+    # SPARK_GRAFT_SCALE_PROBE=1 — it adds ~60s and the per-round driver
+    # bench should stay lean; measured results are committed in SCALE.md. --
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "0") != "0":
+        huge = (
+            emb.crossJoin(spark.range(500).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("id") + F.col("rep") * 1_000_000).alias("id"),
+                F.transform(
+                    "vec", lambda x: x + F.col("rep").cast("float") * F.lit(0.0001)
+                ).alias("vec"),
+            )
+            .cache()
+        )
+        n_huge = huge.count()
+        huge_queries = huge.filter(F.col("id") < 100).select(
+            F.col("id").alias("query_id"), "vec"
+        )
+        huge_ivf_state = {}
+
+        def q_ivf_1m_build():
+            idx = IVFFlatIndex.build(
+                huge, IvfConfig(metric_type="L2", nlist=256, nprobe=8)
+            )
+            idx.assignments.cache()
+            idx.assignments.count()
+            huge_ivf_state["idx"] = idx
+            return idx.assignments.limit(1)
+
+        def prep_ivf_1m_search():
+            np_t = _tune_nprobe(
+                huge_ivf_state["idx"], huge, huge_queries, 100, "L2"
+            )
+            huge_ivf_state["nprobe"] = np_t
+            PARAMS["sf1x_ivf_1m_search_nq100"] = {
+                "nprobe": np_t, "target_recall": 0.80,
+            }
+
+        def q_ivf_1m_search():
+            return huge_ivf_state["idx"].search(
+                huge_queries, k=100, nprobe=huge_ivf_state.get("nprobe", 8)
+            )
+
+        def r_ivf_1m():
+            return _knn_recall(
+                huge_ivf_state["idx"].search(
+                    huge_queries, k=100, nprobe=huge_ivf_state.get("nprobe", 8)
+                ),
+                huge, huge_queries, 100, "L2",
+            )
+
+        # cache the expansion: the curate chain makes several passes over
+        # the corpus, and an uncached crossJoin lineage is recomputed per
+        # pass (measured 125s uncached vs 27s cached at 50k docs)
+        docs10 = (
+            docs.crossJoin(spark.range(10).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                # vary the tail so replicas aren't trivial exact dups
+                F.concat(
+                    F.col("text"), F.lit(" v"), F.col("rep").cast("string")
+                ).alias("text"),
+            )
+            .cache()
+        )
+        docs10.count()
+
+        def q_curate_50k():
+            from knowhere_spark.operators.pipeline import curate_corpus
+
+            return curate_corpus(docs10, min_tokens=5, jaccard_threshold=0.7)
+
+        PREPARE_MAP["sf1x_ivf_1m_search_nq100"] = prep_ivf_1m_search
+        RECALL_MAP["sf1x_ivf_1m_search_nq100"] = r_ivf_1m
+        out["sf1x_ivf_1m_build"] = q_ivf_1m_build
+        out["sf1x_ivf_1m_search_nq100"] = q_ivf_1m_search
+        out["sf1x_corpus_curate_50k"] = q_curate_50k
+        NQ_MAP["sf1x_ivf_1m_search_nq100"] = 100
+
     # --- recall probes (reference protocol: recall ∈ {0.80, 0.95} targets
     # at topk=100; here we REPORT recall at the benched params so the VPS
     # numbers above are anchored to an operating point) ---------------------
