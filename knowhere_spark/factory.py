@@ -98,6 +98,61 @@ class FlatIndex:
         return BruteForce.get_vector_by_ids(self.base, ids_df)
 
 
+class TypedIndex:
+    """Reduced-precision storage wrapper (fp16/bf16/int8 axis).
+
+    The reference stores vectors in the dataset's element type and widens
+    to fp32 for compute (operands.h:53-147, 180-198).  Here the inner
+    index is built over vectors ALREADY quantized to ``vec_type``'s
+    representable values, and every incoming query is quantized the same
+    way — so distances, stored raws, and serialized bytes are faithful to
+    a reference index holding the same reduced-precision bytes, while
+    every fp32 kernel is reused unchanged (fp16/bf16/int8 values widen to
+    fp32 exactly).
+    """
+
+    def __init__(self, inner, vec_type: "VecType"):
+        self.inner = inner
+        self.vec_type = vec_type
+
+    def _q(self, query_df: DataFrame, kw: dict) -> DataFrame:
+        from knowhere_spark.functions.dtype import quantize_vec_col
+
+        return quantize_vec_col(
+            query_df, self.vec_type, kw.get("query_vec_col", "vec")
+        )
+
+    def search(self, query_df: DataFrame, *a, **kw):
+        return self.inner.search(self._q(query_df, kw), *a, **kw)
+
+    def range_search(self, query_df: DataFrame, *a, **kw):
+        return self.inner.range_search(self._q(query_df, kw), *a, **kw)
+
+    def add(self, new_df: DataFrame, *a, **kw):
+        from knowhere_spark.functions.dtype import quantize_vec_col
+
+        new = quantize_vec_col(new_df, self.vec_type, kw.get("vec_col", "vec"))
+        return TypedIndex(self.inner.add(new, *a, **kw), self.vec_type)
+
+    def save(self, path: str, *a, **kw):
+        from knowhere_spark.sources.index_store import IndexStore
+
+        out = self.inner.save(path, *a, **kw)
+        store = IndexStore(path)
+        m = store.read_manifest()
+        m["vec_type"] = self.vec_type.value
+        store.write_manifest(m)
+        return out
+
+    def type(self) -> str:
+        return self.inner.type()
+
+    def __getattr__(self, name):
+        # Count/Dim/Size/HasRawData/get_vector_by_ids/... delegate; the
+        # inner tables already hold the quantized values
+        return getattr(self.inner, name)
+
+
 @dataclass
 class IndexHandle:
     """Unbuilt index: validated config + build dispatch — what
@@ -105,10 +160,23 @@ class IndexHandle:
 
     index_type: IndexType
     config: BaseConfig
-    vec_type: "VecType | None" = None   # storage-intent dtype (compute is fp32)
+    vec_type: "VecType | None" = None   # storage dtype; compute stays fp32
 
     def build(self, base_df: DataFrame, **kw):
         """Train + Add (index_node.h:70-74) → built index object."""
+        from knowhere_spark.functions.dtype import (
+            REDUCED_VEC_TYPES,
+            quantize_vec_col,
+        )
+
+        if self.vec_type in REDUCED_VEC_TYPES:
+            base_df = quantize_vec_col(
+                base_df, self.vec_type, kw.get("vec_col", "vec")
+            )
+            return TypedIndex(self._build_inner(base_df, **kw), self.vec_type)
+        return self._build_inner(base_df, **kw)
+
+    def _build_inner(self, base_df: DataFrame, **kw):
         t = self.index_type
         if t in (IndexType.FLAT, IndexType.BIN_FLAT):
             return FlatIndex.build(base_df, self.config, index_type=t, **kw)
@@ -173,7 +241,11 @@ def estimate_index_size(
     planning before a build, no data touched."""
     t = IndexType(index_type.upper()) if isinstance(index_type, str) else index_type
     p = dict(params or {})
-    fp = 4  # float32 storage
+    # storage bytes per element follow the dtype axis (operands.h:53-147);
+    # pass params={"vec_type": "FP16"} etc. for reduced-precision estimates
+    from knowhere_spark.functions.dtype import ELEMENT_BYTES
+
+    fp = ELEMENT_BYTES.get(VecType(str(p.get("vec_type", "FP32")).upper()), 4)
     if t in (IndexType.FLAT, IndexType.IVF_FLAT, IndexType.DISKANN, IndexType.HNSW,
              IndexType.SHARDED_HNSW, IndexType.HNSW_SQ, IndexType.HNSW_PQ,
              IndexType.HNSW_PRQ):
@@ -239,6 +311,18 @@ def load_index(spark: SparkSession, path: str):
 
     m = IndexStore(path).read_manifest()
     t = IndexType(m["index_type"])
+    inner = _load_inner(spark, path, t)
+    vt = m.get("vec_type")
+    if vt is not None:
+        from knowhere_spark.functions.dtype import REDUCED_VEC_TYPES
+
+        vt = VecType(vt)
+        if vt in REDUCED_VEC_TYPES:
+            return TypedIndex(inner, vt)
+    return inner
+
+
+def _load_inner(spark: SparkSession, path: str, t: IndexType):
     if t in (IndexType.IVF_FLAT, IndexType.DISKANN):
         from knowhere_spark.operators.ivf import IVFFlatIndex
 
