@@ -788,22 +788,29 @@ class HNSWIndex:
             [(e,) for e in self.entry_ids], "node_id long"
         )
         frontier = queries.select("query_id").crossJoin(entry_df)
-        visited = score(frontier).cache()
-        visited.count()
-        frontier = visited.select("query_id", "node_id")
+        # per-hop materialization touches ONLY the hop's newly scored rows:
+        # visited is a list of eagerly-checkpointed per-hop frames, and the
+        # anti-join reads their union as a view over the stored blocks —
+        # re-caching the whole growing union each hop (the old shape) made
+        # hop cost proportional to total visited, not to new work
+        visited_parts = [score(frontier).localCheckpoint(eager=True)]
+        frontier = visited_parts[0].select("query_id", "node_id")
+
+        def visited_ids() -> DataFrame:
+            out = visited_parts[0].select("query_id", "node_id")
+            for p in visited_parts[1:]:
+                out = out.unionByName(p.select("query_id", "node_id"))
+            return out
 
         for _ in range(max_hops):
             expanded = (
                 frontier.join(self.edges, frontier["node_id"] == self.edges["src"])
                 .select("query_id", F.col("dst").alias("node_id"))
                 .distinct()
-                .join(visited.select("query_id", "node_id"), ["query_id", "node_id"], "left_anti")
+                .join(visited_ids(), ["query_id", "node_id"], "left_anti")
             )
-            scored = score(expanded)
-            new_visited = visited.unionByName(scored).cache()
-            new_visited.count()
-            visited.unpersist()
-            visited = new_visited
+            scored = score(expanded).localCheckpoint(eager=True)
+            visited_parts.append(scored)
             # next frontier: per-query best ef among the newly scored nodes
             frontier = (
                 topk_per_key(
@@ -813,6 +820,9 @@ class HNSWIndex:
                 .select("query_id", "node_id")
             )
 
+        visited = visited_parts[0]
+        for p in visited_parts[1:]:
+            visited = visited.unionByName(p)
         final = visited.withColumnRenamed("node_id", "neighbor_id")
         if filter_expr is not None:
             # result-gating semi-join: blocked nodes traversed above but
