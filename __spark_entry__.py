@@ -724,6 +724,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIN_DIM = 64   # embeddings table dimensionality
 
 
+def sign_bytes_udf():
+    """Sign-bit byte packing (``M > 0``, little bit order) — ONE shared
+    definition: the convention is load-bearing for hash parity with the
+    DuckDB ``_pack_sql`` oracle, so every byte-vector gate (and bench.py)
+    must use this exact kernel, not a drifting copy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _sign_bytes(v):
+        M = np.array(list(v.to_numpy()), dtype=np.float64)
+        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
+        return pd.Series([bytes(r) for r in packed])
+
+    # explicit wrap: string type hints don't resolve under
+    # `from __future__ import annotations` with a locally-imported pandas
+    return F.pandas_udf(_sign_bytes, BinaryType())
+
+
 def _emb_words(spark: SparkSession, sf_dir: str):
     from knowhere_spark.functions.binary import pack_bits_expr
 
@@ -795,16 +814,7 @@ def q_bin_range_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel under the RangeSearch verb; distance-direction bounds
     ``range_filter <= d < radius``, range_util.h:22-25) — exercises the
     byte-vector range path of BruteForce.range_search."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
-
-    def _sign_bytes(v):
-        M = np.array(list(v.to_numpy()), dtype=np.float64)
-        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
-        return pd.Series([bytes(r) for r in packed])
-
-    sign_bytes = F.pandas_udf(_sign_bytes, BinaryType())
+    sign_bytes = sign_bytes_udf()
     base, queries_ = _emb(spark, sf_dir)
     b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
     q = queries_.select("query_id", sign_bytes(F.col("vec")).alias("vec"))
@@ -817,22 +827,10 @@ def q_bin_range_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bin_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIN_IVF_FLAT hamming (ivf.cc:607-620) — ANN, rows-only gate."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
-
     from knowhere_spark.config import IvfConfig
     from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
 
-    def _sign_bytes(v):
-        M = np.array(list(v.to_numpy()), dtype=np.float64)
-        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
-        return pd.Series([bytes(r) for r in packed])
-
-    # explicit wrap: string type hints don't resolve under
-    # `from __future__ import annotations` with a locally-imported pandas
-    sign_bytes = F.pandas_udf(_sign_bytes, BinaryType())
-
+    sign_bytes = sign_bytes_udf()
     base, queries_ = _emb(spark, sf_dir)
     b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
     q = queries_.select("query_id", sign_bytes(F.col("vec")).alias("vec"))
@@ -854,19 +852,10 @@ def q_bin_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary probe plan loses nothing when the probe set covers the index
     (exactness discipline of tests/ut/test_search.cc:28-29, the
     ``ivf_flat_knn_exact`` pattern applied to the binary family)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
-
     from knowhere_spark.config import IvfConfig
     from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
 
-    def _sign_bytes(v):
-        M = np.array(list(v.to_numpy()), dtype=np.float64)
-        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
-        return pd.Series([bytes(r) for r in packed])
-
-    sign_bytes = F.pandas_udf(_sign_bytes, BinaryType())
+    sign_bytes = sign_bytes_udf()
     base, queries_ = _emb(spark, sf_dir)
     b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
     q = queries_.select("query_id", sign_bytes(F.col("vec")).alias("vec"))

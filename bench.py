@@ -68,8 +68,13 @@ _GT_CACHE: dict[tuple, object] = {}
 def _gt_for(base, queries, k: int, metric: str, cache_key: tuple | None = None):
     from knowhere_spark.operators.brute_force import BruteForce
 
-    if cache_key is not None and cache_key in _GT_CACHE:
-        return _GT_CACHE[cache_key]
+    if cache_key is not None:
+        # key on the base DataFrame identity too — a tag-only key would
+        # silently reuse another corpus's ground truth (the tag names the
+        # query batch, which every "q1000" call site derives identically)
+        cache_key = (id(base), *cache_key)
+        if cache_key in _GT_CACHE:
+            return _GT_CACHE[cache_key]
     gt = (
         BruteForce.search(base, queries, k, metric, strategy="gemm")
         .select("query_id", "neighbor_id")
@@ -257,17 +262,11 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["ivf_search_nq1000"] = q_ivf_search
     out["ivf_search_nq1000_r95"] = q_ivf_search_r95
 
-    # sign-bit packed bytes, shared by both binary benchmarks
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
+    # sign-bit packed bytes, shared by both binary benchmarks — the ONE
+    # shared packing kernel (convention is load-bearing for oracle parity)
+    from __spark_entry__ import sign_bytes_udf
 
-    def _sign_bytes_fn(v):
-        M = np.array(list(v.to_numpy()), dtype=np.float64)
-        packed = np.packbits((M > 0).astype(np.uint8), axis=1, bitorder="little")
-        return pd.Series([bytes(r) for r in packed])
-
-    sign_bytes = F.pandas_udf(_sign_bytes_fn, BinaryType())
+    sign_bytes = sign_bytes_udf()
     bin_b = emb.select("id", sign_bytes(F.col("vec")).alias("vec")).cache()
     bin_q = (
         emb.filter(F.col("id") < 1000)

@@ -147,6 +147,11 @@ class TypedIndex:
     def type(self) -> str:
         return self.inner.type()
 
+    def refine(self, *a, **kw):
+        # index-returning methods must re-wrap, or the reduced-precision
+        # contract is silently dropped for the returned index
+        return TypedIndex(self.inner.refine(*a, **kw), self.vec_type)
+
     def __getattr__(self, name):
         # Count/Dim/Size/HasRawData/get_vector_by_ids/... delegate; the
         # inner tables already hold the quantized values
@@ -242,10 +247,13 @@ def estimate_index_size(
     t = IndexType(index_type.upper()) if isinstance(index_type, str) else index_type
     p = dict(params or {})
     # storage bytes per element follow the dtype axis (operands.h:53-147);
-    # pass params={"vec_type": "FP16"} etc. for reduced-precision estimates
+    # pass params={"vec_type": "FP16"} (string or VecType) for
+    # reduced-precision estimates
     from knowhere_spark.functions.dtype import ELEMENT_BYTES
 
-    fp = ELEMENT_BYTES.get(VecType(str(p.get("vec_type", "FP32")).upper()), 4)
+    vt_raw = p.get("vec_type", VecType.FP32)
+    vt = vt_raw if isinstance(vt_raw, VecType) else VecType(str(vt_raw).upper())
+    fp = ELEMENT_BYTES.get(vt, 4)
     if t in (IndexType.FLAT, IndexType.IVF_FLAT, IndexType.DISKANN, IndexType.HNSW,
              IndexType.SHARDED_HNSW, IndexType.HNSW_SQ, IndexType.HNSW_PQ,
              IndexType.HNSW_PRQ):

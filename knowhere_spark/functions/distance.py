@@ -132,6 +132,12 @@ def local_topk(
     """
     n_base, n_q = dist.shape
     kk = min(k, n_base)
+    if kk <= 0 or n_q == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=ids.dtype),
+            np.empty(0, dtype=dist.dtype),
+        )
     key = -dist if largest else dist
     # deterministic (distance, neighbor_id) selection in O(n) per query:
     # argpartition picks SOME kk smallest keys per column; ties equal to the

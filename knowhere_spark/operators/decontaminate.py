@@ -10,10 +10,14 @@ right after dedup).
 
 Scale shape: the benchmark side is always tiny relative to the corpus
 (MBs of eval sets vs TBs of training text), so its distinct-gram set is
-**broadcast**; the corpus side explodes its grams map-side, hash-joins
-against the broadcast set with no corpus shuffle, and only the *hits*
-(a small fraction) reach the per-doc aggregation.  Total cost: one
-corpus scan + one shuffle of the hit rows.
+**broadcast** (forced hint — provably bounded by the benchmark); the
+corpus side explodes its grams map-side and hash-joins against the
+broadcast set with no corpus shuffle on gram.  The hit/dirty sides are
+bounded by *contamination*, not the benchmark, so they carry NO forced
+hint: on a typical corpus AQE broadcasts them at runtime (one corpus
+scan + one shuffle of the hit rows), while a heavily contaminated corpus
+degrades to an ordinary shuffled join instead of a driver-OOMing forced
+broadcast.
 
 Tokenization/shingling reuses :mod:`knowhere_spark.functions.text`
 (``tokens_expr``/``shingles_expr``), so the semantics are engine-portable
@@ -105,8 +109,9 @@ def decontaminate(
     A row is dropped when ``n_hit_grams >= min_hit_grams`` AND
     ``contamination > max_contamination`` (defaults: any overlap at all
     drops the row — the conservative eval-hygiene setting).  Implemented
-    as a broadcast-gram hit test + anti-join, so the surviving corpus
-    never shuffles.
+    as a broadcast-gram hit test + a dirty-id anti-join; the dirty side is
+    contamination-sized, so the broadcast decision is left to AQE (the
+    corpus avoids shuffling whenever the dirty set is actually small).
     """
     report = contamination_report(
         docs, benchmark, n=n, id_col=id_col, text_col=text_col,

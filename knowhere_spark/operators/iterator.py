@@ -156,10 +156,6 @@ class RefinedAnnIterator:
         #: item re-ranked past ``lo`` would be emitted twice and an item
         #: newly ranked under ``lo`` would be silently lost
         self._emitted: DataFrame | None = None
-        #: cached pages served so far — released as soon as the next page
-        #: is materialized (and in ``close``), so a long paging session
-        #: pins at most one page of storage blocks at a time
-        self._live_page: DataFrame | None = None
 
     def _exact(self, cand: DataFrame) -> DataFrame:
         """Re-score candidate rows by true distance on raw vectors."""
@@ -207,14 +203,24 @@ class RefinedAnnIterator:
             scored = scored.join(
                 self._emitted, ["query_id", "neighbor_id"], "left_anti"
             )
-        page = topk_per_key(
-            scored,
-            "query_id",
-            "distance",
-            size,
-            ascending=not self._metric.is_similarity,
-            tie_breaker="neighbor_id",
-        ).withColumn("rank", F.col("rank") + F.lit(lo)).cache()
+        # the page is handed out as an eager localCheckpoint, NOT a cache:
+        # its blocks are self-contained (no lineage back to the emitted-set
+        # checkpoint released below), stay valid however long the caller
+        # keeps the DataFrame, and are freed by the ContextCleaner when the
+        # caller drops the reference — so a long paging session pins O(1)
+        # session-owned state instead of one cache per page
+        page = (
+            topk_per_key(
+                scored,
+                "query_id",
+                "distance",
+                size,
+                ascending=not self._metric.is_similarity,
+                tie_breaker="neighbor_id",
+            )
+            .withColumn("rank", F.col("rank") + F.lit(lo))
+            .localCheckpoint(eager=True)
+        )
         served = page.select("query_id", "neighbor_id")
         grown = (
             served if self._emitted is None
@@ -225,14 +231,10 @@ class RefinedAnnIterator:
         # grows quadratically (observed: planner stall by page ~6)
         prev_emitted = self._emitted
         self._emitted = grown.localCheckpoint(eager=True)
-        # the new checkpoint is eager, so the superseded checkpoint and the
-        # previous served page can be released now — otherwise a long
-        # strictly-ordered session accumulates one pinned block set per page
+        # the new checkpoint is eager and the page is self-contained, so
+        # the superseded emitted checkpoint can be released immediately
         if prev_emitted is not None:
             prev_emitted.unpersist()
-        if self._live_page is not None:
-            self._live_page.unpersist()
-        self._live_page = page
         return page
 
     def pages(self) -> Iterator[DataFrame]:
@@ -247,6 +249,3 @@ class RefinedAnnIterator:
         if self._emitted is not None:
             self._emitted.unpersist()
             self._emitted = None
-        if self._live_page is not None:
-            self._live_page.unpersist()
-            self._live_page = None

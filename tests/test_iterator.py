@@ -144,3 +144,38 @@ def test_refined_iterator_ordered_pages_disjoint(spark):
         seen.update(rows)
     it.close()
     assert len(seen) == 60   # every neighbor served exactly once
+
+
+def test_refined_iterator_earlier_pages_stay_valid(spark):
+    """Regression: previously-returned page DataFrames must remain
+    collectable after further paging (and after close) — an eager page
+    checkpoint must not be invalidated when later pages release the
+    superseded emitted-set checkpoints."""
+    from knowhere_spark.operators.iterator import RefinedAnnIterator
+
+    base = gen_dense(30, 8, seed=11)
+    raw = dense_df(spark, base)
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in base[0]])], QUERY_SCHEMA
+    )
+    approx = spark.createDataFrame(
+        [(0, int(i), float(i + 1)) for i in range(30)],
+        "query_id long, neighbor_id long, rank double",
+    )
+    it = RefinedAnnIterator(
+        approx, raw, q.select("query_id", F.col("vec").alias("qvec")),
+        MetricType.L2, refine_ratio=2.0, retain_iterator_order=True,
+        page_size=5,
+    )
+    p1 = it.next_batch()
+    p2 = it.next_batch()
+    p3 = it.next_batch()
+    # collecting the EARLIER pages after later paging exercised the
+    # checkpoint-release path
+    r2 = {r["neighbor_id"] for r in p2.collect()}
+    r1 = {r["neighbor_id"] for r in p1.collect()}
+    r3 = {r["neighbor_id"] for r in p3.collect()}
+    assert len(r1) == len(r2) == len(r3) == 5
+    assert not (r1 & r2) and not (r2 & r3) and not (r1 & r3)
+    it.close()
+    assert len({r["neighbor_id"] for r in p1.collect()}) == 5  # still valid

@@ -106,3 +106,12 @@ def test_kmeans_assign_is_nearest(xy, k):
     # every point's assigned centroid is at least as close as any other
     for i in range(len(X)):
         assert d[i, assign[i]] <= d[i].min() + 1e-9
+
+
+def test_local_topk_k_zero_and_empty():
+    dist = np.random.default_rng(0).random((10, 3))
+    ids = np.arange(10)
+    qidx, nid, dd = local_topk(dist, ids, 0, False)
+    assert len(qidx) == len(nid) == len(dd) == 0
+    qidx, nid, dd = local_topk(np.empty((10, 0)), ids, 5, False)
+    assert len(qidx) == 0
