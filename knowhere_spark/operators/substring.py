@@ -1,0 +1,184 @@
+"""Exact substring-level deduplication: find and remove token spans that
+repeat across (or within) documents.
+
+Document-level dedup (exact / MinHash / SimHash, operators/dedup.py)
+misses the pervasive *partial* duplication in web corpora — boilerplate
+sentences, licence headers, templated paragraphs repeated across millions
+of otherwise-distinct pages.  The standard remedy deduplicates at the
+substring level: any span of >= ``n`` tokens that occurs more than once
+in the corpus is removed from all-but-one (or all) occurrences
+("Deduplicating Training Data Makes Language Models Better", Lee et al.
+2022, uses a suffix array with a 50-token threshold).
+
+A suffix array is a single-machine construction; the distributed
+equivalent used here is fixed-``n`` gram fingerprinting, which detects
+exactly the same spans at granularity ``n``: every repeated span of
+length >= n contains a repeated n-gram at each of its offsets, so the
+union of repeated n-gram positions covers precisely the maximal repeated
+spans (with edge loss < n tokens at span boundaries).
+
+Scale shape (everything native Catalyst, no UDFs):
+
+1. ``posexplode`` tokens -> sliding n-gram per position, hashed with
+   ``xxhash64`` (JVM-side, 8 bytes per gram instead of the string).
+2. One ``groupBy(gram_hash)`` counts global occurrences -> the repeated
+   set (one shuffle, map-side partial aggregation).
+3. Positions join the repeated set on gram_hash (AQE broadcasts when the
+   repeated set is small, which it is on clean corpora).
+4. Span removal = covered-index expansion (``sequence(pos, pos+n-1)``)
+   anti-joined against the token table, then ``concat_ws`` reassembly —
+   interval merging falls out of the distinct covered-index set, no
+   per-doc imperative code.
+
+All passes shuffle on ``doc_id`` or ``gram_hash`` only — linear in corpus
+size, no all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowhere_spark.functions.text import tokens_expr
+
+
+def _positional_grams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, gram_hash) for every token position that starts a
+    full n-gram.  ``pos`` is 0-based."""
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    )
+    # sliding window via sequence + transform keeps everything in one
+    # projection (no join): positions 0 .. len-n.  Docs shorter than n get
+    # an EMPTY index array — sequence(0, -1) would auto-step DOWNWARD and
+    # emit [0, -1], so the guard is load-bearing, not defensive
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(0), F.size("_toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("_toks", i + 1, n))).alias(
+                        "gram_hash"
+                    ),
+                ),
+            )
+        ).alias("g"),
+    )
+    return grams.select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram_hash").alias("gram_hash"))
+
+
+def repeated_ngrams(
+    docs: DataFrame,
+    n: int = 20,
+    *,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global (gram_hash, n_docs, n_occurrences) for n-grams occurring at
+    least ``min_count`` times corpus-wide — the repeated-span index."""
+    g = _positional_grams(docs, n, id_col, text_col)
+    return (
+        g.groupBy("gram_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    *,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-span starts: (doc_id, pos, gram_hash,
+    n_occurrences).  A position appears when the n-gram starting there
+    occurs >= ``min_count`` times corpus-wide."""
+    g = _positional_grams(docs, n, id_col, text_col)
+    rep = repeated_ngrams(
+        docs, n, min_count=min_count, id_col=id_col, text_col=text_col
+    ).select("gram_hash", "n_occurrences")
+    return g.join(rep, "gram_hash").select(id_col, "pos", "gram_hash", "n_occurrences")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    *,
+    min_count: int = 2,
+    keep_first: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild every document with its repeated spans cut out.
+
+    ``keep_first=True`` preserves the single occurrence with the smallest
+    ``(doc_id, pos)`` per repeated gram (Lee et al. remove all-but-one so
+    the corpus still contains each string once); the default removes every
+    occurrence (the conservative hygiene setting).  Output:
+    ``(doc_id, text, n_tokens_removed)`` — reassembled from the kept
+    tokens with single spaces (token-stream surgery; original whitespace
+    inside removed regions is gone by construction).
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens_expr(F.col(text_col)))
+    ).select(id_col, F.col("pos").alias("tok_idx"), F.col("col").alias("token"))
+
+    spans = duplicate_spans(
+        docs, n, min_count=min_count, id_col=id_col, text_col=text_col
+    )
+    if keep_first:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("gram_hash").orderBy(id_col, "pos")
+        spans = spans.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") > 1
+        )
+    # covered token indices: union of [pos, pos+n) — overlapping spans
+    # merge for free in the distinct set
+    covered = spans.select(
+        id_col, F.explode(F.sequence("pos", F.col("pos") + F.lit(n - 1))).alias("tok_idx")
+    ).distinct()
+
+    kept = toks.join(covered, [id_col, "tok_idx"], "left_anti")
+    removed_counts = covered.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens_removed")
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_idx", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+            ).alias(text_col)
+        )
+    )
+    # docs whose every token was covered vanish from `kept`: re-attach as
+    # empty strings so the operator is row-preserving
+    ids = docs.select(id_col)
+    return (
+        ids.join(rebuilt, id_col, "left")
+        .join(removed_counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
