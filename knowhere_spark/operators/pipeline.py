@@ -265,3 +265,57 @@ def pack_sequences(
         (F.col("tokens_before") / budget).cast("long").alias("chunk_id"),
         (F.col("tokens_before") % budget).cast("long").alias("chunk_offset"),
     )
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each document to one of ``n_shards`` output shards so that
+    (a) shards carry near-equal TOKEN counts (not document counts — doc
+    lengths are heavy-tailed, so count-balanced shards are token-skewed),
+    and (b) ``id_col`` order is preserved within and across shards
+    (shard boundaries are cuts in the document order, which downstream
+    sequence packing relies on).
+
+    The writer-side partner of :func:`pack_sequences`: training-data
+    exports shard a corpus into N files a fleet of readers consumes in
+    parallel; a token-skewed shard becomes the epoch's straggler.  The
+    cut positions come from the same distributed prefix sum
+    (:func:`scalable_cumsum`) — no single-task window, one extra tiny
+    aggregation for the global token total.
+
+    Returns ``(id_col, n_tokens, shard)`` with ``shard`` in
+    ``[0, n_shards)``; every shard's token sum differs from ideal by at
+    most one document's tokens.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} must be >= 1")
+    with_cum = scalable_cumsum(
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        ),
+        order_col=id_col,
+        value_col="n_tokens",
+        out_col="tokens_before",
+        n_buckets=n_buckets,
+    )
+    total = with_cum.agg(
+        (F.coalesce(F.max(F.col("tokens_before") + F.col("n_tokens")), F.lit(0)))
+        .alias("t")
+    ).first()["t"]
+    if not total:
+        return with_cum.select(id_col, "n_tokens", F.lit(0).alias("shard"))
+    # a document belongs to the shard its MIDPOINT falls in: pure
+    # arithmetic on the prefix sum, deterministic, order-preserving
+    mid = F.col("tokens_before") + (F.col("n_tokens") / 2)
+    shard = F.least(
+        F.floor(mid * n_shards / F.lit(float(total))).cast("int"),
+        F.lit(n_shards - 1),
+    )
+    return with_cum.select(id_col, "n_tokens", shard.alias("shard"))

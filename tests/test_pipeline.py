@@ -209,3 +209,40 @@ def test_weighted_sample_stability_and_rates(spark):
 
     with pytest.raises(ValueError):
         weighted_sample(df, {"src0": 1.5})
+
+
+def test_token_balanced_shards_balance_and_order(spark):
+    from knowhere_spark.operators.pipeline import token_balanced_shards
+
+    # heavy-tailed doc lengths: count-balanced sharding would skew tokens
+    rows = [(i, 1000 if i % 97 == 0 else 10 + i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = token_balanced_shards(df, 8).collect()
+    assert len(out) == 2000
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["doc_id"], r["n_tokens"]))
+    assert set(by_shard) == set(range(8))
+    totals = {s: sum(t for _, t in v) for s, v in by_shard.items()}
+    ideal = sum(totals.values()) / 8
+    max_doc = max(t for _, t in [x for v in by_shard.values() for x in v])
+    # every shard within one max-document of ideal
+    assert all(abs(t - ideal) <= max_doc for t in totals.values()), totals
+    # shards are contiguous cuts in doc_id order
+    ranges = sorted((min(d for d, _ in v), max(d for d, _ in v), s)
+                    for s, v in by_shard.items())
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "shards must not interleave in id order"
+
+
+def test_token_balanced_shards_edges(spark):
+    from knowhere_spark.operators.pipeline import token_balanced_shards
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert token_balanced_shards(empty, 4).count() == 0
+    one = spark.createDataFrame([(7, 100)], "doc_id long, n_tokens long")
+    got = token_balanced_shards(one, 4).collect()
+    assert len(got) == 1 and 0 <= got[0]["shard"] < 4
+    import pytest
+    with pytest.raises(ValueError):
+        token_balanced_shards(one, 0)
