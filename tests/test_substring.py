@@ -134,3 +134,41 @@ def test_short_docs_yield_no_grams(spark, n):
     assert repeated_ngrams(docs, n + 1, min_count=2).count() == 0
     out = {r["doc_id"]: r["text"] for r in remove_duplicate_spans(docs, n + 1).collect()}
     assert out == {0: "one", 1: "one", 2: ""}
+
+
+def test_remove_spans_matches_python_oracle_random(spark):
+    """Randomized cross-check: the distributed covered-index construction
+    must equal a straightforward single-machine implementation."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    n = 4
+    for trial in range(5):
+        docs = []
+        for d in range(12):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 18))]
+            docs.append((d, " ".join(toks)))
+
+        # python oracle: count n-grams globally, cover repeated positions
+        grams: dict[tuple, int] = {}
+        tok_lists = {d: t.split() if t else [] for d, t in docs}
+        for d, toks in tok_lists.items():
+            for p in range(len(toks) - n + 1):
+                g = tuple(toks[p:p + n])
+                grams[g] = grams.get(g, 0) + 1
+        want = {}
+        for d, toks in tok_lists.items():
+            covered = set()
+            for p in range(len(toks) - n + 1):
+                if grams[tuple(toks[p:p + n])] >= 2:
+                    covered.update(range(p, p + n))
+            kept = [t for i, t in enumerate(toks) if i not in covered]
+            want[d] = (" ".join(kept), len(covered))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens_removed"])
+            for r in remove_duplicate_spans(df, n).collect()
+        }
+        assert got == want, f"trial {trial}"
