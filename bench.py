@@ -71,10 +71,12 @@ def _gt_for(base, queries, k: int, metric: str, cache_key: tuple | None = None):
     if cache_key is not None:
         # key on the base DataFrame identity too — a tag-only key would
         # silently reuse another corpus's ground truth (the tag names the
-        # query batch, which every "q1000" call site derives identically)
+        # query batch, which every "q1000" call site derives identically).
+        # The cache VALUE holds a reference to `base`, so its id() cannot
+        # be recycled onto a different corpus while the entry lives.
         cache_key = (id(base), *cache_key)
         if cache_key in _GT_CACHE:
-            return _GT_CACHE[cache_key]
+            return _GT_CACHE[cache_key][0]
     gt = (
         BruteForce.search(base, queries, k, metric, strategy="gemm")
         .select("query_id", "neighbor_id")
@@ -82,7 +84,7 @@ def _gt_for(base, queries, k: int, metric: str, cache_key: tuple | None = None):
     )
     gt.count()
     if cache_key is not None:
-        _GT_CACHE[cache_key] = gt
+        _GT_CACHE[cache_key] = (gt, base)   # pin base: id() stays unique
     return gt
 
 

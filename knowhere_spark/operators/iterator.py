@@ -205,10 +205,13 @@ class RefinedAnnIterator:
             )
         # the page is handed out as an eager localCheckpoint, NOT a cache:
         # its blocks are self-contained (no lineage back to the emitted-set
-        # checkpoint released below), stay valid however long the caller
-        # keeps the DataFrame, and are freed by the ContextCleaner when the
-        # caller drops the reference — so a long paging session pins O(1)
-        # session-owned state instead of one cache per page
+        # checkpoint released below) and are freed by the ContextCleaner
+        # when the caller drops the reference — so a long paging session
+        # pins O(1) session-owned state instead of one cache per page.
+        # Caveat (local checkpoints generally): blocks live on executors
+        # without a recompute path, so on a cluster with executor churn a
+        # long-held page can become uncollectable; callers needing pages to
+        # survive executor loss should copy them out promptly.
         page = (
             topk_per_key(
                 scored,

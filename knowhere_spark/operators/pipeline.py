@@ -295,20 +295,21 @@ def token_balanced_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards} must be >= 1")
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    # the global total is a plain SUM — one cheap scan of the input, NOT a
+    # materialization of the whole cumsum pipeline (which the caller's
+    # action will execute once, lazily, below)
+    total = src.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")).first()["t"]
     with_cum = scalable_cumsum(
-        df.select(
-            F.col(id_col).cast("long").alias(id_col),
-            F.col(tokens_col).cast("long").alias("n_tokens"),
-        ),
+        src,
         order_col=id_col,
         value_col="n_tokens",
         out_col="tokens_before",
         n_buckets=n_buckets,
     )
-    total = with_cum.agg(
-        (F.coalesce(F.max(F.col("tokens_before") + F.col("n_tokens")), F.lit(0)))
-        .alias("t")
-    ).first()["t"]
     if not total:
         return with_cum.select(id_col, "n_tokens", F.lit(0).alias("shard"))
     # a document belongs to the shard its MIDPOINT falls in: pure

@@ -55,13 +55,36 @@ class AsyncBuildHandle:
         return self._done.is_set()
 
     def interrupt(self) -> None:
-        """Cancel the build: abort the group's running Spark jobs.
+        """Cancel the build: abort the group's running AND future Spark
+        jobs.  ``cancelJobGroup`` alone only kills jobs active at that
+        instant — a multi-job build interrupted in a driver-side gap
+        between jobs would otherwise run to completion — so the
+        future-jobs variant (Spark >= 3.5) is load-bearing here.
 
         The builder thread sees a cancellation error from its next (or
         current) action; ``result()`` then raises
-        :class:`BuildInterruptedError`."""
+        :class:`BuildInterruptedError`.  Interrupting after the build
+        already completed is a no-op (future semantics).  Scope caveat:
+        cancellation aborts the build's SPARK work; a build phase that is
+        pure driver-side compute (e.g. an in-memory graph construction
+        over an already-collected sample) is not preemptible and, if it
+        needs no further Spark action, the build may still complete —
+        mirroring the reference, where Interrupt is only observed at the
+        build loop's check points (interrupt.h)."""
         self._interrupted = True
-        self._spark.sparkContext.cancelJobGroup(self._group)
+        sc = self._spark.sparkContext
+        cancel = getattr(sc, "cancelJobGroupAndFutureJobs", None)
+        if cancel is not None:
+            cancel(self._group)
+            return
+        # the PySpark wrapper lags the JVM API here (present on the Scala
+        # SparkContext since 3.5 but unexposed in some PySpark versions,
+        # including 4.1): call through to the JVM, falling back to
+        # active-jobs-only cancellation as a last resort
+        try:
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(self._group)
+        except Exception:  # pragma: no cover — very old Spark
+            sc.cancelJobGroup(self._group)
 
     def result(self, timeout: float | None = None):
         """The built index; blocks until the build finishes.
@@ -80,8 +103,9 @@ class AsyncBuildHandle:
                     "index build interrupted"
                 ) from self._error
             raise self._error
-        if self._interrupted and self._result is None:
-            raise BuildInterruptedError("index build interrupted")
+        # no error: the build completed — a racing interrupt() after
+        # completion is a no-op, and a legitimately-None builder result
+        # must NOT read as "interrupted"
         return self._result
 
 

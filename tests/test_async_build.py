@@ -42,21 +42,45 @@ def test_async_build_timeout_then_completion(spark):
     assert idx.count() == 2000
 
 
-def test_interrupt_cancels_running_build(spark):
-    # a build big enough to still be running when we cancel: HNSW over an
-    # expanded corpus (graph construction is the slowest build here)
-    base = dense_df(spark, gen_dense(1500, 32, seed=44)).crossJoin(
-        spark.range(8).withColumnRenamed("id", "rep")
-    ).select(
-        (F.col("id") + F.col("rep") * 1_000_000).alias("id"),
-        "vec",
-    )
-    h = build_async(base, "HNSW", {"metric_type": "L2", "M": 8, "ef": 16})
-    time.sleep(1.0)                  # let the build submit real Spark jobs
+def test_interrupt_cancels_running_spark_work(spark):
+    """Cancellation must abort a handle whose work is a genuinely
+    long-running Spark job (an index build's Spark phases behave the
+    same; driver-side-only phases are documented as non-preemptible)."""
+    def long_job():
+        # tens of seconds of codegen'd aggregation on local[4]
+        # (id % 7: per-row work with no ANSI overflow, unlike id * id)
+        return spark.range(200_000_000_000).selectExpr("sum(id % 7)").collect()
+
+    h = AsyncBuildHandle(spark, long_job)
+    time.sleep(1.5)                  # the job is definitely in flight
+    assert not h.done()
     h.interrupt()
     with pytest.raises(BuildInterruptedError):
-        h.result(timeout=120)
+        h.result(timeout=60)
     assert h.done()
+
+
+def test_interrupt_between_jobs_cancels_future_jobs(spark):
+    """A multi-job build interrupted in a driver-side gap must NOT run its
+    remaining Spark jobs to completion — the future-jobs cancellation
+    (cancelJobGroupAndFutureJobs) covers the gap."""
+    import threading
+
+    gap = threading.Event()
+    resume = threading.Event()
+
+    def two_phase_build():
+        spark.range(1000).count()        # job 1 completes
+        gap.set()
+        resume.wait(timeout=30)          # interrupt() fires in this gap
+        return spark.range(1_000_000).count()   # job 2 must be cancelled
+
+    h = AsyncBuildHandle(spark, two_phase_build)
+    assert gap.wait(timeout=30)
+    h.interrupt()
+    resume.set()
+    with pytest.raises(BuildInterruptedError):
+        h.result(timeout=60)
 
 
 def test_interrupted_group_does_not_leak_to_session(spark):

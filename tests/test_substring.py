@@ -172,3 +172,18 @@ def test_remove_spans_matches_python_oracle_random(spark):
             for r in remove_duplicate_spans(df, n).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_untouched_docs_keep_original_text_bytes(spark):
+    """Docs with no repeated span must NOT round-trip through the
+    normalized token stream — case, punctuation, URLs survive."""
+    raw = "Hello, World! Visit https://example.com/Path?q=1 NOW."
+    docs = spark.createDataFrame(
+        [(0, raw), (1, f"aa bb cc {BOILER}"), (2, f"{BOILER} dd ee ff")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, 8).collect()}
+    assert out[0]["text"] == raw                  # byte-for-byte original
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["text"] == "aa bb cc"           # modified docs reassemble
+    assert out[2]["text"] == "dd ee ff"
