@@ -1,0 +1,407 @@
+"""Reference-bindings facade: the knowhere Python API over the Spark engine.
+
+Mirrors the surface of the reference's SWIG bindings
+(python/knowhere/__init__.py + knowhere.i IndexWrap) so a user of the
+reference can run the same call sequence unchanged:
+
+    import numpy as np
+    from knowhere_spark import compat as knowhere
+
+    idx = knowhere.CreateIndex("IVF_FLAT", knowhere.GetCurrentVersion())
+    idx.Build(knowhere.ArrayToDataSet(base),
+              '{"metric_type": "L2", "nlist": 16}')
+    dis, ids = idx.Search(knowhere.ArrayToDataSet(queries),
+                          '{"metric_type": "L2", "k": 10, "nprobe": 8}',
+                          knowhere.CreateBitSet(len(base)))
+
+Conventions preserved from the reference:
+
+- datasets are numpy arrays (``ArrayToDataSet``), float32 dense / uint8
+  binary / CSR sparse (``ArrayToSparseDataSet``); query row i gets id i
+  (knowhere.i:320-347).
+- ``Search`` returns ``(dis, ids)`` shaped ``(nq, k)`` — float32 / int32,
+  with missing slots padded ``-1`` id + unreachable distance, the heap
+  padding of brute_force.cc:149-151 (DataSetToArray, __init__.py:107-114).
+- ``RangeSearch`` returns per-query lists (RangeSearchDataSetToArray,
+  __init__.py:116-147 — the CSR lims flattened the same way).
+- bitset bit SET = row FILTERED OUT (bitsetview.h semantics).
+- fp16/bf16 datasets build reduced-precision indexes via the dtype axis
+  (``CreateIndex(..., type=np.float16)``), computing in fp32 exactly like
+  the reference (operands.h:180-198).
+
+Spark session: taken from ``SparkSession.getActiveSession()`` or built as
+``local[*]`` on first use; override with :func:`set_session`.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_SESSION = None
+
+
+def set_session(spark) -> None:
+    """Pin the SparkSession the facade uses (optional)."""
+    global _SESSION
+    _SESSION = spark
+
+
+def _spark():
+    global _SESSION
+    if _SESSION is not None:
+        return _SESSION
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        s = (
+            SparkSession.builder.master("local[*]")
+            .appName("knowhere-compat")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    _SESSION = s
+    return s
+
+
+def GetCurrentVersion() -> int:
+    from knowhere_spark.sources.index_store import CURRENT_INDEX_VERSION
+
+    return CURRENT_INDEX_VERSION
+
+
+# --- datasets ---------------------------------------------------------------
+
+@dataclass
+class DataSet:
+    """Dense/binary/id dataset (ArrayToDataSet, __init__.py:72-94)."""
+
+    tensor: np.ndarray | None = None     # (rows, dim) float32 / uint8 rows
+    ids: np.ndarray | None = None        # 1-D id vector (GetVectorByIds arg)
+    binary: bool = False
+
+    @property
+    def rows(self) -> int:
+        if self.tensor is not None:
+            return len(self.tensor)
+        return len(self.ids)
+
+
+@dataclass
+class SparseDataSet:
+    """CSR sparse dataset (ArrayToSparseDataSet, __init__.py:95-106)."""
+
+    data: np.ndarray
+    indices: np.ndarray
+    indptr: np.ndarray
+
+    @property
+    def rows(self) -> int:
+        return len(self.indptr) - 1
+
+
+def ArrayToDataSet(arr: np.ndarray) -> DataSet:
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        return DataSet(ids=arr.astype(np.int64))
+    if arr.ndim == 2:
+        if arr.dtype == np.uint8:
+            return DataSet(tensor=arr, binary=True)
+        if arr.dtype in (np.float32, np.float16, np.float64):
+            return DataSet(tensor=arr.astype(np.float32))
+    raise ValueError(
+        "ArrayToDataSet only supports numpy array dtype float32/float16 "
+        "(dense), uint8 (binary), or 1-D ids"
+    )
+
+
+def ArrayToSparseDataSet(data, indices, indptr) -> SparseDataSet:
+    data, indices, indptr = (np.asarray(x) for x in (data, indices, indptr))
+    if data.ndim == 1 and indices.ndim == 1 and indptr.ndim == 1:
+        assert data.shape[0] == indices.shape[0]
+        assert indptr.shape[0] > 1
+        return SparseDataSet(data, indices, indptr)
+    raise ValueError("ArrayToSparseDataSet input type wrong.")
+
+
+# --- bitset (bit set = filtered out; bitsetview.h) ---------------------------
+
+class BitSet:
+    def __init__(self, bits_num: int):
+        self.bits_num = bits_num
+        self._blocked: set[int] = set()
+
+    def set(self, i: int) -> None:
+        self._blocked.add(int(i))
+
+    def count(self) -> int:
+        return len(self._blocked)
+
+    def filter_expr(self):
+        """Spark predicate keeping UNfiltered rows (None when empty)."""
+        from pyspark.sql import functions as F
+
+        if not self._blocked:
+            return None
+        return ~F.col("id").isin([int(i) for i in sorted(self._blocked)])
+
+
+def CreateBitSet(bits_num: int) -> BitSet:
+    return BitSet(bits_num)
+
+
+# --- converters: datasets <-> Spark DataFrames ------------------------------
+
+def _dense_df(spark, ds: DataSet, id_col: str = "id", vec_col: str = "vec"):
+    M = ds.tensor
+    if ds.binary:
+        rows = [(i, bytes(r)) for i, r in enumerate(M)]
+        return spark.createDataFrame(rows, f"{id_col} long, {vec_col} binary")
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(M)]
+    return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<float>")
+
+
+def _sparse_df(spark, ds: SparseDataSet, id_col: str = "id", vec_col: str = "vec"):
+    rows = []
+    for i in range(ds.rows):
+        lo, hi = int(ds.indptr[i]), int(ds.indptr[i + 1])
+        rows.append(
+            (i, {str(int(t)): float(v)
+                 for t, v in zip(ds.indices[lo:hi], ds.data[lo:hi])})
+        )
+    return spark.createDataFrame(rows, f"{id_col} long, {vec_col} map<string,float>")
+
+
+def _to_knn_arrays(result_rows, nq: int, k: int, largest: bool):
+    """Long-form (query_id, neighbor_id, distance, rank) -> the reference's
+    (nq, k) arrays with -1 id + unreachable-distance padding."""
+    pad = -np.inf if largest else np.inf
+    dis = np.full((nq, k), pad, dtype=np.float32)
+    ids = np.full((nq, k), -1, dtype=np.int32)
+    for r in result_rows:
+        q, rk = int(r["query_id"]), int(r["rank"]) - 1
+        if 0 <= rk < k:
+            ids[q, rk] = int(r["neighbor_id"])
+            dis[q, rk] = float(r["distance"])
+    return dis, ids
+
+
+# --- the IndexWrap analog -----------------------------------------------------
+
+_DTYPE_TO_VECTYPE = {"float32": None, "float16": "FP16", "uint8": None}
+
+
+class IndexWrap:
+    """knowhere.i IndexWrap: Build/Search/RangeSearch/GetVectorByIds/
+    Serialize/Deserialize/Count/Dim/HasRawData over the Spark engine."""
+
+    def __init__(self, name: str, version: int | None = None, dtype: str = "float32"):
+        self.name = str(name).upper()
+        self.version = version
+        self.dtype = dtype
+        self._index = None
+        self._dim: int | None = None
+        self._metric: str | None = None
+
+    # -- Build (knowhere.i:169-186) ------------------------------------------
+    def Build(self, dataset, json: str) -> None:
+        from knowhere_spark.factory import create_index
+
+        params = _json.loads(json) if isinstance(json, str) else dict(json)
+        self._metric = params.get("metric_type", "L2")
+        spark = _spark()
+        if isinstance(dataset, SparseDataSet):
+            df = _sparse_df(spark, dataset)
+            self._dim = int(dataset.indices.max()) + 1 if len(dataset.indices) else 0
+        else:
+            df = _dense_df(spark, dataset)
+            self._dim = (
+                dataset.tensor.shape[1] * (8 if dataset.binary else 1)
+            )
+        dtype = _DTYPE_TO_VECTYPE.get(self.dtype)
+        handle = create_index(self.name, params, dtype=dtype)
+        self._index = handle.build(df)
+
+    # -- Search (knowhere.i:187-215) -------------------------------------------
+    def Search(self, dataset, json: str, bitset: BitSet | None = None):
+        from knowhere_spark.config import MetricType
+
+        params = _json.loads(json) if isinstance(json, str) else dict(json)
+        k = int(params.get("k", 10))
+        spark = _spark()
+        if isinstance(dataset, SparseDataSet):
+            q = _sparse_df(spark, dataset, id_col="query_id")
+        else:
+            q = _dense_df(spark, dataset, id_col="query_id")
+        kw = {}
+        if "nprobe" in params:
+            kw["nprobe"] = int(params["nprobe"])
+        if "ef" in params and hasattr(self._index, "config") and hasattr(
+            self._index.config, "ef"
+        ):
+            kw["ef"] = int(params["ef"])
+        fe = bitset.filter_expr() if bitset is not None else None
+        if fe is not None:
+            kw["filter_expr"] = fe
+        out = self._index.search(q, k, **kw)
+        if "doc_id" in out.columns:   # sparse shape: (query_id, doc_id, score)
+            from pyspark.sql import functions as F
+
+            out = out.select(
+                "query_id",
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("score").alias("distance"),
+                "rank",
+            )
+        metric = MetricType(params.get("metric_type", self._metric or "L2"))
+        return _to_knn_arrays(
+            out.select("query_id", "neighbor_id", "distance", "rank").collect(),
+            dataset.rows, k, metric.is_similarity,
+        )
+
+    # -- RangeSearch (knowhere.i:216-228) ---------------------------------------
+    def RangeSearch(self, dataset, json: str, bitset: BitSet | None = None):
+        import dataclasses
+
+        params = _json.loads(json) if isinstance(json, str) else dict(json)
+        spark = _spark()
+        if isinstance(dataset, SparseDataSet):
+            q = _sparse_df(spark, dataset, id_col="query_id")
+        else:
+            q = _dense_df(spark, dataset, id_col="query_id")
+        cfg = dataclasses.replace(
+            self._index.config,
+            radius=float(params.get("radius", 0.0)),
+            range_filter=float(params.get("range_filter", float("inf"))),
+        )
+        kw = {}
+        fe = bitset.filter_expr() if bitset is not None else None
+        if fe is not None:
+            kw["filter_expr"] = fe
+        # per-call radius: some classes take the config positionally
+        # (HNSW/sparse), others read self.config (FLAT/IVF) — swap-restore
+        # covers the latter
+        try:
+            out = self._index.range_search(q, cfg, **kw)
+        except TypeError:
+            old_cfg = self._index.config
+            try:
+                self._index.config = cfg
+                out = self._index.range_search(q, **kw)
+            finally:
+                self._index.config = old_cfg
+        if "doc_id" in out.columns:   # sparse shape
+            from pyspark.sql import functions as F
+
+            out = out.select(
+                "query_id",
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("score").alias("distance"),
+            )
+        rows = out.select("query_id", "neighbor_id", "distance").collect()
+        per_q: dict[int, list] = {}
+        for r in rows:
+            per_q.setdefault(int(r["query_id"]), []).append(
+                (float(r["distance"]), int(r["neighbor_id"]))
+            )
+        dis_list, ids_list = [], []
+        for qi in range(dataset.rows):
+            hits = sorted(per_q.get(qi, []))
+            dis_list.append(np.array([d for d, _ in hits], dtype=np.float32))
+            ids_list.append(np.array([i for _, i in hits], dtype=np.int32))
+        return dis_list, ids_list
+
+    # -- GetVectorByIds (knowhere.i:229-241) -------------------------------------
+    def GetVectorByIds(self, dataset: DataSet) -> np.ndarray:
+        spark = _spark()
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in dataset.ids], "id long"
+        )
+        rows = self._index.get_vector_by_ids(ids_df).collect()
+        by_id = {int(r["id"]): r["vec"] for r in rows}
+        return np.array(
+            [by_id[int(i)] for i in dataset.ids], dtype=np.float32
+        )
+
+    # -- persistence (knowhere.i:248-264; paths instead of BinarySet blobs) ------
+    def Serialize(self, path: str) -> None:
+        self._index.save(path)
+
+    def Deserialize(self, path: str, json: str = "{}") -> None:
+        from knowhere_spark.factory import load_index
+
+        self._index = load_index(_spark(), path)
+
+    DeserializeFromFile = Deserialize
+
+    # -- introspection (knowhere.i:242-278) ---------------------------------------
+    def Dim(self) -> int:
+        return int(self._dim or -1)
+
+    def Count(self) -> int:
+        return int(self._index.count())
+
+    def HasRawData(self, metric_type: str = "L2") -> bool:
+        fn = getattr(self._index, "has_raw_data", None)
+        return bool(fn()) if fn is not None else False
+
+
+def CreateIndex(name: str, version: int | None = None, type=np.float32) -> IndexWrap:
+    """__init__.py:13-21 — dtype selects the storage precision axis."""
+    dtype = np.dtype(type).name
+    return IndexWrap(name, version, dtype=dtype)
+
+
+# --- index-less statics (__init__.py:23-42) -----------------------------------
+
+def BruteForceSearch(type, base: DataSet, queries: DataSet, json: str,
+                     bitset: BitSet | None = None):
+    from knowhere_spark.config import MetricType
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    params = _json.loads(json) if isinstance(json, str) else dict(json)
+    k = int(params.get("k", 10))
+    metric = MetricType(params.get("metric_type", "L2"))
+    spark = _spark()
+    b = _dense_df(spark, base)
+    q = _dense_df(spark, queries, id_col="query_id")
+    fe = bitset.filter_expr() if bitset is not None else None
+    out = BruteForce.search(b, q, k, metric, filter_expr=fe)
+    return _to_knn_arrays(
+        out.select("query_id", "neighbor_id", "distance", "rank").collect(),
+        queries.rows, k, metric.is_similarity,
+    )
+
+
+def BruteForceRangeSearch(type, base: DataSet, queries: DataSet, json: str,
+                          bitset: BitSet | None = None):
+    from knowhere_spark.config import BaseConfig
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    params = _json.loads(json) if isinstance(json, str) else dict(json)
+    spark = _spark()
+    b = _dense_df(spark, base)
+    q = _dense_df(spark, queries, id_col="query_id")
+    cfg = BaseConfig(
+        metric_type=params.get("metric_type", "L2"),
+        radius=float(params.get("radius", 0.0)),
+        range_filter=float(params.get("range_filter", float("inf"))),
+    )
+    fe = bitset.filter_expr() if bitset is not None else None
+    out = BruteForce.range_search(b, q, cfg, filter_expr=fe)
+    rows = out.select("query_id", "neighbor_id", "distance").collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["distance"]), int(r["neighbor_id"]))
+        )
+    dis_list, ids_list = [], []
+    for qi in range(queries.rows):
+        hits = sorted(per_q.get(qi, []))
+        dis_list.append(np.array([d for d, _ in hits], dtype=np.float32))
+        ids_list.append(np.array([i for _, i in hits], dtype=np.int32))
+    return dis_list, ids_list

@@ -1,0 +1,174 @@
+"""Reference-bindings facade (knowhere_spark/compat.py vs the surface of
+python/knowhere/__init__.py + knowhere.i IndexWrap): the reference user's
+call sequences, verified against numpy ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from knowhere_spark import compat as knowhere
+
+
+@pytest.fixture(autouse=True)
+def _pin_session(spark):
+    knowhere.set_session(spark)
+
+
+def _np_knn(base, queries, k):
+    d = ((base[None, :, :] - queries[:, None, :]) ** 2).sum(axis=2)
+    ids = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return ids, np.take_along_axis(d, ids, axis=1)
+
+
+def test_flat_build_search_matches_numpy():
+    rng = np.random.default_rng(51)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    queries = base[:5] + 1e-3
+
+    idx = knowhere.CreateIndex("FLAT", knowhere.GetCurrentVersion())
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    assert idx.Count() == 200 and idx.Dim() == 16 and idx.HasRawData("L2")
+
+    dis, ids = idx.Search(
+        knowhere.ArrayToDataSet(queries), '{"metric_type": "L2", "k": 5}'
+    )
+    assert dis.shape == ids.shape == (5, 5)
+    assert dis.dtype == np.float32 and ids.dtype == np.int32
+    want_ids, want_d = _np_knn(base.astype(np.float64), queries.astype(np.float64), 5)
+    np.testing.assert_array_equal(ids, want_ids)
+    np.testing.assert_allclose(dis, want_d, rtol=1e-4)
+
+
+def test_bitset_filters_rows_out():
+    rng = np.random.default_rng(52)
+    base = rng.standard_normal((50, 8)).astype(np.float32)
+    q = base[:3]
+    idx = knowhere.CreateIndex("FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    bs = knowhere.CreateBitSet(50)
+    for i in range(3):
+        bs.set(i)          # bit set = filtered OUT (bitsetview.h)
+    dis, ids = idx.Search(
+        knowhere.ArrayToDataSet(q), '{"metric_type": "L2", "k": 4}', bs
+    )
+    assert not (set(ids.ravel().tolist()) & {0, 1, 2})
+
+
+def test_ivf_search_with_nprobe_and_padding():
+    rng = np.random.default_rng(53)
+    base = rng.standard_normal((120, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("IVF_FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base),
+              '{"metric_type": "L2", "nlist": 4}')
+    # nprobe=nlist probes everything -> exact; k > rows exercises padding
+    dis, ids = idx.Search(
+        knowhere.ArrayToDataSet(base[:2]),
+        '{"metric_type": "L2", "k": 130, "nprobe": 4}',
+    )
+    assert ids.shape == (2, 130)
+    assert (ids[:, :120] >= 0).all()
+    assert (ids[:, 120:] == -1).all()          # reference -1 padding
+    assert np.isinf(dis[:, 120:]).all()
+
+
+def test_range_search_lists():
+    rng = np.random.default_rng(54)
+    base = rng.standard_normal((100, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    dis_list, ids_list = idx.RangeSearch(
+        knowhere.ArrayToDataSet(base[:4]),
+        '{"metric_type": "L2", "radius": 4.0, "range_filter": 0.0}',
+    )
+    assert len(dis_list) == len(ids_list) == 4
+    for qi in range(4):
+        assert qi in ids_list[qi].tolist()     # each query finds itself (d=0)
+        assert (dis_list[qi] < 4.0).all()
+        d = ((base - base[qi]) ** 2).sum(axis=1)
+        assert len(ids_list[qi]) == int((d < 4.0).sum())
+
+
+def test_get_vector_by_ids_and_serialize(tmp_path):
+    rng = np.random.default_rng(55)
+    base = rng.standard_normal((60, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("IVF_FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base),
+              '{"metric_type": "L2", "nlist": 4}')
+    got = idx.GetVectorByIds(knowhere.ArrayToDataSet(np.array([3, 7, 11])))
+    np.testing.assert_allclose(got, base[[3, 7, 11]], rtol=1e-6)
+
+    p = str(tmp_path / "compat_ivf")
+    idx.Serialize(p)
+    idx2 = knowhere.CreateIndex("IVF_FLAT", 1)
+    idx2.Deserialize(p)
+    assert idx2.Count() == 60
+    d1, i1 = idx.Search(knowhere.ArrayToDataSet(base[:3]),
+                        '{"metric_type": "L2", "k": 5, "nprobe": 4}')
+    d2, i2 = idx2.Search(knowhere.ArrayToDataSet(base[:3]),
+                         '{"metric_type": "L2", "k": 5, "nprobe": 4}')
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_binary_index_uint8():
+    rng = np.random.default_rng(56)
+    base = rng.integers(0, 256, size=(80, 8), dtype=np.uint8)
+    idx = knowhere.CreateIndex("BIN_FLAT", 1, type=np.uint8)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "HAMMING"}')
+    assert idx.Dim() == 64                       # bits (knowhere.i:401)
+    dis, ids = idx.Search(
+        knowhere.ArrayToDataSet(base[:3]), '{"metric_type": "HAMMING", "k": 1}'
+    )
+    np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])   # self at distance 0
+    np.testing.assert_array_equal(dis[:, 0], [0.0, 0.0, 0.0])
+
+
+def test_sparse_csr_bm25():
+    # CSR: 4 docs over a 6-term vocabulary
+    indptr = np.array([0, 3, 5, 8, 10])
+    indices = np.array([0, 1, 2, 1, 3, 0, 4, 5, 2, 5])
+    data = np.array([2.0, 1.0, 1.0, 3.0, 1.0, 1.0, 2.0, 1.0, 2.0, 2.0],
+                    dtype=np.float32)
+    ds = knowhere.ArrayToSparseDataSet(data, indices, indptr)
+    idx = knowhere.CreateIndex("SPARSE_INVERTED_INDEX", 1)
+    idx.Build(ds, '{"metric_type": "IP", "inverted_index_algo": "TAAT_NAIVE"}')
+    assert idx.Count() == 4
+    # query = term 1 -> docs 0 (tf 1) and 1 (tf 3) score by IP
+    q = knowhere.ArrayToSparseDataSet(
+        np.array([1.0], dtype=np.float32), np.array([1]), np.array([0, 1])
+    )
+    dis, ids = idx.Search(q, '{"metric_type": "IP", "k": 2}')
+    assert ids[0, 0] == 1 and ids[0, 1] == 0     # doc 1 scores higher
+    np.testing.assert_allclose(dis[0], [3.0, 1.0])
+
+
+def test_fp16_dtype_axis():
+    rng = np.random.default_rng(57)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1, type=np.float16)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    got = idx.GetVectorByIds(knowhere.ArrayToDataSet(np.array([0])))
+    # raw vectors come back fp16-quantized — the storage contract
+    np.testing.assert_array_equal(
+        got[0], base[0].astype(np.float16).astype(np.float32)
+    )
+
+
+def test_bruteforce_statics():
+    rng = np.random.default_rng(58)
+    base = rng.standard_normal((90, 8)).astype(np.float32)
+    q = base[:3]
+    dis, ids = knowhere.BruteForceSearch(
+        np.float32,
+        knowhere.ArrayToDataSet(base),
+        knowhere.ArrayToDataSet(q),
+        '{"metric_type": "L2", "k": 3}',
+    )
+    np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])
+    dl, il = knowhere.BruteForceRangeSearch(
+        np.float32,
+        knowhere.ArrayToDataSet(base),
+        knowhere.ArrayToDataSet(q),
+        '{"metric_type": "L2", "radius": 2.0, "range_filter": 0.0}',
+    )
+    assert len(dl) == 3 and all((d < 2.0).all() for d in dl)
