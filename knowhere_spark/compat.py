@@ -377,6 +377,54 @@ def BruteForceSearch(type, base: DataSet, queries: DataSet, json: str,
     )
 
 
+def GetNullDataSet() -> DataSet:
+    return DataSet(tensor=np.zeros((0, 0), dtype=np.float32))
+
+
+def GetNullBitSetView() -> None:
+    """The reference's empty bitset — our search paths take None."""
+    return None
+
+
+def DataSetToArray(ans) -> tuple[np.ndarray, np.ndarray]:
+    """Identity passthrough: ``Search`` already returns (dis, ids) numpy
+    arrays (the SWIG layer needed an explicit copy-out; we don't)."""
+    return ans
+
+
+def RangeSearchDataSetToArray(ans):
+    """Identity passthrough for ``RangeSearch`` results (per-query lists)."""
+    return ans
+
+
+def GetVectorDataSetToArray(ans) -> np.ndarray:
+    """Identity passthrough for ``GetVectorByIds`` results."""
+    return ans
+
+
+def Load(index: IndexWrap, file_name: str) -> IndexWrap:
+    """BinarySet file load (__init__.py:52-54) — path-based here."""
+    index.Deserialize(file_name)
+    return index
+
+
+def Dump(index: IndexWrap, file_name: str) -> None:
+    """BinarySet file dump (__init__.py:56-58) — path-based here."""
+    index.Serialize(file_name)
+
+
+def SetSimdType(type) -> None:
+    """No-op: SIMD dispatch belongs to numpy/JVM codegen in this engine."""
+
+
+def SetBuildThreadPool(num_threads: int) -> None:
+    """No-op: build parallelism is Spark's executor configuration."""
+
+
+def SetSearchThreadPool(num_threads: int) -> None:
+    """No-op: search parallelism is Spark's executor configuration."""
+
+
 def BruteForceRangeSearch(type, base: DataSet, queries: DataSet, json: str,
                           bitset: BitSet | None = None):
     from knowhere_spark.config import BaseConfig

@@ -172,3 +172,29 @@ def test_bruteforce_statics():
         '{"metric_type": "L2", "radius": 2.0, "range_filter": 0.0}',
     )
     assert len(dl) == 3 and all((d < 2.0).all() for d in dl)
+
+
+def test_facade_completeness_vs_reference_surface():
+    """Every public name the reference's __init__.py exports must exist on
+    the facade (identity/no-op where the SWIG machinery is not needed)."""
+    ref_surface = [
+        "CreateIndex", "BruteForceSearch", "BruteForceRangeSearch",
+        "GetCurrentVersion", "CreateBitSet", "Load", "Dump",
+        "ArrayToDataSet", "ArrayToSparseDataSet", "DataSetToArray",
+        "RangeSearchDataSetToArray", "GetVectorDataSetToArray",
+        "GetNullDataSet", "GetNullBitSetView",
+        "SetSimdType", "SetBuildThreadPool", "SetSearchThreadPool",
+    ]
+    for name in ref_surface:
+        assert hasattr(knowhere, name), name
+
+
+def test_load_dump_aliases(tmp_path):
+    rng = np.random.default_rng(59)
+    base = rng.standard_normal((30, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("IVF_FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2", "nlist": 2}')
+    p = str(tmp_path / "dumped")
+    knowhere.Dump(idx, p)
+    idx2 = knowhere.Load(knowhere.CreateIndex("IVF_FLAT", 1), p)
+    assert idx2.Count() == 30
