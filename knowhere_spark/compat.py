@@ -141,13 +141,16 @@ class BitSet:
     def count(self) -> int:
         return len(self._blocked)
 
-    def filter_expr(self):
-        """Spark predicate keeping UNfiltered rows (None when empty)."""
+    def filter_expr(self, id_col: str = "id"):
+        """Spark predicate keeping UNfiltered rows (None when empty).
+
+        ``id_col`` names the row-id column the index filters on — dense
+        tables use ``id``, the sparse doc-stats frame uses ``doc_id``."""
         from pyspark.sql import functions as F
 
         if not self._blocked:
             return None
-        return ~F.col("id").isin([int(i) for i in sorted(self._blocked)])
+        return ~F.col(id_col).isin([int(i) for i in sorted(self._blocked)])
 
 
 def CreateBitSet(bits_num: int) -> BitSet:
@@ -176,6 +179,22 @@ def _sparse_df(spark, ds: SparseDataSet, id_col: str = "id", vec_col: str = "vec
     return spark.createDataFrame(rows, f"{id_col} long, {vec_col} map<string,float>")
 
 
+def _to_range_lists(rows, nq: int):
+    """Long-form (query_id, neighbor_id, distance) rows -> the reference's
+    per-query lists (RangeSearchDataSetToArray, __init__.py:116-147)."""
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["distance"]), int(r["neighbor_id"]))
+        )
+    dis_list, ids_list = [], []
+    for qi in range(nq):
+        hits = sorted(per_q.get(qi, []))
+        dis_list.append(np.array([d for d, _ in hits], dtype=np.float32))
+        ids_list.append(np.array([i for _, i in hits], dtype=np.int32))
+    return dis_list, ids_list
+
+
 def _to_knn_arrays(result_rows, nq: int, k: int, largest: bool):
     """Long-form (query_id, neighbor_id, distance, rank) -> the reference's
     (nq, k) arrays with -1 id + unreachable-distance padding."""
@@ -192,7 +211,17 @@ def _to_knn_arrays(result_rows, nq: int, k: int, largest: bool):
 
 # --- the IndexWrap analog -----------------------------------------------------
 
-_DTYPE_TO_VECTYPE = {"float32": None, "float16": "FP16", "uint8": None}
+#: numpy dtype name -> engine storage-axis VecType (None = native fp32 /
+#: binary path); unknown dtypes raise in CreateIndex rather than silently
+#: degrading to full precision
+_DTYPE_TO_VECTYPE = {
+    "float32": None,
+    "float64": None,
+    "float16": "FP16",
+    "bfloat16": "BF16",
+    "int8": "INT8",
+    "uint8": None,          # binary path (BIN_* indexes)
+}
 
 
 class IndexWrap:
@@ -233,7 +262,8 @@ class IndexWrap:
         params = _json.loads(json) if isinstance(json, str) else dict(json)
         k = int(params.get("k", 10))
         spark = _spark()
-        if isinstance(dataset, SparseDataSet):
+        sparse = isinstance(dataset, SparseDataSet)
+        if sparse:
             q = _sparse_df(spark, dataset, id_col="query_id")
         else:
             q = _dense_df(spark, dataset, id_col="query_id")
@@ -244,7 +274,11 @@ class IndexWrap:
             self._index.config, "ef"
         ):
             kw["ef"] = int(params["ef"])
-        fe = bitset.filter_expr() if bitset is not None else None
+        # the sparse engine filters its (doc_id, doc_len) stats frame
+        fe = (
+            bitset.filter_expr("doc_id" if sparse else "id")
+            if bitset is not None else None
+        )
         if fe is not None:
             kw["filter_expr"] = fe
         out = self._index.search(q, k, **kw)
@@ -269,31 +303,44 @@ class IndexWrap:
 
         params = _json.loads(json) if isinstance(json, str) else dict(json)
         spark = _spark()
-        if isinstance(dataset, SparseDataSet):
+        sparse = isinstance(dataset, SparseDataSet)
+        if sparse:
             q = _sparse_df(spark, dataset, id_col="query_id")
         else:
             q = _dense_df(spark, dataset, id_col="query_id")
         cfg = dataclasses.replace(
             self._index.config,
             radius=float(params.get("radius", 0.0)),
-            range_filter=float(params.get("range_filter", float("inf"))),
+            # ABSENT must stay None: range_bounds uses range_filter as the
+            # LOWER bound for distance metrics (lo=0 when None), so a
+            # +inf default would turn "radius only" into an empty range
+            range_filter=(
+                float(params["range_filter"])
+                if params.get("range_filter") is not None else None
+            ),
         )
         kw = {}
-        fe = bitset.filter_expr() if bitset is not None else None
+        fe = (
+            bitset.filter_expr("doc_id" if sparse else "id")
+            if bitset is not None else None
+        )
         if fe is not None:
             kw["filter_expr"] = fe
         # per-call radius: some classes take the config positionally
         # (HNSW/sparse), others read self.config (FLAT/IVF) — swap-restore
-        # covers the latter
+        # on the UNWRAPPED index covers the latter (a TypedIndex wrapper
+        # has no __setattr__ delegation; assigning through it would only
+        # shadow the inner config)
         try:
             out = self._index.range_search(q, cfg, **kw)
         except TypeError:
-            old_cfg = self._index.config
+            target = getattr(self._index, "inner", self._index)
+            old_cfg = target.config
             try:
-                self._index.config = cfg
+                target.config = cfg
                 out = self._index.range_search(q, **kw)
             finally:
-                self._index.config = old_cfg
+                target.config = old_cfg
         if "doc_id" in out.columns:   # sparse shape
             from pyspark.sql import functions as F
 
@@ -303,17 +350,7 @@ class IndexWrap:
                 F.col("score").alias("distance"),
             )
         rows = out.select("query_id", "neighbor_id", "distance").collect()
-        per_q: dict[int, list] = {}
-        for r in rows:
-            per_q.setdefault(int(r["query_id"]), []).append(
-                (float(r["distance"]), int(r["neighbor_id"]))
-            )
-        dis_list, ids_list = [], []
-        for qi in range(dataset.rows):
-            hits = sorted(per_q.get(qi, []))
-            dis_list.append(np.array([d for d, _ in hits], dtype=np.float32))
-            ids_list.append(np.array([i for _, i in hits], dtype=np.int32))
-        return dis_list, ids_list
+        return _to_range_lists(rows, dataset.rows)
 
     # -- GetVectorByIds (knowhere.i:229-241) -------------------------------------
     def GetVectorByIds(self, dataset: DataSet) -> np.ndarray:
@@ -323,9 +360,14 @@ class IndexWrap:
         )
         rows = self._index.get_vector_by_ids(ids_df).collect()
         by_id = {int(r["id"]): r["vec"] for r in rows}
-        return np.array(
-            [by_id[int(i)] for i in dataset.ids], dtype=np.float32
-        )
+        ordered = [by_id[int(i)] for i in dataset.ids]
+        if ordered and isinstance(ordered[0], (bytes, bytearray)):
+            # binary index: raw vectors are packed bytes -> uint8 rows
+            # (GetBinaryVectorDataSetToArray, __init__.py:172-177)
+            return np.stack(
+                [np.frombuffer(bytes(v), dtype=np.uint8) for v in ordered]
+            )
+        return np.array(ordered, dtype=np.float32)
 
     # -- persistence (knowhere.i:248-264; paths instead of BinarySet blobs) ------
     def Serialize(self, path: str) -> None:
@@ -351,8 +393,19 @@ class IndexWrap:
 
 
 def CreateIndex(name: str, version: int | None = None, type=np.float32) -> IndexWrap:
-    """__init__.py:13-21 — dtype selects the storage precision axis."""
-    dtype = np.dtype(type).name
+    """__init__.py:13-21 — dtype selects the storage precision axis.
+
+    ``type`` accepts numpy dtypes and the strings "bfloat16"/"bf16" (numpy
+    has no bfloat16; the reference uses an external package for it)."""
+    if isinstance(type, str) and type.lower() in ("bfloat16", "bf16"):
+        dtype = "bfloat16"
+    else:
+        dtype = np.dtype(type).name
+    if dtype not in _DTYPE_TO_VECTYPE:
+        raise ValueError(
+            f"CreateIndex: unsupported dtype {dtype!r} "
+            f"(supported: {sorted(_DTYPE_TO_VECTYPE)})"
+        )
     return IndexWrap(name, version, dtype=dtype)
 
 
@@ -369,7 +422,7 @@ def BruteForceSearch(type, base: DataSet, queries: DataSet, json: str,
     spark = _spark()
     b = _dense_df(spark, base)
     q = _dense_df(spark, queries, id_col="query_id")
-    fe = bitset.filter_expr() if bitset is not None else None
+    fe = bitset.filter_expr("id") if bitset is not None else None
     out = BruteForce.search(b, q, k, metric, filter_expr=fe)
     return _to_knn_arrays(
         out.select("query_id", "neighbor_id", "distance", "rank").collect(),
@@ -437,19 +490,12 @@ def BruteForceRangeSearch(type, base: DataSet, queries: DataSet, json: str,
     cfg = BaseConfig(
         metric_type=params.get("metric_type", "L2"),
         radius=float(params.get("radius", 0.0)),
-        range_filter=float(params.get("range_filter", float("inf"))),
+        range_filter=(
+            float(params["range_filter"])
+            if params.get("range_filter") is not None else None
+        ),
     )
-    fe = bitset.filter_expr() if bitset is not None else None
+    fe = bitset.filter_expr("id") if bitset is not None else None
     out = BruteForce.range_search(b, q, cfg, filter_expr=fe)
     rows = out.select("query_id", "neighbor_id", "distance").collect()
-    per_q: dict[int, list] = {}
-    for r in rows:
-        per_q.setdefault(int(r["query_id"]), []).append(
-            (float(r["distance"]), int(r["neighbor_id"]))
-        )
-    dis_list, ids_list = [], []
-    for qi in range(queries.rows):
-        hits = sorted(per_q.get(qi, []))
-        dis_list.append(np.array([d for d, _ in hits], dtype=np.float32))
-        ids_list.append(np.array([i for _, i in hits], dtype=np.int32))
-    return dis_list, ids_list
+    return _to_range_lists(rows, queries.rows)

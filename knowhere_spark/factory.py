@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from knowhere_spark.config import (
     BaseConfig,
+    FlatConfig,
     IndexType,
+    MetricType,
     VecType,
     load_config,
 )
@@ -96,6 +98,31 @@ class FlatIndex:
 
     def get_vector_by_ids(self, ids_df: DataFrame) -> DataFrame:
         return BruteForce.get_vector_by_ids(self.base, ids_df)
+
+    def save(self, path: str) -> None:
+        """Serialize (flat.cc serialization = the raw table + params)."""
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        store.write_manifest(
+            {
+                "index_type": self.index_type.value,
+                "metric_type": self.config.metric_type.value,
+                "k": self.config.k,
+            }
+        )
+        store.write_table("base", self.base)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "FlatIndex":
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        m = store.read_manifest()
+        cfg = FlatConfig(metric_type=MetricType(m["metric_type"]), k=int(m["k"]))
+        return cls(
+            store.read_table(spark, "base"), cfg, IndexType(m["index_type"])
+        )
 
 
 class TypedIndex:
@@ -331,6 +358,8 @@ def load_index(spark: SparkSession, path: str):
 
 
 def _load_inner(spark: SparkSession, path: str, t: IndexType):
+    if t in (IndexType.FLAT, IndexType.BIN_FLAT):
+        return FlatIndex.load(spark, path)
     if t in (IndexType.IVF_FLAT, IndexType.DISKANN):
         from knowhere_spark.operators.ivf import IVFFlatIndex
 

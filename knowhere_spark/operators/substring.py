@@ -139,10 +139,14 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Rebuild documents with their repeated spans cut out.
 
-    ``keep_first=True`` preserves the single occurrence with the smallest
-    ``(doc_id, pos)`` per repeated gram (Lee et al. remove all-but-one so
-    the corpus still contains each string once); the default removes every
-    occurrence (the conservative hygiene setting).
+    ``keep_first=True`` spares the occurrence with the smallest
+    ``(doc_id, pos)`` per repeated gram (the Lee et al. all-but-one
+    setting); the default removes every occurrence (the conservative
+    hygiene setting).  Keep-one is per-gram and best-effort at fixed-n
+    granularity: a spared occurrence is never cut by its OWN gram, but a
+    DIFFERENT overlapping repeated gram in the same document can still
+    cover part of it (resolving such interactions exactly needs global
+    span arbitration, which no longer decomposes into one aggregation).
 
     Output: ``(doc_id, text, n_tokens_removed)``.  Documents with no
     repeated span keep their ORIGINAL text byte-for-byte; documents that

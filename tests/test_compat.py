@@ -198,3 +198,90 @@ def test_load_dump_aliases(tmp_path):
     knowhere.Dump(idx, p)
     idx2 = knowhere.Load(knowhere.CreateIndex("IVF_FLAT", 1), p)
     assert idx2.Count() == 30
+
+
+def test_range_search_radius_only_default():
+    """Omitting range_filter (the common reference call) must mean 'no
+    inner bound', not an inf<=d<radius empty range."""
+    rng = np.random.default_rng(60)
+    base = rng.standard_normal((80, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    dis_list, ids_list = idx.RangeSearch(
+        knowhere.ArrayToDataSet(base[:3]), '{"metric_type": "L2", "radius": 4.0}'
+    )
+    for qi in range(3):
+        d = ((base - base[qi]) ** 2).sum(axis=1)
+        assert len(ids_list[qi]) == int((d < 4.0).sum()) > 0
+
+
+def test_fp16_range_search_honors_radius():
+    """The TypedIndex wrapper must not shadow the per-call radius (the
+    swap-restore has to hit the INNER index's config)."""
+    rng = np.random.default_rng(61)
+    base = rng.standard_normal((60, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("IVF_FLAT", 1, type=np.float16)
+    idx.Build(knowhere.ArrayToDataSet(base),
+              '{"metric_type": "L2", "nlist": 2, "nprobe": 2}')
+    dis_list, ids_list = idx.RangeSearch(
+        knowhere.ArrayToDataSet(base[:2]), '{"metric_type": "L2", "radius": 6.0}'
+    )
+    assert all(len(ids) > 0 for ids in ids_list)
+    assert all((d < 6.0).all() for d in dis_list)
+
+
+def test_sparse_search_with_bitset():
+    indptr = np.array([0, 1, 2, 3])
+    indices = np.array([1, 1, 1])
+    data = np.array([3.0, 2.0, 1.0], dtype=np.float32)
+    idx = knowhere.CreateIndex("SPARSE_INVERTED_INDEX", 1)
+    idx.Build(knowhere.ArrayToSparseDataSet(data, indices, indptr),
+              '{"metric_type": "IP", "inverted_index_algo": "TAAT_NAIVE"}')
+    bs = knowhere.CreateBitSet(3)
+    bs.set(0)                                  # filter out the top doc
+    q = knowhere.ArrayToSparseDataSet(
+        np.array([1.0], dtype=np.float32), np.array([1]), np.array([0, 1])
+    )
+    dis, ids = idx.Search(q, '{"metric_type": "IP", "k": 2}', bs)
+    assert 0 not in ids[0].tolist()
+    assert ids[0, 0] == 1                      # next-best doc
+
+
+def test_binary_get_vector_by_ids_returns_uint8():
+    rng = np.random.default_rng(62)
+    base = rng.integers(0, 256, size=(20, 8), dtype=np.uint8)
+    idx = knowhere.CreateIndex("BIN_FLAT", 1, type=np.uint8)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "HAMMING"}')
+    got = idx.GetVectorByIds(knowhere.ArrayToDataSet(np.array([2, 5])))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, base[[2, 5]])
+
+
+def test_flat_serialize_roundtrip(tmp_path):
+    rng = np.random.default_rng(63)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    p = str(tmp_path / "flat_idx")
+    idx.Serialize(p)
+    idx2 = knowhere.CreateIndex("FLAT", 1)
+    idx2.Deserialize(p)
+    assert idx2.Count() == 40
+    d1, i1 = idx.Search(knowhere.ArrayToDataSet(base[:3]),
+                        '{"metric_type": "L2", "k": 4}')
+    d2, i2 = idx2.Search(knowhere.ArrayToDataSet(base[:3]),
+                         '{"metric_type": "L2", "k": 4}')
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_int8_dtype_axis_and_unknown_dtype_rejected():
+    rng = np.random.default_rng(64)
+    base = (rng.standard_normal((30, 8)) * 50).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1, type=np.int8)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+    got = idx.GetVectorByIds(knowhere.ArrayToDataSet(np.array([0])))
+    np.testing.assert_array_equal(
+        got[0], np.clip(np.rint(base[0]), -128, 127).astype(np.float32)
+    )
+    with pytest.raises(ValueError):
+        knowhere.CreateIndex("FLAT", 1, type=np.complex64)
