@@ -1,0 +1,181 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+signal for training-data curation.
+
+The ratio heuristics in :mod:`knowhere_spark.functions.text` (stopword /
+punctuation / repetition fractions) catch structural junk; the standard
+next tier scores each document under a language model trained on a
+trusted corpus and filters by perplexity (CCNet, Wenzek et al. 2020, uses
+a KenLM 5-gram; the Gopher/C4 pipelines use the same shape).  A full
+KenLM is a native library; the distributed, dependency-free equivalent
+here is an add-alpha-smoothed bigram model computed with two groupBys and
+scored with two hash joins — linear in corpus size, no UDFs, and the
+model tables (vocabulary-sized, far smaller than the corpus) broadcast
+naturally under AQE.
+
+    lm = NgramLM.train(trusted_docs)
+    scored = lm.score(candidate_docs)       # (doc_id, avg_logprob, perplexity, n_tokens)
+    kept = lm.filter(candidate_docs, max_perplexity=1000.0)
+
+Semantics: interpolated add-alpha bigram/unigram model,
+
+    P(w2|w1) = lam * (C(w1 w2)+a)/(C(w1)+a*V) + (1-lam) * (C(w2)+a)/(N+a*V)
+
+with V = |vocabulary| + 1 and N the training token count.  The unigram
+interpolation is load-bearing, not a nicety: pure add-alpha scores an
+UNSEEN context at exactly 1/V — better than fluent text with an
+occasional novel continuation — so gibberish would outscore prose.  The
+unigram term re-anchors unknown material to how (un)common its tokens
+are.  Documents score the mean log-probability over their bigram
+positions; ``perplexity = exp(-avg_logprob)``.  Everything stays finite
+(smoothing floor, never -inf).  Documents with < 2 tokens carry no
+bigram evidence and score NULL (callers decide; ``filter`` keeps them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowhere_spark.functions.text import tokens_expr
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) for every adjacent token pair."""
+    toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    idx = F.when(
+        F.size("_t") >= 2, F.sequence(F.lit(0), F.size("_t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_t", i + 1).alias("w1"),
+                    F.element_at("_t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return pairs.select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+
+@dataclass
+class NgramLM:
+    """Trained bigram LM: two count tables + scalars."""
+
+    unigrams: DataFrame          # (w, ct) token counts over the train corpus
+    bigrams: DataFrame           # (w1, w2, c2)
+    vocab_size: int              # |V| + 1 smoothing denominator term
+    n_tokens: int                # N, total training tokens
+    alpha: float
+    lam: float                   # bigram weight in the interpolation
+
+    @classmethod
+    def train(
+        cls,
+        docs: DataFrame,
+        *,
+        alpha: float = 0.1,
+        lam: float = 0.7,
+        min_count: int = 1,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "NgramLM":
+        """Count unigrams/bigrams over the (trusted) training corpus.
+
+        ``min_count`` prunes the bigram table's long tail (hapax bigrams
+        dominate row count but carry almost no probability mass) —
+        pruned events fall back to the smoothing floor at score time.
+        The count tables are cached: ``score`` joins against them per
+        call, and they are vocabulary-sized, not corpus-sized.
+        """
+        g = _doc_bigrams(docs, id_col, text_col)
+        toks = docs.select(
+            F.explode(tokens_expr(F.col(text_col))).alias("w")
+        )
+        uni = toks.groupBy("w").agg(F.count("*").alias("ct")).cache()
+        bi = (
+            g.groupBy("w1", "w2")
+            .agg(F.count("*").alias("c2"))
+            .filter(F.col("c2") >= min_count)
+            .cache()
+        )
+        vocab = uni.count()           # materializes the cache lineage head
+        n = toks.count()
+        bi.count()
+        return cls(uni, bi, vocab + 1, int(n), float(alpha), float(lam))
+
+    def score(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(doc_id, n_bigrams, avg_logprob, perplexity) per document.
+
+        Two hash joins against the (small) model tables; the corpus side
+        never collects or broadcasts.  OOV contexts use c1=0, unseen
+        continuations c2=0 — both land on the smoothing floor.
+        """
+        g = _doc_bigrams(docs, id_col, text_col)
+        ctx = self.unigrams.select(F.col("w").alias("w1"), F.col("ct").alias("c1"))
+        nxt = self.unigrams.select(F.col("w").alias("w2"), F.col("ct").alias("cu"))
+        aV = self.alpha * self.vocab_size
+        p_bi = (F.coalesce("c2", F.lit(0)) + F.lit(self.alpha)) / (
+            F.coalesce("c1", F.lit(0)) + F.lit(aV)
+        )
+        p_uni = (F.coalesce("cu", F.lit(0)) + F.lit(self.alpha)) / (
+            F.lit(self.n_tokens + aV)
+        )
+        scored = (
+            g.join(F.broadcast(self.bigrams), ["w1", "w2"], "left")
+            .join(F.broadcast(ctx), "w1", "left")
+            .join(F.broadcast(nxt), "w2", "left")
+            .select(
+                id_col,
+                F.log(
+                    F.lit(self.lam) * p_bi + F.lit(1.0 - self.lam) * p_uni
+                ).alias("lp"),
+            )
+        )
+        agg = scored.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+        # row-preserving: < 2-token docs carry no bigram evidence -> NULLs
+        return (
+            docs.select(id_col)
+            .join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                "avg_logprob",
+                F.exp(-F.col("avg_logprob")).alias("perplexity"),
+            )
+        )
+
+    def filter(
+        self,
+        docs: DataFrame,
+        *,
+        max_perplexity: float,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """``docs`` minus rows scoring above ``max_perplexity`` (the CCNet
+        keep-the-head setting).  Docs with no bigram evidence are kept —
+        length-based gates are a different filter's job."""
+        s = self.score(docs, id_col=id_col, text_col=text_col)
+        keep = s.filter(
+            F.col("perplexity").isNull()
+            | (F.col("perplexity") <= max_perplexity)
+        ).select(id_col)
+        return docs.join(keep, id_col, "leftsemi")
+
+    def release(self) -> None:
+        self.unigrams.unpersist()
+        self.bigrams.unpersist()

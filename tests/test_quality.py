@@ -1,0 +1,115 @@
+"""Bigram-LM perplexity scoring (operators/quality.py) — the CCNet-style
+quality tier above the ratio heuristics."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from knowhere_spark.operators.quality import NgramLM
+
+
+def _train_corpus(spark):
+    # a tiny "trusted" corpus with strong bigram regularities
+    sents = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "the cat ate the fish",
+        "the dog ate the bone",
+        "a cat and a dog sat together",
+    ] * 4
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sents)], "doc_id long, text string"
+    )
+
+
+def test_fluent_text_scores_lower_perplexity_than_shuffled(spark):
+    lm = NgramLM.train(_train_corpus(spark))
+    rng = random.Random(7)
+    fluent = "the cat sat on the mat and the dog ate the bone"
+    toks = fluent.split()
+    rng.shuffle(toks)
+    shuffled = " ".join(toks)
+    gibberish = "zxq qqv plmk wrtx uvop zxq nnba"
+    docs = spark.createDataFrame(
+        [(0, fluent), (1, shuffled), (2, gibberish)], "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r for r in lm.score(docs).collect()}
+    assert s[0]["perplexity"] < s[1]["perplexity"] < s[2]["perplexity"]
+    lm.release()
+
+
+def test_score_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b a b")], "doc_id long, text string"
+    )
+    lm = NgramLM.train(docs, alpha=0.5, lam=0.7)
+    # token counts: ct(a)=3, ct(b)=3, N=6, vocab=2 -> V=3
+    # bigrams: doc0 (a,b); doc1 (a,b),(b,a),(a,b) -> C(a,b)=3, C(b,a)=1
+    aV = 0.5 * 3
+    p_bi_ab = (3 + 0.5) / (3 + aV)
+    p_bi_ba = (1 + 0.5) / (3 + aV)
+    p_uni_a = (3 + 0.5) / (6 + aV)
+    p_uni_b = (3 + 0.5) / (6 + aV)
+    p_ab = 0.7 * p_bi_ab + 0.3 * p_uni_b
+    p_ba = 0.7 * p_bi_ba + 0.3 * p_uni_a
+    s = {r["doc_id"]: r for r in lm.score(docs).collect()}
+    want0 = math.log(p_ab)
+    want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert abs(s[0]["avg_logprob"] - want0) < 1e-9
+    assert abs(s[1]["avg_logprob"] - want1) < 1e-9
+    assert abs(s[0]["perplexity"] - math.exp(-want0)) < 1e-9
+    lm.release()
+
+
+def test_short_and_empty_docs_score_null_and_survive_filter(spark):
+    lm = NgramLM.train(_train_corpus(spark))
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, ""), (2, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r for r in lm.score(docs).collect()}
+    assert len(s) == 3                       # row-preserving
+    assert s[0]["avg_logprob"] is None and s[0]["n_bigrams"] == 0
+    assert s[1]["avg_logprob"] is None
+    assert s[2]["perplexity"] is not None
+    kept = lm.filter(docs, max_perplexity=1e9)
+    assert kept.count() == 3                 # NULL-evidence docs kept
+    lm.release()
+
+
+def test_filter_drops_high_perplexity_docs(spark):
+    lm = NgramLM.train(_train_corpus(spark))
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "zxq qqv plmk wrtx uvop")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["perplexity"] for r in lm.score(docs).collect()}
+    cut = (s[0] + s[1]) / 2
+    kept = [r["doc_id"] for r in lm.filter(docs, max_perplexity=cut).collect()]
+    assert kept == [0]
+    lm.release()
+
+
+def test_min_count_prunes_tail_but_scores_stay_finite(spark):
+    lm = NgramLM.train(_train_corpus(spark), min_count=3)
+    docs = spark.createDataFrame(
+        [(0, "a cat and a dog sat together")], "doc_id long, text string"
+    )
+    r = lm.score(docs).collect()[0]
+    assert r["perplexity"] is not None and np.isfinite(r["perplexity"])
+    lm.release()
+
+
+def test_plan_is_native_and_model_broadcasts(spark):
+    lm = NgramLM.train(_train_corpus(spark))
+    docs = _train_corpus(spark)
+    plan = (
+        lm.score(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan       # model side, never the corpus
+    lm.release()
