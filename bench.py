@@ -482,8 +482,37 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["scann_search_nq1000"] = q_scann_search
     out["hnsw_sq_search_nq1000"] = q_hnsw_sq_search
 
+    def q_substring_dedup():
+        # repeated-span removal over the full documents table (fixed-n
+        # gram fingerprints -> covered-index anti-join reassembly)
+        from knowhere_spark.operators.substring import remove_duplicate_spans
+
+        return remove_duplicate_spans(docs, 10)
+
+    def q_lm_perplexity():
+        # CCNet-tier quality scoring: train the interpolated bigram model
+        # on the corpus and score every document under it
+        from knowhere_spark.operators.quality import NgramLM
+
+        lm = NgramLM.train(docs, min_count=2)
+        out_df = lm.score(docs)
+        return out_df
+
+    def q_token_shards():
+        from knowhere_spark.functions.text import token_count_expr
+        from knowhere_spark.operators.pipeline import token_balanced_shards
+
+        toks = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        return token_balanced_shards(toks, 32)
+
     out["dedup_minhash"] = q_dedup_minhash
     out["corpus_curate"] = q_corpus_curate
+    out["substring_dedup"] = q_substring_dedup
+    out["lm_perplexity"] = q_lm_perplexity
+    out["token_shards"] = q_token_shards
     out["events_window"] = q_events_window
     out["events_sessionize"] = q_events_sessionize
 
