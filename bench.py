@@ -491,12 +491,15 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     def q_lm_perplexity():
         # CCNet-tier quality scoring: train the interpolated bigram model
-        # on the corpus and score every document under it
+        # on the corpus and score every document under it.  Materialize
+        # inside the timed region, then RELEASE the cached model tables —
+        # otherwise they stay pinned and skew every later query's memory
         from knowhere_spark.operators.quality import NgramLM
 
         lm = NgramLM.train(docs, min_count=2)
-        out_df = lm.score(docs)
-        return out_df
+        res = lm.score(docs).localCheckpoint(eager=True)
+        lm.release()
+        return res
 
     def q_token_shards():
         from knowhere_spark.functions.text import token_count_expr

@@ -251,6 +251,7 @@ class IndexWrap:
             self._dim = (
                 dataset.tensor.shape[1] * (8 if dataset.binary else 1)
             )
+        self._binary = (not isinstance(dataset, SparseDataSet)) and dataset.binary
         dtype = _DTYPE_TO_VECTYPE.get(self.dtype)
         handle = create_index(self.name, params, dtype=dtype)
         self._index = handle.build(df)
@@ -361,12 +362,18 @@ class IndexWrap:
         rows = self._index.get_vector_by_ids(ids_df).collect()
         by_id = {int(r["id"]): r["vec"] for r in rows}
         ordered = [by_id[int(i)] for i in dataset.ids]
-        if ordered and isinstance(ordered[0], (bytes, bytearray)):
+        if getattr(self, "_binary", False):
             # binary index: raw vectors are packed bytes -> uint8 rows
-            # (GetBinaryVectorDataSetToArray, __init__.py:172-177)
+            # (GetBinaryVectorDataSetToArray, __init__.py:172-177); dtype
+            # dispatch is by the INDEX, not the first element, so an
+            # empty request still returns a (0, dim/8) uint8 matrix
+            if not ordered:
+                return np.zeros((0, (self._dim or 0) // 8), dtype=np.uint8)
             return np.stack(
                 [np.frombuffer(bytes(v), dtype=np.uint8) for v in ordered]
             )
+        if not ordered:
+            return np.zeros((0, self._dim or 0), dtype=np.float32)
         return np.array(ordered, dtype=np.float32)
 
     # -- persistence (knowhere.i:248-264; paths instead of BinarySet blobs) ------

@@ -8,9 +8,13 @@ trusted corpus and filters by perplexity (CCNet, Wenzek et al. 2020, uses
 a KenLM 5-gram; the Gopher/C4 pipelines use the same shape).  A full
 KenLM is a native library; the distributed, dependency-free equivalent
 here is an add-alpha-smoothed bigram model computed with two groupBys and
-scored with two hash joins — linear in corpus size, no UDFs, and the
-model tables (vocabulary-sized, far smaller than the corpus) broadcast
-naturally under AQE.
+scored with three hash joins (the bigram table + two vocabulary-sized
+unigram projections) plus a row-preserving join back to the docs — linear
+in corpus size, no UDFs.  The unigram projections are forced broadcasts
+(vocabulary-sized by construction); the bigram table scales with the
+TRAINING corpus, so its join is left to AQE — forcing it would collect an
+unbounded table onto the driver at exactly the trusted-corpus scale this
+operator targets.
 
     lm = NgramLM.train(trusted_docs)
     scored = lm.score(candidate_docs)       # (doc_id, avg_logprob, perplexity, n_tokens)
@@ -104,7 +108,9 @@ class NgramLM:
             .cache()
         )
         vocab = uni.count()           # materializes the cache lineage head
-        n = toks.count()
+        # N = sum of the (already cached, vocab-sized) unigram counts — a
+        # toks.count() here would re-scan and re-tokenize the full corpus
+        n = uni.agg(F.coalesce(F.sum("ct"), F.lit(0))).collect()[0][0]
         bi.count()
         return cls(uni, bi, vocab + 1, int(n), float(alpha), float(lam))
 
@@ -117,8 +123,9 @@ class NgramLM:
     ) -> DataFrame:
         """(doc_id, n_bigrams, avg_logprob, perplexity) per document.
 
-        Two hash joins against the (small) model tables; the corpus side
-        never collects or broadcasts.  OOV contexts use c1=0, unseen
+        Joins against the model tables; the corpus side never collects or
+        broadcasts (and the bigram side's broadcast is AQE's call — see
+        the module docstring).  OOV contexts use c1=0, unseen
         continuations c2=0 — both land on the smoothing floor.
         """
         g = _doc_bigrams(docs, id_col, text_col)
@@ -132,7 +139,7 @@ class NgramLM:
             F.lit(self.n_tokens + aV)
         )
         scored = (
-            g.join(F.broadcast(self.bigrams), ["w1", "w2"], "left")
+            g.join(self.bigrams, ["w1", "w2"], "left")
             .join(F.broadcast(ctx), "w1", "left")
             .join(F.broadcast(nxt), "w2", "left")
             .select(
