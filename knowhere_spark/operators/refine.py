@@ -5,9 +5,11 @@
 
 Stage 1 produces approximate candidates (any index's search with
 ``k = reorder_k``); stage 2 joins the survivors back to raw vectors and
-re-ranks by exact distance.  Pure DataFrame composition — the survivors
-set is ``nq × reorder_k`` rows, so the exact re-scoring join is broadcast
-on the query side and semi-join-prunable on the base side.
+re-ranks by exact distance.  Pure DataFrame composition — the QUERY side
+is force-broadcast (nq-bounded); the candidate-vs-raw join carries no
+hint because the survivor set is ``nq x reorder_k`` rows — small on the
+driver path, potentially corpus-scale for distributed self-search — so
+AQE converts it to a broadcast exactly when it is actually small.
 """
 
 from __future__ import annotations

@@ -190,3 +190,52 @@ def test_decontaminate_no_corpus_shuffle(spark):
     plan = _plan(out)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantized_family_search_plans_never_broadcast_corpus(spark):
+    """SQ8/PQ/SCANN driver-path searches must join probe candidates from
+    the (cell-pruned) assignments side without a corpus-sized broadcast or
+    cartesian product; the only broadcasts are query/probe-sized."""
+    from knowhere_spark.config import IvfPqConfig, IvfSq8Config, ScannConfig
+    from knowhere_spark.operators.pq import IVFPqIndex
+    from knowhere_spark.operators.refine import ScannIndex
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    base = dense_df(spark, gen_dense(600, 16, seed=91))
+    qs = dense_df(spark, gen_dense(5, 16, seed=92), QUERY_SCHEMA)
+    cases = [
+        IVFSq8Index.build(base, IvfSq8Config(metric_type="L2", nlist=8, nprobe=4, k=5)),
+        IVFPqIndex.build(base, IvfPqConfig(metric_type="L2", nlist=8, nprobe=4, m=8, k=5)),
+        ScannIndex.build(
+            base,
+            ScannConfig(metric_type="L2", nlist=8, nprobe=4, k=5, reorder_k=20),
+        ),
+    ]
+    for idx in cases:
+        out = idx.search(qs, k=5)
+        out.collect()  # run THIS plan so AQE finalizes its join choices
+        plan = _plan(out)
+        # AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial
+        # Plan ==" — judge only what actually executed
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, type(idx).__name__
+        # SCANN's candidate-vs-raw refine join carries no forced hint (the
+        # survivor set can be corpus-scale at distributed nq), so the
+        # broadcast decision is AQE's — the FINAL plan must have converted
+        # the small candidate side to a broadcast here
+        assert "SortMergeJoin" not in final, type(idx).__name__
+
+
+def test_lm_score_plan_is_native_with_aqe_bigram_join(spark):
+    """The perplexity scorer must keep the corpus un-broadcast: only the
+    vocab-sized unigram projections carry forced broadcast hints; the
+    bigram join is AQE's call (forced broadcast would collect a
+    training-corpus-sized table)."""
+    from knowhere_spark.operators.quality import NgramLM
+
+    docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
+    lm = NgramLM.train(docs)
+    plan = _plan(lm.score(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    lm.release()
