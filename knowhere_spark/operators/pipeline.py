@@ -320,3 +320,52 @@ def token_balanced_shards(
         F.lit(n_shards - 1),
     )
     return with_cum.select(id_col, "n_tokens", shard.alias("shard"))
+
+
+def write_sharded_corpus(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Export a curated corpus as ``n_shards`` token-balanced parquet
+    shards (``path/shard=K/``) — the sink side of a training-data
+    pipeline: each reader in a fleet takes one shard directory, and
+    token balance (not doc-count balance) keeps epoch time even.
+
+    Shard assignment comes from :func:`token_balanced_shards` (order-
+    preserving cuts over the distributed prefix sum); the write is a
+    single ``partitionBy('shard')`` parquet job.  Returns the per-shard
+    stats frame ``(shard, n_docs, n_tokens)`` computed from what was
+    written — read it to verify balance before handing shards out.
+    """
+    from knowhere_spark.functions.text import token_count_expr
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        token_count_expr(F.col(text_col)).cast("long").alias("__nt"),
+    )
+    shards = token_balanced_shards(
+        toks, n_shards, id_col=id_col, tokens_col="__nt", n_buckets=n_buckets
+    ).select(id_col, "shard")
+    (
+        docs.join(shards, id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = docs.sparkSession
+    written = spark.read.parquet(path)
+    return (
+        written.select(
+            "shard", token_count_expr(F.col(text_col)).cast("long").alias("__nt")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+    )

@@ -246,3 +246,28 @@ def test_token_balanced_shards_edges(spark):
     import pytest
     with pytest.raises(ValueError):
         token_balanced_shards(one, 0)
+
+
+def test_write_sharded_corpus_roundtrip_and_balance(spark, tmp_path):
+    from knowhere_spark.operators.pipeline import write_sharded_corpus
+
+    rows = [(i, " ".join(["tok"] * (200 if i % 37 == 0 else 5 + i % 9)))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "shards")
+    stats = write_sharded_corpus(docs, p, 4).collect()
+    assert {r["shard"] for r in stats} == {0, 1, 2, 3}
+    totals = [r["n_tokens"] for r in stats]
+    assert sum(r["n_docs"] for r in stats) == 400
+    # token balance: every shard within one max-doc (200 tokens) of ideal
+    ideal = sum(totals) / 4
+    assert all(abs(t - ideal) <= 200 for t in totals), totals
+    # content round-trips exactly
+    back = spark.read.parquet(p)
+    assert back.count() == 400
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert all(orig[r["doc_id"]] == r["text"] for r in back.collect())
+    # shard partition pruning works on the written layout
+    one = spark.read.parquet(p).filter(F.col("shard") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan and "shard" in plan.split("PartitionFilters:")[1][:200]
