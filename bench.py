@@ -65,16 +65,27 @@ def _knn_recall(approx_df, base, queries, k: int, metric: str) -> float:
 _GT_CACHE: dict[tuple, object] = {}
 
 
+def _qbatch_key(queries) -> int:
+    """Stable discriminator of the QUERY BATCH itself (its analyzed-plan
+    semantic hash) — keying on a caller-chosen tag alone would let a
+    future call site reuse the tag with a different query set and
+    silently tune against the wrong ground truth (ADVICE r3)."""
+    try:
+        return int(queries._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:          # non-JVM frames in tests
+        return int(queries.count())
+
+
 def _gt_for(base, queries, k: int, metric: str, cache_key: tuple | None = None):
     from knowhere_spark.operators.brute_force import BruteForce
 
     if cache_key is not None:
-        # key on the base DataFrame identity too — a tag-only key would
-        # silently reuse another corpus's ground truth (the tag names the
-        # query batch, which every "q1000" call site derives identically).
-        # The cache VALUE holds a reference to `base`, so its id() cannot
-        # be recycled onto a different corpus while the entry lives.
-        cache_key = (id(base), *cache_key)
+        # key on the base DataFrame identity AND the query batch — a
+        # tag-only key would silently reuse another corpus's or another
+        # batch's ground truth.  The cache VALUE holds a reference to
+        # `base`, so its id() cannot be recycled onto a different corpus
+        # while the entry lives.
+        cache_key = (id(base), _qbatch_key(queries), *cache_key)
         if cache_key in _GT_CACHE:
             return _GT_CACHE[cache_key][0]
     gt = (
@@ -430,6 +441,32 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         idx, np_t = quant_state["pq"]
         return idx.search(q1000b, k=100, nprobe=np_t)
 
+    def prep_pq_refine():
+        # the reference's answer to the ADC plateau: exact re-rank of the
+        # top-refine_k (SCANN reorder_k, ivf_config.h:101-115) — tuned to
+        # the SAME 0.80 operating point the other families hit
+        from knowhere_spark.config import IvfPqConfig
+        from knowhere_spark.operators.pq import IVFPqIndex
+
+        idx = IVFPqIndex.build(
+            emb,
+            IvfPqConfig(metric_type="L2", nlist=64, nprobe=8, m=16, k=100,
+                        refine_k=200, with_raw_data=True),
+        )
+        gt = _gt_for(emb, q1000b, 100, "L2", ("q1000", 100, "L2"))
+        np_t = _tune_param(
+            lambda p: idx.search(q1000b, k=100, nprobe=p, refine_k=200),
+            1, idx.config.nlist, gt, gt.count(), target=0.80,
+        )
+        quant_state["pq_refine"] = (idx, np_t)
+        PARAMS["pq_refine_search_nq1000"] = {
+            "nprobe": np_t, "refine_k": 200, "target_recall": 0.80,
+        }
+
+    def q_pq_refine_search():
+        idx, np_t = quant_state["pq_refine"]
+        return idx.search(q1000b, k=100, nprobe=np_t, refine_k=200)
+
     def prep_scann():
         from knowhere_spark.config import ScannConfig
         from knowhere_spark.operators.refine import ScannIndex
@@ -474,11 +511,13 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     PREPARE_MAP.update({
         "sq8_search_nq1000": prep_sq8,
         "pq_search_nq1000": prep_pq,
+        "pq_refine_search_nq1000": prep_pq_refine,
         "scann_search_nq1000": prep_scann,
         "hnsw_sq_search_nq1000": prep_hnsw_sq,
     })
     out["sq8_search_nq1000"] = q_sq8_search
     out["pq_search_nq1000"] = q_pq_search
+    out["pq_refine_search_nq1000"] = q_pq_refine_search
     out["scann_search_nq1000"] = q_scann_search
     out["hnsw_sq_search_nq1000"] = q_hnsw_sq_search
 
@@ -679,7 +718,12 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     def _r_quant(key, k):
         def probe():
             idx, p = quant_state[key]
-            kw = {"ef": p, "strategy": "broadcast"} if key == "hnsw_sq" else {"nprobe": p}
+            if key == "hnsw_sq":
+                kw = {"ef": p, "strategy": "broadcast"}
+            elif key == "pq_refine":
+                kw = {"nprobe": p, "refine_k": 200}
+            else:
+                kw = {"nprobe": p}
             return _knn_recall(idx.search(q1000, k=k, **kw), emb, q1000, k, "L2")
         return probe
 
@@ -717,6 +761,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             "ivf_100k_selfsearch_distributed": r_selfsearch,
             "sq8_search_nq1000": _r_quant("sq8", 100),
             "pq_search_nq1000": _r_quant("pq", 100),
+            "pq_refine_search_nq1000": _r_quant("pq_refine", 100),
             "scann_search_nq1000": _r_quant("scann", 100),
             "hnsw_sq_search_nq1000": _r_quant("hnsw_sq", 10),
         }

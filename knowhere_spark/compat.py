@@ -141,16 +141,36 @@ class BitSet:
     def count(self) -> int:
         return len(self._blocked)
 
+    #: above this, Column.isin's literal list would become a
+    #: multi-hundred-thousand-node Catalyst expression (slow analysis,
+    #: driver OOM risk at the reference's ~half-the-base bitset sizes)
+    _ISIN_LITERAL_MAX = 4096
+
     def filter_expr(self, id_col: str = "id"):
         """Spark predicate keeping UNfiltered rows (None when empty).
 
         ``id_col`` names the row-id column the index filters on — dense
-        tables use ``id``, the sparse doc-stats frame uses ``doc_id``."""
+        tables use ``id``, the sparse doc-stats frame uses ``doc_id``.
+        Small sets compile to a native (codegen'd, pushdown-able)
+        ``NOT isin``; corpus-scale sets switch to an Arrow-batched
+        membership kernel over a BROADCAST id array — O(1) plan size and
+        executor-side ``Series.isin`` (hash probe) per batch."""
         from pyspark.sql import functions as F
 
         if not self._blocked:
             return None
-        return ~F.col(id_col).isin([int(i) for i in sorted(self._blocked)])
+        blocked = sorted(self._blocked)
+        if len(blocked) <= self._ISIN_LITERAL_MAX:
+            return ~F.col(id_col).isin([int(i) for i in blocked])
+        arr = np.asarray(blocked, dtype=np.int64)
+        bc = _spark().sparkContext.broadcast(arr)
+
+        def keep(s):
+            return ~s.isin(bc.value)
+
+        # no type hints on the kernel: string hints break pandas_udf under
+        # `from __future__ import annotations`
+        return F.pandas_udf(keep, "boolean")(F.col(id_col))
 
 
 def CreateBitSet(bits_num: int) -> BitSet:
@@ -382,8 +402,35 @@ class IndexWrap:
 
     def Deserialize(self, path: str, json: str = "{}") -> None:
         from knowhere_spark.factory import load_index
+        from knowhere_spark.sources.index_store import IndexStore
 
         self._index = load_index(_spark(), path)
+        # restore the wrapper state the reference's deserialized IndexWrap
+        # keeps: without it Dim() returns -1, a Search whose query JSON
+        # omits metric_type silently falls back to L2 on an IP/COSINE
+        # index, and GetVectorByIds on a BIN_* index takes the float
+        # branch (returning bytes as float32 rows)
+        m = IndexStore(path).read_manifest()
+        index_type = str(m.get("index_type", self.name or ""))
+        self.name = index_type or self.name
+        self._binary = index_type.startswith("BIN_")
+        if m.get("metric_type") is not None:
+            self._metric = str(m["metric_type"])
+        if m.get("dim") is not None:
+            self._dim = int(m["dim"])
+        elif hasattr(self._index, "dim"):
+            self._dim = int(self._index.dim())
+        else:
+            # FLAT/BIN_FLAT manifests carry no dim and the index has no
+            # dim() — probe one stored row (dim is in BITS for binary,
+            # the reference contract)
+            base = getattr(self._index, "base", None)
+            r = base.select("vec").first() if base is not None else None
+            if r is not None:
+                v = r["vec"]
+                self._dim = (
+                    len(bytes(v)) * 8 if isinstance(v, (bytes, bytearray)) else len(v)
+                )
 
     DeserializeFromFile = Deserialize
 

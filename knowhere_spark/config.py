@@ -223,15 +223,29 @@ class IvfSq8Config(IvfConfig):
 
 @dataclass
 class IvfPqConfig(IvfConfig):
-    """IVF_PQ: product quantization (ivf_config.h:68-98)."""
+    """IVF_PQ: product quantization (ivf_config.h:68-98).
+
+    ``refine_k > 0`` re-ranks the ADC top-``refine_k`` candidates by exact
+    distance — the reference's answer to ADC error (SCANN ``reorder_k``,
+    ivf_config.h:101-115; iterator ``refine_ratio``, index_node.h:527-570).
+    Requires ``with_raw_data`` (refine needs the raw vectors)."""
 
     m: int = 4          # subquantizer count
     nbits: int = 8
+    refine_k: int = 0   # 0 = no refine; else exact re-rank of top-refine_k
+    with_raw_data: bool = False
 
     def check_and_adjust(self) -> None:
         super().check_and_adjust()
         _check_range("nbits", self.nbits, 1, 16)
         _check_range("m", self.m, 1, 65_536)
+        if self.refine_k:
+            if self.refine_k < self.k:
+                raise ConfigError(
+                    f"refine_k={self.refine_k} must be >= k={self.k} (or 0)"
+                )
+            if not self.with_raw_data:
+                raise ConfigError("refine_k requires with_raw_data=True")
 
     def validate_dim(self, dim: int) -> None:
         # ivf_config.h:78-98 — dim must be divisible by m

@@ -233,8 +233,23 @@ class IndexHandle:
 
             return BinaryIVFIndex.build(base_df, self.config, **kw)
         if t == IndexType.HNSW:
-            from knowhere_spark.operators.hnsw import HNSWIndex
+            from knowhere_spark.operators.hnsw import (
+                _BROADCAST_MAX_BYTES,
+                HNSWIndex,
+            )
+            from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
 
+            # over-broadcast-bound graphs route to the sharded build by
+            # default: each shard bounds executor memory and reuses the
+            # join-free broadcast beam, so the per-hop BFS table fallback
+            # is opt-in (explicit HNSWIndex.build / custom scorers) rather
+            # than a silent cliff at corpus scale
+            vec_col = kw.get("vec_col", "vec")
+            head = base_df.select(vec_col).head()
+            dim = len(head[vec_col]) if head else 0
+            per_row = dim * 4 + (int(self.config.M) + 1) * 4 + 16
+            if base_df.count() * per_row > _BROADCAST_MAX_BYTES:
+                return ShardedHNSWIndex.build(base_df, self.config, **kw)
             return HNSWIndex.build(base_df, self.config, **kw)
         if t == IndexType.SHARDED_HNSW:
             from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex

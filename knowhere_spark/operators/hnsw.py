@@ -792,9 +792,15 @@ class HNSWIndex:
         # visited is a list of eagerly-checkpointed per-hop frames, and the
         # anti-join reads their union as a view over the stored blocks —
         # re-caching the whole growing union each hop (the old shape) made
-        # hop cost proportional to total visited, not to new work
+        # hop cost proportional to total visited, not to new work.
+        # A DECAYING compaction schedule (after hops 1, 2, 4, 8, then every
+        # 8) folds the per-hop frames into one, so the live checkpoint
+        # count and the anti-join's union fan-in are bounded by the window
+        # cap — hop-count-INDEPENDENT — instead of growing one frame per
+        # hop: a 50-hop traversal holds <= 9 stored frames, not 50
         visited_parts = [score(frontier).localCheckpoint(eager=True)]
         frontier = visited_parts[0].select("query_id", "node_id")
+        compact_window, next_compact = 1, 1
 
         def visited_ids() -> DataFrame:
             out = visited_parts[0].select("query_id", "node_id")
@@ -802,7 +808,7 @@ class HNSWIndex:
                 out = out.unionByName(p.select("query_id", "node_id"))
             return out
 
-        for _ in range(max_hops):
+        for hop in range(1, max_hops + 1):
             expanded = (
                 frontier.join(self.edges, frontier["node_id"] == self.edges["src"])
                 .select("query_id", F.col("dst").alias("node_id"))
@@ -819,7 +825,18 @@ class HNSWIndex:
                 )
                 .select("query_id", "node_id")
             )
+            if hop == next_compact and hop < max_hops:
+                merged = visited_parts[0]
+                for p in visited_parts[1:]:
+                    merged = merged.unionByName(p)
+                # dropping the part references lets the ContextCleaner
+                # release their stored blocks; only the compacted frame
+                # (plus at most one window of new parts) stays live
+                visited_parts = [merged.localCheckpoint(eager=True)]
+                compact_window = min(compact_window * 2, 8)
+                next_compact = hop + compact_window
 
+        self._last_bfs_frame_count = len(visited_parts)
         visited = visited_parts[0]
         for p in visited_parts[1:]:
             visited = visited.unionByName(p)

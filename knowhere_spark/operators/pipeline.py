@@ -295,14 +295,31 @@ def token_balanced_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards} must be >= 1")
+    # try_cast: under ANSI a malformed id would throw a raw
+    # NumberFormatException mid-plan; NULL + the count check below turns
+    # both ANSI and legacy behavior into one typed, actionable error
     src = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).try_cast("long").alias(id_col),
         F.col(tokens_col).cast("long").alias("n_tokens"),
     )
     # the global total is a plain SUM — one cheap scan of the input, NOT a
     # materialization of the whole cumsum pipeline (which the caller's
-    # action will execute once, lazily, below)
-    total = src.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")).first()["t"]
+    # action will execute once, lazily, below).  The same scan validates
+    # the id cast: a non-numeric string id column casts to all-NULL order
+    # keys, which would silently scramble the cumsum (and empty the
+    # write_sharded_corpus export via its inner join) — fail instead.
+    row = src.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        F.count("*").alias("n"),
+        F.count(id_col).alias("n_ids"),
+    ).first()
+    total = row["t"]
+    if row["n"] != row["n_ids"]:
+        raise ValueError(
+            f"{id_col}: {row['n'] - row['n_ids']} of {row['n']} values do not "
+            "cast to BIGINT — token_balanced_shards needs a numeric unique id "
+            "as the order key"
+        )
     with_cum = scalable_cumsum(
         src,
         order_col=id_col,
@@ -339,33 +356,47 @@ def write_sharded_corpus(
     Shard assignment comes from :func:`token_balanced_shards` (order-
     preserving cuts over the distributed prefix sum); the write is a
     single ``partitionBy('shard')`` parquet job.  Returns the per-shard
-    stats frame ``(shard, n_docs, n_tokens)`` computed from what was
-    written — read it to verify balance before handing shards out.
+    stats frame ``(shard, n_docs, n_tokens)``.
+
+    Cost shape (the r3 sink paid two extra full-corpus passes): the
+    ``(id, n_tokens)`` projection — two longs per doc — is persisted so
+    the corpus text is TOKENIZED EXACTLY ONCE across the quantile pass,
+    the total/validation pass, the cumsum and the write join; and the
+    stats come from the pre-write assignment frame (collected — it is
+    ``n_shards`` rows) rather than re-reading and re-tokenizing
+    everything just written.  The ids are cast-validated inside
+    :func:`token_balanced_shards`, so assignment rows correspond 1:1 to
+    written rows and the pre-write stats ARE the written stats.
     """
     from knowhere_spark.functions.text import token_count_expr
 
-    toks = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        token_count_expr(F.col(text_col)).cast("long").alias("__nt"),
-    )
-    shards = token_balanced_shards(
-        toks, n_shards, id_col=id_col, tokens_col="__nt", n_buckets=n_buckets
-    ).select(id_col, "shard")
-    (
-        docs.join(shards, id_col)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
     spark = docs.sparkSession
-    written = spark.read.parquet(path)
-    return (
-        written.select(
-            "shard", token_count_expr(F.col(text_col)).cast("long").alias("__nt")
+    toks = docs.select(
+        F.col(id_col).try_cast("long").alias(id_col),
+        token_count_expr(F.col(text_col)).cast("long").alias("__nt"),
+    ).persist()
+    try:
+        shards = token_balanced_shards(
+            toks, n_shards, id_col=id_col, tokens_col="__nt", n_buckets=n_buckets
         )
-        .groupBy("shard")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("n_tokens"),
+        (
+            docs.join(shards.select(id_col, "shard"), id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
         )
+        stats_rows = (
+            shards.groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .collect()
+        )
+    finally:
+        toks.unpersist()
+    # a local n_shards-row frame: no lineage back to the corpus or the
+    # written path, so reading it later can never trigger a re-scan
+    return spark.createDataFrame(
+        stats_rows, "shard INT, n_docs BIGINT, n_tokens BIGINT"
     )

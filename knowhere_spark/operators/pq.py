@@ -60,10 +60,13 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
     return numpy_kmeans(X, k, iters=n_iter, seed=seed)
 
 
-def _encode_df(assigned: DataFrame, codebooks: np.ndarray) -> DataFrame:
-    """(id, cell_id, vec) → (id, cell_id, codes): nearest-codeword per
-    subspace against FIXED codebooks — shared by build and Add so appended
-    rows encode exactly like the original corpus."""
+def _encode_df(
+    assigned: DataFrame, codebooks: np.ndarray, with_raw_data: bool = False
+) -> DataFrame:
+    """(id, cell_id, vec) → (id, cell_id, codes[, vec]): nearest-codeword
+    per subspace against FIXED codebooks — shared by build and Add so
+    appended rows encode exactly like the original corpus.  Raw vectors
+    ride along only when refine needs them (``with_raw_data``)."""
     spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -83,22 +86,23 @@ def _encode_df(assigned: DataFrame, codebooks: np.ndarray) -> DataFrame:
                     + (CB[j] * CB[j]).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "cell_id": pdf["cell_id"].to_numpy(),
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "id": pdf["id"].to_numpy(),
+                "cell_id": pdf["cell_id"].to_numpy(),
+                "codes": list(codes),
+            }
+            if with_raw_data:
+                out["vec"] = pdf["vec"]
+            yield pd.DataFrame(out)
 
-    schema = StructType(
-        [
-            StructField("id", LongType()),
-            StructField("cell_id", IntegerType()),
-            StructField("codes", ArrayType(ShortType())),
-        ]
-    )
-    return assigned.mapInPandas(encode, schema)
+    fields = [
+        StructField("id", LongType()),
+        StructField("cell_id", IntegerType()),
+        StructField("codes", ArrayType(ShortType())),
+    ]
+    if with_raw_data:
+        fields.append(assigned.schema["vec"])
+    return assigned.mapInPandas(encode, StructType(fields))
 
 
 class IVFPqIndex:
@@ -108,13 +112,16 @@ class IVFPqIndex:
         self,
         centroids: np.ndarray,       # (nlist, dim)
         codebooks: np.ndarray,       # (m, ksub, dim/m) float64
-        codes: DataFrame,            # (id, cell_id, codes ARRAY<SMALLINT>)
+        codes: DataFrame,            # (id, cell_id, codes ARRAY<SMALLINT>[, vec])
         config: IvfPqConfig,
+        *,
+        with_raw_data: bool = False,
     ):
         self.centroids = centroids
         self.codebooks = codebooks
         self.codes = codes
         self.config = config
+        self.with_raw_data = with_raw_data
         self.index_type = IndexType.IVF_PQ
 
     def count(self) -> int:
@@ -127,7 +134,14 @@ class IVFPqIndex:
         return self.index_type.value
 
     def has_raw_data(self) -> bool:
-        return False   # PQ drops raw data (flat.cc:257-285 HasRawData rules)
+        # PQ drops raw data (flat.cc:257-285 HasRawData rules) unless the
+        # refine path keeps it (the SCANN with_raw_data contract)
+        return self.with_raw_data
+
+    def raw_vectors(self) -> DataFrame:
+        if not self.with_raw_data:
+            raise ValueError("index built without raw data (with_raw_data=False)")
+        return self.codes.select("id", "vec")
 
     @classmethod
     def build(
@@ -162,11 +176,14 @@ class IVFPqIndex:
                 for j in range(m)
             ]
         )  # (m, ksub', subdim) — ksub' may be < ksub on tiny samples
-        codes_df = _encode_df(flat.assignments, codebooks)
+        codes_df = _encode_df(flat.assignments, codebooks, config.with_raw_data)
         import dataclasses
 
         cfg = dataclasses.replace(config, nlist=flat.config.nlist)
-        return cls(flat.centroids, codebooks, codes_df, cfg)
+        return cls(
+            flat.centroids, codebooks, codes_df, cfg,
+            with_raw_data=config.with_raw_data,
+        )
 
     def add(
         self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
@@ -183,14 +200,14 @@ class IVFPqIndex:
         if metric == MetricType.COSINE:
             new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
         assigned = _assign_cells(new, self.centroids)
-        encoded = _encode_df(assigned, self.codebooks)
-        out = IVFPqIndex(
+        encoded = _encode_df(assigned, self.codebooks, self.with_raw_data)
+        return IVFPqIndex(
             self.centroids,
             self.codebooks,
             self.codes.unionByName(encoded),
             self.config,
+            with_raw_data=self.with_raw_data,
         )
-        return out
 
     def search(
         self,
@@ -202,6 +219,7 @@ class IVFPqIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         strategy: str = "auto",
+        refine_k: int | None = None,
     ) -> DataFrame:
         """ADC top-k over probed cells (the LUT-scan of ivf.cc's PQ path).
 
@@ -210,8 +228,20 @@ class IVFPqIndex:
         probing queries, reconstructing vectors from codes inside the GEMM
         kernel — decode-then-GEMM is arithmetically identical to the ADC
         LUT sum (each LUT entry IS the sub-distance to the decoded
-        codeword)."""
+        codeword).
+
+        ``refine_k`` (or ``config.refine_k``) re-ranks the ADC
+        top-``refine_k`` by exact distance against the stored raw vectors —
+        the reference's ADC-error correction (SCANN ``reorder_k``,
+        ivf_config.h:101-115; iterator ``refine_ratio``,
+        index_node.h:527-570).  Requires ``with_raw_data``."""
         k = k if k is not None else self.config.k
+        refine_k = refine_k if refine_k is not None else self.config.refine_k
+        if refine_k:
+            if not self.with_raw_data:
+                raise ValueError("refine_k requires with_raw_data=True at build")
+            refine_k = max(refine_k, k)
+        stage_k = refine_k or k
         nprobe = min(
             nprobe if nprobe is not None else self.config.nprobe, self.config.nlist
         )
@@ -230,7 +260,10 @@ class IVFPqIndex:
         elif strategy == "driver":
             qrows = queries.collect()
         if strategy == "distributed":
-            return self._search_distributed(queries, k, nprobe, metric, filter_expr)
+            approx = self._search_distributed(
+                queries, stage_k, nprobe, metric, filter_expr
+            )
+            return self._maybe_refine(approx, queries, k, refine_k, metric)
         if strategy != "driver":
             raise ValueError(f"unknown strategy {strategy!r}")
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
@@ -255,8 +288,10 @@ class IVFPqIndex:
                     - 2.0 * qs @ CB.T
                     + (CB * CB).sum(axis=1)[None, :]
                 )
-        lut_by_qid = {int(q): luts[i] for i, q in enumerate(qids)}
-        bc = spark.sparkContext.broadcast(lut_by_qid)
+        # sort by qid so the kernel maps qid → LUT row with one searchsorted
+        # (a per-unique-query Python loop was the slowest ANN bench constant)
+        qorder = np.argsort(qids, kind="stable")
+        bc = spark.sparkContext.broadcast((qids[qorder], luts[qorder]))
 
         # probe cells on the (tiny) coarse centroid matrix — same rule as
         # IVF: L2 = the assignment geometry (see IVFFlatIndex._probe_pairs)
@@ -277,15 +312,16 @@ class IVFPqIndex:
         joined = cand.join(F.broadcast(probe_df), "cell_id")
 
         def adc(qid_s: pd.Series, codes_s: pd.Series) -> pd.Series:
-            tables = bc.value
-            out = np.empty(len(qid_s))
-            codes = np.array(list(codes_s.to_numpy()), dtype=np.int64)
-            qid_arr = qid_s.to_numpy()
-            for q in np.unique(qid_arr):
-                mask = qid_arr == q
-                lut = tables[int(q)]                         # (m, ksub)
-                cc = codes[mask]                             # (nc, m)
-                out[mask] = lut[np.arange(lut.shape[0])[None, :], cc].sum(axis=1)
+            qs_sorted, L = bc.value                          # (nq,), (nq, m, ksub)
+            if len(qid_s) == 0:
+                return pd.Series(np.empty(0))
+            codes = np.stack(codes_s.to_numpy()).astype(np.int64)   # (n, m)
+            qpos = np.searchsorted(qs_sorted, qid_s.to_numpy())
+            # one fancy gather over the whole Arrow batch: row i reads
+            # L[qpos[i], j, codes[i, j]] for every subspace j
+            out = L[
+                qpos[:, None], np.arange(L.shape[1])[None, :], codes
+            ].sum(axis=1)
             return pd.Series(out)
 
         adc_udf = F.pandas_udf(adc, DoubleType())
@@ -294,9 +330,25 @@ class IVFPqIndex:
             F.col("id").alias("neighbor_id"),
             adc_udf(F.col("query_id"), F.col("codes")).alias("distance"),
         )
-        return topk_per_key(
-            scored, "query_id", "distance", k,
+        approx = topk_per_key(
+            scored, "query_id", "distance", stage_k,
             ascending=not sim, tie_breaker="neighbor_id",
+        )
+        return self._maybe_refine(approx, queries, k, refine_k, metric)
+
+    def _maybe_refine(self, approx, queries, k, refine_k, metric):
+        """Exact re-rank of the ADC survivors (stage 2 of quantize-then-
+        refine, shared with SCANN via operators/refine.refine)."""
+        if not refine_k:
+            return approx
+        from knowhere_spark.operators.refine import refine
+
+        # COSINE stores normalized vectors (normalize-at-train contract);
+        # the cosine expression is scale-invariant so re-scoring them
+        # against the raw query vectors is exact
+        return refine(
+            approx, self.raw_vectors(), queries, k, metric,
+            query_vec_col="qvec",
         )
 
     def _search_distributed(self, queries, k, nprobe, metric, filter_expr):
@@ -313,8 +365,10 @@ class IVFPqIndex:
                 [CB[j][codes[:, j]] for j in range(mm)], axis=1
             )
 
+        # project away the optional raw-vec column BEFORE the cell shuffle —
+        # the ADC kernel reads codes only; refine re-joins raw vectors later
         return cogroup_cells_topk(
-            self.codes, probes, k, dist_metric,
+            self.codes.select("id", "cell_id", "codes"), probes, k, dist_metric,
             filter_expr=filter_expr, row_matrix=decode,
         )
 
@@ -355,8 +409,8 @@ class IVFPqIndex:
             )
 
         out = cogroup_cells_range(
-            self.codes, probes, lo, hi, sim, dist_metric,
-            filter_expr=filter_expr, row_matrix=decode,
+            self.codes.select("id", "cell_id", "codes"), probes, lo, hi, sim,
+            dist_metric, filter_expr=filter_expr, row_matrix=decode,
         )
         return apply_range_bounds(out, cfg, already_bounded=True)
 
@@ -373,6 +427,8 @@ class IVFPqIndex:
                 "nprobe": self.config.nprobe,
                 "m": self.config.m,
                 "nbits": self.config.nbits,
+                "refine_k": self.config.refine_k,
+                "with_raw_data": self.with_raw_data,
                 "dim": self.dim(),
                 "count": self.count(),
                 "centroids": self.centroids.tolist(),
@@ -393,10 +449,13 @@ class IVFPqIndex:
             nprobe=int(m["nprobe"]),
             m=int(m["m"]),
             nbits=int(m["nbits"]),
+            refine_k=int(m.get("refine_k", 0)),
+            with_raw_data=bool(m.get("with_raw_data", False)),
         )
         return cls(
             np.array(m["centroids"], dtype=np.float64),
             np.array(m["codebooks"], dtype=np.float64),
             store.read_table(spark, "codes"),
             cfg,
+            with_raw_data=bool(m.get("with_raw_data", False)),
         )

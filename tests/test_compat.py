@@ -285,3 +285,68 @@ def test_int8_dtype_axis_and_unknown_dtype_rejected():
     )
     with pytest.raises(ValueError):
         knowhere.CreateIndex("FLAT", 1, type=np.complex64)
+
+
+def test_deserialize_restores_wrapper_state(tmp_path):
+    """ADVICE r3: a deserialized IndexWrap must behave like the built one —
+    Dim() real, metric restored (Search without metric_type in the query
+    JSON must NOT fall back to L2 on an IP index), and a loaded BIN_*
+    index must keep its binary identity for GetVectorByIds."""
+    rng = np.random.default_rng(57)
+
+    # IP-metric index: searched WITHOUT metric_type after Deserialize
+    base = rng.standard_normal((80, 12)).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "IP"}')
+    p = str(tmp_path / "compat_flat_ip")
+    idx.Serialize(p)
+    fresh = knowhere.CreateIndex("FLAT", 1)
+    fresh.Deserialize(p)
+    assert fresh.Dim() == 12
+    want = idx.Search(knowhere.ArrayToDataSet(base[:4]), '{"metric_type": "IP", "k": 3}')
+    got = fresh.Search(knowhere.ArrayToDataSet(base[:4]), '{"k": 3}')  # no metric
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-5)
+
+    # BIN index: loaded wrapper must take the uint8 branch
+    bbase = rng.integers(0, 256, size=(40, 8), dtype=np.uint8)
+    bidx = knowhere.CreateIndex("BIN_FLAT", 1, type=np.uint8)
+    bidx.Build(knowhere.ArrayToDataSet(bbase), '{"metric_type": "HAMMING"}')
+    bp = str(tmp_path / "compat_bin")
+    bidx.Serialize(bp)
+    bfresh = knowhere.CreateIndex("BIN_FLAT", 1, type=np.uint8)
+    bfresh.Deserialize(bp)
+    assert bfresh.Dim() == 64        # bits, not bytes
+    got = bfresh.GetVectorByIds(knowhere.ArrayToDataSet(np.array([1, 5])))
+    assert got.dtype == np.uint8 and got.shape == (2, 8)
+    np.testing.assert_array_equal(got, bbase[[1, 5]])
+
+
+def test_bitset_large_set_uses_bounded_plan():
+    """A corpus-scale bitset (> _ISIN_LITERAL_MAX ids) must not compile a
+    literal per id into the plan; results must equal the small-set path."""
+    rng = np.random.default_rng(58)
+    base = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = knowhere.CreateIndex("FLAT", 1)
+    idx.Build(knowhere.ArrayToDataSet(base), '{"metric_type": "L2"}')
+
+    bs = knowhere.CreateBitSet(300)
+    for i in range(0, 300, 2):       # block every even id
+        bs.set(i)
+    # force the broadcast path regardless of the default threshold
+    old = knowhere.BitSet._ISIN_LITERAL_MAX
+    knowhere.BitSet._ISIN_LITERAL_MAX = 10
+    try:
+        expr = bs.filter_expr("id")
+        assert "isin" not in str(expr).lower()   # not a literal-list plan
+        dis, ids = idx.Search(
+            knowhere.ArrayToDataSet(base[:5]), '{"metric_type": "L2", "k": 4}', bs
+        )
+    finally:
+        knowhere.BitSet._ISIN_LITERAL_MAX = old
+    dis2, ids2 = idx.Search(
+        knowhere.ArrayToDataSet(base[:5]), '{"metric_type": "L2", "k": 4}', bs
+    )
+    assert (ids % 2 == 1).all()                  # only odd ids survive
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(dis, dis2, rtol=1e-6)

@@ -201,3 +201,48 @@ def test_hnsw_range_search(spark):
     n_truth = sum(len(s) for s in truth.values())
     n_hit = sum(len(found.get(qi, set()) & s) for qi, s in truth.items())
     assert n_truth > 0 and n_hit / n_truth >= 0.6
+
+
+def test_bfs_live_frame_count_is_hop_independent(spark):
+    """VERDICT r3 #5: the BFS fallback used to hold one checkpointed frame
+    per hop; the decaying compaction schedule must bound live frames by
+    the window cap regardless of hop count (and keep recall)."""
+    nb, dim, nq, k = 600, 16, 5, 10
+    base = gen_dense(nb, dim, seed=71)
+    qs = gen_dense(nq, dim, seed=72)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=12, ef=24)
+    )
+    res = idx.search(
+        dense_df(spark, qs, QUERY_SCHEMA), k=k, ef=24, max_hops=12, strategy="bfs"
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    assert recall_at_k(got, np_knn(base, qs, k, "L2"), k) >= 0.6
+    # 12 hops: compactions after hops 1, 2, 4, 8 -> at most the compacted
+    # frame + the last (capped) window of per-hop parts stays live
+    assert idx._last_bfs_frame_count <= 9
+
+
+def test_factory_routes_overbound_hnsw_to_sharded(spark, monkeypatch):
+    """build_index('HNSW') on a graph whose artifact exceeds the broadcast
+    bound must return the sharded index (broadcast beam per shard), making
+    the BFS table path opt-in."""
+    import knowhere_spark.factory as factory
+    from knowhere_spark.factory import build_index
+    from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+    base = gen_dense(400, 16, seed=73)
+    # shrink the bound so this small corpus counts as over-bound
+    monkeypatch.setattr(
+        "knowhere_spark.operators.hnsw._BROADCAST_MAX_BYTES", 10_000
+    )
+    idx = build_index(
+        dense_df(spark, base), "HNSW", {"metric_type": "L2", "M": 8, "ef": 16}
+    )
+    assert isinstance(idx, ShardedHNSWIndex)
+    out = idx.search(
+        dense_df(spark, gen_dense(3, 16, seed=74), QUERY_SCHEMA), k=5
+    )
+    assert out.count() == 15

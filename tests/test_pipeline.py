@@ -271,3 +271,56 @@ def test_write_sharded_corpus_roundtrip_and_balance(spark, tmp_path):
     one = spark.read.parquet(p).filter(F.col("shard") == 2)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters:" in plan and "shard" in plan.split("PartitionFilters:")[1][:200]
+    # stats agree with a from-scratch tokenize of what was written (the
+    # pre-write assignment frame must BE the written truth)
+    from knowhere_spark.functions.text import token_count_expr
+    rescan = {
+        r["shard"]: (r["nd"], r["nt"])
+        for r in back.groupBy("shard")
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum(token_count_expr(F.col("text"))).alias("nt"),
+        )
+        .collect()
+    }
+    assert rescan == {r["shard"]: (r["n_docs"], r["n_tokens"]) for r in stats}
+
+
+def test_write_sharded_corpus_stats_have_no_corpus_lineage(spark, tmp_path):
+    """The r3 sink re-read and re-tokenized the whole written corpus for
+    its stats frame — two extra full passes at 100 TB.  The stats must now
+    be a local frame: deleting the written files after the call cannot
+    break (or change) them."""
+    import shutil
+
+    from knowhere_spark.operators.pipeline import write_sharded_corpus
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "shards_gone")
+    stats = write_sharded_corpus(docs, p, 2)
+    shutil.rmtree(p)
+    got = stats.collect()   # no re-scan of p — must not raise
+    assert sum(r["n_docs"] for r in got) == 100
+    assert sum(r["n_tokens"] for r in got) == sum(3 + i % 7 for i in range(100))
+
+
+def test_token_shards_non_numeric_ids_raise(spark, tmp_path):
+    """A string-id corpus used to cast to all-NULL order keys and silently
+    write an EMPTY export (ADVICE r3) — it must raise instead."""
+    import pytest
+
+    from knowhere_spark.operators.pipeline import (
+        token_balanced_shards,
+        write_sharded_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [("doc-a", "one two three"), ("doc-b", "four five")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="cast to BIGINT"):
+        write_sharded_corpus(docs, str(tmp_path / "never"), 2)
+    t = docs.select("doc_id", F.lit(3).alias("n_tokens"))
+    with pytest.raises(ValueError, match="cast to BIGINT"):
+        token_balanced_shards(t, 2)

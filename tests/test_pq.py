@@ -36,6 +36,74 @@ def test_pq_recall(spark, metric):
     assert idx.dim() == 64
 
 
+@pytest.mark.parametrize("metric", ["L2", "COSINE"])
+def test_pq_refine_exact_when_full(spark, metric):
+    """nprobe=nlist + refine_k >= nb: every row is ADC-scanned and every
+    candidate exactly re-ranked, so the result is structurally exact —
+    the SCANN reorder_k discipline applied to IVF_PQ
+    (ivf_config.h:101-115)."""
+    nb, k = 600, 10
+    base = gen_dense(nb, 64, seed=21)
+    qs = gen_dense(8, 64, seed=22)
+    idx = IVFPqIndex.build(
+        dense_df(spark, base),
+        IvfPqConfig(
+            metric_type=metric, nlist=8, nprobe=8, m=16, k=k,
+            refine_k=nb, with_raw_data=True,
+        ),
+    )
+    assert idx.has_raw_data()
+    got = {}
+    for r in idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    truth = np_knn(base, qs, k, metric)
+    assert recall_at_k(got, truth, k) == 1.0
+
+
+def test_pq_refine_lifts_recall(spark):
+    """At fixed nprobe, a moderate refine_k must not lower recall vs the
+    pure-ADC result (the reorder_k premise) — and the distributed strategy
+    agrees with the driver path."""
+    nb, k = 1000, 10
+    base = gen_dense(nb, 64, seed=31)
+    qs = gen_dense(10, 64, seed=32)
+    truth = np_knn(base, qs, k, "L2")
+
+    def run(refine_k, strategy="auto"):
+        cfg = IvfPqConfig(
+            metric_type="L2", nlist=8, nprobe=4, m=16, k=k,
+            refine_k=refine_k, with_raw_data=True,
+        )
+        idx = IVFPqIndex.build(dense_df(spark, base), cfg)
+        got = {}
+        res = idx.search(dense_df(spark, qs, QUERY_SCHEMA), k=k, strategy=strategy)
+        for r in res.collect():
+            got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+        return recall_at_k(got, truth, k), got
+
+    r_adc, _ = run(0)
+    r_ref, got_driver = run(5 * k)
+    assert r_ref >= r_adc
+    _, got_dist = run(5 * k, strategy="distributed")
+    assert {q: [n for n, _ in v] for q, v in got_driver.items()} == {
+        q: [n for n, _ in v] for q, v in got_dist.items()
+    }
+
+
+def test_pq_refine_requires_raw(spark):
+    with pytest.raises(ConfigError):
+        IvfPqConfig(metric_type="L2", nlist=4, m=8, refine_k=20)
+    base = gen_dense(200, 32, seed=41)
+    idx = IVFPqIndex.build(
+        dense_df(spark, base), IvfPqConfig(metric_type="L2", nlist=4, m=8)
+    )
+    with pytest.raises(ValueError):
+        idx.search(
+            dense_df(spark, gen_dense(2, 32, seed=42), QUERY_SCHEMA),
+            k=5, refine_k=20,
+        )
+
+
 def test_pq_dim_validation(spark):
     base = gen_dense(100, 30, seed=1)   # 30 % 16 != 0
     with pytest.raises(ConfigError):
