@@ -464,14 +464,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from knowhere_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, 0.7)
-    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-
-
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs; with 32×2 banding + exact verification the
     output equals the exact pairwise operator (same oracle) at j≥0.7."""
@@ -565,6 +557,30 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, 2048, n_buckets=16).select(
         "doc_id", "n_tokens", "chunk_id", "chunk_offset"
     )
+
+
+def q_index_saveload_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize/Deserialize driver gate (r4, upgrading the §2.1 verb from
+    pytest-only): build IVF_FLAT, ``save`` to an IndexStore directory,
+    ``load_index`` it back, search the LOADED index at nprobe=nlist — a
+    roundtrip that silently dropped rows, centroids, or config would
+    hash-mismatch the brute-force oracle (index_node.h:371-401
+    Serialize/Deserialize contract; shares the ``flat_knn_l2`` oracle the
+    way the other exact-config gates do)."""
+    import tempfile
+
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.factory import load_index
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    idx = IVFFlatIndex.build(
+        base, IvfConfig(metric_type="L2", nlist=16, nprobe=16, k=K)
+    )
+    path = tempfile.mkdtemp(prefix="knowhere_saveload_") + "/ivf"
+    idx.save(path)
+    loaded = load_index(spark, path)
+    return _knn_out(loaded.search(queries_, k=K, nprobe=16))
 
 
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,9 +1195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in tests/test_hnsw_quant.py).  ``cc_search_while_insert`` upgraded to
     the oracle-bearing ``cc_sealed_equals_batch`` (search-during-insert
     snapshot semantics stay pytest-covered, tests/test_streaming.py).
-    The freed slots carry the four new oracle gates: ``text_transform``,
+    The freed slots carry the new oracle gates: ``text_transform``,
     ``substring_dedup``, ``lm_perplexity``, ``token_shards``,
-    ``ivf_pq_refine_exact``.
+    ``ivf_pq_refine_exact``.  Also r4: ``dedup_ngram_jaccard`` swapped
+    for ``index_saveload_knn`` — its oracle was IDENTICAL to
+    ``dedup_minhash_lsh``'s (the LSH gate proves equality to the same
+    DuckDB exact-pairs result, and the exact operator keeps
+    tests/test_dedup.py), while Serialize/Deserialize had no driver gate
+    at all.
 
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same
@@ -1209,7 +1230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
@@ -1232,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_knn_distributed": q_bf_knn_distributed,
         "scann_knn_exact": q_scann_knn_exact,
         "ivf_pq_refine_exact": q_ivf_pq_refine_exact,
+        "index_saveload_knn": q_index_saveload_knn,
         "cc_sealed_equals_batch": q_cc_sealed_equals_batch,
         "kmeans_assign_fixed": q_kmeans_assign_fixed,
         "media_frame_sample": q_media_frame_sample,
@@ -1749,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_knn_distributed": _knn_oracle(_L2, "ASC"),
         "scann_knn_exact": _knn_oracle(_L2, "ASC"),
         "ivf_pq_refine_exact": _knn_oracle(_L2, "ASC"),
+        "index_saveload_knn": _knn_oracle(_L2, "ASC"),
         "cc_sealed_equals_batch": _knn_oracle(_L2, "ASC"),
         "bin_ivf_knn_exact": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
@@ -1868,7 +1890,6 @@ g AS (
 )
 SELECT doc_id, group_key, group_size, is_canonical FROM g WHERE group_size > 1
 """,
-        "dedup_ngram_jaccard": _JACCARD_PAIRS,
         "simhash_pairs": _simhash_oracle(3),
         # LSH banding (32 bands × 2 rows) + exact verification reproduces the
         # exact pairwise result at j >= 0.7 (miss prob < 1e-9 per pair)

@@ -430,6 +430,10 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         idx = IVFPqIndex.build(
             emb, IvfPqConfig(metric_type="L2", nlist=64, nprobe=8, m=16, k=100)
         )
+        # materialize the codes table (the reference benches a RAM-resident
+        # index; an uncached codes frame re-runs the encode pass per
+        # search action) — same discipline as ivf_100k_build
+        idx.codes.cache().count()
         # ADC without refine can plateau under the target; the tuner then
         # settles at nprobe=nlist and the recall block reports what it got
         np_t = _tune_nprobe(idx, emb, q1000b, 100, "L2",
@@ -453,6 +457,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             IvfPqConfig(metric_type="L2", nlist=64, nprobe=8, m=16, k=100,
                         refine_k=200, with_raw_data=True),
         )
+        idx.codes.cache().count()   # resident index (see prep_pq)
         gt = _gt_for(emb, q1000b, 100, "L2", ("q1000", 100, "L2"))
         np_t = _tune_param(
             lambda p: idx.search(q1000b, k=100, nprobe=p, refine_k=200),
@@ -689,11 +694,28 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
             return curate_corpus(docs10, min_tokens=5, jaccard_threshold=0.7)
 
+        def q_substring_dedup_50k():
+            # the r4 scaling row: gram-hash groupBy + covered-index
+            # anti-join at 10x the per-round doc count
+            from knowhere_spark.operators.substring import remove_duplicate_spans
+
+            return remove_duplicate_spans(docs10, 10)
+
+        def q_lm_perplexity_50k():
+            from knowhere_spark.operators.quality import NgramLM
+
+            lm = NgramLM.train(docs10, min_count=2)
+            res = lm.score(docs10).localCheckpoint(eager=True)
+            lm.release()
+            return res
+
         PREPARE_MAP["sf1x_ivf_1m_search_nq100"] = prep_ivf_1m_search
         RECALL_MAP["sf1x_ivf_1m_search_nq100"] = r_ivf_1m
         out["sf1x_ivf_1m_build"] = q_ivf_1m_build
         out["sf1x_ivf_1m_search_nq100"] = q_ivf_1m_search
         out["sf1x_corpus_curate_50k"] = q_curate_50k
+        out["sf1x_substring_dedup_50k"] = q_substring_dedup_50k
+        out["sf1x_lm_perplexity_50k"] = q_lm_perplexity_50k
         NQ_MAP["sf1x_ivf_1m_search_nq100"] = 100
 
     # --- recall probes (reference protocol: recall ∈ {0.80, 0.95} targets
@@ -794,7 +816,18 @@ def main() -> None:
     spark = build_spark()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts which entries are TIMED
+    # (debugging / the standalone SCALE.md probe).  Caveats: corpus setup
+    # in bench_queries (100k expansion cache, SCALE_PROBE frames) still
+    # runs, and entries that depend on another entry's state must be
+    # selected together (e.g. sf1x_ivf_1m_build before
+    # sf1x_ivf_1m_search_nq100 — the search reads the build's index).
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
     for name, fn in bench_queries(spark).items():
+        if only and name not in only:
+            continue
         prep = PREPARE_MAP.get(name)
         if prep is not None:
             try:

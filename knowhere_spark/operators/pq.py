@@ -15,8 +15,13 @@ Spark-first split:
   codes, never raw vectors.
 - **Search (ADC)**: per query build the ``(m, 2^nbits)`` lookup table of
   sub-distances once on the driver, broadcast all LUTs, probe ``nprobe``
-  cells, and score candidates with a vectorized ``np.take`` gather in an
-  Arrow-batched pandas UDF — the classic asymmetric-distance scan.
+  cells, and run one ``mapInPandas`` kernel that loops over CELLS —
+  scoring each cell's rows against all its probing queries in a single
+  vectorized LUT gather (the classic asymmetric-distance scan) and
+  reducing to the partition's exact per-query top-k before the final
+  shuffle.  Optional ``refine_k`` re-ranks survivors by exact distance
+  against stored raw vectors (``with_raw_data``) — the reference's ADC
+  error correction (SCANN ``reorder_k``, ivf_config.h:101-115).
 
 Vectors are encoded directly (no residual subtraction) — the
 ``by_residual=false`` faiss variant — so one LUT per query serves every
@@ -70,6 +75,13 @@ def _encode_df(
     spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
+    # codeword ids reach ksub-1 = 2^nbits - 1; nbits=16 (allowed by
+    # IvfPqConfig) overflows SMALLINT/int16 — switch to INT exactly like
+    # the SQ code_size axis does
+    ksub_max = codebooks.shape[1] - 1
+    code_type = ShortType() if ksub_max <= 32767 else IntegerType()
+    np_code = np.int16 if ksub_max <= 32767 else np.int32
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         CB = bc.value
         mm, _, sd = CB.shape
@@ -77,7 +89,7 @@ def _encode_df(
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-            codes = np.empty((len(X), mm), dtype=np.int16)
+            codes = np.empty((len(X), mm), dtype=np_code)
             for j in range(mm):
                 sub = X[:, j * sd : (j + 1) * sd]
                 d = (
@@ -98,7 +110,7 @@ def _encode_df(
     fields = [
         StructField("id", LongType()),
         StructField("cell_id", IntegerType()),
-        StructField("codes", ArrayType(ShortType())),
+        StructField("codes", ArrayType(code_type)),
     ]
     if with_raw_data:
         fields.append(assigned.schema["vec"])
@@ -116,12 +128,16 @@ class IVFPqIndex:
         config: IvfPqConfig,
         *,
         with_raw_data: bool = False,
+        n_rows: int | None = None,
     ):
         self.centroids = centroids
         self.codebooks = codebooks
         self.codes = codes
         self.config = config
         self.with_raw_data = with_raw_data
+        #: known row count (from build/load) — sizes the driver-path scan
+        #: partitioning without an extra count action; None = unknown
+        self.n_rows = n_rows
         self.index_type = IndexType.IVF_PQ
 
     def count(self) -> int:
@@ -182,7 +198,7 @@ class IVFPqIndex:
         cfg = dataclasses.replace(config, nlist=flat.config.nlist)
         return cls(
             flat.centroids, codebooks, codes_df, cfg,
-            with_raw_data=config.with_raw_data,
+            with_raw_data=config.with_raw_data, n_rows=int(n),
         )
 
     def add(
@@ -207,6 +223,11 @@ class IVFPqIndex:
             self.codes.unionByName(encoded),
             self.config,
             with_raw_data=self.with_raw_data,
+            # the appended count is unknown without an action; the stale
+            # total stays a LOWER bound, which only under-sizes the
+            # driver-path partition heuristic slightly (None would
+            # disable it entirely)
+            n_rows=self.n_rows,
         )
 
     def search(
@@ -275,61 +296,140 @@ class IVFPqIndex:
 
         m, ksub, subdim = self.codebooks.shape
         sim = metric.is_similarity
-        # per-query LUT: (nq, m, ksub) sub-distance tables
-        luts = np.empty((len(qids), m, ksub))
-        for j in range(m):
-            qs = qmat[:, j * subdim : (j + 1) * subdim]      # (nq, subdim)
-            CB = self.codebooks[j]                            # (ksub, subdim)
-            if sim:
-                luts[:, j, :] = qs @ CB.T
-            else:
-                luts[:, j, :] = (
-                    (qs * qs).sum(axis=1)[:, None]
-                    - 2.0 * qs @ CB.T
-                    + (CB * CB).sum(axis=1)[None, :]
-                )
-        # sort by qid so the kernel maps qid → LUT row with one searchsorted
-        # (a per-unique-query Python loop was the slowest ANN bench constant)
-        qorder = np.argsort(qids, kind="stable")
-        bc = spark.sparkContext.broadcast((qids[qorder], luts[qorder]))
-
         # probe cells on the (tiny) coarse centroid matrix — same rule as
         # IVF: L2 = the assignment geometry (see IVFFlatIndex._probe_pairs)
         from knowhere_spark.functions.distance import pairwise_distances
 
         d = pairwise_distances(self.centroids, qmat, MetricType.L2)  # (nlist, nq)
         order = np.argsort(d, axis=0, kind="stable")[:nprobe, :]
-        probe_rows = [
-            (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in order[:, qi]
-        ]
-        probe_df = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
-        cells = sorted({c for _, c in probe_rows})
+        cells = sorted({int(c) for c in order.ravel()})
+        # per-cell probing-query index lists: the kernel loops over CELLS
+        # (<= nlist per partition), never over queries
+        nlist = self.centroids.shape[0]
+        P = np.zeros((nlist, len(qids)), dtype=bool)
+        for qi in range(len(qids)):
+            P[order[:, qi], qi] = True
+        probe_q_by_cell = {int(c): np.where(P[c])[0] for c in cells}
 
         cand = self.codes
         if filter_expr is not None:
             cand = cand.filter(filter_expr)
-        cand = cand.filter(F.col("cell_id").isin(cells))
-        joined = cand.join(F.broadcast(probe_df), "cell_id")
-
-        def adc(qid_s: pd.Series, codes_s: pd.Series) -> pd.Series:
-            qs_sorted, L = bc.value                          # (nq,), (nq, m, ksub)
-            if len(qid_s) == 0:
-                return pd.Series(np.empty(0))
-            codes = np.stack(codes_s.to_numpy()).astype(np.int64)   # (n, m)
-            qpos = np.searchsorted(qs_sorted, qid_s.to_numpy())
-            # one fancy gather over the whole Arrow batch: row i reads
-            # L[qpos[i], j, codes[i, j]] for every subspace j
-            out = L[
-                qpos[:, None], np.arange(L.shape[1])[None, :], codes
-            ].sum(axis=1)
-            return pd.Series(out)
-
-        adc_udf = F.pandas_udf(adc, DoubleType())
-        scored = joined.select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            adc_udf(F.col("query_id"), F.col("codes")).alias("distance"),
+        # prune to probed cells and the code columns BEFORE the kernel (the
+        # optional raw-vec column stays out of the Arrow transfer)
+        cand = cand.select("id", "cell_id", "codes").filter(
+            F.col("cell_id").isin(cells)
         )
+        # size partitions so the per-partition per-query candidate pool is
+        # a few multiples of stage_k — otherwise the kernel's partial
+        # top-k cannot reduce anything (tiny partitions emitted ~every
+        # scored row into the final shuffle, the r3 bottleneck).
+        # repartition, NOT coalesce: coalesce(n) narrows the WHOLE lineage
+        # (the uncached encode pass would run in n tasks — measured 6x
+        # slower at n=1); the repartition shuffle only moves the pruned
+        # candidate set, which is small exactly when fewer partitions are
+        # wanted — at corpus scale `want` exceeds the parallelism and the
+        # natural (large) partitioning stands untouched
+        if self.n_rows:
+            want = max(
+                1, (self.n_rows * nprobe) // (self.config.nlist * stage_k * 4)
+            )
+            if want < spark.sparkContext.defaultParallelism:
+                cand = cand.repartition(want)
+
+        # ADC + per-partition exact top-stage_k INSIDE one mapInPandas
+        # kernel: the r3 path shuffled EVERY scored (query, candidate) row
+        # into topk_per_key — ~nq·nprobe·cellsize rows — where only
+        # nq·stage_k per partition can survive.  The kernel loops over
+        # CELLS (<= nlist), scoring each cell's rows against all its
+        # probing queries in one vectorized LUT gather (the
+        # asymmetric-distance scan), then a single lexsort-based grouped
+        # top-k keeps the partition's exact top-stage_k per query with the
+        # (distance, id) tie-break — partial-then-final equals the global
+        # top-k bit-for-bit.
+        # The broadcast carries the query MATRIX + codebooks (≈ nq·dim + m·
+        # ksub·subdim floats), NOT the (nq, m, ksub) LUT tensor: at nq=1000
+        # the tensor is 32 MB and its first touch across every Python
+        # worker cost ~5 s per search; each task instead rebuilds the LUTs
+        # from the same float64 inputs with the same expressions —
+        # bit-identical tables for ~10 ms of GEMM.
+        bc = spark.sparkContext.broadcast(
+            (qids, qmat, self.codebooks, probe_q_by_cell)
+        )
+        out_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("distance", DoubleType()),
+            ]
+        )
+        kk, lg = stage_k, sim
+
+        def kernel(batches):
+            b_qids, b_qmat, CB3, by_cell = bc.value
+            mm, b_ksub, sd = CB3.shape
+            L = np.empty((len(b_qids), mm, b_ksub))
+            for j in range(mm):
+                qsub = b_qmat[:, j * sd : (j + 1) * sd]
+                CBj = CB3[j]
+                if lg:
+                    L[:, j, :] = qsub @ CBj.T
+                else:
+                    L[:, j, :] = (
+                        (qsub * qsub).sum(axis=1)[:, None]
+                        - 2.0 * qsub @ CBj.T
+                        + (CBj * CBj).sum(axis=1)[None, :]
+                    )
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                cell = pdf["cell_id"].to_numpy(dtype=np.int64)
+                rorder = np.argsort(cell, kind="stable")
+                csort = cell[rorder]
+                uniq, starts = np.unique(csort, return_index=True)
+                ends = np.append(starts[1:], len(csort))
+                q_parts, i_parts, d_parts = [], [], []
+                for c, s, e in zip(uniq, starts, ends):
+                    pq_idx = by_cell.get(int(c))
+                    if pq_idx is None or len(pq_idx) == 0:
+                        continue
+                    rows = rorder[s:e]
+                    cc = codes[rows]                       # (nc, m)
+                    # gather straight from L — `L[pq_idx]` would COPY the
+                    # probing queries' full (nqc, m, ksub) LUT block per
+                    # cell (32 MB x n_cells of memcpy at nq=1000), where
+                    # the sum only needs (nqc, nc) elements per subspace
+                    qcol = pq_idx[:, None]
+                    D = L[qcol, 0, cc[None, :, 0]]         # (nqc, nc)
+                    for j in range(1, mm):
+                        D += L[qcol, j, cc[None, :, j]]
+                    q_parts.append(np.repeat(pq_idx, len(rows)))
+                    i_parts.append(np.tile(ids[rows], len(pq_idx)))
+                    d_parts.append(D.ravel())
+                if not q_parts:
+                    continue
+                q_all = np.concatenate(q_parts)
+                i_all = np.concatenate(i_parts)
+                d_all = np.concatenate(d_parts)
+                key = -d_all if lg else d_all
+                sel = np.lexsort((i_all, key, q_all))      # (q, key, id)
+                q_s = q_all[sel]
+                new_grp = np.r_[True, q_s[1:] != q_s[:-1]]
+                grp_start = np.maximum.accumulate(
+                    np.where(new_grp, np.arange(len(q_s)), 0)
+                )
+                keep = (np.arange(len(q_s)) - grp_start) < kk
+                take = sel[keep]
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[q_all[take]],
+                        "neighbor_id": i_all[take],
+                        "distance": d_all[take],
+                    }
+                )
+
+        scored = cand.mapInPandas(kernel, out_schema)
         approx = topk_per_key(
             scored, "query_id", "distance", stage_k,
             ascending=not sim, tie_breaker="neighbor_id",
@@ -342,6 +442,13 @@ class IVFPqIndex:
         if not refine_k:
             return approx
         from knowhere_spark.operators.refine import refine
+
+        # materialize the (nq x refine_k)-bounded survivor set before the
+        # refine joins: composed lazily, the optimizer's join planning
+        # re-executed the whole ADC stage (measured ~2.7x on the composed
+        # query); eager localCheckpoint (not cache — callers may chain)
+        # pins it at its natural size
+        approx = approx.localCheckpoint(eager=True)
 
         # COSINE stores normalized vectors (normalize-at-train contract);
         # the cosine expression is scale-invariant so re-scoring them
@@ -458,4 +565,5 @@ class IVFPqIndex:
             store.read_table(spark, "codes"),
             cfg,
             with_raw_data=bool(m.get("with_raw_data", False)),
+            n_rows=int(m["count"]) if m.get("count") is not None else None,
         )

@@ -1,5 +1,6 @@
-"""IVF_SQ8 — IVF with 8-bit scalar-quantized codes (src/index/ivf/ivf.cc:
-587-606, faiss QT_8bit semantics: per-dimension min/max affine quantization).
+"""IVF_SQ — IVF with scalar-quantized codes (src/index/ivf/ivf.cc:587-606,
+faiss QT_8bit semantics: per-dimension min/max affine quantization; the
+``code_size`` axis 4/6/8/16 mirrors IVF_SQ_CC, ivf.cc:621-648).
 
 Storage: the assignment table keeps ``codes ARRAY<SMALLINT>`` (uint8 range)
 instead of raw floats — 4× smaller scans at probe time; the per-dim
@@ -61,34 +62,51 @@ def array_minmax(df: DataFrame, col: str, dim: int) -> tuple[np.ndarray, np.ndar
     return lo, hi
 
 
+def _levels(code_size: int) -> int:
+    """Quantization level count - 1 for a code width: SQ maps each dim to
+    ``round((x - vmin)/vdiff * levels)`` in ``[0, levels]`` — the faiss
+    QT_{4,6,8}bit / QT_16bit family the reference exposes as IVF_SQ_CC
+    ``code_size`` 4/6/8/16 (src/index/ivf/ivf.cc:621-648)."""
+    return (1 << code_size) - 1
+
+
 def _quantize_df(
-    assigned: DataFrame, lo: np.ndarray, vdiff: np.ndarray, with_raw_data: bool
+    assigned: DataFrame,
+    lo: np.ndarray,
+    vdiff: np.ndarray,
+    with_raw_data: bool,
+    code_size: int = 8,
 ) -> DataFrame:
     """(id, cell_id, vec) → (id, cell_id, codes[, vec]): per-dim affine
-    uint8 quantization with a FIXED scale (the trained ``vmin/vdiff``) —
-    shared by build and Add, so added rows are encoded exactly like the
-    original corpus (faiss QT_8bit train-once contract)."""
+    quantization at ``code_size`` bits with a FIXED scale (the trained
+    ``vmin/vdiff``) — shared by build and Add, so added rows are encoded
+    exactly like the original corpus (faiss QT train-once contract)."""
     spark = assigned.sparkSession
-    bc = spark.sparkContext.broadcast((lo, vdiff))
+    levels = _levels(code_size)
+    bc = spark.sparkContext.broadcast((lo, vdiff, float(levels)))
 
+    # SMALLINT holds codes up to 2^8 (and 2^14); 16-bit codes reach 65535
+    # and need INT storage (parquet bit-packs either way on disk)
+    code_type = ShortType() if levels <= 32767 else IntegerType()
+    np_type = np.int16 if levels <= 32767 else np.int32
     out_fields = [
         StructField("id", LongType()),
         StructField("cell_id", IntegerType()),
-        StructField("codes", ArrayType(ShortType())),
+        StructField("codes", ArrayType(code_type)),
     ]
     if with_raw_data:
         out_fields.append(assigned.schema["vec"])
     schema = StructType(out_fields)
 
     def quantize(batches):
-        lo_, diff_ = bc.value
+        lo_, diff_, lv = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
             codes = np.clip(
-                np.round((X - lo_) / diff_ * 255.0), 0, 255
-            ).astype(np.int16)
+                np.round((X - lo_) / diff_ * lv), 0, lv
+            ).astype(np_type)
             out = {
                 "id": pdf["id"].to_numpy(),
                 "cell_id": pdf["cell_id"].to_numpy(),
@@ -170,7 +188,9 @@ class IVFSq8Index:
 
         import dataclasses
 
-        assignments = _quantize_df(flat.assignments, lo, vdiff, with_raw_data)
+        assignments = _quantize_df(
+            flat.assignments, lo, vdiff, with_raw_data, config.code_size
+        )
         cfg = dataclasses.replace(config, nlist=flat.config.nlist)
         return cls(
             flat.centroids, assignments, lo, vdiff, cfg,
@@ -193,7 +213,10 @@ class IVFSq8Index:
         if metric == MetricType.COSINE:
             new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
         assigned = _assign_cells(new, self.centroids)
-        quantized = _quantize_df(assigned, self.vmin, self.vdiff, self.with_raw_data)
+        quantized = _quantize_df(
+            assigned, self.vmin, self.vdiff, self.with_raw_data,
+            self.config.code_size,
+        )
         return IVFSq8Index(
             self.centroids,
             self.assignments.unionByName(quantized),
@@ -263,7 +286,8 @@ class IVFSq8Index:
         # broadcast: query matrix + per-query probed cell set
         probe_sets = {int(qids[qi]): {int(c) for c in order[:, qi]} for qi in range(len(qids))}
         bq = spark.sparkContext.broadcast(
-            (qids, qmat, probe_sets, self.vmin, self.vdiff, score_metric.value)
+            (qids, qmat, probe_sets, self.vmin, self.vdiff,
+             float(_levels(self.config.code_size)), score_metric.value)
         )
         largest = score_metric.is_similarity
 
@@ -276,13 +300,13 @@ class IVFSq8Index:
         )
 
         def kernel(batches):
-            b_qids, b_qmat, b_probe, lo_, diff_, pm = bq.value
+            b_qids, b_qmat, b_probe, lo_, diff_, lv_, pm = bq.value
             pm = MetricType(pm)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 codes = np.array(list(pdf["codes"].to_numpy()), dtype=np.float64)
-                X = lo_ + codes / 255.0 * diff_
+                X = lo_ + codes / lv_ * diff_
                 ids = pdf["id"].to_numpy(dtype=np.int64)
                 cell = pdf["cell_id"].to_numpy()
                 dist = pairwise_distances(X, b_qmat, pm)   # (n, nq)
@@ -294,12 +318,16 @@ class IVFSq8Index:
                         continue
                     dq = dist[mask, qi]
                     idq = ids[mask]
-                    kk = min(k, len(dq))
-                    keyq = -dq if largest else dq
-                    sel = np.argpartition(keyq, kk - 1)[:kk]
+                    # tie-widened exact per-partition top-k: quantized
+                    # distances tie OFTEN (identical codes decode equal),
+                    # and a raw argpartition would pick boundary ties by
+                    # partition layout instead of by (distance, id)
+                    from knowhere_spark.functions.distance import local_topk
+
+                    _, nid, dd = local_topk(dq[:, None], idq, k, largest)
                     frames.append(
                         pd.DataFrame(
-                            {"query_id": qid, "neighbor_id": idq[sel], "distance": dq[sel]}
+                            {"query_id": qid, "neighbor_id": nid, "distance": dd}
                         )
                     )
                 if frames:
@@ -317,10 +345,11 @@ class IVFSq8Index:
         probes = probe_assign_df(queries, self.centroids, metric, nprobe)
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
         lo_, diff_ = self.vmin, self.vdiff   # tiny per-dim arrays, task-pickled
+        lv_ = float(_levels(self.config.code_size))
 
         def decode(pdf):
             codes = np.array(list(pdf["codes"]), dtype=np.float64)
-            return lo_ + codes / 255.0 * diff_
+            return lo_ + codes / lv_ * diff_
 
         return cogroup_cells_topk(
             self.assignments, probes, k, dist_metric,
@@ -357,10 +386,11 @@ class IVFSq8Index:
         probes = probe_assign_df(queries, self.centroids, metric, nprobe)
         lo, hi, sim = cfg.range_bounds()
         lo_, diff_ = self.vmin, self.vdiff
+        lv_ = float(_levels(self.config.code_size))
 
         def decode(pdf):
             codes = np.array(list(pdf["codes"]), dtype=np.float64)
-            return lo_ + codes / 255.0 * diff_
+            return lo_ + codes / lv_ * diff_
 
         out = cogroup_cells_range(
             self.assignments, probes, lo, hi, sim, dist_metric,
@@ -381,6 +411,7 @@ class IVFSq8Index:
                 "metric_type": self.config.metric_type.value,
                 "nlist": self.config.nlist,
                 "nprobe": self.config.nprobe,
+                "code_size": self.config.code_size,
                 "dim": self.dim(),
                 "count": self.count(),
                 "with_raw_data": self.with_raw_data,
@@ -399,6 +430,7 @@ class IVFSq8Index:
             metric_type=MetricType(m["metric_type"]),
             nlist=int(m["nlist"]),
             nprobe=int(m["nprobe"]),
+            code_size=int(m.get("code_size", 8)),
         )
         return cls(
             np.array(m["centroids"], dtype=np.float64),

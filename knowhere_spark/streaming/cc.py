@@ -174,6 +174,131 @@ class GrowingIVFIndex:
         return GrowingIVFIndex(sealed, self.growing_path + "_next")
 
 
+class GrowingSQIndex(GrowingIVFIndex):
+    """IVF_SQ_CC analog (src/index/ivf/ivf.cc:621-648, code_size 4/6/8/16):
+    sealed IVF_SQ index + streaming-appended growing CODES, searched as
+    one.  The sealed train state — coarse centroids, the per-dim
+    ``vmin/vdiff`` affine scale and ``code_size`` — is FROZEN across
+    inserts, exactly the frozen-quantizer ``Add`` contract: a streamed row
+    encodes byte-identically to the same row passed to the batch
+    ``IVFSq8Index.add``."""
+
+    @classmethod
+    def build(cls, base_df, config, growing_path: str, **kw) -> "GrowingSQIndex":
+        from knowhere_spark.operators.sq import IVFSq8Index
+
+        return cls(IVFSq8Index.build(base_df, config, **kw), growing_path)
+
+    # -- ingest ---------------------------------------------------------------
+    def start_ingest(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        trigger: dict | None = None,
+    ):
+        """Micro-batches are cell-assigned with the sealed centroids and
+        quantized with the sealed scale before the append — a growing row
+        is searchable (as codes) the moment its batch commits."""
+        from pyspark.sql import functions as F
+
+        from knowhere_spark.config import MetricType
+        from knowhere_spark.functions.distance import normalize_expr
+        from knowhere_spark.operators.sq import _quantize_df
+
+        sealed = self.sealed
+        cosine = MetricType(sealed.config.metric_type) == MetricType.COSINE
+
+        def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("vec"),
+            )
+            if cosine:
+                rows = rows.select("id", normalize_expr(F.col("vec")).alias("vec"))
+            assigned = _assign_cells(rows, sealed.centroids)
+            encoded = _quantize_df(
+                assigned, sealed.vmin, sealed.vdiff,
+                sealed.with_raw_data, sealed.config.code_size,
+            )
+            (
+                encoded.write.mode("append")
+                .partitionBy("cell_id")
+                .parquet(self.growing_path)
+            )
+
+        writer = (
+            stream_df.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    # -- search over sealed ∪ growing ----------------------------------------
+    def _cols(self) -> list[str]:
+        cols = ["id", "cell_id", "codes"]
+        if self.sealed.with_raw_data:
+            cols.append("vec")
+        return cols
+
+    def _growing_df(self) -> DataFrame | None:
+        files = _snapshot_files(self.growing_path)
+        if not files:
+            return None
+        try:
+            df = self._spark.read.option("basePath", self.growing_path).parquet(*files)
+        except AnalysisException:
+            return None
+        return df.select(*self._cols())
+
+    def searchable(self):
+        from knowhere_spark.operators.sq import IVFSq8Index
+
+        growing = self._growing_df()
+        assignments = self.sealed.assignments.select(*self._cols())
+        if growing is not None:
+            assignments = assignments.unionByName(growing)
+        return IVFSq8Index(
+            self.sealed.centroids,
+            assignments,
+            self.sealed.vmin,
+            self.sealed.vdiff,
+            self.sealed.config,
+            with_raw_data=self.sealed.with_raw_data,
+            index_type=self.sealed.index_type,
+        )
+
+    # -- seal (compaction) ----------------------------------------------------
+    def seal(self, seal_path: str | None = None) -> "GrowingSQIndex":
+        """Fold growing codes into sealed; the quantizer never retrains
+        (the reference's CC contract).  Durably materialized like the
+        IVF_FLAT seal — no lineage back to the growing directory."""
+        from knowhere_spark.operators.sq import IVFSq8Index
+
+        view = self.searchable()
+        seal_path = seal_path or self.growing_path + "_sealed"
+        (
+            view.assignments.write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(seal_path)
+        )
+        assignments = self._spark.read.parquet(seal_path).select(*self._cols())
+        sealed = IVFSq8Index(
+            self.sealed.centroids,
+            assignments,
+            self.sealed.vmin,
+            self.sealed.vdiff,
+            self.sealed.config,
+            with_raw_data=self.sealed.with_raw_data,
+            index_type=self.sealed.index_type,
+        )
+        return GrowingSQIndex(sealed, self.growing_path + "_next")
+
+
 class GrowingSparseIndex:
     """SparseInvertedIndexNodeCC analog (sparse_index_node.cc:431-585):
     sealed postings + streaming-appended growing postings, searched as one.

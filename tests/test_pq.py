@@ -125,3 +125,30 @@ def test_pq_via_factory(spark):
     out = built.search(qdf, k=5)
     assert out.count() == 15
     assert set(out.columns) == {"query_id", "neighbor_id", "distance", "rank"}
+
+
+def test_pq_wide_codebook_codes_do_not_overflow(spark):
+    """nbits=16 is allowed by IvfPqConfig (ksub up to 65536); codeword
+    ids past 32767 must not wrap through int16/SMALLINT storage (the SQ
+    code_size width rule applied to PQ).  The width switch keys on the
+    ACTUAL codebook size — a tiny train sample caps ksub' and smallint
+    stays correct — so exercise _encode_df with a genuinely wide
+    codebook directly."""
+    from knowhere_spark.operators.pq import _encode_df
+
+    rng = np.random.default_rng(51)
+    ksub, subdim = 40_000, 4
+    codebooks = rng.standard_normal((1, ksub, subdim))
+    # rows sitting exactly on high-index codewords — a wrap would flip
+    # the id negative and encode a different codeword
+    picks = [39_999, 33_000, 5]
+    rows = [(i, 0, [float(x) for x in codebooks[0, p]]) for i, p in enumerate(picks)]
+    assigned = spark.createDataFrame(rows, "id long, cell_id int, vec array<float>")
+    out = _encode_df(assigned, codebooks)
+    assert dict(out.dtypes)["codes"] == "array<int>"
+    got = {r["id"]: r["codes"][0] for r in out.collect()}
+    assert got == {i: p for i, p in enumerate(picks)}
+
+    # narrow codebooks keep the compact SMALLINT storage
+    small = _encode_df(assigned, codebooks[:, :256, :])
+    assert dict(small.dtypes)["codes"] == "array<smallint>"

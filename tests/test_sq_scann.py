@@ -162,3 +162,48 @@ def test_scann_filtered_search(spark):
     ).collect()
     assert len(rows) == 25
     assert all(r["neighbor_id"] >= 100 for r in rows)
+
+
+@pytest.mark.parametrize("code_size", [4, 6, 8, 16])
+def test_sq_code_sizes(data, code_size):
+    """code_size 4/6/8/16 (the IVF_SQ_CC axis, ivf.cc:621-648): every
+    width clears the probe-all recall floor, storage uses the narrow
+    integer type where it fits, and a roundtrip through save/load keeps
+    the decode scale."""
+    base, queries, base_df, query_df = data
+    cfg = IvfSq8Config(metric_type="L2", nlist=8, nprobe=8, k=K,
+                       code_size=code_size)
+    idx = IVFSq8Index.build(base_df, cfg)
+    codes_type = dict(idx.assignments.dtypes)["codes"]
+    assert codes_type == ("array<int>" if code_size == 16 else "array<smallint>")
+    res = _collect(idx.search(query_df, k=K))
+    truth = np_knn(base, queries, K, "L2")
+    r = recall_at_k(res, truth, K)
+    # coarser codes may lose recall but 4 bits over this data still
+    # resolves neighbors well above the UT floor
+    floor = 0.9 if code_size >= 8 else 0.6
+    assert r >= floor, f"code_size={code_size} recall {r}"
+
+
+def test_sq_code_size_recall_ordering(data, tmp_path):
+    """Wider codes must never score (meaningfully) worse than narrower
+    ones at identical probe settings, and 16-bit probe-all should be
+    essentially exact."""
+    base, queries, base_df, query_df = data
+    truth = np_knn(base, queries, K, "L2")
+    recalls = {}
+    for cs in (4, 8, 16):
+        cfg = IvfSq8Config(metric_type="L2", nlist=8, nprobe=8, k=K, code_size=cs)
+        idx = IVFSq8Index.build(base_df, cfg)
+        recalls[cs] = recall_at_k(_collect(idx.search(query_df, k=K)), truth, K)
+        if cs == 16:
+            p = str(tmp_path / "sq16")
+            idx.save(p)
+            loaded = IVFSq8Index.load(base_df.sparkSession, p)
+            assert loaded.config.code_size == 16
+            assert recall_at_k(
+                _collect(loaded.search(query_df, k=K)), truth, K
+            ) == recalls[16]
+    assert recalls[16] >= 0.99
+    assert recalls[16] >= recalls[8] - 0.05
+    assert recalls[8] >= recalls[4] - 0.05

@@ -348,3 +348,90 @@ def test_stream_neardup_minhash_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_sq_cc_stream_equals_batch_add(spark, tmp_path):
+    """IVF_SQ_CC analog (ivf.cc:621-648): rows streamed through the
+    growing segment must encode byte-identically to the batch
+    ``IVFSq8Index.add`` of the same rows (frozen centroids + frozen
+    vmin/vdiff scale), so search results are EQUAL, not merely close —
+    and seal() keeps them equal without retraining the quantizer."""
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.sq import IVFSq8Index
+    from knowhere_spark.streaming.cc import GrowingSQIndex
+
+    nb, dim, k = 300, 16, 5
+    base = gen_dense(nb, dim, seed=61)
+    extra = gen_dense(60, dim, seed=62) + 100.0
+    extra_df = spark.createDataFrame(
+        [(nb + i, [float(x) for x in row]) for i, row in enumerate(extra)],
+        DENSE_SCHEMA,
+    )
+
+    cfg = IvfSq8Config(metric_type="L2", nlist=8, nprobe=8, k=k)
+    g = GrowingSQIndex.build(
+        dense_df(spark, base), cfg, str(tmp_path / "sq_growing")
+    )
+    src = str(tmp_path / "sq_src")
+    extra_df.write.parquet(src)
+    stream = spark.readStream.schema(DENSE_SCHEMA).parquet(src)
+    q = g.start_ingest(
+        stream, str(tmp_path / "sq_ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    assert g.count() == nb + 60
+
+    batch = g.sealed.add(extra_df)   # same frozen train state, batch API
+    qdf = dense_df(spark, extra[:3] + 0.01, QUERY_SCHEMA)
+
+    def result_set(idx):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+            for r in idx.search(qdf, k=k).collect()
+        )
+
+    streamed = result_set(g)
+    assert streamed == result_set(batch)
+    assert all(nid >= nb for _, nid, _ in streamed)  # shifted cluster hit
+
+    sealed = g.seal(str(tmp_path / "sq_sealed"))
+    assert result_set(sealed) == streamed
+    # the quantizer is frozen: sealed scale is the SAME object values
+    import numpy as np
+    np.testing.assert_array_equal(sealed.sealed.vmin, g.sealed.vmin)
+    np.testing.assert_array_equal(sealed.sealed.vdiff, g.sealed.vdiff)
+
+
+def test_sq_cc_cosine_normalizes_streamed_rows(spark, tmp_path):
+    """COSINE ingest must normalize micro-batch rows exactly like the
+    batch add path (normalize-at-train contract)."""
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.streaming.cc import GrowingSQIndex
+
+    base = gen_dense(200, 8, seed=63)
+    extra = gen_dense(30, 8, seed=64) * 5.0       # badly scaled on purpose
+    extra_df = spark.createDataFrame(
+        [(200 + i, [float(x) for x in row]) for i, row in enumerate(extra)],
+        DENSE_SCHEMA,
+    )
+    cfg = IvfSq8Config(metric_type="COSINE", nlist=4, nprobe=4, k=5)
+    g = GrowingSQIndex.build(
+        dense_df(spark, base), cfg, str(tmp_path / "sqc_growing")
+    )
+    src = str(tmp_path / "sqc_src")
+    extra_df.write.parquet(src)
+    stream = spark.readStream.schema(DENSE_SCHEMA).parquet(src)
+    q = g.start_ingest(
+        stream, str(tmp_path / "sqc_ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+
+    batch = g.sealed.add(extra_df)
+    qdf = dense_df(spark, extra[:2], QUERY_SCHEMA)
+    got_g = sorted(
+        (r["query_id"], r["neighbor_id"]) for r in g.search(qdf, k=5).collect()
+    )
+    got_b = sorted(
+        (r["query_id"], r["neighbor_id"]) for r in batch.search(qdf, k=5).collect()
+    )
+    assert got_g == got_b
