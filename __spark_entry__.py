@@ -64,11 +64,6 @@ def q_flat_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(BruteForce.search(base, queries, K, "L2", strategy="sql"))
 
 
-def q_flat_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base, queries = _emb(spark, sf_dir)
-    return _knn_out(BruteForce.search(base, queries, K, "IP", strategy="sql"))
-
-
 def q_flat_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, queries = _emb(spark, sf_dir)
     return _knn_out(BruteForce.search(base, queries, K, "COSINE", strategy="sql"))
@@ -254,41 +249,6 @@ def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
         bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
-    )
-
-
-def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub pass (functions/text.pii_scrub_expr): emails / IPv4s /
-    phone-shaped runs → typed tags.  PII is seeded deterministically into
-    every row (the synthetic corpus has none) so the oracle exercises
-    real replacements, not identity."""
-    from knowhere_spark.functions.text import pii_scrub_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    seeded = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"), F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com ip 10.0.0."),
-            (F.col("doc_id") % 255).cast("string"),
-            F.lit(" tel +1 (555) 010-"),
-            (F.col("doc_id") + 1000).cast("string"),
-        ).alias("seeded"),
-    )
-    return seeded.select(
-        "doc_id", pii_scrub_expr(F.col("seeded")).alias("scrubbed")
-    )
-
-
-def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical normalization (lowercase, control-char strip, whitespace
-    collapse, trim) — the pre-dedup normalization pass."""
-    from knowhere_spark.functions.text import normalize_text_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", normalize_text_expr(F.col("text")).alias("norm")
     )
 
 
@@ -802,21 +762,6 @@ def q_hnsw_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
-def q_hnsw_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW_SQ: beam over SQ8 codes + exact refine of 2k candidates
-    (faiss_hnsw_config.h:95-151 + refine contract 22-93) — ANN, rows-only."""
-    from knowhere_spark.config import HnswSqConfig
-    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
-
-    base, queries_ = _emb(spark, sf_dir)
-    idx = QuantizedHNSWIndex.build(
-        base,
-        HnswSqConfig(metric_type="L2", M=16, ef=32, k=K, sq_type="SQ8",
-                     refine=True, refine_k=2.0),
-    )
-    return _knn_out(idx.search(queries_, k=K, max_hops=3))
-
-
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.config import KMeansConfig
     from knowhere_spark.operators.cluster import KMeansCluster
@@ -917,11 +862,6 @@ def q_bin_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIN_FLAT HAMMING: popcount(xor) on packed sign bits, JVM-native
     (brute_force.cc:218-228)."""
     return _bin_knn(spark, sf_dir, "HAMMING")
-
-
-def q_bin_knn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BIN_FLAT JACCARD: 1-|and|/|or| (brute_force.cc:212-217)."""
-    return _bin_knn(spark, sf_dir, "JACCARD")
 
 
 def q_bin_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,38 +1004,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
         F.size("features").alias("feature_dim"),
     )
-
-
-def q_cc_search_while_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF_FLAT_CC analog (ivf.cc:513-534): build sealed index on half the
-    embeddings, stream the rest in via foreachBatch, search the union.
-    Genuinely streaming (Structured Streaming + availableNow) — rows-only
-    gate, equivalence-tested in tests/test_streaming.py."""
-    import tempfile
-
-    from knowhere_spark.config import IvfConfig
-    from knowhere_spark.streaming.cc import GrowingIVFIndex
-
-    base, queries_ = _emb(spark, sf_dir)
-    n = base.count()
-    sealed_half = base.filter(F.col("id") % 2 == 0)
-    stream_half = base.filter(F.col("id") % 2 == 1)
-
-    tmp = tempfile.mkdtemp(prefix="knowhere_cc_")
-    idx = GrowingIVFIndex.build(
-        sealed_half,
-        IvfConfig(metric_type="L2", nlist=16, nprobe=8, k=K),
-        f"{tmp}/growing",
-    )
-    src = f"{tmp}/src"
-    stream_half.select("id", "vec").write.parquet(src)
-    stream = spark.readStream.schema(
-        stream_half.select("id", "vec").schema
-    ).parquet(src)
-    q = idx.start_ingest(stream, f"{tmp}/ckpt", trigger={"availableNow": True})
-    q.awaitTermination()
-    out = idx.search(queries_, k=K)
-    return _knn_out(out)
 
 
 def q_cc_sealed_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,11 +1284,6 @@ _BIN_UNION = (
     "CAST(list_sum(list_transform(list_zip(b.words, q.qwords), "
     "p -> bit_count(p[1] | p[2]))) AS DOUBLE)"
 )
-_JACCARD_SQL = (
-    f"CASE WHEN {_BIN_UNION} > 0 THEN 1.0 - {_BIN_INTER} / {_BIN_UNION} ELSE 1.0 END"
-)
-
-
 def _bin_knn_oracle(dist: str) -> str:
     return f"""
 WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),

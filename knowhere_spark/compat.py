@@ -166,7 +166,12 @@ class BitSet:
         bc = _spark().sparkContext.broadcast(arr)
 
         def keep(s):
-            return ~s.isin(bc.value)
+            # match isin's SQL NULL semantics: `~col.isin(...)` is NULL (row
+            # filtered out) for a NULL id, but pandas `~Series.isin` on NaN is
+            # True (row kept) — without the notna() mask the same bitset would
+            # keep/drop NULL-id rows depending only on which side of the
+            # literal threshold its size lands
+            return ~s.isin(bc.value) & s.notna()
 
         # no type hints on the kernel: string hints break pandas_udf under
         # `from __future__ import annotations`

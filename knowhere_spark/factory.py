@@ -244,11 +244,22 @@ class IndexHandle:
             # join-free broadcast beam, so the per-hop BFS table fallback
             # is opt-in (explicit HNSWIndex.build / custom scorers) rather
             # than a silent cliff at corpus scale
+            import math
+
             vec_col = kw.get("vec_col", "vec")
             head = base_df.select(vec_col).head()
             dim = len(head[vec_col]) if head else 0
             per_row = dim * 4 + (int(self.config.M) + 1) * 4 + 16
-            if base_df.count() * per_row > _BROADCAST_MAX_BYTES:
+            n = base_df.count()
+            if n * per_row > _BROADCAST_MAX_BYTES:
+                # pass the shard count computed from the count/dim we just
+                # paid for — n_shards=None would make the sharded build
+                # re-run the identical count() + head() on the same (possibly
+                # expensive, un-cached) lineage
+                kw.setdefault(
+                    "n_shards",
+                    max(1, math.ceil(n * per_row / _BROADCAST_MAX_BYTES)),
+                )
                 return ShardedHNSWIndex.build(base_df, self.config, **kw)
             return HNSWIndex.build(base_df, self.config, **kw)
         if t == IndexType.SHARDED_HNSW:

@@ -580,6 +580,53 @@ class HNSWIndex:
         ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
         return self.vectors.select("id", "vec").join(F.broadcast(ids), "id")
 
+    # -- GetIndexMeta (index_node.h:363; feder/HNSW.h:26-120) -----------------
+    def get_index_meta(self, *, max_nodes: int | None = None) -> DataFrame:
+        """The graph view feder renders (hnsw.h:441-467: per-level
+        ``NodeInfo`` = node id + out-neighbor list) as a DataFrame:
+        ``(id BIGINT, degree INT, neighbors ARRAY<BIGINT>, is_entry
+        BOOLEAN)``.
+
+        The Spark graph is flat (one pruned <=M-degree level; the beam's
+        hierarchy shortcut is the ``entry_ids`` set), so the single
+        "overview level" is the whole adjacency with the entry points
+        flagged — the reference's ``overview_levels`` knob becomes
+        ``max_nodes``, a size bound for rendering (lowest ids first,
+        deterministic), since a 100 TB graph's full adjacency is not a
+        thing a visualizer should collect."""
+        adj = self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.sort_array(F.collect_list("dst")).alias("neighbors")
+        )
+        entry = F.col("id").isin([int(i) for i in self.entry_ids])
+        out = (
+            self.vectors.select("id")
+            .join(adj, "id", "left")
+            .withColumn(
+                "neighbors",
+                F.coalesce(F.col("neighbors"), F.array().cast("array<bigint>")),
+            )
+            .select(
+                "id",
+                F.size("neighbors").alias("degree"),
+                "neighbors",
+                entry.alias("is_entry"),
+            )
+        )
+        if max_nodes is not None:
+            out = out.orderBy("id").limit(int(max_nodes))
+        return out
+
+    def get_index_meta_stats(self) -> dict:
+        """The ``HNSWMeta`` scalars (feder/HNSW.h:106-163): build params,
+        element count, level count (1 — flat graph) and entry points."""
+        return {
+            "ef_construction": int(self.config.efConstruction),
+            "M": int(self.config.M),
+            "num_elem": self.count(),
+            "num_levels": 1,
+            "entry_point_ids": [int(i) for i in self.entry_ids],
+        }
+
     def save(self, path: str) -> None:
         from knowhere_spark.sources.index_store import IndexStore
 
@@ -793,8 +840,9 @@ class HNSWIndex:
         # anti-join reads their union as a view over the stored blocks —
         # re-caching the whole growing union each hop (the old shape) made
         # hop cost proportional to total visited, not to new work.
-        # A DECAYING compaction schedule (after hops 1, 2, 4, 8, then every
-        # 8) folds the per-hop frames into one, so the live checkpoint
+        # A DECAYING compaction schedule (after hops 1, 3, 7, 15, then every
+        # 8 — the window between compactions doubles to a cap of 8) folds
+        # the per-hop frames into one, so the live checkpoint
         # count and the anti-join's union fan-in are bounded by the window
         # cap — hop-count-INDEPENDENT — instead of growing one frame per
         # hop: a 50-hop traversal holds <= 9 stored frames, not 50

@@ -535,6 +535,42 @@ class IVFFlatIndex:
         ids = ids_df.select(F.col(id_col).cast("long").alias("id"))
         return self.assignments.select("id", "vec").join(F.broadcast(ids), "id")
 
+    # -- GetIndexMeta (index_node.h:363; feder/IVFFlat.h:25-87) ---------------
+    def get_index_meta(self, *, with_node_ids: bool = True) -> DataFrame:
+        """The index view feder renders (ivf.cc:1066-1100: one ``ClusterInfo``
+        per inverted list — cluster id, member node ids, centroid vector) as
+        a DataFrame: ``(cluster_id INT, size BIGINT, node_ids ARRAY<BIGINT>,
+        centroid ARRAY<FLOAT>)``, one row per centroid — empty cells appear
+        with ``size = 0`` exactly like an empty inverted list does.
+
+        ``with_node_ids=False`` keeps only the per-cluster sizes: at corpus
+        scale a cluster's id list is ``ntotal/nlist`` rows wide, and a
+        visualization that only draws cluster sizes shouldn't pay the
+        ``collect_list`` memory (one cell's ids — the same working-set bound
+        the per-cell search scan already lives with)."""
+        spark = self.assignments.sparkSession
+        cents = spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(self.centroids)
+            ],
+            "cluster_id int, centroid array<float>",
+        )
+        aggs = [F.count("*").alias("size")]
+        if with_node_ids:
+            aggs.append(F.sort_array(F.collect_list("id")).alias("node_ids"))
+        sizes = self.assignments.groupBy(
+            F.col("cell_id").cast("int").alias("cluster_id")
+        ).agg(*aggs)
+        out = cents.join(sizes, "cluster_id", "left").withColumn(
+            "size", F.coalesce(F.col("size"), F.lit(0)).cast("long")
+        )
+        if with_node_ids:
+            empty = F.array().cast("array<bigint>")
+            out = out.withColumn("node_ids", F.coalesce(F.col("node_ids"), empty))
+            return out.select("cluster_id", "size", "node_ids", "centroid")
+        return out.select("cluster_id", "size", "centroid")
+
     # -- Serialize / Deserialize (index_node.h:371-401) ------------------------
     def save(self, path: str) -> None:
         store = IndexStore(path)

@@ -534,6 +534,7 @@ class IVFPqIndex:
                 "nprobe": self.config.nprobe,
                 "m": self.config.m,
                 "nbits": self.config.nbits,
+                "k": self.config.k,
                 "refine_k": self.config.refine_k,
                 "with_raw_data": self.with_raw_data,
                 "dim": self.dim(),
@@ -550,13 +551,20 @@ class IVFPqIndex:
 
         store = IndexStore(path)
         m = store.read_manifest()
+        refine_k = int(m.get("refine_k", 0))
+        # the manifest persists build-time k because IvfPqConfig validates
+        # refine_k >= k: an index saved with refine_k < default-k (10) would
+        # otherwise be unloadable (ConfigError on reconstruction).  Older
+        # manifests without "k" fall back to a k the refine_k can satisfy.
+        k = int(m.get("k", min(10, refine_k) if refine_k else 10))
         cfg = IvfPqConfig(
             metric_type=MetricType(m["metric_type"]),
             nlist=int(m["nlist"]),
             nprobe=int(m["nprobe"]),
             m=int(m["m"]),
             nbits=int(m["nbits"]),
-            refine_k=int(m.get("refine_k", 0)),
+            k=k,
+            refine_k=refine_k,
             with_raw_data=bool(m.get("with_raw_data", False)),
         )
         return cls(

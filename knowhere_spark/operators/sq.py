@@ -26,7 +26,11 @@ from pyspark.sql.types import (
 )
 
 from knowhere_spark.config import IndexType, IvfSq8Config, MetricType
-from knowhere_spark.functions.distance import normalize_expr, pairwise_distances
+from knowhere_spark.functions.distance import (
+    local_topk,
+    normalize_expr,
+    pairwise_distances,
+)
 from knowhere_spark.operators.ivf import IVFFlatIndex
 from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 from knowhere_spark.sources.index_store import IndexStore
@@ -322,7 +326,6 @@ class IVFSq8Index:
                     # distances tie OFTEN (identical codes decode equal),
                     # and a raw argpartition would pick boundary ties by
                     # partition layout instead of by (distance, id)
-                    from knowhere_spark.functions.distance import local_topk
 
                     _, nid, dd = local_topk(dq[:, None], idq, k, largest)
                     frames.append(

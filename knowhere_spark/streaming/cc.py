@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.utils import AnalysisException
 
 from knowhere_spark.config import IvfConfig
+from knowhere_spark.functions.distance import normalize_expr
 from knowhere_spark.operators.ivf import IVFFlatIndex, _assign_cells
 
 
@@ -71,6 +72,31 @@ class GrowingIVFIndex:
     ) -> "GrowingIVFIndex":
         return cls(IVFFlatIndex.build(base_df, config, **kw), growing_path)
 
+    # -- subclass hooks ---------------------------------------------------------
+    # the micro-batch loop, snapshot read, union view and seal dance are
+    # written ONCE here; a quantized variant only swaps how a batch encodes,
+    # which columns an assignment row carries, and how an index is rebuilt
+    # from an assignment table.
+    def _cols(self) -> list[str]:
+        """Columns of one assignment row (sealed and growing agree)."""
+        return ["id", "cell_id", "vec"]
+
+    def _encode_batch(self, rows: DataFrame) -> DataFrame:
+        """Turn a ``(id, vec)`` micro-batch into assignment rows using ONLY
+        frozen sealed train state (``IndexNode::Add``'s contract,
+        ivf.cc:513-534): same broadcast-centroid kernel as the batch path."""
+        return _assign_cells(rows, self.sealed.centroids)
+
+    def _make_index(self, assignments: DataFrame):
+        """Rebuild a searchable index around ``assignments`` with the sealed
+        train state."""
+        return IVFFlatIndex(
+            self.sealed.centroids,
+            assignments,
+            self.sealed.config,
+            index_type=self.sealed.index_type,
+        )
+
     # -- ingest ---------------------------------------------------------------
     def start_ingest(
         self,
@@ -82,20 +108,18 @@ class GrowingIVFIndex:
         trigger: dict | None = None,
     ):
         """Attach a streaming source of ``(id, vec)`` rows; every
-        micro-batch is cell-assigned and appended (``IndexNode::Add`` under
-        the stream, ivf.cc:513-534).  Returns the StreamingQuery."""
+        micro-batch is encoded with the FROZEN sealed train state and
+        appended (``IndexNode::Add`` under the stream, ivf.cc:513-534).
+        Returns the StreamingQuery."""
         from pyspark.sql import functions as F
-
-        centroids = self.sealed.centroids
 
         def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
             rows = batch_df.select(
                 F.col(id_col).cast("long").alias("id"),
                 F.col(vec_col).alias("vec"),
             )
-            assigned = _assign_cells(rows, centroids)
             (
-                assigned.write.mode("append")
+                self._encode_batch(rows).write.mode("append")
                 .partitionBy("cell_id")
                 .parquet(self.growing_path)
             )
@@ -120,22 +144,17 @@ class GrowingIVFIndex:
             df = self._spark.read.option("basePath", self.growing_path).parquet(*files)
         except AnalysisException:
             return None   # no committed files yet / racing directory create
-        return df.select("id", "cell_id", "vec")
+        return df.select(*self._cols())
 
-    def searchable(self) -> IVFFlatIndex:
+    def searchable(self):
         """A point-in-time view over sealed + growing rows: the growing side
         is pinned to the file list committed at call time, so every action
         on the returned index sees the same rows."""
         growing = self._growing_df()
-        assignments = self.sealed.assignments.select("id", "cell_id", "vec")
+        assignments = self.sealed.assignments.select(*self._cols())
         if growing is not None:
             assignments = assignments.unionByName(growing)
-        return IVFFlatIndex(
-            self.sealed.centroids,
-            assignments,
-            self.sealed.config,
-            index_type=self.sealed.index_type,
-        )
+        return self._make_index(assignments)
 
     def search(self, query_df: DataFrame, k: int | None = None, **kw) -> DataFrame:
         return self.searchable().search(query_df, k, **kw)
@@ -146,7 +165,7 @@ class GrowingIVFIndex:
     # -- seal (compaction) ----------------------------------------------------
     def seal(self, seal_path: str | None = None) -> "GrowingIVFIndex":
         """Fold the growing segment into sealed — the segment-seal step of
-        the CC lifecycle; centroids are unchanged (the reference never
+        the CC lifecycle; the train state is unchanged (the reference never
         retrains on insert either).
 
         The compacted assignment table is **materialized durably** (written
@@ -162,16 +181,8 @@ class GrowingIVFIndex:
             .partitionBy("cell_id")
             .parquet(seal_path)
         )
-        assignments = self._spark.read.parquet(seal_path).select(
-            "id", "cell_id", "vec"
-        )
-        sealed = IVFFlatIndex(
-            self.sealed.centroids,
-            assignments,
-            self.sealed.config,
-            index_type=self.sealed.index_type,
-        )
-        return GrowingIVFIndex(sealed, self.growing_path + "_next")
+        assignments = self._spark.read.parquet(seal_path).select(*self._cols())
+        return type(self)(self._make_index(assignments), self.growing_path + "_next")
 
 
 class GrowingSQIndex(GrowingIVFIndex):
@@ -189,79 +200,33 @@ class GrowingSQIndex(GrowingIVFIndex):
 
         return cls(IVFSq8Index.build(base_df, config, **kw), growing_path)
 
-    # -- ingest ---------------------------------------------------------------
-    def start_ingest(
-        self,
-        stream_df: DataFrame,
-        checkpoint: str,
-        *,
-        id_col: str = "id",
-        vec_col: str = "vec",
-        trigger: dict | None = None,
-    ):
-        """Micro-batches are cell-assigned with the sealed centroids and
-        quantized with the sealed scale before the append — a growing row
-        is searchable (as codes) the moment its batch commits."""
-        from pyspark.sql import functions as F
-
-        from knowhere_spark.config import MetricType
-        from knowhere_spark.functions.distance import normalize_expr
-        from knowhere_spark.operators.sq import _quantize_df
-
-        sealed = self.sealed
-        cosine = MetricType(sealed.config.metric_type) == MetricType.COSINE
-
-        def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-            rows = batch_df.select(
-                F.col(id_col).cast("long").alias("id"),
-                F.col(vec_col).alias("vec"),
-            )
-            if cosine:
-                rows = rows.select("id", normalize_expr(F.col("vec")).alias("vec"))
-            assigned = _assign_cells(rows, sealed.centroids)
-            encoded = _quantize_df(
-                assigned, sealed.vmin, sealed.vdiff,
-                sealed.with_raw_data, sealed.config.code_size,
-            )
-            (
-                encoded.write.mode("append")
-                .partitionBy("cell_id")
-                .parquet(self.growing_path)
-            )
-
-        writer = (
-            stream_df.writeStream.foreachBatch(handle_batch)
-            .option("checkpointLocation", checkpoint)
-            .outputMode("append")
-        )
-        if trigger:
-            writer = writer.trigger(**trigger)
-        return writer.start()
-
-    # -- search over sealed ∪ growing ----------------------------------------
     def _cols(self) -> list[str]:
         cols = ["id", "cell_id", "codes"]
         if self.sealed.with_raw_data:
             cols.append("vec")
         return cols
 
-    def _growing_df(self) -> DataFrame | None:
-        files = _snapshot_files(self.growing_path)
-        if not files:
-            return None
-        try:
-            df = self._spark.read.option("basePath", self.growing_path).parquet(*files)
-        except AnalysisException:
-            return None
-        return df.select(*self._cols())
+    def _encode_batch(self, rows: DataFrame) -> DataFrame:
+        """Cell-assign with the sealed centroids and quantize with the
+        sealed scale — a growing row is searchable (as codes) the moment
+        its batch commits, and encodes byte-identically to a batch add."""
+        from pyspark.sql import functions as F
 
-    def searchable(self):
+        from knowhere_spark.config import MetricType
+        from knowhere_spark.operators.sq import _quantize_df
+
+        sealed = self.sealed
+        if MetricType(sealed.config.metric_type) == MetricType.COSINE:
+            rows = rows.select("id", normalize_expr(F.col("vec")).alias("vec"))
+        return _quantize_df(
+            _assign_cells(rows, sealed.centroids),
+            sealed.vmin, sealed.vdiff,
+            sealed.with_raw_data, sealed.config.code_size,
+        )
+
+    def _make_index(self, assignments: DataFrame):
         from knowhere_spark.operators.sq import IVFSq8Index
 
-        growing = self._growing_df()
-        assignments = self.sealed.assignments.select(*self._cols())
-        if growing is not None:
-            assignments = assignments.unionByName(growing)
         return IVFSq8Index(
             self.sealed.centroids,
             assignments,
@@ -271,32 +236,6 @@ class GrowingSQIndex(GrowingIVFIndex):
             with_raw_data=self.sealed.with_raw_data,
             index_type=self.sealed.index_type,
         )
-
-    # -- seal (compaction) ----------------------------------------------------
-    def seal(self, seal_path: str | None = None) -> "GrowingSQIndex":
-        """Fold growing codes into sealed; the quantizer never retrains
-        (the reference's CC contract).  Durably materialized like the
-        IVF_FLAT seal — no lineage back to the growing directory."""
-        from knowhere_spark.operators.sq import IVFSq8Index
-
-        view = self.searchable()
-        seal_path = seal_path or self.growing_path + "_sealed"
-        (
-            view.assignments.write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(seal_path)
-        )
-        assignments = self._spark.read.parquet(seal_path).select(*self._cols())
-        sealed = IVFSq8Index(
-            self.sealed.centroids,
-            assignments,
-            self.sealed.vmin,
-            self.sealed.vdiff,
-            self.sealed.config,
-            with_raw_data=self.sealed.with_raw_data,
-            index_type=self.sealed.index_type,
-        )
-        return GrowingSQIndex(sealed, self.growing_path + "_next")
 
 
 class GrowingSparseIndex:

@@ -220,7 +220,7 @@ def test_bfs_live_frame_count_is_hop_independent(spark):
     for r in res.collect():
         got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
     assert recall_at_k(got, np_knn(base, qs, k, "L2"), k) >= 0.6
-    # 12 hops: compactions after hops 1, 2, 4, 8 -> at most the compacted
+    # 12 hops: compactions after hops 1, 3, 7 (doubling window) -> at most the compacted
     # frame + the last (capped) window of per-hop parts stays live
     assert idx._last_bfs_frame_count <= 9
 
@@ -246,3 +246,27 @@ def test_factory_routes_overbound_hnsw_to_sharded(spark, monkeypatch):
         dense_df(spark, gen_dense(3, 16, seed=74), QUERY_SCHEMA), k=5
     )
     assert out.count() == 15
+
+
+def test_hnsw_get_index_meta(spark):
+    """GetIndexMeta (hnsw.h:441-467): adjacency view with degrees <= M,
+    entry points flagged, every vector present; stats carry the HNSWMeta
+    scalars (feder/HNSW.h:106-163)."""
+    base = gen_dense(300, 16, seed=7)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16)
+    )
+    meta = idx.get_index_meta().collect()
+    assert len(meta) == 300
+    by_id = {r["id"]: r for r in meta}
+    entries = {r["id"] for r in meta if r["is_entry"]}
+    assert entries == set(idx.entry_ids) and entries
+    for r in meta:
+        assert r["degree"] == len(r["neighbors"]) <= idx.config.M
+        assert list(r["neighbors"]) == sorted(r["neighbors"])
+    capped = idx.get_index_meta(max_nodes=10).collect()
+    assert [r["id"] for r in capped] == sorted(by_id)[:10]
+    stats = idx.get_index_meta_stats()
+    assert stats["num_elem"] == 300 and stats["M"] == 8
+    assert stats["entry_point_ids"] == [int(i) for i in idx.entry_ids]
+    assert stats["num_levels"] == 1

@@ -102,3 +102,31 @@ def test_ivf_save_load_roundtrip(data, spark, tmp_path):
     assert {q: [i for i, _ in v] for q, v in before.items()} == {
         q: [i for i, _ in v] for q, v in after.items()
     }
+
+
+def test_ivf_get_index_meta(data):
+    """GetIndexMeta (ivf.cc:1066-1100): one row per inverted list with the
+    exact member ids and centroid; sizes sum to ntotal; empty cells appear
+    with size 0 (an empty invlist is still a cluster)."""
+    base, _, base_df, _ = data
+    cfg = IvfConfig(metric_type="L2", nlist=16, nprobe=4, k=K)
+    idx = IVFFlatIndex.build(base_df, cfg)
+    meta = idx.get_index_meta().collect()
+    assert len(meta) == idx.centroids.shape[0]
+    assert sum(r["size"] for r in meta) == NB
+    # membership matches the assignments table exactly, per cluster
+    want = {}
+    for r in idx.assignments.select("id", "cell_id").collect():
+        want.setdefault(int(r["cell_id"]), []).append(int(r["id"]))
+    for r in meta:
+        assert sorted(want.get(r["cluster_id"], [])) == list(r["node_ids"])
+        assert len(r["node_ids"]) == r["size"]
+        np.testing.assert_allclose(
+            np.array(r["centroid"], dtype=np.float64),
+            idx.centroids[r["cluster_id"]],
+            rtol=1e-6,
+        )
+    # sizes-only view skips the id lists but keeps identical sizes
+    slim = {r["cluster_id"]: r["size"]
+            for r in idx.get_index_meta(with_node_ids=False).collect()}
+    assert slim == {r["cluster_id"]: r["size"] for r in meta}
