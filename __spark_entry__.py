@@ -128,16 +128,21 @@ def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ordered_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AnnIterator analog (index_node.h:451-576): the lazily-ordered
-    neighbor stream becomes an ordered result DataFrame consumed by rank
-    (SURVEY.md §2.1) — here the first 50 neighbors of 3 queries."""
+def q_ann_iterator_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnIterator (index_node.h:451-576, PrecomputedDistanceIterator
+    583-679): the lazily-ordered neighbor stream, consumed through the
+    REAL paging path — three ``next_batch(4)`` calls per query (ranks
+    1..12), truncated to the first K.  Structurally exact: the iterator's
+    full ordering IS brute force, so the union of its first pages must
+    hash-match the flat top-k oracle — the Next()-returns-descending-
+    order contract the reference iterator tests pin."""
+    from knowhere_spark.operators.iterator import AnnIterator
+
     base, queries_ = _emb(spark, sf_dir)
-    return _knn_out(
-        BruteForce.search(
-            base, queries_.filter(F.col("query_id") < 3), 50, "L2", strategy="sql"
-        )
-    )
+    it = AnnIterator.brute_force(base, queries_, "L2", page_size=4)
+    pages = [it.next_batch() for _ in range(3)]
+    out = pages[0].unionByName(pages[1]).unionByName(pages[2])
+    return _knn_out(out.filter(F.col("rank") <= K))
 
 
 # --- sparse / BM25 ---------------------------------------------------------
@@ -218,8 +223,21 @@ def q_sparse_bm25_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text analysis ---------------------------------------------------------
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from knowhere_spark.functions.text import quality_features_expr
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined text-analysis gate: quality features (token count,
+    stopword/punct ratios, mean token length), n-gram language ID,
+    64-bit document fingerprint and BPE-ish token budget in ONE oracle
+    row per doc.  Merged from the r3 ``text_quality`` + ``text_langid``
+    + ``doc_fingerprint`` + ``text_token_budget`` gates to free three
+    registry slots (the driver caps ``queries()`` at 50) — the hash
+    covers every column, so each signal stays exactly verified, and each
+    expression keeps its own pytest suite (tests/test_text.py)."""
+    from knowhere_spark.functions.text import (
+        bpe_token_count_expr,
+        fingerprint_expr,
+        langid_expr,
+        quality_features_expr,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     feats = quality_features_expr(F.col("text"))
@@ -229,25 +247,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
         F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
-    )
-
-
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from knowhere_spark.functions.text import langid_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", langid_expr(F.col("text")).alias("pred_lang"))
-
-
-def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting for corpus budgeting (functions/text.py
-    bpe_token_count_expr) — whitespace count + subword-regex count."""
-    from knowhere_spark.functions.text import bpe_token_count_expr, token_count_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        langid_expr(F.col("text")).alias("pred_lang"),
+        fingerprint_expr(F.col("text")).alias("fp"),
         bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
     )
 
@@ -352,13 +353,6 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", F.col("shard").cast("int").alias("shard")
     )
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from knowhere_spark.functions.text import fingerprint_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +788,58 @@ def q_kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("cluster_id").cast("int").alias("cluster_id"))
 
 
+def q_diskann_range_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISKANN doubling-k RangeSearch (diskann_config.h:150-159) driven to
+    a structurally exact configuration: ``search_list_size`` large enough
+    that the probe breadth covers every cell (operators/diskann.py
+    ``_nprobe`` saturates at nlist), so the doubling-k loop — top-min_k,
+    re-query the still-open queries at 2k until the k-th hit leaves the
+    radius — must reproduce the brute-force range result exactly.  Gates
+    the loop's open/closed bookkeeping, not just the underlying scan
+    (min_k=4 forces several doublings on this data)."""
+    from knowhere_spark.config import DiskAnnConfig
+    from knowhere_spark.operators.diskann import DiskAnnIndex
+
+    base, queries_ = _emb(spark, sf_dir)
+    cfg = DiskAnnConfig(
+        metric_type="L2", radius=1.5, range_filter=0.0,
+        search_list_size=65536,   # _nprobe == nlist → exact underlying scan
+        min_k=4, max_k=4096, k=K,
+    )
+    idx = DiskAnnIndex.build(base, cfg)
+    return _range_out(idx.range_search(queries_))
+
+
+def q_ivf_index_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetIndexMeta (index_node.h:363; feder/IVFFlat.h:25-87 via
+    ivf.cc:1066-1100): the per-cluster index view — cluster id, member
+    node ids, cluster size — with PINNED centroids (the first 8 embedding
+    vectors, the ``kmeans_assign_fixed`` discipline) so membership is
+    deterministic and hash-gated.  Emitted exploded (one row per member)
+    because array columns are unhashable in the compare layer; the
+    window-counted ``csize`` carries the per-cluster size through the
+    same rows."""
+    import numpy as np
+
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.ivf import IVFFlatIndex, _assign_cells
+
+    emb = embeddings_as_dataset(spark, sf_dir)
+    crows = emb.filter(F.col("id") < 8).orderBy("id").collect()
+    centroids = np.array([r["vec"] for r in crows], dtype=np.float64)
+    idx = IVFFlatIndex(
+        centroids,
+        _assign_cells(emb, centroids),
+        IvfConfig(metric_type="L2", nlist=8, nprobe=8, k=K),
+    )
+    meta = idx.get_index_meta()
+    return meta.select(
+        "cluster_id",
+        F.explode("node_ids").alias("member_id"),
+        F.col("size").alias("csize"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.operators.dedup import simhash_pairs
 
@@ -1130,11 +1176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_ip_topk": q_sparse_ip_topk,
         "sparse_bm25_topk": q_sparse_bm25_topk,
         "sparse_bm25_range": q_sparse_bm25_range,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "doc_fingerprint": q_doc_fingerprint,
-        "text_token_budget": q_text_token_budget,
+        "text_signals": q_text_signals,
         "text_transform": q_text_transform,
+        "ann_iterator_pages": q_ann_iterator_pages,
+        "diskann_range_exact": q_diskann_range_exact,
+        "ivf_index_meta": q_ivf_index_meta,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
@@ -1675,6 +1721,24 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_refine_exact": _knn_oracle(_L2, "ASC"),
         "index_saveload_knn": _knn_oracle(_L2, "ASC"),
         "cc_sealed_equals_batch": _knn_oracle(_L2, "ASC"),
+        # the iterator's paged union of ranks 1..K IS the flat top-k
+        "ann_iterator_pages": _knn_oracle(_L2, "ASC"),
+        # probe breadth saturated at nlist → the doubling-k protocol must
+        # land exactly on the brute-force range result
+        "diskann_range_exact": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
+        "ivf_index_meta": """
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id AS id, c.cid,
+         list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+  FROM embeddings e, c
+),
+r AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rk FROM d),
+a AS (SELECT id, cid FROM r WHERE rk = 1)
+SELECT CAST(cid AS INT) AS cluster_id, id AS member_id,
+       COUNT(*) OVER (PARTITION BY cid) AS csize
+FROM a
+""",
         "bin_ivf_knn_exact": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
@@ -1751,9 +1815,13 @@ scored AS (
 SELECT CAST(0 AS BIGINT) AS query_id, doc_id, ROUND(score, 4) AS score
 FROM scored WHERE score > 2.0 AND score <= 1e9
 """,
-        "text_quality": f"""
-WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
-SELECT doc_id,
+        # one SELECT covering quality features, language ID, the 64-bit
+        # fingerprint and the BPE-ish budget — every signal hash-verified
+        # through the same rows (merged r3 gates; see q_text_signals)
+        "text_signals": f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+c AS (SELECT doc_id, {lang_counts} FROM toks)
+SELECT toks.doc_id,
        len(t)::BIGINT AS n_tokens,
        ROUND(CASE WHEN len(t) > 0
              THEN len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE / len(t)
@@ -1763,19 +1831,13 @@ SELECT doc_id,
              ELSE 0.0 END, 4) AS punct_ratio,
        ROUND(CASE WHEN len(t) > 0
              THEN length(array_to_string(t, ''))::DOUBLE / len(t)
-             ELSE 0.0 END, 4) AS mean_token_len
-FROM toks
-""",
-        "text_langid": f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-c AS (SELECT doc_id, {lang_counts} FROM toks)
-SELECT doc_id, {lang_case} AS pred_lang FROM c
-""",
-        "doc_fingerprint": f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
-SELECT doc_id,
-       CAST(concat('0x', substr(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS fp
-FROM toks
+             ELSE 0.0 END, 4) AS mean_token_len,
+       {lang_case} AS pred_lang,
+       CAST(concat('0x', substr(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS fp,
+       CAST(COALESCE(list_sum(list_transform(
+            regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0),
+            p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
+FROM toks JOIN c ON toks.doc_id = c.doc_id
 """,
         "dedup_exact": f"""
 WITH corpus AS (
@@ -1821,14 +1883,6 @@ WITH d AS (
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.4
-""",
-        "text_token_budget": r"""
-SELECT doc_id,
-       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(list_sum(list_transform(
-            regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+', 0),
-            p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
-FROM documents
 """,
         # PII patterns mirror functions/text.PII_PATTERNS verbatim (same
         # order: email -> ip -> phone; 'g' = global like Spark's default);

@@ -805,6 +805,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             "ivf_100k_selfsearch_distributed": n_big,
             "sq8_search_nq1000": 1000,
             "pq_search_nq1000": 1000,
+            "pq_refine_search_nq1000": 1000,
             "scann_search_nq1000": 1000,
             "hnsw_sq_search_nq1000": 1000,
         }

@@ -60,6 +60,12 @@ class DiskAnnIndex:
     def get_vector_by_ids(self, ids_df: DataFrame, **kw) -> DataFrame:
         return self.ivf.get_vector_by_ids(ids_df, **kw)
 
+    def get_index_meta(self, **kw) -> DataFrame:
+        """GetIndexMeta (feder/DiskANN.h:21-152): the reference renders the
+        Vamana graph; the Spark analog's index view is its cell partition
+        map — per-cell membership + centroid, exactly the IVF meta."""
+        return self.ivf.get_index_meta(**kw)
+
     def range_search(
         self,
         query_df: DataFrame,

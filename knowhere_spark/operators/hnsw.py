@@ -266,6 +266,90 @@ def broadcast_beam_search(
     )
 
 
+def broadcast_beam_trace(
+    query_df: DataFrame,
+    *,
+    ef: int,
+    payload_bc,
+    scorer_factory,
+    is_sim: bool,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "vec",
+) -> DataFrame:
+    """``trace_visit`` twin of :func:`broadcast_beam_search`: the SAME
+    best-first traversal (candidate min-heap, ef-bounded result heap,
+    early exit), but the yield is the per-edge visit record feder renders
+    (feder/HNSW.h:165-198 ``AddVisitRecord(level, id_from, id_to, dist)``)
+    instead of the top-k.  Any divergence between the two loops would
+    desynchronize the animation from the answer, so edits must be mirrored
+    — enforced by test_hnsw's visited ⊇ results assertion."""
+    import heapq
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, indptr_, indices_, entries, extra = payload_bc.value
+        stamp = np.zeros(len(ids_), dtype=np.int64)
+        qno = 0
+        for pdf in batches:
+            v_q, v_from, v_to, v_d = [], [], [], []
+            for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
+                score = scorer_factory(extra, qvec)
+                qno += 1
+                skeys = score(entries)
+                stamp[entries] = qno
+                cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
+                heapq.heapify(cand)
+                res = [(-s, p) for s, p in cand]
+                heapq.heapify(res)
+                while len(res) > ef:
+                    heapq.heappop(res)
+                while cand:
+                    key, p = heapq.heappop(cand)
+                    if len(res) >= ef and key > -res[0][0]:
+                        break
+                    nb = indices_[indptr_[p] : indptr_[p + 1]]
+                    nb = nb[stamp[nb] != qno]
+                    if len(nb) == 0:
+                        continue
+                    stamp[nb] = qno
+                    nkeys = score(nb)
+                    worst = -res[0][0] if len(res) >= ef else np.inf
+                    for s, np_ in zip(nkeys, nb):
+                        s = float(s)
+                        v_q.append(qid)
+                        v_from.append(ids_[p])
+                        v_to.append(ids_[np_])
+                        v_d.append(-s if is_sim else s)
+                        if len(res) < ef or s < worst:
+                            heapq.heappush(cand, (s, int(np_)))
+                            if len(res) < ef:
+                                heapq.heappush(res, (-s, int(np_)))
+                            else:
+                                heapq.heapreplace(res, (-s, int(np_)))
+                            worst = -res[0][0] if len(res) >= ef else np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": v_q,
+                    "level": np.zeros(len(v_q), dtype=np.int32),
+                    "id_from": v_from,
+                    "id_to": v_to,
+                    "distance": v_d,
+                }
+            )
+
+    from knowhere_spark.session import ensure_parallelism
+
+    queries = ensure_parallelism(
+        query_df.select(
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(query_vec_col).alias(query_vec_col),
+        )
+    )
+    return queries.mapInPandas(
+        kernel,
+        "query_id long, level int, id_from long, id_to long, distance double",
+    )
+
+
 class HNSWIndex:
     """Graph artifact: (id, vec) vectors + <=M out-edges per node."""
 
@@ -694,6 +778,65 @@ class HNSWIndex:
         mask[pos[ok]] = True
         return self.vectors.sparkSession.sparkContext.broadcast(mask)
 
+    def _graph_bc(self):
+        """Collect + broadcast the graph artifact (ids, CSR adjacency,
+        entry positions, fp32 matrix, norms), memoized: the artifact is
+        immutable per index instance (add/refine return new instances),
+        so it ships once and every search call reuses it — the serving
+        amortization the reference gets from keeping the graph resident
+        in RAM."""
+        bc = getattr(self, "_bc_graph", None)
+        if bc is None:
+            metric = MetricType(self.config.metric_type)
+            ids, X = _collect_id_matrix(self.vectors, "id", "vec", np.float32)
+            indptr, indices = _collect_csr(self.edges, ids)
+            entry_pos = _entry_positions(ids, self.entry_ids)
+            xnorm = (
+                np.linalg.norm(X, axis=1) if metric == MetricType.COSINE else None
+            )
+            bc = self.vectors.sparkSession.sparkContext.broadcast(
+                (ids, indptr, indices, entry_pos, (X, metric.value, xnorm))
+            )
+            self._bc_graph = bc
+        return bc
+
+    def search_with_trace(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        ef: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+    ) -> tuple[DataFrame, DataFrame]:
+        """``trace_visit`` search (config.h:679-683; feder/HNSW.h:165-198
+        ``HNSWVisitInfo``): returns ``(results, visits)`` where ``visits``
+        is the edge-traversal record the feder visualizer animates —
+        ``(query_id, level, id_from, id_to, distance)``, one row per
+        scored graph edge, in traversal order per query (``level`` is 0:
+        the Spark graph is flat, see :meth:`get_index_meta`).
+
+        Mirrors the reference contract (hnsw.h:212-217): the query set
+        must hold exactly ONE row — a visit trace over a batch is
+        meaningless to render and unbounded to collect."""
+        k = k if k is not None else self.config.k
+        ef = max(ef if ef is not None else self.config.ef, k)
+        queries = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("vec"),
+        )
+        if queries.limit(2).count() != 1:
+            raise ValueError("trace_visit requires nq == 1 (hnsw.h:213-216)")
+        results = self._search_broadcast(queries, k, ef)
+        visits = broadcast_beam_trace(
+            queries,
+            ef=ef,
+            payload_bc=self._graph_bc(),
+            scorer_factory=_dense_scorer,
+            is_sim=MetricType(self.config.metric_type).is_similarity,
+        )
+        return results, visits
+
     def _search_broadcast(
         self,
         query_df: DataFrame,
@@ -709,22 +852,7 @@ class HNSWIndex:
         metric = MetricType(self.config.metric_type)
         spark = self.vectors.sparkSession
 
-        # memoized: the graph artifact is immutable per index instance
-        # (add/refine return new instances), so collect+broadcast once and
-        # reuse across search calls — the serving amortization the
-        # reference gets from keeping the graph resident in RAM
-        bc = getattr(self, "_bc_graph", None)
-        if bc is None:
-            ids, X = _collect_id_matrix(self.vectors, "id", "vec", np.float32)
-            indptr, indices = _collect_csr(self.edges, ids)
-            entry_pos = _entry_positions(ids, self.entry_ids)
-            xnorm = (
-                np.linalg.norm(X, axis=1) if metric == MetricType.COSINE else None
-            )
-            bc = spark.sparkContext.broadcast(
-                (ids, indptr, indices, entry_pos, (X, metric.value, xnorm))
-            )
-            self._bc_graph = bc
+        bc = self._graph_bc()
         mask_bc = (
             self._filter_mask_bc(filter_expr, bc.value[0])
             if filter_expr is not None

@@ -264,3 +264,21 @@ def test_search_dispatches_word_packed_columns(spark):
     # rank-1 neighbor of each query is itself (distance 0)
     for qid in [r["query_id"] for r in q.collect()]:
         assert rowsd[(qid, 1)] == qid
+
+
+def test_diskann_get_index_meta_delegates(spark):
+    """GetIndexMeta on DISKANN (feder/DiskANN.h): the cell-partition map —
+    same shape and totals as the underlying IVF meta."""
+    from knowhere_spark.config import DiskAnnConfig
+    from knowhere_spark.operators.diskann import DiskAnnIndex
+
+    from conftest import dense_df, gen_dense
+
+    base = gen_dense(300, 16, seed=5)
+    idx = DiskAnnIndex.build(
+        dense_df(spark, base),
+        DiskAnnConfig(metric_type="L2", search_list_size=32, k=10),
+    )
+    meta = idx.get_index_meta(with_node_ids=False).collect()
+    assert len(meta) == idx.ivf.centroids.shape[0]
+    assert sum(r["size"] for r in meta) == 300

@@ -270,3 +270,33 @@ def test_hnsw_get_index_meta(spark):
     assert stats["num_elem"] == 300 and stats["M"] == 8
     assert stats["entry_point_ids"] == [int(i) for i in idx.entry_ids]
     assert stats["num_levels"] == 1
+
+
+def test_hnsw_search_with_trace(spark):
+    """trace_visit contract (config.h:679-683, hnsw.h:212-217): nq must be
+    1; visits record every scored edge, so every non-entry result id must
+    appear as a visited id_to, and traced distances are exact."""
+    base = gen_dense(400, 16, seed=11)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16)
+    )
+    queries = dense_df(spark, gen_dense(1, 16, seed=12), QUERY_SCHEMA)
+    res, visits = idx.search_with_trace(queries, k=5, ef=32)
+    rows = res.collect()
+    vrows = visits.collect()
+    assert len(rows) == 5 and len(vrows) > 0
+    visited_to = {r["id_to"] for r in vrows}
+    entry = set(idx.entry_ids)
+    assert all(r["neighbor_id"] in visited_to | entry for r in rows)
+    assert all(r["level"] == 0 for r in vrows)
+    # traced distance is the exact L2^2 between the query and id_to
+    # (fp32 kernel vs fp64 oracle → relative tolerance)
+    q = gen_dense(1, 16, seed=12)[0].astype("float64")
+    for r in vrows[:10]:
+        want = float(((base[r["id_to"]].astype("float64") - q) ** 2).sum())
+        assert abs(r["distance"] - want) <= 1e-5 * max(want, 1.0)
+    # the batch contract is enforced
+    two = dense_df(spark, gen_dense(2, 16, seed=13), QUERY_SCHEMA)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nq == 1"):
+        idx.search_with_trace(two, k=5)
