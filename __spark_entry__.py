@@ -142,7 +142,12 @@ def q_ann_iterator_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     it = AnnIterator.brute_force(base, queries_, "L2", page_size=4)
     pages = [it.next_batch() for _ in range(3)]
     out = pages[0].unionByName(pages[1]).unionByName(pages[2])
-    return _knn_out(out.filter(F.col("rank") <= K))
+    # materialize the K-bounded answer, then release the iterator's cached
+    # full ranking — the other ~47 gates run in this same session and must
+    # not inherit a pinned n_base-per-query storage block
+    out = _knn_out(out.filter(F.col("rank") <= K)).localCheckpoint(eager=True)
+    it.close()
+    return out
 
 
 # --- sparse / BM25 ---------------------------------------------------------

@@ -165,6 +165,62 @@ def _dense_scorer(extra, qvec):
     return score
 
 
+def _beam_traverse(
+    score, entries, ef, indptr_, indices_, stamp, qno, allowed=None, visits=None
+):
+    """ONE best-first ef-search — the hnswlib ``searchBaseLayerST``
+    algorithm (candidate min-heap + bounded result heap, early exit when
+    the nearest open candidate is worse than the worst kept result,
+    src/index/hnsw/hnsw.h); neighbor scoring is vectorized numpy per
+    adjacency list.  Returns the bounded result max-heap of
+    ``(-key, pos)``.
+
+    The traversal lives HERE and only here: the plain search kernel and
+    the feder ``trace_visit`` kernel both call it, so the animation can
+    never desynchronize from the answer.  When ``visits`` is a list,
+    every scored adjacency batch is appended as ``(parent_pos,
+    neighbor_positions, keys)`` — batch-level capture, so the hot inner
+    loop carries no per-edge callback."""
+    import heapq
+
+    skeys = score(entries)
+    stamp[entries] = qno
+    cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
+    heapq.heapify(cand)
+    # result max-heap of (−key, pos), bounded to ef; a bitset filter
+    # gates RESULTS only — blocked nodes still traverse (the reference's
+    # filtered-HNSW semantics: the filter functor is checked at result
+    # insertion, hnsw.h)
+    res = [(-s, p) for s, p in cand if allowed is None or allowed[p]]
+    heapq.heapify(res)
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        key, p = heapq.heappop(cand)
+        if len(res) >= ef and key > -res[0][0]:
+            break
+        nb = indices_[indptr_[p] : indptr_[p + 1]]
+        nb = nb[stamp[nb] != qno]
+        if len(nb) == 0:
+            continue
+        stamp[nb] = qno
+        nkeys = score(nb)
+        if visits is not None:
+            visits.append((p, nb, nkeys))
+        worst = -res[0][0] if len(res) >= ef else np.inf
+        for s, np_ in zip(nkeys, nb):
+            s = float(s)
+            if len(res) < ef or s < worst:
+                heapq.heappush(cand, (s, int(np_)))
+                if allowed is None or allowed[np_]:
+                    if len(res) < ef:
+                        heapq.heappush(res, (-s, int(np_)))
+                    else:
+                        heapq.heapreplace(res, (-s, int(np_)))
+                    worst = -res[0][0] if len(res) >= ef else np.inf
+    return res
+
+
 def broadcast_beam_search(
     query_df: DataFrame,
     *,
@@ -182,13 +238,8 @@ def broadcast_beam_search(
     ``payload_bc`` is a Spark broadcast of ``(ids_sorted, indptr, indices,
     entry_pos, extra)``; ``scorer_factory(extra, qvec) -> score(pos_array)``
     produces per-query smaller-is-better keys (see :func:`_keys_vs_query`).
-    The per-query loop is the hnswlib ``searchBaseLayerST`` algorithm
-    (candidate min-heap + bounded result heap, early exit when the nearest
-    open candidate is worse than the worst kept result,
-    src/index/hnsw/hnsw.h); neighbor scoring is vectorized numpy per
-    adjacency list.  Runs as one ``mapInPandas`` over query partitions —
-    zero joins/shuffles."""
-    import heapq
+    Traversal is :func:`_beam_traverse`; runs as one ``mapInPandas`` over
+    query partitions — zero joins/shuffles."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, indptr_, indices_, entries, extra = payload_bc.value
@@ -200,42 +251,9 @@ def broadcast_beam_search(
             for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
                 score = scorer_factory(extra, qvec)
                 qno += 1
-                skeys = score(entries)
-                stamp[entries] = qno
-                cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
-                heapq.heapify(cand)
-                # result max-heap of (−key, pos), bounded to ef; a bitset
-                # filter gates RESULTS only — blocked nodes still traverse
-                # (the reference's filtered-HNSW semantics: the filter
-                # functor is checked at result insertion, hnsw.h)
-                res = [
-                    (-s, p) for s, p in cand
-                    if allowed is None or allowed[p]
-                ]
-                heapq.heapify(res)
-                while len(res) > ef:
-                    heapq.heappop(res)
-                while cand:
-                    key, p = heapq.heappop(cand)
-                    if len(res) >= ef and key > -res[0][0]:
-                        break
-                    nb = indices_[indptr_[p] : indptr_[p + 1]]
-                    nb = nb[stamp[nb] != qno]
-                    if len(nb) == 0:
-                        continue
-                    stamp[nb] = qno
-                    nkeys = score(nb)
-                    worst = -res[0][0] if len(res) >= ef else np.inf
-                    for s, np_ in zip(nkeys, nb):
-                        s = float(s)
-                        if len(res) < ef or s < worst:
-                            heapq.heappush(cand, (s, int(np_)))
-                            if allowed is None or allowed[np_]:
-                                if len(res) < ef:
-                                    heapq.heappush(res, (-s, int(np_)))
-                                else:
-                                    heapq.heapreplace(res, (-s, int(np_)))
-                                worst = -res[0][0] if len(res) >= ef else np.inf
+                res = _beam_traverse(
+                    score, entries, ef, indptr_, indices_, stamp, qno, allowed
+                )
                 # (key, pos) sort == (distance, neighbor_id) tie-break,
                 # matching topk_per_key's ordering on the BFS path
                 top = sorted(((-nk, p) for nk, p in res))[:k]
@@ -269,6 +287,7 @@ def broadcast_beam_search(
 def broadcast_beam_trace(
     query_df: DataFrame,
     *,
+    k: int,
     ef: int,
     payload_bc,
     scorer_factory,
@@ -276,63 +295,52 @@ def broadcast_beam_trace(
     query_id_col: str = "query_id",
     query_vec_col: str = "vec",
 ) -> DataFrame:
-    """``trace_visit`` twin of :func:`broadcast_beam_search`: the SAME
-    best-first traversal (candidate min-heap, ef-bounded result heap,
-    early exit), but the yield is the per-edge visit record feder renders
-    (feder/HNSW.h:165-198 ``AddVisitRecord(level, id_from, id_to, dist)``)
-    instead of the top-k.  Any divergence between the two loops would
-    desynchronize the animation from the answer, so edits must be mirrored
-    — enforced by test_hnsw's visited ⊇ results assertion."""
-    import heapq
+    """``trace_visit`` run of the beam: ONE :func:`_beam_traverse` pass
+    per query emitting BOTH the per-edge visit record feder renders
+    (feder/HNSW.h:165-198 ``AddVisitRecord(level, id_from, id_to, dist)``,
+    ``kind='visit'``) and the top-k answer it produced (``kind='result'``,
+    carried in ``id_to``/``rank``) — results and animation come from the
+    same traversal by construction, and the trace costs one job, not
+    two."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, indptr_, indices_, entries, extra = payload_bc.value
         stamp = np.zeros(len(ids_), dtype=np.int64)
         qno = 0
         for pdf in batches:
-            v_q, v_from, v_to, v_d = [], [], [], []
+            o_q, o_kind, o_from, o_to, o_d, o_r = [], [], [], [], [], []
             for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
                 score = scorer_factory(extra, qvec)
                 qno += 1
-                skeys = score(entries)
-                stamp[entries] = qno
-                cand = [(float(s), int(p)) for s, p in zip(skeys, entries)]
-                heapq.heapify(cand)
-                res = [(-s, p) for s, p in cand]
-                heapq.heapify(res)
-                while len(res) > ef:
-                    heapq.heappop(res)
-                while cand:
-                    key, p = heapq.heappop(cand)
-                    if len(res) >= ef and key > -res[0][0]:
-                        break
-                    nb = indices_[indptr_[p] : indptr_[p + 1]]
-                    nb = nb[stamp[nb] != qno]
-                    if len(nb) == 0:
-                        continue
-                    stamp[nb] = qno
-                    nkeys = score(nb)
-                    worst = -res[0][0] if len(res) >= ef else np.inf
+                visits: list = []
+                res = _beam_traverse(
+                    score, entries, ef, indptr_, indices_, stamp, qno,
+                    visits=visits,
+                )
+                for p, nb, nkeys in visits:
                     for s, np_ in zip(nkeys, nb):
-                        s = float(s)
-                        v_q.append(qid)
-                        v_from.append(ids_[p])
-                        v_to.append(ids_[np_])
-                        v_d.append(-s if is_sim else s)
-                        if len(res) < ef or s < worst:
-                            heapq.heappush(cand, (s, int(np_)))
-                            if len(res) < ef:
-                                heapq.heappush(res, (-s, int(np_)))
-                            else:
-                                heapq.heapreplace(res, (-s, int(np_)))
-                            worst = -res[0][0] if len(res) >= ef else np.inf
+                        o_q.append(qid)
+                        o_kind.append("visit")
+                        o_from.append(ids_[p])
+                        o_to.append(ids_[np_])
+                        o_d.append(-float(s) if is_sim else float(s))
+                        o_r.append(None)
+                top = sorted(((-nk, p) for nk, p in res))[:k]
+                for rank, (s, p) in enumerate(top, start=1):
+                    o_q.append(qid)
+                    o_kind.append("result")
+                    o_from.append(None)
+                    o_to.append(ids_[p])
+                    o_d.append(-s if is_sim else s)
+                    o_r.append(rank)
             yield pd.DataFrame(
                 {
-                    "query_id": v_q,
-                    "level": np.zeros(len(v_q), dtype=np.int32),
-                    "id_from": v_from,
-                    "id_to": v_to,
-                    "distance": v_d,
+                    "query_id": o_q,
+                    "kind": o_kind,
+                    "id_from": pd.array(o_from, dtype="Int64"),
+                    "id_to": o_to,
+                    "distance": o_d,
+                    "rank": pd.array(o_r, dtype="Int32"),
                 }
             )
 
@@ -346,7 +354,8 @@ def broadcast_beam_trace(
     )
     return queries.mapInPandas(
         kernel,
-        "query_id long, level int, id_from long, id_to long, distance double",
+        "query_id long, kind string, id_from long, id_to long, "
+        "distance double, rank int",
     )
 
 
@@ -818,7 +827,9 @@ class HNSWIndex:
 
         Mirrors the reference contract (hnsw.h:212-217): the query set
         must hold exactly ONE row — a visit trace over a batch is
-        meaningless to render and unbounded to collect."""
+        meaningless to render and unbounded to collect.  Both frames come
+        out of ONE traversal (one Spark job), split from the combined
+        kernel output — the answer and its animation cannot diverge."""
         k = k if k is not None else self.config.k
         ef = max(ef if ef is not None else self.config.ef, k)
         queries = query_df.select(
@@ -827,13 +838,26 @@ class HNSWIndex:
         )
         if queries.limit(2).count() != 1:
             raise ValueError("trace_visit requires nq == 1 (hnsw.h:213-216)")
-        results = self._search_broadcast(queries, k, ef)
-        visits = broadcast_beam_trace(
+        combined = broadcast_beam_trace(
             queries,
+            k=k,
             ef=ef,
             payload_bc=self._graph_bc(),
             scorer_factory=_dense_scorer,
             is_sim=MetricType(self.config.metric_type).is_similarity,
+        ).localCheckpoint(eager=True)   # nq == 1 → ef-bounded rows
+        results = combined.filter(F.col("kind") == "result").select(
+            "query_id",
+            F.col("id_to").alias("neighbor_id"),
+            "distance",
+            "rank",
+        )
+        visits = combined.filter(F.col("kind") == "visit").select(
+            "query_id",
+            F.lit(0).alias("level"),   # flat graph, see get_index_meta
+            "id_from",
+            "id_to",
+            "distance",
         )
         return results, visits
 
@@ -850,8 +874,6 @@ class HNSWIndex:
         """Best-first ef-search with raw fp32 vectors broadcast to
         executors (see :func:`broadcast_beam_search`)."""
         metric = MetricType(self.config.metric_type)
-        spark = self.vectors.sparkSession
-
         bc = self._graph_bc()
         mask_bc = (
             self._filter_mask_bc(filter_expr, bc.value[0])

@@ -402,6 +402,13 @@ class SparseInvertedIndex:
     def doc_stats_small(self) -> DataFrame:
         return self.doc_stats.select("doc_id", "doc_len")
 
+    def get_index_meta(self, **kw):
+        """Parity with the reference: GetIndexMeta is not supported for
+        sparse indexes (sparse_index_node.cc:253-255)."""
+        raise NotImplementedError(
+            "GetIndexMeta not supported for current index type"
+        )
+
     #: base fraction of the query's total upper bound that the weakest
     #: terms may jointly hold before they're skipped (scaled below)
     _PRUNE_EPS_BASE = 1e-4
