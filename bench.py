@@ -43,6 +43,14 @@ PREPARE_MAP: dict[str, object] = {}
 #: tuned operating-point params per query, reported in the bench JSON
 PARAMS: dict[str, dict] = {}
 
+#: untimed per-entry teardown (run AFTER the entry's timing and recall
+#: probe): releases that entry's cached index artifacts so one family's
+#: resident state never contaminates the next family's timer.  Measured:
+#: leaving the pq_refine index cached (codes + raw vectors + the tuner's
+#: checkpointed survivor frames) made the later text-pipeline entries
+#: ~2x slower (token_shards 1.7s -> 4.8s) in the same run.
+RELEASE_MAP: dict[str, object] = {}
+
 
 def _knn_recall(approx_df, base, queries, k: int, metric: str) -> float:
     """|approx ∩ exact| / (nq·k) over the given query batch."""
@@ -513,6 +521,28 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         idx, ef_t = quant_state["hnsw_sq"]
         return idx.search(q1000b, k=10, ef=ef_t, strategy="broadcast")
 
+    def _release_quant(key):
+        # drop the family's index state the moment its timing + recall are
+        # done: unpersist the explicit codes cache and release the Python
+        # refs so broadcasts / checkpointed tuner frames become collectable
+        def _r():
+            idx, _ = quant_state.pop(key, (None, None))
+            df = getattr(idx, "codes", None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        return _r
+
+    RELEASE_MAP.update({
+        "sq8_search_nq1000": _release_quant("sq8"),
+        "pq_search_nq1000": _release_quant("pq"),
+        "pq_refine_search_nq1000": _release_quant("pq_refine"),
+        "scann_search_nq1000": _release_quant("scann"),
+        "hnsw_sq_search_nq1000": _release_quant("hnsw_sq"),
+    })
+
     PREPARE_MAP.update({
         "sq8_search_nq1000": prep_sq8,
         "pq_search_nq1000": prep_pq,
@@ -826,6 +856,9 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
+    import gc
+
+    recalls: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():
         if only and name not in only:
             continue
@@ -845,16 +878,27 @@ def main() -> None:
         except Exception as exc:  # one broken query must never zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        # recall probe runs INLINE (untimed, reference protocol) so the
+        # release hook below can drop this entry's index state before the
+        # next entry's stopwatch — resident caches, broadcasts and tuner
+        # checkpoints from one family must not tax the next (measured 2x
+        # on the text entries when the pq_refine index stayed pinned)
+        rfn = RECALL_MAP.get(name)
+        if rfn is not None and name in timings:
+            try:
+                recalls[name] = round(rfn(), 4)
+                print(f"# recall[{name}]: {recalls[name]}", file=sys.stderr)
+            except Exception as exc:
+                errors[f"recall:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+        rel = RELEASE_MAP.get(name)
+        if rel is not None:
+            try:
+                rel()
+            except Exception as exc:
+                errors[f"release:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+        df = None
+        gc.collect()   # prompt py4j ref release → ContextCleaner can act now
     total = round(sum(timings.values()), 3)
-    recalls: dict[str, float] = {}
-    for name, rfn in RECALL_MAP.items():
-        if name not in timings:
-            continue  # the timed query failed; skip its recall probe
-        try:
-            recalls[name] = round(rfn(), 4)
-            print(f"# recall[{name}]: {recalls[name]}", file=sys.stderr)
-        except Exception as exc:
-            errors[f"recall:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     # VPS (nq/elapsed) is a denominator artifact at tiny nq — a 1-query
     # batch reading "0.9 vps" is really "1.1 s/query"; report per-query

@@ -41,12 +41,12 @@ _TRAIN_SAMPLE_MAX = 100_000
 
 
 def _hamming_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """(n, nbytes) × (nlist, nbytes) → (n, nlist) hamming distances via a
-    256-entry popcount LUT (vectorized, no per-row Python)."""
-    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-    # xor broadcast: (n, 1, nbytes) ^ (1, nlist, nbytes)
-    x = np.bitwise_xor(X[:, None, :], C[None, :, :])
-    return lut[x].sum(axis=2)
+    """(n, nbytes) × (nlist, nbytes) → (n, nlist) hamming distances — the
+    shared 16-bit-LUT all-pairs kernel (functions/binary.binary_pairwise,
+    ~7x the byte-LUT broadcast this used before)."""
+    from knowhere_spark.functions.binary import binary_pairwise
+
+    return binary_pairwise(X, C, MetricType.HAMMING)
 
 
 def _binary_kmeans(X: np.ndarray, nlist: int, seed: int, n_iter: int = 10) -> np.ndarray:
