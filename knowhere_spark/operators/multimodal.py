@@ -5,11 +5,13 @@ This is the training-data-pipeline extension beyond the reference's
 operator set (the reference is vectors-only; these stages *produce* the
 vectors its indexes consume).  The Spark-side plumbing — schema,
 partition-preserving batch transforms, UDF signatures, batch shapes — is
-real and tested; the codec kernels themselves are STUBBED (this
-environment has no image/audio libraries): ``decode_payload`` raises
-``NotImplementedError`` for real codecs and provides a deterministic
-fake (seeded by payload bytes) so every downstream stage is exercised
-end-to-end with stable results.
+real and tested.  ``decode_payload`` REALLY decodes the dependency-free
+formats (binary PNM, uncompressed 24-bit BMP, PCM WAV via the stdlib
+``wave`` module — exact-recovery tested); compressed codecs (JPEG/PNG/
+MP4) would need PIL/ffmpeg, absent in this environment, so that branch
+raises ``NotImplementedError`` and opaque payloads fall back to a
+deterministic fake (seeded by payload bytes) so every downstream stage
+is exercised end-to-end with stable results.
 
 Layout contract at 100 TB: payloads live in their own column so Parquet
 column pruning skips the heavy bytes for metadata-only queries; feature
@@ -57,20 +59,102 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-_REAL_CODECS = False   # no PIL/ffmpeg in this environment
+_REAL_CODECS = False   # no PIL/ffmpeg in this environment — compressed
+                       # codecs (JPEG/PNG/MP4/...) stay stubbed; the
+                       # dependency-free formats below decode for real
+
+
+def _decode_pnm(data: bytes) -> np.ndarray:
+    """P5 (grayscale) / P6 (RGB) binary PNM: ASCII header (with ``#``
+    comments) then raw samples — decodable with numpy alone."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and comments between header fields
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(data) and not data[end : end + 1].isspace():
+            end += 1
+        fields.append(int(data[pos:end]))
+        pos = end
+    pos += 1   # the single whitespace byte after maxval
+    w, h, maxval = fields
+    depth = 3 if data[:2] == b"P6" else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = w * h * depth
+    px = np.frombuffer(data, dtype=dt, count=n, offset=pos).astype(np.float64)
+    px = (px / maxval).reshape(h, w, depth)
+    return px if depth == 3 else px[:, :, 0]
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER) → (h, w, 3)
+    float64 in [0, 1], rows 4-byte padded, BGR → RGB."""
+    import struct
+
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * abs(h), offset=off)
+    px = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        px = px[::-1]          # bottom-up storage
+    return px[:, :, ::-1].astype(np.float64) / 255.0   # BGR → RGB
+
+
+def _decode_wav(data: bytes) -> np.ndarray:
+    """PCM WAV via the stdlib ``wave`` module → mono-averaged float64
+    samples in [-1, 1]."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as f:
+        nch, sw, nfr = f.getnchannels(), f.getsampwidth(), f.getnframes()
+        raw = f.readframes(nfr)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:   # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    return x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
 
 
 def decode_payload(payload: bytes, media_type: str, meta: dict) -> np.ndarray:
     """Decode one payload to a pixel/sample array.
 
-    STUB: with real codecs installed this would be
-    ``PIL.Image.open``/``soundfile.read``/frame demux — that branch
-    raises ``NotImplementedError`` here.  The deterministic fake derives
-    the array from a hash of the payload, so outputs are stable across
-    runs/executors and shape-correct for downstream stages.
+    Dependency-free formats decode for REAL, sniffed by magic bytes:
+    binary PNM (``P5``/``P6``), uncompressed 24-bit BMP, PCM WAV
+    (stdlib ``wave``).  Compressed codecs (JPEG/PNG/MP4/...) would need
+    PIL/ffmpeg, absent in this environment: that branch raises
+    ``NotImplementedError``, and any other payload falls back to the
+    deterministic fake (array derived from a hash of the payload —
+    stable across runs/executors, shape-correct for downstream stages).
     """
-    if _REAL_CODECS:   # pragma: no cover
-        raise NotImplementedError("real image/audio codecs not available")
+    # magic sniffs are STRICT (not just the first two bytes) so an opaque
+    # payload that happens to start with "BM"/"P6" text never takes a
+    # decode branch by accident
+    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
+        b"\x28\x00\x00\x00", b"\x6c\x00\x00\x00", b"\x7c\x00\x00\x00"
+    ):   # BITMAPINFOHEADER / V4 / V5 size field
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "compressed image codecs (JPEG/PNG) need PIL — not available"
+        )
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "little")
     rng = np.random.default_rng(seed)
