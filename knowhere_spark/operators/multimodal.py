@@ -234,10 +234,24 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     return ensure_parallelism(media).mapInPandas(kernel, schema)
 
 
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """Encode a float [0, 1] pixel array as binary PNM — P6 for (h, w, 3)
+    RGB, P5 for (h, w) grayscale.  Round-trips exactly through
+    ``decode_payload`` at 8-bit quantization."""
+    px = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: decode → (fake) resample → re-encode; metadata is
-    updated for real, payload is the stub re-encoding (raw float bytes of
-    the resized array's first 64 values — stable and size-bounded)."""
+    """Resize stage: decode → nearest-neighbor resample → re-encode as
+    binary PNM.  The whole chain is real: an input PNM/BMP payload's
+    output decodes again to exactly the resampled pixels (8-bit
+    quantized); opaque payloads go through the deterministic-fake decode
+    but still emit a valid, re-decodable PNM."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,12 +265,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 meta = dict(meta)
                 if mtype == "image":
                     arr = decode_payload(bytes(payload), mtype, meta)
-                    # nearest-neighbor index resample (a real kernel over the
-                    # fake decode)
                     yi = np.linspace(0, arr.shape[0] - 1, height).astype(int)
                     xi = np.linspace(0, arr.shape[1] - 1, width).astype(int)
                     resized = arr[yi][:, xi]
-                    out_payload.append(resized.ravel()[:64].astype(np.float32).tobytes())
+                    out_payload.append(encode_pnm(resized))
                     meta["width"], meta["height"] = width, height
                 else:
                     out_payload.append(bytes(payload))

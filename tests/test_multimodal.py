@@ -1,6 +1,8 @@
 """Multimodal plumbing: schema, batch shapes, determinism of the fake
-codec, native frame sampling.  The codec is a documented stub; everything
-Spark-side is real (mapInPandas pipeline over BINARY payload columns)."""
+codec, native frame sampling — plus REAL dependency-free codecs
+(PNM/BMP/WAV, exact-recovery) and the fully-real resize round-trip.
+Compressed codecs stay documented stubs; everything Spark-side is real
+(mapInPandas pipeline over BINARY payload columns)."""
 
 from __future__ import annotations
 
@@ -160,3 +162,21 @@ def test_extract_features_real_payloads(spark):
     feats = {r["media_id"]: r["features"] for r in extract_features(media, 8).collect()}
     assert set(feats) == {1, 2}
     assert all(len(v) == 8 and np.isfinite(v).all() for v in feats.values())
+
+
+def test_resize_roundtrips_real_payload(spark):
+    """decode → resample → re-encode is fully real now: the resized
+    payload decodes back to exactly the nearest-neighbor resample of the
+    input pixels (8-bit quantized)."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (10, 12, 3))
+    rows = [(1, "image", bytearray(_make_ppm(px)),
+             {"width": 12, "height": 10, "n_frames": 1, "sample_rate": 0})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, 6, 4).collect()[0]
+    assert out["meta"]["width"] == 6 and out["meta"]["height"] == 4
+    got = decode_payload(bytes(out["payload"]), "image", {})
+    yi = np.linspace(0, 9, 4).astype(int)
+    xi = np.linspace(0, 11, 6).astype(int)
+    want = (px / 255.0)[yi][:, xi]
+    np.testing.assert_allclose(got, np.rint(want * 255) / 255.0, atol=1e-9)
