@@ -388,28 +388,59 @@ def simhash_pairs(
     64 bits shares at least one exact 16-bit band — pigeonhole), then the
     true Hamming distance filters."""
     sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
-    bands = []
-    for i in range(4):
-        bands.append(F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}"))
-    banded = sigs.select("doc_id", "simhash", *bands)
-    banded = banded.select(
-        "doc_id", "simhash",
-        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(4)])).alias("band", "band_val"),
+    return hamming64_pairs(
+        sigs, max_hamming, id_col="doc_id", sig_col="simhash",
+        out_a="doc_a", out_b="doc_b",
+    )
+
+
+def hamming64_pairs(
+    sigs: DataFrame,
+    max_hamming: int,
+    *,
+    id_col: str,
+    sig_col: str,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """EXACT near-dup pairs over any 64-bit signature column: all pairs
+    with Hamming distance ≤ ``max_hamming``, found via pigeonhole banding
+    — split the 64 bits into ``max_hamming + 1`` bands; a pair within
+    the bound differs in ≤ max_hamming bands, so at least one band
+    matches exactly.  One groupBy-shaped shuffle on (band, band_val),
+    never all-pairs — shared by SimHash text near-dup and pHash image
+    near-dup.  Returns ``(out_a, out_b, hamming)`` with ``out_a <
+    out_b``."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming={max_hamming} must be in [0, 63]")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    bands, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(F.lit(mask))
+        )
+        off += width
+    banded = sigs.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"),
+        F.posexplode(F.array(*bands)).alias("band", "band_val"),
     )
     left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "band_val"
+        F.col("__id").alias(out_a), F.col("__sig").alias("sig_a"), "band", "band_val"
     )
     right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "band_val"
+        F.col("__id").alias(out_b), F.col("__sig").alias("sig_b"), "band", "band_val"
     )
     cand = (
         left.join(right, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "sig_a", "sig_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+    return cand.select(out_a, out_b, ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
 

@@ -305,3 +305,70 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing — near-dup detection for image corpora
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n, n) — ``D @ A @ D.T`` is the
+    2-D DCT-II of ``A``.  Pure numpy; no scipy in this environment."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    D = np.cos(np.pi * k * (2 * x + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    D[0] /= np.sqrt(2.0)
+    return D
+
+
+def image_phash(
+    media: DataFrame, *, hash_size: int = 8, dct_size: int = 32
+) -> DataFrame:
+    """Perceptual hash of every image row: decode → grayscale →
+    nearest-resample to ``dct_size``² → 2-D DCT-II → top-left
+    ``hash_size``² low-frequency block → median threshold → 64-bit hash
+    (the classic pHash construction).  Robust to resizing and mild pixel
+    noise, so equal-content images land within small Hamming distance —
+    the image analog of SimHash for text.
+
+    Returns ``(media_id, phash BIGINT)``; runs as one ``mapInPandas``
+    over the media partitions (payload column pruned for non-image rows
+    upstream by Catalyst when filtered)."""
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size must be 8 (64-bit hash)")
+    D = _dct_matrix(dct_size)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out_id, out_h = [], []
+            for mid, payload, mtype, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if mtype != "image":
+                    continue
+                arr = decode_payload(bytes(payload), mtype, dict(meta))
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                yi = np.linspace(0, arr.shape[0] - 1, dct_size).astype(int)
+                xi = np.linspace(0, arr.shape[1] - 1, dct_size).astype(int)
+                small = arr[yi][:, xi]
+                low = (D @ small @ D.T)[:hash_size, :hash_size].ravel()
+                bits = low > np.median(low)
+                out_id.append(mid)
+                out_h.append(int(np.int64((weights * bits).sum().astype(np.uint64))))
+            yield pd.DataFrame({"media_id": out_id, "phash": out_h})
+
+    return media.mapInPandas(kernel, "media_id long, phash long")
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs: pHash + the EXACT pigeonhole-banded Hamming
+    join shared with SimHash (operators/dedup.hamming64_pairs) — one
+    banded shuffle, never all-pairs, the 100 TB image-dedup shape.
+    Returns ``(id_a, id_b, hamming)``."""
+    from knowhere_spark.operators.dedup import hamming64_pairs
+
+    return hamming64_pairs(
+        image_phash(media), max_hamming, id_col="media_id", sig_col="phash"
+    )

@@ -180,3 +180,74 @@ def test_resize_roundtrips_real_payload(spark):
     xi = np.linspace(0, 11, 6).astype(int)
     want = (px / 255.0)[yi][:, xi]
     np.testing.assert_allclose(got, np.rint(want * 255) / 255.0, atol=1e-9)
+
+
+def test_image_phash_neardup(spark):
+    """pHash near-dup: mild pixel noise keeps a pair within small Hamming
+    distance; unrelated images are far; the banded pair join is EXACT
+    (matches brute-force over the hashes)."""
+    rng = np.random.default_rng(6)
+    base_img = rng.integers(40, 216, (24, 24, 3))
+    noisy = np.clip(base_img + rng.integers(-4, 5, base_img.shape), 0, 255)
+    other = rng.integers(0, 256, (24, 24, 3))
+    rows = []
+    for mid, px in [(1, base_img), (2, noisy), (3, other)]:
+        rows.append((mid, "image", bytearray(_make_ppm(px)),
+                     {"width": 24, "height": 24, "n_frames": 1, "sample_rate": 0}))
+    from knowhere_spark.operators.multimodal import image_phash, phash_neardup_pairs
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert set(hashes) == {1, 2, 3}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(hashes[1], hashes[2]) <= 6          # noisy copy stays close
+    assert ham(hashes[1], hashes[3]) > 16          # unrelated is far
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_neardup_pairs(media, max_hamming=6).collect()}
+    # banded join == brute force over the hash table
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = ham(hashes[a], hashes[b])
+            if h <= 6:
+                want[(a, b)] = h
+    assert pairs == want and (1, 2) in pairs
+
+
+def test_hamming64_pairs_exact_banding(spark):
+    """Pigeonhole banding at several max_hamming values reproduces the
+    brute-force pair set exactly — including the uneven-band widths when
+    (max_hamming + 1) does not divide 64."""
+    from knowhere_spark.operators.dedup import hamming64_pairs
+
+    rng = np.random.default_rng(7)
+    sigs = [int(np.int64(np.uint64(v))) for v in
+            rng.integers(0, 2**64, 30, dtype=np.uint64)]
+    # plant close pairs: flip k bits of sig 0
+    for k, mid in [(1, 100), (4, 101), (7, 102)]:
+        flipped = np.uint64(sigs[0])
+        for b in rng.choice(64, k, replace=False):
+            flipped ^= np.uint64(1) << np.uint64(b)
+        sigs.append(int(np.int64(flipped)))
+    ids = list(range(30)) + [100, 101, 102]
+    df = spark.createDataFrame(list(zip(ids, sigs)), "mid long, sig long")
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    table = dict(zip(ids, sigs))
+    for mh in (1, 4, 7):   # 2, 5 and 8 bands — 5 and 8 split 64 unevenly
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming64_pairs(df, mh, id_col="mid", sig_col="sig").collect()}
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                x, y = (a, b) if a < b else (b, a)
+                h = ham(table[x], table[y])
+                if h <= mh:
+                    want[(x, y)] = h
+        assert got == want, f"max_hamming={mh}"
