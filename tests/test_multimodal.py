@@ -251,3 +251,33 @@ def test_hamming64_pairs_exact_banding(spark):
                 if h <= mh:
                     want[(x, y)] = h
         assert got == want, f"max_hamming={mh}"
+
+
+def test_audio_spectral_features_real_tone(spark):
+    """A pure tone's energy lands in the right frequency band; white
+    noise spreads across bands — real FFT over real WAV decode."""
+    from knowhere_spark.operators.multimodal import audio_spectral_features
+
+    rate = 8000
+    t = np.arange(4096) / rate
+    tone = 0.8 * np.sin(2 * np.pi * 3000.0 * t)     # 3 kHz → band 12/16 @ 4 kHz nyquist
+    rng = np.random.default_rng(8)
+    noise = rng.uniform(-0.5, 0.5, 4096)
+    rows = [
+        (1, "audio", bytearray(_make_wav(tone, rate)),
+         {"width": 0, "height": 0, "n_frames": 1, "sample_rate": rate}),
+        (2, "audio", bytearray(_make_wav(noise, rate)),
+         {"width": 0, "height": 0, "n_frames": 1, "sample_rate": rate}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: np.array(r["features"])
+             for r in audio_spectral_features(media).collect()}
+    tone_f, noise_f = feats[1], feats[2]
+    # the 3 kHz bin (3000/4000 * 128 = 96 of 129 rfft bins) maps to band
+    # floor(96*16/129) = 11; the tone straddles the 11|12 boundary, so
+    # those two bands hold essentially all the energy
+    assert int(tone_f.argmax()) == 96 * 16 // 129 == 11
+    rest = np.delete(tone_f, [11, 12])
+    assert min(tone_f[11], tone_f[12]) > 3 * rest.max()
+    # noise: no single band dominates like the tone's does
+    assert noise_f.max() < 2 * noise_f.min()
