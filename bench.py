@@ -590,6 +590,17 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["substring_dedup"] = q_substring_dedup
     out["lm_perplexity"] = q_lm_perplexity
     out["token_shards"] = q_token_shards
+    def q_phash_neardup():
+        # image near-dup: pHash (DCT over decoded pixels) + the exact
+        # pigeonhole-banded Hamming join — never all-pairs
+        from knowhere_spark.operators.multimodal import (
+            phash_neardup_pairs,
+            synthesize_media,
+        )
+
+        return phash_neardup_pairs(synthesize_media(docs), max_hamming=8)
+
+    out["dedup_phash_images"] = q_phash_neardup
     out["events_window"] = q_events_window
     out["events_sessionize"] = q_events_sessionize
 
