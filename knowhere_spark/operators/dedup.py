@@ -418,10 +418,14 @@ def hamming64_pairs(
     bands, off = [], 0
     for i in range(n_bands):
         width = base + (1 if i < rem else 0)
-        mask = (1 << width) - 1
-        bands.append(
-            F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(F.lit(mask))
-        )
+        if width == 64:   # max_hamming=0: one band = the whole signature
+            # ((1<<64)-1 overflows a Spark long literal — no mask needed)
+            bands.append(F.col(sig_col))
+        else:
+            mask = (1 << width) - 1
+            bands.append(
+                F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(F.lit(mask))
+            )
         off += width
     banded = sigs.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"),

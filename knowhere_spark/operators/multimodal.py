@@ -140,17 +140,26 @@ def decode_payload(payload: bytes, media_type: str, meta: dict) -> np.ndarray:
     deterministic fake (array derived from a hash of the payload —
     stable across runs/executors, shape-correct for downstream stages).
     """
-    # magic sniffs are STRICT (not just the first two bytes) so an opaque
-    # payload that happens to start with "BM"/"P6" text never takes a
-    # decode branch by accident
-    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
-        return _decode_pnm(payload)
-    if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
-        b"\x28\x00\x00\x00", b"\x6c\x00\x00\x00", b"\x7c\x00\x00\x00"
-    ):   # BITMAPINFOHEADER / V4 / V5 size field
-        return _decode_bmp(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
+    # magic sniff chooses a decode ATTEMPT; a payload that merely looks
+    # like a format but fails to parse (e.g. document text starting
+    # "P6 to the moon") is treated as opaque and falls through to the
+    # fake — a 100 TB corpus WILL contain such byte patterns, and one of
+    # them must not kill the whole mapInPandas stage.  Only
+    # NotImplementedError propagates: that marks a REAL format we
+    # recognize but can't decode here (honest stub, not corrupt data).
+    try:
+        if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
+            return _decode_pnm(payload)
+        if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
+            b"\x28\x00\x00\x00", b"\x6c\x00\x00\x00", b"\x7c\x00\x00\x00"
+        ):   # BITMAPINFOHEADER / V4 / V5 size field
+            return _decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+    except NotImplementedError:
+        raise
+    except Exception:
+        pass   # sniffed-but-unparseable → opaque payload, fake below
     if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError(
             "compressed image codecs (JPEG/PNG) need PIL — not available"
@@ -234,6 +243,14 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     return ensure_parallelism(media).mapInPandas(kernel, schema)
 
 
+def _nn_resample(arr: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resample of the first two axes — shared by the
+    resize stage and the pHash pre-scale."""
+    yi = np.linspace(0, arr.shape[0] - 1, height).astype(int)
+    xi = np.linspace(0, arr.shape[1] - 1, width).astype(int)
+    return arr[yi][:, xi]
+
+
 def encode_pnm(arr: np.ndarray) -> bytes:
     """Encode a float [0, 1] pixel array as binary PNM — P6 for (h, w, 3)
     RGB, P5 for (h, w) grayscale.  Round-trips exactly through
@@ -265,9 +282,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 meta = dict(meta)
                 if mtype == "image":
                     arr = decode_payload(bytes(payload), mtype, meta)
-                    yi = np.linspace(0, arr.shape[0] - 1, height).astype(int)
-                    xi = np.linspace(0, arr.shape[1] - 1, width).astype(int)
-                    resized = arr[yi][:, xi]
+                    resized = _nn_resample(arr, height, width)
                     out_payload.append(encode_pnm(resized))
                     meta["width"], meta["height"] = width, height
                 else:
@@ -350,13 +365,14 @@ def image_phash(
                 arr = decode_payload(bytes(payload), mtype, dict(meta))
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2)
-                yi = np.linspace(0, arr.shape[0] - 1, dct_size).astype(int)
-                xi = np.linspace(0, arr.shape[1] - 1, dct_size).astype(int)
-                small = arr[yi][:, xi]
+                small = _nn_resample(arr, dct_size, dct_size)
                 low = (D @ small @ D.T)[:hash_size, :hash_size].ravel()
                 bits = low > np.median(low)
                 out_id.append(mid)
-                out_h.append(int(np.int64((weights * bits).sum().astype(np.uint64))))
+                # .astype is a CAST (wraps by definition on every numpy); the
+                # np.int64(...) scalar constructor raises on out-of-range
+                # values under numpy >= 2.0 — half of all hashes set bit 63
+                out_h.append(int((weights * bits).sum(dtype=np.uint64).astype(np.int64)))
             yield pd.DataFrame({"media_id": out_id, "phash": out_h})
 
     return media.mapInPandas(kernel, "media_id long, phash long")

@@ -225,14 +225,14 @@ def test_hamming64_pairs_exact_banding(spark):
     from knowhere_spark.operators.dedup import hamming64_pairs
 
     rng = np.random.default_rng(7)
-    sigs = [int(np.int64(np.uint64(v))) for v in
-            rng.integers(0, 2**64, 30, dtype=np.uint64)]
+    sigs = [int(v) for v in
+            rng.integers(0, 2**64, 30, dtype=np.uint64).astype(np.int64)]
     # plant close pairs: flip k bits of sig 0
     for k, mid in [(1, 100), (4, 101), (7, 102)]:
-        flipped = np.uint64(sigs[0])
+        flipped = np.uint64(sigs[0] & 0xFFFFFFFFFFFFFFFF)
         for b in rng.choice(64, k, replace=False):
             flipped ^= np.uint64(1) << np.uint64(b)
-        sigs.append(int(np.int64(flipped)))
+        sigs.append(int(flipped.astype(np.int64)))
     ids = list(range(30)) + [100, 101, 102]
     df = spark.createDataFrame(list(zip(ids, sigs)), "mid long, sig long")
 
@@ -281,3 +281,43 @@ def test_audio_spectral_features_real_tone(spark):
     assert min(tone_f[11], tone_f[12]) > 3 * rest.max()
     # noise: no single band dominates like the tone's does
     assert noise_f.max() < 2 * noise_f.min()
+
+
+def test_decode_sniffed_but_unparseable_falls_back(spark):
+    """A corpus payload that merely LOOKS like a real format must not
+    kill the stage: 'P6 ' text, truncated BMP and truncated WAV all fall
+    back to the deterministic fake (review r4 regression)."""
+    import struct
+
+    meta = {"height": 4, "width": 4, "n_frames": 1, "sample_rate": 100}
+    # a valid 24bpp BMP header claiming 100x100 pixels with NO pixel data
+    trunc_bmp = (
+        struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    for payload in (
+        b"P6 to the moon, said the analyst",
+        trunc_bmp,
+        b"RIFF\x00\x00\x00\x00WAVEjunk",
+    ):
+        arr = decode_payload(payload, "image", meta)
+        assert arr.shape == (4, 4, 3)
+    # and the full Spark stage survives such a payload
+    rows = [(9, "image", bytearray(b"P6 not actually a pixmap"),
+             {"width": 4, "height": 4, "n_frames": 1, "sample_rate": 0})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert len(extract_features(media, 4).collect()) == 1
+
+
+def test_hamming64_pairs_max_hamming_zero(spark):
+    """max_hamming=0 (exact-equal signatures) works: the single 64-bit
+    band carries the signature unmasked (review r4 regression — the
+    (1<<64)-1 mask overflowed a Spark long literal)."""
+    from knowhere_spark.operators.dedup import hamming64_pairs
+
+    df = spark.createDataFrame(
+        [(1, -5), (2, -5), (3, 7), (4, 7), (5, 9)], "mid long, sig long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           hamming64_pairs(df, 0, id_col="mid", sig_col="sig").collect()}
+    assert got == {(1, 2), (3, 4)}
