@@ -754,9 +754,20 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         RECALL_MAP["sf1x_ivf_1m_search_nq100"] = r_ivf_1m
         out["sf1x_ivf_1m_build"] = q_ivf_1m_build
         out["sf1x_ivf_1m_search_nq100"] = q_ivf_1m_search
+        def q_phash_50k():
+            # pHash + banded Hamming at 10x the image count — the banding
+            # (not the per-image DCT) is the part whose scaling matters
+            from knowhere_spark.operators.multimodal import (
+                phash_neardup_pairs,
+                synthesize_media,
+            )
+
+            return phash_neardup_pairs(synthesize_media(docs10), max_hamming=8)
+
         out["sf1x_corpus_curate_50k"] = q_curate_50k
         out["sf1x_substring_dedup_50k"] = q_substring_dedup_50k
         out["sf1x_lm_perplexity_50k"] = q_lm_perplexity_50k
+        out["sf1x_phash_neardup_50k"] = q_phash_50k
         NQ_MAP["sf1x_ivf_1m_search_nq100"] = 100
 
     # --- recall probes (reference protocol: recall ∈ {0.80, 0.95} targets
