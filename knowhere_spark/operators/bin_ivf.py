@@ -92,6 +92,12 @@ class BinaryIVFIndex:
     def has_raw_data(self) -> bool:
         return True
 
+
+    def get_index_meta(self, **kw):
+        """Parity with the reference: GetIndexMeta is implemented for
+        IVF_FLAT only (ivf.cc:291-293 IVFBaseTag -> not_implemented)."""
+        raise NotImplementedError("GetIndexMeta not implemented")
+
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
         """``GetVectorByIds`` (index_node.h:340-350) — broadcast semi-join
         against the cell-partitioned raw bytes."""

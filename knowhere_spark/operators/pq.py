@@ -154,6 +154,11 @@ class IVFPqIndex:
         # refine path keeps it (the SCANN with_raw_data contract)
         return self.with_raw_data
 
+    def get_index_meta(self, **kw):
+        """Parity with the reference: GetIndexMeta is implemented for
+        IVF_FLAT only (ivf.cc:291-293 IVFBaseTag -> not_implemented)."""
+        raise NotImplementedError("GetIndexMeta not implemented")
+
     def raw_vectors(self) -> DataFrame:
         if not self.with_raw_data:
             raise ValueError("index built without raw data (with_raw_data=False)")

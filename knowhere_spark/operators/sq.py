@@ -159,6 +159,11 @@ class IVFSq8Index:
         # SQ8 drops raw data unless refine keeps it (flat.cc:257-285 rules)
         return self.with_raw_data
 
+    def get_index_meta(self, **kw):
+        """Parity with the reference: GetIndexMeta is implemented for
+        IVF_FLAT only (ivf.cc:291-293 IVFBaseTag -> not_implemented)."""
+        raise NotImplementedError("GetIndexMeta not implemented")
+
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
         """``GetVectorByIds`` (index_node.h:340-350) — legal only with
         ``with_raw_data`` (HasRawData rules)."""

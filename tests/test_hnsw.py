@@ -300,3 +300,21 @@ def test_hnsw_search_with_trace(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="nq == 1"):
         idx.search_with_trace(two, k=5)
+
+
+def test_hnsw_trace_cosine_direction(spark):
+    """trace_visit under a similarity metric: traced distances are true
+    cosine similarities (un-negated), consistent with the result rows."""
+    base = gen_dense(200, 16, seed=21)
+    idx = HNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="COSINE", M=8, ef=16)
+    )
+    q = dense_df(spark, gen_dense(1, 16, seed=22), QUERY_SCHEMA)
+    res, visits = idx.search_with_trace(q, k=5, ef=24)
+    rrows, vrows = res.collect(), visits.collect()
+    assert len(rrows) == 5 and vrows
+    # similarity values live in [-1, 1] on both frames, and the top result
+    # has the LARGEST similarity among its own visit records
+    assert all(-1.001 <= r["distance"] <= 1.001 for r in vrows)
+    best = max(r["distance"] for r in rrows)
+    assert best >= max(r["distance"] for r in vrows) - 1e-6
