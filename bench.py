@@ -601,6 +601,20 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         return phash_neardup_pairs(synthesize_media(docs), max_hamming=8)
 
     out["dedup_phash_images"] = q_phash_neardup
+
+    def q_quality_classifier():
+        # GPT-3-tier quality filter: HashingTF + MLlib LR train (even docs
+        # as "trusted", odd as "crawl" — throughput, not accuracy) + score
+        from knowhere_spark.operators.quality import QualityClassifier
+
+        clf = QualityClassifier.train(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            max_iter=10,
+        )
+        return clf.score(docs).localCheckpoint(eager=True)
+
+    out["quality_classifier"] = q_quality_classifier
     out["events_window"] = q_events_window
     out["events_sessionize"] = q_events_sessionize
 

@@ -186,3 +186,127 @@ class NgramLM:
     def release(self) -> None:
         self.unigrams.unpersist()
         self.bigrams.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier — the GPT-3 / CCNet filtering tier above the
+# perplexity model
+# ---------------------------------------------------------------------------
+
+class QualityClassifier:
+    """Document-quality classifier: logistic regression over hashed
+    unigram+bigram token features — the fasttext-linear architecture the
+    GPT-3 pipeline used (Brown et al. 2020, Appendix A: an LR trained to
+    separate a trusted corpus from the raw crawl, then Pareto-thresholded
+    to importance-sample documents; CCNet uses the same shape).
+
+    Spark-first: tokenization is the shared native ``tokens_expr``,
+    features are ``HashingTF`` (fixed-width, vocabulary-free — nothing to
+    collect at 100 TB), training is MLlib ``LogisticRegression``
+    (tree-aggregated distributed L-BFGS), and scoring is one JVM-side
+    model transform — no Python in any hot path.
+
+        clf = QualityClassifier.train(trusted_docs, crawl_docs)
+        scored = clf.score(candidate_docs)    # (doc_id, quality_score)
+        kept = clf.pareto_filter(candidate_docs)   # GPT-3's sampling rule
+    """
+
+    def __init__(self, model, num_features: int, id_col: str, text_col: str):
+        self._model = model
+        self.num_features = num_features
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- feature pipeline -----------------------------------------------------
+    @staticmethod
+    def _featurize(docs: DataFrame, num_features: int, id_col: str, text_col: str):
+        from pyspark.ml.feature import HashingTF
+
+        toks = docs.select(
+            F.col(id_col),
+            tokens_expr(F.col(text_col)).alias("_t"),
+        )
+        # unigrams + joined bigrams in one term array: the bigram terms
+        # carry the word-order signal a bag of unigrams loses
+        idx = F.when(
+            F.size("_t") >= 2, F.sequence(F.lit(0), F.size("_t") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        terms = toks.select(
+            id_col,
+            F.concat(
+                "_t",
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        "_", F.element_at("_t", i + 1), F.element_at("_t", i + 2)
+                    ),
+                ),
+            ).alias("_terms"),
+        )
+        tf = HashingTF(inputCol="_terms", outputCol="_features",
+                       numFeatures=num_features)
+        return tf.transform(terms)
+
+    @classmethod
+    def train(
+        cls,
+        positive_docs: DataFrame,
+        negative_docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_features: int = 1 << 18,
+        max_iter: int = 30,
+        reg_param: float = 1e-4,
+    ) -> "QualityClassifier":
+        """Fit on trusted (label 1) vs raw (label 0) documents."""
+        from pyspark.ml.classification import LogisticRegression
+
+        data = positive_docs.select(
+            F.col(id_col), F.col(text_col), F.lit(1.0).alias("_label")
+        ).unionByName(
+            negative_docs.select(
+                F.col(id_col), F.col(text_col), F.lit(0.0).alias("_label")
+            )
+        )
+        feats = cls._featurize(data, num_features, id_col, text_col).join(
+            data.select(id_col, "_label"), id_col
+        )
+        lr = LogisticRegression(
+            featuresCol="_features", labelCol="_label",
+            maxIter=max_iter, regParam=reg_param, standardization=False,
+        )
+        return cls(lr.fit(feats), num_features, id_col, text_col)
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        """(id_col, quality_score) — P(trusted | doc) in [0, 1]."""
+        from pyspark.ml.functions import vector_to_array
+
+        feats = self._featurize(docs, self.num_features, self.id_col, self.text_col)
+        out = self._model.transform(feats)
+        return out.select(
+            self.id_col,
+            vector_to_array("probability").getItem(1).alias("quality_score"),
+        )
+
+    def pareto_filter(
+        self, docs: DataFrame, *, alpha: float = 9.0, seed: int = 42
+    ) -> DataFrame:
+        """GPT-3's stochastic quality sampling (Brown et al. 2020 App. A):
+        keep a document iff ``pareto(alpha) > 1 - score`` — high-quality
+        docs are almost always kept, low-quality docs survive with small
+        probability (keeping the tail diverse instead of hard-thresholded).
+
+        The Pareto draw is DETERMINISTIC per (doc, seed): a uniform from
+        ``xxhash64(id, seed)`` inverted through the Pareto CDF — re-running
+        the filter reproduces the same kept set, the reproducibility a
+        training-data pipeline needs."""
+        scored = self.score(docs)
+        # u in (0,1) from the hash; pareto = (1-u)^(-1/alpha) - 1
+        u = (
+            (F.abs(F.xxhash64(F.col(self.id_col), F.lit(seed))) % F.lit(1_000_000_007))
+            .cast("double") / F.lit(1_000_000_007.0)
+        )
+        pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+        kept = scored.filter(pareto > (F.lit(1.0) - F.col("quality_score")))
+        return docs.join(kept.select(self.id_col), self.id_col, "left_semi")

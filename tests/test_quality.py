@@ -113,3 +113,56 @@ def test_plan_is_native_and_model_broadcasts(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan       # model side, never the corpus
     lm.release()
+
+
+def _clf_corpora(spark):
+    """Separable synthetic corpora: fluent English-ish vs token soup."""
+    import random
+
+    rng = random.Random(9)
+    good_words = ("the quick brown fox jumps over a lazy dog and runs to "
+                  "the river with great speed every morning").split()
+    junk_words = ["zzq", "xv9", "q0q", "vvv", "9kx", "jjx", "0x0", "kqz"]
+    good, junk = [], []
+    for i in range(80):
+        good.append((i, " ".join(rng.choice(good_words) for _ in range(30))))
+        junk.append((1000 + i, " ".join(rng.choice(junk_words) for _ in range(30))))
+    gdf = spark.createDataFrame(good, "doc_id long, text string")
+    jdf = spark.createDataFrame(junk, "doc_id long, text string")
+    return gdf, jdf
+
+
+def test_quality_classifier_separates(spark):
+    """LR over hashed n-grams separates trusted text from token soup;
+    scores order correctly on held-out docs."""
+    from knowhere_spark.operators.quality import QualityClassifier
+
+    gdf, jdf = _clf_corpora(spark)
+    clf = QualityClassifier.train(gdf.filter("doc_id < 60"),
+                                  jdf.filter("doc_id < 1060"))
+    held = gdf.filter("doc_id >= 60").unionByName(jdf.filter("doc_id >= 1060"))
+    scores = {r["doc_id"]: r["quality_score"] for r in clf.score(held).collect()}
+    good_scores = [s for d, s in scores.items() if d < 1000]
+    junk_scores = [s for d, s in scores.items() if d >= 1000]
+    assert min(good_scores) > max(junk_scores)
+    assert min(good_scores) > 0.8 and max(junk_scores) < 0.2
+
+
+def test_quality_classifier_pareto_filter(spark):
+    """The Pareto sampling rule keeps (nearly) all high-quality docs,
+    only a small fraction of junk, and is deterministic per seed."""
+    from knowhere_spark.operators.quality import QualityClassifier
+
+    gdf, jdf = _clf_corpora(spark)
+    clf = QualityClassifier.train(gdf.filter("doc_id < 60"),
+                                  jdf.filter("doc_id < 1060"))
+    pool = gdf.unionByName(jdf)
+    kept = clf.pareto_filter(pool, alpha=9.0, seed=7)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    n_good = sum(1 for i in ids if i < 1000)
+    n_junk = sum(1 for i in ids if i >= 1000)
+    assert n_good >= 75          # of 80: quality is almost always kept
+    assert n_junk <= 20          # of 80: junk survives rarely (tail diversity)
+    again = {r["doc_id"] for r in
+             clf.pareto_filter(pool, alpha=9.0, seed=7).select("doc_id").collect()}
+    assert again == ids          # deterministic per (doc, seed)
