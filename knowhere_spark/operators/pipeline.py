@@ -400,3 +400,52 @@ def write_sharded_corpus(
     return spark.createDataFrame(
         stats_rows, "shard INT, n_docs BIGINT, n_tokens BIGINT"
     )
+
+
+def corpus_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ONE-pass corpus health summary — the audit a 100 TB pipeline runs
+    before and after every curation stage, as a single aggregation job
+    (no joins, no second scan, all native/codegen'd):
+
+    - ``n_docs`` / ``n_tokens`` / ``n_chars`` — volume
+    - ``tokens_p50`` / ``tokens_p90`` / ``tokens_p99`` — length shape
+      (``percentile_approx``, the t-digest-style mergeable sketch)
+    - ``approx_distinct_docs`` (HyperLogLog++ over the content
+      fingerprint) and the derived ``dup_fraction`` estimate — exact-dup
+      pressure without a distinct shuffle
+    - ``lang_en``/``lang_de``/``lang_es``/``lang_fr``/``lang_unknown`` —
+      language mix from the native n-gram classifier
+
+    Every statistic is a mergeable sketch or an algebraic aggregate, so
+    the plan is one map-side-combined pass however many executors scan.
+    Returns a single-row DataFrame."""
+    from knowhere_spark.functions.text import (
+        fingerprint_expr,
+        langid_expr,
+        token_count_expr,
+    )
+
+    t = F.col(text_col)
+    ntok = token_count_expr(t)
+    lang = langid_expr(t)
+    lang_cols = [
+        F.sum(F.when(lang == code, 1).otherwise(0)).cast("long").alias(f"lang_{code}")
+        for code in ("en", "de", "es", "fr", "unknown")
+    ]
+    out = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.percentile_approx(ntok, 0.5).cast("long").alias("tokens_p50"),
+        F.percentile_approx(ntok, 0.9).cast("long").alias("tokens_p90"),
+        F.percentile_approx(ntok, 0.99).cast("long").alias("tokens_p99"),
+        F.approx_count_distinct(fingerprint_expr(t)).alias("approx_distinct_docs"),
+        *lang_cols,
+    )
+    dup = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("approx_distinct_docs") / F.col("n_docs"),
+    )
+    return out.withColumn("dup_fraction", F.round(dup, 4))

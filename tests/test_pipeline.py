@@ -324,3 +324,24 @@ def test_token_shards_non_numeric_ids_raise(spark, tmp_path):
     t = docs.select("doc_id", F.lit(3).alias("n_tokens"))
     with pytest.raises(ValueError, match="cast to BIGINT"):
         token_balanced_shards(t, 2)
+
+
+def test_corpus_stats_one_pass(spark):
+    """corpus_stats: volume/quantiles/dup/lang columns correct on a
+    corpus with planted exact duplicates, computed in ONE aggregation
+    (plan has a single Aggregate pair, no Join, no Window)."""
+    from knowhere_spark.operators.pipeline import corpus_stats
+
+    rows = [(i, f"the quick brown fox number {i} runs fast") for i in range(80)]
+    rows += [(100 + i, "the quick brown fox number 0 runs fast") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus_stats(docs).collect()[0]
+    assert r["n_docs"] == 100
+    assert r["n_tokens"] == 100 * 8
+    assert r["tokens_p50"] == 8 and r["tokens_p99"] == 8
+    # 81 distinct contents of 100 docs -> dup_fraction ~ 0.19 (HLL ±2%)
+    assert abs(r["approx_distinct_docs"] - 81) <= 4
+    assert 0.14 <= r["dup_fraction"] <= 0.24
+    assert r["lang_en"] == 100 and r["lang_unknown"] == 0
+    plan = corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
