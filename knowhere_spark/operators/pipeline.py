@@ -436,6 +436,10 @@ def corpus_stats(
     ]
     out = docs.agg(
         F.count("*").cast("long").alias("n_docs"),
+        # NULL-text rows are reported, not folded into other stats: the
+        # HLL ignores NULL fingerprints, so a dup estimate over n_docs
+        # would count every missing text as a duplicate
+        F.count(t).cast("long").alias("n_docs_with_text"),
         F.sum(ntok).cast("long").alias("n_tokens"),
         F.sum(F.length(t)).cast("long").alias("n_chars"),
         F.percentile_approx(ntok, 0.5).cast("long").alias("tokens_p50"),
@@ -444,8 +448,12 @@ def corpus_stats(
         F.approx_count_distinct(fingerprint_expr(t)).alias("approx_distinct_docs"),
         *lang_cols,
     )
-    dup = F.greatest(
-        F.lit(0.0),
-        F.lit(1.0) - F.col("approx_distinct_docs") / F.col("n_docs"),
-    )
+    dup = F.when(
+        F.col("n_docs_with_text") > 0,
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("approx_distinct_docs") / F.col("n_docs_with_text"),
+        ),
+    ).otherwise(F.lit(0.0))
     return out.withColumn("dup_fraction", F.round(dup, 4))

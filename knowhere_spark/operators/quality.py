@@ -45,17 +45,24 @@ from pyspark.sql import functions as F
 from knowhere_spark.functions.text import tokens_expr
 
 
+def _bigram_index_expr(tok_col: str):
+    """Index sequence over adjacent-pair starts of a token-array column —
+    guarded for short arrays (``sequence(0, -1)`` would step DOWN and
+    emit [0, -1]).  Shared by the LM's bigram extraction and the
+    classifier's bigram terms: one copy of the off-by-one-prone idiom."""
+    return F.when(
+        F.size(tok_col) >= 2, F.sequence(F.lit(0), F.size(tok_col) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, w1, w2) for every adjacent token pair."""
     toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
-    idx = F.when(
-        F.size("_t") >= 2, F.sequence(F.lit(0), F.size("_t") - 2)
-    ).otherwise(F.array().cast("array<int>"))
     pairs = toks.select(
         id_col,
         F.explode(
             F.transform(
-                idx,
+                _bigram_index_expr("_t"),
                 lambda i: F.struct(
                     F.element_at("_t", i + 1).alias("w1"),
                     F.element_at("_t", i + 2).alias("w2"),
@@ -219,24 +226,31 @@ class QualityClassifier:
 
     # -- feature pipeline -----------------------------------------------------
     @staticmethod
-    def _featurize(docs: DataFrame, num_features: int, id_col: str, text_col: str):
+    def _featurize(
+        docs: DataFrame, num_features: int, id_col: str, text_col: str,
+        keep: tuple = (),
+    ):
         from pyspark.ml.feature import HashingTF
 
         toks = docs.select(
             F.col(id_col),
-            tokens_expr(F.col(text_col)).alias("_t"),
+            *keep,
+            # NULL text must featurize as the empty document, not NULL —
+            # a NULL term array NPEs HashingTF and kills the whole stage
+            # (a 100 TB crawl WILL have missing text fields)
+            F.coalesce(
+                tokens_expr(F.col(text_col)), F.array().cast("array<string>")
+            ).alias("_t"),
         )
         # unigrams + joined bigrams in one term array: the bigram terms
         # carry the word-order signal a bag of unigrams loses
-        idx = F.when(
-            F.size("_t") >= 2, F.sequence(F.lit(0), F.size("_t") - 2)
-        ).otherwise(F.array().cast("array<int>"))
         terms = toks.select(
             id_col,
+            *keep,
             F.concat(
                 "_t",
                 F.transform(
-                    idx,
+                    _bigram_index_expr("_t"),
                     lambda i: F.concat_ws(
                         "_", F.element_at("_t", i + 1), F.element_at("_t", i + 2)
                     ),
@@ -269,9 +283,12 @@ class QualityClassifier:
                 F.col(id_col), F.col(text_col), F.lit(0.0).alias("_label")
             )
         )
-        feats = cls._featurize(data, num_features, id_col, text_col).join(
-            data.select(id_col, "_label"), id_col
-        )
+        # the label rides THROUGH featurization — joining it back on
+        # id_col would be many-to-many when the two corpora carry
+        # independent id spaces (the normal separately-ingested case),
+        # silently training every colliding doc with both labels
+        feats = cls._featurize(data, num_features, id_col, text_col,
+                               keep=("_label",))
         lr = LogisticRegression(
             featuresCol="_features", labelCol="_label",
             maxIter=max_iter, regParam=reg_param, standardization=False,
@@ -302,10 +319,13 @@ class QualityClassifier:
         the filter reproduces the same kept set, the reproducibility a
         training-data pipeline needs."""
         scored = self.score(docs)
-        # u in (0,1) from the hash; pareto = (1-u)^(-1/alpha) - 1
+        # u strictly inside (0,1): (h%p + 1)/(p + 2) — u=0 would make the
+        # pareto draw exactly 0 and unconditionally drop that doc even at
+        # quality_score 1.0 (one deterministic casualty per ~5e8 ids)
+        p = 1_000_000_007
         u = (
-            (F.abs(F.xxhash64(F.col(self.id_col), F.lit(seed))) % F.lit(1_000_000_007))
-            .cast("double") / F.lit(1_000_000_007.0)
+            (F.abs(F.xxhash64(F.col(self.id_col), F.lit(seed))) % F.lit(p) + F.lit(1))
+            .cast("double") / F.lit(float(p + 2))
         )
         pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
         kept = scored.filter(pareto > (F.lit(1.0) - F.col("quality_score")))

@@ -336,7 +336,7 @@ def test_corpus_stats_one_pass(spark):
     rows += [(100 + i, "the quick brown fox number 0 runs fast") for i in range(20)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     r = corpus_stats(docs).collect()[0]
-    assert r["n_docs"] == 100
+    assert r["n_docs"] == 100 and r["n_docs_with_text"] == 100
     assert r["n_tokens"] == 100 * 8
     assert r["tokens_p50"] == 8 and r["tokens_p99"] == 8
     # 81 distinct contents of 100 docs -> dup_fraction ~ 0.19 (HLL ±2%)
@@ -345,3 +345,10 @@ def test_corpus_stats_one_pass(spark):
     assert r["lang_en"] == 100 and r["lang_unknown"] == 0
     plan = corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+    # NULL-text rows are reported separately, never counted as duplicates
+    with_null = docs.unionByName(
+        spark.createDataFrame([(500, None)], "doc_id long, text string")
+    )
+    r2 = corpus_stats(with_null).collect()[0]
+    assert r2["n_docs"] == 101 and r2["n_docs_with_text"] == 100
+    assert abs(r2["dup_fraction"] - r["dup_fraction"]) < 0.02

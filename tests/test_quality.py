@@ -132,6 +132,27 @@ def _clf_corpora(spark):
     return gdf, jdf
 
 
+def test_quality_classifier_colliding_ids_and_null_text(spark):
+    """The two corpora may carry independent id spaces (same ids on both
+    sides) — each doc still trains with exactly its own label; a NULL
+    text featurizes as the empty doc instead of NPE-ing HashingTF."""
+    from knowhere_spark.operators.quality import QualityClassifier
+
+    gdf, jdf = _clf_corpora(spark)
+    # re-key junk onto the SAME id space as the good docs
+    jdf_same_ids = jdf.withColumn("doc_id", F.col("doc_id") - 1000)
+    clf = QualityClassifier.train(gdf, jdf_same_ids)
+    held = spark.createDataFrame(
+        [(0, " ".join("the quick brown fox runs to the river".split() * 4)),
+         (1, " ".join("zzq xv9 q0q vvv jjx 9kx".split() * 5)),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["quality_score"] for r in clf.score(held).collect()}
+    assert scores[0] > 0.8 and scores[1] < 0.2     # labels not corrupted
+    assert 2 in scores                             # NULL text scored, no crash
+
+
 def test_quality_classifier_separates(spark):
     """LR over hashed n-grams separates trusted text from token soup;
     scores order correctly on held-out docs."""
