@@ -444,6 +444,34 @@ def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, operators/semdedup.py) with PINNED
+    centroids — the first 4 embedding vectors — so cluster assignment,
+    the (centroid_cos, id) sweep order, and the keep verdicts are all
+    deterministic and the WHOLE algorithm (normalize → assign →
+    per-cluster max-over-prior sweep → keep rule) is hash-gated against a
+    DuckDB mirror.  ``precise=True`` runs the per-cluster GEMM in float64
+    so 4-decimal rounding is stable against DuckDB's double arithmetic.
+    eps=0.4 sits inside the testdata's real cosine range (max pairwise
+    ≈ 0.51, same argument as embed_cosine_neardup), so drops actually
+    occur."""
+    import numpy as np
+
+    from knowhere_spark.operators.semdedup import semdedup
+
+    emb = embeddings_as_dataset(spark, sf_dir)
+    crows = emb.filter(F.col("id") < 4).orderBy("id").collect()
+    cents = np.array([r["vec"] for r in crows], dtype=np.float64)
+    out = semdedup(emb, eps=0.4, centroids=cents, precise=True)
+    return out.select(
+        "id",
+        "cluster_id",
+        F.round("centroid_cos", 4).alias("centroid_cos"),
+        F.round("max_prior_cos", 4).alias("max_prior_cos"),
+        "keep",
+    )
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-GROUP resolution (operators/groups.py): near-dup pairs →
     transitive connected components (large-star/small-star-style min-label
@@ -1163,6 +1191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_dedup.py), while Serialize/Deserialize had no driver gate
     at all.
 
+    r4 session-3 swap: ``topk_per_key`` → ``semdedup_fixed``.  The
+    topk_per_key kernel is the final reduction inside EVERY exact-KNN
+    oracle gate (flat_knn_*, ivf_*_exact, bin_*, scann, saveload — each
+    hash-verifies the same partial-then-final window path), so its
+    standalone gate was redundant evidence; the relational form keeps
+    tests (tests/test_plan_quality.py WindowGroupLimit assertion).
+    SemDeDup — a brand-new operator family — gets the freed slot with a
+    full-algorithm DuckDB mirror (pinned centroids, float64 GEMM).
+
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same
     code paths + pytest recall floors), ``ann_ordered_neighbors`` (same
@@ -1177,7 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_knn_l2_filtered": q_flat_knn_l2_filtered,
         "flat_range_l2": q_flat_range_l2,
         "get_vector_by_ids": q_get_vector_by_ids,
-        "topk_per_key": q_topk_per_key,
+        "semdedup_fixed": q_semdedup_fixed,
         "sparse_ip_topk": q_sparse_ip_topk,
         "sparse_bm25_topk": q_sparse_bm25_topk,
         "sparse_bm25_range": q_sparse_bm25_range,
@@ -1761,16 +1798,44 @@ SELECT vec_id AS id,
        unnest(list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 4))) AS val
 FROM embeddings WHERE vec_id % 7 = 0
 """,
-        "topk_per_key": """
-WITH r AS (
-  SELECT l_orderkey, l_linenumber, l_extendedprice,
-         row_number() OVER (PARTITION BY l_orderkey
-                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
-  FROM lineitem
-)
-SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS l_extendedprice,
-       CAST(rk AS INT) AS rank
-FROM r WHERE rk <= 3
+        # full-algorithm SemDeDup mirror: normalize (zero-safe) → L2-assign
+        # to the pinned raw centroids (ties to lowest cid, like argmin) →
+        # centroid_cos against the UNIT centroid → max cosine over all
+        # PRIOR items in (centroid_cos, id) ascending order within the
+        # cluster → keep iff that max < eps.  All double arithmetic; the
+        # Spark side runs precise=True (float64 GEMM) for parity.
+        "semdedup_fixed": """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings WHERE vec_id < 4),
+n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings),
+u AS (SELECT id, CASE WHEN nrm = 0 THEN e
+                      ELSE list_transform(e, x -> x/nrm) END AS v FROM n),
+d AS (SELECT u.id, c.cid,
+             list_sum(list_transform(list_zip(u.v, c.cvec),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+      FROM u, c),
+a AS (SELECT id, cid,
+             row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rk FROM d),
+cu AS (SELECT cid,
+              list_transform(cvec, x -> x / sqrt(list_sum(list_transform(cvec, y -> y*y)))) AS cunit
+       FROM c),
+cc AS (SELECT u.id, a.cid, u.v,
+              list_sum(list_transform(list_zip(u.v, cu.cunit), x -> x[1]*x[2])) AS ccos
+       FROM u JOIN a ON u.id = a.id AND a.rk = 1
+              JOIN cu ON a.cid = cu.cid),
+p AS (SELECT x.id,
+             max(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))) AS mp
+      FROM cc x JOIN cc y
+        ON x.cid = y.cid
+       AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.id < x.id))
+      GROUP BY x.id)
+SELECT cc.id, CAST(cc.cid AS INT) AS cluster_id,
+       ROUND(cc.ccos, 4) AS centroid_cos,
+       ROUND(p.mp, 4) AS max_prior_cos,
+       (COALESCE(p.mp, -1e18) < 0.4) AS keep
+FROM cc LEFT JOIN p ON cc.id = p.id
 """,
         "sparse_ip_topk": f"""
 WITH {_SPARSE_BASE},

@@ -670,10 +670,20 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         qs = big.select(F.col("id").alias("query_id"), "vec")
         return idx.search(qs, k=10, nprobe=4, strategy="distributed")
 
+    def q_semdedup_100k():
+        # SemDeDup (Abbas et al. 2023) over the 50x-replicated corpus: the
+        # perturbed replicas are planted semantic dups; one
+        # groupBy(cluster) shuffle + per-cluster blocked GEMM, ~4k-row
+        # mean clusters — the n^2/k pairwise regime, never all-pairs
+        from knowhere_spark.operators.semdedup import semdedup
+
+        return semdedup(big, eps=0.96, num_clusters=96, seed=11)
+
     out["bf_knn_100k_nq100"] = q_bf_knn_100k
     out["ivf_100k_build"] = q_ivf_100k_build
     out["ivf_100k_search_nq100"] = q_ivf_100k_search
     out["ivf_100k_selfsearch_distributed"] = q_ivf_100k_selfsearch_distributed
+    out["semdedup_100k"] = q_semdedup_100k
 
     # --- sf1-equivalent scale probe: a second point on the scaling curve
     # the 100 TB claims extrapolate from (no sf1 driver data exists, so
@@ -778,10 +788,19 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
             return phash_neardup_pairs(synthesize_media(docs10), max_hamming=8)
 
+        def q_semdedup_1m():
+            # SemDeDup at 1M rows: cluster count scales with n so the mean
+            # cluster (and each task's blocked GEMM) stays ~4k rows — the
+            # O(n²/k) pairwise budget grows linearly when k tracks n
+            from knowhere_spark.operators.semdedup import semdedup
+
+            return semdedup(huge, eps=0.96, num_clusters=976, seed=11)
+
         out["sf1x_corpus_curate_50k"] = q_curate_50k
         out["sf1x_substring_dedup_50k"] = q_substring_dedup_50k
         out["sf1x_lm_perplexity_50k"] = q_lm_perplexity_50k
         out["sf1x_phash_neardup_50k"] = q_phash_50k
+        out["sf1x_semdedup_1m"] = q_semdedup_1m
         NQ_MAP["sf1x_ivf_1m_search_nq100"] = 100
 
     # --- recall probes (reference protocol: recall ∈ {0.80, 0.95} targets

@@ -1,0 +1,222 @@
+"""SemDeDup — semantic deduplication by embedding clustering (Abbas et
+al. 2023, arXiv:2303.09540; public paper).
+
+The published protocol: k-means the normalized embeddings; inside each
+cluster, order items and drop every item whose max cosine similarity to
+ANY earlier item exceeds ``eps`` — exactly one survivor per semantic
+duplicate group.  The keep rule orders by cosine-to-centroid ASCENDING
+(the paper's best-performing variant keeps the *low* centroid-similarity
+example of each group), with id as a deterministic tie-break.
+
+Spark shape (the 100 TB story):
+
+- centroid training on a capped sample (same contract as IVF build —
+  faiss's 256-points-per-centroid cap), never a full-corpus fit;
+- ONE groupBy(cluster) shuffle; no all-pairs join anywhere;
+- per-cluster pairwise work runs as a blocked numpy GEMM inside
+  ``applyInPandas`` — peak task memory is O(block_rows x cluster_size)
+  floats, never cluster_size**2;
+- total pairwise FLOPs are O(n**2 / k): size ``num_clusters`` so the
+  mean cluster is a few thousand rows (the paper uses k ~ 0.1% of n),
+  which bounds both compute and the skewed-cluster tail.  The operator
+  raises if a cluster exceeds ``max_cluster_rows`` instead of silently
+  OOM-ing a task — re-run with more clusters.
+
+Related in-repo operators: exact/LSH text dedup (operators/dedup.py),
+embedding near-dup pairs (dedup.embedding_neardup_pairs — pairwise
+output, no keep rule); SemDeDup is the keep-one-per-semantic-group
+CORPUS FILTER over the same embedding space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from knowhere_spark.functions.distance import norm_expr
+
+
+def _normalized_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """``(id, vec)`` with unit-normalized vectors, zero vectors passed
+    through unchanged (ANSI x/0 errors; one degenerate embedding must not
+    kill a corpus-scale stage — it scores cosine 0 to everything →
+    unique).
+
+    The norm is materialized as its OWN column before the per-element
+    divide: an aggregate inlined into a ``transform`` lambda is
+    re-evaluated per element by Spark's interpreted higher-order-function
+    path — measured ~40s vs ~1s for one pass over 100k x 64-dim rows."""
+    n = norm_expr(F.col(vec_col))
+    staged = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        n.alias("__n"),
+    )
+    return staged.select(
+        "id",
+        F.when(F.col("__n") == F.lit(0.0), F.col("__v"))
+        .otherwise(F.transform("__v", lambda x: x / F.col("__n")))
+        .alias("vec"),
+    )
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster_id", T.IntegerType()),
+        T.StructField("centroid_cos", T.DoubleType()),
+        T.StructField("max_prior_cos", T.DoubleType()),  # NULL for the first item
+        T.StructField("keep", T.BooleanType()),
+    ]
+)
+
+
+def _cluster_pass(
+    ids: np.ndarray,
+    V: np.ndarray,
+    centroid: np.ndarray,
+    eps: float,
+    block_rows: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The per-cluster SemDeDup sweep over L2-normalized rows ``V``.
+
+    Returns (order-sorted ids, centroid_cos, max_prior_cos with -inf for
+    the first item, keep).  Blocked so memory is O(block_rows * m).
+    All arithmetic runs in V's dtype (float32 default; float64 under
+    ``precise=True`` for oracle-grade reproducibility)."""
+    cnorm = float(np.linalg.norm(centroid))
+    cunit = centroid / cnorm if cnorm > 0 else centroid
+    ccos = V @ cunit.astype(V.dtype)
+    # ascending centroid-cos => the kept representative of each duplicate
+    # group is its least-typical member (the paper's keep rule); id breaks
+    # ties deterministically
+    order = np.lexsort((ids, ccos))
+    ids_s, V_s, ccos_s = ids[order], V[order], ccos[order]
+    m = len(ids_s)
+    max_prior = np.full(m, -np.inf, dtype=V.dtype)
+    for s in range(0, m, block_rows):
+        e = min(s + block_rows, m)
+        blk = V_s[s:e]
+        if s > 0:
+            max_prior[s:e] = (blk @ V_s[:s].T).max(axis=1)
+        # strictly-lower-triangular max inside the block
+        C = blk @ blk.T
+        C[np.triu_indices(e - s)] = -np.inf
+        max_prior[s:e] = np.maximum(max_prior[s:e], C.max(axis=1))
+    keep = max_prior < eps
+    return ids_s, ccos_s, max_prior, keep
+
+
+def semdedup(
+    df: DataFrame,
+    eps: float,
+    *,
+    num_clusters: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    block_rows: int = 1024,
+    max_cluster_rows: int = 200_000,
+    precise: bool = False,
+) -> DataFrame:
+    """Per-row SemDeDup verdicts: ``(id, cluster_id, centroid_cos,
+    max_prior_cos, keep)``.  ``keep`` marks the one survivor per semantic
+    duplicate group (pairwise cosine > ``eps``) under the paper's
+    low-centroid-similarity keep rule.
+
+    ``centroids``: pass a pinned ``(k, dim)`` array to make the whole
+    operator deterministic end-to-end (tests / oracle gates); otherwise
+    k-means trains on a capped sample with ``seed``.
+
+    ``precise``: run the per-cluster GEMM in float64 (default float32 —
+    2x the throughput).  Use for oracle comparison against engines that
+    compute in double: float64 sum error ~1e-15 makes 4-decimal rounding
+    and the (centroid_cos, id) sweep order bit-stable across engines.
+    """
+    from knowhere_spark.functions.distance import numpy_kmeans
+    from knowhere_spark.operators.ivf import _assign_cells
+    from knowhere_spark.session import collect_vec_matrix
+
+    base = _normalized_base(df, id_col, vec_col)
+    if centroids is None:
+        n = base.count()
+        # the paper runs ~n/2200 clusters (50k over 110M); pairwise work is
+        # O(n²/k) and the WORST cluster bounds wall-clock, so err toward
+        # more clusters — skew makes the largest cluster several times the
+        # mean (measured 30x wall between k=n/4096 and k=n/1024 at 100k
+        # rows on replica-heavy data)
+        k = num_clusters if num_clusters is not None else max(1, n // 1024)
+        train_cap = 256 * k
+        train_df = base if n <= train_cap else base.sample(
+            fraction=train_cap / n, seed=seed
+        )
+        X = collect_vec_matrix(train_df, "vec")
+        centroids = numpy_kmeans(X, k, iters=20, seed=seed)
+    cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+
+    assigned = _assign_cells(base, cents).select(
+        "id", F.col("cell_id").cast("int").alias("cluster_id"), "vec"
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+    eps_f, blk, cap = float(eps), int(block_rows), int(max_cluster_rows)
+    work_dtype = np.float64 if precise else np.float32
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=o) for c, o in (
+                    ("id", "int64"), ("cluster_id", "int32"),
+                    ("centroid_cos", "float64"), ("max_prior_cos", "float64"),
+                    ("keep", "bool"),
+                )}
+            )
+        if m > cap:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['cluster_id'].iloc[0])} has {m} rows"
+                f" > max_cluster_rows={cap}; raise num_clusters (mean cluster"
+                " should be a few thousand rows) or max_cluster_rows"
+            )
+        cid = int(pdf["cluster_id"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        # a zero-norm embedding normalizes to NaN (x/0) — zero it instead of
+        # letting one bad row poison the whole cluster's GEMM maxima
+        V = np.nan_to_num(
+            np.stack(pdf["vec"].to_numpy()).astype(work_dtype),
+            nan=0.0, posinf=0.0, neginf=0.0,
+        )
+        ids_s, ccos, mp, keep = _cluster_pass(ids, V, bc.value[cid], eps_f, blk)
+        out = pd.DataFrame(
+            {
+                "id": ids_s,
+                "cluster_id": np.int32(cid),
+                "centroid_cos": ccos.astype(np.float64),
+                "max_prior_cos": mp.astype(np.float64),
+                "keep": keep,
+            }
+        )
+        out.loc[np.isneginf(out["max_prior_cos"]), "max_prior_cos"] = np.nan
+        return out
+
+    return assigned.groupBy("cluster_id").applyInPandas(kernel, _OUT_SCHEMA)
+
+
+def semdedup_filter(
+    df: DataFrame,
+    eps: float,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    **kw,
+) -> DataFrame:
+    """The corpus after SemDeDup: rows whose embedding survived
+    (one representative per semantic duplicate group), original schema."""
+    verdicts = semdedup(df, eps, id_col=id_col, vec_col=vec_col, **kw)
+    kept = verdicts.filter(F.col("keep")).select(F.col("id").alias("__keep_id"))
+    return df.join(
+        kept, F.col(id_col).cast("long") == F.col("__keep_id"), "inner"
+    ).drop("__keep_id")

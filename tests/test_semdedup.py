@@ -1,0 +1,132 @@
+"""SemDeDup (operators/semdedup.py) — planted semantic-duplicate groups,
+keep-rule verification, blocked-GEMM equivalence, edge cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.operators.semdedup import semdedup, semdedup_filter
+
+
+def _corpus(n_unique=30, dup_groups=8, copies=2, dim=16, seed=7):
+    """n_unique random unit vectors; the first dup_groups of them each get
+    `copies` tiny-noise near-copies.  Returns (rows, group_of_id)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_unique, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, group = [], {}
+    nid = 0
+    for i in range(n_unique):
+        rows.append((nid, base[i].astype(np.float32).tolist()))
+        group[nid] = i
+        nid += 1
+    for i in range(dup_groups):
+        for _ in range(copies):
+            v = base[i] + rng.normal(scale=1e-3, size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((nid, v.astype(np.float32).tolist()))
+            group[nid] = i
+            nid += 1
+    return rows, group
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows, group = _corpus()
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    return df.cache(), group
+
+
+def test_one_survivor_per_group(corpus_df):
+    df, group = corpus_df
+    out = semdedup(df, eps=0.99, num_clusters=4, seed=3).collect()
+    kept = {r.id for r in out if r.keep}
+    # every semantic group keeps exactly one member
+    by_group = {}
+    for r in out:
+        by_group.setdefault(group[r.id], []).append(r)
+    for g, members in by_group.items():
+        assert sum(1 for r in members if r.keep) == 1, f"group {g}"
+    # unique (singleton) vectors all survive
+    singles = [i for i, g in group.items() if sum(1 for x in group.values() if x == g) == 1]
+    assert set(singles) <= kept
+
+
+def test_verdict_frame_shape(corpus_df):
+    df, _ = corpus_df
+    out = semdedup(df, eps=0.99, num_clusters=4, seed=3)
+    assert out.count() == df.count()
+    assert set(out.columns) == {"id", "cluster_id", "centroid_cos", "max_prior_cos", "keep"}
+    # exactly one NULL max_prior_cos per non-empty cluster (its first item)
+    firsts = out.filter(F.col("max_prior_cos").isNull()).groupBy("cluster_id").count()
+    assert all(r["count"] == 1 for r in firsts.collect())
+
+
+def test_keep_rule_low_centroid_similarity(corpus_df):
+    """Within a duplicate group the survivor is the (centroid_cos, id)-min
+    member — the paper's low-centroid-similarity keep rule."""
+    df, group = corpus_df
+    out = semdedup(df, eps=0.99, num_clusters=4, seed=3).collect()
+    by_id = {r.id: r for r in out}
+    for g in set(group.values()):
+        members = [by_id[i] for i, gg in group.items() if gg == g]
+        if len(members) == 1:
+            continue
+        # near-copies land in one cluster (noise 1e-3 vs unit vectors)
+        assert len({m.cluster_id for m in members}) == 1
+        survivor = [m for m in members if m.keep]
+        assert len(survivor) == 1
+        expect = min(members, key=lambda m: (m.centroid_cos, m.id))
+        assert survivor[0].id == expect.id
+
+
+def test_blocked_equals_unblocked(corpus_df):
+    df, _ = corpus_df
+    a = semdedup(df, eps=0.99, num_clusters=4, seed=3, block_rows=4)
+    b = semdedup(df, eps=0.99, num_clusters=4, seed=3, block_rows=1 << 20)
+    ra = {(r.id, r.keep, r.cluster_id) for r in a.collect()}
+    rb = {(r.id, r.keep, r.cluster_id) for r in b.collect()}
+    assert ra == rb
+
+
+def test_filter_returns_original_schema(corpus_df):
+    df, group = corpus_df
+    out = semdedup_filter(df, eps=0.99, num_clusters=4, seed=3)
+    assert out.columns == df.columns
+    n_groups = len(set(group.values()))
+    assert out.count() == n_groups
+
+
+def test_pinned_centroids_single_cluster(spark):
+    rows, _ = _corpus(n_unique=10, dup_groups=2, copies=1)
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    cents = np.zeros((1, 16))
+    cents[0, 0] = 1.0
+    out = semdedup(df, eps=0.99, centroids=cents).collect()
+    assert len(out) == len(rows)
+    assert {r.cluster_id for r in out} == {0}
+    assert sum(1 for r in out if r.keep) == 10
+
+
+def test_eps_one_keeps_everything(corpus_df):
+    """Near-copies have cosine < 1.0 strictly, so eps slightly above their
+    similarity keeps all rows."""
+    df, _ = corpus_df
+    out = semdedup(df, eps=1.0000001, num_clusters=4, seed=3)
+    assert out.filter(~F.col("keep")).count() == 0
+
+
+def test_cluster_cap_raises(corpus_df):
+    df, _ = corpus_df
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(df, eps=0.99, num_clusters=1, max_cluster_rows=5).count()
+
+
+def test_zero_vector_survives(spark):
+    rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    cents = np.zeros((1, 8))
+    cents[0, 0] = 1.0
+    out = {r.id: r for r in semdedup(df, eps=0.99, centroids=cents).collect()}
+    assert out[0].keep                     # zero vec: cosine 0 to everything
+    assert sum(out[i].keep for i in (1, 2)) == 1   # exact dups keep one
