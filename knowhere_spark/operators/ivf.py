@@ -95,17 +95,34 @@ class IVFFlatIndex:
         id_col: str = "id",
         vec_col: str = "vec",
         index_type: IndexType = IndexType.IVF_FLAT,
+        scalar_cols: tuple[str, ...] | list[str] = (),
     ) -> "IVFFlatIndex":
-        """Train (kmeans) + Add (assign) — ``IndexNode::Build`` (index_node.h:70-74)."""
+        """Train (kmeans) + Add (assign) — ``IndexNode::Build`` (index_node.h:70-74).
+
+        ``scalar_cols``: hot scalar payload columns to carry into the
+        assignments table so a ``filter_expr`` over them is evaluated
+        join-free at the scan — and, after ``save(path,
+        scalar_partition_cols=...)``, prunes parquet partitions outright
+        (the reference's scalar-filter-aware MaterializedViewSearchInfo,
+        include/knowhere/comp/materialized_view.h:23-36, re-expressed as
+        Spark partition layout)."""
         from knowhere_spark.functions.distance import numpy_kmeans
 
+        scalar_cols = tuple(scalar_cols)
+        clash = {"id", "vec", "cell_id"} & set(scalar_cols)
+        if clash:
+            raise ValueError(f"scalar_cols collide with index columns: {sorted(clash)}")
         metric = MetricType(config.metric_type)
         base = base_df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+            *scalar_cols,
         )
         if metric == MetricType.COSINE:
             # normalize-at-train contract (ivf.cc:462-470)
-            base = base.select("id", normalize_expr(F.col("vec")).alias("vec"))
+            base = base.select(
+                "id", normalize_expr(F.col("vec")).alias("vec"), *scalar_cols
+            )
 
         n = base.count()
         nlist = config.match_nlist(n)
@@ -127,7 +144,7 @@ class IVFFlatIndex:
             X = collect_vec_matrix(train_df, "vec")
             centroids = numpy_kmeans(X, nlist, iters=20, seed=config.seed)
             nlist = len(centroids)
-            assignments = _assign_cells(base, centroids)
+            assignments = _assign_cells(base, centroids, scalar_cols)
         else:
             # huge nlist (sample beyond driver memory): distributed fit
             from pyspark.ml.clustering import KMeans
@@ -151,7 +168,7 @@ class IVFFlatIndex:
                 [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
             )
             assignments = model.transform(feats).select(
-                "id", F.col("cell_id").cast("int"), "vec"
+                "id", F.col("cell_id").cast("int"), "vec", *scalar_cols
             )
         import dataclasses
 
@@ -164,12 +181,21 @@ class IVFFlatIndex:
         (``IndexNode::Add``, index_node.h:120-121; the *_CC growing-segment
         behavior, ivf.cc:513-534)."""
         metric = MetricType(self.config.metric_type)
+        # scalar payload columns the index carries must arrive with every
+        # Add batch — a NULL-padded union would silently break the
+        # partition-pruned filtered search on the saved layout
+        extra = tuple(
+            c for c in self.assignments.columns if c not in ("id", "cell_id", "vec")
+        )
+        missing = [c for c in extra if c not in new_df.columns]
+        if missing:
+            raise ValueError(f"Add batch is missing the index's scalar_cols: {missing}")
         new = new_df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"), *extra
         )
         if metric == MetricType.COSINE:
-            new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
-        assigned = _assign_cells(new, self.centroids)
+            new = new.select("id", normalize_expr(F.col("vec")).alias("vec"), *extra)
+        assigned = _assign_cells(new, self.centroids, extra)
         return IVFFlatIndex(
             self.centroids,
             self.assignments.unionByName(assigned),
@@ -572,7 +598,20 @@ class IVFFlatIndex:
         return out.select("cluster_id", "size", "centroid")
 
     # -- Serialize / Deserialize (index_node.h:371-401) ------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, *, scalar_partition_cols: list[str] | None = None) -> None:
+        """Persist as a cell-partitioned parquet layout.
+
+        ``scalar_partition_cols`` (must be among the index's
+        ``scalar_cols``) layer hot scalar fields ABOVE ``cell_id`` in the
+        directory tree, so a filtered search on the loaded index prunes
+        whole scalar partitions at the scan — the 100 TB shape of the
+        reference's scalar-filter-aware search
+        (materialized_view.h:23-36): equality/IN predicates on the hot
+        field never read a byte of the other partitions."""
+        scalars = list(scalar_partition_cols or [])
+        missing = [c for c in scalars if c not in self.assignments.columns]
+        if missing:
+            raise ValueError(f"scalar_partition_cols not on the index: {missing}")
         store = IndexStore(path)
         store.write_manifest(
             {
@@ -585,8 +624,11 @@ class IVFFlatIndex:
                 "centroids": self.centroids.tolist(),
             }
         )
-        # cell-partitioned layout → probe-time partition pruning
-        store.write_table("assignments", self.assignments, partition_by=["cell_id"])
+        # scalar fields coarsest-first, then cell: probe-time pruning on
+        # cell_id composes with scalar-predicate pruning
+        store.write_table(
+            "assignments", self.assignments, partition_by=[*scalars, "cell_id"]
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFFlatIndex":
@@ -781,13 +823,19 @@ def cogroup_cells_range(
     )
 
 
-def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+def _assign_cells(
+    df: DataFrame, centroids: np.ndarray, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-centroid assignment via a broadcast numpy GEMM kernel —
-    ``ClusterNode::Assign`` analog (cluster_node.h:26-50)."""
+    ``ClusterNode::Assign`` analog (cluster_node.h:26-50).  ``extra_cols``
+    (scalar payload columns already present on ``df``) pass through
+    untouched — the hot-scalar-field index layout (SURVEY §4's
+    materialized-view analog, include/knowhere/comp/materialized_view.h)."""
     import pandas as pd
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
+    keep = ["id", "cell_id", "vec", *extra_cols]
 
     def kernel(batches):
         C = bc.value
@@ -798,7 +846,7 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
             d = pairwise_distances(X, C, MetricType.L2)
             pdf = pdf.copy()
             pdf["cell_id"] = d.argmin(axis=1).astype(np.int32)
-            yield pdf[["id", "cell_id", "vec"]]
+            yield pdf[keep]
 
     from pyspark.sql.types import (
         ArrayType,
@@ -815,6 +863,7 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
             StructField("cell_id", IntegerType()),
             StructField("vec", vec_type),
         ]
+        + [df.schema[c] for c in extra_cols]
     )
     from knowhere_spark.session import ensure_parallelism
 
