@@ -457,3 +457,57 @@ def corpus_stats(
         ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("dup_fraction", F.round(dup, 4))
+
+
+# ---------------------------------------------------------------------------
+# passage chunking (embedding / retrieval prep)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    *,
+    stride: int | None = None,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window passage chunking — the prep step before embedding or
+    retrieval indexing: each document becomes windows of ``chunk_tokens``
+    whitespace tokens starting every ``stride`` tokens (default
+    ``stride = chunk_tokens`` → disjoint chunks; smaller stride →
+    overlap).  Returns ``(id, chunk_id, start_token, n_chunk_tokens,
+    chunk_text)``, ordered chunk ids per doc.
+
+    Entirely native column expressions (split → sequence → posexplode →
+    slice): per-row work, no shuffle, no UDF — the plan is one codegen'd
+    projection + generate, so it runs at scan speed on 100 TB.  Final
+    partial windows shorter than ``min_tokens`` are dropped (a trailing
+    window that only re-covers overlap carries no new content).
+    Whitespace runs inside a chunk re-serialize as single spaces."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    stride = chunk_tokens if stride is None else int(stride)
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    out = staged.select(
+        "id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("__start").cast("int").alias("start_token"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+    return out.filter(F.col("n_chunk_tokens") >= min_tokens)

@@ -330,3 +330,52 @@ class QualityClassifier:
         pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
         kept = scored.filter(pareto > (F.lit(1.0) - F.col("quality_score")))
         return docs.join(kept.select(self.id_col), self.id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+def perplexity_buckets(
+    scores: DataFrame,
+    *,
+    by_col: str | None = "lang",
+    ppl_col: str = "perplexity",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's corpus split (Wenzek et al. 2020 §4.3): per language,
+    bucket documents into ``head`` / ``middle`` / ``tail`` by perplexity
+    percentile (head = lowest perplexity = most fluent).  Input is a
+    scored frame (e.g. ``NgramLM.score`` joined back to langid); output
+    adds a ``ppl_bucket`` column.
+
+    The 100 TB shape: ONE aggregation computes the two percentile
+    thresholds per group (``percentile_approx`` — a mergeable sketch, so
+    the pass is map-side combined), then a broadcast join assigns buckets
+    at scan speed.  The naive ``ntile`` window would sort each language
+    on a single task — English alone is most of a crawl.  NULL
+    perplexity (no model evidence) stays NULL-bucketed; a length gate is
+    a different filter's job."""
+    ppl = F.col(ppl_col)
+    grp = [by_col] if by_col is not None else []
+    cuts_df = (
+        scores.filter(ppl.isNotNull())
+        .groupBy(*grp)
+        .agg(
+            F.percentile_approx(ppl, float(cuts[0]), accuracy).alias("__c1"),
+            F.percentile_approx(ppl, float(cuts[1]), accuracy).alias("__c2"),
+        )
+    )
+    joined = (
+        scores.join(F.broadcast(cuts_df), on=grp, how="left")
+        if grp
+        else scores.crossJoin(F.broadcast(cuts_df))
+    )
+    bucket = (
+        F.when(ppl.isNull(), F.lit(None).cast("string"))
+        .when(ppl <= F.col("__c1"), F.lit("head"))
+        .when(ppl <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("ppl_bucket", bucket).drop("__c1", "__c2")
