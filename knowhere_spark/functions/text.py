@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
+def _bind1(value: Column, fn) -> Column:
+    """Evaluate ``value`` once per row and hand it to ``fn`` as a BOUND
+    lambda variable.  Spark's higher-order functions have no common-
+    subexpression elimination across lambda scope: an O(n) subexpression
+    (a sort, an aggregate) referenced inside a per-element lambda is
+    re-evaluated for every element, turning O(n) plans quadratic.  The
+    one-element-array transform binds it as a value instead (same trick
+    as functions/distance.normalize_expr)."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def tokens_expr(text: Column) -> Column:
     """lowercased alnum tokens, empties removed."""
     return F.filter(
@@ -62,11 +73,18 @@ def term_hash_expr(term: Column, dim: int | None = None) -> Column:
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Word-level n-gram shingles (distinct), the MinHash/Jaccard unit."""
-    toks = tokens_expr(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    """Word-level n-gram shingles (distinct), the MinHash/Jaccard unit.
+    Tokens are bound once (_bind1) — inlining them into the per-shingle
+    slice re-tokenizes the document per shingle (O(T²), measured ~19x on
+    2k-token docs)."""
+    return _bind1(
+        tokens_expr(text),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
     )
 
 
@@ -178,9 +196,10 @@ def repetition_features_expr(text: Column) -> dict[str, Column]:
     - ``top_2gram_frac``: fraction of the document's token 2-grams taken
       by the single most frequent 2-gram.
 
-    The per-doc loops are quadratic in lines-per-doc / distinct-2-grams —
-    native codegen over short web documents; for book-length outliers the
-    mapInPandas numpy path is the escape hatch (same contract)."""
+    Per-doc work is O(L log L) in lines / 2-grams (sort + one
+    equal-adjacent fold — NOT a rescan per distinct value, which was
+    quadratic and blew up on book-length documents); all native
+    expressions, values identical to the definitionally-quadratic form."""
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
         lambda l: l != F.lit(""),
@@ -193,29 +212,72 @@ def repetition_features_expr(text: Column) -> dict[str, Column]:
     line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, l: acc + F.length(l)
     )
-    dup_line_chars = F.aggregate(
-        lines,
-        F.lit(0),
-        lambda acc, l: acc
-        + F.when(
-            F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
-        ).otherwise(F.lit(0)),
-    )
+    # a sorted occurrence is a duplicate iff it equals a sorted neighbor —
+    # O(L log L) instead of scanning all lines per line.  The sorted array
+    # is BOUND ONCE as a lambda variable (_bind1): Spark has no CSE across
+    # HOF lambda scope, so an inline array_sort would re-sort per
+    # element_at.  The when-guards keep indices in [1, n] under ANSI.
+    def _dup_chars(sl):
+        n_sl = F.size(sl)
+        return F.aggregate(
+            F.when(n_sl > 0, F.sequence(F.lit(1), n_sl)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                (
+                    F.when(i > 1, F.element_at(sl, i) == F.element_at(sl, i - 1))
+                    .otherwise(F.lit(False))
+                )
+                | (
+                    F.when(i < n_sl, F.element_at(sl, i) == F.element_at(sl, i + 1))
+                    .otherwise(F.lit(False))
+                ),
+                F.length(F.element_at(sl, i)),
+            ).otherwise(F.lit(0)),
+        )
+
+    dup_line_chars = _bind1(F.array_sort(lines), _dup_chars)
     dup_line_char_frac = F.when(
         line_chars > 0, dup_line_chars.cast("double") / line_chars
     ).otherwise(F.lit(0.0))
 
-    toks = tokens_expr(text)
-    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
-        F.array().cast("array<int>")
+    # tokens bound once — the per-gram slice must not re-tokenize (O(T²))
+    grams = _bind1(
+        tokens_expr(text),
+        lambda toks: F.transform(
+            F.when(
+                F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
     )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-    max_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    # longest equal-adjacent run over the SORTED grams == the modal gram's
+    # count — one O(G log G) sort + one linear fold, not a per-distinct-gram
+    # rescan (O(G^2) blew up on book-length documents); sorted array bound
+    # once (_bind1), same reason as above
+    def _modal_run(sg):
+        ng = F.size(sg)
+
+        def _step(acc, i):
+            newcur = F.when(
+                F.element_at(sg, i) == F.element_at(sg, i - 1), acc["cur"] + 1
+            ).otherwise(F.lit(1))
+            return F.struct(
+                newcur.alias("cur"), F.greatest(acc["best"], newcur).alias("best")
+            )
+
+        return F.aggregate(
+            F.when(ng >= 2, F.sequence(F.lit(2), ng)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+            _step,
+            lambda acc: acc["best"],
         )
-    )
+
+    max_cnt = _bind1(F.array_sort(grams), _modal_run)
     top_2gram_frac = F.when(
         F.size(grams) > 0, max_cnt.cast("double") / F.size(grams)
     ).otherwise(F.lit(0.0))
