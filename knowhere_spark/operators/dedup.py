@@ -538,3 +538,103 @@ def embedding_neardup_ivf(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_lsh_pairs_cross(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora: ``(left_id, right_id,
+    jaccard)`` for every left/right pair with shingle Jaccard >=
+    ``threshold`` — fuzzy decontamination (train docs paraphrasing eval
+    docs slip past exact n-gram overlap) and multi-source merge dedup.
+
+    Same machinery as :func:`minhash_lsh_pairs` (one signature kernel per
+    side with SHARED permutations, banded join instead of all-pairs,
+    exact hash-Jaccard verification), but the band join is left-vs-right
+    only — no self-pairs, ids never compared across corpora.  Neither
+    side is force-broadcast: a small eval set broadcasts via AQE, two
+    crawl-sized corpora shuffle on (band, band_hash)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    def _banded(df, out_id):
+        sigs = minhash_signatures(
+            df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            shingle_n=shingle_n, seed=seed, with_shingle_hashes=verify,
+        ).cache()
+        banded = sigs.select(
+            F.col("doc_id").alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(
+                                        bnd * rows_per_band,
+                                        (bnd + 1) * rows_per_band,
+                                    )
+                                ],
+                            )
+                        )
+                        for bnd in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+        return sigs, banded
+
+    sigs_l, band_l = _banded(left_df, "left_id")
+    sigs_r, band_r = _banded(right_df, "right_id")
+    cand = (
+        band_l.join(band_r, ["band", "band_hash"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    pairs = cand.join(
+        sigs_l.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("sh_a")),
+        "left_id",
+    ).join(
+        sigs_r.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("sh_b")),
+        "right_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select("left_id", "right_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def filter_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """``corpus`` minus documents near-duplicating ANY reference document
+    (fuzzy decontamination; the exact-n-gram tier is
+    operators/decontaminate).  Original schema preserved."""
+    hits = minhash_lsh_pairs_cross(
+        corpus, reference, threshold, id_col=id_col, text_col=text_col, **kw
+    ).select(F.col("left_id").alias("__dirty_id")).distinct()
+    return corpus.join(
+        hits, F.col(id_col).cast("long") == F.col("__dirty_id"), "left_anti"
+    )

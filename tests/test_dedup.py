@@ -150,3 +150,79 @@ def test_simhash_trailing_empty_doc_batch(spark):
     sig_with = {r["doc_id"]: r["simhash"] for r in simhash_signatures(with_empty).collect()}
     sig_alone = {r["doc_id"]: r["simhash"] for r in simhash_signatures(alone).collect()}
     assert sig_with[0] == sig_alone[0]
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup (minhash_lsh_pairs_cross / filter_against)
+# ---------------------------------------------------------------------------
+
+def _cross_corpora(spark):
+    from pyspark.sql import functions as F
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "machine learning models require large curated corpora of natural text",
+        "completely unrelated content about cooking pasta with garlic and olive oil",
+        "distributed systems shuffle data between executors across the network",
+    ]
+    # left corpus: 12 docs; docs 0 and 1 are near-copies of eval docs
+    left_rows = [
+        (0, base[0] + " extra"),
+        (1, base[1]),
+        (2, base[2] + " completely different tail words here"),
+        (3, base[3]),
+    ] + [(10 + i, f"unique left doc number {i} " + " ".join(f"t{i}_{j}" for j in range(12))) for i in range(8)]
+    right_rows = [
+        (100, base[0]),                       # near-dups left 0
+        (101, base[1] + " appended footnote"),  # near-dups left 1
+        (102, "entirely separate evaluation question about astronomy and stars"),
+    ]
+    left = spark.createDataFrame(left_rows, "doc_id long, text string")
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+    return left, right
+
+
+def test_cross_pairs_planted(spark):
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    left, right = _cross_corpora(spark)
+    out = minhash_lsh_pairs_cross(left, right, 0.5, shingle_n=3)
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+    assert got == {(0, 100), (1, 101)}
+    for r in out.collect():
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_cross_pairs_match_exact_jaccard(spark):
+    """Cross pairs at threshold equal the exact all-pairs shingle Jaccard."""
+    from pyspark.sql import functions as F
+    from knowhere_spark.functions.text import shingles_expr
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    left, right = _cross_corpora(spark)
+    lsh = {
+        (r.left_id, r.right_id, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_cross(left, right, 0.5).collect()
+    }
+    ls = left.select(F.col("doc_id").alias("left_id"), shingles_expr(F.col("text")).alias("sa"))
+    rs = right.select(F.col("doc_id").alias("right_id"), shingles_expr(F.col("text")).alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    exact = {
+        (r.left_id, r.right_id, round(r.j, 6))
+        for r in ls.crossJoin(rs)
+        .select("left_id", "right_id", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert lsh == exact
+
+
+def test_filter_against_drops_contaminated(spark):
+    from knowhere_spark.operators.dedup import filter_against
+
+    left, right = _cross_corpora(spark)
+    clean = filter_against(left, right, 0.5)
+    kept = {r.doc_id for r in clean.collect()}
+    assert 0 not in kept and 1 not in kept
+    assert kept == {r.doc_id for r in left.collect()} - {0, 1}
+    assert clean.columns == left.columns
