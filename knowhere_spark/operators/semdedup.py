@@ -149,12 +149,34 @@ def semdedup(
         # mean (measured 30x wall between k=n/4096 and k=n/1024 at 100k
         # rows on replica-heavy data)
         k = num_clusters if num_clusters is not None else max(1, n // 1024)
-        train_cap = 256 * k
+        # dedup bucketing only needs ROUGH Voronoi cells, not search-grade
+        # centroids: 64 samples/centroid and 8 Lloyd iters bucket dups
+        # together just as well at a fraction of the train cost (256/20
+        # spent 72s ON THE DRIVER at k=976 — a third of the 1M wall-clock)
+        train_cap = max(8192, 64 * k)
         train_df = base if n <= train_cap else base.sample(
             fraction=train_cap / n, seed=seed
         )
-        X = collect_vec_matrix(train_df, "vec")
-        centroids = numpy_kmeans(X, k, iters=20, seed=seed)
+        head = base.select("vec").head()
+        dim = len(head["vec"]) if head else 0
+        if min(n, train_cap) * max(dim, 1) <= 1 << 25:
+            X = collect_vec_matrix(train_df, "vec")
+            centroids = numpy_kmeans(X, k, iters=8, seed=seed)
+        else:
+            # sample beyond driver comfort (huge k): distributed fit, the
+            # same cutover as IVFFlatIndex.build
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feats = train_df.withColumn(
+                "__features", array_to_vector(F.col("vec").cast("array<double>"))
+            )
+            km = KMeans(k=k, seed=seed, maxIter=8, featuresCol="__features",
+                        predictionCol="__c")
+            model = km.fit(feats)
+            centroids = np.array(
+                [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+            )
     cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
 
     assigned = _assign_cells(base, cents).select(
