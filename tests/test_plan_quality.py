@@ -239,3 +239,64 @@ def test_lm_score_plan_is_native_with_aqe_bigram_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     lm.release()
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Passage chunking is one projection + generate — scan-speed at
+    100 TB, not a shuffle."""
+    from knowhere_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, TESTDATA, "documents")
+    plan = _plan(chunk_documents(docs, 64))
+    assert "Exchange" not in plan
+    assert "Generate" in plan           # the posexplode
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_single_shuffle_no_join(spark):
+    """SemDeDup's plan is exactly ONE shuffle (groupBy cluster) feeding
+    the blocked-GEMM kernel — no join of the corpus against anything."""
+    import numpy as np
+
+    from knowhere_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, TESTDATA, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = np.eye(4, 64)
+    plan = _plan(semdedup(emb, 0.9, centroids=cents))
+    # exactly one KEYED shuffle (the groupBy(cluster_id)); a round-robin
+    # Exchange from ensure_parallelism on a single-file test scan is fine
+    # (it disappears on a many-partition corpus)
+    assert plan.count("hashpartitioning(cluster_id") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_cross_dedup_no_forced_broadcast(spark):
+    """minhash_lsh_pairs_cross must not force-broadcast either corpus —
+    the candidate join has to survive two crawl-sized sides (AQE may
+    still choose broadcast for tiny test frames; assert no Broadcast HINT
+    in the optimized logical plan instead of the executed one)."""
+    from knowhere_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    out = minhash_lsh_pairs_cross(a, b, 0.7)
+    logical = str(out._jdf.queryExecution().optimizedPlan())
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_perplexity_buckets_plan(spark):
+    """Bucket assignment is a broadcast of the tiny threshold table; no
+    Window (an ntile would single-task each language)."""
+    from knowhere_spark.operators.quality import perplexity_buckets
+
+    s = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", float(i)) for i in range(100)],
+        "doc_id long, lang string, perplexity double",
+    )
+    plan = _plan(perplexity_buckets(s, by_col="lang"))
+    assert "Window" not in plan
+    assert "Broadcast" in plan
