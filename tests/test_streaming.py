@@ -435,3 +435,50 @@ def test_sq_cc_cosine_normalizes_streamed_rows(spark, tmp_path):
         (r["query_id"], r["neighbor_id"]) for r in batch.search(qdf, k=5).collect()
     )
     assert got_g == got_b
+
+
+def test_stream_curate_equals_batch_chain(spark, tmp_path):
+    """stream_curate (quality gate -> repetition gate -> first-seen dedup)
+    over a bounded stream emits exactly the batch chain's keep-set."""
+    from knowhere_spark.functions.text import (
+        quality_features_expr,
+        repetition_features_expr,
+        tokens_expr,
+    )
+    from knowhere_spark.streaming.pipeline import stream_curate
+
+    rows = []
+    for i in range(40):
+        rows.append((i, f"clean document number {i} with plenty of distinct words here"))
+    rows += [(100, "dup dup dup dup dup dup dup dup dup dup")]        # repetition-gated
+    rows += [(101, "too short")]                                       # length-gated
+    # exact dups of doc 3 (normalized): only doc 3 survives
+    rows += [(102, "clean document number 3 with plenty of distinct words here")]
+    rows += [(103, "Clean  document number 3 with plenty of DISTINCT words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "curate_src")
+    # two batches so the first-seen state crosses micro-batches
+    df.filter(F.col("doc_id") < 20).write.parquet(src + "/b1")
+    df.filter(F.col("doc_id") >= 20).write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema(df.schema).parquet(src + "/*")
+    out = stream_curate(stream, min_tokens=5)
+    run_available_now(out, "curate_stream", str(tmp_path / "curate_ckpt"),
+                      output_mode="append")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM curate_stream").collect()}
+
+    q = quality_features_expr(F.col("text"))
+    r = repetition_features_expr(F.col("text"))
+    gated = df.filter(
+        (q["n_tokens"] >= 5) & (r["dup_line_frac"] <= 0.3) & (r["top_2gram_frac"] <= 0.2)
+    )
+    keyed = gated.select(
+        F.md5(F.concat_ws(" ", tokens_expr(F.col("text")))).alias("k"), "doc_id"
+    )
+    expect = {
+        r.doc_id
+        for r in keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == expect
+    assert 100 not in got and 101 not in got
+    assert 3 in got and 102 not in got and 103 not in got
