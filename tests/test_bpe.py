@@ -1,0 +1,99 @@
+"""BPE train/encode (functions/bpe.py) — hand-traced merges, a pure-
+Python reference encoder, round-trip and determinism properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.functions.bpe import (
+    _merge_word,
+    _word_symbols,
+    bpe_encode,
+    bpe_token_count,
+    bpe_train,
+)
+
+
+def test_train_hand_traced_merges(spark):
+    # classic toy corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    m = bpe_train(docs, 4)
+    got = [(r.left, r.right) for r in m.orderBy("rank").collect()]
+    # counts: (e,s)=9, (s,t</w>)=9, (es,t</w>)=9 after merge1, ...
+    # merge 1: ties (e,s) and (s,t</w>) at 9 → lexicographic min = (e, s)
+    assert got[0] == ("e", "s")
+    assert got[1] == ("es", "t</w>")   # 9
+    # next: 'newest'->n e w est</w> x6, 'widest'->w i d est</w> x3,
+    # 'low' x5 pairs (l,o)=7,(o,w</w>)=5,(o,w)=2 ... (l,o) wins at 7
+    assert got[2] == ("l", "o")
+    assert len(got) == 4
+
+
+def test_encode_matches_reference_loop(spark):
+    """Distributed encode == the pure-Python greedy loop on every doc."""
+    rows = [
+        (0, "the lowest new low prices for the newest widest wonders"),
+        (1, "low lower lowest"),
+        (2, ""),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(9, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train, 8)
+    ranks = {(r.left, r.right): r.rank for r in merges.collect()}
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+
+    import re
+    from knowhere_spark.functions.text import TOKEN_SPLIT_RE
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+    for doc_id, text in rows:
+        toks = [t for t in tok_re.split((text or "").lower()) if t]
+        expect = []
+        for w in toks:
+            expect.extend(_merge_word(_word_symbols(w), ranks))
+        assert list(out[doc_id].bpe_tokens) == expect, doc_id
+        assert out[doc_id].n_bpe_tokens == len(expect)
+
+
+def test_encode_compresses_trained_words(spark):
+    """Words seen in training encode to fewer symbols than their length;
+    a fully-merged training word becomes ONE token."""
+    train = spark.createDataFrame(
+        [(1, " ".join(["hello"] * 20))], "doc_id long, text string"
+    )
+    merges = bpe_train(train, 10)
+    docs = spark.createDataFrame([(1, "hello stranger")], "doc_id long, text string")
+    r = bpe_encode(docs, merges).first()
+    assert r.bpe_tokens[0] == "hello" + "</w>"     # fully merged
+    # 'stranger' is unseen: stays mostly character-level
+    assert r.n_bpe_tokens >= 1 + 5
+
+
+def test_token_count_only(spark):
+    docs = spark.createDataFrame([(7, "aa aa bb")], "doc_id long, text string")
+    merges = bpe_train(docs, 2)
+    out = bpe_token_count(docs, merges).collect()
+    assert len(out) == 1 and out[0].doc_id == 7
+    assert out[0].n_bpe_tokens >= 3   # at most one token per word after merges
+
+
+def test_train_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = [(r.rank, r.left, r.right) for r in bpe_train(docs, 12).orderBy("rank").collect()]
+    b = [(r.rank, r.left, r.right) for r in bpe_train(docs, 12).orderBy("rank").collect()]
+    assert a == b
+
+
+def test_train_exhausts_gracefully(spark):
+    """Asking for more merges than exist stops early instead of looping."""
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m = bpe_train(docs, 50).collect()
+    # 'ab' -> a b</w> -> ab</w>: exactly one merge possible
+    assert len(m) == 1
