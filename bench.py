@@ -788,6 +788,21 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
             return phash_neardup_pairs(synthesize_media(docs10), max_hamming=8)
 
+        def q_chunk_50k():
+            # zero-shuffle scan-speed claim at 10x docs
+            from knowhere_spark.operators.pipeline import chunk_documents
+
+            return chunk_documents(docs10, 64, stride=48)
+
+        def q_bpe_50k():
+            # train on 1/10th (the tokenizer-artifact regime), encode all
+            from knowhere_spark.functions.bpe import bpe_token_count, bpe_train
+
+            merges = bpe_train(
+                docs10.filter(F.col("doc_id") % 10 == 0), 256
+            )
+            return bpe_token_count(docs10, merges)
+
         def q_semdedup_1m():
             # SemDeDup at 1M rows: cluster count scales with n so the mean
             # cluster (and each task's blocked GEMM) stays ~4k rows — the
@@ -801,6 +816,8 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         out["sf1x_lm_perplexity_50k"] = q_lm_perplexity_50k
         out["sf1x_phash_neardup_50k"] = q_phash_50k
         out["sf1x_semdedup_1m"] = q_semdedup_1m
+        out["sf1x_chunk_50k"] = q_chunk_50k
+        out["sf1x_bpe_50k"] = q_bpe_50k
         NQ_MAP["sf1x_ivf_1m_search_nq100"] = 100
 
     # --- recall probes (reference protocol: recall ∈ {0.80, 0.95} targets
