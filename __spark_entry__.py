@@ -112,20 +112,9 @@ def q_get_vector_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", F.col("pos").cast("int").alias("pos"), "val")
 
 
-def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Result-shaping top-k-per-key on a big relational table (the per-query
-    k-heap generalized, SURVEY.md §2.4)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    out = topk_per_key(
-        li, "l_orderkey", "l_extendedprice", 3,
-        ascending=False, tie_breaker="l_linenumber",
-    )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round("l_extendedprice", 2).alias("l_extendedprice"),
-        F.col("rank").cast("int").alias("rank"),
-    )
+# (the former standalone q_topk_per_key gate was swapped for
+#  semdedup_fixed — the topk_per_key kernel is the final reduction inside
+#  every exact-KNN oracle here; see the queries() docstring)
 
 
 def q_ann_iterator_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

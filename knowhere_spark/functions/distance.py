@@ -61,19 +61,27 @@ def norm_expr(a: Column) -> Column:
     )
 
 
+def bind1(value: Column, fn) -> Column:
+    """Evaluate ``value`` once per row and hand it to ``fn`` as a BOUND
+    lambda variable.  Spark's higher-order functions have no common-
+    subexpression elimination across lambda scope: an O(n) subexpression
+    (a sort, an aggregate) referenced inside a per-element lambda is
+    re-evaluated for every element, turning O(n) plans quadratic.  The
+    one-element-array transform binds it as a value instead."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def normalize_expr(a: Column) -> Column:
     """Unit-normalize a vector — ``NormalizeVec`` (include/knowhere/utils.h:39-53).
 
-    The norm is bound ONCE per row through a one-element-array lambda:
-    inlining the aggregate directly into the per-element divide makes
-    Spark's interpreted higher-order-function path re-evaluate it per
-    element — measured ~40x on a 100k x 64-dim normalize pass.  The
-    arithmetic (one sqrt-of-sum, then per-element x/n) is unchanged, so
-    every oracle hash stays identical."""
+    The norm is bound ONCE per row (:func:`bind1`): inlining the
+    aggregate directly into the per-element divide makes Spark's
+    interpreted higher-order-function path re-evaluate it per element —
+    measured ~40x on a 100k x 64-dim normalize pass.  The arithmetic
+    (one sqrt-of-sum, then per-element x/n) is unchanged, so every
+    oracle hash stays identical."""
     ad = _as_double(a)
-    return F.transform(
-        F.array(norm_expr(a)), lambda n: F.transform(ad, lambda x: x / n)
-    )[0]
+    return bind1(norm_expr(a), lambda n: F.transform(ad, lambda x: x / n))
 
 
 def cosine_expr(a: Column, b: Column, a_norm: Column | None = None, b_norm: Column | None = None) -> Column:

@@ -21,15 +21,7 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
-def _bind1(value: Column, fn) -> Column:
-    """Evaluate ``value`` once per row and hand it to ``fn`` as a BOUND
-    lambda variable.  Spark's higher-order functions have no common-
-    subexpression elimination across lambda scope: an O(n) subexpression
-    (a sort, an aggregate) referenced inside a per-element lambda is
-    re-evaluated for every element, turning O(n) plans quadratic.  The
-    one-element-array transform binds it as a value instead (same trick
-    as functions/distance.normalize_expr)."""
-    return F.transform(F.array(value), fn)[0]
+from knowhere_spark.functions.distance import bind1 as _bind1  # shared HOF bind
 
 
 def tokens_expr(text: Column) -> Column:

@@ -228,6 +228,31 @@ def minhash_signatures(
     return src.mapInPandas(kernel, schema)
 
 
+def band_hash_explode_expr(num_perm: int, bands: int, sig_col: str = "sig"):
+    """``posexplode``-able array of per-band md5 bucket hashes over a
+    MinHash signature column — THE banding expression, shared by batch
+    self-dedup, cross-corpus dedup, and the streaming near-dup operator
+    (three consumers must hash into identical buckets or candidates
+    silently stop matching)."""
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(sig_col)[i].cast("string")
+                        for i in range(
+                            bnd * rows_per_band, (bnd + 1) * rows_per_band
+                        )
+                    ],
+                )
+            )
+            for bnd in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -250,7 +275,6 @@ def minhash_lsh_pairs(
     keeps output equal to the exact operator whenever band recall holds).
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     # cached: the band self-join reads signatures from BOTH sides — without
     # this the signature kernel runs twice.  Shingle hashes ride along so
     # verification is an array-intersect on this same cached table.
@@ -260,22 +284,9 @@ def minhash_lsh_pairs(
     ).cache()
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[i].cast("string")
-                                for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
-                            ],
-                        )
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(band_hash_explode_expr(num_perm, bands)).alias(
+            "band", "band_hash"
+        ),
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
@@ -559,40 +570,29 @@ def minhash_lsh_pairs_cross(
     docs slip past exact n-gram overlap) and multi-source merge dedup.
 
     Same machinery as :func:`minhash_lsh_pairs` (one signature kernel per
-    side with SHARED permutations, banded join instead of all-pairs,
-    exact hash-Jaccard verification), but the band join is left-vs-right
-    only — no self-pairs, ids never compared across corpora.  Neither
-    side is force-broadcast: a small eval set broadcasts via AQE, two
+    side with SHARED permutations, banded join instead of all-pairs —
+    the same ``band_hash_explode_expr`` buckets — and exact hash-Jaccard
+    verification), but the band join is left-vs-right only — no
+    self-pairs, ids never compared across corpora.  Neither side is
+    force-broadcast: a small eval set broadcasts via AQE, two
     crawl-sized corpora shuffle on (band, band_hash)."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
 
     def _banded(df, out_id):
         sigs = minhash_signatures(
             df, id_col=id_col, text_col=text_col, num_perm=num_perm,
             shingle_n=shingle_n, seed=seed, with_shingle_hashes=verify,
-        ).cache()
+        )
+        if verify:
+            # two readers (band join + shingle-hash verify) — one kernel
+            # pass; without verify the banded frame is the only reader and
+            # a cache would pin corpus-sized arrays for nothing
+            sigs = sigs.cache()
         banded = sigs.select(
             F.col("doc_id").alias(out_id),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col("sig")[i].cast("string")
-                                    for i in range(
-                                        bnd * rows_per_band,
-                                        (bnd + 1) * rows_per_band,
-                                    )
-                                ],
-                            )
-                        )
-                        for bnd in range(bands)
-                    ]
-                )
-            ).alias("band", "band_hash"),
+            F.posexplode(band_hash_explode_expr(num_perm, bands)).alias(
+                "band", "band_hash"
+            ),
         )
         return sigs, banded
 

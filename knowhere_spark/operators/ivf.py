@@ -609,9 +609,18 @@ class IVFFlatIndex:
         (materialized_view.h:23-36): equality/IN predicates on the hot
         field never read a byte of the other partitions."""
         scalars = list(scalar_partition_cols or [])
-        missing = [c for c in scalars if c not in self.assignments.columns]
-        if missing:
-            raise ValueError(f"scalar_partition_cols not on the index: {missing}")
+        payload = [
+            c for c in self.assignments.columns if c not in ("id", "cell_id", "vec")
+        ]
+        bad = [c for c in scalars if c not in payload]
+        if bad:
+            # 'cell_id' would partitionBy twice, 'id' would write one
+            # directory per row, 'vec' fails on the array type — only the
+            # scalar payload columns are legal partition levels
+            raise ValueError(
+                f"scalar_partition_cols must be among the index's scalar_cols"
+                f" {payload}: {bad}"
+            )
         store = IndexStore(path)
         store.write_manifest(
             {
@@ -622,6 +631,11 @@ class IVFFlatIndex:
                 "dim": self.dim(),
                 "count": self.count(),
                 "centroids": self.centroids.tolist(),
+                # partition-column types are NOT stored in parquet data
+                # files; without the declared schema, read-time inference
+                # would coerce a string label '01' to int 1 and merge it
+                # with partition '1'
+                "assignments_schema": self.assignments.schema.json(),
             }
         )
         # scalar fields coarsest-first, then cell: probe-time pruning on
@@ -635,7 +649,14 @@ class IVFFlatIndex:
         store = IndexStore(path)
         m = store.read_manifest()
         centroids = np.array(m["centroids"], dtype=np.float64)
-        assignments = store.read_table(spark, "assignments")
+        schema = None
+        if m.get("assignments_schema"):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["assignments_schema"]))
+        assignments = store.read_table(spark, "assignments", schema=schema)
         cfg = IvfConfig(
             metric_type=MetricType(m["metric_type"]),
             nlist=int(m["nlist"]),

@@ -482,8 +482,11 @@ def chunk_documents(
     Entirely native column expressions (split → sequence → posexplode →
     slice): per-row work, no shuffle, no UDF — the plan is one codegen'd
     projection + generate, so it runs at scan speed on 100 TB.  Final
-    partial windows shorter than ``min_tokens`` are dropped (a trailing
-    window that only re-covers overlap carries no new content).
+    partial windows shorter than ``min_tokens`` are dropped.  When
+    ``stride < chunk_tokens``, a trailing start whose window would be a
+    strict sub-span of the previous window (fewer than
+    ``chunk_tokens - stride`` tokens remain past it) is never generated —
+    it would re-ship pure overlap to the embedder with zero new content.
     Whitespace runs inside a chunk re-serialize as single spaces."""
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
@@ -494,8 +497,13 @@ def chunk_documents(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
     n = F.size(toks)
+    # last useful start: the window there must extend past the previous
+    # window's end, i.e. more than (chunk - stride) tokens remain.  With
+    # stride >= chunk (disjoint/gapped) this is just n-1.
+    overlap = max(chunk_tokens - stride, 0)
+    last_start = F.greatest(F.lit(0), n - F.lit(overlap) - 1)
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     staged = docs.select(
         F.col(id_col).alias("id"),

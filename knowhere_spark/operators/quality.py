@@ -374,6 +374,11 @@ def perplexity_buckets(
     )
     bucket = (
         F.when(ppl.isNull(), F.lit(None).cast("string"))
+        # a NULL group key never matches the cuts join (and a group whose
+        # every row is NULL-ppl has no thresholds): without this guard such
+        # rows fall through `ppl <= NULL` to 'tail' and the most fluent
+        # unlabeled docs get silently discarded from head/middle splits
+        .when(F.col("__c1").isNull(), F.lit(None).cast("string"))
         .when(ppl <= F.col("__c1"), F.lit("head"))
         .when(ppl <= F.col("__c2"), F.lit("middle"))
         .otherwise(F.lit("tail"))

@@ -157,9 +157,13 @@ def semdedup(
         train_df = base if n <= train_cap else base.sample(
             fraction=train_cap / n, seed=seed
         )
+        from knowhere_spark.operators.ivf import IVFFlatIndex
+
         head = base.select("vec").head()
         dim = len(head["vec"]) if head else 0
-        if min(n, train_cap) * max(dim, 1) <= 1 << 25:
+        # same driver-memory ceiling as the IVF trainer — one constant to
+        # tune if the driver budget ever changes
+        if min(n, train_cap) * max(dim, 1) <= IVFFlatIndex._DRIVER_TRAIN_MAX_ELEMS:
             X = collect_vec_matrix(train_df, "vec")
             centroids = numpy_kmeans(X, k, iters=8, seed=seed)
         else:

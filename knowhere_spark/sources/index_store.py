@@ -66,5 +66,14 @@ class IndexStore:
             w = w.partitionBy(*partition_by)
         w.parquet(os.path.join(self.path, name))
 
-    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, name))
+    def read_table(
+        self, spark: SparkSession, name: str, schema=None
+    ) -> DataFrame:
+        """``schema`` (a StructType or DDL/JSON-derived one) pins partition
+        -column types: a partitioned layout stores those columns only in
+        directory names, and inference would coerce e.g. a string label
+        '01' to int 1 — silently merging distinct partitions."""
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(os.path.join(self.path, name))

@@ -144,31 +144,19 @@ def stream_neardup_minhash(
     from knowhere_spark.operators.dedup import minhash_signatures
 
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
 
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
         shingle_n=shingle_n, seed=seed,
     )
+    from knowhere_spark.operators.dedup import band_hash_explode_expr
+
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[i].cast("string")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(band_hash_explode_expr(num_perm, bands)).alias(
+            "band", "band_hash"
+        ),
     ).select(
         F.concat_ws(":", F.col("band").cast("string"), "band_hash").alias("bucket"),
         "doc_id",

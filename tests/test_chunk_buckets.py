@@ -24,11 +24,22 @@ def test_chunk_disjoint_hand_example(spark):
 def test_chunk_overlap_stride(spark):
     df = _doc(spark, "a b c d e f")           # 6 tokens
     out = chunk_documents(df, 4, stride=2).orderBy("chunk_id").collect()
+    # NO chunk at start 4: "e f" is a strict sub-span of "c d e f" —
+    # a pure-overlap window carries zero new content
     assert [(r.start_token, r.chunk_text) for r in out] == [
         (0, "a b c d"),
         (2, "c d e f"),
-        (4, "e f"),
     ]
+
+
+def test_chunk_overlap_never_emits_subspan_windows(spark):
+    df = _doc(spark, " ".join(f"w{i}" for i in range(150)))
+    out = chunk_documents(df, 64, stride=48).orderBy("chunk_id").collect()
+    # starts 0, 48, 96 — NOT 144 (only 6 tokens remain <= 64-48 overlap)
+    assert [r.start_token for r in out] == [0, 48, 96]
+    # consecutive windows still tile the doc: each extends past the last
+    ends = [r.start_token + r.n_chunk_tokens for r in out]
+    assert ends[-1] == 150 and ends == sorted(ends)
 
 
 def test_chunk_reassembly_property(spark):
@@ -120,3 +131,14 @@ def test_buckets_plan_is_broadcast_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan   # never a per-language single-task sort
+
+
+def test_buckets_null_group_key_stays_null(spark):
+    """A NULL language key must NOT fall through to 'tail' — the cuts
+    join can't match NULL, so the bucket is honestly NULL."""
+    rows = [(i, "en", float(i + 1)) for i in range(30)]
+    rows += [(900, None, 1.0), (901, None, 999.0)]
+    s = spark.createDataFrame(rows, "doc_id long, lang string, perplexity double")
+    out = {r.doc_id: r.ppl_bucket for r in perplexity_buckets(s, by_col="lang").collect()}
+    assert out[900] is None and out[901] is None
+    assert out[0] == "head"

@@ -126,3 +126,33 @@ def test_scalar_col_name_clash_raises(spark):
         raise AssertionError("expected ValueError for clashing scalar col")
     except ValueError as e:
         assert "collide" in str(e)
+
+
+def test_saved_string_labels_roundtrip_types(spark, tmp_path):
+    """Partition-column type inference must not coerce string labels:
+    '01' and '1' are distinct partitions and must stay strings on load."""
+    mat = gen_dense(40, 8, seed=91)
+    rows = [(i, mat[i].tolist(), "01" if i % 2 else "1") for i in range(40)]
+    base = spark.createDataFrame(rows, "id long, vec array<float>, label string")
+    idx = IVFFlatIndex.build(
+        base, IvfConfig(metric_type="L2", nlist=2, nprobe=2), scalar_cols=["label"]
+    )
+    path = str(tmp_path / "ivf_strlabel")
+    idx.save(path, scalar_partition_cols=["label"])
+    loaded = IVFFlatIndex.load(spark, path)
+    assert dict(loaded.assignments.dtypes)["label"] == "string"
+    got = {r.label for r in loaded.assignments.select("label").distinct().collect()}
+    assert got == {"01", "1"}
+
+
+def test_save_rejects_non_scalar_partition_cols(spark, tmp_path):
+    base, _ = _labeled(spark, n=50)
+    idx = IVFFlatIndex.build(
+        base, IvfConfig(metric_type="L2", nlist=2), scalar_cols=["label"]
+    )
+    for bad in ("cell_id", "id", "vec"):
+        try:
+            idx.save(str(tmp_path / f"x_{bad}"), scalar_partition_cols=[bad])
+            raise AssertionError(f"expected ValueError for {bad}")
+        except ValueError as e:
+            assert "scalar_cols" in str(e)
