@@ -187,3 +187,21 @@ def test_quality_classifier_pareto_filter(spark):
     again = {r["doc_id"] for r in
              clf.pareto_filter(pool, alpha=9.0, seed=7).select("doc_id").collect()}
     assert again == ids          # deterministic per (doc, seed)
+
+
+def test_compression_signals_orders_redundancy(spark):
+    from knowhere_spark.operators.quality import compression_signals
+
+    rows = [
+        (0, "the " * 500),                                     # pure repetition
+        (1, " ".join(f"w{i}x{i*7%13}" for i in range(500))),   # varied prose-ish
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_signals(df).collect()}
+    assert out[0].zlib_ratio < 0.05            # boilerplate compresses away
+    assert out[1].zlib_ratio > out[0].zlib_ratio * 5
+    assert out[2].zlib_ratio == 1.0 and out[3].zlib_ratio == 1.0
+    assert out[2].n_chars == 0 and out[3].n_chars == 0
+    assert out[1].n_chars == len(rows[1][1])
