@@ -130,3 +130,20 @@ def test_zero_vector_survives(spark):
     out = {r.id: r for r in semdedup(df, eps=0.99, centroids=cents).collect()}
     assert out[0].keep                     # zero vec: cosine 0 to everything
     assert sum(out[i].keep for i in (1, 2)) == 1   # exact dups keep one
+
+
+def test_distributed_train_fallback(spark, monkeypatch):
+    """Force the MLlib cutover (sample*dim above the driver ceiling) and
+    check the fallback produces the same one-survivor-per-group verdicts."""
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    monkeypatch.setattr(IVFFlatIndex, "_DRIVER_TRAIN_MAX_ELEMS", 8)
+    rows, group = _corpus()
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    out = semdedup(df, eps=0.99, num_clusters=4, seed=3).collect()
+    assert len(out) == len(rows)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(group[r.id], []).append(r)
+    for g, members in by_group.items():
+        assert sum(1 for r in members if r.keep) == 1, f"group {g}"
