@@ -482,3 +482,47 @@ def test_stream_curate_equals_batch_chain(spark, tmp_path):
     assert got == expect
     assert 100 not in got and 101 not in got
     assert 3 in got and 102 not in got and 103 not in got
+
+
+def test_stream_semdedup_cross_batch(spark, tmp_path):
+    """Streaming SemDeDup suppresses semantic duplicates ACROSS
+    micro-batches with first-seen-wins; unique embeddings all survive."""
+    import numpy as np
+
+    from knowhere_spark.functions.distance import numpy_kmeans
+    from knowhere_spark.streaming.semdedup import stream_semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, group = [], {}
+    nid = 0
+    for i in range(20):
+        rows.append((nid, base[i].astype(np.float32).tolist())); group[nid] = i; nid += 1
+    # near-copies of the first 6 vectors land in the SECOND batch
+    for i in range(6):
+        v = base[i] + rng.normal(scale=1e-3, size=16)
+        v /= np.linalg.norm(v)
+        rows.append((100 + i, v.astype(np.float32).tolist())); group[100 + i] = i
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    src = str(tmp_path / "sd_src")
+    df.filter(F.col("id") < 100).write.parquet(src + "/b1")
+    df.filter(F.col("id") >= 100).write.parquet(src + "/b2")
+
+    cents = numpy_kmeans(base, 3, seed=1)
+    stream = spark.readStream.schema(df.schema).parquet(src + "/*")
+    out = stream_semdedup(stream, eps=0.99, centroids=cents)
+    run_available_now(out, "sd_stream", str(tmp_path / "sd_ckpt"),
+                      output_mode="append")
+    got = {r.id: r for r in spark.sql("SELECT * FROM sd_stream").collect()}
+    assert len(got) == len(rows)
+    # originals all kept; every near-copy dropped (its original was seen
+    # in an earlier batch — OR the same batch; either way one survivor)
+    for i in range(6):
+        members = [got[j] for j in got if group[j] == i]
+        assert sum(1 for m in members if m.keep) == 1
+        assert got[100 + i].keep is False or got[i].keep is False
+    for i in range(6, 20):
+        assert got[i].keep
+    # first item of each cluster has NULL max_prior_cos
+    assert any(r.max_prior_cos is None for r in got.values())
