@@ -248,15 +248,21 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Combined text-transform gate: canonical normalization (lowercase,
-    control-char strip, whitespace collapse, trim) AND the PII scrub pass
-    (emails / IPv4s / phone-shaped runs → typed tags) in one oracle row.
-    Merged from the r3 ``text_normalize`` + ``text_pii_scrub`` gates to
-    free a registry slot — both expressions keep their own pytest suites
-    (tests/test_text.py); PII is seeded deterministically into every row
-    (the synthetic corpus has none) so the scrub exercises real
-    replacements, not identity."""
-    from knowhere_spark.functions.text import normalize_text_expr, pii_scrub_expr
+    """Combined per-doc text gate: canonical normalization (lowercase,
+    control-char strip, whitespace collapse, trim), the PII scrub pass
+    (emails / IPv4s / phone-shaped runs → typed tags), AND the Gopher
+    repetition fractions — one oracle row, every column hash-verified.
+    Merged from the r3 ``text_normalize`` + ``text_pii_scrub`` gates and
+    (r4 session 3) the former ``text_repetition`` gate, freeing a slot
+    for ``doc_chunks``; each expression keeps its own pytest suite
+    (tests/test_text.py).  PII is seeded deterministically into every row
+    and duplicate lines planted on every 7th doc (the synthetic corpus
+    has neither) so both passes exercise real transformations."""
+    from knowhere_spark.functions.text import (
+        normalize_text_expr,
+        pii_scrub_expr,
+        repetition_features_expr,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     seeded = docs.select(
@@ -270,11 +276,23 @@ def q_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" tel +1 (555) 010-"),
             (F.col("doc_id") + 1000).cast("string"),
         ).alias("seeded"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit("\n"),
+                F.substring(F.col("text"), 1, 40), F.lit("\n"),
+                F.substring(F.col("text"), 1, 40),
+            ),
+        ).otherwise(F.col("text")).alias("rep_text"),
     )
+    feats = repetition_features_expr(F.col("rep_text"))
     return seeded.select(
         "doc_id",
         normalize_text_expr(F.col("text")).alias("norm"),
         pii_scrub_expr(F.col("seeded")).alias("scrubbed"),
+        F.round(feats["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(feats["dup_line_char_frac"], 4).alias("dup_line_char_frac"),
+        F.round(feats["top_2gram_frac"], 4).alias("top_2gram_frac"),
     )
 
 
@@ -349,30 +367,18 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition features (functions/text.repetition_features_expr).
-    Duplicate lines are planted on every 7th doc (the corpus is
-    single-line, so line-dup signals would otherwise be vacuously 0)."""
-    from knowhere_spark.functions.text import repetition_features_expr
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (pipeline.chunk_documents): 32-token
+    windows every 24 tokens (overlap 8) over the documents table — window
+    boundaries, trailing-subspan suppression, and re-serialized chunk text
+    all hash-verified against a DuckDB mirror."""
+    from knowhere_spark.operators.pipeline import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"), F.lit("\n"),
-                F.substring(F.col("text"), 1, 40), F.lit("\n"),
-                F.substring(F.col("text"), 1, 40),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    feats = repetition_features_expr(F.col("text"))
-    return planted.select(
-        "doc_id",
-        F.round(feats["dup_line_frac"], 4).alias("dup_line_frac"),
-        F.round(feats["dup_line_char_frac"], 4).alias("dup_line_char_frac"),
-        F.round(feats["top_2gram_frac"], 4).alias("top_2gram_frac"),
+    out = chunk_documents(docs, 32, stride=24)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "start_token",
+        "n_chunk_tokens", "chunk_text",
     )
 
 
@@ -1180,7 +1186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_dedup.py), while Serialize/Deserialize had no driver gate
     at all.
 
-    r4 session-3 swap: ``topk_per_key`` → ``semdedup_fixed``.  The
+    r4 session-3 swaps: ``text_repetition`` merged INTO ``text_transform``
+    (both are per-doc native expressions over documents; the merged gate
+    hash-verifies all five columns), freeing the slot for ``doc_chunks``
+    (full DuckDB mirror of sliding-window chunking incl. trailing-subspan
+    suppression).  And ``topk_per_key`` → ``semdedup_fixed``.  The
     topk_per_key kernel is the final reduction inside EVERY exact-KNN
     oracle gate (flat_knn_*, ivf_*_exact, bin_*, scann, saveload — each
     hash-verifies the same partial-then-final window path), so its
@@ -1212,7 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_iterator_pages": q_ann_iterator_pages,
         "diskann_range_exact": q_diskann_range_exact,
         "ivf_index_meta": q_ivf_index_meta,
-        "text_repetition": q_text_repetition,
+        "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1606,6 +1616,71 @@ WHERE len(list_filter(list_zip(q.qwords, b.words),
 """
 
 
+def _text_transform_oracle() -> str:
+    """Merged transform+repetition mirror: normalization and PII scrub on
+    the seeded text, Gopher repetition fractions on the line-dup-planted
+    text — one row per doc, every column hash-verified."""
+    norm_scrub = r"""
+       trim(regexp_replace(regexp_replace(lower(d.text), '[\x00-\x1f]', ' ', 'g'),
+                           '[ \t]+', ' ', 'g')) AS norm,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(seeded.s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+         '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    """
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+              || ' tel +1 (555) 010-' || CAST(doc_id + 1000 AS VARCHAR) AS s
+  FROM documents
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || chr(10) || substr(text, 1, 40)
+                        || chr(10) || substr(text, 1, 40)
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM rep
+),
+rtoks AS (SELECT doc_id, {_TOKS} AS t FROM rep),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+              ELSE []::VARCHAR[] END AS g
+  FROM rtoks
+)
+SELECT d.doc_id,
+       {norm_scrub},
+       ROUND(CASE WHEN len(ls) > 0
+                  THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                  ELSE 0.0 END, 4) AS dup_line_frac,
+       ROUND(CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+                  THEN list_sum(list_transform(ls,
+                         x -> CASE WHEN len(list_filter(ls, y -> y = x)) > 1
+                                   THEN length(x) ELSE 0 END))::DOUBLE
+                       / list_sum(list_transform(ls, x -> length(x)))
+                  ELSE 0.0 END, 4) AS dup_line_char_frac,
+       ROUND(CASE WHEN len(g) > 0
+                  THEN list_max(list_transform(list_distinct(g),
+                         x -> len(list_filter(g, y -> y = x))))::DOUBLE / len(g)
+                  ELSE 0.0 END, 4) AS top_2gram_frac
+FROM documents d
+JOIN seeded USING (doc_id)
+JOIN lines USING (doc_id)
+JOIN grams USING (doc_id)
+"""
+
+
 def _substring_dedup_oracle() -> str:
     """DuckDB mirror of remove_duplicate_spans(n=_SS_N, min_count=2,
     keep_first=False) over the boilerplate-planted corpus: positional
@@ -1946,24 +2021,9 @@ SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.4
         # PII patterns mirror functions/text.PII_PATTERNS verbatim (same
         # order: email -> ip -> phone; 'g' = global like Spark's default);
         # normalization mirrors normalize_text_expr — one combined gate
-        "text_transform": r"""
-WITH seeded AS (
-  SELECT doc_id, text,
-         text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@mail.example.com ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
-              || ' tel +1 (555) 010-' || CAST(doc_id + 1000 AS VARCHAR) AS s
-  FROM documents
-)
-SELECT doc_id,
-       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
-                           '[ \t]+', ' ', 'g')) AS norm,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-         '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
-FROM seeded
-""",
+        # merged transform+repetition mirror (r4 s3: the two per-doc text
+        # gates collapsed into one, freeing the doc_chunks slot)
+        "text_transform": _text_transform_oracle(),
         # full-algorithm mirror of operators/substring.remove_duplicate_spans
         # (keep_first=False): grams keyed by their STRING where Spark keys
         # the 128-bit xxhash64 pair — identical grouping absent a collision
@@ -1975,44 +2035,28 @@ FROM seeded
         # mirror of pipeline.token_balanced_shards: exclusive prefix sum +
         # midpoint arithmetic; all-float64 over integer inputs → exact
         "token_shards": _TOKEN_SHARDS_SQL,
-        "text_repetition": f"""
-WITH rep AS (
+        # mirror of pipeline.chunk_documents (chunk 32, stride 24): the
+        # last generated start must leave MORE than chunk-stride tokens
+        # (trailing pure-overlap windows are never emitted); whitespace
+        # split (\s+, empties dropped), 1-based inclusive list_slice
+        "doc_chunks": r"""
+WITH toks AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0
-              THEN text || chr(10) || substr(text, 1, 40)
-                        || chr(10) || substr(text, 1, 40)
-              ELSE text END AS text
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
   FROM documents
 ),
-lines AS (
-  SELECT doc_id,
-         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                     x -> x <> '') AS ls
-  FROM rep
-),
-toks AS (SELECT doc_id, {_TOKS} AS t FROM rep),
-grams AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 2
-              THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
-              ELSE []::VARCHAR[] END AS g
-  FROM toks
+starts AS (
+  SELECT doc_id, tk,
+         unnest(range(0, greatest(len(tk) - 8 - 1, 0) + 1, 24)) AS s
+  FROM toks WHERE len(tk) > 0
 )
-SELECT l.doc_id,
-       ROUND(CASE WHEN len(ls) > 0
-                  THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
-                  ELSE 0.0 END, 4) AS dup_line_frac,
-       ROUND(CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) > 0
-                  THEN list_sum(list_transform(ls,
-                         x -> CASE WHEN len(list_filter(ls, y -> y = x)) > 1
-                                   THEN length(x) ELSE 0 END))::DOUBLE
-                       / list_sum(list_transform(ls, x -> length(x)))
-                  ELSE 0.0 END, 4) AS dup_line_char_frac,
-       ROUND(CASE WHEN len(g) > 0
-                  THEN list_max(list_transform(list_distinct(g),
-                         x -> len(list_filter(g, y -> y = x))))::DOUBLE / len(g)
-                  ELSE 0.0 END, 4) AS top_2gram_frac
-FROM lines l JOIN grams USING (doc_id)
+SELECT doc_id,
+       CAST(s / 24 AS INT) AS chunk_id,
+       CAST(s AS INT) AS start_token,
+       CAST(len(tk[s+1:least(s+32, len(tk))]) AS INT) AS n_chunk_tokens,
+       array_to_string(tk[s+1:least(s+32, len(tk))], ' ') AS chunk_text
+FROM starts
+WHERE len(tk[s+1:least(s+32, len(tk))]) >= 1
 """,
         "decontaminate": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
