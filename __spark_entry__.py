@@ -496,31 +496,51 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-weighted deterministic sampling (operators/pipeline.py
-    weighted_sample): training-mix reweighting by source, membership a
-    pure hash of (id, seed) — zero shuffles, stable under growth."""
-    from knowhere_spark.operators.pipeline import weighted_sample
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion (operators/fusion.rrf_fuse, the RRFRanker the
+    Milvus layer runs on the reference): two retriever lists — flat L2
+    top-k and flat COSINE top-k over the same queries — fused by
+    reciprocal rank; the oracle mirrors BOTH retrievers AND the fusion
+    arithmetic (1/(60+rank) sums, score-desc/neighbor-id tie-break)."""
+    from knowhere_spark.operators.fusion import rrf_fuse
+
+    base, queries = _emb(spark, sf_dir)
+    l2 = BruteForce.search(base, queries, K, "L2", strategy="sql")
+    cos = BruteForce.search(base, queries, K, "COSINE", strategy="sql")
+    out = rrf_fuse([l2, cos], k=K)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment AND domain-weighted mix
+    membership in one per-doc row (operators/pipeline.deterministic_split
+    + weighted_sample — merged r4 s3 from the former standalone
+    ``corpus_mix`` gate, freeing the ``hybrid_rrf`` slot): both are pure
+    md5-bucket projections, zero shuffles, stable under corpus growth;
+    every column hash-verified."""
+    from knowhere_spark.operators.pipeline import (
+        deterministic_split,
+        weighted_sample,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
-    return weighted_sample(
+    split_df = deterministic_split(docs, id_col="doc_id").select(
+        "doc_id", "source", "split"
+    )
+    kept = weighted_sample(
         docs, _MIX_RATES, key_col="source", id_col="doc_id",
         default_rate=_MIX_DEFAULT,
-    ).select("doc_id", "source")
-
-
-def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment (operators/pipeline.py):
-    md5-bucket range lookup, a pure projection — zero shuffles, stable
-    under corpus growth."""
-    from knowhere_spark.operators.pipeline import deterministic_split
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
+    ).select("doc_id", F.lit(True).alias("mk"))
+    return split_df.join(kept, "doc_id", "left").select(
+        "doc_id", "source", "split",
+        F.coalesce("mk", F.lit(False)).alias("mix_kept"),
     )
-    return deterministic_split(docs, id_col="doc_id").select("doc_id", "split")
 
 
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,7 +1210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (both are per-doc native expressions over documents; the merged gate
     hash-verifies all five columns), freeing the slot for ``doc_chunks``
     (full DuckDB mirror of sliding-window chunking incl. trailing-subspan
-    suppression).  And ``topk_per_key`` → ``semdedup_fixed``.  The
+    suppression); ``corpus_mix`` merged INTO ``dataset_split`` (both pure
+    md5-bucket projections — one per-doc row carries split AND mix
+    membership), freeing the slot for ``hybrid_rrf`` (both retriever
+    rankings + the RRF arithmetic mirrored).  And ``topk_per_key`` →
+    ``semdedup_fixed``.  The
     topk_per_key kernel is the final reduction inside EVERY exact-KNN
     oracle gate (flat_knn_*, ivf_*_exact, bin_*, scann, saveload — each
     hash-verifies the same partial-then-final window path), so its
@@ -1231,7 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "lm_perplexity": q_lm_perplexity,
         "dataset_split": q_dataset_split,
-        "corpus_mix": q_corpus_mix,
+        "hybrid_rrf": q_hybrid_rrf,
         "seq_packing": q_seq_packing,
         "token_shards": q_token_shards,
         "corpus_curate_full": q_corpus_curate_full,
@@ -1501,13 +1525,10 @@ SELECT doc_id, group_id,
 FROM lab
 """
 
-_DATASET_SPLIT_SQL = f"""
-WITH b AS (SELECT doc_id, {_SPLIT_BUCKET} AS bk FROM documents)
-SELECT doc_id, {_SPLIT_CASE} AS split FROM b
-"""
+# (the merged split+mix SQL is assembled below, after _MIX_BUCKET)
 
-#: weighted_sample rates used by the corpus_mix entry (keep 30% of src0,
-#: 70% of src1, everything else at the 50% default)
+#: weighted_sample rates used by the merged dataset_split gate (keep 30%
+#: of src0, 70% of src1, everything else at the 50% default)
 _MIX_RATES = {"src0": 0.30, "src1": 0.70}
 _MIX_DEFAULT = 0.50
 
@@ -1518,12 +1539,46 @@ _MIX_BUCKET = (
     "AS BIGINT) % 10000"
 )
 
-_CORPUS_MIX_SQL = f"""
-WITH b AS (SELECT doc_id, source, {_MIX_BUCKET} AS bk FROM documents)
-SELECT doc_id, source FROM b
-WHERE bk < (CASE source WHEN 'src0' THEN {int(_MIX_RATES["src0"] * 10000)}
-                        WHEN 'src1' THEN {int(_MIX_RATES["src1"] * 10000)}
-                        ELSE {int(_MIX_DEFAULT * 10000)} END)
+# merged split+mix mirror (r4 s3): split assignment AND mix membership
+# per doc, both pure md5-bucket arithmetic
+_DATASET_SPLIT_SQL = f"""
+WITH b AS (SELECT doc_id, source, {_SPLIT_BUCKET} AS bk,
+                  {_MIX_BUCKET} AS mbk
+           FROM documents)
+SELECT doc_id, source, {_SPLIT_CASE} AS split,
+       (mbk < (CASE source WHEN 'src0' THEN {int(_MIX_RATES["src0"] * 10000)}
+                           WHEN 'src1' THEN {int(_MIX_RATES["src1"] * 10000)}
+                           ELSE {int(_MIX_DEFAULT * 10000)} END)) AS mix_kept
+FROM b
+"""
+
+# RRF fusion mirror: both retriever rankings + the 1/(60+rank) sum and
+# the (score DESC, neighbor_id) final top-k — operators/fusion.rrf_fuse
+_HYBRID_RRF_SQL = f"""
+WITH {_Q_CTE},
+d AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_L2} AS dl2, {_COS} AS dcos
+  FROM embeddings e, q
+),
+rl AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY dl2 ASC, neighbor_id) AS rk
+       FROM d),
+rc AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY dcos DESC, neighbor_id) AS rk
+       FROM d),
+u AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         COALESCE(1.0 / (60 + a.rk), 0.0) + COALESCE(1.0 / (60 + b.rk), 0.0) AS score
+  FROM (SELECT * FROM rl WHERE rk <= {K}) a
+  FULL OUTER JOIN (SELECT * FROM rc WHERE rk <= {K}) b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+),
+f AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+      FROM u)
+SELECT query_id, neighbor_id, ROUND(score, 6) AS score, CAST(rk AS INT) AS rank
+FROM f WHERE rk <= {K}
 """
 
 _SEQ_PACKING_SQL = f"""
@@ -2005,7 +2060,7 @@ r AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rk
 SELECT id, CAST(cid AS INT) AS cluster_id FROM r WHERE rk = 1
 """,
         "dataset_split": _DATASET_SPLIT_SQL,
-        "corpus_mix": _CORPUS_MIX_SQL,
+        "hybrid_rrf": _HYBRID_RRF_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_curate_full": _CORPUS_CURATE_FULL_SQL,
         "embed_cosine_neardup": """
