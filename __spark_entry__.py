@@ -524,22 +524,18 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column hash-verified."""
     from knowhere_spark.operators.pipeline import (
         deterministic_split,
-        weighted_sample,
+        weighted_sample_expr,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
-    split_df = deterministic_split(docs, id_col="doc_id").select(
-        "doc_id", "source", "split"
-    )
-    kept = weighted_sample(
-        docs, _MIX_RATES, key_col="source", id_col="doc_id",
+    mix_kept = weighted_sample_expr(
+        _MIX_RATES, key_col="source", id_col="doc_id",
         default_rate=_MIX_DEFAULT,
-    ).select("doc_id", F.lit(True).alias("mk"))
-    return split_df.join(kept, "doc_id", "left").select(
-        "doc_id", "source", "split",
-        F.coalesce("mk", F.lit(False)).alias("mix_kept"),
+    )
+    return deterministic_split(docs, id_col="doc_id").select(
+        "doc_id", "source", "split", mix_kept.alias("mix_kept")
     )
 
 

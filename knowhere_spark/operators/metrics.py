@@ -15,23 +15,30 @@ from pyspark.sql import functions as F
 
 
 def _pairs(df: DataFrame, q: str = "query_id", n: str = "neighbor_id") -> DataFrame:
-    return df.select(F.col(q).alias("query_id"), F.col(n).alias("neighbor_id"))
+    # distinct: a duplicated pair (e.g. a pre-reduction union of shard
+    # partials) must count once, never push recall past 1.0
+    return df.select(
+        F.col(q).alias("query_id"), F.col(n).alias("neighbor_id")
+    ).distinct()
 
 
 def knn_recall(result: DataFrame, ground_truth: DataFrame, k: int) -> float:
-    """``|result ∩ truth@k| / (nq · k)`` — GetKNNRecall (utils.h:110-135):
-    the truth is truncated to each query's top ``k`` (rank column if
-    present, else assumed pre-truncated), matched as an id SET per query.
-    Queries absent from ``result`` contribute zero matches, exactly like
-    the reference's fixed-nq loop."""
+    """``|result@k ∩ truth@k| / (nq · k)`` — GetKNNRecall
+    (utils.h:110-135): BOTH sides truncate to each query's top ``k``
+    (rank column if present, else assumed pre-truncated), matched as an
+    id SET per query.  Queries absent from ``result`` contribute zero
+    matches, exactly like the reference's fixed-nq loop."""
     gt = ground_truth
     if "rank" in gt.columns:
         gt = gt.filter(F.col("rank") <= k)
     gt = _pairs(gt)
+    res = result
+    if "rank" in res.columns:
+        res = res.filter(F.col("rank") <= k)
     nq = gt.select("query_id").distinct().count()
     if nq == 0:
         return 1.0
-    matched = _pairs(result).join(
+    matched = _pairs(res).join(
         gt, ["query_id", "neighbor_id"], "left_semi"
     ).count()
     return matched / float(nq * k)

@@ -72,6 +72,33 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def weighted_sample_expr(
+    rates: dict[str, float],
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> Column:
+    """Boolean mix-membership COLUMN — the pure-projection core of
+    :func:`weighted_sample`, exposed so callers that need membership
+    alongside other columns (e.g. the driver gate) stay join-free."""
+    for k, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = split_bucket_expr(F.col(id_col), seed, salt="mix:")
+    thresh = None
+    for name, rate in sorted(rates.items()):
+        edge = F.lit(int(round(rate * _SPLIT_BUCKETS)))
+        cond = F.col(key_col) == F.lit(name)
+        thresh = F.when(cond, edge) if thresh is None else thresh.when(cond, edge)
+    default_edge = F.lit(int(round(default_rate * _SPLIT_BUCKETS)))
+    thresh = default_edge if thresh is None else thresh.otherwise(default_edge)
+    return bucket < thresh
+
+
 def weighted_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -92,20 +119,12 @@ def weighted_sample(
     for down-weighted domains).  One narrow filter, zero shuffles —
     ``sampleBy``'s stratified semantics without its per-run randomness.
     """
-    for k, r in rates.items():
-        if not (0.0 <= r <= 1.0):
-            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
-    if not (0.0 <= default_rate <= 1.0):
-        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    bucket = split_bucket_expr(F.col(id_col), seed, salt="mix:")
-    thresh = None
-    for name, rate in sorted(rates.items()):
-        edge = F.lit(int(round(rate * _SPLIT_BUCKETS)))
-        cond = F.col(key_col) == F.lit(name)
-        thresh = F.when(cond, edge) if thresh is None else thresh.when(cond, edge)
-    default_edge = F.lit(int(round(default_rate * _SPLIT_BUCKETS)))
-    thresh = default_edge if thresh is None else thresh.otherwise(default_edge)
-    return df.filter(bucket < thresh)
+    return df.filter(
+        weighted_sample_expr(
+            rates, key_col=key_col, id_col=id_col,
+            default_rate=default_rate, seed=seed,
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -79,25 +79,54 @@ def stream_semdedup(
             else np.zeros((0, dim), dtype=np.float64)
         )
         cid = int(key_tuple[0])
+        # the micro-batch arrives as SEVERAL Arrow chunks (split at
+        # maxRecordsPerBatch and by input partition): concatenate before
+        # the single ascending-id sort, or the "process in id order"
+        # determinism claim silently becomes per-chunk only and the kept
+        # set varies with partitioning
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         out_id, out_mp, out_keep = [], [], []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-            ids = pdf["id"].to_numpy()[order]
+        new_rows: list[np.ndarray] = []   # batch-kept rows, concatenated once
+        if chunks:
+            all_ids = np.concatenate([c["id"].to_numpy() for c in chunks])
             V = np.nan_to_num(
-                np.stack(pdf["vec"].to_numpy())[order].astype(np.float64),
+                np.concatenate(
+                    [np.stack(c["vec"].to_numpy()) for c in chunks]
+                ).astype(np.float64),
                 nan=0.0, posinf=0.0, neginf=0.0,
             )
-            for i in range(len(ids)):
+            order = np.argsort(all_ids, kind="stable")
+            all_ids, V = all_ids[order], V[order]
+            # ONE GEMM against the frozen prior kept set; the sequential
+            # pass only scores against this batch's own kept rows, held in
+            # a geometrically-grown buffer (no per-row reallocation of the
+            # full kept matrix)
+            base_max = (
+                (kept @ V.T).max(axis=0)
+                if len(kept)
+                else np.full(len(V), -np.inf)
+            )
+            buf = np.empty((16, dim), dtype=np.float64)
+            nb = 0
+            for i in range(len(all_ids)):
                 v = V[i]
-                mp = float((kept @ v).max()) if len(kept) else None
-                keep = mp is None or mp < eps_f
+                mp_val = base_max[i]
+                if nb:
+                    mp_val = max(mp_val, float((buf[:nb] @ v).max()))
+                first = not len(kept) and nb == 0
+                keep = first or mp_val < eps_f
                 if keep:
-                    kept = np.vstack([kept, v[None, :]])
-                out_id.append(int(ids[i]))
-                out_mp.append(mp)
+                    if nb == len(buf):
+                        buf = np.concatenate([buf, np.empty_like(buf)])
+                    buf[nb] = v
+                    nb += 1
+                out_id.append(int(all_ids[i]))
+                out_mp.append(None if first else float(mp_val))
                 out_keep.append(keep)
+            if nb:
+                new_rows.append(buf[:nb])
+        if new_rows:
+            kept = np.concatenate([kept] + new_rows)
         state.update((kept.ravel().tolist(),))
         if out_id:
             yield pd.DataFrame(
