@@ -811,6 +811,77 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
             return semdedup(huge, eps=0.96, num_clusters=976, seed=11)
 
+        def q_bpe_highvocab_50k():
+            # VERDICT r4 #1 probe: planted crawl-scale vocabulary — every
+            # doc carries two unique junk tokens, so distinct words grow
+            # linearly with the corpus (~100k junk words at 50k docs, 10x
+            # the curated vocabulary); the max_vocab clip (count-ordered
+            # TakeOrderedAndProject before the collect) keeps the driver
+            # cost flat regardless of crawl dirtiness
+            from knowhere_spark.functions.bpe import bpe_token_count, bpe_train
+
+            dirty = docs10.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" zq"), F.col("doc_id").cast("string"), F.lit("xj"),
+                    F.lit(" qz"), (F.col("doc_id") * 7 + 1).cast("string"),
+                    F.lit("yk"),
+                ).alias("text"),
+            )
+            merges = bpe_train(dirty, 256, max_vocab=20_000)
+            return bpe_token_count(docs10, merges)
+
+        fusion_state = {}
+
+        def prep_hybrid_fusion_1000q():
+            # materialize both retriever lists OUTSIDE the stopwatch — the
+            # probe times the fusion join itself (its scale claim is
+            # "outer-joins of top-k-sized lists only"), at 10x the driver
+            # gate's nq (1000 queries x k=100 → 100k-row lists)
+            qs = big.filter(F.col("id") < 1000).select(
+                F.col("id").alias("query_id"), "vec"
+            )
+            l2 = BruteForce.search(
+                big, qs, 100, "L2", strategy="gemm"
+            ).localCheckpoint(eager=True)
+            cos = BruteForce.search(
+                big, qs, 100, "COSINE", strategy="gemm"
+            ).localCheckpoint(eager=True)
+            fusion_state["lists"] = [l2, cos]
+
+        def q_hybrid_fusion_1000q():
+            from knowhere_spark.operators.fusion import rrf_fuse
+
+            return rrf_fuse(fusion_state["lists"], k=100)
+
+        def q_hybrid_fusion_100q():
+            # same-session small point (10x fewer queries → 10x smaller
+            # lists) so the scaling row compares within one box state
+            from knowhere_spark.operators.fusion import rrf_fuse
+
+            return rrf_fuse(
+                [d.filter(F.col("query_id") < 100) for d in fusion_state["lists"]],
+                k=100,
+            )
+
+        def q_quality_classifier_50k():
+            # HashingTF + MLlib LR at 10x docs: train (tree-aggregated
+            # L-BFGS) + one JVM transform — nothing driver-side to grow
+            from knowhere_spark.operators.quality import QualityClassifier
+
+            clf = QualityClassifier.train(
+                docs10.filter(F.col("doc_id") % 2 == 0),
+                docs10.filter(F.col("doc_id") % 2 == 1),
+                max_iter=10,
+            )
+            return clf.score(docs10).localCheckpoint(eager=True)
+
+        PREPARE_MAP["sf1x_hybrid_fusion_1000q"] = prep_hybrid_fusion_1000q
+        out["sf1x_bpe_highvocab_50k"] = q_bpe_highvocab_50k
+        out["sf1x_hybrid_fusion_1000q"] = q_hybrid_fusion_1000q
+        out["sf1x_hybrid_fusion_100q"] = q_hybrid_fusion_100q
+        out["sf1x_quality_classifier_50k"] = q_quality_classifier_50k
         out["sf1x_corpus_curate_50k"] = q_curate_50k
         out["sf1x_substring_dedup_50k"] = q_substring_dedup_50k
         out["sf1x_lm_perplexity_50k"] = q_lm_perplexity_50k

@@ -9,7 +9,16 @@ Spark-first decomposition:
   low millions, never corpus-sized), then the classic weighted pair-merge
   loop runs on the driver over that vocabulary.  This is exactly how
   reference trainers work (they train on word counts, not the raw
-  stream); the corpus itself is never collected.
+  stream); the corpus itself is never collected.  The driver-side
+  vocabulary is HARD-BOUNDED: ``max_vocab`` (default 1M) keeps only the
+  most frequent words via a count-ordered ``limit`` (Spark's
+  TakeOrderedAndProject — a per-partition top-k, never a full sort), so
+  a 100 TB crawl with 10⁹ distinct "words" (typos, URLs, binary junk)
+  costs the driver the same as a curated corpus; the dropped tail is
+  exactly what a frequency floor would drop, and production trainers
+  (GPT-2/HF) cap vocabulary identically.  ``train_sample_docs``
+  additionally caps the counted corpus itself, mirroring the IVF /
+  SemDeDup train-on-a-capped-sample contract (operators/ivf.py:127-146).
 - ``bpe_encode`` / ``bpe_token_count``: merge ranks broadcast to
   executors; each Arrow batch encodes its UNIQUE words once (the
   per-batch vocabulary, like the MinHash kernel's digest-per-unique-
@@ -55,12 +64,21 @@ def _merge_word(symbols: tuple[str, ...], ranks: dict[tuple[str, str], int]) -> 
     return tuple(syms)
 
 
+#: Hard default for the driver-side vocabulary: big enough that no real
+#: language's frequent-word table is clipped, small enough that the collect
+#: and the O(num_merges × vocab) merge loop are bounded on any corpus.
+DEFAULT_MAX_VOCAB = 1_000_000
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int,
     *,
     text_col: str = "text",
     min_word_count: int = 1,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
+    train_sample_docs: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from a corpus; returns a merges
     DataFrame ``(rank INT, left STRING, right STRING)`` (rank 0 = first
@@ -69,10 +87,20 @@ def bpe_train(
 
     The distributed part is ONE word-count aggregation (map-side combined
     groupBy) — the classic trainer then iterates over the weighted
-    vocabulary on the driver, which is bounded by distinct words, not
-    corpus size.  Deterministic: ties between equal-count pairs break
-    lexicographically."""
+    vocabulary on the driver.  ``max_vocab`` bounds that vocabulary to the
+    most-frequent words REGARDLESS of corpus cardinality (count-ordered
+    ``limit`` → TakeOrderedAndProject, a distributed per-partition top-k;
+    ties break lexicographically so the clip is deterministic); pass
+    ``max_vocab=None`` only for corpora you know are vocabulary-bounded.
+    ``train_sample_docs`` trains on a seeded capped sample of documents
+    (the IVF/SemDeDup train contract) — merge quality saturates long
+    before the full crawl is counted.  Deterministic: ties between
+    equal-count pairs break lexicographically."""
     spark = docs.sparkSession
+    if train_sample_docs is not None:
+        n = docs.count()
+        if n > train_sample_docs:
+            docs = docs.sample(fraction=train_sample_docs / n, seed=seed)
     words = (
         docs.select(
             F.explode(
@@ -86,6 +114,11 @@ def bpe_train(
         .agg(F.count("*").alias("ct"))
         .filter(F.col("ct") >= min_word_count)
     )
+    if max_vocab is not None:
+        # keep the count-heavy head; deterministic under count ties.  This
+        # is the enforceable scale contract: the driver never materializes
+        # more than max_vocab rows no matter how dirty the crawl is.
+        words = words.orderBy(F.col("ct").desc(), F.col("w").asc()).limit(max_vocab)
     vocab = {r["w"]: int(r["ct"]) for r in words.collect()}
     seqs: dict[tuple[str, ...], int] = {}
     for w, ct in vocab.items():

@@ -91,6 +91,77 @@ def test_train_deterministic(spark):
     assert a == b
 
 
+def test_train_max_vocab_bounds_driver_collect(spark):
+    """The scale contract (VERDICT r4 #1): with max_vocab=K the driver
+    vocabulary is the count-ordered top-K regardless of how many distinct
+    junk 'words' the crawl has — merges trained on a high-cardinality
+    corpus with max_vocab equal the merges trained on just the frequent
+    head, because the unique-tail is exactly what the clip drops."""
+    head = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    # 400 distinct count-1 junk tokens (URL/typo stand-ins)
+    junk_docs = [(100 + i, f"zz{i}qx{i}") for i in range(400)]
+    dirty = spark.createDataFrame(
+        [(1, head)] + junk_docs, "doc_id long, text string"
+    )
+    clean = spark.createDataFrame([(1, head)], "doc_id long, text string")
+    capped = [
+        (r.left, r.right)
+        for r in bpe_train(dirty, 6, max_vocab=4).orderBy("rank").collect()
+    ]
+    head_only = [
+        (r.left, r.right) for r in bpe_train(clean, 6).orderBy("rank").collect()
+    ]
+    assert capped == head_only
+    # and the default cap is finite — an unbounded collect is opt-in only
+    from knowhere_spark.functions.bpe import DEFAULT_MAX_VOCAB
+
+    assert DEFAULT_MAX_VOCAB is not None and DEFAULT_MAX_VOCAB <= 2_000_000
+
+
+def test_train_max_vocab_clip_deterministic_under_ties(spark):
+    """All-count-1 vocabulary: the clip must break ties lexicographically,
+    so two runs learn identical merges."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i:03d}a w{i:03d}b") for i in range(50)], "doc_id long, text string"
+    )
+    a = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, 5, max_vocab=10).orderBy("rank").collect()
+    ]
+    b = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, 5, max_vocab=10).orderBy("rank").collect()
+    ]
+    assert a == b and len(a) > 0
+
+
+def test_train_sample_docs_capped_mode(spark):
+    """train_sample_docs mirrors the IVF capped-sample train contract:
+    seeded, deterministic, and merges stay sane (dominant words still
+    merge) when training on a fraction of the corpus."""
+    rows = [(i, "low lower newest widest " * 3) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, 6, train_sample_docs=40, seed=7)
+        .orderBy("rank")
+        .collect()
+    ]
+    b = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, 6, train_sample_docs=40, seed=7)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert a == b
+    # every doc is identical, so the sampled merges == full-corpus merges
+    full = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, 6).orderBy("rank").collect()
+    ]
+    assert a == full
+
+
 def test_train_exhausts_gracefully(spark):
     """Asking for more merges than exist stops early instead of looping."""
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
