@@ -1079,23 +1079,6 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract pipeline over BINARY payloads (stubbed
-    codec, real mapInPandas plumbing) — rows-only gate, determinism
-    tested in tests/test_multimodal.py."""
-    from knowhere_spark.operators.multimodal import extract_features, synthesize_media
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
-    feats = extract_features(media, feature_dim=16)
-    return feats.select(
-        "media_id",
-        "media_type",
-        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
-        F.size("features").alias("feature_dim"),
-    )
-
-
 def q_cc_sealed_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC lifecycle exactness gate (r4, upgrading the rows-only
     ``cc_search_while_insert``): build sealed on the even half, stream the
@@ -1130,6 +1113,68 @@ def q_cc_sealed_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     sealed = idx.seal(f"{tmp}/sealed")
     return _knn_out(sealed.search(queries_, k=K))
+
+
+def q_stream_semdedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup exactness gate (r5, the VERDICT r4 #2 ask,
+    replacing the rows-only ``multimodal_features`` — the registry's
+    least-informative row; the media plumbing keeps its
+    ``media_frame_sample`` oracle + tests/test_multimodal.py).
+
+    Two REAL micro-batches (even ids, then odd ids — file mtimes pinned
+    so FileStreamSource's timestamp ordering is deterministic) flow
+    through ``streaming/semdedup.stream_semdedup`` with PINNED centroids
+    (the first 4 embedding vectors, same as ``semdedup_fixed``).  The
+    greedy first-seen-wins keep rule (max cosine against the cluster's
+    KEPT set, processing order = arrival order = (id % 2, id)) is
+    mirrored in DuckDB as a recursive CTE that carries the kept set as a
+    list-of-vectors column — so cross-micro-batch keyed state, cluster
+    routing, and the float64 cosine arithmetic are ALL hash-gated.
+    eps=0.4 sits inside the testdata's real cosine range (drops occur:
+    24/500 at sf0.01)."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from knowhere_spark.streaming.semdedup import stream_semdedup
+
+    emb = embeddings_as_dataset(spark, sf_dir)
+    crows = emb.filter(F.col("id") < 4).orderBy("id").collect()
+    cents = np.array([r["vec"] for r in crows], dtype=np.float64)
+
+    tmp = tempfile.mkdtemp(prefix="knowhere_semstream_")
+    src = f"{tmp}/src"
+    emb.filter(F.col("id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    first = {e.name for e in os.scandir(src)}
+    emb.filter(F.col("id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for e in os.scandir(src):
+        os.utime(e.path, (now - 120, now - 120) if e.name in first else (now, now))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_semdedup(stream, 0.4, cents)
+    name = f"semstream_{abs(hash(tmp)) % 10_000_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "id",
+        "cluster_id",
+        F.round("max_prior_cos", 4).alias("max_prior_cos"),
+        "keep",
+    )
 
 
 def q_stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,6 +1264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SemDeDup — a brand-new operator family — gets the freed slot with a
     full-algorithm DuckDB mirror (pinned centroids, float64 GEMM).
 
+    r5 swap (the VERDICT r4 #2 ask): ``multimodal_features`` (rows-only
+    over the stubbed featurizer — the registry's least-informative row;
+    its mapInPandas plumbing stays oracle-covered by
+    ``media_frame_sample`` and deterministic in tests/test_multimodal.py)
+    is replaced by ``stream_semdedup_equals_batch``, a HASH gate over the
+    streaming SemDeDup keep rule: two mtime-ordered micro-batches, pinned
+    centroids, and a DuckDB recursive-CTE mirror of the greedy
+    kept-set-only cosine sweep.
+
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same
     code paths + pytest recall floors), ``ann_ordered_neighbors`` (same
@@ -1269,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_refine_exact": q_ivf_pq_refine_exact,
         "index_saveload_knn": q_index_saveload_knn,
         "cc_sealed_equals_batch": q_cc_sealed_equals_batch,
+        "stream_semdedup_equals_batch": q_stream_semdedup_equals_batch,
         "kmeans_assign_fixed": q_kmeans_assign_fixed,
         "media_frame_sample": q_media_frame_sample,
         # --- rows-only (approximate / non-SQL-expressible; recall floors
@@ -1279,7 +1334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_sharded_knn": q_hnsw_sharded_knn,
         "embed_neardup_ivf": q_embed_neardup_ivf,
         "stream_neardup_minhash": q_stream_neardup_minhash,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1951,6 +2005,46 @@ SELECT cc.id, CAST(cc.cid AS INT) AS cluster_id,
        ROUND(p.mp, 4) AS max_prior_cos,
        (COALESCE(p.mp, -1e18) < 0.4) AS keep
 FROM cc LEFT JOIN p ON cc.id = p.id
+""",
+        # streaming SemDeDup mirror: arrival order is (id % 2, id) — the
+        # gate feeds the even-id micro-batch first — and the kept set is
+        # carried through a recursive CTE as a list-of-vectors column so
+        # the KEPT-ONLY greedy (streaming/semdedup.py:104-127) is
+        # reproduced exactly, cross-batch state included
+        "stream_semdedup_equals_batch": """
+WITH RECURSIVE
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 4),
+n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings),
+u AS (SELECT id, CASE WHEN nrm = 0 THEN e
+                      ELSE list_transform(e, x -> x/nrm) END AS v FROM n),
+d AS (SELECT u.id, c.cid,
+             list_sum(list_transform(list_zip(u.v, c.cvec),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+      FROM u, c),
+a AS (SELECT id, cid,
+             row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rk FROM d),
+rows_ AS (SELECT u.id, a.cid, u.v,
+                 row_number() OVER (PARTITION BY a.cid ORDER BY (u.id % 2), u.id) AS rk
+          FROM u JOIN a ON u.id = a.id AND a.rk = 1),
+g AS (
+  SELECT cid, rk, id, CAST(NULL AS DOUBLE) AS mp, TRUE AS keep,
+         [v] AS kept
+  FROM rows_ WHERE rk = 1
+  UNION ALL
+  SELECT s.cid, s.rk, s.id, s.mp, s.mp < 0.4 AS keep,
+         CASE WHEN s.mp < 0.4 THEN list_append(s.kept, s.v) ELSE s.kept END AS kept
+  FROM (
+    SELECT r.cid, r.rk, r.id, r.v, g.kept,
+           list_max(list_transform(g.kept,
+               kv -> list_sum(list_transform(list_zip(r.v, kv), z -> z[1]*z[2])))) AS mp
+    FROM g JOIN rows_ r ON r.cid = g.cid AND r.rk = g.rk + 1
+  ) s
+)
+SELECT id, CAST(cid AS INT) AS cluster_id, ROUND(mp, 4) AS max_prior_cos, keep
+FROM g
 """,
         "sparse_ip_topk": f"""
 WITH {_SPARSE_BASE},
