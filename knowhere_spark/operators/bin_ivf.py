@@ -112,9 +112,22 @@ class BinaryIVFIndex:
         *,
         id_col: str = "id",
         vec_col: str = "vec",
+        scalar_cols: tuple[str, ...] | list[str] = (),
     ) -> "BinaryIVFIndex":
+        """``scalar_cols``: hot scalar payload columns carried into the
+        assignments table, same contract as the dense IVF
+        (operators/ivf.py — the materialized_view.h:23-36 analog): a
+        ``filter_expr`` over them evaluates join-free at the scan, and
+        ``save(path, scalar_partition_cols=...)`` prunes whole parquet
+        partitions for the loaded index."""
+        scalar_cols = tuple(scalar_cols)
+        clash = {"id", "vec", "cell_id", "qvec"} & set(scalar_cols)
+        if clash:
+            raise ValueError(f"scalar_cols collide with index columns: {sorted(clash)}")
         base = base_df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+            *scalar_cols,
         )
         n = base.count()
         nlist = config.match_nlist(n)
@@ -126,21 +139,34 @@ class BinaryIVFIndex:
             len(rows), -1
         )
         centroids = _binary_kmeans(X, nlist, config.seed)
-        assignments = _assign_binary(base, centroids)
+        assignments = _assign_binary(base, centroids, scalar_cols)
         import dataclasses
 
         cfg = dataclasses.replace(config, nlist=nlist)
         return cls(centroids, assignments, cfg)
 
+    def _scalar_payload(self) -> list[str]:
+        return [
+            c for c in self.assignments.columns if c not in ("id", "cell_id", "vec")
+        ]
+
     def add(
         self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
     ) -> "BinaryIVFIndex":
         """Append rows: hamming-argmin against the existing binary
-        centroids, no retrain (``IndexNode::Add``, index_node.h:120-121)."""
+        centroids, no retrain (``IndexNode::Add``, index_node.h:120-121).
+        Scalar payload columns the index carries must arrive with every
+        Add batch — NULL-padding would silently break filtered search."""
+        scalars = self._scalar_payload()
+        missing = [c for c in scalars if c not in new_df.columns]
+        if missing:
+            raise ValueError(f"Add batch is missing the index's scalar_cols: {missing}")
         new = new_df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+            *scalars,
         )
-        assigned = _assign_binary(new, self.centroids)
+        assigned = _assign_binary(new, self.centroids, tuple(scalars))
         return BinaryIVFIndex(
             self.centroids, self.assignments.unionByName(assigned), self.config
         )
@@ -311,9 +337,21 @@ class BinaryIVFIndex:
 
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, *, scalar_partition_cols: list[str] | None = None) -> None:
+        """Persist as a cell-partitioned parquet layout.
+        ``scalar_partition_cols`` (must be among the index's
+        ``scalar_cols``) layer hot scalar fields ABOVE ``cell_id`` in the
+        directory tree — same pruning contract as ``IVFFlatIndex.save``."""
         from knowhere_spark.sources.index_store import IndexStore
 
+        scalars = list(scalar_partition_cols or [])
+        payload = self._scalar_payload()
+        bad = [c for c in scalars if c not in payload]
+        if bad:
+            raise ValueError(
+                f"scalar_partition_cols must be among the index's scalar_cols"
+                f" {payload}: {bad}"
+            )
         store = IndexStore(path)
         store.write_manifest(
             {
@@ -325,9 +363,14 @@ class BinaryIVFIndex:
                 "count": self.count(),
                 "centroids_hex": self.centroids.tobytes().hex(),
                 "centroid_bytes": int(self.centroids.shape[1]),
+                # declared schema pins partition-column types on load
+                # (string label '01' must not merge with int partition 1)
+                "assignments_schema": self.assignments.schema.json(),
             }
         )
-        store.write_table("assignments", self.assignments, partition_by=["cell_id"])
+        store.write_table(
+            "assignments", self.assignments, partition_by=[*scalars, "cell_id"]
+        )
 
     @classmethod
     def load(cls, spark, path: str) -> "BinaryIVFIndex":
@@ -344,12 +387,22 @@ class BinaryIVFIndex:
             nlist=int(m["nlist"]),
             nprobe=int(m["nprobe"]),
         )
-        return cls(centroids, store.read_table(spark, "assignments"), cfg)
+        schema = None
+        if m.get("assignments_schema"):
+            import json
+
+            from pyspark.sql.types import StructType as _ST
+
+            schema = _ST.fromJson(json.loads(m["assignments_schema"]))
+        return cls(centroids, store.read_table(spark, "assignments", schema=schema), cfg)
 
 
-def _assign_binary(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+def _assign_binary(
+    df: DataFrame, centroids: np.ndarray, scalar_cols: tuple[str, ...] = ()
+) -> DataFrame:
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
+    keep = ["id", "cell_id", "vec", *scalar_cols]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value
@@ -359,13 +412,14 @@ def _assign_binary(df: DataFrame, centroids: np.ndarray) -> DataFrame:
             X = np.frombuffer(b"".join(pdf["vec"]), dtype=np.uint8).reshape(len(pdf), -1)
             out = pdf.copy()
             out["cell_id"] = _hamming_matrix(X, C).argmin(axis=1).astype(np.int32)
-            yield out[["id", "cell_id", "vec"]]
+            yield out[keep]
 
     schema = StructType(
         [
             StructField("id", LongType()),
             StructField("cell_id", IntegerType()),
             StructField("vec", BinaryType()),
+            *(df.schema[c] for c in scalar_cols),
         ]
     )
     from knowhere_spark.session import ensure_parallelism

@@ -73,7 +73,19 @@ class ScannIndex:
         self.index_type = "SCANN"
 
     @classmethod
-    def build(cls, base_df: DataFrame, config, *, id_col: str = "id", vec_col: str = "vec"):
+    def build(
+        cls,
+        base_df: DataFrame,
+        config,
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        scalar_cols: tuple[str, ...] | list[str] = (),
+    ):
+        """``scalar_cols`` flow into the inner quantized table (the
+        materialized_view.h:23-36 hot-scalar layout), so a filtered SCANN
+        search filters join-free at the approximate stage and a saved
+        layout prunes partitions."""
         from knowhere_spark.config import IndexType, IvfSq8Config
         from knowhere_spark.operators.sq import IVFSq8Index
 
@@ -88,8 +100,39 @@ class ScannIndex:
             base_df, sq_cfg, id_col=id_col, vec_col=vec_col,
             with_raw_data=config.with_raw_data,
             index_type=IndexType.SCANN,
+            scalar_cols=scalar_cols,
         )
         return cls(sq, config)
+
+    def save(self, path: str, *, scalar_partition_cols: list[str] | None = None) -> None:
+        """Persist via the inner quantized layout (manifest keeps the
+        SCANN index_type + ``reorder_k``); ``scalar_partition_cols``
+        follow the IVF/SQ pruning contract."""
+        self.sq.save(path, scalar_partition_cols=scalar_partition_cols)
+        from knowhere_spark.sources.index_store import IndexStore
+
+        store = IndexStore(path)
+        m = store.read_manifest()
+        m["reorder_k"] = int(self.config.reorder_k)
+        m["with_raw_data"] = bool(self.config.with_raw_data)
+        store.write_manifest(m)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ScannIndex":
+        from knowhere_spark.config import ScannConfig
+        from knowhere_spark.operators.sq import IVFSq8Index
+        from knowhere_spark.sources.index_store import IndexStore
+
+        sq = IVFSq8Index.load(spark, path)
+        m = IndexStore(path).read_manifest()
+        cfg = ScannConfig(
+            metric_type=sq.config.metric_type,
+            nlist=sq.config.nlist,
+            nprobe=sq.config.nprobe,
+            reorder_k=int(m.get("reorder_k", 256)),
+            with_raw_data=bool(m.get("with_raw_data", sq.with_raw_data)),
+        )
+        return cls(sq, cfg)
 
     def count(self) -> int:
         return self.sq.count()

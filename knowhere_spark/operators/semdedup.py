@@ -18,9 +18,20 @@ Spark shape (the 100 TB story):
   floats, never cluster_size**2;
 - total pairwise FLOPs are O(n**2 / k): size ``num_clusters`` so the
   mean cluster is a few thousand rows (the paper uses k ~ 0.1% of n),
-  which bounds both compute and the skewed-cluster tail.  The operator
-  raises if a cluster exceeds ``max_cluster_rows`` instead of silently
-  OOM-ing a task — re-run with more clusters.
+  which bounds both compute and the skewed-cluster tail.  Clusters that
+  exceed ``max_cluster_rows`` are AUTO-SPLIT (r5): a second-level
+  k-means sub-clusters the offender (trained on a capped sample, new
+  cluster ids allocated past the original k), and anything still over
+  cap after that — an exactly-identical-vector flood, which k-means
+  cannot separate — falls back to a deterministic id-hash bucket split.
+  A 100 TB run therefore degrades instead of dying on one skewed
+  semantic ball.  Keep-rule semantics across sub-clusters: each
+  sub-cluster sweeps independently, so one representative survives PER
+  SUB-CLUSTER — the same semantics as having chosen a finer k for that
+  region (the paper's k is a quality knob, not a correctness contract);
+  duplicates split across a sub-cluster boundary may both survive, upper
+  -bounded by the number of sub-clusters.  ``auto_split_clusters=False``
+  restores the r4 raise.
 
 Related in-repo operators: exact/LSH text dedup (operators/dedup.py),
 embedding near-dup pairs (dedup.embedding_neardup_pairs — pairwise
@@ -109,6 +120,103 @@ def _cluster_pass(
     return ids_s, ccos_s, max_prior, keep
 
 
+def _autosplit_overcap(
+    assigned: DataFrame,
+    cents: np.ndarray,
+    cap: int,
+    seed: int,
+) -> tuple[DataFrame, np.ndarray]:
+    """Two-level split of over-cap clusters (the degrade-not-die path).
+
+    Level 2: per offender, k-means sub-centroids trained on a capped
+    sample (new cluster ids allocated past ``len(cents)``); rows of the
+    offender reassign to ``base + argmin_L2(sub)``.  Anything STILL over
+    cap (k-means cannot separate exactly-identical vectors: every row
+    ties and argmin lands on one sub) falls back to a deterministic
+    id-hash bucket split whose bucket count guarantees the mean lands at
+    cap/2.  Returns the reassigned frame + the grown centroid matrix
+    (id-hash buckets inherit the parent centroid, so ``centroid_cos`` —
+    and the sweep order — stay well-defined)."""
+    from knowhere_spark.functions.distance import numpy_kmeans
+
+    spark = assigned.sparkSession
+    target = max(1, cap // 2)
+    over = (
+        assigned.groupBy("cluster_id").count().filter(F.col("count") > cap).collect()
+    )
+    if not over:
+        return assigned, cents
+    cents_list = [cents]
+    next_id = len(cents)
+    plans: dict[int, tuple[int, np.ndarray]] = {}
+    for r in sorted(over, key=lambda r: int(r["cluster_id"])):
+        cid, n = int(r["cluster_id"]), int(r["count"])
+        k_sub = min(max(2, -(-n // target)), 4096)
+        rows_df = assigned.filter(F.col("cluster_id") == cid).select("vec")
+        samp_n = min(n, 64 * k_sub)
+        samp = (
+            rows_df.sample(fraction=min(1.0, samp_n / n), seed=seed)
+            if n > samp_n
+            else rows_df
+        )
+        X = np.array([row["vec"] for row in samp.collect()], dtype=np.float64)
+        X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+        sub = numpy_kmeans(X, min(k_sub, len(X)), iters=8, seed=seed)
+        plans[cid] = (next_id, sub)
+        cents_list.append(sub)
+        next_id += len(sub)
+
+    bc = spark.sparkContext.broadcast(plans)
+    schema = assigned.schema
+
+    def reassign(batches):
+        import pandas as pd
+
+        p = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["cluster_id"].to_numpy().copy()
+            for cid, (base, sub) in p.items():
+                mask = cids == cid
+                if not mask.any():
+                    continue
+                V = np.nan_to_num(
+                    np.stack(pdf.loc[mask, "vec"].to_numpy()).astype(np.float64),
+                    nan=0.0, posinf=0.0, neginf=0.0,
+                )
+                d = ((V[:, None, :] - sub[None, :, :]) ** 2).sum(axis=2)
+                cids[mask] = base + d.argmin(axis=1)
+            out = pdf.copy()
+            out["cluster_id"] = cids.astype(np.int32)
+            yield out
+
+    assigned = assigned.mapInPandas(reassign, schema)
+
+    # level-3 guard: ids that are STILL over cap get the id-hash split
+    still = (
+        assigned.groupBy("cluster_id").count().filter(F.col("count") > cap).collect()
+    )
+    if still:
+        cents_full = np.concatenate(cents_list)
+        expr = F.col("cluster_id")
+        extra = []
+        for r in sorted(still, key=lambda r: int(r["cluster_id"])):
+            cid, n = int(r["cluster_id"]), int(r["count"])
+            nb = -(-n // target)
+            expr = F.when(
+                F.col("cluster_id") == cid,
+                F.lit(next_id) + F.pmod(F.hash("id"), F.lit(nb)),
+            ).otherwise(expr)
+            extra.append(np.repeat(cents_full[cid][None, :], nb, axis=0))
+            next_id += nb
+        assigned = assigned.withColumn(
+            "cluster_id", expr.cast("int")
+        )
+        cents_list.extend(extra)
+    return assigned, np.concatenate(cents_list)
+
+
 def semdedup(
     df: DataFrame,
     eps: float,
@@ -121,6 +229,7 @@ def semdedup(
     block_rows: int = 1024,
     max_cluster_rows: int = 200_000,
     precise: bool = False,
+    auto_split_clusters: bool = True,
 ) -> DataFrame:
     """Per-row SemDeDup verdicts: ``(id, cluster_id, centroid_cos,
     max_prior_cos, keep)``.  ``keep`` marks the one survivor per semantic
@@ -141,8 +250,10 @@ def semdedup(
     from knowhere_spark.session import collect_vec_matrix
 
     base = _normalized_base(df, id_col, vec_col)
+    known_n: int | None = None
     if centroids is None:
         n = base.count()
+        known_n = n
         # the paper runs ~n/2200 clusters (50k over 110M); pairwise work is
         # O(n²/k) and the WORST cluster bounds wall-clock, so err toward
         # more clusters — skew makes the largest cluster several times the
@@ -187,6 +298,13 @@ def semdedup(
         "id", F.col("cell_id").cast("int").alias("cluster_id"), "vec"
     )
     spark = df.sparkSession
+    if auto_split_clusters and (known_n is None or known_n > max_cluster_rows):
+        # one size probe (a groupBy count over the assignment pass) buys
+        # the degrade-not-die guarantee; skipped when the WHOLE corpus
+        # fits under the cap
+        assigned, cents = _autosplit_overcap(
+            assigned, cents, int(max_cluster_rows), seed
+        )
     bc = spark.sparkContext.broadcast(cents)
     eps_f, blk, cap = float(eps), int(block_rows), int(max_cluster_rows)
     work_dtype = np.float64 if precise else np.float32
@@ -202,10 +320,14 @@ def semdedup(
                 )}
             )
         if m > cap:
+            # unreachable with auto_split_clusters (the id-hash fallback
+            # bounds every group); kept as the hard guard for
+            # auto_split_clusters=False and pathological hash skew
             raise ValueError(
                 f"semdedup cluster {int(pdf['cluster_id'].iloc[0])} has {m} rows"
                 f" > max_cluster_rows={cap}; raise num_clusters (mean cluster"
-                " should be a few thousand rows) or max_cluster_rows"
+                " should be a few thousand rows), max_cluster_rows, or enable"
+                " auto_split_clusters"
             )
         cid = int(pdf["cluster_id"].iloc[0])
         ids = pdf["id"].to_numpy()

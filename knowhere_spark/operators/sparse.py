@@ -35,12 +35,21 @@ from knowhere_spark.sources.index_store import IndexStore
 
 
 def sparse_to_postings(
-    df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    scalar_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Explode MAP<INT,FLOAT> vectors → long-form postings."""
+    """Explode MAP<INT,FLOAT> vectors → long-form postings.  Doc-level
+    ``scalar_cols`` are denormalized onto every posting row — the
+    hot-scalar filtered-search layout (materialized_view.h:23-36): a
+    scalar predicate then evaluates join-free at the postings scan and,
+    saved partitioned, prunes whole parquet partitions."""
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.col(vec_col)).alias("term", "value"),
+        *scalar_cols,
     )
 
 
@@ -61,14 +70,15 @@ class SparseInvertedIndex:
 
     def __init__(
         self,
-        postings: DataFrame,          # (term, doc_id, value)
-        doc_stats: DataFrame,         # (doc_id, doc_len)
+        postings: DataFrame,          # (term, doc_id, value[, scalars])
+        doc_stats: DataFrame,         # (doc_id, doc_len[, scalars])
         term_stats: DataFrame,        # (term, max_score, df)
         config: SparseConfig,
         *,
         n_docs: int | None = None,
         avgdl: float | None = None,
         n_term_buckets: int | None = None,
+        scalar_cols: tuple[str, ...] = (),
     ):
         self.postings = postings
         self.doc_stats = doc_stats
@@ -80,6 +90,9 @@ class SparseInvertedIndex:
         # `term_bucket` partition column and search prunes to the query
         # terms' buckets
         self._n_term_buckets = n_term_buckets
+        # hot scalar payload denormalized onto postings (and carried on
+        # doc_stats): a filter_expr over these evaluates join-free
+        self.scalar_cols = tuple(scalar_cols)
 
     # -- Build ---------------------------------------------------------------
     @classmethod
@@ -91,15 +104,24 @@ class SparseInvertedIndex:
         id_col: str = "id",
         vec_col: str = "vec",
         n_partitions: int | None = None,
+        scalar_cols: tuple[str, ...] | list[str] = (),
     ) -> "SparseInvertedIndex":
-        postings = sparse_to_postings(df, id_col=id_col, vec_col=vec_col)
+        scalar_cols = tuple(scalar_cols)
+        clash = {"doc_id", "term", "value", "term_bucket", "doc_len"} & set(scalar_cols)
+        if clash:
+            raise ValueError(f"scalar_cols collide with index columns: {sorted(clash)}")
+        postings = sparse_to_postings(
+            df, id_col=id_col, vec_col=vec_col, scalar_cols=scalar_cols
+        )
         if n_partitions:
             postings = postings.repartition(n_partitions, "term")
         # cached: doc stats, term stats AND every search read the postings;
         # without this the explode/tokenize lineage recomputes per action
         postings = postings.cache()
         doc_stats = postings.groupBy("doc_id").agg(
-            F.sum("value").alias("doc_len")   # row sum = doc_len (sparse_utils.h:60-66)
+            F.sum("value").alias("doc_len"),   # row sum = doc_len (sparse_utils.h:60-66)
+            # doc-level scalars are constant per doc — first() is exact
+            *(F.first(c).alias(c) for c in scalar_cols),
         ).cache()
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"),
@@ -112,6 +134,7 @@ class SparseInvertedIndex:
         return cls(
             postings, doc_stats, term_stats, config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+            scalar_cols=scalar_cols,
         )
 
     @classmethod
@@ -123,26 +146,35 @@ class SparseInvertedIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         n_partitions: int | None = None,
+        scalar_cols: tuple[str, ...] | list[str] = (),
     ) -> "SparseInvertedIndex":
         """Build straight from a text column: tokenize → term-frequency
         postings in ONE shuffle (`groupBy(doc_id, term)`), skipping the
         MAP<term,tf> vector roundtrip of ``text_to_sparse`` + ``build``
         (which costs two extra shuffles and a map build/explode).  Postings
-        and stats are identical to the two-step path."""
+        and stats are identical to the two-step path.  Doc-level
+        ``scalar_cols`` denormalize onto postings (see ``build``)."""
         from knowhere_spark.functions.text import tokens_expr
 
+        scalar_cols = tuple(scalar_cols)
+        clash = {"doc_id", "term", "value", "term_bucket", "doc_len"} & set(scalar_cols)
+        if clash:
+            raise ValueError(f"scalar_cols collide with index columns: {sorted(clash)}")
         toks = df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.explode(tokens_expr(F.col(text_col))).alias("term"),
+            *scalar_cols,
         )
         postings = toks.groupBy("doc_id", "term").agg(
-            F.count("*").cast("float").alias("value")
+            F.count("*").cast("float").alias("value"),
+            *(F.first(c).alias(c) for c in scalar_cols),
         )
         if n_partitions:
             postings = postings.repartition(n_partitions, "term")
-        postings = postings.select("term", "doc_id", "value").cache()
+        postings = postings.select("term", "doc_id", "value", *scalar_cols).cache()
         doc_stats = postings.groupBy("doc_id").agg(
-            F.sum("value").alias("doc_len")
+            F.sum("value").alias("doc_len"),
+            *(F.first(c).alias(c) for c in scalar_cols),
         ).cache()
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"),
@@ -154,6 +186,7 @@ class SparseInvertedIndex:
         return cls(
             postings, doc_stats, term_stats, config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+            scalar_cols=scalar_cols,
         )
 
     # -- Add (index_node.h:120-121; batch form of the CC growing segment) -----
@@ -164,15 +197,23 @@ class SparseInvertedIndex:
         recompute over the grown corpus (batch Add recomputes exactly; the
         streaming CC path pins avgdl until seal — streaming/cc.py,
         sparse_index_node.cc:431-585 contract).  Bucketed (loaded) indexes
-        bucket the appended postings with the same term-hash layout."""
-        new_postings = sparse_to_postings(df, id_col=id_col, vec_col=vec_col)
+        bucket the appended postings with the same term-hash layout.
+        Scalar payload columns the index carries must arrive with every
+        Add batch."""
+        missing = [c for c in self.scalar_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"Add batch is missing the index's scalar_cols: {missing}")
+        new_postings = sparse_to_postings(
+            df, id_col=id_col, vec_col=vec_col, scalar_cols=self.scalar_cols
+        )
         if self._n_term_buckets:
             new_postings = new_postings.withColumn(
                 "term_bucket", F.pmod(F.hash("term"), F.lit(self._n_term_buckets))
             )
         postings = self.postings.unionByName(new_postings).cache()
         doc_stats = postings.groupBy("doc_id").agg(
-            F.sum("value").alias("doc_len")
+            F.sum("value").alias("doc_len"),
+            *(F.first(c).alias(c) for c in self.scalar_cols),
         ).cache()
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"),
@@ -185,6 +226,7 @@ class SparseInvertedIndex:
             postings, doc_stats, term_stats, self.config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
             n_term_buckets=self._n_term_buckets,
+            scalar_cols=self.scalar_cols,
         )
 
     def add_from_text(
@@ -276,11 +318,25 @@ class SparseInvertedIndex:
 
         postings = postings_src
         if filter_expr is not None:
-            # no broadcast hint: a permissive filter keeps most of the
-            # corpus, and a forced corpus-sized broadcast would OOM at
-            # scale — AQE still picks a broadcast join when it IS small
-            allowed = self.doc_stats.filter(filter_expr).select("doc_id")
-            postings = postings.join(allowed, "doc_id", "left_semi")
+            applied_direct = False
+            if self.scalar_cols:
+                # hot-scalar layout: the predicate's columns live ON the
+                # postings rows, so the filter evaluates join-free at the
+                # scan (and prunes partitions on a saved scalar layout).
+                # A predicate over columns postings DON'T carry (e.g.
+                # doc_len) analyzes-fails here and falls through to the
+                # doc_stats semi-join below.
+                try:
+                    postings = postings.filter(filter_expr)
+                    applied_direct = True
+                except Exception:
+                    pass  # falls back to the semi-join; postings unchanged
+            if not applied_direct:
+                # no broadcast hint: a permissive filter keeps most of the
+                # corpus, and a forced corpus-sized broadcast would OOM at
+                # scale — AQE still picks a broadcast join when it IS small
+                allowed = self.doc_stats.filter(filter_expr).select("doc_id")
+                postings = postings.join(allowed, "doc_id", "left_semi")
         if candidates is not None:
             postings = postings.join(
                 F.broadcast(candidates.select("doc_id").distinct()), "doc_id"
@@ -451,12 +507,37 @@ class SparseInvertedIndex:
         )
 
     # -- Serialize / Deserialize (index_node.h:371-401) -----------------------
-    def save(self, path: str, *, n_term_buckets: int = 64) -> None:
+    def save(
+        self,
+        path: str,
+        *,
+        n_term_buckets: int = 64,
+        scalar_partition_cols: list[str] | None = None,
+    ) -> None:
         """Persist with postings partitioned by ``pmod(hash(term), n_term_buckets)``
         — the on-disk inverted-list layout: a query touches only its terms'
         buckets (Parquet partition pruning), so search I/O scales with query
-        size, not corpus size.  ``n_term_buckets=0`` writes unpartitioned."""
+        size, not corpus size.  ``n_term_buckets=0`` writes unpartitioned.
+
+        ``scalar_partition_cols`` (must be among the index's
+        ``scalar_cols``) layer hot scalar fields ABOVE the term buckets —
+        a filtered search on the loaded index then prunes whole scalar
+        partitions before it even seeks the query terms' buckets (the
+        materialized_view.h:23-36 layout on the inverted side)."""
+        scalars = list(scalar_partition_cols or [])
+        bad = [c for c in scalars if c not in self.scalar_cols]
+        if bad:
+            raise ValueError(
+                f"scalar_partition_cols must be among the index's scalar_cols"
+                f" {list(self.scalar_cols)}: {bad}"
+            )
         store = IndexStore(path)
+        if n_term_buckets:
+            bucketed = self.postings.withColumn(
+                "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))
+            )
+        else:
+            bucketed = self.postings
         store.write_manifest(
             {
                 "index_type": "SPARSE_INVERTED_INDEX",
@@ -468,15 +549,13 @@ class SparseInvertedIndex:
                 "n_docs": self._n_docs,
                 "avgdl": self._avgdl,
                 "n_term_buckets": n_term_buckets,
+                "scalar_cols": list(self.scalar_cols),
+                # declared schema pins partition-column types on load
+                "postings_schema": bucketed.schema.json(),
             }
         )
-        if n_term_buckets:
-            bucketed = self.postings.withColumn(
-                "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))
-            )
-            store.write_table("postings", bucketed, partition_by=["term_bucket"])
-        else:
-            store.write_table("postings", self.postings)
+        part = [*scalars, *( ["term_bucket"] if n_term_buckets else [] )]
+        store.write_table("postings", bucketed, partition_by=part or None)
         store.write_table("doc_stats", self.doc_stats)
         store.write_table("term_stats", self.term_stats)
 
@@ -492,14 +571,22 @@ class SparseInvertedIndex:
             bm25_b=float(m["bm25_b"]),
             bm25_avgdl=float(m["avgdl"]) if m.get("avgdl") else None,
         )
+        schema = None
+        if m.get("postings_schema"):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["postings_schema"]))
         return cls(
-            store.read_table(spark, "postings"),
+            store.read_table(spark, "postings", schema=schema),
             store.read_table(spark, "doc_stats"),
             store.read_table(spark, "term_stats"),
             cfg,
             n_docs=int(m["n_docs"]),
             avgdl=float(m["avgdl"]),
             n_term_buckets=int(m.get("n_term_buckets", 0)) or None,
+            scalar_cols=tuple(m.get("scalar_cols", ())),
         )
 
 

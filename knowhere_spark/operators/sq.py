@@ -80,11 +80,14 @@ def _quantize_df(
     vdiff: np.ndarray,
     with_raw_data: bool,
     code_size: int = 8,
+    scalar_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, cell_id, vec) → (id, cell_id, codes[, vec]): per-dim affine
-    quantization at ``code_size`` bits with a FIXED scale (the trained
-    ``vmin/vdiff``) — shared by build and Add, so added rows are encoded
-    exactly like the original corpus (faiss QT train-once contract)."""
+    """(id, cell_id, vec[, scalars]) → (id, cell_id, codes[, vec][, scalars]):
+    per-dim affine quantization at ``code_size`` bits with a FIXED scale
+    (the trained ``vmin/vdiff``) — shared by build and Add, so added rows
+    are encoded exactly like the original corpus (faiss QT train-once
+    contract).  ``scalar_cols`` ride along untouched (the hot-scalar
+    filtered-search layout)."""
     spark = assigned.sparkSession
     levels = _levels(code_size)
     bc = spark.sparkContext.broadcast((lo, vdiff, float(levels)))
@@ -100,6 +103,7 @@ def _quantize_df(
     ]
     if with_raw_data:
         out_fields.append(assigned.schema["vec"])
+    out_fields.extend(assigned.schema[c] for c in scalar_cols)
     schema = StructType(out_fields)
 
     def quantize(batches):
@@ -118,6 +122,8 @@ def _quantize_df(
             }
             if with_raw_data:
                 out["vec"] = pdf["vec"]
+            for c in scalar_cols:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     return assigned.mapInPandas(quantize, schema)
@@ -185,9 +191,19 @@ class IVFSq8Index:
         vec_col: str = "vec",
         with_raw_data: bool = False,
         index_type: IndexType = IndexType.IVF_SQ8,
+        scalar_cols: tuple[str, ...] | list[str] = (),
     ) -> "IVFSq8Index":
+        """``scalar_cols``: hot scalar payload carried through assignment
+        AND quantization into the codes table (the dense-IVF
+        materialized_view.h:23-36 contract) — a ``filter_expr`` over them
+        is join-free, and ``save(scalar_partition_cols=...)`` prunes
+        parquet partitions on the loaded index."""
+        scalar_cols = tuple(scalar_cols)
+        clash = {"codes", "qvec"} & set(scalar_cols)
+        if clash:
+            raise ValueError(f"scalar_cols collide with index columns: {sorted(clash)}")
         flat = IVFFlatIndex.build(
-            base_df, config, id_col=id_col, vec_col=vec_col
+            base_df, config, id_col=id_col, vec_col=vec_col, scalar_cols=scalar_cols
         )
         dim = flat.dim()
         lo, hi = array_minmax(flat.assignments, "vec", dim)
@@ -198,7 +214,8 @@ class IVFSq8Index:
         import dataclasses
 
         assignments = _quantize_df(
-            flat.assignments, lo, vdiff, with_raw_data, config.code_size
+            flat.assignments, lo, vdiff, with_raw_data, config.code_size,
+            scalar_cols,
         )
         cfg = dataclasses.replace(config, nlist=flat.config.nlist)
         return cls(
@@ -216,15 +233,23 @@ class IVFSq8Index:
         from knowhere_spark.operators.ivf import _assign_cells
 
         metric = MetricType(self.config.metric_type)
+        scalars = self._scalar_payload()
+        missing = [c for c in scalars if c not in new_df.columns]
+        if missing:
+            raise ValueError(f"Add batch is missing the index's scalar_cols: {missing}")
         new = new_df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+            *scalars,
         )
         if metric == MetricType.COSINE:
-            new = new.select("id", normalize_expr(F.col("vec")).alias("vec"))
-        assigned = _assign_cells(new, self.centroids)
+            new = new.select(
+                "id", normalize_expr(F.col("vec")).alias("vec"), *scalars
+            )
+        assigned = _assign_cells(new, self.centroids, tuple(scalars))
         quantized = _quantize_df(
             assigned, self.vmin, self.vdiff, self.with_raw_data,
-            self.config.code_size,
+            self.config.code_size, tuple(scalars),
         )
         return IVFSq8Index(
             self.centroids,
@@ -411,7 +436,25 @@ class IVFSq8Index:
             raise ValueError("index built without raw data (with_raw_data=False)")
         return self.assignments.select("id", "vec")
 
-    def save(self, path: str) -> None:
+    def _scalar_payload(self) -> list[str]:
+        return [
+            c
+            for c in self.assignments.columns
+            if c not in ("id", "cell_id", "codes", "vec")
+        ]
+
+    def save(self, path: str, *, scalar_partition_cols: list[str] | None = None) -> None:
+        """Persist the codes table cell-partitioned; ``scalar_partition_cols``
+        (must be among the index's ``scalar_cols``) layer hot scalar fields
+        ABOVE ``cell_id`` — same pruning contract as ``IVFFlatIndex.save``."""
+        scalars = list(scalar_partition_cols or [])
+        payload = self._scalar_payload()
+        bad = [c for c in scalars if c not in payload]
+        if bad:
+            raise ValueError(
+                f"scalar_partition_cols must be among the index's scalar_cols"
+                f" {payload}: {bad}"
+            )
         store = IndexStore(path)
         store.write_manifest(
             {
@@ -426,9 +469,13 @@ class IVFSq8Index:
                 "centroids": self.centroids.tolist(),
                 "vmin": self.vmin.tolist(),
                 "vdiff": self.vdiff.tolist(),
+                # declared schema pins partition-column types on load
+                "assignments_schema": self.assignments.schema.json(),
             }
         )
-        store.write_table("assignments", self.assignments, partition_by=["cell_id"])
+        store.write_table(
+            "assignments", self.assignments, partition_by=[*scalars, "cell_id"]
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFSq8Index":
@@ -440,9 +487,14 @@ class IVFSq8Index:
             nprobe=int(m["nprobe"]),
             code_size=int(m.get("code_size", 8)),
         )
+        schema = None
+        if m.get("assignments_schema"):
+            import json
+
+            schema = StructType.fromJson(json.loads(m["assignments_schema"]))
         return cls(
             np.array(m["centroids"], dtype=np.float64),
-            store.read_table(spark, "assignments"),
+            store.read_table(spark, "assignments", schema=schema),
             np.array(m["vmin"], dtype=np.float64),
             np.array(m["vdiff"], dtype=np.float64),
             cfg,

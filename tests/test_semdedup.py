@@ -117,9 +117,76 @@ def test_eps_one_keeps_everything(corpus_df):
 
 
 def test_cluster_cap_raises(corpus_df):
+    # the r4 contract, preserved behind auto_split_clusters=False
     df, _ = corpus_df
     with pytest.raises(Exception, match="max_cluster_rows"):
-        semdedup(df, eps=0.99, num_clusters=1, max_cluster_rows=5).count()
+        semdedup(
+            df, eps=0.99, num_clusters=1, max_cluster_rows=5,
+            auto_split_clusters=False,
+        ).count()
+
+
+def test_autosplit_megacluster_degrades_not_dies(spark):
+    """VERDICT r4 #5: a planted mega-cluster (one tight semantic ball far
+    over max_cluster_rows) must auto-split and complete — no manual
+    re-tune — while still deduplicating within each sub-cluster."""
+    rng = np.random.default_rng(11)
+    center = rng.normal(size=16)
+    center /= np.linalg.norm(center)
+    rows = []
+    # 400 near-identical copies of one vector — the skewed semantic ball
+    for i in range(400):
+        v = center + rng.normal(scale=1e-3, size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.astype(np.float32).tolist()))
+    # plus a handful of scattered uniques
+    for i in range(400, 420):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    out = semdedup(
+        df, eps=0.95, num_clusters=4, seed=3, max_cluster_rows=50
+    ).collect()
+    assert len(out) == 420
+    # the ball's rows were split into sub-clusters, each under the cap
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in out)
+    assert max(sizes.values()) <= 50
+    # dedup still happened: the ball keeps at most one row per sub-cluster
+    ball = [r for r in out if r.id < 400]
+    ball_kept = sum(1 for r in ball if r.keep)
+    ball_clusters = {r.cluster_id for r in ball}
+    assert ball_kept <= len(ball_clusters)
+    # uniques all survive
+    assert all(r.keep for r in out if r.id >= 400)
+
+
+def test_autosplit_identical_vector_flood(spark):
+    """Exactly-identical vectors defeat k-means sub-splitting (every row
+    ties to one sub-centroid) — the deterministic id-hash fallback must
+    bound the groups instead.  Determinism: two runs agree row-for-row."""
+    v = (np.arange(16) / 16.0).astype(np.float32).tolist()
+    rows = [(i, v) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    out1 = sorted(
+        semdedup(df, eps=0.95, num_clusters=2, seed=3, max_cluster_rows=40).collect(),
+        key=lambda r: r.id,
+    )
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in out1)
+    assert len(out1) == 300 and max(sizes.values()) <= 40
+    # one survivor per id-hash bucket (documented degradation bound)
+    assert sum(1 for r in out1 if r.keep) == len(sizes)
+    out2 = sorted(
+        semdedup(df, eps=0.95, num_clusters=2, seed=3, max_cluster_rows=40).collect(),
+        key=lambda r: r.id,
+    )
+    assert [(r.id, r.cluster_id, r.keep) for r in out1] == [
+        (r.id, r.cluster_id, r.keep) for r in out2
+    ]
 
 
 def test_zero_vector_survives(spark):
