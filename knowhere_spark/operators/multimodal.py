@@ -129,7 +129,38 @@ def _decode_wav(data: bytes) -> np.ndarray:
     return x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
 
 
-def decode_payload(payload: bytes, media_type: str, meta: dict) -> np.ndarray:
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff — the dispatch key for built-in decoders
+    AND caller-injected ones (``decoders=`` below).  Returns one of
+    ``pnm bmp wav jpeg png mp4`` or ``None`` for opaque bytes."""
+    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
+        return "pnm"
+    if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
+        b"\x28\x00\x00\x00", b"\x6c\x00\x00\x00", b"\x7c\x00\x00\x00"
+    ):   # BITMAPINFOHEADER / V4 / V5 size field
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # the leading 4 bytes are the ftyp box size (big-endian) — text
+        # that merely contains "ftyp" at offset 4 decodes to an absurd
+        # size and must stay opaque
+        size = int.from_bytes(payload[:4], "big")
+        if 8 <= size <= len(payload):
+            return "mp4"
+    return None
+
+
+def decode_payload(
+    payload: bytes,
+    media_type: str,
+    meta: dict,
+    decoders: dict | None = None,
+) -> np.ndarray:
     """Decode one payload to a pixel/sample array.
 
     Dependency-free formats decode for REAL, sniffed by magic bytes:
@@ -139,6 +170,16 @@ def decode_payload(payload: bytes, media_type: str, meta: dict) -> np.ndarray:
     ``NotImplementedError``, and any other payload falls back to the
     deterministic fake (array derived from a hash of the payload —
     stable across runs/executors, shape-correct for downstream stages).
+
+    ``decoders``: caller-injected codecs ``{format: fn(payload, meta) ->
+    np.ndarray}`` keyed by :func:`sniff_format` names — a production
+    environment passes e.g. ``{"jpeg": pil_decode, "mp4": ffmpeg_decode}``
+    and compressed media decodes for real WITHOUT touching this operator;
+    the sandbox keeps its stubs.  An injected decoder WINS over the
+    built-in for its format; its parse failures follow the same
+    discipline as built-ins (corrupt payload → opaque → fake), and
+    decoder callables must be picklable (top-level functions), since
+    they ship to executors inside the Arrow kernels.
     """
     # magic sniff chooses a decode ATTEMPT; a payload that merely looks
     # like a format but fails to parse (e.g. document text starting
@@ -147,23 +188,31 @@ def decode_payload(payload: bytes, media_type: str, meta: dict) -> np.ndarray:
     # them must not kill the whole mapInPandas stage.  Only
     # NotImplementedError propagates: that marks a REAL format we
     # recognize but can't decode here (honest stub, not corrupt data).
-    try:
-        if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
-            return _decode_pnm(payload)
-        if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
-            b"\x28\x00\x00\x00", b"\x6c\x00\x00\x00", b"\x7c\x00\x00\x00"
-        ):   # BITMAPINFOHEADER / V4 / V5 size field
-            return _decode_bmp(payload)
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return _decode_wav(payload)
-    except NotImplementedError:
-        raise
-    except Exception:
-        pass   # sniffed-but-unparseable → opaque payload, fake below
-    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
-            "compressed image codecs (JPEG/PNG) need PIL — not available"
-        )
+    fmt = sniff_format(payload)
+    if decoders and fmt in decoders:
+        try:
+            return np.asarray(decoders[fmt](payload, meta), dtype=np.float64)
+        except NotImplementedError:
+            raise
+        except Exception:
+            pass   # injected codec couldn't parse → opaque payload, fake below
+    else:
+        try:
+            if fmt == "pnm":
+                return _decode_pnm(payload)
+            if fmt == "bmp":
+                return _decode_bmp(payload)
+            if fmt == "wav":
+                return _decode_wav(payload)
+        except NotImplementedError:
+            raise
+        except Exception:
+            pass   # sniffed-but-unparseable → opaque payload, fake below
+        if fmt in ("jpeg", "png", "mp4"):
+            raise NotImplementedError(
+                f"compressed codec {fmt} needs PIL/ffmpeg — not available;"
+                " inject one via decoders={...}"
+            )
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "little")
     rng = np.random.default_rng(seed)
@@ -200,7 +249,9 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame, feature_dim: int = 16, *, decoders: dict | None = None
+) -> DataFrame:
     """Decode + global-pool each payload into a ``feature_dim`` vector —
     the embed step of a multimodal training pipeline, streaming Arrow batches.
 
@@ -224,7 +275,9 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
             for payload, mtype, meta in zip(
                 pdf["payload"], pdf["media_type"], pdf["meta"]
             ):
-                arr = decode_payload(bytes(payload), mtype, dict(meta)).ravel()
+                arr = decode_payload(
+                    bytes(payload), mtype, dict(meta), decoders
+                ).ravel()
                 # mean-pool into feature_dim equal chunks (pad to multiple)
                 pad = (-len(arr)) % feature_dim
                 if pad:
@@ -263,7 +316,9 @@ def encode_pnm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, *, decoders: dict | None = None
+) -> DataFrame:
     """Resize stage: decode → nearest-neighbor resample → re-encode as
     binary PNM.  The whole chain is real: an input PNM/BMP payload's
     output decodes again to exactly the resampled pixels (8-bit
@@ -281,7 +336,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             ):
                 meta = dict(meta)
                 if mtype == "image":
-                    arr = decode_payload(bytes(payload), mtype, meta)
+                    arr = decode_payload(bytes(payload), mtype, meta, decoders)
                     resized = _nn_resample(arr, height, width)
                     out_payload.append(encode_pnm(resized))
                     meta["width"], meta["height"] = width, height
@@ -337,7 +392,8 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 def image_phash(
-    media: DataFrame, *, hash_size: int = 8, dct_size: int = 32
+    media: DataFrame, *, hash_size: int = 8, dct_size: int = 32,
+    decoders: dict | None = None,
 ) -> DataFrame:
     """Perceptual hash of every image row: decode → grayscale →
     nearest-resample to ``dct_size``² → 2-D DCT-II → top-left
@@ -362,7 +418,7 @@ def image_phash(
             ):
                 if mtype != "image":
                     continue
-                arr = decode_payload(bytes(payload), mtype, dict(meta))
+                arr = decode_payload(bytes(payload), mtype, dict(meta), decoders)
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2)
                 small = _nn_resample(arr, dct_size, dct_size)
@@ -395,7 +451,8 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def audio_spectral_features(
-    media: DataFrame, *, n_bands: int = 16, frame: int = 256, hop: int = 128
+    media: DataFrame, *, n_bands: int = 16, frame: int = 256, hop: int = 128,
+    decoders: dict | None = None,
 ) -> DataFrame:
     """Log-banded spectral energy per audio row: Hann-windowed frames →
     ``|rfft|²`` → ``n_bands`` equal frequency bands → ``log1p`` → mean
@@ -418,7 +475,7 @@ def audio_spectral_features(
             ):
                 if mtype != "audio":
                     continue
-                x = decode_payload(bytes(payload), mtype, dict(meta))
+                x = decode_payload(bytes(payload), mtype, dict(meta), decoders)
                 if len(x) < frame:
                     x = np.pad(x, (0, frame - len(x)))
                 n_frames = 1 + (len(x) - frame) // hop

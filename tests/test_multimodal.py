@@ -321,3 +321,110 @@ def test_hamming64_pairs_max_hamming_zero(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            hamming64_pairs(df, 0, id_col="mid", sig_col="sig").collect()}
     assert got == {(1, 2), (3, 4)}
+
+
+# --- r5 (VERDICT r4 #6): pluggable decoder injection -------------------------
+
+def _fake_jpeg_codec(payload: bytes, meta: dict) -> np.ndarray:
+    # stands in for PIL: a production environment would decode for real
+    return np.full((3, 3, 3), 0.25)
+
+
+def _marker_pnm_codec(payload: bytes, meta: dict) -> np.ndarray:
+    return np.full((2, 2), 7.0)
+
+
+def _broken_codec(payload: bytes, meta: dict) -> np.ndarray:
+    raise ValueError("corrupt")
+
+
+def test_injected_decoder_wins_over_stub():
+    """A caller-supplied jpeg codec decodes where the sandbox stub would
+    raise NotImplementedError — the production PIL/ffmpeg hook."""
+    from knowhere_spark.operators.multimodal import sniff_format
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    assert sniff_format(jpeg) == "jpeg"
+    try:
+        decode_payload(jpeg, "image", {"height": 2, "width": 2})
+        raise AssertionError("expected NotImplementedError without injection")
+    except NotImplementedError:
+        pass
+    out = decode_payload(
+        jpeg, "image", {"height": 2, "width": 2}, {"jpeg": _fake_jpeg_codec}
+    )
+    np.testing.assert_array_equal(out, np.full((3, 3, 3), 0.25))
+
+
+def test_injected_decoder_wins_over_builtin_and_falls_back_on_corrupt():
+    rng = np.random.default_rng(5)
+    ppm = _make_ppm(rng.integers(0, 256, (4, 4, 3)))
+    # injected pnm codec overrides the REAL built-in decode
+    out = decode_payload(ppm, "image", {}, {"pnm": _marker_pnm_codec})
+    np.testing.assert_array_equal(out, np.full((2, 2), 7.0))
+    # an injected codec that can't parse follows the built-in discipline:
+    # opaque payload -> deterministic fake, never a dead stage
+    fake = decode_payload(
+        ppm, "image", {"height": 3, "width": 5}, {"pnm": _broken_codec}
+    )
+    assert fake.shape == (3, 5, 3)
+    fake2 = decode_payload(
+        ppm, "image", {"height": 3, "width": 5}, {"pnm": _broken_codec}
+    )
+    np.testing.assert_array_equal(fake, fake2)
+    # formats WITHOUT an injected entry keep stub behavior unchanged
+    wav = _make_wav(np.zeros(16))
+    got = decode_payload(wav, "audio", {}, {"pnm": _marker_pnm_codec})
+    assert got.shape == (16,)
+
+
+def test_injected_decoder_through_distributed_kernel(spark):
+    """The hook must survive pickling into the Arrow kernel: jpeg rows
+    featurize through an injected codec end-to-end.  (Defined as a
+    closure here so cloudpickle ships it by value — pytest modules
+    aren't importable on executors; production codecs live in an
+    installed package and pickle by reference.)"""
+
+    def jpeg_codec(payload: bytes, meta: dict) -> np.ndarray:
+        return np.full((3, 3, 3), 0.25)
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "image",
+                bytearray(jpeg),
+                {"width": 3, "height": 3, "n_frames": 1, "sample_rate": 16000},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(
+        media, feature_dim=4, decoders={"jpeg": jpeg_codec}
+    ).collect()
+    assert len(feats) == 1
+    # 27 decoded values pad to 28 → the last 7-chunk averages in one zero
+    np.testing.assert_allclose(
+        list(feats[0].features), [0.25, 0.25, 0.25, 0.25 * 6 / 7], rtol=1e-6
+    )
+
+
+def test_mp4_sniff_requires_plausible_box_size():
+    from knowhere_spark.operators.multimodal import sniff_format
+
+    real = (24).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 16
+    assert sniff_format(real) == "mp4"
+    # text with "ftyp" at offset 4 must stay opaque
+    assert sniff_format(b"say ftyp loudly " * 2) is None
+    fake = decode_payload(
+        b"say ftyp loudly " * 2, "video",
+        {"n_frames": 2, "height": 2, "width": 2},
+    )
+    assert fake.shape == (2, 2, 2)
+    # a REAL mp4 without an injected codec is the honest stub
+    try:
+        decode_payload(real, "video", {"n_frames": 2, "height": 2, "width": 2})
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
