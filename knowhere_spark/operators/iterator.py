@@ -55,6 +55,43 @@ class AnnIterator:
         return cls(ranked, page_size=page_size)
 
     @classmethod
+    def from_sparse(
+        cls,
+        index,
+        query_df: DataFrame,
+        *,
+        metric: MetricType | str | None = None,
+        drop_ratio_search: float | None = None,
+        filter_expr: Column | str | None = None,
+        page_size: int = 1000,
+        **kw,
+    ) -> "AnnIterator":
+        """Iterator over a ``SparseInvertedIndex``'s full score ordering —
+        the reference's sparse-index AnnIterator
+        (src/index/sparse/sparse_index_node.cc:179-194: one
+        ``PrecomputedDistanceIterator`` per query over distances computed
+        by the index's own computer, ``drop_ratio_search`` applied).
+
+        The ordering is the index's top-ALL search (k = corpus size), so
+        ``drop_ratio_search`` interacts exactly as in search: the pruned
+        query scores every page, trading tail recall for a smaller
+        postings join — pages after the first are every bit as
+        approximate as the reference's (the dropped terms never score).
+        Docs with no overlapping term never enter the ordering (score 0
+        rows are absent, like the reference's DocValueComputer emitting
+        only touched docs)."""
+        n = index.count()
+        ranked = index.search(
+            query_df,
+            k=n,
+            metric=metric,
+            drop_ratio_search=drop_ratio_search,
+            filter_expr=filter_expr,
+            **kw,
+        )
+        return cls(ranked, page_size=page_size)
+
+    @classmethod
     def quantized_refine(
         cls,
         approx_ranked: DataFrame,

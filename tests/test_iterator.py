@@ -179,3 +179,72 @@ def test_refined_iterator_earlier_pages_stay_valid(spark):
     assert not (r1 & r2) and not (r2 & r3) and not (r1 & r3)
     it.close()
     assert len({r["neighbor_id"] for r in p1.collect()}) == 5  # still valid
+
+
+def test_sparse_iterator_pages_match_search(spark):
+    """VERDICT r4 #7: AnnIterator.from_sparse pages the sparse index's own
+    ordering (sparse_index_node.cc:179-194 analog) — exact config: the
+    union of the first pages equals the index's top-k search."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+    from conftest import gen_sparse
+
+    base = gen_sparse(60, 40, 0.8, seed=21)
+    qs = gen_sparse(3, 40, 0.8, seed=22)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "id long, vec map<int,float>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qs)], "query_id long, vec map<int,float>"
+    )
+    idx = SparseInvertedIndex.build(df, SparseConfig(metric_type="IP", k=10))
+    it = AnnIterator.from_sparse(idx, qdf, page_size=5)
+    got = []
+    for _ in range(3):
+        page = it.next_batch(5).collect()
+        got.extend((r.query_id, r.doc_id, round(r.score, 6), r.rank) for r in page)
+    it.close()
+    want = {
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+        for r in idx.search(qdf, k=15).collect()
+    }
+    assert set(got) == want and len(got) == len(set(got))
+    # pages arrive in strictly decreasing-score order per query
+    by_q = {}
+    for qid, did, sc, rk in sorted(got, key=lambda t: (t[0], t[3])):
+        by_q.setdefault(qid, []).append(sc)
+    for qid, scores in by_q.items():
+        assert scores == sorted(scores, reverse=True), qid
+
+
+def test_sparse_iterator_drop_ratio_relative_recall(spark):
+    """drop_ratio_search interacts with the iterator exactly as with
+    search: the pruned ordering keeps >= 0.9 relative recall vs the full
+    sparse ordering at k=10 (the reference's approximate contract)."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+    from conftest import gen_sparse
+
+    base = gen_sparse(120, 30, 0.7, seed=31)
+    qs = gen_sparse(5, 30, 0.5, seed=32)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "id long, vec map<int,float>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qs)], "query_id long, vec map<int,float>"
+    )
+    idx = SparseInvertedIndex.build(df, SparseConfig(metric_type="IP", k=10))
+    k = 10
+    full = {}
+    for r in idx.search(qdf, k=k).collect():
+        full.setdefault(r.query_id, set()).add(r.doc_id)
+    it = AnnIterator.from_sparse(idx, qdf, drop_ratio_search=0.3, page_size=k)
+    first = it.next_batch(k).collect()
+    it.close()
+    approx = {}
+    for r in first:
+        approx.setdefault(r.query_id, set()).add(r.doc_id)
+    recalls = [
+        len(approx.get(q, set()) & docs) / len(docs) for q, docs in full.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
