@@ -704,14 +704,21 @@ def q_bf_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_sq8_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_SQ8 probing ALL cells (nprobe=nlist) — the probe covers the
+    index, so the result is the EXACT top-k under the quantized distance,
+    and the WHOLE SQ algorithm (per-dim min/max train → affine encode
+    with round-half-even + clip, faiss QT_8bit / ivf.cc:587-606 → decode
+    → L2 → top-k) is hash-gated against a full DuckDB mirror (r5,
+    upgrading the r4 rows-only ``ivf_sq8_knn``; recall-vs-exact ordering
+    at nprobe<nlist stays pytest-covered, tests/test_sq_scann.py)."""
     from knowhere_spark.config import IvfSq8Config
     from knowhere_spark.operators.sq import IVFSq8Index
 
     base, queries_ = _emb(spark, sf_dir)
-    cfg = IvfSq8Config(metric_type="L2", nlist=16, nprobe=8, k=K)
+    cfg = IvfSq8Config(metric_type="L2", nlist=16, nprobe=16, k=K)
     idx = IVFSq8Index.build(base, cfg)
-    return _knn_out(idx.search(queries_, k=K))
+    return _knn_out(idx.search(queries_, k=K, nprobe=4096))
 
 
 def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,7 +1278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is replaced by ``stream_semdedup_equals_batch``, a HASH gate over the
     streaming SemDeDup keep rule: two mtime-ordered micro-batches, pinned
     centroids, and a DuckDB recursive-CTE mirror of the greedy
-    kept-set-only cosine sweep.
+    kept-set-only cosine sweep.  Also r5: ``ivf_sq8_knn`` (rows-only)
+    upgraded in place to ``ivf_sq8_quantized_exact`` — at nprobe=nlist
+    the quantized ordering is exact and the full SQ algorithm (min/max
+    train, round-half-even affine encode, decode, L2) mirrors in DuckDB.
 
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same
@@ -1326,9 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_semdedup_equals_batch": q_stream_semdedup_equals_batch,
         "kmeans_assign_fixed": q_kmeans_assign_fixed,
         "media_frame_sample": q_media_frame_sample,
+        "ivf_sq8_quantized_exact": q_ivf_sq8_quantized_exact,
         # --- rows-only (approximate / non-SQL-expressible; recall floors
         # and behavior tested in tests/) ------------------------------------
-        "ivf_sq8_knn": q_ivf_sq8_knn,
         "ivf_pq_knn": q_ivf_pq_knn,
         "hnsw_knn": q_hnsw_knn,
         "hnsw_sharded_knn": q_hnsw_sharded_knn,
@@ -2005,6 +2015,35 @@ SELECT cc.id, CAST(cc.cid AS INT) AS cluster_id,
        ROUND(p.mp, 4) AS max_prior_cos,
        (COALESCE(p.mp, -1e18) < 0.4) AS keep
 FROM cc LEFT JOIN p ON cc.id = p.id
+""",
+        # SQ8 full-algorithm mirror: per-dim min/max train over the corpus,
+        # affine encode at 8 bits (round_even = numpy's round-half-even,
+        # clip AFTER rounding exactly like _quantize_df), decode, L2 on
+        # decoded-vs-raw-query, top-k.  nprobe=nlist on the Spark side, so
+        # the probe plan drops nothing and the quantized ordering is exact.
+        "ivf_sq8_quantized_exact": f"""
+WITH
+n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (SELECT id, t.z[1] AS val, CAST(t.z[2] AS INT) AS dim
+       FROM n, UNNEST(list_zip(e, range(1, array_length(e) + 1))) AS t(z)),
+mm AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM ex GROUP BY dim),
+dd AS (SELECT dim, lo, CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END AS vd FROM mm),
+dec AS (SELECT ex.id, ex.dim,
+               dd.lo + LEAST(255.0, GREATEST(0.0,
+                   round_even((ex.val - dd.lo) / dd.vd * 255.0, 0))) / 255.0 * dd.vd AS xq
+        FROM ex JOIN dd USING (dim)),
+q AS (SELECT id AS query_id, e FROM n WHERE id < {NQ}),
+qx AS (SELECT query_id, t.z[1] AS qval, CAST(t.z[2] AS INT) AS dim
+       FROM q, UNNEST(list_zip(e, range(1, array_length(e) + 1))) AS t(z)),
+sc AS (SELECT qx.query_id, dec.id AS neighbor_id,
+              SUM((dec.xq - qx.qval) * (dec.xq - qx.qval)) AS dist
+       FROM dec JOIN qx USING (dim)
+       GROUP BY qx.query_id, dec.id),
+r AS (SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, ROUND(dist, 4) AS distance, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= {K}
 """,
         # streaming SemDeDup mirror: arrival order is (id % 2, id) — the
         # gate feeds the even-id micro-batch first — and the kept set is
