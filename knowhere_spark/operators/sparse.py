@@ -265,13 +265,17 @@ class SparseInvertedIndex:
         query_vec_col: str,
         filter_expr: Column | str | None,
         candidates: DataFrame | None = None,
+        candidates_broadcast: bool = True,
     ) -> DataFrame:
         """Shared scoring pipeline → (query_id, doc_id, score); top-k and
         range search differ only in the final shaping.
 
-        ``candidates``: optional small ``(query_id, doc_id)`` set — scoring
-        is restricted to these pairs (the refine re-rank pass: postings
-        scan pruned to candidate docs, pair filter before the aggregate).
+        ``candidates``: optional ``(query_id, doc_id)`` set — scoring is
+        restricted to these pairs (the refine re-rank pass: postings scan
+        pruned to candidate docs, pair filter before the aggregate).
+        ``candidates_broadcast=False`` drops the broadcast hint for
+        posting-list-sized candidate sets (the exact-MaxScore passes) —
+        AQE still broadcasts when the set is actually small.
         """
         cfg = self.config
         if metric == MetricType.BM25:
@@ -338,8 +342,9 @@ class SparseInvertedIndex:
                 allowed = self.doc_stats.filter(filter_expr).select("doc_id")
                 postings = postings.join(allowed, "doc_id", "left_semi")
         if candidates is not None:
+            cdocs = candidates.select("doc_id").distinct()
             postings = postings.join(
-                F.broadcast(candidates.select("doc_id").distinct()), "doc_id"
+                F.broadcast(cdocs) if candidates_broadcast else cdocs, "doc_id"
             )
 
         if metric == MetricType.BM25:
@@ -368,7 +373,10 @@ class SparseInvertedIndex:
 
         joined = scored_postings.join(F.broadcast(qterms), "term")
         if candidates is not None:
-            joined = joined.join(F.broadcast(candidates), ["query_id", "doc_id"])
+            joined = joined.join(
+                F.broadcast(candidates) if candidates_broadcast else candidates,
+                ["query_id", "doc_id"],
+            )
         return joined.groupBy("query_id", "doc_id").agg(
             F.sum(F.col("qval").cast("double") * F.col("__w")).alias("score")
         )
@@ -400,6 +408,19 @@ class SparseInvertedIndex:
         metric = MetricType(metric if metric is not None else cfg.metric_type)
         drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
         rf = refine_factor if refine_factor is not None else cfg.refine_factor
+        if (
+            cfg.inverted_index_algo == "DAAT_MAXSCORE"
+            and drop == 0
+            and prune_terms is None
+        ):
+            # the reference's MaxScore is LOSSLESS at drop_ratio=0 — route
+            # to the exact threshold-pruned execution (r5), not the
+            # heuristic tail-share pre-filter
+            return self.search_maxscore_exact(
+                query_df, k, metric=metric,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                filter_expr=filter_expr,
+            )
         if prune_terms is None:
             prune_terms = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
         scores = self._scores(
@@ -417,6 +438,150 @@ class SparseInvertedIndex:
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
                 filter_expr=filter_expr, candidates=cand,
             )
+        return topk_per_key(
+            scores, "query_id", "score", k, ascending=False, tie_breaker="doc_id"
+        )
+
+    def _term_upper_bounds(self, metric: MetricType) -> DataFrame:
+        """(term, max_w): the exact per-term max score contribution per
+        unit query weight — the MaxScore bound table
+        (sparse_inverted_index.h:38-42's max_score_, computed set-side).
+        IP: the stored per-term max value.  BM25: the max of the ACTUAL
+        per-posting BM25 weight (depends on tf and doc_len), computed
+        once per index and cached — legal because avgdl is pinned per
+        index (the CC contract pins it until seal)."""
+        if metric == MetricType.BM25:
+            if getattr(self, "_bm25_max_w", None) is None:
+                cfg = self.config
+                avgdl = cfg.bm25_avgdl if cfg.bm25_avgdl else self._avgdl
+                if not avgdl or avgdl <= 0:
+                    raise ValueError("BM25 bounds require avgdl (config.h:734-760)")
+                w = bm25_score_expr(
+                    F.col("value").cast("double"),
+                    F.col("doc_len").cast("double"),
+                    cfg.bm25_k1, cfg.bm25_b, avgdl,
+                )
+                self._bm25_max_w = (
+                    self.postings.join(self.doc_stats_small(), "doc_id")
+                    .select("term", w.alias("__w"))
+                    .groupBy("term")
+                    .agg(F.max("__w").alias("max_w"))
+                    .cache()
+                )
+            return self._bm25_max_w
+        return self.term_stats.select(
+            "term", F.col("max_value").cast("double").alias("max_w")
+        )
+
+    def search_maxscore_exact(
+        self,
+        query_df: DataFrame,
+        k: int | None = None,
+        *,
+        metric: MetricType | str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "vec",
+        filter_expr: Column | str | None = None,
+    ) -> DataFrame:
+        """EXACT MaxScore execution (Turtle & Flood 1995; the reference's
+        DAAT_MAXSCORE cursor algorithm, sparse_inverted_index.h:440-459,
+        re-expressed set-based — r5, closing the r2 'serving-side
+        cursors don't map' skip with the semantics that DO map):
+
+        1. seed θ: full-score only the docs containing each query's single
+           highest-upper-bound term; θ = that pool's k-th true score (a
+           valid LOWER bound of the final k-th score — every seed score is
+           a real score).
+        2. essential terms: ascending-ub cumulative tail < θ marks the
+           maximal non-essential suffix; a doc matching ONLY non-essential
+           terms scores ≤ that tail < θ, so it can never enter the top-k
+           (strict <, so ties are safe under the (score DESC, doc_id)
+           break).
+        3. full-score the docs containing ≥1 essential term; top-k.
+
+        Lossless by construction — returns EXACTLY the full scoring's
+        top-k — while the postings join in step 3 only reads the
+        essential terms' lists (plus step 1's single list per query): the
+        I/O shape of the reference's MaxScore skipping, as partition
+        pruning + a smaller join instead of per-posting cursors.  Fewer
+        than k seed candidates → θ=-inf → no pruning (degrades to full
+        scoring, never to a wrong answer)."""
+        from pyspark.sql import Window
+
+        cfg = self.config
+        k = k if k is not None else cfg.k
+        metric = MetricType(metric if metric is not None else cfg.metric_type)
+        score_kw = dict(
+            metric=metric, drop=0.0, prune_terms=False, k=k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            filter_expr=filter_expr, candidates_broadcast=False,
+        )
+        qterms = query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.explode(F.col(query_vec_col)).alias("term", "qval"),
+        )
+        ubs = qterms.join(
+            F.broadcast(self._term_upper_bounds(metric)), "term", "left"
+        ).select(
+            "query_id", "term",
+            (
+                F.col("qval").cast("double") * F.coalesce(F.col("max_w"), F.lit(0.0))
+            ).alias("__ub"),
+        )
+        post_td = self.postings.select("term", "doc_id")
+
+        # pass 1 — seed threshold from the top-ub term's posting list
+        w_top = Window.partitionBy("query_id").orderBy(
+            F.col("__ub").desc(), F.col("term").asc()
+        )
+        seed_terms = (
+            ubs.withColumn("__rn", F.row_number().over(w_top))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "term")
+        )
+        # distinct is load-bearing: the pair filter in _scores joins on
+        # (query_id, doc_id), and a duplicated pair would double-count
+        # every posting in the sum
+        seed_pairs = (
+            seed_terms.join(post_td, "term").select("query_id", "doc_id").distinct()
+        )
+        seed_scores = self._scores(query_df, candidates=seed_pairs, **score_kw)
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        theta = (
+            seed_scores.withColumn("__rn", F.row_number().over(w_rank))
+            .groupBy("query_id")
+            .agg(
+                F.max(F.when(F.col("__rn") == k, F.col("score"))).alias("__kth"),
+                F.count("*").alias("__n"),
+            )
+            .select(
+                "query_id",
+                F.when(F.col("__n") >= k, F.col("__kth"))
+                .otherwise(F.lit(float("-inf")))
+                .alias("__theta"),
+            )
+        )
+
+        # pass 2 — essential terms: keep where the ascending-ub running
+        # tail reaches θ; everything below is jointly unable to beat it
+        w_asc = Window.partitionBy("query_id").orderBy(
+            F.col("__ub").asc(), F.col("term").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        essential = (
+            ubs.join(F.broadcast(theta), "query_id", "left")
+            .withColumn("__tail", F.sum("__ub").over(w_asc))
+            .filter(
+                F.col("__tail")
+                >= F.coalesce(F.col("__theta"), F.lit(float("-inf")))
+            )
+            .select("query_id", "term")
+        )
+        cand = (
+            essential.join(post_td, "term").select("query_id", "doc_id").distinct()
+        )
+        scores = self._scores(query_df, candidates=cand, **score_kw)
         return topk_per_key(
             scores, "query_id", "score", k, ascending=False, tie_breaker="doc_id"
         )

@@ -282,3 +282,68 @@ def test_sparse_range_search_k_truncates(spark, data):
         assert len(scores) <= 3
         # truncation keeps the best hits
         assert sorted(scores, reverse=True) == sorted(full_q[q], reverse=True)[: len(scores)]
+
+
+# --- r5: exact set-based MaxScore (Turtle & Flood; the reference's
+# DAAT_MAXSCORE lossless contract at drop_ratio=0) ----------------------------
+
+def _pairs(df):
+    return {
+        (r.query_id, r.doc_id, round(float(r.score), 9), r.rank)
+        for r in df.collect()
+    }
+
+
+def test_maxscore_exact_equals_full_ip(data):
+    """search_maxscore_exact returns EXACTLY the full scoring's top-k —
+    lossless pruning, row-for-row including tie order."""
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    full = _pairs(idx.search(query_df, k=K, prune_terms=False))
+    pruned = _pairs(idx.search_maxscore_exact(query_df, k=K))
+    assert pruned == full
+
+
+def test_maxscore_exact_equals_full_bm25(data):
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="BM25", inverted_index_algo="TAAT_NAIVE", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    full = _pairs(idx.search(query_df, k=K, prune_terms=False))
+    pruned = _pairs(idx.search_maxscore_exact(query_df, k=K))
+    assert pruned == full
+
+
+def test_maxscore_routing_and_filter(data):
+    """DAAT_MAXSCORE at drop_ratio=0 routes through the exact path (same
+    rows as full scoring); filter_expr composes (theta comes from the
+    filtered pool, still a valid lower bound)."""
+    from pyspark.sql import functions as F
+
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="IP", inverted_index_algo="DAAT_MAXSCORE", k=K)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    taat = SparseInvertedIndex.build(
+        base_df, SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=K)
+    )
+    assert _pairs(idx.search(query_df, k=K)) == _pairs(
+        taat.search(query_df, k=K, prune_terms=False)
+    )
+    flt = F.col("doc_id") % 2 == 0
+    assert _pairs(idx.search(query_df, k=K, filter_expr=flt)) == _pairs(
+        taat.search(query_df, k=K, prune_terms=False, filter_expr=flt)
+    )
+
+
+def test_maxscore_exact_degrades_when_seed_small(spark):
+    """k larger than the seed pool -> theta=-inf -> no pruning, full
+    scoring results (degrade to correct, never to wrong)."""
+    base_df = spark.createDataFrame(
+        [(0, {1: 1.0}), (1, {2: 5.0}), (2, {2: 4.0, 3: 1.0})], SPARSE_SCHEMA
+    )
+    q = spark.createDataFrame([(0, {1: 1.0, 2: 1.0, 3: 1.0})], SPARSE_QUERY_SCHEMA)
+    cfg = SparseConfig(metric_type="IP", k=3)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    got = _pairs(idx.search_maxscore_exact(q, k=3))
+    full = _pairs(idx.search(q, k=3, prune_terms=False))
+    assert got == full and len(got) == 3
