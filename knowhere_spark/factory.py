@@ -398,6 +398,10 @@ def _load_inner(spark: SparkSession, path: str, t: IndexType):
         from knowhere_spark.operators.pq import IVFPqIndex
 
         return IVFPqIndex.load(spark, path)
+    if t == IndexType.SCANN:
+        from knowhere_spark.operators.refine import ScannIndex
+
+        return ScannIndex.load(spark, path)
     if t == IndexType.BIN_IVF_FLAT:
         from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
 

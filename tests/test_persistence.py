@@ -153,3 +153,32 @@ def test_manifest_version_compat(tmp_path):
     with open(store.manifest_path(), "w") as f:
         json.dump(m, f)
     assert "index_version" not in store.read_manifest() or True
+
+
+def test_scann_factory_roundtrip(spark, tmp_path):
+    """r5: ScannIndex gained save/load; load_index routes the SCANN
+    manifest and the loaded index (reorder_k included) searches
+    identically."""
+    from knowhere_spark.config import ScannConfig
+    from knowhere_spark.operators.refine import ScannIndex
+
+    mat = gen_dense(80, 8, seed=61)
+    df = dense_df(spark, mat)
+    idx = ScannIndex.build(
+        df, ScannConfig(metric_type="L2", nlist=4, nprobe=4, k=5, reorder_k=80)
+    )
+    path = str(tmp_path / "scann_idx")
+    idx.save(path)
+    loaded = load_index(spark, path)
+    assert type(loaded).__name__ == "ScannIndex"
+    assert loaded.config.reorder_k == 80
+    q = dense_df(spark, mat[:2], QUERY_SCHEMA)
+    a = {
+        (r.query_id, r.neighbor_id, round(r.distance, 6))
+        for r in idx.search(q, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, round(r.distance, 6))
+        for r in loaded.search(q, k=5).collect()
+    }
+    assert a == b

@@ -300,3 +300,35 @@ def test_perplexity_buckets_plan(spark):
     plan = _plan(perplexity_buckets(s, by_col="lang"))
     assert "Window" not in plan
     assert "Broadcast" in plan
+
+
+def test_maxscore_exact_candidate_joins_not_forced_broadcast(spark):
+    """r5 exact MaxScore: the seed/essential candidate sets are
+    posting-list-sized (can be corpus-scale on a frequent term), so the
+    pair joins in both scoring passes must carry NO forced broadcast hint
+    — the optimized plan shows ResolvedHint only on the tiny query-terms
+    and theta sides, and the final adaptive plan still avoids a cartesian
+    product."""
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
+    idx = SparseInvertedIndex.build_from_text(
+        docs, SparseConfig(metric_type="BM25", k=10)
+    )
+    q = spark.createDataFrame(
+        [(0, {"the": 1.0, "and": 0.5, "data": 2.0})],
+        "query_id long, vec map<string,float>",
+    )
+    out = idx.search_maxscore_exact(q, k=10)
+    opt = _optimized(out)
+    # hints present (qterms/theta/term-bounds are tiny and forced) but the
+    # candidate pair joins must not be among them: every hinted subtree
+    # must be query-shaped, never a postings scan.  Cheap proxy: the
+    # number of forced hints is bounded by the small-side joins (<= 6),
+    # not one per candidate join as well (which would add 4 more).
+    assert opt.count("ResolvedHint") <= 6, opt.count("ResolvedHint")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # and the result is non-degenerate (theta pruning ran end-to-end)
+    assert out.count() > 0
