@@ -229,6 +229,21 @@ def bpe_encode(
     return src.mapInPandas(kernel, _ENC_SCHEMA)
 
 
+def save_merges(merges: DataFrame, path: str) -> None:
+    """Persist the tokenizer artifact — the merges table IS the tokenizer
+    (rank order defines the greedy encoder), so one tiny parquet file
+    makes the trained tokenizer reusable across jobs/clusters exactly
+    like a shipped vocab file."""
+    merges.select("rank", "left", "right").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_merges(spark, path: str) -> DataFrame:
+    """Reload a tokenizer artifact written by :func:`save_merges`."""
+    return spark.read.parquet(path).select("rank", "left", "right")
+
+
 def bpe_token_count(docs: DataFrame, merges: DataFrame, **kw) -> DataFrame:
     """(doc_id, n_bpe_tokens) — the token-budget column under a REAL
     trained tokenizer (the regex stand-in in functions/text stays for

@@ -235,10 +235,17 @@ class SparseInvertedIndex:
         """Text-column form of :meth:`add` (mirrors ``build_from_text``)."""
         from knowhere_spark.operators.sparse import text_to_sparse
 
-        return self.add(
-            text_to_sparse(df, text_col=text_col, id_col=id_col),
-            id_col="id", vec_col="vec",
-        )
+        sparse = text_to_sparse(df, text_col=text_col, id_col=id_col)
+        if self.scalar_cols:
+            # text_to_sparse drops non-text columns; re-attach the index's
+            # scalar payload (doc-level, so a doc_id join is exact)
+            sparse = sparse.join(
+                df.select(
+                    F.col(id_col).cast("long").alias("id"), *self.scalar_cols
+                ),
+                "id",
+            )
+        return self.add(sparse, id_col="id", vec_col="vec")
 
     @property
     def avgdl(self) -> float:

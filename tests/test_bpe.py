@@ -168,3 +168,26 @@ def test_train_exhausts_gracefully(spark):
     m = bpe_train(docs, 50).collect()
     # 'ab' -> a b</w> -> ab</w>: exactly one merge possible
     assert len(m) == 1
+
+
+def test_merges_artifact_roundtrip(spark, tmp_path):
+    """save_merges/load_merges: the reloaded tokenizer encodes byte-
+    identically (the artifact IS the tokenizer)."""
+    from knowhere_spark.functions.bpe import load_merges, save_merges
+
+    train = spark.createDataFrame(
+        [(9, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6))],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the lowest new low"), (1, "newest lows")], "doc_id long, text string"
+    )
+    merges = bpe_train(train, 6)
+    path = str(tmp_path / "tokenizer")
+    save_merges(merges, path)
+    reloaded = load_merges(spark, path)
+    a = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+         for r in bpe_encode(docs, merges).collect()}
+    b = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+         for r in bpe_encode(docs, reloaded).collect()}
+    assert a == b
