@@ -45,3 +45,45 @@ def stream_curate(
         & (r["top_2gram_frac"] <= max_top_2gram_frac)
     )
     return stream_dedup_first_seen(gated, id_col=id_col, text_col=text_col)
+
+
+def stream_corpus_stats(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Running corpus-health statistics over a document STREAM — the
+    streaming twin of ``operators/pipeline.corpus_stats``, same columns
+    (volume, length sketch, HLL dup estimate, language mix).
+
+    Every statistic is a mergeable sketch or algebraic aggregate, so
+    Structured Streaming keeps ONE state row and merges each micro-batch
+    into it — a 100 TB ingest maintains live corpus health at scan speed
+    with O(1) state.  Run with ``outputMode('complete')`` (the aggregate
+    is global; there is no watermark to append by):
+
+        q = (stream_corpus_stats(stream).writeStream.format("memory")
+             .queryName("stats").outputMode("complete").start())
+    """
+    from knowhere_spark.functions.text import (
+        fingerprint_expr,
+        langid_expr,
+        token_count_expr,
+    )
+
+    t = F.col(text_col)
+    ntok = token_count_expr(t)
+    lang = langid_expr(t)
+    lang_cols = [
+        F.sum(F.when(lang == code, 1).otherwise(0)).cast("long").alias(f"lang_{code}")
+        for code in ("en", "de", "es", "fr", "unknown")
+    ]
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(t).cast("long").alias("n_docs_with_text"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.percentile_approx(ntok, 0.5).cast("long").alias("tokens_p50"),
+        F.percentile_approx(ntok, 0.9).cast("long").alias("tokens_p90"),
+        F.percentile_approx(ntok, 0.99).cast("long").alias("tokens_p99"),
+        F.approx_count_distinct(fingerprint_expr(t)).alias("approx_distinct_docs"),
+        *lang_cols,
+    )

@@ -1,0 +1,75 @@
+"""Hashed TF-IDF text embeddings (functions/embed.py) — similarity
+ordering, determinism, frozen-IDF contract, and integration with the
+engine's vector operators."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from knowhere_spark.functions.embed import hashed_idf_table, text_embedding_hashed
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "spark catalyst optimizes declarative dataframe plans"),
+        (3, "completely unrelated text about quantum chromodynamics"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vecs(df):
+    return {r.doc_id: np.array(r.vec, dtype=np.float64) for r in df.collect()}
+
+
+def test_embedding_similarity_ordering(spark):
+    v = _vecs(text_embedding_hashed(_docs(spark), dim=64))
+    assert all(abs(np.linalg.norm(x) - 1.0) < 1e-6 for x in v.values())
+    near = float(v[0] @ v[1])
+    far = max(float(v[0] @ v[2]), float(v[0] @ v[3]))
+    assert near > 0.7 and near > far + 0.2, (near, far)
+
+
+def test_embedding_deterministic(spark):
+    a = _vecs(text_embedding_hashed(_docs(spark), dim=32))
+    b = _vecs(text_embedding_hashed(_docs(spark), dim=32))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_frozen_idf_contract(spark):
+    """Embedding NEW docs with a pinned IDF table lands them in the same
+    space: an identical text embeds to the identical vector."""
+    docs = _docs(spark)
+    idf = hashed_idf_table(docs)
+    base = _vecs(text_embedding_hashed(docs, dim=32, idf_table=idf))
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = _vecs(text_embedding_hashed(new, dim=32, idf_table=idf))
+    np.testing.assert_allclose(out[100], base[0], rtol=1e-12)
+
+
+def test_embedding_feeds_vector_ops(spark):
+    """End-to-end text → vectors → exact KNN: the near-dup pair are each
+    other's top non-self neighbor."""
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    emb = text_embedding_hashed(_docs(spark), dim=64).cache()
+    qs = emb.select(F.col("doc_id").alias("query_id"), "vec")
+    hits = BruteForce.search(
+        emb.withColumnRenamed("doc_id", "id"), qs, 2, "COSINE"
+    ).collect()
+    top_non_self = {}
+    for r in sorted(hits, key=lambda r: (r.query_id, r.rank)):
+        if r.neighbor_id != r.query_id and r.query_id not in top_non_self:
+            top_non_self[r.query_id] = r.neighbor_id
+    assert top_non_self[0] == 1 and top_non_self[1] == 0
+
+
+def test_tf_only_mode_no_corpus_pass(spark):
+    v = _vecs(text_embedding_hashed(_docs(spark), dim=32, use_idf=False))
+    assert len(v) == 4 and all(abs(np.linalg.norm(x) - 1.0) < 1e-6 for x in v.values())

@@ -526,3 +526,45 @@ def test_stream_semdedup_cross_batch(spark, tmp_path):
         assert got[i].keep
     # first item of each cluster has NULL max_prior_cos
     assert any(r.max_prior_cos is None for r in got.values())
+
+
+def test_stream_corpus_stats_matches_batch(spark, tmp_path):
+    """r5 streaming corpus audit: two availableNow micro-batches merge
+    into ONE state row whose final statistics equal the batch
+    corpus_stats over the union (every stat is a mergeable sketch)."""
+    from knowhere_spark.operators.pipeline import corpus_stats
+    from knowhere_spark.streaming.pipeline import stream_corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"cstats_{abs(hash(src)) % 10_000_000}"
+    q = (
+        stream_corpus_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(got) == 1
+    want = corpus_stats(docs).collect()[0]
+    g = got[0]
+    for c in ("n_docs", "n_docs_with_text", "n_tokens", "n_chars",
+              "lang_en", "lang_unknown", "approx_distinct_docs"):
+        assert g[c] == want[c], (c, g[c], want[c])
+    # percentile sketches merge associatively but not bit-identically;
+    # the medians must still land within the tight bracket
+    assert abs(g["tokens_p50"] - want["tokens_p50"]) <= max(2, want["tokens_p50"] * 0.05)
