@@ -783,15 +783,27 @@ def q_ivf_pq_refine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K))
 
 
-def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW graph build + BFS-beam batch search (SURVEY.md §2.3 HNSW
-    design note) — ANN, rows-only gate."""
+def q_hnsw_beam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph build + BFS-beam search on a COMPLETE graph (M >= n):
+    one frontier hop reaches every node, so the beam search is exact by
+    construction and the whole machinery — graph build, entry descent,
+    iterative frontier ⋈ edges expansion, the exact scorer, visited-set
+    dedup, final top-k — is hash-gated against the brute-force L2 oracle
+    (r5, upgrading the r4 rows-only ``hnsw_knn``; realistic-M recall
+    stays pytest-floored in tests/test_hnsw.py and recall-anchored in
+    bench's hnsw_search_all @0.95)."""
     from knowhere_spark.config import HnswConfig
     from knowhere_spark.operators.hnsw import HNSWIndex
 
     base, queries_ = _emb(spark, sf_dir)
-    idx = HNSWIndex.build(base, HnswConfig(metric_type="L2", M=16, ef=32, k=K))
-    return _knn_out(idx.search(queries_, k=K, max_hops=3))
+    n = base.count()
+    idx = HNSWIndex.build(
+        base,
+        HnswConfig(
+            metric_type="L2", M=min(n, 600), efConstruction=min(2 * n, 2048), k=K
+        ),
+    )
+    return _knn_out(idx.search(queries_, k=K, ef=n, max_hops=2, strategy="bfs"))
 
 
 def q_hnsw_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,10 +1349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_fixed": q_kmeans_assign_fixed,
         "media_frame_sample": q_media_frame_sample,
         "ivf_sq8_quantized_exact": q_ivf_sq8_quantized_exact,
+        "hnsw_beam_exact": q_hnsw_beam_exact,
         # --- rows-only (approximate / non-SQL-expressible; recall floors
         # and behavior tested in tests/) ------------------------------------
         "ivf_pq_knn": q_ivf_pq_knn,
-        "hnsw_knn": q_hnsw_knn,
         "hnsw_sharded_knn": q_hnsw_sharded_knn,
         "embed_neardup_ivf": q_embed_neardup_ivf,
         "stream_neardup_minhash": q_stream_neardup_minhash,
@@ -1942,6 +1954,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_refine_exact": _knn_oracle(_L2, "ASC"),
         "index_saveload_knn": _knn_oracle(_L2, "ASC"),
         "cc_sealed_equals_batch": _knn_oracle(_L2, "ASC"),
+        # complete-graph HNSW bfs-beam: one hop reaches every node, so the
+        # beam result must equal brute force (exactness is structural)
+        "hnsw_beam_exact": _knn_oracle(_L2, "ASC"),
         # the iterator's paged union of ranks 1..K IS the flat top-k
         "ann_iterator_pages": _knn_oracle(_L2, "ASC"),
         # probe breadth saturated at nlist → the doubling-k protocol must

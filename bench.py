@@ -602,6 +602,16 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_phash_images"] = q_phash_neardup
 
+    def q_text_embedding():
+        # model-free hashed TF-IDF embedding of the whole documents table
+        # (r5): two groupBys + AQE-decided vocab join + codegen'd dense
+        # build — the text -> vector bridge measured end-to-end
+        from knowhere_spark.functions.embed import text_embedding_hashed
+
+        return text_embedding_hashed(docs, dim=64).localCheckpoint(eager=True)
+
+    out["text_embedding_hashed"] = q_text_embedding
+
     def q_quality_classifier():
         # GPT-3-tier quality filter: HashingTF + MLlib LR train (even docs
         # as "trusted", odd as "crawl" — throughput, not accuracy) + score
