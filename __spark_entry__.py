@@ -721,14 +721,28 @@ def q_ivf_sq8_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K, nprobe=4096))
 
 
-def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_PQ with PINNED codebooks (sub-slices of the first 16 embedding
+    vectors — the semdedup_fixed pinning pattern) probing ALL cells: the
+    entire PQ pipeline — per-subspace nearest-codeword encode, the ADC
+    LUT build, the per-cell gather-sum scan, partial-then-final top-k —
+    is deterministic and hash-gated against a full DuckDB mirror (r5,
+    upgrading the r4 rows-only ``ivf_pq_knn``; trained-codebook recall
+    stays pytest-floored in tests/test_pq.py and bench-anchored at
+    pq_search 0.7264 / pq_refine 0.8033)."""
+    import numpy as np
+
     from knowhere_spark.config import IvfPqConfig
     from knowhere_spark.operators.pq import IVFPqIndex
 
     base, queries_ = _emb(spark, sf_dir)
-    cfg = IvfPqConfig(metric_type="L2", nlist=16, nprobe=8, m=16, k=K)
-    idx = IVFPqIndex.build(base, cfg)
-    return _knn_out(idx.search(queries_, k=K))
+    crows = base.filter(F.col("id") < 16).orderBy("id").collect()
+    X16 = np.array([r["vec"] for r in crows], dtype=np.float64)
+    m, subdim = 16, X16.shape[1] // 16
+    cb = np.stack([X16[:, j * subdim : (j + 1) * subdim] for j in range(m)])
+    cfg = IvfPqConfig(metric_type="L2", nlist=16, nprobe=16, m=m, nbits=4, k=K)
+    idx = IVFPqIndex.build(base, cfg, codebooks=cb)
+    return _knn_out(idx.search(queries_, k=K, nprobe=4096))
 
 
 def q_scann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,17 +820,27 @@ def q_hnsw_beam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_out(idx.search(queries_, k=K, ef=n, max_hops=2, strategy="bfs"))
 
 
-def q_hnsw_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded HNSW (segment architecture): per-shard broadcast beams,
-    bounded executor memory, merged top-k — ANN, rows-only gate."""
+def q_hnsw_sharded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HNSW (segment architecture) with COMPLETE per-shard graphs
+    (M >= shard size): every shard's bfs beam is structurally exact, so
+    the cross-shard top-k merge must hash-equal brute force — the hash
+    routing, per-shard search, empty-shard handling, and the
+    (distance, neighbor_id) merge contract all oracle-gated (r5,
+    upgrading the r4 rows-only ``hnsw_sharded_knn``; realistic-M sharded
+    recall stays pytest-floored in tests/test_hnsw_sharded.py)."""
     from knowhere_spark.config import HnswConfig
     from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
 
     base, queries_ = _emb(spark, sf_dir)
+    n = base.count()
     idx = ShardedHNSWIndex.build(
-        base, HnswConfig(metric_type="L2", M=16, ef=32, k=K), n_shards=2
+        base,
+        HnswConfig(
+            metric_type="L2", M=min(n, 600), efConstruction=min(2 * n, 2048), k=K
+        ),
+        n_shards=3,
     )
-    return _knn_out(idx.search(queries_, k=K))
+    return _knn_out(idx.search(queries_, k=K, ef=n, strategy="bfs"))
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,10 +1374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "ivf_sq8_quantized_exact": q_ivf_sq8_quantized_exact,
         "hnsw_beam_exact": q_hnsw_beam_exact,
+        "ivf_pq_adc_fixed": q_ivf_pq_adc_fixed,
+        "hnsw_sharded_exact": q_hnsw_sharded_exact,
         # --- rows-only (approximate / non-SQL-expressible; recall floors
         # and behavior tested in tests/) ------------------------------------
-        "ivf_pq_knn": q_ivf_pq_knn,
-        "hnsw_sharded_knn": q_hnsw_sharded_knn,
         "embed_neardup_ivf": q_embed_neardup_ivf,
         "stream_neardup_minhash": q_stream_neardup_minhash,
     }
@@ -1957,6 +1981,36 @@ def oracle_sql() -> dict[str, str]:
         # complete-graph HNSW bfs-beam: one hop reaches every node, so the
         # beam result must equal brute force (exactness is structural)
         "hnsw_beam_exact": _knn_oracle(_L2, "ASC"),
+        # complete PER-SHARD graphs: each shard's beam is exact, so the
+        # cross-shard (distance, neighbor_id) merge must equal brute force
+        "hnsw_sharded_exact": _knn_oracle(_L2, "ASC"),
+        # PQ full-algorithm mirror with PINNED codebooks (sub-slices of the
+        # first 16 embeddings): encode = per-subspace nearest codeword
+        # (ties -> lowest codeword id), ADC distance = sum over subspaces
+        # of the query's sub-distance to the doc's codeword.  nprobe=nlist
+        # on the Spark side, so the probe plan drops nothing.
+        "ivf_pq_adc_fixed": f"""
+WITH
+n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (SELECT id, CAST(t.z[2] AS INT) - 1 AS d0, t.z[1] AS val
+       FROM n, UNNEST(list_zip(e, range(1, array_length(e) + 1))) AS t(z)),
+sub AS (SELECT id, d0 // 4 AS j, d0 % 4 AS pos, val FROM ex),
+cbx AS (SELECT id AS c, j, pos, val AS cval FROM sub WHERE id < 16),
+dsub AS (SELECT s.id, s.j, x.c, SUM((s.val - x.cval) * (s.val - x.cval)) AS dd
+         FROM sub s JOIN cbx x ON s.j = x.j AND s.pos = x.pos
+         GROUP BY s.id, s.j, x.c),
+enc AS (SELECT id, j, c FROM (
+          SELECT id, j, c, row_number() OVER (PARTITION BY id, j ORDER BY dd, c) AS rk
+          FROM dsub) WHERE rk = 1),
+sc AS (SELECT qd.id AS query_id, enc.id AS neighbor_id, SUM(qd.dd) AS dist
+       FROM enc JOIN dsub qd ON qd.j = enc.j AND qd.c = enc.c AND qd.id < {NQ}
+       GROUP BY qd.id, enc.id),
+r AS (SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, ROUND(dist, 4) AS distance, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= {K}
+""",
         # the iterator's paged union of ranks 1..K IS the flat top-k
         "ann_iterator_pages": _knn_oracle(_L2, "ASC"),
         # probe breadth saturated at nlist → the doubling-k protocol must

@@ -135,9 +135,12 @@ class ShardedHNSWIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         filter_expr=None,
+        strategy: str = "broadcast",
     ) -> DataFrame:
-        """Per-shard broadcast beam, eager per-shard materialization (so
-        only one shard's graph is resident at a time), final top-k merge.
+        """Per-shard beam (``strategy='broadcast'`` default — eager
+        per-shard materialization so only one shard's graph is resident
+        at a time; ``'bfs'`` routes each shard through the frontier-join
+        path with the float64 exact scorer), final top-k merge.
 
         Ties across shards break by ``(distance, neighbor_id)`` — the
         engine-wide ordering contract (FIXTURES.md T7)."""
@@ -148,7 +151,7 @@ class ShardedHNSWIndex:
             if shard is None:
                 continue
             res = shard.search(
-                query_df, k, ef=ef, strategy="broadcast",
+                query_df, k, ef=ef, strategy=strategy,
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
                 filter_expr=filter_expr,
             ).drop("rank")

@@ -172,7 +172,12 @@ class IVFPqIndex:
         *,
         id_col: str = "id",
         vec_col: str = "vec",
+        codebooks: np.ndarray | None = None,
     ) -> "IVFPqIndex":
+        """``codebooks``: pass a pinned ``(m, ksub, dim/m)`` tensor to skip
+        the Lloyd fit — makes the whole build/encode/ADC pipeline
+        deterministic end-to-end (tests / oracle gates), the same pinning
+        contract as ``semdedup(centroids=...)``."""
         metric = MetricType(config.metric_type)
         base = base_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -185,18 +190,28 @@ class IVFPqIndex:
         subdim = dim // m
 
         n = flat.assignments.count()
-        sample = flat.assignments
-        if n > _TRAIN_SAMPLE_MAX:
-            sample = sample.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed)
-        from knowhere_spark.session import collect_vec_matrix
+        if codebooks is not None:
+            codebooks = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+            if codebooks.shape[0] != m or codebooks.shape[2] != subdim:
+                raise ValueError(
+                    f"pinned codebooks shape {codebooks.shape} does not match"
+                    f" (m={m}, *, subdim={subdim})"
+                )
+        else:
+            sample = flat.assignments
+            if n > _TRAIN_SAMPLE_MAX:
+                sample = sample.sample(
+                    fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed
+                )
+            from knowhere_spark.session import collect_vec_matrix
 
-        S = collect_vec_matrix(sample, "vec")
-        codebooks = np.stack(
-            [
-                _lloyd(S[:, j * subdim : (j + 1) * subdim], ksub, config.seed + j)
-                for j in range(m)
-            ]
-        )  # (m, ksub', subdim) — ksub' may be < ksub on tiny samples
+            S = collect_vec_matrix(sample, "vec")
+            codebooks = np.stack(
+                [
+                    _lloyd(S[:, j * subdim : (j + 1) * subdim], ksub, config.seed + j)
+                    for j in range(m)
+                ]
+            )  # (m, ksub', subdim) — ksub' may be < ksub on tiny samples
         codes_df = _encode_df(flat.assignments, codebooks, config.with_raw_data)
         import dataclasses
 
