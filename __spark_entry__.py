@@ -1314,10 +1314,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is replaced by ``stream_semdedup_equals_batch``, a HASH gate over the
     streaming SemDeDup keep rule: two mtime-ordered micro-batches, pinned
     centroids, and a DuckDB recursive-CTE mirror of the greedy
-    kept-set-only cosine sweep.  Also r5: ``ivf_sq8_knn`` (rows-only)
-    upgraded in place to ``ivf_sq8_quantized_exact`` — at nprobe=nlist
-    the quantized ordering is exact and the full SQ algorithm (min/max
-    train, round-half-even affine encode, decode, L2) mirrors in DuckDB.
+    kept-set-only cosine sweep.  Also r5, four in-place rows-only →
+    oracle upgrades (each at a structurally-exact operating point, with
+    realistic-config recall retained in pytest + bench):
+    ``ivf_sq8_knn`` → ``ivf_sq8_quantized_exact`` (nprobe=nlist + a full
+    DuckDB mirror of min/max train, round-half-even affine encode,
+    decode, L2); ``hnsw_knn`` → ``hnsw_beam_exact`` (complete graph
+    M>=n: one bfs hop reaches every node); ``ivf_pq_knn`` →
+    ``ivf_pq_adc_fixed`` (pinned codebooks from the first 16 embeddings:
+    encode + ADC mirror fully); ``hnsw_sharded_knn`` →
+    ``hnsw_sharded_exact`` (complete per-shard graphs: routing + merge
+    must equal brute force).  Final registry: 48 oracle + 2 rows-only
+    (embed_neardup_ivf — realistic-nprobe bucketing IS the row's point;
+    stream_neardup_minhash — xxhash signatures have no DuckDB mirror).
 
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same

@@ -323,3 +323,46 @@ def test_save_rejects_non_scalar_partition_cols(spark, tmp_path):
             raise AssertionError(f"expected ValueError for {bad}")
         except ValueError as e:
             assert "scalar_cols" in str(e)
+
+
+def test_bin_and_sq_add_carry_and_validate_scalars(spark):
+    """Add on the r5 scalar-layout families: scalars ride along; a batch
+    missing them raises instead of NULL-padding the layout."""
+    from conftest import gen_binary
+    from knowhere_spark.config import IvfSq8Config
+    from knowhere_spark.operators.bin_ivf import BinaryIVFIndex
+    from knowhere_spark.operators.sq import IVFSq8Index
+
+    bbase, bmat = _bin_labeled(spark, n=100)
+    bidx = BinaryIVFIndex.build(
+        bbase, IvfConfig(metric_type="HAMMING", nlist=2, nprobe=2),
+        scalar_cols=["label"],
+    )
+    newmat = gen_binary(2, 64, seed=75)
+    new = spark.createDataFrame(
+        [(1000 + i, bytes(newmat[i].tobytes()), 9) for i in range(2)],
+        "id long, vec binary, label int",
+    )
+    bidx2 = bidx.add(new)
+    assert bidx2.assignments.filter(F.col("label") == 9).count() == 2
+    try:
+        bidx.add(new.drop("label"))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "scalar_cols" in str(e)
+
+    sbase, smat = _labeled(spark, n=120)
+    sidx = IVFSq8Index.build(
+        sbase, IvfSq8Config(metric_type="L2", nlist=2, nprobe=2),
+        scalar_cols=["label"],
+    )
+    news = spark.createDataFrame(
+        [(2000, smat[0].tolist(), 9)], "id long, vec array<float>, label int"
+    )
+    sidx2 = sidx.add(news)
+    assert sidx2.assignments.filter(F.col("label") == 9).count() == 1
+    try:
+        sidx.add(news.drop("label"))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "scalar_cols" in str(e)
