@@ -525,6 +525,54 @@ def Dump(index: IndexWrap, file_name: str) -> None:
     index.Serialize(file_name)
 
 
+def ArrayToBinary(arr: np.ndarray) -> DataSet:
+    """Binary DataSet from packed uint8 rows (__init__.py:63-71 — the
+    reference's Array2Binary; here the binary DataSet IS the uint8
+    tensor, so this is ArrayToDataSet with the dtype check enforced)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("ArrayToBinary only support numpy array dtype uint8.")
+    return DataSet(tensor=arr, binary=True)
+
+
+def WriteIndexToDisk(index: "IndexWrap", index_type: str, data_path: str) -> None:
+    """Persist a built index to a disk layout (__init__.py:60-61) —
+    parquet-directory form of the reference's BinarySet spill; the
+    ``index_type`` argument is validated against the handle."""
+    if index_type and index.name != str(index_type).upper():
+        raise ValueError(
+            f"index_type {index_type!r} does not match the handle's {index.name!r}"
+        )
+    index.Serialize(data_path)
+
+
+def GetFloat16VectorDataSetToArray(ans) -> np.ndarray:
+    """GetVectorByIds output at the fp16 storage tier (__init__.py:156-163):
+    the engine computes in fp32 (exact widening, functions/dtype.py) and
+    the facade narrows back to the caller's dtype."""
+    return np.asarray(ans, dtype=np.float32).astype(np.float16)
+
+
+def GetBFloat16VectorDataSetToArray(ans) -> np.ndarray:
+    """bf16 twin of :func:`GetFloat16VectorDataSetToArray`
+    (__init__.py:164-171).  numpy has no bfloat16: the round-trip through
+    the engine's byte-exact bf16 encode (functions/dtype.bf16_round) is
+    returned as the nearest-fp32 values, the same numerics the reference
+    hands back after its bfloat16 cast."""
+    from knowhere_spark.functions.dtype import _bf16_round
+
+    return _bf16_round(np.asarray(ans, dtype=np.float32))
+
+
+def GetBinaryVectorDataSetToArray(ans) -> np.ndarray:
+    """GetVectorByIds output for binary indexes (__init__.py:172-178):
+    rows of packed uint8 bytes (dim/8 per row)."""
+    a = np.asarray(ans)
+    if a.dtype != np.uint8:
+        a = a.astype(np.uint8)
+    return a
+
+
 def SetSimdType(type) -> None:
     """No-op: SIMD dispatch belongs to numpy/JVM codegen in this engine."""
 

@@ -350,3 +350,53 @@ def test_bitset_large_set_uses_bounded_plan():
     assert (ids % 2 == 1).all()                  # only odd ids survive
     np.testing.assert_array_equal(ids, ids2)
     np.testing.assert_allclose(dis, dis2, rtol=1e-6)
+
+
+def test_binding_surface_complete_r5(spark):
+    """The remaining reference-binding functions (__init__.py:56-185):
+    ArrayToBinary, WriteIndexToDisk, the typed DataSetToArray family."""
+    import numpy as np
+    from knowhere_spark import compat as K
+
+    K.set_session(spark)
+    # ArrayToBinary: uint8 only, binary DataSet out
+    arr = np.arange(32, dtype=np.uint8).reshape(4, 8)
+    ds = K.ArrayToBinary(arr)
+    assert ds.binary and ds.rows == 4
+    try:
+        K.ArrayToBinary(arr.astype(np.float32))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # typed converters
+    f32 = np.array([[1.5, 2.75], [0.1, -3.0]], dtype=np.float32)
+    f16 = K.GetFloat16VectorDataSetToArray(f32)
+    assert f16.dtype == np.float16
+    np.testing.assert_allclose(f16.astype(np.float32), f32, rtol=1e-3)
+    bf = K.GetBFloat16VectorDataSetToArray(f32)
+    assert bf.dtype == np.float32   # numpy has no bfloat16; values bf16-rounded
+    assert abs(float(bf[0, 0]) - 1.5) < 1e-6   # 1.5 is exactly representable
+    bb = K.GetBinaryVectorDataSetToArray(arr)
+    assert bb.dtype == np.uint8 and bb.shape == (4, 8)
+
+
+def test_write_index_to_disk_roundtrip(spark, tmp_path):
+    import numpy as np
+    from knowhere_spark import compat as K
+
+    K.set_session(spark)
+    rng = np.random.default_rng(9)
+    base = K.ArrayToDataSet(rng.random((50, 8)).astype(np.float32))
+    idx = K.CreateIndex("FLAT", K.GetCurrentVersion())
+    idx.Build(base, '{"metric_type": "L2"}')
+    path = str(tmp_path / "flat_disk")
+    K.WriteIndexToDisk(idx, "FLAT", path)
+    idx2 = K.CreateIndex("FLAT", K.GetCurrentVersion())
+    idx2.Deserialize(path)
+    assert idx2.Count() == 50
+    # mismatched type is rejected, not silently written
+    try:
+        K.WriteIndexToDisk(idx, "HNSW", str(tmp_path / "bad"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
