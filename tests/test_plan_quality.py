@@ -332,3 +332,18 @@ def test_maxscore_exact_candidate_joins_not_forced_broadcast(spark):
     assert "CartesianProduct" not in plan
     # and the result is non-degenerate (theta pruning ran end-to-end)
     assert out.count() > 0
+
+
+def test_text_embedding_hashed_plan_native(spark):
+    """r5 embedder: fully JVM-side — no BatchEvalPython/ArrowEvalPython
+    (UDF) nodes, no cartesian product; the IDF join is the only join and
+    carries no forced broadcast (vocab-sized, AQE's call)."""
+    from knowhere_spark.functions.embed import text_embedding_hashed
+
+    docs = load_table(spark, TESTDATA, "documents").select("doc_id", "text")
+    out = text_embedding_hashed(docs, dim=32)
+    plan = _plan(out)
+    assert "EvalPython" not in plan          # no Python UDFs anywhere
+    assert "CartesianProduct" not in plan
+    opt = _optimized(out)
+    assert "ResolvedHint" not in opt          # nothing force-broadcast
