@@ -73,16 +73,47 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return pairs.select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
 
 
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2, w3) for every adjacent token triple — the same
+    guarded index idiom as the bigram extractor, one position shorter."""
+    toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    idx = F.when(
+        F.size("_t") >= 3, F.sequence(F.lit(0), F.size("_t") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    triples = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_t", i + 1).alias("w1"),
+                    F.element_at("_t", i + 2).alias("w2"),
+                    F.element_at("_t", i + 3).alias("w3"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return triples.select(
+        id_col,
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+
+
 @dataclass
 class NgramLM:
-    """Trained bigram LM: two count tables + scalars."""
+    """Trained n-gram LM (order 2 default — the CCNet-tier filter; order
+    3 adds an interpolated trigram head, the KenLM-direction upgrade)."""
 
     unigrams: DataFrame          # (w, ct) token counts over the train corpus
     bigrams: DataFrame           # (w1, w2, c2)
     vocab_size: int              # |V| + 1 smoothing denominator term
     n_tokens: int                # N, total training tokens
     alpha: float
-    lam: float                   # bigram weight in the interpolation
+    lam: float                   # bigram weight in the bi/uni interpolation
+    trigrams: DataFrame | None = None   # (w1, w2, w3, c3) — order=3 only
+    lam3: float = 0.0                   # trigram weight when order=3
 
     @classmethod
     def train(
@@ -94,15 +125,28 @@ class NgramLM:
         min_count: int = 1,
         id_col: str = "doc_id",
         text_col: str = "text",
+        order: int = 2,
+        lam3: float = 0.5,
     ) -> "NgramLM":
-        """Count unigrams/bigrams over the (trusted) training corpus.
+        """Count unigrams/bigrams (and trigrams at ``order=3``) over the
+        (trusted) training corpus.
 
-        ``min_count`` prunes the bigram table's long tail (hapax bigrams
+        ``min_count`` prunes the n-gram tables' long tail (hapax events
         dominate row count but carry almost no probability mass) —
         pruned events fall back to the smoothing floor at score time.
         The count tables are cached: ``score`` joins against them per
-        call, and they are vocabulary-sized, not corpus-sized.
-        """
+        call, and they are vocabulary-sized, not corpus-sized (the
+        trigram table grows fastest — the same heavy-tail caveat as the
+        bigram table, one order up; ``min_count >= 2`` is the sane
+        default at crawl scale).
+
+        ``order=3`` scores with the interpolation
+        ``lam3·p_tri + (1-lam3)·(lam·p_bi + (1-lam)·p_uni)`` — a
+        stronger context model in the KenLM direction while every piece
+        stays a count join; ``order=2`` is byte-identical to the r4
+        behavior (the lm_perplexity oracle pins it)."""
+        if order not in (2, 3):
+            raise ValueError(f"order={order} must be 2 or 3")
         g = _doc_bigrams(docs, id_col, text_col)
         toks = docs.select(
             F.explode(tokens_expr(F.col(text_col))).alias("w")
@@ -114,12 +158,25 @@ class NgramLM:
             .filter(F.col("c2") >= min_count)
             .cache()
         )
+        tri = None
+        if order == 3:
+            tri = (
+                _doc_trigrams(docs, id_col, text_col)
+                .groupBy("w1", "w2", "w3")
+                .agg(F.count("*").alias("c3"))
+                .filter(F.col("c3") >= min_count)
+                .cache()
+            )
+            tri.count()
         vocab = uni.count()           # materializes the cache lineage head
         # N = sum of the (already cached, vocab-sized) unigram counts — a
         # toks.count() here would re-scan and re-tokenize the full corpus
         n = uni.agg(F.coalesce(F.sum("ct"), F.lit(0))).collect()[0][0]
         bi.count()
-        return cls(uni, bi, vocab + 1, int(n), float(alpha), float(lam))
+        return cls(
+            uni, bi, vocab + 1, int(n), float(alpha), float(lam),
+            trigrams=tri, lam3=float(lam3) if order == 3 else 0.0,
+        )
 
     def score(
         self,
@@ -134,7 +191,14 @@ class NgramLM:
         broadcasts (and the bigram side's broadcast is AQE's call — see
         the module docstring).  OOV contexts use c1=0, unseen
         continuations c2=0 — both land on the smoothing floor.
+
+        Order-3 models score trigram events instead and return
+        ``(doc_id, n_events, avg_logprob, perplexity)`` — docs shorter
+        than 3 tokens carry no trigram evidence (NULL scores), the same
+        row-preserving contract as the bigram tier.
         """
+        if self.trigrams is not None:
+            return self._score_trigrams(docs, id_col=id_col, text_col=text_col)
         g = _doc_bigrams(docs, id_col, text_col)
         ctx = self.unigrams.select(F.col("w").alias("w1"), F.col("ct").alias("c1"))
         nxt = self.unigrams.select(F.col("w").alias("w2"), F.col("ct").alias("cu"))
@@ -172,6 +236,63 @@ class NgramLM:
             )
         )
 
+    def _score_trigrams(
+        self, docs: DataFrame, *, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Order-3 scoring: every trigram event interpolates
+        ``lam3·p_tri + (1-lam3)·(lam·p_bi + (1-lam)·p_uni)``.  Model-table
+        joins carry NO forced broadcast except the vocab-sized unigram
+        projections — the trigram/bigram tables can be large and are
+        AQE's call, same discipline as the bigram tier."""
+        g = _doc_trigrams(docs, id_col, text_col)
+        ctx2 = self.bigrams.select(
+            F.col("w1"), F.col("w2"), F.col("c2").alias("c2ctx")
+        )
+        bi23 = self.bigrams.select(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+            F.col("c2").alias("c2"),
+        )
+        ctx1 = self.unigrams.select(F.col("w").alias("w2"), F.col("ct").alias("c1"))
+        nxt = self.unigrams.select(F.col("w").alias("w3"), F.col("ct").alias("cu"))
+        aV = self.alpha * self.vocab_size
+        p_tri = (F.coalesce("c3", F.lit(0)) + F.lit(self.alpha)) / (
+            F.coalesce("c2ctx", F.lit(0)) + F.lit(aV)
+        )
+        p_bi = (F.coalesce("c2", F.lit(0)) + F.lit(self.alpha)) / (
+            F.coalesce("c1", F.lit(0)) + F.lit(aV)
+        )
+        p_uni = (F.coalesce("cu", F.lit(0)) + F.lit(self.alpha)) / (
+            F.lit(self.n_tokens + aV)
+        )
+        lower = F.lit(self.lam) * p_bi + F.lit(1.0 - self.lam) * p_uni
+        scored = (
+            g.join(self.trigrams, ["w1", "w2", "w3"], "left")
+            .join(ctx2, ["w1", "w2"], "left")
+            .join(bi23, ["w2", "w3"], "left")
+            .join(F.broadcast(ctx1), "w2", "left")
+            .join(F.broadcast(nxt), "w3", "left")
+            .select(
+                id_col,
+                F.log(
+                    F.lit(self.lam3) * p_tri + F.lit(1.0 - self.lam3) * lower
+                ).alias("lp"),
+            )
+        )
+        agg = scored.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+        return (
+            docs.select(id_col)
+            .join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                "avg_logprob",
+                F.exp(-F.col("avg_logprob")).alias("perplexity"),
+            )
+        )
+
     def filter(
         self,
         docs: DataFrame,
@@ -193,6 +314,8 @@ class NgramLM:
     def release(self) -> None:
         self.unigrams.unpersist()
         self.bigrams.unpersist()
+        if self.trigrams is not None:
+            self.trigrams.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -205,3 +205,55 @@ def test_compression_signals_orders_redundancy(spark):
     assert out[2].zlib_ratio == 1.0 and out[3].zlib_ratio == 1.0
     assert out[2].n_chars == 0 and out[3].n_chars == 0
     assert out[1].n_chars == len(rows[1][1])
+
+
+def test_trigram_lm_hand_computed(spark):
+    """Order-3 scoring: one trigram event hand-checked against the
+    interpolation lam3*p_tri + (1-lam3)*(lam*p_bi + (1-lam)*p_uni)."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"
+    )
+    lm = NgramLM.train(train, order=3, alpha=0.1, lam=0.7, lam3=0.5)
+    # counts: tri (a,b,c)=2, (a,b,d)=1; bi (a,b)=3, (b,c)=2, (b,d)=1;
+    # uni a=3 b=3 c=2 d=1 -> vocab_size=5, N=9
+    out = {r.doc_id: r for r in lm.score(
+        spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    ).collect()}
+    aV = 0.1 * 5
+    p_tri = (2 + 0.1) / (3 + aV)          # c3(a,b,c) / c2ctx(a,b)
+    p_bi = (2 + 0.1) / (3 + aV)           # c2(b,c) / c1(b)
+    p_uni = (2 + 0.1) / (9 + aV)          # cu(c) / N
+    want = math.log(0.5 * p_tri + 0.5 * (0.7 * p_bi + 0.3 * p_uni))
+    r = out[9]
+    assert r.n_events == 1
+    assert abs(r.avg_logprob - want) < 1e-9
+    assert abs(r.perplexity - math.exp(-want)) < 1e-9
+    lm.release()
+
+
+def test_trigram_lm_separates_indomain_from_shuffled(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(30)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = NgramLM.train(train, order=3, min_count=1)
+    test = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "dog the over quick lazy jumps fox brown the")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.perplexity for r in lm.score(test).collect()}
+    assert got[0] < got[1] / 5, got
+    lm.release()
+
+
+def test_trigram_short_docs_row_preserving(spark):
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    lm = NgramLM.train(train, order=3)
+    out = {r.doc_id: r for r in lm.score(
+        spark.createDataFrame([(0, "a b"), (1, "")], "doc_id long, text string")
+    ).collect()}
+    assert out[0].n_events == 0 and out[0].avg_logprob is None
+    assert out[1].n_events == 0
+    lm.release()
