@@ -887,6 +887,28 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             )
             return clf.score(docs10).localCheckpoint(eager=True)
 
+        def q_text_embedding_50k():
+            # text → hashed TF-IDF vectors at 10x docs: two groupBys + one
+            # AQE-decided vocab join, fully JVM-side
+            from knowhere_spark.functions.embed import text_embedding_hashed
+
+            return text_embedding_hashed(docs10, dim=64).localCheckpoint(
+                eager=True
+            )
+
+        def q_trigram_lm_50k():
+            # order-3 LM train + score at 10x docs (the KenLM-direction
+            # tier): the trigram table is the fastest-growing model side
+            # and must stay an AQE-decided join, never a broadcast
+            from knowhere_spark.operators.quality import NgramLM
+
+            lm = NgramLM.train(docs10, order=3, min_count=2)
+            res = lm.score(docs10).localCheckpoint(eager=True)
+            lm.release()
+            return res
+
+        out["sf1x_text_embedding_50k"] = q_text_embedding_50k
+        out["sf1x_trigram_lm_50k"] = q_trigram_lm_50k
         PREPARE_MAP["sf1x_hybrid_fusion_1000q"] = prep_hybrid_fusion_1000q
         out["sf1x_bpe_highvocab_50k"] = q_bpe_highvocab_50k
         out["sf1x_hybrid_fusion_1000q"] = q_hybrid_fusion_1000q
