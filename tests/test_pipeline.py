@@ -352,3 +352,56 @@ def test_corpus_stats_one_pass(spark):
     r2 = corpus_stats(with_null).collect()[0]
     assert r2["n_docs"] == 101 and r2["n_docs_with_text"] == 100
     assert abs(r2["dup_fraction"] - r["dup_fraction"]) < 0.02
+
+
+# --- r5: whole-document best-fit packing -------------------------------------
+
+def test_bestfit_packing_respects_budget_and_beats_sequential(spark):
+    from knowhere_spark.operators.pipeline import pack_sequences_bestfit
+
+    # skewed lengths: first-fit-decreasing should pair 60s with 40s etc.
+    rows = [(i, [60, 40, 30, 70, 10, 90][i % 6]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(2)
+    out = pack_sequences_bestfit(df, 100).collect()
+    assert len(out) == 120
+    by_bin = {}
+    for r in out:
+        assert not r.truncated
+        by_bin.setdefault(r.bin_id, []).append(r.n_tokens)
+    for b, toks in by_bin.items():
+        assert sum(toks) <= 100, (b, toks)
+        fills = {r.bin_fill for r in out if r.bin_id == b}
+        assert fills == {sum(toks)}
+    # fragmentation: total bins near the token lower bound (ideal = 3.0
+    # tokens/doc-avg 50 -> 60 bins); FFD on this mix packs 100-token bins
+    # perfectly (60+40, 70+30, 90+10), sequential id-order packing cannot
+    n_tokens = sum(r.n_tokens for r in out)
+    assert len(by_bin) <= -(-n_tokens // 100) + 2   # per-partition margin
+
+
+def test_bestfit_packing_oversize_and_strict(spark):
+    from knowhere_spark.operators.pipeline import pack_sequences_bestfit
+
+    df = spark.createDataFrame(
+        [(0, 50), (1, 150), (2, 60)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_sequences_bestfit(df, 100).collect()}
+    assert out[1].truncated and out[1].bin_fill == 150
+    assert not out[0].truncated and not out[2].truncated
+    # distinct bins: 150 is a singleton; 50+60 > 100 so they split too
+    assert len({r.bin_id for r in out.values()}) == 3
+    try:
+        pack_sequences_bestfit(df, 100, truncate_oversize=False).collect()
+        raise AssertionError("expected failure on oversize doc")
+    except Exception as e:
+        assert "budget" in str(e)
+
+
+def test_bestfit_packing_deterministic(spark):
+    from knowhere_spark.operators.pipeline import pack_sequences_bestfit
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(4, "doc_id")
+    a = sorted((r.doc_id, r.bin_id, r.bin_fill) for r in pack_sequences_bestfit(df, 128).collect())
+    b = sorted((r.doc_id, r.bin_id, r.bin_fill) for r in pack_sequences_bestfit(df, 128).collect())
+    assert a == b
