@@ -73,3 +73,35 @@ def test_embedding_feeds_vector_ops(spark):
 def test_tf_only_mode_no_corpus_pass(spark):
     v = _vecs(text_embedding_hashed(_docs(spark), dim=32, use_idf=False))
     assert len(v) == 4 and all(abs(np.linalg.norm(x) - 1.0) < 1e-6 for x in v.values())
+
+
+def test_text_to_semdedup_composition(spark):
+    """The full model-free chain: documents → hashed embeddings →
+    SemDeDup keeps one representative per near-duplicate text group —
+    semantic dedup with no external model anywhere."""
+    from knowhere_spark.operators.semdedup import semdedup
+
+    rows = []
+    # 5 groups x 3 near-copies; group-specific vocabulary dominates the
+    # text so cross-group cosine stays low while within-group edits are a
+    # small fraction of the tokens
+    for g in range(5):
+        core = " ".join(f"topic{g}w{i}" for i in range(12))
+        rows.append((g * 10, core + " common filler"))
+        rows.append((g * 10 + 1, core + " common filler indeed"))
+        rows.append((g * 10 + 2, core + " shared filler"))
+    for u in range(10):
+        rows.append(
+            (1000 + u, " ".join(f"unique{u}tok{i}" for i in range(10)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = text_embedding_hashed(docs, dim=64)
+    out = semdedup(emb, eps=0.85, num_clusters=2, seed=3, id_col="doc_id").collect()
+    assert len(out) == len(rows)
+    kept = {r.id for r in out if r.keep}
+    # every near-copy group collapses to exactly one survivor; every
+    # unique survives
+    for g in range(5):
+        members = {g * 10, g * 10 + 1, g * 10 + 2}
+        assert len(members & kept) == 1, (g, members & kept)
+    assert all(1000 + u in kept for u in range(10))
