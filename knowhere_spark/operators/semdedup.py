@@ -159,7 +159,12 @@ def _autosplit_overcap(
             if n > samp_n
             else rows_df
         )
-        X = np.array([row["vec"] for row in samp.collect()], dtype=np.float64)
+        rows_v = samp.collect()
+        if not rows_v:
+            # Bernoulli sampling can (rarely) return nothing; the split
+            # must not divide by an empty matrix — take a bounded head
+            rows_v = rows_df.limit(samp_n).collect()
+        X = np.array([row["vec"] for row in rows_v], dtype=np.float64)
         X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
         sub = numpy_kmeans(X, min(k_sub, len(X)), iters=8, seed=seed)
         plans[cid] = (next_id, sub)
