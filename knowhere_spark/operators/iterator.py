@@ -55,6 +55,30 @@ class AnnIterator:
         return cls(ranked, page_size=page_size)
 
     @classmethod
+    def from_index(
+        cls,
+        index,
+        query_df: DataFrame,
+        *,
+        page_size: int = 1000,
+        k: int | None = None,
+        **search_kw,
+    ) -> "AnnIterator":
+        """Iterator over ANY built index's ranked ordering — the
+        reference's default per-index ``AnnIterator`` (index_node.h:
+        451-526: every IndexNode serves an iterator; non-graph indexes go
+        through the precomputed variant).  The ordering is the index's
+        own search at ``k = count()`` (or a caller cap), so coverage
+        follows the index's search contract — an IVF iterator only
+        orders the probed cells' rows, exactly like the reference's
+        iterator-on-IVF; pass ``nprobe=nlist`` for exhaustive paging.
+        ``search_kw`` forward to ``index.search`` (nprobe/ef/
+        filter_expr/strategy...)."""
+        n = k if k is not None else index.count()
+        ranked = index.search(query_df, k=n, **search_kw)
+        return cls(ranked, page_size=page_size)
+
+    @classmethod
     def from_sparse(
         cls,
         index,

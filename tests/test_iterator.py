@@ -248,3 +248,30 @@ def test_sparse_iterator_drop_ratio_relative_recall(spark):
         len(approx.get(q, set()) & docs) / len(docs) for q, docs in full.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_from_index_pages_ivf_exhaustive(spark):
+    """from_index over IVF_FLAT at nprobe=nlist: the paged union equals
+    exact brute force (the precomputed per-index iterator,
+    index_node.h:451-526)."""
+    from knowhere_spark.config import IvfConfig
+    from knowhere_spark.operators.brute_force import BruteForce
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    mat = gen_dense(80, 8, seed=41)
+    base = dense_df(spark, mat)
+    qs = dense_df(spark, mat[:3], QUERY_SCHEMA)
+    idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=4, nprobe=4))
+    it = AnnIterator.from_index(idx, qs, page_size=10, nprobe=4)
+    got = []
+    for _ in range(2):
+        got.extend(
+            (r.query_id, r.neighbor_id, round(r.distance, 6), r.rank)
+            for r in it.next_batch(10).collect()
+        )
+    it.close()
+    want = {
+        (r.query_id, r.neighbor_id, round(r.distance, 6), r.rank)
+        for r in BruteForce.search(base, qs, 20, "L2").collect()
+    }
+    assert set(got) == want and len(got) == len(set(got))
