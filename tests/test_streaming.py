@@ -568,3 +568,43 @@ def test_stream_corpus_stats_matches_batch(spark, tmp_path):
     # percentile sketches merge associatively but not bit-identically;
     # the medians must still land within the tight bracket
     assert abs(g["tokens_p50"] - want["tokens_p50"]) <= max(2, want["tokens_p50"] * 0.05)
+
+
+def test_stream_stateless_embedding_matches_batch(spark, tmp_path):
+    """r5: the TF-only hashed embedder (use_idf=False) is fully stateless
+    per document, so running it inside foreachBatch over a stream yields
+    exactly the batch vectors — the text→vector bridge works at ingest
+    time with no model artifact."""
+    import numpy as np
+
+    from knowhere_spark.functions.embed import text_embedding_hashed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40).cache()
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+
+    got = {}
+
+    def sink(batch_df, _bid):
+        for r in text_embedding_hashed(batch_df, dim=32, use_idf=False).collect():
+            got[r.doc_id] = list(r.vec)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = {
+        r.doc_id: list(r.vec)
+        for r in text_embedding_hashed(docs, dim=32, use_idf=False).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6)
