@@ -1,0 +1,78 @@
+"""Bloom-filter corpus membership (operators/bloom.py) — planted-overlap
+filtering, no-false-negative guarantee, FP rate vs theory, merge and
+persistence roundtrips."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from knowhere_spark.operators.bloom import BloomFilter
+
+
+def _docs(spark, ids, prefix="doc"):
+    return spark.createDataFrame(
+        [(i, f"{prefix} number {i} with its own content body") for i in ids],
+        "doc_id long, text string",
+    )
+
+
+def test_history_dedup_no_false_negatives(spark):
+    history = _docs(spark, range(200))
+    bf = BloomFilter.build(history, m_bits=1 << 16, k=7)
+    assert bf.n_items == 200
+    # new corpus: 50 docs overlap history exactly, 50 are fresh
+    new = _docs(spark, range(150, 250))
+    kept = {r.doc_id for r in bf.filter_unseen(new).collect()}
+    # every true duplicate (150..199) is GONE — no false negatives
+    assert kept.isdisjoint(set(range(150, 200)))
+    # nearly all fresh docs survive (fp_rate is tiny at this load)
+    assert len(kept & set(range(200, 250))) >= 48
+    flagged = bf.seen_expr_frame(new).filter(F.col("seen_before"))
+    assert {r.doc_id for r in flagged.collect()} >= set(range(150, 200))
+
+
+def test_fp_rate_tracks_theory(spark):
+    history = _docs(spark, range(2000))
+    bf = BloomFilter.build(history, m_bits=1 << 15, k=5)   # loaded filter
+    fresh = _docs(spark, range(100000, 104000))
+    hits = bf.seen_expr_frame(fresh).filter(F.col("seen_before")).count()
+    observed = hits / 4000
+    assert observed <= 3 * bf.fp_rate() + 0.01, (observed, bf.fp_rate())
+
+
+def test_merge_and_persistence_roundtrip(spark, tmp_path):
+    a = BloomFilter.build(_docs(spark, range(0, 100)), m_bits=1 << 14, k=5)
+    b = BloomFilter.build(_docs(spark, range(100, 200)), m_bits=1 << 14, k=5)
+    u = a.merge(b)
+    both = _docs(spark, [5, 150])
+    assert bf_all_seen(u, both)
+    path = str(tmp_path / "bloom")
+    u.save(path)
+    u2 = BloomFilter.load(path)
+    np.testing.assert_array_equal(u.bits, u2.bits)
+    assert u2.k == u.k and u2.n_items == u.n_items
+    assert bf_all_seen(u2, both)
+    # geometry mismatch refuses to merge
+    c = BloomFilter.build(_docs(spark, range(5)), m_bits=1 << 13, k=5)
+    try:
+        u.merge(c)
+        raise AssertionError("expected geometry mismatch")
+    except ValueError:
+        pass
+
+
+def bf_all_seen(bf, df) -> bool:
+    out = bf.seen_expr_frame(df).collect()
+    return all(r.seen_before for r in out)
+
+
+def test_null_text_never_seen(spark):
+    hist = _docs(spark, range(10))
+    bf = BloomFilter.build(hist, m_bits=1 << 13, k=5)
+    new = spark.createDataFrame(
+        [(0, None), (1, "doc number 3 with its own content body")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.seen_before for r in bf.seen_expr_frame(new).collect()}
+    assert out[0] is False and out[1] is True
