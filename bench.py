@@ -612,6 +612,19 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["text_embedding_hashed"] = q_text_embedding
 
+    def q_bloom_history():
+        # build the history artifact over the corpus, then filter the
+        # corpus against itself (worst case: every row probes k bits and
+        # every row is a hit) — one pass + one broadcast kernel
+        from knowhere_spark.operators.bloom import BloomFilter
+
+        bf = BloomFilter.build(docs, m_bits=1 << 20, k=7)
+        return bf.seen_expr_frame(docs).filter(F.col("seen_before")).select(
+            "doc_id"
+        )
+
+    out["bloom_history_filter"] = q_bloom_history
+
     def q_quality_classifier():
         # GPT-3-tier quality filter: HashingTF + MLlib LR train (even docs
         # as "trusted", odd as "crawl" — throughput, not accuracy) + score
