@@ -288,3 +288,49 @@ def normalize_text_expr(text: Column) -> Column:
     out = F.regexp_replace(out, "[\\x00-\\x1f]", " ")
     out = F.regexp_replace(out, "[ \\t]+", " ")
     return F.trim(out)
+
+
+def normalize_unicode(
+    docs, *, text_col: str = "text", form: str = "NFKC", out_col: str | None = None
+):
+    """Unicode normalization (NFKC default — the C4/CCNet pre-dedup pass:
+    fullwidth forms, ligatures, compatibility codepoints collapse to
+    canonical equivalents, so visually-identical crawl variants hash
+    together).
+
+    This is the one text stage that genuinely needs Python (Spark has no
+    built-in Unicode normalizer): stdlib ``unicodedata.normalize`` inside
+    an Arrow-batched ``mapInPandas`` — per-row, stateless, scan-speed, no
+    shuffle.  Composes BEFORE :func:`normalize_text_expr` (casefold/
+    whitespace are cheaper JVM-side)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    target = out_col or text_col
+    schema = (
+        docs.schema
+        if target in docs.columns
+        else StructType(
+            list(docs.schema.fields) + [StructField(target, StringType())]
+        )
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            out[target] = pd.Series(
+                [
+                    unicodedata.normalize(form, t) if isinstance(t, str) else t
+                    for t in pdf[text_col]
+                ],
+                index=pdf.index, dtype="object",
+            )
+            yield out
+
+    return docs.mapInPandas(kernel, schema)

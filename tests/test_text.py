@@ -199,3 +199,35 @@ def test_decontaminate(spark):
 
     clean = decontaminate(docs, bench, n=5)
     assert sorted(r["doc_id"] for r in clean.collect()) == [1]
+
+
+def test_normalize_unicode_nfkc(spark):
+    """NFKC collapses fullwidth/ligature/compatibility variants so crawl
+    duplicates hash together; NULLs pass through; out_col adds a column."""
+    from knowhere_spark.functions.text import fingerprint_expr, normalize_unicode
+
+    rows = [
+        (0, "hello world"),
+        (1, "ｈｅｌｌｏ world"),   # ｈｅｌｌｏ fullwidth
+        (2, "heﬂlo world"),                        # ﬂ ligature (different text)
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in normalize_unicode(docs).collect()}
+    assert out[0] == out[1] == "hello world"
+    assert out[2] == "hefllo world"
+    assert out[3] is None
+    # post-normalization, 0 and 1 fingerprint identically (exact-dup ready)
+    fps = {
+        r.doc_id: r.fp
+        for r in normalize_unicode(docs)
+        .select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert fps[0] == fps[1]
+    # out_col keeps the original column
+    wide = normalize_unicode(docs, out_col="text_nfkc").collect()
+    assert {"text", "text_nfkc"} <= set(wide[0].asDict())
+    # NFC leaves compatibility forms alone
+    nfc = {r.doc_id: r.text for r in normalize_unicode(docs, form="NFC").collect()}
+    assert nfc[1] != "hello world"
