@@ -193,9 +193,17 @@ def curate_corpus(
     max_tokens: int = 100_000,
     jaccard_threshold: float = 0.7,
     seed: int = 42,
+    history=None,
 ) -> DataFrame:
     """The whole curation pipeline as one composed plan: quality filter →
-    near-dup group resolution → canonical-only → split assignment.
+    [history Bloom gate] → near-dup group resolution → canonical-only →
+    split assignment.
+
+    ``history``: an optional :class:`~knowhere_spark.operators.bloom.
+    BloomFilter` over previously-ingested content — rows the filter has
+    (probably) seen drop BEFORE the LSH stage, so a daily re-crawl never
+    pays near-dup work for yesterday's documents (no false negatives: a
+    true re-ingest never survives).
 
     Returns ``(id_col, n_tokens, split)`` for every surviving document.
     Stages (each one already an engine operator, composed declaratively so
@@ -218,6 +226,8 @@ def curate_corpus(
         )
         .filter(F.col("n_tokens").between(min_tokens, max_tokens))
     )
+    if history is not None:
+        quality = history.filter_unseen(quality, text_col=text_col)
     pairs = minhash_lsh_pairs(
         quality, jaccard_threshold, id_col=id_col, text_col=text_col
     )

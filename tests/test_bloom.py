@@ -76,3 +76,19 @@ def test_null_text_never_seen(spark):
     )
     out = {r.doc_id: r.seen_before for r in bf.seen_expr_frame(new).collect()}
     assert out[0] is False and out[1] is True
+
+
+def test_curate_corpus_with_history(spark):
+    """The daily-ingest composition: curate_corpus(history=...) drops
+    previously-ingested content before the LSH stage."""
+    from knowhere_spark.operators.pipeline import curate_corpus
+
+    yesterday = _docs(spark, range(100))
+    bf = BloomFilter.build(yesterday, m_bits=1 << 15, k=7)
+    today = _docs(spark, range(80, 160))   # 20 re-crawled + 60 fresh
+    out = {r.doc_id for r in curate_corpus(today, min_tokens=2, history=bf).collect()}
+    assert out.isdisjoint(set(range(80, 100)))       # re-ingests gone
+    assert len(out & set(range(100, 160))) >= 58     # fresh survive (fp slack)
+    # without history the re-crawls survive curation
+    base = {r.doc_id for r in curate_corpus(today, min_tokens=2).collect()}
+    assert set(range(80, 100)) <= base
