@@ -811,11 +811,17 @@ def q_hnsw_beam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base, queries_ = _emb(spark, sf_dir)
     n = base.count()
+    # the structural-exactness premise REQUIRES M >= n (complete graph);
+    # 2048 is the config ceiling — refuse loudly on a larger corpus
+    # rather than hash-fail opaquely (the cross-SF size trap)
+    if n > 2048:
+        raise ValueError(
+            f"hnsw_beam_exact needs a complete graph (M >= n); corpus has"
+            f" {n} rows > the M ceiling 2048 — run at sf<=0.01"
+        )
     idx = HNSWIndex.build(
         base,
-        HnswConfig(
-            metric_type="L2", M=min(n, 600), efConstruction=min(2 * n, 2048), k=K
-        ),
+        HnswConfig(metric_type="L2", M=n, efConstruction=2 * n, k=K),
     )
     return _knn_out(idx.search(queries_, k=K, ef=n, max_hops=2, strategy="bfs"))
 
@@ -833,11 +839,16 @@ def q_hnsw_sharded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base, queries_ = _emb(spark, sf_dir)
     n = base.count()
+    # M must cover the LARGEST shard for the per-shard completeness
+    # premise; n bounds every shard, and 2048 is the config ceiling
+    if n > 2048:
+        raise ValueError(
+            f"hnsw_sharded_exact needs complete per-shard graphs (M >= max"
+            f" shard size); corpus has {n} rows > the M ceiling 2048"
+        )
     idx = ShardedHNSWIndex.build(
         base,
-        HnswConfig(
-            metric_type="L2", M=min(n, 600), efConstruction=min(2 * n, 2048), k=K
-        ),
+        HnswConfig(metric_type="L2", M=n, efConstruction=2 * n, k=K),
         n_shards=3,
     )
     return _knn_out(idx.search(queries_, k=K, ef=n, strategy="bfs"))

@@ -861,7 +861,11 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             # materialize both retriever lists OUTSIDE the stopwatch — the
             # probe times the fusion join itself (its scale claim is
             # "outer-joins of top-k-sized lists only"), at 10x the driver
-            # gate's nq (1000 queries x k=100 → 100k-row lists)
+            # gate's nq (1000 queries x k=100 → 100k-row lists).
+            # Idempotent: registered under BOTH fusion entries so each can
+            # run standalone via SPARK_GRAFT_BENCH_ONLY
+            if "lists" in fusion_state:
+                return
             qs = big.filter(F.col("id") < 1000).select(
                 F.col("id").alias("query_id"), "vec"
             )
@@ -923,6 +927,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         out["sf1x_text_embedding_50k"] = q_text_embedding_50k
         out["sf1x_trigram_lm_50k"] = q_trigram_lm_50k
         PREPARE_MAP["sf1x_hybrid_fusion_1000q"] = prep_hybrid_fusion_1000q
+        PREPARE_MAP["sf1x_hybrid_fusion_100q"] = prep_hybrid_fusion_1000q
         out["sf1x_bpe_highvocab_50k"] = q_bpe_highvocab_50k
         out["sf1x_hybrid_fusion_1000q"] = q_hybrid_fusion_1000q
         out["sf1x_hybrid_fusion_100q"] = q_hybrid_fusion_100q

@@ -29,17 +29,23 @@ def hashed_idf_table(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(term, idf): smoothed IDF ``log((N+1)/(df+1)) + 1`` over the
     corpus — the reusable model half of the embedding (fit once on a
     reference corpus, apply to any stream/batch, like a tokenizer
-    artifact)."""
-    toks = docs.select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    artifact).  ``df`` is DOCUMENT frequency (terms counted once per
+    doc, never per occurrence — collection frequency would go NEGATIVE
+    for any term averaging > e occurrences per doc and flip its signed
+    hash, amplifying stopwords instead of damping them)."""
+    # array_distinct BEFORE the explode: each doc contributes each term
+    # once, so the groupBy count IS document frequency — no extra shuffle
+    doc_terms = docs.select(
+        F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("term")
+    )
     n_docs = docs.count()
     return (
-        toks.groupBy("term")
-        .agg(F.count("*").alias("__tf_total"))
+        doc_terms.groupBy("term")
+        .agg(F.count("*").alias("__df"))
         .select(
             "term",
             (
-                F.log((F.lit(float(n_docs + 1))) / (F.col("__tf_total") + 1.0))
-                + 1.0
+                F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1.0)) + 1.0
             ).alias("idf"),
         )
     )
@@ -107,10 +113,22 @@ def text_embedding_hashed(
         "__n",
         F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
-    return staged.select(
+    vecs = staged.select(
         "doc_id",
         F.when(F.col("__n") == 0.0, F.col("__v"))
         .otherwise(F.transform("__v", lambda x: x / F.col("__n")))
         .cast("array<float>")
         .alias("vec"),
+    )
+    # row-preserving: zero-token docs (NULL/empty text) produce no terms
+    # and would vanish at the tf groupBy — re-join and give them the zero
+    # vector so one vector exists per input row (the NgramLM.score
+    # contract)
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0)
+    ).cast("array<float>")
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(vecs, "doc_id", "left")
+        .select("doc_id", F.coalesce("vec", zero).alias("vec"))
     )

@@ -89,18 +89,21 @@ class BloomFilter:
             F.col("fp").isNotNull()
         )
         nbytes, kk, m = m_bits // 8, int(k), int(m_bits)
-        n_items = src.count()
 
         def partial(rows):
+            # (item count, bitmap) per partition: n_items rides the same
+            # pass, keeping the one-pass claim true
             bits = np.zeros(nbytes, dtype=np.uint8)
             fps = np.fromiter((r["fp"] for r in rows), dtype=np.int64)
             if len(fps):
                 pos = _positions(fps, kk, m).ravel()
                 np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-            yield bits
+            yield (len(fps), bits)
 
-        merged = src.rdd.mapPartitions(partial).treeReduce(np.bitwise_or, depth=3)
-        return cls(np.asarray(merged, dtype=np.uint8), kk, n_items)
+        n_items, merged = src.rdd.mapPartitions(partial).treeReduce(
+            lambda a, b: (a[0] + b[0], np.bitwise_or(a[1], b[1])), depth=3
+        )
+        return cls(np.asarray(merged, dtype=np.uint8), kk, int(n_items))
 
     # -- membership -------------------------------------------------------------
     def seen_expr_frame(

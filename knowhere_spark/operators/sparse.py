@@ -334,10 +334,23 @@ class SparseInvertedIndex:
                 # hot-scalar layout: the predicate's columns live ON the
                 # postings rows, so the filter evaluates join-free at the
                 # scan (and prunes partitions on a saved scalar layout).
-                # A predicate over columns postings DON'T carry (e.g.
-                # doc_len) analyzes-fails here and falls through to the
-                # doc_stats semi-join below.
+                # The probe below analyzes the predicate against a
+                # LINEAGE-FREE empty frame holding ONLY (doc_id, scalars):
+                # a predicate touching any per-posting column (term/value)
+                # — which would silently filter individual postings and
+                # return PARTIAL doc scores — fails analysis there and
+                # takes the doc-level semi-join instead, as do
+                # doc_stats-only predicates (doc_len).  (A projection of a
+                # real frame would NOT work: Spark's
+                # ResolveMissingReferences resolves dropped columns
+                # through a select, so select(...).filter(value) analyzes
+                # fine — measured, and it silently corrupted scores.)
                 try:
+                    spark_ = self.postings.sparkSession
+                    probe_schema = self.doc_stats.select(
+                        "doc_id", *self.scalar_cols
+                    ).schema
+                    spark_.createDataFrame([], probe_schema).filter(filter_expr)
                     postings = postings.filter(filter_expr)
                     applied_direct = True
                 except Exception:
@@ -420,7 +433,7 @@ class SparseInvertedIndex:
             and drop == 0
             and prune_terms is None
             and self._maxscore_profitable(
-                query_df, metric, query_id_col, query_vec_col
+                query_df, metric, query_id_col, query_vec_col, k
             )
         ):
             # the reference's MaxScore is LOSSLESS at drop_ratio=0 — route
@@ -470,17 +483,23 @@ class SparseInvertedIndex:
         metric: MetricType,
         query_id_col: str,
         query_vec_col: str,
+        k: int = 0,
     ) -> bool:
         """True when the two-pass exact MaxScore can plausibly beat one
         full scoring pass: per query, rank terms by upper bound (qval ×
         per-term max weight) and require the TOP term's document
         frequency to be a small corpus fraction.  One tiny job (queries
-        are small by contract; term_stats is vocabulary-sized)."""
+        are small by contract; term_stats is vocabulary-sized).
+
+        Also requires ``k < n_docs/2``: at k ~ corpus size θ can never
+        prune (the seed pool needs >= k real scores), so the extra passes
+        are pure overhead — e.g. ``AnnIterator.from_sparse`` pages at
+        k = count() and must take the single-pass scan."""
         from pyspark.sql import Window
 
         try:
             n_docs = self.count()
-            if not n_docs:
+            if not n_docs or (k and k >= n_docs // 2):
                 return False
             ub_src = (
                 self._term_upper_bounds(metric)
@@ -574,7 +593,14 @@ class SparseInvertedIndex:
         I/O shape of the reference's MaxScore skipping, as partition
         pruning + a smaller join instead of per-posting cursors.  Fewer
         than k seed candidates → θ=-inf → no pruning (degrades to full
-        scoring, never to a wrong answer)."""
+        scoring, never to a wrong answer).
+
+        Soundness precondition: the per-term bound ``qval·max_w`` upper-
+        bounds a term's contribution only for ``qval >= 0`` (posting
+        weights may be anything — ``w <= max_w`` pointwise suffices).  A
+        query with any NEGATIVE weight falls back to single-pass full
+        scoring (still exact; the reference's sparse metrics are
+        non-negative by construction, so this is the off-contract case)."""
         from pyspark.sql import Window
 
         cfg = self.config
@@ -589,6 +615,15 @@ class SparseInvertedIndex:
             F.col(query_id_col).cast("long").alias("query_id"),
             F.explode(F.col(query_vec_col)).alias("term", "qval"),
         )
+        neg = qterms.filter(F.col("qval") < 0).limit(1).count()
+        if neg:
+            # qval < 0 flips the bound's direction — pruning would be
+            # unsound, so take the exact single-pass scan
+            scores = self._scores(query_df, **score_kw)
+            return topk_per_key(
+                scores, "query_id", "score", k,
+                ascending=False, tie_breaker="doc_id",
+            )
         ubs = qterms.join(
             F.broadcast(self._term_upper_bounds(metric)), "term", "left"
         ).select(

@@ -105,3 +105,32 @@ def test_text_to_semdedup_composition(spark):
         members = {g * 10, g * 10 + 1, g * 10 + 2}
         assert len(members & kept) == 1, (g, members & kept)
     assert all(1000 + u in kept for u in range(10))
+
+
+def test_idf_is_document_frequency_not_collection_frequency(spark):
+    """Review regression: a term occurring many times in few docs must
+    not go negative-IDF (collection frequency would); IDF floor is 1."""
+    import math
+
+    from knowhere_spark.functions.embed import hashed_idf_table
+
+    docs = spark.createDataFrame(
+        [(0, "the the the the the the rare"), (1, "the the the the the the")],
+        "doc_id long, text string",
+    )
+    idf = {r.term: r.idf for r in hashed_idf_table(docs).collect()}
+    # df('the')=2, N=2 -> log(3/3)+1 = 1.0 exactly; cf would give log(3/13)+1 < 0
+    assert abs(idf["the"] - 1.0) < 1e-12
+    assert idf["rare"] == 1.0 + math.log(3 / 2)
+    assert all(v >= 1.0 for v in idf.values())
+
+
+def test_empty_and_null_text_keep_rows_with_zero_vectors(spark):
+    docs = spark.createDataFrame(
+        [(0, "real content here"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: list(r.vec) for r in text_embedding_hashed(docs, dim=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1] == [0.0] * 8 and out[2] == [0.0] * 8
+    assert any(v != 0.0 for v in out[0])

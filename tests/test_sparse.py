@@ -375,3 +375,69 @@ def test_maxscore_routing_guard_selectivity(spark):
         b = {(r.query_id, r.doc_id, round(float(r.score), 9), r.rank)
              for r in idx.search(q, k=5, prune_terms=False).collect()}
         assert a == b
+
+
+def test_maxscore_negative_query_values_stay_exact(spark):
+    """Review regression: qval < 0 flips the per-term upper bound's
+    direction — the exact path must fall back to full scoring, never
+    prune a true top-k doc."""
+    base_df = spark.createDataFrame(
+        [(0, {1: 0.1}), (1, {1: 1.0})], SPARSE_SCHEMA
+    )
+    q = spark.createDataFrame([(0, {1: -1.0})], SPARSE_QUERY_SCHEMA)
+    idx = SparseInvertedIndex.build(
+        base_df, SparseConfig(metric_type="IP", k=1)
+    )
+    got = _pairs(idx.search_maxscore_exact(q, k=1))
+    full = _pairs(idx.search(q, k=1, prune_terms=False))
+    assert got == full and len(got) == 1
+    # doc 0 (score -0.1) beats doc 1 (score -1.0)
+    assert next(iter(got))[1] == 0
+    # the DAAT_MAXSCORE default route is equally safe
+    assert _pairs(idx.search(q, k=1)) == full
+
+
+def test_scalar_filter_rejects_posting_level_predicates(spark):
+    """Review regression: a predicate over per-posting columns (value/
+    term) must NOT filter individual postings (partial doc scores) — it
+    falls back to the doc_stats semi-join, which fails loudly for
+    columns doc_stats lacks."""
+    docs = spark.createDataFrame(
+        [(i, "shared shared extra") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = SparseInvertedIndex.build_from_text(
+        docs, SparseConfig(metric_type="IP", k=5), scalar_cols=[]
+    )
+    from pyspark.sql import functions as F
+
+    idx2 = SparseInvertedIndex.build_from_text(
+        docs.withColumn("lang", F.lit("en")),
+        SparseConfig(metric_type="IP", k=5),
+        scalar_cols=["lang"],
+    )
+    q = spark.createDataFrame(
+        [(0, {"shared": 1.0, "extra": 1.0})], "query_id long, vec map<string,float>"
+    )
+    # per-posting predicate: scores must stay FULL-doc (never partial sums)
+    import pytest
+
+    with pytest.raises(Exception):
+        idx2.search(q, k=5, filter_expr=F.col("value") >= 2).collect()
+    # doc-level scalar predicate still join-free and correct
+    ok = idx2.search(q, k=5, filter_expr=F.col("lang") == "en").collect()
+    want = idx.search(q, k=5).collect()
+    assert {(r.doc_id, round(r.score, 6)) for r in ok} == {
+        (r.doc_id, round(r.score, 6)) for r in want
+    }
+
+
+def test_maxscore_route_skips_corpus_sized_k(spark):
+    """Review regression: k ~ corpus size can never prune — the routing
+    guard must say 'not profitable' so iterators take the single pass."""
+    docs = spark.createDataFrame(
+        [(i, {1: 1.0, 2 + i: 1.0}) for i in range(20)], SPARSE_SCHEMA
+    )
+    idx = SparseInvertedIndex.build(docs, SparseConfig(metric_type="IP", k=5))
+    q = spark.createDataFrame([(0, {5: 1.0})], SPARSE_QUERY_SCHEMA)
+    assert not idx._maxscore_profitable(q, idx.config.metric_type, "query_id", "vec", k=20)
