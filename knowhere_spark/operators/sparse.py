@@ -428,24 +428,16 @@ class SparseInvertedIndex:
         metric = MetricType(metric if metric is not None else cfg.metric_type)
         drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
         rf = refine_factor if refine_factor is not None else cfg.refine_factor
-        if (
-            cfg.inverted_index_algo == "DAAT_MAXSCORE"
-            and drop == 0
-            and prune_terms is None
-            and self._maxscore_profitable(
-                query_df, metric, query_id_col, query_vec_col, k
-            )
-        ):
-            # the reference's MaxScore is LOSSLESS at drop_ratio=0 — route
-            # to the exact threshold-pruned execution (r5), not the
-            # heuristic tail-share pre-filter.  Guarded by selectivity:
-            # when every query's strongest term touches a large fraction
-            # of the corpus (tiny vocabularies, all-stopword queries) the
-            # seed pass IS a full scan and two extra passes buy nothing —
-            # measured 9.2s vs 1.5s at 50k docs on a 41-word corpus — so
-            # such query sets take the single-pass full scoring below,
-            # exactly like the reference's cursors degrade to a full DAAT
-            # walk on non-selective lists.
+        if prune_terms == "exact":
+            # opt-in lossless MaxScore pruning (r5).  NOT the default:
+            # the relational term-join below already skips every posting
+            # of non-query terms — the I/O saving cursor-MaxScore exists
+            # to provide — so the exact path's extra passes lost every
+            # measured A/B at benchable scales (4-7x slower at 50k docs,
+            # even on SPLADE-like 100-term queries and selective rare
+            # terms; SCALE.md).  It wins only where per-pair scoring
+            # dominates stage overhead (>> 10⁹ matched pairs per query
+            # set) — available for that regime, never silently imposed.
             return self.search_maxscore_exact(
                 query_df, k, metric=metric,
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
@@ -471,64 +463,6 @@ class SparseInvertedIndex:
         return topk_per_key(
             scores, "query_id", "score", k, ascending=False, tie_breaker="doc_id"
         )
-
-    #: exact-MaxScore routing guard: every query's strongest (highest
-    #: upper-bound) term must touch at most this fraction of the corpus,
-    #: else the seed pass is itself a near-full scan
-    _MAXSCORE_SEED_DF_MAX = 0.25
-
-    def _maxscore_profitable(
-        self,
-        query_df: DataFrame,
-        metric: MetricType,
-        query_id_col: str,
-        query_vec_col: str,
-        k: int = 0,
-    ) -> bool:
-        """True when the two-pass exact MaxScore can plausibly beat one
-        full scoring pass: per query, rank terms by upper bound (qval ×
-        per-term max weight) and require the TOP term's document
-        frequency to be a small corpus fraction.  One tiny job (queries
-        are small by contract; term_stats is vocabulary-sized).
-
-        Also requires ``k < n_docs/2``: at k ~ corpus size θ can never
-        prune (the seed pool needs >= k real scores), so the extra passes
-        are pure overhead — e.g. ``AnnIterator.from_sparse`` pages at
-        k = count() and must take the single-pass scan."""
-        from pyspark.sql import Window
-
-        try:
-            n_docs = self.count()
-            if not n_docs or (k and k >= n_docs // 2):
-                return False
-            ub_src = (
-                self._term_upper_bounds(metric)
-                if metric == MetricType.BM25
-                else self.term_stats.select(
-                    "term", F.col("max_value").cast("double").alias("max_w")
-                )
-            )
-            stats = ub_src.join(
-                self.term_stats.select("term", "df"), "term"
-            )
-            qt = query_df.select(
-                F.col(query_id_col).cast("long").alias("__q"),
-                F.explode(F.col(query_vec_col)).alias("term", "qval"),
-            )
-            w = Window.partitionBy("__q").orderBy(
-                (F.col("qval").cast("double") * F.coalesce("max_w", F.lit(0.0))).desc(),
-                F.col("term").asc(),
-            )
-            worst = (
-                qt.join(F.broadcast(stats), "term", "left")
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .agg(F.max(F.coalesce(F.col("df"), F.lit(0))))
-                .collect()[0][0]
-            )
-            return worst is not None and worst <= self._MAXSCORE_SEED_DF_MAX * n_docs
-        except Exception:
-            return False   # opaque query shapes: take the safe full scan
 
     def _term_upper_bounds(self, metric: MetricType) -> DataFrame:
         """(term, max_w): the exact per-term max score contribution per

@@ -314,8 +314,8 @@ def test_maxscore_exact_equals_full_bm25(data):
     assert pruned == full
 
 
-def test_maxscore_routing_and_filter(data):
-    """DAAT_MAXSCORE at drop_ratio=0 routes through the exact path (same
+def test_maxscore_exact_opt_in_and_filter(data):
+    """prune_terms="exact" opts into the lossless MaxScore path (same
     rows as full scoring); filter_expr composes (theta comes from the
     filtered pool, still a valid lower bound)."""
     from pyspark.sql import functions as F
@@ -326,13 +326,13 @@ def test_maxscore_routing_and_filter(data):
     taat = SparseInvertedIndex.build(
         base_df, SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=K)
     )
-    assert _pairs(idx.search(query_df, k=K)) == _pairs(
+    assert _pairs(idx.search(query_df, k=K, prune_terms="exact")) == _pairs(
         taat.search(query_df, k=K, prune_terms=False)
     )
     flt = F.col("doc_id") % 2 == 0
-    assert _pairs(idx.search(query_df, k=K, filter_expr=flt)) == _pairs(
-        taat.search(query_df, k=K, prune_terms=False, filter_expr=flt)
-    )
+    assert _pairs(
+        idx.search(query_df, k=K, prune_terms="exact", filter_expr=flt)
+    ) == _pairs(taat.search(query_df, k=K, prune_terms=False, filter_expr=flt))
 
 
 def test_maxscore_exact_degrades_when_seed_small(spark):
@@ -347,34 +347,6 @@ def test_maxscore_exact_degrades_when_seed_small(spark):
     got = _pairs(idx.search_maxscore_exact(q, k=3))
     full = _pairs(idx.search(q, k=3, prune_terms=False))
     assert got == full and len(got) == 3
-
-
-def test_maxscore_routing_guard_selectivity(spark):
-    """The exact-MaxScore route is selectivity-guarded: a query whose
-    strongest term touches most of the corpus takes the single-pass full
-    scan (two extra passes buy nothing there — measured 6x at 50k docs);
-    a selective query routes exact.  Both produce full-scoring results."""
-    docs = spark.createDataFrame(
-        [(i, f"common shared rare{i}" if i % 20 == 0 else "common shared")
-         for i in range(100)],
-        "doc_id long, text string",
-    )
-    cfg = SparseConfig(metric_type="BM25", k=5)   # default DAAT_MAXSCORE
-    idx = SparseInvertedIndex.build_from_text(docs, cfg)
-    q_common = spark.createDataFrame(
-        [(0, {"common": 1.0, "shared": 0.5})], "query_id long, vec map<string,float>"
-    )
-    q_sel = spark.createDataFrame(
-        [(0, {"rare0": 5.0, "common": 0.1})], "query_id long, vec map<string,float>"
-    )
-    assert not idx._maxscore_profitable(q_common, cfg.metric_type, "query_id", "vec")
-    assert idx._maxscore_profitable(q_sel, cfg.metric_type, "query_id", "vec")
-    for q in (q_common, q_sel):
-        a = {(r.query_id, r.doc_id, round(float(r.score), 9), r.rank)
-             for r in idx.search(q, k=5).collect()}
-        b = {(r.query_id, r.doc_id, round(float(r.score), 9), r.rank)
-             for r in idx.search(q, k=5, prune_terms=False).collect()}
-        assert a == b
 
 
 def test_maxscore_negative_query_values_stay_exact(spark):
@@ -430,14 +402,3 @@ def test_scalar_filter_rejects_posting_level_predicates(spark):
     assert {(r.doc_id, round(r.score, 6)) for r in ok} == {
         (r.doc_id, round(r.score, 6)) for r in want
     }
-
-
-def test_maxscore_route_skips_corpus_sized_k(spark):
-    """Review regression: k ~ corpus size can never prune — the routing
-    guard must say 'not profitable' so iterators take the single pass."""
-    docs = spark.createDataFrame(
-        [(i, {1: 1.0, 2 + i: 1.0}) for i in range(20)], SPARSE_SCHEMA
-    )
-    idx = SparseInvertedIndex.build(docs, SparseConfig(metric_type="IP", k=5))
-    q = spark.createDataFrame([(0, {5: 1.0})], SPARSE_QUERY_SCHEMA)
-    assert not idx._maxscore_profitable(q, idx.config.metric_type, "query_id", "vec", k=20)
