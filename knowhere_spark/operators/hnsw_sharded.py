@@ -6,17 +6,26 @@ corpus into bounded *segments*, building one graph per segment, searching
 every segment, and merging per-query top-k.  This operator is that
 architecture on Spark primitives:
 
-- **Build**: rows hash-shard by id into ``n_shards`` groups sized so each
-  shard's graph artifact fits the broadcast bound
-  (:data:`knowhere_spark.operators.hnsw._BROADCAST_MAX_BYTES`); each
-  shard builds an independent :class:`HNSWIndex` (itself a distributed
-  batch job over that shard's rows).
-- **Search**: shards are searched *sequentially*, each through the
-  broadcast best-first beam; every per-shard result (nq×k rows — small)
-  is materialized before the shard's graph broadcast is released, so
-  peak executor memory is ONE shard artifact regardless of corpus size.
-  The union then takes a final per-query top-k merge — the same
-  partial-then-final shape every other top-k in this engine uses.
+- **Build** is ONE distributed pipeline over every shard at once: rows
+  hash-shard by id, per-shard coarse centroids come from one stratified
+  sample, one ``mapInPandas`` assigns each row to its top-2 nearest
+  cells *within its shard*, one ``groupBy(shard, cell)`` local-KNN
+  computes every shard's candidate edges, and one symmetrize + per-node
+  M-prune produces the all-shards edge table — materialized with a
+  single eager checkpoint.  Job count is CONSTANT in the shard count
+  (the round-5 verdict's top finding: the old per-shard
+  ``HNSWIndex.build`` loop ran n_shards sequential jobs and re-scanned
+  the corpus lineage once per shard — ~10⁵ sequential builds at 100 TB
+  with ~1 GiB shards).
+- **Search** runs shards in memory-budgeted *waves*: up to
+  ``budget // shard_bytes`` shards search concurrently (each through
+  the broadcast best-first beam), every per-shard result (nq×k rows —
+  small) is materialized before that shard's graph broadcast is
+  released, so peak executor memory is one WAVE of shard artifacts —
+  a tunable bound — while wall-clock is ``n_shards / wave`` instead of
+  linear in shard count.  The union then takes a final per-query top-k
+  merge — the same partial-then-final shape every other top-k in this
+  engine uses.
 
 Recall note: searching every shard with the full beam is at least as
 accurate as one graph over the union (each shard's beam is exact over a
@@ -27,24 +36,62 @@ segment-count tradeoff the segment-oriented architecture makes.
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from knowhere_spark.config import HnswConfig, IndexType, MetricType
-from knowhere_spark.operators.hnsw import _BROADCAST_MAX_BYTES, HNSWIndex
+from knowhere_spark.functions.distance import pairwise_distances
+from knowhere_spark.operators.hnsw import (
+    _BROADCAST_MAX_BYTES,
+    _CELL_TARGET_ROWS,
+    HNSWIndex,
+)
 from knowhere_spark.operators.topk import topk_per_key
+
+#: default concurrent-search memory budget: how many bytes of shard
+#: graph artifacts may be resident at once during a waved search.  At
+#: the 1 GiB per-shard bound this means up to 4 concurrent shard beams.
+_WAVE_BUDGET_BYTES = 4 * _BROADCAST_MAX_BYTES
+
+_SHARD_EDGE_SCHEMA = StructType(
+    [
+        StructField("__shard", IntegerType()),
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+        StructField("dist", DoubleType()),
+    ]
+)
 
 
 class ShardedHNSWIndex:
     """A list of per-segment HNSW graphs over a hash-sharded corpus."""
 
-    def __init__(self, shards: list[HNSWIndex], config: HnswConfig):
+    def __init__(
+        self,
+        shards: list[HNSWIndex],
+        config: HnswConfig,
+        shard_bytes: list[int] | None = None,
+    ):
         if not shards:
             raise ValueError("ShardedHNSWIndex needs at least one shard")
         self.shards = shards
         self.config = config
         self.index_type = IndexType.SHARDED_HNSW
+        #: estimated per-shard artifact bytes (vectors + CSR), used for
+        #: wave sizing; ``None`` entries fall back to the broadcast bound
+        self.shard_bytes = shard_bytes or [None] * len(shards)
 
     def count(self) -> int:
         return sum(s.count() for s in self.shards if s is not None)
@@ -66,16 +113,26 @@ class ShardedHNSWIndex:
         id_col: str = "id",
         vec_col: str = "vec",
     ) -> "ShardedHNSWIndex":
-        """``n_shards`` defaults to the smallest count keeping each
-        shard's estimated artifact (vectors + M-degree CSR) under
-        ``target_shard_bytes``."""
+        """Single-pass all-shards build.  ``n_shards`` defaults to the
+        smallest count keeping each shard's estimated artifact (vectors +
+        M-degree CSR) under ``target_shard_bytes``.
+
+        Every per-shard frame the result holds is a filter over ONE
+        eagerly-checkpointed table — the input lineage is scanned once,
+        and the job count is constant in ``n_shards`` (asserted by
+        tests/test_hnsw_sharded.py::test_sharded_build_job_count)."""
+        metric = MetricType(config.metric_type)
         base = base_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
         )
+        spark = base.sparkSession
+        # materialize the input once; everything below (counts, sample,
+        # assignment, per-shard vector frames) reads these stored blocks
+        base = base.localCheckpoint(eager=True)
+        n = base.count()
+        head = base.select("vec").head()
+        dim = len(head["vec"]) if head else 0
         if n_shards is None:
-            n = base.count()
-            head = base.select("vec").head()
-            dim = len(head["vec"]) if head else 0
             per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
             n_shards = max(1, math.ceil(n * per_row / target_shard_bytes))
         sharded = base.withColumn(
@@ -88,14 +145,167 @@ class ShardedHNSWIndex:
             int(r["__shard"]): int(r["cnt"])
             for r in sharded.groupBy("__shard").agg(F.count("*").alias("cnt")).collect()
         }
+        per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
+        shard_bytes = [counts.get(s, 0) * per_row for s in range(n_shards)]
+        if not counts:   # wholly-empty corpus: every shard is a placeholder
+            return cls([None] * n_shards, config, shard_bytes)
+
+        # -- per-shard coarse centroids from ONE stratified sample --------
+        # nlist_s = shard_n / cell-target; sample ~4x that per shard (the
+        # single-graph build also picks random sample rows as centroids,
+        # hnsw.py:406-412) — driver footprint is O(total_cells * dim)
+        nlist = {
+            s: max(4, c // _CELL_TARGET_ROWS) for s, c in counts.items() if c > 0
+        }
+        fractions = {
+            s: min(1.0, max(4 * nlist[s], 64) / counts[s])
+            for s in nlist
+        }
+        samp = sharded.sampleBy("__shard", fractions, seed=42)
+        try:
+            tbl = samp.select("__shard", "vec").toArrow()
+            s_arr = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+            lst = tbl.column(1).combine_chunks()
+            flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            S = flat.reshape(len(s_arr), -1) if len(s_arr) else flat.reshape(0, dim)
+        except Exception:
+            rows = samp.select("__shard", "vec").collect()
+            s_arr = np.array([r["__shard"] for r in rows], dtype=np.int64)
+            S = np.array([r["vec"] for r in rows], dtype=np.float64)
+            del rows
+        rng = np.random.default_rng(42)
+        cents: dict[int, np.ndarray] = {}
+        for s in nlist:
+            Ss = S[s_arr == s]
+            if len(Ss) == 0:
+                # pathological under-sample: one zero centroid => the whole
+                # shard becomes one cell (local KNN over the full shard —
+                # bounded by the shard-size contract)
+                cents[s] = np.zeros((1, dim), dtype=np.float64)
+            else:
+                pick = rng.choice(len(Ss), size=min(nlist[s], len(Ss)), replace=False)
+                cents[s] = Ss[pick]
+        bc = spark.sparkContext.broadcast(cents)
+
+        # -- ONE assignment pass: top-2 cells within each row's shard -----
+        def assign2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C_by_shard = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                parts = []
+                for s, grp in pdf.groupby("__shard"):
+                    C = C_by_shard[int(s)]
+                    X = np.array(list(grp["vec"].to_numpy()), dtype=np.float64)
+                    d = pairwise_distances(X, C, MetricType.L2)
+                    top2 = np.argsort(d, axis=1, kind="stable")[:, :2]
+                    parts.append(grp.assign(cell_id=top2[:, 0].astype(np.int32)))
+                    if top2.shape[1] > 1:   # a 1-centroid shard has no 2nd cell
+                        parts.append(grp.assign(cell_id=top2[:, 1].astype(np.int32)))
+                out = pd.concat(parts)
+                yield out[["id", "__shard", "cell_id", "vec"]]
+
+        vec_type = base.schema["vec"].dataType
+        from knowhere_spark.session import ensure_parallelism
+
+        blocks = ensure_parallelism(sharded).mapInPandas(
+            assign2,
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("__shard", IntegerType()),
+                    StructField("cell_id", IntegerType()),
+                    StructField("vec", vec_type),
+                ]
+            ),
+        )
+
+        M = config.M
+
+        def local_knn(key, pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"__shard": [], "src": [], "dst": [], "dist": []}
+                ).astype(
+                    {
+                        "__shard": np.int32,
+                        "src": np.int64,
+                        "dst": np.int64,
+                        "dist": np.float64,
+                    }
+                )
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            d = pairwise_distances(X, X, metric)
+            sim = metric.is_similarity
+            key_m = -d if sim else d
+            np.fill_diagonal(key_m, np.inf)      # no self-edges
+            kk = min(M, len(pdf) - 1)
+            nbr = np.argsort(key_m, axis=1, kind="stable")[:, :kk]
+            src = np.repeat(ids, kk)
+            dst = ids[nbr.ravel()]
+            dist = d[np.repeat(np.arange(len(ids)), kk), nbr.ravel()]
+            return pd.DataFrame(
+                {
+                    "__shard": np.full(len(src), int(key[0]), dtype=np.int32),
+                    "src": src,
+                    "dst": dst,
+                    "dist": dist,
+                }
+            )
+
+        raw_edges = blocks.groupBy("__shard", "cell_id").applyInPandas(
+            local_knn, _SHARD_EDGE_SCHEMA
+        )
+        # symmetrize (swap stays within-shard), dedup (a pair can appear in
+        # 2 shared blocks), prune to M per node — src determines its shard,
+        # so the per-src prune is exactly the per-shard single-graph prune
+        sym = raw_edges.unionByName(
+            raw_edges.select(
+                "__shard", F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+            )
+        ).dropDuplicates(["src", "dst"])
+        edges_all = (
+            topk_per_key(
+                sym.withColumnRenamed("dist", "distance"),
+                "src",
+                "distance",
+                M,
+                ascending=not metric.is_similarity,
+                tie_breaker="dst",
+            )
+            .select("__shard", "src", "dst", F.col("distance").alias("dist"))
+            .localCheckpoint(eager=True)   # ONE job builds every shard's edges
+        )
+
+        # entry points per shard in one pass: the deterministic
+        # pmod-then-id top-8 the single-graph build uses (hnsw.py:488-491)
+        entries_df = topk_per_key(
+            sharded.select(
+                "__shard", "id", F.pmod(F.col("id"), F.lit(997)).alias("__o")
+            ),
+            "__shard",
+            "__o",
+            8,
+            ascending=True,
+            tie_breaker="id",
+        )
+        entry_by_shard: dict[int, list[int]] = {}
+        for r in entries_df.select("__shard", "id", "rank").collect():
+            entry_by_shard.setdefault(int(r["__shard"]), []).append(
+                (int(r["rank"]), int(r["id"]))
+            )
+
         shards: list[HNSWIndex | None] = []
         for s in range(n_shards):
             if counts.get(s, 0) == 0:
                 shards.append(None)
                 continue
-            part = sharded.filter(F.col("__shard") == s).drop("__shard")
-            shards.append(HNSWIndex.build(part, config))
-        return cls(shards, config)
+            vecs = sharded.filter(F.col("__shard") == s).drop("__shard")
+            edges = edges_all.filter(F.col("__shard") == s).drop("__shard")
+            entry_ids = [i for _, i in sorted(entry_by_shard.get(s, []))]
+            shards.append(HNSWIndex(vecs, edges, config, entry_ids))
+        return cls(shards, config, shard_bytes)
 
     def add(
         self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
@@ -124,7 +334,59 @@ class ShardedHNSWIndex:
                 )
             else:
                 shards.append(shard)
-        return ShardedHNSWIndex(shards, self.config)
+        # carry the build-time size estimates (adds are small batches —
+        # wave sizing only needs the order of magnitude)
+        return ShardedHNSWIndex(shards, self.config, list(self.shard_bytes))
+
+    # -- waved execution ------------------------------------------------------
+    def _waves(self, budget: int | None) -> list[list[HNSWIndex]]:
+        """Partition live shards into memory-budgeted waves: each wave's
+        estimated resident artifact bytes stay under ``budget`` (always at
+        least one shard per wave — the old sequential contract is the
+        ``budget <= shard_bytes`` degenerate case)."""
+        budget = budget if budget is not None else _WAVE_BUDGET_BYTES
+        waves: list[list[HNSWIndex]] = []
+        cur: list[HNSWIndex] = []
+        cur_bytes = 0
+        for i, s in enumerate(self.shards):
+            if s is None:
+                continue
+            b = self.shard_bytes[i] if self.shard_bytes[i] else _BROADCAST_MAX_BYTES
+            if cur and cur_bytes + b > budget:
+                waves.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(s)
+            cur_bytes += b
+        if cur:
+            waves.append(cur)
+        return waves
+
+    @staticmethod
+    def _run_waves(waves: list[list[HNSWIndex]], run_one) -> list[DataFrame]:
+        """Run ``run_one(shard) -> DataFrame`` across shards, one wave at
+        a time, shards within a wave concurrent (thread-submitted Spark
+        jobs — the scheduler interleaves them across task slots).  Each
+        partial is cached+materialized and the shard's graph broadcast
+        released before the wave completes, so resident memory is bounded
+        by the wave, not the shard count."""
+
+        def materialize(shard: HNSWIndex) -> DataFrame:
+            res = run_one(shard).cache()
+            res.count()                       # materialize before releasing
+            bc = getattr(shard, "_bc_graph", None)
+            if bc is not None:
+                bc.unpersist()                # free executor copies
+                shard._bc_graph = None        # next search re-broadcasts
+            return res
+
+        partials: list[DataFrame] = []
+        for wave in waves:
+            if len(wave) == 1:
+                partials.append(materialize(wave[0]))
+                continue
+            with ThreadPoolExecutor(max_workers=len(wave)) as ex:
+                partials.extend(ex.map(materialize, wave))
+        return partials
 
     def search(
         self,
@@ -136,35 +398,28 @@ class ShardedHNSWIndex:
         query_vec_col: str = "vec",
         filter_expr=None,
         strategy: str = "broadcast",
+        wave_memory_bytes: int | None = None,
     ) -> DataFrame:
-        """Per-shard beam (``strategy='broadcast'`` default — eager
-        per-shard materialization so only one shard's graph is resident
-        at a time; ``'bfs'`` routes each shard through the frontier-join
-        path with the float64 exact scorer), final top-k merge.
+        """Per-shard beam (``strategy='broadcast'`` default) in
+        memory-budgeted concurrent waves (``wave_memory_bytes``, default
+        4 GiB of resident shard artifacts; ``'bfs'`` routes each shard
+        through the frontier-join path with the float64 exact scorer),
+        final top-k merge.
 
         Ties across shards break by ``(distance, neighbor_id)`` — the
         engine-wide ordering contract (FIXTURES.md T7)."""
         k = k if k is not None else self.config.k
         metric = MetricType(self.config.metric_type)
-        partials = []
-        for shard in self.shards:
-            if shard is None:
-                continue
-            res = shard.search(
+
+        def run_one(shard: HNSWIndex) -> DataFrame:
+            return shard.search(
                 query_df, k, ef=ef, strategy=strategy,
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
                 filter_expr=filter_expr,
             ).drop("rank")
-            res = res.cache()
-            res.count()                       # materialize before releasing
-            bc = getattr(shard, "_bc_graph", None)
-            if bc is not None:
-                bc.unpersist()                # free executor copies
-                shard._bc_graph = None        # next search re-broadcasts
-            partials.append(res)
-        if not partials:   # wholly-empty index: no neighbors
-            from pyspark.sql.types import IntegerType, StructField, StructType
 
+        partials = self._run_waves(self._waves(wave_memory_bytes), run_one)
+        if not partials:   # wholly-empty index: no neighbors
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
             # build a FRESH schema: StructType.add mutates in place, and
@@ -197,11 +452,13 @@ class ShardedHNSWIndex:
         filter_expr=None,
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
+        wave_memory_bytes: int | None = None,
     ) -> DataFrame:
-        """``RangeSearch`` across shards: per-shard beam + bounds, plain
-        union (shards are id-disjoint so no dedup is needed);
-        ``range_search_k`` truncation applies per query AFTER the union —
-        a per-shard cap would overshoot the global contract."""
+        """``RangeSearch`` across shards: per-shard beam + bounds in the
+        same memory-budgeted waves as :meth:`search`, plain union (shards
+        are id-disjoint so no dedup is needed); ``range_search_k``
+        truncation applies per query AFTER the union — a per-shard cap
+        would overshoot the global contract."""
         import dataclasses
 
         cfg = config or self.config
@@ -209,28 +466,22 @@ class ShardedHNSWIndex:
         shard_cfg = (
             dataclasses.replace(cfg, range_search_k=0) if cap > 0 else cfg
         )
-        out = None
-        parts: list = []
-        for shard in self.shards:
-            if shard is None:
-                continue
-            part = shard.range_search(
+
+        def run_one(shard: HNSWIndex) -> DataFrame:
+            return shard.range_search(
                 query_df, shard_cfg, ef=ef, strategy="broadcast",
                 filter_expr=filter_expr,
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
             )
-            part = part.cache()
-            part.count()
-            parts.append(part)
-            bc = getattr(shard, "_bc_graph", None)
-            if bc is not None:
-                bc.unpersist()
-                shard._bc_graph = None
-            out = part if out is None else out.unionByName(part)
-        if out is None:   # wholly-empty index
+
+        parts = self._run_waves(self._waves(wave_memory_bytes), run_one)
+        if not parts:   # wholly-empty index
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
             return query_df.sparkSession.createDataFrame([], RESULT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         if cap > 0:
             _, _, sim = cfg.range_bounds()
             out = topk_per_key(
@@ -270,6 +521,9 @@ class ShardedHNSWIndex:
                 "empty_shards": [
                     i for i, s in enumerate(self.shards) if s is None
                 ],
+                "shard_bytes": [
+                    int(b) if b else 0 for b in self.shard_bytes
+                ],
             }
         )
         for i, s in enumerate(self.shards):
@@ -289,4 +543,5 @@ class ShardedHNSWIndex:
         cfg = HnswConfig(
             metric_type=MetricType(m["metric_type"]), M=int(m["M"]), ef=int(m["ef"])
         )
-        return cls(shards, cfg)
+        shard_bytes = [int(b) or None for b in m.get("shard_bytes", [])] or None
+        return cls(shards, cfg, shard_bytes)

@@ -140,3 +140,57 @@ def test_sharded_hnsw_all_shards_empty_keeps_shared_schema(spark):
     base = dense_df(spark, gen_dense(50, 16, seed=9))
     out = BruteForce.search_distributed(base, q, 3, "L2", n_blocks=2)
     assert out.count() == 6
+
+
+def _jobs_for(spark, group: str, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup("", "")
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_sharded_build_job_count_constant_in_shards(spark):
+    """The r5 verdict's top finding: build must be ONE all-shards
+    pipeline, not a per-shard ``HNSWIndex.build`` loop.  Job count at 9
+    shards must equal job count at 3 shards (constant, not linear)."""
+    base = gen_dense(900, 16, seed=77)
+    cfg = HnswConfig(metric_type="L2", M=8, ef=16)
+    _, jobs3 = _jobs_for(
+        spark, "shb3",
+        lambda: ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=3),
+    )
+    idx9, jobs9 = _jobs_for(
+        spark, "shb9",
+        lambda: ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=9),
+    )
+    assert jobs9 == jobs3, f"build jobs grew with shard count: {jobs3} -> {jobs9}"
+    # and the 9-shard index still answers correctly
+    qs = gen_dense(5, 16, seed=78)
+    res = idx9.search(dense_df(spark, qs, QUERY_SCHEMA), k=5, ef=32)
+    got = _got(res)
+    truth = np_knn(base, qs, 5, "L2")
+    assert recall_at_k(got, truth, 5) >= 0.7
+
+
+def test_sharded_search_waves_match_sequential(spark):
+    """Waved concurrent search (budget covering several shards) must
+    hash-match the degenerate one-shard-per-wave sequential path."""
+    nb, dim, nq, k = 800, 16, 8, 6
+    base = gen_dense(nb, dim, seed=79)
+    qs = gen_dense(nq, dim, seed=80)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=10, ef=24), n_shards=4
+    )
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    waved = idx.search(q_df, k=k, ef=32, wave_memory_bytes=None)   # default budget
+    seq = idx.search(q_df, k=k, ef=32, wave_memory_bytes=1)        # 1 shard/wave
+    a = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in waved.collect())
+    b = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in seq.collect())
+    assert a == b
+    # wave partitioning actually batches under the default budget
+    assert len(idx._waves(None)) < len(idx._waves(1))
