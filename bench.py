@@ -351,9 +351,40 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         )
         return sparse_state["idx"].search(q, k=20)
 
+    def prep_sparse_nq100():
+        # 100 deterministic 5-term queries drawn from the corpus's top-500
+        # document-frequency terms — the reference protocol benchmarks
+        # large nq batches (benchmark/hdf5/benchmark_float_qps.cpp:365);
+        # the nq=1 entry above is dominated by fixed stage overhead, this
+        # one reports the AMORTIZED per-query cost of one batched plan
+        idx = sparse_state["idx"]
+        terms = [
+            r["term"]
+            for r in idx.postings.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.col("df").desc(), "term")
+            .limit(500)
+            .collect()
+        ]
+        rows = [
+            (i, {terms[(i * 5 + j) % len(terms)]: 1.0 for j in range(5)})
+            for i in range(100)
+        ]
+        sparse_state["queries_nq100"] = spark.createDataFrame(
+            rows, "query_id long, vec map<string,float>"
+        ).localCheckpoint(eager=True)   # query construction outside the timer
+
+    def q_sparse_bm25_search_nq100():
+        # amortized batched serving: 100 queries through ONE broadcast
+        # term-join plan (results hash-equal to the per-query path —
+        # tests/test_sparse.py::test_batched_search_equals_per_query)
+        return sparse_state["idx"].search(sparse_state["queries_nq100"], k=20)
+
     out["sparse_bm25"] = q_sparse_bm25
     out["sparse_build"] = q_sparse_build
     out["sparse_bm25_search_only"] = q_sparse_bm25_search_only
+    out["sparse_bm25_search_nq100"] = q_sparse_bm25_search_nq100
+    PREPARE_MAP["sparse_bm25_search_nq100"] = prep_sparse_nq100
 
     def q_dedup_minhash():
         return minhash_lsh_pairs(docs, 0.7, num_perm=64, bands=32)
@@ -1022,6 +1053,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             "bin_hamming_nq1000": 1000,
             "bin_hamming_sql_nq1000": 1000,
             "sparse_bm25_search_only": 1,
+            "sparse_bm25_search_nq100": 100,
             "hnsw_search_all": n_emb,
             "bf_knn_100k_nq100": 100,
             "ivf_100k_search_nq100": 100,
@@ -1036,10 +1068,25 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     return out
 
 
+#: stateful build entries are timed SINGLE-SHOT: their fn() caches a new
+#: index artifact per call (repeats would pin one cached plan per repeat
+#: and overwrite the state the paired search entry reads)
+_NO_REPEAT = {"ivf_build", "sparse_build", "hnsw_build", "ivf_100k_build"}
+#: repeat sub-10s entries to min-of-3 — three rounds of cross-round
+#: bench deltas >1.3x on UNTOUCHED code (r4-r6 verdicts) proved a
+#: single time.monotonic() shot cannot separate code changes from box
+#: contention; the min over repeats plus the loadavg record can
+_REPEAT_MAX_SEC = 10.0
+_REPEATS = 3
+
+
 def main() -> None:
     spark = build_spark()
     timings: dict[str, float] = {}
+    entry_meta: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    bench_t0 = time.monotonic()
+    load_start = os.getloadavg()
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts which entries are TIMED
     # (debugging / the standalone SCALE.md probe).  Caveats: corpus setup
     # in bench_queries (100k expansion cache, SCALE_PROBE frames) still
@@ -1061,13 +1108,31 @@ def main() -> None:
                 prep()  # untimed operating-point tuning
             except Exception as exc:
                 errors[f"prepare:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+        load_1m = os.getloadavg()[0]
+        t_off = round(time.monotonic() - bench_t0, 3)
         t0 = time.monotonic()
         try:
             df = fn()
             n = df.count()   # full consumption
-            dt = time.monotonic() - t0
-            timings[name] = round(dt, 3)
-            print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+            runs = [round(time.monotonic() - t0, 3)]
+            # min-of-3 for short entries (builds excluded: their caching
+            # side effects are not repeat-safe) — the repeats re-run the
+            # SAME callable end-to-end, so the min is a like-for-like
+            # lower bound with contention noise squeezed out
+            if runs[0] < _REPEAT_MAX_SEC and name not in _NO_REPEAT:
+                for _ in range(_REPEATS - 1):
+                    t0 = time.monotonic()
+                    fn().count()
+                    runs.append(round(time.monotonic() - t0, 3))
+            timings[name] = min(runs)
+            entry_meta[name] = {
+                "runs": runs, "t_start": t_off, "load_1m": round(load_1m, 2)
+            }
+            print(
+                f"# {name}: {timings[name]:.3f}s rows={n} runs={runs} "
+                f"load={load_1m:.2f}",
+                file=sys.stderr,
+            )
         except Exception as exc:  # one broken query must never zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -1119,6 +1184,19 @@ def main() -> None:
                 "params": PARAMS,
                 "errors": errors,
                 "sf": float(sf) if sf else None,
+                # self-attribution (VERDICT r5 #2): per-entry repeat runs,
+                # start offsets and 1-min loadavg snapshots + the box's
+                # loadavg envelope — a cross-round delta on an entry whose
+                # runs already spread >1.3x, or whose load_1m is high, is
+                # contention, not code
+                "timing": f"min-of-{_REPEATS} for entries <{_REPEAT_MAX_SEC:.0f}s"
+                          " (builds single-shot)",
+                "entry_meta": entry_meta,
+                "loadavg": {
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                },
+                "wall_total_sec": round(time.monotonic() - bench_t0, 1),
             }
         )
     )

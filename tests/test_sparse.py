@@ -402,3 +402,20 @@ def test_scalar_filter_rejects_posting_level_predicates(spark):
     assert {(r.doc_id, round(r.score, 6)) for r in ok} == {
         (r.doc_id, round(r.score, 6)) for r in want
     }
+
+
+def test_batched_search_equals_per_query(data, spark):
+    """The amortized nq=100 bench entry's premise: one batched plan over
+    the whole query set returns exactly the union of per-query searches
+    (same (doc, score) lists per query)."""
+    base, queries, base_df, query_df = data
+    cfg = SparseConfig(metric_type="BM25", inverted_index_algo="DAAT_MAXSCORE",
+                       k=K, bm25_k1=1.2, bm25_b=0.75)
+    idx = SparseInvertedIndex.build(base_df, cfg)
+    batched = _collect(idx.search(query_df, k=K))
+    for qi in range(NQ):
+        single_df = query_df.filter(f"query_id = {qi}")
+        single = _collect(idx.search(single_df, k=K))
+        assert [(d, round(s, 6)) for d, s in single.get(qi, [])] == [
+            (d, round(s, 6)) for d, s in batched.get(qi, [])
+        ]
