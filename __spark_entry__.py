@@ -1093,13 +1093,18 @@ def q_bin_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed semantic near-dup: COSINE IVF selfsearch through the
     DISTRIBUTED path (no driver collect of the query side) — the
-    corpus-vs-corpus 100 TB shape.  Approximate via probe pruning, so
-    rows-only here; planted-pair recall >= 0.9 tested in
+    corpus-vs-corpus 100 TB shape.  STRUCTURAL-EXACTNESS operating point
+    (r7, upgrading the r4-r6 rows-only gate): nprobe=nlist probes every
+    cell, so the routed self-search is exact, and k=20 exceeds the
+    testdata's max near-dup degree (3 at threshold 0.4, both SFs) — the
+    pair set therefore equals the all-pairs threshold scan and shares
+    the ``embed_cosine_neardup`` DuckDB mirror.  Realistic-nprobe
+    bucketing recall (>= 0.9) stays pytest-floored in
     tests/test_dedup.py."""
     from knowhere_spark.operators.dedup import embedding_neardup_ivf
 
     emb = embeddings_as_dataset(spark, sf_dir)
-    out = embedding_neardup_ivf(emb, 0.4, nlist=16, nprobe=8)
+    out = embedding_neardup_ivf(emb, 0.4, nlist=16, nprobe=16)
     return out.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
@@ -1335,9 +1340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ivf_pq_adc_fixed`` (pinned codebooks from the first 16 embeddings:
     encode + ADC mirror fully); ``hnsw_sharded_knn`` →
     ``hnsw_sharded_exact`` (complete per-shard graphs: routing + merge
-    must equal brute force).  Final registry: 48 oracle + 2 rows-only
-    (embed_neardup_ivf — realistic-nprobe bucketing IS the row's point;
-    stream_neardup_minhash — xxhash signatures have no DuckDB mirror).
+    must equal brute force).  r7: ``embed_neardup_ivf`` upgraded in
+    place too (nprobe=nlist exact routing + k > max near-dup degree →
+    shares the all-pairs cosine mirror; realistic-nprobe recall stays
+    pytest-floored).  Final registry: 49 oracle + 1 rows-only
+    (stream_neardup_minhash — xxhash signatures have no DuckDB mirror).
 
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same
@@ -1396,9 +1403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_beam_exact": q_hnsw_beam_exact,
         "ivf_pq_adc_fixed": q_ivf_pq_adc_fixed,
         "hnsw_sharded_exact": q_hnsw_sharded_exact,
+        "embed_neardup_ivf": q_embed_neardup_ivf,
         # --- rows-only (approximate / non-SQL-expressible; recall floors
         # and behavior tested in tests/) ------------------------------------
-        "embed_neardup_ivf": q_embed_neardup_ivf,
         "stream_neardup_minhash": q_stream_neardup_minhash,
     }
 
@@ -2012,9 +2019,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_adc_fixed": f"""
 WITH
 n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+-- subdim derived from the data (dim / m with m=16, mirroring the Spark
+-- side's X16.shape[1] // 16) — a literal here was the r5 dim-change trap
+p AS (SELECT MAX(array_length(e)) // 16 AS sd FROM n),
 ex AS (SELECT id, CAST(t.z[2] AS INT) - 1 AS d0, t.z[1] AS val
        FROM n, UNNEST(list_zip(e, range(1, array_length(e) + 1))) AS t(z)),
-sub AS (SELECT id, d0 // 4 AS j, d0 % 4 AS pos, val FROM ex),
+sub AS (SELECT id, d0 // (SELECT sd FROM p) AS j, d0 % (SELECT sd FROM p) AS pos, val
+        FROM ex),
 cbx AS (SELECT id AS c, j, pos, val AS cval FROM sub WHERE id < 16),
 dsub AS (SELECT s.id, s.j, x.c, SUM((s.val - x.cval) * (s.val - x.cval)) AS dd
          FROM sub s JOIN cbx x ON s.j = x.j AND s.pos = x.pos
@@ -2282,6 +2293,19 @@ SELECT id, CAST(cid AS INT) AS cluster_id FROM r WHERE rk = 1
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_curate_full": _CORPUS_CURATE_FULL_SQL,
         "embed_cosine_neardup": """
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x)))
+            * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))) AS c
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM d WHERE c >= 0.4
+""",
+        # same mirror (r7): at nprobe=nlist the IVF-routed self-search is
+        # exact and k=20 > max near-dup degree, so the routed pair set
+        # equals the all-pairs threshold scan — see q_embed_neardup_ivf
+        "embed_neardup_ivf": """
 WITH d AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1]*x[2]))

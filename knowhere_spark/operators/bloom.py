@@ -128,7 +128,12 @@ class BloomFilter:
         )
         from pyspark.sql.types import BooleanType, StructField, StructType
 
-        src = df.withColumn("__fp", fp_expr.cast("long"))
+        # uniquified staging name (ADVICE r5): a caller's own "__fp"
+        # column must survive the round-trip, not get overwritten+dropped
+        fp_col = "__fp"
+        while fp_col in df.columns:
+            fp_col += "_"
+        src = df.withColumn(fp_col, fp_expr.cast("long"))
         # build a FRESH StructType: .add mutates shared instances (the
         # hnsw_sharded lesson) and DataFrame.schema may hand back a cached
         # object
@@ -141,18 +146,18 @@ class BloomFilter:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                fps = pdf["__fp"].to_numpy(dtype=np.int64, na_value=0)
+                fps = pdf[fp_col].to_numpy(dtype=np.int64, na_value=0)
                 pos = _positions(fps, kk, m)
                 hit = (
                     (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
                 ).all(axis=1)
                 # NULL text → NULL fingerprint → never "seen"
-                hit = np.where(pdf["__fp"].isna(), False, hit)
+                hit = np.where(pdf[fp_col].isna(), False, hit)
                 out = pdf.copy()
                 out[out_col] = hit
                 yield out
 
-        return src.mapInPandas(kernel, out_schema).drop("__fp")
+        return src.mapInPandas(kernel, out_schema).drop(fp_col)
 
     def filter_unseen(self, df: DataFrame, **kw) -> DataFrame:
         """``df`` minus rows whose content the filter has (probably) seen

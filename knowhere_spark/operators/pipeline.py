@@ -21,6 +21,8 @@ it per the build brief):
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -311,11 +313,13 @@ def pack_sequences_bestfit(
     when documents must NOT span sequence boundaries (no cross-document
     attention contamination, no mid-document cuts).
 
-    First-fit-decreasing runs PER PARTITION inside an Arrow kernel
-    (documents sorted longest-first, each dropped into the first bin
-    with room — the classic 11/9·OPT + 1 guarantee applies per
-    partition), and bins are made globally unique by a
-    ``(partition, local bin)`` key.  Zero shuffles: packing quality
+    Best-fit-decreasing runs PER PARTITION inside an Arrow kernel
+    (documents sorted longest-first, each dropped into the bin whose
+    residual is the SMALLEST that still fits — found with one bisect
+    over a sorted residual list, O(docs·log bins) lookups instead of the
+    O(docs·bins) linear scan the r5 ADVICE flagged; the classic
+    11/9·OPT + 1 decreasing-fit guarantee applies per partition), and
+    bins are made globally unique by a ``(partition, local bin)`` key.  Zero shuffles: packing quality
     costs nothing in data movement, only partition-local fragmentation
     at the margin (each partition wastes at most one partial bin more
     than a global pack would — negligible when partitions hold thousands
@@ -360,6 +364,10 @@ def pack_sequences_bestfit(
         pid = int(pdf["__pid"].iloc[0])
         order = np.lexsort((pdf["__id"].to_numpy(), -pdf["__nt"].to_numpy()))
         fills: list[int] = []
+        # sorted (residual, bin_id) pairs: bisect_left((nt, -1)) lands on
+        # the smallest residual that fits, ties to the lowest bin id —
+        # deterministic, and O(log bins) per document
+        residuals: list[tuple[int, int]] = []
         out_bin = np.empty(len(pdf), dtype=np.int64)
         out_trunc = np.zeros(len(pdf), dtype=bool)
         for row in order:
@@ -370,18 +378,23 @@ def pack_sequences_bestfit(
                         f"document {int(pdf['__id'].iloc[row])} has {nt} tokens"
                         f" > budget={cap} (truncate_oversize=False)"
                     )
+                # truncated singleton bin: full by definition, never a
+                # best-fit candidate — stays out of the residual list
                 out_bin[row] = len(fills)
                 out_trunc[row] = True
                 fills.append(nt)
                 continue
-            for b, f in enumerate(fills):
-                if f + nt <= cap:
-                    out_bin[row] = b
-                    fills[b] = f + nt
-                    break
+            j = bisect.bisect_left(residuals, (nt, -1))
+            if j < len(residuals):
+                r, b = residuals.pop(j)
+                out_bin[row] = b
+                fills[b] += nt
+                bisect.insort(residuals, (r - nt, b))
             else:
-                out_bin[row] = len(fills)
+                b = len(fills)
+                out_bin[row] = b
                 fills.append(nt)
+                bisect.insort(residuals, (cap - nt, b))
         fill_arr = np.array(fills, dtype=np.int64)
         yield pd.DataFrame(
             {

@@ -141,6 +141,11 @@ def _autosplit_overcap(
 
     spark = assigned.sparkSession
     target = max(1, cap // 2)
+    # materialize the assignment ONCE before probing (ADVICE r5): the
+    # over-cap count, each offender's sample-collect, and the reassign
+    # pass all read `assigned` — on the raw lineage every one of those
+    # actions re-ran the assignment GEMM over the full corpus
+    assigned = assigned.localCheckpoint(eager=True)
     over = (
         assigned.groupBy("cluster_id").count().filter(F.col("count") > cap).collect()
     )
@@ -196,7 +201,9 @@ def _autosplit_overcap(
             out["cluster_id"] = cids.astype(np.int32)
             yield out
 
-    assigned = assigned.mapInPandas(reassign, schema)
+    # materialize the reassignment before the still-over probe — the
+    # probe AND the caller's sweep both consume it
+    assigned = assigned.mapInPandas(reassign, schema).localCheckpoint(eager=True)
 
     # level-3 guard: ids that are STILL over cap get the id-hash split
     still = (

@@ -429,6 +429,19 @@ class SparseInvertedIndex:
         drop = drop_ratio_search if drop_ratio_search is not None else cfg.drop_ratio_search
         rf = refine_factor if refine_factor is not None else cfg.refine_factor
         if prune_terms == "exact":
+            if drop > 0 or (rf or 1) > 1:
+                # the exact path scores candidates with the FULL query and
+                # has no refine stage — silently ignoring the approximate
+                # knobs would let a caller believe they were honored
+                # (ADVICE r5): conflicting asks are a config error, the
+                # same strictness the reference's ConfigCheck applies
+                from knowhere_spark.config import ConfigError
+
+                raise ConfigError(
+                    "prune_terms='exact' is lossless full-query scoring and "
+                    f"cannot honor drop_ratio_search={drop}/refine_factor={rf}; "
+                    "drop them or use the default pruned path"
+                )
             # opt-in lossless MaxScore pruning (r5).  NOT the default:
             # the relational term-join below already skips every posting
             # of non-query terms — the I/O saving cursor-MaxScore exists

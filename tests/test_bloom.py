@@ -92,3 +92,19 @@ def test_curate_corpus_with_history(spark):
     # without history the re-crawls survive curation
     base = {r.doc_id for r in curate_corpus(today, min_tokens=2).collect()}
     assert set(range(80, 100)) <= base
+
+
+def test_fp_staging_column_collision(spark):
+    """ADVICE r5: a caller whose frame already carries a '__fp' column
+    must get it back intact — the membership kernel's staging column is
+    uniquified, not overwritten-then-dropped."""
+    from pyspark.sql import functions as F
+
+    from knowhere_spark.operators.bloom import BloomFilter
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, text string")
+    bf = BloomFilter.build(df, m_bits=1 << 12, k=3)
+    withfp = df.withColumn("__fp", F.lit(123))
+    out = bf.seen_expr_frame(withfp).collect()
+    assert all(r["__fp"] == 123 for r in out)       # caller column survives
+    assert all(r["seen_before"] for r in out)       # membership still works

@@ -214,3 +214,32 @@ def test_distributed_train_fallback(spark, monkeypatch):
         by_group.setdefault(group[r.id], []).append(r)
     for g, members in by_group.items():
         assert sum(1 for r in members if r.keep) == 1, f"group {g}"
+
+
+def test_autosplit_probes_do_not_recompute_assignment(spark):
+    """ADVICE r5: _autosplit_overcap must materialize `assigned` once —
+    the over-cap probe, per-offender sample-collects and the reassign
+    pass then read stored blocks instead of re-running the assignment
+    lineage (instrumented here with an accumulator)."""
+    import numpy as np
+
+    from knowhere_spark.operators.semdedup import _autosplit_overcap
+
+    acc = spark.sparkContext.accumulator(0)
+    n = 400
+    rng = np.random.default_rng(5)
+    rows = [(i, 0, [float(x) for x in rng.random(8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, cluster_id int, vec array<double>")
+
+    def instrument(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    assigned = df.mapInPandas(instrument, df.schema)
+    out, cents2 = _autosplit_overcap(assigned, np.zeros((1, 8)), cap=100, seed=42)
+    assert out.count() == n
+    assert len(cents2) > 1          # the over-cap cluster actually split
+    # exactly ONE pass of the instrumented lineage (the eager checkpoint);
+    # before the fix this was 1 + offenders + 2 more full recomputes
+    assert acc.value == n

@@ -419,3 +419,20 @@ def test_batched_search_equals_per_query(data, spark):
         assert [(d, round(s, 6)) for d, s in single.get(qi, [])] == [
             (d, round(s, 6)) for d, s in batched.get(qi, [])
         ]
+
+
+def test_maxscore_exact_rejects_approximate_knobs(data):
+    """ADVICE r5: prune_terms='exact' silently ignored
+    drop_ratio_search/refine_factor — conflicting asks now raise."""
+    from knowhere_spark.config import ConfigError
+
+    base, queries, base_df, query_df = data
+    idx = SparseInvertedIndex.build(
+        base_df, SparseConfig(metric_type="IP", inverted_index_algo="TAAT_NAIVE", k=K)
+    )
+    for kw in ({"drop_ratio_search": 0.5}, {"refine_factor": 3}):
+        try:
+            idx.search(query_df, k=K, prune_terms="exact", **kw)
+            raise AssertionError(f"expected ConfigError for {kw}")
+        except ConfigError:
+            pass
