@@ -7,9 +7,10 @@ vectors its indexes consume).  The Spark-side plumbing — schema,
 partition-preserving batch transforms, UDF signatures, batch shapes — is
 real and tested.  ``decode_payload`` REALLY decodes the dependency-free
 formats (binary PNM, uncompressed 24-bit BMP, PCM WAV via the stdlib
-``wave`` module — exact-recovery tested); compressed codecs (JPEG/PNG/
-MP4) would need PIL/ffmpeg, absent in this environment, so that branch
-raises ``NotImplementedError`` and opaque payloads fall back to a
+``wave`` module, and — r7 — PNG via stdlib zlib + numpy defiltering,
+all five filter types, exact-recovery tested); JPEG/MP4 would need
+PIL/ffmpeg, absent in this environment, so those branches raise
+``NotImplementedError`` and opaque payloads fall back to a
 deterministic fake (seeded by payload bytes) so every downstream stage
 is exercised end-to-end with stable results.
 
@@ -59,9 +60,9 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-_REAL_CODECS = False   # no PIL/ffmpeg in this environment — compressed
-                       # codecs (JPEG/PNG/MP4/...) stay stubbed; the
-                       # dependency-free formats below decode for real
+_REAL_CODECS = False   # no PIL/ffmpeg in this environment — JPEG/MP4
+                       # stay stubbed; the dependency-free formats below
+                       # (incl. the r7 stdlib PNG path) decode for real
 
 
 def _decode_pnm(data: bytes) -> np.ndarray:
@@ -129,6 +130,129 @@ def _decode_wav(data: bytes) -> np.ndarray:
     return x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
 
 
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The Paeth predictor (PNG spec §9, filter type 4): nearest of
+    left/up/up-left to ``a + b - c``, ties in a,b,c order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_defilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
+    → (h, rowbytes) uint8.  Up is fully vectorized; Sub is a per-lane
+    cumsum (mod 256 distributes over addition); Average/Paeth carry a
+    true per-pixel recurrence, so they walk the row in ``bpp``-wide
+    numpy slices — O(w) slice ops per row, vectorized across channels."""
+    stride = rowbytes + 1
+    data = np.frombuffer(raw, dtype=np.uint8, count=h * stride).reshape(h, stride)
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(h):
+        ft = int(data[y, 0])
+        line = data[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:   # Sub: r[i] = x[i] + r[i-bpp]  (per-lane cumsum)
+            n_px = -(-rowbytes // bpp)
+            lanes = np.zeros((n_px, bpp), dtype=np.int64)
+            lanes.reshape(-1)[:rowbytes] = line
+            cur = (np.cumsum(lanes, axis=0) % 256).reshape(-1)[:rowbytes].astype(np.int32)
+        elif ft == 2:   # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:   # Average: r[i] = x[i] + (left + up) // 2
+            cur = np.empty(rowbytes, dtype=np.int32)
+            cur[:bpp] = (line[:bpp] + prev[:bpp] // 2) & 0xFF
+            for i in range(bpp, rowbytes, bpp):
+                j = min(i + bpp, rowbytes)
+                cur[i:j] = (
+                    line[i:j] + (cur[i - bpp : j - bpp] + prev[i:j]) // 2
+                ) & 0xFF
+        elif ft == 4:   # Paeth
+            cur = np.empty(rowbytes, dtype=np.int32)
+            zero = np.zeros(bpp, dtype=np.int32)
+            cur[:bpp] = (
+                line[:bpp] + _paeth_predict(zero, prev[:bpp], zero)
+            ) & 0xFF
+            for i in range(bpp, rowbytes, bpp):
+                j = min(i + bpp, rowbytes)
+                cur[i:j] = (
+                    line[i:j]
+                    + _paeth_predict(
+                        cur[i - bpp : j - bpp], prev[i:j], prev[i - bpp : j - bpp]
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int32)
+    return out
+
+
+#: PNG color type → samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG (zlib inflate + numpy defiltering; r5 verdict
+    task #5 — no PIL).  Supports bit depths 8/16 for grayscale / RGB /
+    gray+alpha / RGBA and 8-bit palette; Adam7 interlacing and sub-byte
+    depths raise ``NotImplementedError`` (recognized-but-undecodable,
+    same contract as the JPEG/MP4 stubs).  Returns float64 in [0, 1]:
+    ``(h, w)`` for grayscale, ``(h, w, C)`` otherwise."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln   # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG compression={comp} filter_method={filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color}")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError(f"PNG bit depth {depth} (color type {color})")
+    ch = _PNG_CHANNELS[color]
+    bps = depth // 8
+    rowbytes = w * ch * bps
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (rowbytes + 1):
+        raise ValueError("PNG pixel data truncated")
+    px = _png_defilter(raw, h, rowbytes, ch * bps)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx].astype(np.float64) / 255.0
+    if depth == 16:
+        arr = px.reshape(h, -1).view(">u2").astype(np.float64) / 65535.0
+    else:
+        arr = px.astype(np.float64) / 255.0
+    arr = arr.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
 def sniff_format(payload: bytes) -> str | None:
     """Magic-byte format sniff — the dispatch key for built-in decoders
     AND caller-injected ones (``decoders=`` below).  Returns one of
@@ -165,8 +289,10 @@ def decode_payload(
 
     Dependency-free formats decode for REAL, sniffed by magic bytes:
     binary PNM (``P5``/``P6``), uncompressed 24-bit BMP, PCM WAV
-    (stdlib ``wave``).  Compressed codecs (JPEG/PNG/MP4/...) would need
-    PIL/ffmpeg, absent in this environment: that branch raises
+    (stdlib ``wave``), PNG (stdlib zlib + numpy defiltering — all five
+    filter types, 8/16-bit gray/RGB/GA/RGBA + 8-bit palette; Adam7
+    interlace rejected).  JPEG/MP4 would need PIL/ffmpeg, absent in
+    this environment: that branch raises
     ``NotImplementedError``, and any other payload falls back to the
     deterministic fake (array derived from a hash of the payload —
     stable across runs/executors, shape-correct for downstream stages).
@@ -204,11 +330,13 @@ def decode_payload(
                 return _decode_bmp(payload)
             if fmt == "wav":
                 return _decode_wav(payload)
+            if fmt == "png":
+                return _decode_png(payload)
         except NotImplementedError:
             raise
         except Exception:
             pass   # sniffed-but-unparseable → opaque payload, fake below
-        if fmt in ("jpeg", "png", "mp4"):
+        if fmt in ("jpeg", "mp4"):
             raise NotImplementedError(
                 f"compressed codec {fmt} needs PIL/ffmpeg — not available;"
                 " inject one via decoders={...}"

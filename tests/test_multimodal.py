@@ -428,3 +428,163 @@ def test_mp4_sniff_requires_plausible_box_size():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+# --- r7: pure-stdlib PNG decoder (zlib inflate + numpy defiltering) -------
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + typ + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(px, filters=0, *, depth=8, color_type=None, interlace=0,
+              palette=None):
+    """Minimal PNG encoder for tests: forward-filters each scanline with
+    the requested filter type(s), deflates, and frames the chunks — the
+    inverse of the decoder under test, written independently from the
+    spec's ENCODE direction."""
+    import struct
+    import zlib
+
+    from knowhere_spark.operators.multimodal import _paeth_predict
+
+    px = np.asarray(px)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if depth == 16:
+        raw_rows = np.ascontiguousarray(px.astype(">u2").reshape(h, -1)).view(np.uint8)
+    else:
+        raw_rows = px.astype(np.uint8).reshape(h, -1)
+    bpp = ch * (depth // 8)
+    if isinstance(filters, int):
+        filters = [filters] * h
+    body = bytearray()
+    prev = np.zeros(raw_rows.shape[1], dtype=np.int32)
+    for y, ft in zip(range(h), filters):
+        cur = raw_rows[y].astype(np.int32)
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            enc = cur - _paeth_predict(left, prev, upleft)
+        body += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    data = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        data += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    data += _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+    data += _png_chunk(b"IEND", b"")
+    return data
+
+
+def test_png_decode_all_filter_types():
+    """Exact pixel recovery through every scanline filter (None/Sub/Up/
+    Average/Paeth) and through a mixed-filter image."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 5, 3))
+    for ft in range(5):
+        got = decode_payload(_make_png(px, ft), "image", {})
+        np.testing.assert_allclose(got, px / 255.0, err_msg=f"filter {ft}")
+    mixed = [0, 1, 2, 3, 4, 2, 4]
+    np.testing.assert_allclose(
+        decode_payload(_make_png(px, mixed), "image", {}), px / 255.0
+    )
+
+
+def test_png_decode_color_types_and_depths():
+    rng = np.random.default_rng(12)
+    # grayscale, gray+alpha, RGBA — 8-bit, Paeth throughout
+    for shape in [(6, 4), (6, 4, 2), (6, 4, 4)]:
+        px = rng.integers(0, 256, shape)
+        got = decode_payload(_make_png(px, 4), "image", {})
+        np.testing.assert_allclose(got, px / 255.0)
+        assert got.shape == ((6, 4) if len(shape) == 2 else shape)
+    # 16-bit RGB (big-endian samples), Average filter
+    px16 = rng.integers(0, 65536, (5, 3, 3))
+    got16 = decode_payload(_make_png(px16, 3, depth=16), "image", {})
+    np.testing.assert_allclose(got16, px16 / 65535.0)
+    # 8-bit palette
+    palette = rng.integers(0, 256, (7, 3))
+    idx = rng.integers(0, 7, (4, 6))
+    got_p = decode_payload(
+        _make_png(idx, 1, color_type=3, palette=palette), "image", {}
+    )
+    np.testing.assert_allclose(got_p, palette[idx] / 255.0)
+
+
+def test_png_interlace_and_subbyte_rejected():
+    """Adam7 interlacing and sub-byte depths are recognized-but-
+    undecodable: NotImplementedError propagates (honest-stub contract),
+    never the deterministic fake."""
+    import pytest
+
+    px = np.random.default_rng(13).integers(0, 256, (4, 4, 3))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_payload(_make_png(px, 0, interlace=1), "image", {})
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)   # 4-bit gray
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 12))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_payload(payload, "image", {})
+
+
+def test_png_corrupt_falls_back_to_fake():
+    """A payload with the PNG magic but garbage chunks is OPAQUE (corrupt
+    data must not kill a 100 TB mapInPandas stage): deterministic fake."""
+    bad = b"\x89PNG\r\n\x1a\n" + b"garbage-not-chunks"
+    out = decode_payload(bad, "image", {"height": 3, "width": 4})
+    assert out.shape == (3, 4, 3)
+    np.testing.assert_array_equal(
+        out, decode_payload(bad, "image", {"height": 3, "width": 4})
+    )
+
+
+def test_image_phash_over_png_corpus(spark):
+    """pHash near-dup over REAL PNG payloads end-to-end: the decoder
+    feeds the same pipeline the PNM corpus exercised."""
+    from knowhere_spark.operators.multimodal import image_phash, phash_neardup_pairs
+
+    rng = np.random.default_rng(14)
+    base_img = rng.integers(40, 216, (24, 24, 3))
+    noisy = np.clip(base_img + rng.integers(-4, 5, base_img.shape), 0, 255)
+    other = rng.integers(0, 256, (24, 24, 3))
+    rows = [
+        (mid, "image", bytearray(_make_png(px, ft)),
+         {"width": 24, "height": 24, "n_frames": 1, "sample_rate": 0})
+        for (mid, px), ft in zip([(1, base_img), (2, noisy), (3, other)],
+                                 [1, 3, 4])
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(hashes[1], hashes[2]) <= 6
+    assert ham(hashes[1], hashes[3]) > 16
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             phash_neardup_pairs(media, max_hamming=6).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
