@@ -232,6 +232,7 @@ def broadcast_beam_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "vec",
     mask_bc=None,
+    score_acc=None,
 ) -> DataFrame:
     """Best-first ef-search with the graph artifact broadcast to executors.
 
@@ -246,10 +247,15 @@ def broadcast_beam_search(
         stamp = np.zeros(len(ids_), dtype=np.int64)
         allowed = mask_bc.value if mask_bc is not None else None
         qno = 0
+        scored_n = [0]   # per-task scored-candidate counter (span metric)
         for pdf in batches:
             out_q, out_n, out_d, out_r = [], [], [], []
             for qid, qvec in zip(pdf[query_id_col], pdf[query_vec_col]):
                 score = scorer_factory(extra, qvec)
+                if score_acc is not None:
+                    def score(pos, _s=score):
+                        scored_n[0] += len(pos)
+                        return _s(pos)
                 qno += 1
                 res = _beam_traverse(
                     score, entries, ef, indptr_, indices_, stamp, qno, allowed
@@ -262,6 +268,9 @@ def broadcast_beam_search(
                     out_n.append(ids_[p])
                     out_d.append(-s if is_sim else s)
                     out_r.append(rank)
+            if score_acc is not None and scored_n[0]:
+                score_acc.add(scored_n[0])
+                scored_n[0] = 0
             yield pd.DataFrame(
                 {
                     "query_id": out_q,
@@ -393,6 +402,9 @@ class HNSWIndex:
         id_col: str = "id",
         vec_col: str = "vec",
     ) -> "HNSWIndex":
+        import time as _time
+
+        t_build0 = _time.monotonic()
         metric = MetricType(config.metric_type)
         base = base_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -489,7 +501,18 @@ class HNSWIndex:
             int(r["id"])
             for r in base.orderBy(F.pmod(F.col("id"), F.lit(997)), "id").limit(8).collect()
         ]
-        return cls(base, edges, config, entry_ids)
+        idx = cls(base, edges, config, entry_ids)
+        # span close (index.cc:131-148 Build span analog)
+        from knowhere_spark.tracing import OpMetrics, op_description
+
+        m = OpMetrics(
+            op="HNSW.build", n=n, M=config.M, build_cells=nlist,
+            n_entry_points=len(entry_ids),
+            stages={"build_plan_sec": round(_time.monotonic() - t_build0, 6)},
+        )
+        m["description"] = op_description(spark.sparkContext, m["op"], n=n, M=config.M)
+        idx.last_metrics = m
+        return idx
 
     # -- Add (incremental batch insert) ---------------------------------------
     def add(
@@ -870,6 +893,7 @@ class HNSWIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         filter_expr=None,
+        score_acc=None,
     ) -> DataFrame:
         """Best-first ef-search with raw fp32 vectors broadcast to
         executors (see :func:`broadcast_beam_search`)."""
@@ -890,6 +914,7 @@ class HNSWIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             mask_bc=mask_bc,
+            score_acc=score_acc,
         )
 
     def search(
@@ -944,6 +969,15 @@ class HNSWIndex:
 
         if strategy not in ("auto", "broadcast", "bfs"):
             raise ValueError(f"unknown search strategy {strategy!r}")
+        # span open (index.cc:149-162 Search span analog); strategy and
+        # per-path counters fill in at dispatch below
+        from knowhere_spark.tracing import OpMetrics, op_description
+
+        m = OpMetrics(
+            op="HNSW.search", k=k, ef=ef,
+            nodes_scored=spark.sparkContext.accumulator(0),
+        )
+        self.last_metrics = m
         if strategy == "broadcast" and score_fn is not None:
             raise ValueError(
                 "strategy='broadcast' runs the exact-vector kernel and cannot "
@@ -954,12 +988,21 @@ class HNSWIndex:
             if strategy == "auto":
                 use_broadcast = 0 < self._artifact_bytes() <= _BROADCAST_MAX_BYTES
             if use_broadcast:
+                m["strategy"] = "broadcast"
+                m["description"] = op_description(
+                    spark.sparkContext, m["op"], k=k, ef=ef, strategy="broadcast"
+                )
                 return self._search_broadcast(
                     query_df, k, ef,
                     query_id_col=query_id_col, query_vec_col=query_vec_col,
-                    filter_expr=filter_expr,
+                    filter_expr=filter_expr, score_acc=m["nodes_scored"],
                 )
 
+        m["strategy"] = "bfs"
+        m["max_hops"] = max_hops
+        m["description"] = op_description(
+            spark.sparkContext, m["op"], k=k, ef=ef, strategy="bfs"
+        )
         queries = query_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
@@ -1035,6 +1078,7 @@ class HNSWIndex:
                 next_compact = hop + compact_window
 
         self._last_bfs_frame_count = len(visited_parts)
+        m["bfs_frames"] = len(visited_parts)
         visited = visited_parts[0]
         for p in visited_parts[1:]:
             visited = visited.unionByName(p)

@@ -107,7 +107,9 @@ class IVFFlatIndex:
         include/knowhere/comp/materialized_view.h:23-36, re-expressed as
         Spark partition layout)."""
         from knowhere_spark.functions.distance import numpy_kmeans
+        from knowhere_spark.tracing import OpMetrics, op_description
 
+        t_build0 = __import__("time").monotonic()
         scalar_cols = tuple(scalar_cols)
         clash = {"id", "vec", "cell_id"} & set(scalar_cols)
         if clash:
@@ -173,7 +175,21 @@ class IVFFlatIndex:
         import dataclasses
 
         cfg = dataclasses.replace(config, nlist=nlist)
-        return cls(centroids, assignments, cfg, index_type=index_type)
+        idx = cls(centroids, assignments, cfg, index_type=index_type)
+        # span close (index.cc:131-148 Build span): config attrs + the
+        # eager portion's wall (train + assign plan; assignments stay lazy)
+        m = OpMetrics(
+            op=f"{index_type.value}.build", n=n, dim=dim, nlist=nlist,
+            train_backend="driver"
+            if min(n, train_cap) * max(dim, 1) <= cls._DRIVER_TRAIN_MAX_ELEMS
+            else "mllib",
+            stages={"build_plan_sec": round(__import__("time").monotonic() - t_build0, 6)},
+        )
+        m["description"] = op_description(
+            base.sparkSession.sparkContext, m["op"], n=n, nlist=nlist
+        )
+        idx.last_metrics = m
+        return idx
 
     # -- Add (append new rows to a trained index) ----------------------------
     def add(self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec") -> "IVFFlatIndex":
@@ -251,10 +267,26 @@ class IVFFlatIndex:
                 strategy = "driver"
         elif strategy == "driver":
             qrows = queries.collect()
-        if strategy == "distributed":
-            return self._search_distributed(queries, k, nprobe, filter_expr)
-        if strategy != "driver":
+        if strategy not in ("driver", "distributed"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        # span open (index.cc:149-162 Search span): label the consuming
+        # jobs + live counters resolved via last_metrics.snapshot()
+        from knowhere_spark.tracing import OpMetrics, StageTimer, op_description
+
+        m = OpMetrics(
+            op=f"{self.index_type.value}.search", k=k, nprobe=nprobe,
+            nlist=self.config.nlist, strategy=strategy,
+            rows_scanned=spark.sparkContext.accumulator(0),
+        )
+        m["description"] = op_description(
+            spark.sparkContext, m["op"], k=k, nprobe=nprobe, strategy=strategy
+        )
+        timer = StageTimer(m)
+        self.last_metrics = m
+        if strategy == "distributed":
+            return self._search_distributed(
+                queries, k, nprobe, filter_expr, rows_acc=m["rows_scanned"]
+            )
 
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
@@ -263,8 +295,15 @@ class IVFFlatIndex:
             qnorm[qnorm == 0] = 1.0
             qmat = qmat / qnorm
 
-        pairs = self._probe_pairs(qids, qmat, nprobe)
-        out = self._search_probed(spark, pairs, qids, qmat, k, metric, filter_expr)
+        with timer.stage("probe_sec"):
+            pairs = self._probe_pairs(qids, qmat, nprobe)
+        m["nq"] = len(qids)
+        m["cells_probed"] = len(pairs)
+        with timer.stage("scan_plan_sec"):
+            out = self._search_probed(
+                spark, pairs, qids, qmat, k, metric, filter_expr,
+                rows_acc=m["rows_scanned"],
+            )
 
         if self.config.ensure_topk_full:
             # probe-all fallback for underfilled queries (ivf.cc:753-762)
@@ -287,8 +326,10 @@ class IVFFlatIndex:
                     for i in refill
                     for c in range(self.config.nlist)
                 ]
+                m["cells_probed"] = m.get("cells_probed", 0) + len(all_pairs)
                 refill_out = self._search_probed(
-                    spark, all_pairs, qids, qmat, k, metric, filter_expr
+                    spark, all_pairs, qids, qmat, k, metric, filter_expr,
+                    rows_acc=m["rows_scanned"],
                 )
                 kept = out.filter(~F.col("query_id").isin([int(qids[i]) for i in refill]))
                 out = kept.unionByName(refill_out)
@@ -330,14 +371,14 @@ class IVFFlatIndex:
             queries, self.centroids, MetricType(self.config.metric_type), nprobe
         )
 
-    def _search_distributed(self, queries, k, nprobe, filter_expr):
+    def _search_distributed(self, queries, k, nprobe, filter_expr, rows_acc=None):
         """Corpus-vs-corpus scoring: cogroup base cells with their probing
         queries on ``cell_id`` and GEMM within each cell — one shuffle of
         each side keyed by cell, no driver collect, no broadcast of the
         query set.  ``ensure_topk_full`` refills underfilled queries with
         an all-cells probe, decided distributedly."""
         probes = self.probe_assign(queries, nprobe)
-        out = self._cogroup_topk(probes, k, filter_expr)
+        out = self._cogroup_topk(probes, k, filter_expr, rows_acc=rows_acc)
         if not self.config.ensure_topk_full:
             return out
         spark = self.assignments.sparkSession
@@ -376,17 +417,18 @@ class IVFFlatIndex:
             .crossJoin(F.broadcast(all_cells))
             .select("query_id", "qvec", "cell_id")
         )
-        refill_out = self._cogroup_topk(refill_probes, k, filter_expr)
+        refill_out = self._cogroup_topk(refill_probes, k, filter_expr, rows_acc=rows_acc)
         kept = out.join(F.broadcast(under), "query_id", "left_anti")
         return kept.unionByName(refill_out)
 
-    def _cogroup_topk(self, probes: DataFrame, k, filter_expr):
+    def _cogroup_topk(self, probes: DataFrame, k, filter_expr, rows_acc=None):
         metric = MetricType(self.config.metric_type)
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
         return cogroup_cells_topk(
             self.assignments, probes, k, dist_metric,
             filter_expr=filter_expr,
             row_matrix=lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64),
+            rows_acc=rows_acc,
         )
 
     def _range_search_distributed(self, queries, nprobe, filter_expr):
@@ -403,7 +445,8 @@ class IVFFlatIndex:
         )
         return apply_range_bounds(out, self.config, already_bounded=True)
 
-    def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr):
+    def _search_probed(self, spark, pairs, qids, qmat, k, metric, filter_expr,
+                       rows_acc=None):
         """Partial-then-final top-k over probed cells.
 
         The scan is a GEMM kernel per partition emitting at most
@@ -449,6 +492,8 @@ class IVFFlatIndex:
                 ids = pdf["id"].to_numpy(dtype=np.int64)
                 cell = pdf["cell_id"].to_numpy(dtype=np.int64)
                 n = len(ids)
+                if rows_acc is not None:
+                    rows_acc.add(n)
                 dist = pairwise_distances(X, b_qmat, dm)      # (n, nq)
                 member = b_member[cell]                       # (n, nq)
                 key = -dist if largest else dist
@@ -742,6 +787,7 @@ def cogroup_cells_topk(
     *,
     filter_expr: Column | str | None = None,
     row_matrix=None,
+    rows_acc=None,
 ) -> DataFrame:
     """Per-cell GEMM top-k via cogrouped ``applyInPandas``: base cells meet
     their probing queries after one shuffle of each side keyed by
@@ -776,6 +822,8 @@ def cogroup_cells_topk(
         ids = left["id"].to_numpy(dtype=np.int64)
         Q = np.array(list(right["qvec"]), dtype=np.float64)
         qids = right["query_id"].to_numpy(dtype=np.int64)
+        if rows_acc is not None:
+            rows_acc.add(len(ids))    # rows GEMMed in this probed cell
         dist = pairwise_distances(X, Q, dist_metric)          # (n, nq)
         qidx, nid, dd = local_topk(dist, ids, k, largest)
         return pd.DataFrame(
