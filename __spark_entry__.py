@@ -540,21 +540,46 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing (operators/pipeline.py):
-    documents laid head-to-tail in id order on a token tape cut every 2048
-    tokens.  The tape position comes from the distributed prefix sum
-    (scalable_cumsum) — no single-task global window anywhere in the plan."""
+    """BOTH sequence-packing modes in one gate (r7 merges the best-fit
+    sweep in, the 50-slot registry being full — r5 task #8):
+
+    - ``mode='chunk'``: concat-then-chunk — documents laid head-to-tail
+      in id order on a token tape cut every 2048 tokens; tape position
+      from the distributed prefix sum (scalable_cumsum), no single-task
+      global window anywhere in the plan.  ``slot_id/slot_val`` =
+      chunk_id/chunk_offset.
+    - ``mode='bestfit'``: whole-document best-fit-decreasing packing
+      (pipeline.pack_sequences_bestfit).  ``repartition(1)`` pins ONE
+      deterministic global sweep (the per-partition parallel form is the
+      production shape; this is the oracle operating point, the
+      stream_semdedup pattern), mirrored in DuckDB as a recursive CTE
+      carrying the bin-fill list as state.  ``slot_id/slot_val`` =
+      bin_id/bin_fill."""
     from knowhere_spark.functions.text import token_count_expr
-    from knowhere_spark.operators.pipeline import pack_sequences
+    from knowhere_spark.operators.pipeline import pack_sequences, pack_sequences_bestfit
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
     )
-    return pack_sequences(toks, 2048, n_buckets=16).select(
-        "doc_id", "n_tokens", "chunk_id", "chunk_offset"
+    chunk = pack_sequences(toks, 2048, n_buckets=16).select(
+        F.lit("chunk").alias("mode"),
+        "doc_id",
+        "n_tokens",
+        F.col("chunk_id").alias("slot_id"),
+        F.col("chunk_offset").alias("slot_val"),
+        F.lit(False).alias("truncated"),
     )
+    bestfit = pack_sequences_bestfit(toks.repartition(1), 2048).select(
+        F.lit("bestfit").alias("mode"),
+        "doc_id",
+        "n_tokens",
+        F.col("bin_id").alias("slot_id"),
+        F.col("bin_fill").alias("slot_val"),
+        "truncated",
+    )
+    return chunk.unionByName(bestfit)
 
 
 def q_index_saveload_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,18 +1729,65 @@ SELECT query_id, neighbor_id, ROUND(score, 6) AS score, CAST(rk AS INT) AS rank
 FROM f WHERE rk <= {K}
 """
 
+# best-fit bin choice inside the recursive member: among 1-based bin
+# positions whose residual (2048 - fill) fits the doc, the lexicographic
+# minimum of [residual, position] — exactly the sorted-(residual, bin)
+# bisect the Spark kernel performs (pipeline.pack_sequences_bestfit)
+_BF_PICK = (
+    "list_sort(list_transform("
+    "list_filter(list_zip(p.fills, range(1, len(p.fills) + 1)),"
+    " y -> 2048 - y[1] >= d.n_tokens),"
+    " y -> [2048 - y[1], y[2]]))[1][2]"
+)
+
 _SEQ_PACKING_SQL = f"""
-WITH toks AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+WITH RECURSIVE
+toks AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
   FROM toks
+),
+-- best-fit-decreasing sweep order: longest first, ties by doc_id
+ord AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+),
+-- one doc per recursion step; state = the per-bin fill list (the
+-- stream_semdedup recursive-CTE pattern: sequential sweep, list state)
+pack AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS fills,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS BIGINT) AS bin_id
+  UNION ALL
+  SELECT d.rn,
+         CASE WHEN {_BF_PICK} IS NULL
+              THEN list_append(p.fills, d.n_tokens)
+              ELSE list_transform(list_zip(p.fills, range(1, len(p.fills) + 1)),
+                     x -> CASE WHEN x[2] = {_BF_PICK} THEN x[1] + d.n_tokens
+                          ELSE x[1] END)
+         END AS fills,
+         d.doc_id, d.n_tokens,
+         COALESCE({_BF_PICK}, len(p.fills) + 1) - 1 AS bin_id
+  FROM pack p JOIN ord d ON d.rn = p.rn + 1
+),
+bf AS (
+  SELECT doc_id, n_tokens, bin_id,
+         SUM(n_tokens) OVER (PARTITION BY bin_id) AS bin_fill,
+         n_tokens > 2048 AS truncated
+  FROM pack WHERE rn >= 1
 )
-SELECT doc_id, n_tokens,
-       CAST(before // 2048 AS BIGINT) AS chunk_id,
-       CAST(before % 2048 AS BIGINT) AS chunk_offset
+SELECT 'chunk' AS mode, doc_id, n_tokens,
+       CAST(before // 2048 AS BIGINT) AS slot_id,
+       CAST(before % 2048 AS BIGINT) AS slot_val,
+       false AS truncated
 FROM c
+UNION ALL
+SELECT 'bestfit' AS mode, doc_id, n_tokens,
+       bin_id AS slot_id, CAST(bin_fill AS BIGINT) AS slot_val, truncated
+FROM bf
 """
 
 _CORPUS_CURATE_SQL = f"""
