@@ -458,6 +458,20 @@ class SparseInvertedIndex:
             )
         if prune_terms is None:
             prune_terms = cfg.inverted_index_algo in ("DAAT_WAND", "DAAT_MAXSCORE")
+        # span open (index.cc:149-162 parity — see tracing.py); the term
+        # join is JVM-side so the metrics are plan attributes + wall
+        from knowhere_spark.tracing import OpMetrics, op_description
+
+        m = OpMetrics(
+            op="SPARSE.search", k=k, metric=metric.value, drop_ratio_search=drop,
+            refine_factor=rf, prune_terms=prune_terms,
+            algo=cfg.inverted_index_algo,
+        )
+        m["description"] = op_description(
+            self.postings.sparkSession.sparkContext, m["op"],
+            k=k, metric=metric.value, algo=cfg.inverted_index_algo,
+        )
+        self.last_metrics = m
         scores = self._scores(
             query_df, metric=metric, drop=drop, prune_terms=prune_terms, k=k,
             query_id_col=query_id_col, query_vec_col=query_vec_col,

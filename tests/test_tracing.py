@@ -86,3 +86,22 @@ def test_description_overwritten_by_next_op(spark):
     assert "IVF_FLAT.search" in _desc(spark)
     idx2 = IVFFlatIndex.build(dense_df(spark, base), IvfConfig(metric_type="L2", nlist=4, nprobe=2))
     assert "IVF_FLAT.build" in _desc(spark)
+
+
+def test_sparse_search_span(spark):
+    from knowhere_spark.config import SparseConfig
+    from knowhere_spark.operators.sparse import SparseInvertedIndex
+
+    base = spark.createDataFrame(
+        [(0, {1: 1.0, 2: 0.5}), (1, {2: 2.0}), (2, {1: 0.2, 3: 1.0})],
+        "id long, vec map<int,float>",
+    )
+    idx = SparseInvertedIndex.build(
+        base, SparseConfig(metric_type="IP", inverted_index_algo="DAAT_MAXSCORE", k=2)
+    )
+    q = spark.createDataFrame([(0, {1: 1.0, 2: 1.0})], "query_id long, vec map<int,float>")
+    idx.search(q, k=2).count()
+    sm = idx.last_metrics.snapshot()
+    assert sm["op"] == "SPARSE.search" and sm["k"] == 2
+    assert sm["algo"] == "DAAT_MAXSCORE" and sm["prune_terms"] is True
+    assert "knowhere:SPARSE.search" in _desc(spark)
