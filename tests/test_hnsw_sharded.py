@@ -194,3 +194,28 @@ def test_sharded_search_waves_match_sequential(spark):
     assert a == b
     # wave partitioning actually batches under the default budget
     assert len(idx._waves(None)) < len(idx._waves(1))
+
+
+def test_sharded_range_search_waves_match_sequential(spark):
+    """The waved range path: same rows as the one-shard-per-wave
+    degenerate case, and the post-union range_search_k cap holds."""
+    import dataclasses
+
+    nb, dim, nq = 600, 16, 6
+    base = gen_dense(nb, dim, seed=81)
+    qs = gen_dense(nq, dim, seed=82)
+    cfg = HnswConfig(metric_type="L2", M=10, ef=24, radius=13000.0,
+                     range_search_k=7)
+    idx = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=3)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    waved = idx.range_search(q_df, cfg, ef=32)
+    seq = idx.range_search(q_df, cfg, ef=32, wave_memory_bytes=1)
+    a = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in waved.collect())
+    b = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in seq.collect())
+    assert a == b and len(a) > 0
+    per_q = {}
+    for qid, _, _ in a:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert max(per_q.values()) <= 7          # global cap, not per-shard
