@@ -402,6 +402,36 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     def q_events_sessionize():
         return sessionize(events, gap_minutes=30)
 
+    sharded_state = {}
+
+    def q_sharded_hnsw_build():
+        # r7 single-pass all-shards build (job count constant in shard
+        # count); edges materialize inside build via the eager checkpoint
+        from knowhere_spark.config import HnswConfig
+        from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+        idx = ShardedHNSWIndex.build(
+            emb, HnswConfig(metric_type="L2", M=16, ef=64), n_shards=4
+        )
+        sharded_state["idx"] = idx
+        return idx.shards[0].edges.limit(1)
+
+    def q_sharded_hnsw_search_waved():
+        # memory-budgeted concurrent per-shard beams + cross-shard merge
+        idx = sharded_state.pop("idx")
+        try:
+            return idx.search(
+                emb.filter(F.col("id") < 100).select(
+                    F.col("id").alias("query_id"), "vec"
+                ),
+                k=10, ef=64,
+            )
+        finally:
+            sharded_state.clear()
+
+    out["sharded_hnsw_build"] = q_sharded_hnsw_build
+    out["sharded_hnsw_search_waved"] = q_sharded_hnsw_search_waved
+
     hnsw_state = {}
 
     def q_hnsw_build():
@@ -1054,6 +1084,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             "bin_hamming_sql_nq1000": 1000,
             "sparse_bm25_search_only": 1,
             "sparse_bm25_search_nq100": 100,
+            "sharded_hnsw_search_waved": 100,
             "hnsw_search_all": n_emb,
             "bf_knn_100k_nq100": 100,
             "ivf_100k_search_nq100": 100,
@@ -1071,7 +1102,10 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 #: stateful build entries are timed SINGLE-SHOT: their fn() caches a new
 #: index artifact per call (repeats would pin one cached plan per repeat
 #: and overwrite the state the paired search entry reads)
-_NO_REPEAT = {"ivf_build", "sparse_build", "hnsw_build", "ivf_100k_build"}
+_NO_REPEAT = {
+    "ivf_build", "sparse_build", "hnsw_build", "ivf_100k_build",
+    "sharded_hnsw_build", "sharded_hnsw_search_waved",
+}
 #: repeat sub-10s entries to min-of-3 — three rounds of cross-round
 #: bench deltas >1.3x on UNTOUCHED code (r4-r6 verdicts) proved a
 #: single time.monotonic() shot cannot separate code changes from box
