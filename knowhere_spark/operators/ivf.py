@@ -35,6 +35,8 @@ centroids (see _probe_pairs).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,7 +111,7 @@ class IVFFlatIndex:
         from knowhere_spark.functions.distance import numpy_kmeans
         from knowhere_spark.tracing import OpMetrics, op_description
 
-        t_build0 = __import__("time").monotonic()
+        t_build0 = time.monotonic()
         scalar_cols = tuple(scalar_cols)
         clash = {"id", "vec", "cell_id"} & set(scalar_cols)
         if clash:
@@ -183,7 +185,7 @@ class IVFFlatIndex:
             train_backend="driver"
             if min(n, train_cap) * max(dim, 1) <= cls._DRIVER_TRAIN_MAX_ELEMS
             else "mllib",
-            stages={"build_plan_sec": round(__import__("time").monotonic() - t_build0, 6)},
+            stages={"build_plan_sec": round(time.monotonic() - t_build0, 6)},
         )
         m["description"] = op_description(
             base.sparkSession.sparkContext, m["op"], n=n, nlist=nlist
