@@ -112,6 +112,20 @@ def _route_to_shards(
     return df.mapInPandas(kernel, schema)
 
 
+def _cluster_to_shard_expr(bases: list[int], nsubs: list[int]):
+    """Map a cluster id (in ``__shard``) to its final shard id:
+    ``base[c] + hash(id) % n_sub[c]`` — identity when n_sub[c] == 1.
+    One codegen'd expression over two literal arrays (1-indexed
+    element_at), no per-cluster CASE chain."""
+    base_arr = F.array(*[F.lit(int(b)) for b in bases])
+    nsub_arr = F.array(*[F.lit(int(x)) for x in nsubs])
+    idx1 = F.col("__shard") + F.lit(1)
+    return (
+        F.element_at(base_arr, idx1)
+        + F.pmod(F.xxhash64("id"), F.element_at(nsub_arr, idx1))
+    ).cast("int")
+
+
 class ShardedHNSWIndex:
     """A list of per-segment HNSW graphs over a hash- or
     semantically-sharded corpus."""
@@ -122,6 +136,7 @@ class ShardedHNSWIndex:
         config: HnswConfig,
         shard_bytes: list[int] | None = None,
         router: np.ndarray | None = None,
+        cluster_shards: list[list[int]] | None = None,
     ):
         if not shards:
             raise ValueError("ShardedHNSWIndex needs at least one shard")
@@ -131,10 +146,14 @@ class ShardedHNSWIndex:
         #: estimated per-shard artifact bytes (vectors + CSR), used for
         #: wave sizing; ``None`` entries fall back to the broadcast bound
         self.shard_bytes = shard_bytes or [None] * len(shards)
-        #: semantic-sharding router: (n_shards, dim) coarse centroids —
+        #: semantic-sharding router: (n_clusters, dim) coarse centroids —
         #: present iff built with ``shard_by='semantic'``; enables
         #: ``search(probe_shards=R)`` shard routing
         self.router = router
+        #: cluster -> final shard ids (len > 1 where an over-cap cluster
+        #: was hash-split to respect the per-shard broadcast bound);
+        #: identity when the router is absent or no cluster split
+        self.cluster_shards = cluster_shards
 
     def count(self) -> int:
         return sum(s.count() for s in self.shards if s is not None)
@@ -222,9 +241,40 @@ class ShardedHNSWIndex:
             for r in sharded.groupBy("__shard").agg(F.count("*").alias("cnt")).collect()
         }
         per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
+        cluster_shards = None
+        if router is not None:
+            # semantic clusters are SKEWED by nature: an over-cap cluster
+            # would break the per-shard broadcast bound, so it hash-splits
+            # into ceil(bytes/target) sub-shards (degrade-not-die, the
+            # semdedup auto-split shape).  Routing stays cluster-level: a
+            # query routed to cluster c searches every sub-shard of c.
+            bases, nsubs = [], []
+            nxt = 0
+            for c in range(len(router)):
+                n_sub = max(
+                    1,
+                    math.ceil(counts.get(c, 0) * per_row / target_shard_bytes),
+                )
+                bases.append(nxt)
+                nsubs.append(n_sub)
+                nxt += n_sub
+            cluster_shards = [
+                list(range(b, b + ns)) for b, ns in zip(bases, nsubs)
+            ]
+            if nxt > len(router):   # at least one cluster actually split
+                sharded = sharded.withColumn(
+                    "__shard", _cluster_to_shard_expr(bases, nsubs)
+                )
+                counts = {
+                    int(r["__shard"]): int(r["cnt"])
+                    for r in sharded.groupBy("__shard")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                n_shards = nxt
         shard_bytes = [counts.get(s, 0) * per_row for s in range(n_shards)]
         if not counts:   # wholly-empty corpus: every shard is a placeholder
-            return cls([None] * n_shards, config, shard_bytes, router)
+            return cls([None] * n_shards, config, shard_bytes, router, cluster_shards)
 
         # -- per-shard coarse centroids from ONE stratified sample --------
         # nlist_s = shard_n / cell-target; sample ~4x that per shard (the
@@ -381,7 +431,7 @@ class ShardedHNSWIndex:
             edges = edges_all.filter(F.col("__shard") == s).drop("__shard")
             entry_ids = [i for _, i in sorted(entry_by_shard.get(s, []))]
             shards.append(HNSWIndex(vecs, edges, config, entry_ids))
-        return cls(shards, config, shard_bytes, router)
+        return cls(shards, config, shard_bytes, router, cluster_shards)
 
     def add(
         self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
@@ -394,11 +444,18 @@ class ShardedHNSWIndex:
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
         )
         if self.router is not None:
-            # semantic index: new rows go to their nearest-router shard,
-            # the same assignment rule the build used
+            # semantic index: new rows go to their nearest-router cluster,
+            # then through the same cluster->shard split the build used
             new = _route_to_shards(
                 new, self.router, MetricType(self.config.metric_type)
             )
+            cs = self.cluster_shards
+            if cs is not None and len(self.shards) > len(self.router):
+                bases = [lst[0] for lst in cs]
+                nsubs = [len(lst) for lst in cs]
+                new = new.withColumn(
+                    "__shard", _cluster_to_shard_expr(bases, nsubs)
+                )
         else:
             new = new.withColumn(
                 "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
@@ -421,7 +478,8 @@ class ShardedHNSWIndex:
         # carry the build-time size estimates (adds are small batches —
         # wave sizing only needs the order of magnitude)
         return ShardedHNSWIndex(
-            shards, self.config, list(self.shard_bytes), self.router
+            shards, self.config, list(self.shard_bytes), self.router,
+            self.cluster_shards,
         )
 
     # -- waved execution ------------------------------------------------------
@@ -525,17 +583,26 @@ class ShardedHNSWIndex:
             routed = probe_assign_df(
                 queries, self.router, metric, int(probe_shards)
             ).cache()
-            only = {
+            cs = self.cluster_shards or [[i] for i in range(len(self.router))]
+            cluster_of = {sh: c for c, lst in enumerate(cs) for sh in lst}
+            hit_clusters = {
                 int(r["cell_id"])
                 for r in routed.select("cell_id").distinct().collect()
+            }
+            # a routed cluster means ALL its (hash-split) sub-shards
+            only = {
+                sh
+                for c in hit_clusters
+                for sh in cs[c]
+                if sh < len(self.shards) and self.shards[sh] is not None
             }
 
         def run_one(i: int, shard: HNSWIndex) -> DataFrame:
             qdf, qid, qvec = query_df, query_id_col, query_vec_col
             if routed is not None:
-                qdf = routed.filter(F.col("cell_id") == i).select(
-                    "query_id", F.col("qvec").alias("vec")
-                )
+                qdf = routed.filter(
+                    F.col("cell_id") == cluster_of[i]
+                ).select("query_id", F.col("qvec").alias("vec"))
                 qid, qvec = "query_id", "vec"
             return shard.search(
                 qdf, k, ef=ef, strategy=strategy,
@@ -658,6 +725,7 @@ class ShardedHNSWIndex:
                     [[float(x) for x in c] for c in self.router]
                     if self.router is not None else None
                 ),
+                "cluster_shards": self.cluster_shards,
             }
         )
         for i, s in enumerate(self.shards):
@@ -680,4 +748,4 @@ class ShardedHNSWIndex:
         shard_bytes = [int(b) or None for b in m.get("shard_bytes", [])] or None
         router = m.get("router")
         router = np.array(router, dtype=np.float64) if router else None
-        return cls(shards, cfg, shard_bytes, router)
+        return cls(shards, cfg, shard_bytes, router, m.get("cluster_shards"))

@@ -317,3 +317,54 @@ def test_semantic_save_load_and_add(spark, tmp_path):
     )
     grown = idx.add(extra)
     assert grown.shards[blob1_shard].count() == before + 1
+
+
+def test_semantic_overcap_cluster_splits(spark):
+    """Cluster skew must not break the per-shard broadcast bound: a
+    planted mega-cluster hash-splits into sub-shards, routing to its
+    cluster searches every sub-shard (recall intact), and every shard's
+    estimated artifact respects the byte target."""
+    dim = 8
+    rng = np.random.default_rng(96)
+    # blob 0: 900 rows (mega), blob 1: 100 rows — tiny byte target forces
+    # the mega-cluster to split
+    mega = rng.normal(0, 3.0, (900, dim))
+    small = np.array([300.0] + [0.0] * (dim - 1)) + rng.normal(0, 3.0, (100, dim))
+    base = np.vstack([mega, small]).astype(np.float32)
+    per_row = dim * 4 + (8 + 1) * 4 + 16
+    target = 400 * per_row          # ~400 rows per shard max
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base),
+        HnswConfig(metric_type="L2", M=8, ef=16, k=5),
+        n_shards=2, shard_by="semantic", target_shard_bytes=target,
+    )
+    assert idx.cluster_shards is not None
+    split_sizes = [len(lst) for lst in idx.cluster_shards]
+    assert max(split_sizes) >= 3            # 900 rows / 400 cap
+    assert len(idx.shards) == sum(split_sizes)
+    for i, s in enumerate(idx.shards):
+        if s is not None:
+            assert idx.shard_bytes[i] <= target * 1.05
+    # routing to the mega cluster still finds its neighbors exactly as
+    # the unrouted search does
+    from conftest import np_knn
+
+    qs = (rng.normal(0, 3.0, (6, dim))).astype(np.float32)   # mega region
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    routed = idx.search(q_df, k=5, ef=24, probe_shards=1)
+    full = idx.search(q_df, k=5, ef=24)
+    a = sorted((r["query_id"], r["neighbor_id"]) for r in routed.collect())
+    b = sorted((r["query_id"], r["neighbor_id"]) for r in full.collect())
+    # mega-region queries: their true neighbors live in the mega cluster,
+    # so probing it alone reproduces the full search
+    assert a == b
+    # and save/load keeps the two-level mapping
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        idx.save(td + "/two_level")
+        loaded = ShardedHNSWIndex.load(spark, td + "/two_level")
+        assert loaded.cluster_shards == idx.cluster_shards
+        c = sorted((r["query_id"], r["neighbor_id"])
+                   for r in loaded.search(q_df, k=5, ef=24, probe_shards=1).collect())
+        assert c == a
