@@ -566,6 +566,17 @@ class ShardedHNSWIndex:
         k = k if k is not None else self.config.k
         metric = MetricType(self.config.metric_type)
 
+        # span open (tracing.py; per-shard beams carry their own spans —
+        # this one records the shard-level routing decision)
+        from knowhere_spark.tracing import OpMetrics, op_description
+
+        n_live = sum(s is not None for s in self.shards)
+        m = OpMetrics(
+            op="SHARDED_HNSW.search", k=k, n_shards=len(self.shards),
+            probe_shards=probe_shards,
+        )
+        self.last_metrics = m
+
         routed = None
         only = None
         if probe_shards is not None:
@@ -610,9 +621,14 @@ class ShardedHNSWIndex:
                 filter_expr=filter_expr,
             ).drop("rank")
 
-        partials = self._run_waves(
-            self._waves(wave_memory_bytes, only), run_one
+        waves = self._waves(wave_memory_bytes, only)
+        m["shards_searched"] = sum(len(w) for w in waves)
+        m["waves"] = len(waves)
+        m["description"] = op_description(
+            query_df.sparkSession.sparkContext, m["op"], k=k,
+            shards=f"{m['shards_searched']}/{n_live}",
         )
+        partials = self._run_waves(waves, run_one)
         if routed is not None:
             routed.unpersist()
         if not partials:   # wholly-empty index: no neighbors

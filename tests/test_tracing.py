@@ -105,3 +105,18 @@ def test_sparse_search_span(spark):
     assert sm["op"] == "SPARSE.search" and sm["k"] == 2
     assert sm["algo"] == "DAAT_MAXSCORE" and sm["prune_terms"] is True
     assert "knowhere:SPARSE.search" in _desc(spark)
+
+
+def test_sharded_hnsw_search_span(spark):
+    from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+    base = gen_dense(300, 8, seed=27)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=6, ef=12, k=3),
+        n_shards=3,
+    )
+    idx.search(dense_df(spark, gen_dense(4, 8, seed=28), QUERY_SCHEMA), k=3).count()
+    sm = idx.last_metrics.snapshot()
+    assert sm["op"] == "SHARDED_HNSW.search"
+    assert sm["shards_searched"] == 3 and sm["waves"] >= 1
+    assert "knowhere:SHARDED_HNSW.search" in sm["description"]
