@@ -665,12 +665,16 @@ class ShardedHNSWIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "vec",
         wave_memory_bytes: int | None = None,
+        probe_shards: int | None = None,
     ) -> DataFrame:
         """``RangeSearch`` across shards: per-shard beam + bounds in the
         same memory-budgeted waves as :meth:`search`, plain union (shards
         are id-disjoint so no dedup is needed); ``range_search_k``
         truncation applies per query AFTER the union — a per-shard cap
-        would overshoot the global contract."""
+        would overshoot the global contract.  ``probe_shards`` routes
+        like :meth:`search` (semantic indexes only) — approximate in the
+        same direction: a qualifying neighbor in an unprobed cluster is
+        missed, the IVF-nprobe contract."""
         import dataclasses
 
         cfg = config or self.config
@@ -679,14 +683,54 @@ class ShardedHNSWIndex:
             dataclasses.replace(cfg, range_search_k=0) if cap > 0 else cfg
         )
 
+        routed = None
+        only = None
+        cluster_of: dict[int, int] = {}
+        if probe_shards is not None:
+            if self.router is None:
+                raise ValueError(
+                    "probe_shards requires a semantic-sharded index "
+                    "(build with shard_by='semantic')"
+                )
+            from knowhere_spark.operators.ivf import probe_assign_df
+
+            metric = MetricType(self.config.metric_type)
+            queries = query_df.select(
+                F.col(query_id_col).cast("long").alias("query_id"),
+                F.col(query_vec_col).alias("qvec"),
+            )
+            routed = probe_assign_df(
+                queries, self.router, metric, int(probe_shards)
+            ).cache()
+            cs = self.cluster_shards or [[i] for i in range(len(self.router))]
+            cluster_of = {sh: c for c, lst in enumerate(cs) for sh in lst}
+            hit_clusters = {
+                int(r["cell_id"])
+                for r in routed.select("cell_id").distinct().collect()
+            }
+            only = {
+                sh
+                for c in hit_clusters
+                for sh in cs[c]
+                if sh < len(self.shards) and self.shards[sh] is not None
+            }
+
         def run_one(i: int, shard: HNSWIndex) -> DataFrame:
+            qdf, qid, qvec = query_df, query_id_col, query_vec_col
+            if routed is not None:
+                qdf = routed.filter(
+                    F.col("cell_id") == cluster_of[i]
+                ).select("query_id", F.col("qvec").alias("vec"))
+                qid, qvec = "query_id", "vec"
             return shard.range_search(
-                query_df, shard_cfg, ef=ef, strategy="broadcast",
+                qdf, shard_cfg, ef=ef, strategy="broadcast",
                 filter_expr=filter_expr,
-                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                query_id_col=qid, query_vec_col=qvec,
             )
 
-        parts = self._run_waves(self._waves(wave_memory_bytes), run_one)
+        parts = self._run_waves(self._waves(wave_memory_bytes, only), run_one)
+        if routed is not None:
+            routed.unpersist()
         if not parts:   # wholly-empty index
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 

@@ -368,3 +368,30 @@ def test_semantic_overcap_cluster_splits(spark):
         c = sorted((r["query_id"], r["neighbor_id"])
                    for r in loaded.search(q_df, k=5, ef=24, probe_shards=1).collect())
         assert c == a
+
+
+def test_semantic_routed_range_search(spark):
+    """Routed range search equals the full sweep for queries whose range
+    ball lives inside their home cluster (blob gap >> radius)."""
+    dim = 8
+    base = _blobs(200, dim, n_blobs=2, seed=97)
+    cfg = HnswConfig(metric_type="L2", M=8, ef=16, k=5, radius=400.0)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), cfg, n_shards=2, shard_by="semantic"
+    )
+    rng = np.random.default_rng(98)
+    qs = (np.array([[300.0] + [0.0] * (dim - 1)]) +
+          rng.normal(0, 3.0, (5, dim))).astype(np.float32)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    routed = idx.range_search(q_df, cfg, ef=48, probe_shards=1)
+    full = idx.range_search(q_df, cfg, ef=48)
+    a = sorted((r["query_id"], r["neighbor_id"]) for r in routed.collect())
+    b = sorted((r["query_id"], r["neighbor_id"]) for r in full.collect())
+    assert a == b and len(a) > 0
+    # hash index still rejects
+    hidx = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=2)
+    try:
+        hidx.range_search(q_df, cfg, probe_shards=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "semantic" in str(e)
