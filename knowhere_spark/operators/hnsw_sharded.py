@@ -513,27 +513,40 @@ class ShardedHNSWIndex:
         """Run ``run_one(shard_index, shard) -> DataFrame`` across
         shards, one wave at a time, shards within a wave concurrent
         (thread-submitted Spark jobs — the scheduler interleaves them
-        across task slots).  Each partial is cached+materialized and the
-        shard's graph broadcast released before the wave completes, so
-        resident memory is bounded by the wave, not the shard count."""
+        across task slots).  Each partial is cached+materialized before
+        the wave completes, so resident memory is bounded by the wave,
+        not the shard count.
 
-        def materialize(item) -> DataFrame:
+        Broadcast lifetime: with MULTIPLE waves the budget forces
+        eviction, so each shard's graph broadcast is released the moment
+        its partial materializes.  With ONE wave everything already fits
+        the budget simultaneously — the broadcasts stay memoized (the
+        serving amortization the single-graph ``HNSWIndex`` gets from
+        ``_graph_bc``), so repeat searches skip the per-shard collect +
+        re-broadcast entirely while residency stays under the same
+        bound."""
+
+        def materialize(item, release: bool) -> DataFrame:
             i, shard = item
             res = run_one(i, shard).cache()
             res.count()                       # materialize before releasing
-            bc = getattr(shard, "_bc_graph", None)
-            if bc is not None:
-                bc.unpersist()                # free executor copies
-                shard._bc_graph = None        # next search re-broadcasts
+            if release:
+                bc = getattr(shard, "_bc_graph", None)
+                if bc is not None:
+                    bc.unpersist()            # free executor copies
+                    shard._bc_graph = None    # next search re-broadcasts
             return res
 
+        release = len(waves) > 1
         partials: list[DataFrame] = []
         for wave in waves:
             if len(wave) == 1:
-                partials.append(materialize(wave[0]))
+                partials.append(materialize(wave[0], release))
                 continue
             with ThreadPoolExecutor(max_workers=len(wave)) as ex:
-                partials.extend(ex.map(materialize, wave))
+                partials.extend(
+                    ex.map(lambda it: materialize(it, release), wave)
+                )
         return partials
 
     def search(

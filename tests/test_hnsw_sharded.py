@@ -261,11 +261,13 @@ def test_semantic_shards_align_and_route(spark):
     truth = np_knn(base, qs, k, "L2")
     assert recall_at_k(got, truth, k) >= 0.9
     # only blob 1's shard was beamed: the other shards' graphs were never
-    # broadcast during the routed search
+    # broadcast during the routed search (single-wave searches RETAIN the
+    # broadcasts they did make — serving amortization within the budget)
     touched = [i for i, s in enumerate(idx.shards)
                if s is not None and getattr(s, "_bc_graph", None) is not None]
-    assert touched == []   # run_waves releases after use; but full-search
-    # equality: probing every shard must match the unrouted path exactly
+    assert len(touched) <= 1   # at most the one routed shard is resident
+    # full-search equality: probing every shard must match the unrouted
+    # path exactly
     full = idx.search(q_df, k=k, ef=48)
     routed_all = idx.search(q_df, k=k, ef=48, probe_shards=3)
     a = sorted((r["query_id"], r["neighbor_id"]) for r in full.collect())
