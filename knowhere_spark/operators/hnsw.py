@@ -832,6 +832,17 @@ class HNSWIndex:
             self._bc_graph = bc
         return bc
 
+    def release(self) -> None:
+        """Drop the memoized graph broadcast (executor-resident copies
+        freed; the next search re-collects and re-broadcasts).  The
+        memoization in :meth:`_graph_bc` is the serving amortization —
+        long-lived sessions holding many indexes call this to bound total
+        resident broadcast bytes."""
+        bc = getattr(self, "_bc_graph", None)
+        if bc is not None:
+            bc.unpersist()
+            self._bc_graph = None
+
     def search_with_trace(
         self,
         query_df: DataFrame,

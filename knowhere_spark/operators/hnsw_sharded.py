@@ -11,8 +11,12 @@ architecture on Spark primitives:
   sample, one ``mapInPandas`` assigns each row to its top-2 nearest
   cells *within its shard*, one ``groupBy(shard, cell)`` local-KNN
   computes every shard's candidate edges, and one symmetrize + per-node
-  M-prune produces the all-shards edge table — materialized with a
-  single eager checkpoint.  Job count is CONSTANT in the shard count
+  M-prune produces the all-shards edge table.  Both the sharded corpus
+  and the edge table are materialized as parquet physically partitioned
+  by ``__shard`` (one write job each), so every later per-shard access —
+  a graph broadcast collect, ``get_vector_by_ids``, ``save`` — is a
+  partition-PRUNED read of that shard's directory, never a scan of the
+  whole corpus.  Job count is CONSTANT in the shard count
   (the round-5 verdict's top finding: the old per-shard
   ``HNSWIndex.build`` loop ran n_shards sequential jobs and re-scanned
   the corpus lineage once per shard — ~10⁵ sequential builds at 100 TB
@@ -126,6 +130,20 @@ def _cluster_to_shard_expr(bases: list[int], nsubs: list[int]):
     ).cast("int")
 
 
+def _tree_union(frames: list[DataFrame]) -> DataFrame:
+    """``unionByName`` fold with O(log n) plan depth.  An iterative
+    left-deep union over 10^4 per-shard partials is a Catalyst plan
+    explosion (analysis cost and stack depth both linear in the fan-in);
+    pairwise folding keeps the tree balanced."""
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionByName(frames[i + 1]) if i + 1 < len(frames)
+            else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    return frames[0]
+
+
 class ShardedHNSWIndex:
     """A list of per-segment HNSW graphs over a hash- or
     semantically-sharded corpus."""
@@ -191,9 +209,13 @@ class ShardedHNSWIndex:
         tradeoff mirrors IVF nprobe; floor-tested in
         tests/test_hnsw_sharded.py.
 
-        Every per-shard frame the result holds is a filter over ONE
-        eagerly-checkpointed table — the input lineage is scanned once,
-        and the job count is constant in ``n_shards`` (asserted by
+        Every per-shard frame the result holds is a partition-pruned
+        filter over ONE parquet table physically partitioned by
+        ``__shard`` (written once during build) — a shard's graph collect
+        reads only its own directory, never a full-corpus scan (r8; the
+        r7 filters-over-one-checkpoint layout paid a full scan per shard
+        touched).  The input lineage is scanned once, and the job count
+        is constant in ``n_shards`` (asserted by
         tests/test_hnsw_sharded.py::test_sharded_build_job_count)."""
         metric = MetricType(config.metric_type)
         base = base_df.select(
@@ -213,20 +235,51 @@ class ShardedHNSWIndex:
             raise ValueError(f"unknown shard_by {shard_by!r}")
         router = None
         if shard_by == "semantic" and n > 0:
-            from knowhere_spark.functions.distance import numpy_kmeans
-            from knowhere_spark.session import collect_vec_matrix
+            # router training mirrors the IVF train regime exactly,
+            # INCLUDING its driver/distributed cutover (ivf.py:142-176):
+            # capped sample (<= 256 points/centroid) through driver Lloyd
+            # while rows*dim fits _DRIVER_TRAIN_MAX_ELEMS, MLlib KMeans
+            # beyond — at the 10^5-shard/100 TB regime the sample is
+            # ~2.5e7 rows and a driver fit is infeasible.  Routing space
+            # is L2 over (COSINE: normalized) vectors — assignment
+            # geometry.
+            from knowhere_spark.functions.distance import normalize_expr
+            from knowhere_spark.operators.ivf import IVFFlatIndex
 
-            # router training mirrors the IVF train regime: capped sample
-            # (<= 256 points/centroid), driver Lloyd; routing space is L2
-            # over (COSINE: normalized) vectors — assignment geometry
             cap = min(n, 256 * n_shards)
-            samp0 = base if n <= cap else base.sample(fraction=cap / n, seed=42)
-            S0 = collect_vec_matrix(samp0, "vec")
-            if metric == MetricType.COSINE and len(S0):
-                nrm = np.linalg.norm(S0, axis=1, keepdims=True)
-                nrm[nrm == 0] = 1.0
-                S0 = S0 / nrm
-            router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
+            norm_base = base
+            if metric == MetricType.COSINE:
+                norm_base = base.select(
+                    "id", normalize_expr(F.col("vec")).alias("vec")
+                )
+            if cap * max(dim, 1) <= IVFFlatIndex._DRIVER_TRAIN_MAX_ELEMS:
+                from knowhere_spark.functions.distance import numpy_kmeans
+                from knowhere_spark.session import collect_vec_matrix
+
+                samp0 = (
+                    norm_base if n <= cap
+                    else norm_base.sample(fraction=cap / n, seed=42)
+                )
+                S0 = collect_vec_matrix(samp0, "vec")
+                router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
+            else:
+                from pyspark.ml.clustering import KMeans
+                from pyspark.ml.functions import array_to_vector
+
+                feats = norm_base.withColumn(
+                    "__features",
+                    array_to_vector(F.col("vec").cast("array<double>")),
+                )
+                if n > cap:
+                    feats = feats.sample(fraction=cap / n, seed=42)
+                km = KMeans(
+                    k=n_shards, seed=42, maxIter=20,
+                    featuresCol="__features", predictionCol="__c",
+                )
+                router = np.array(
+                    [np.asarray(c) for c in km.fit(feats).clusterCenters()],
+                    dtype=np.float64,
+                )
             n_shards = len(router)
             sharded = _route_to_shards(base, router, metric)
         else:
@@ -275,6 +328,32 @@ class ShardedHNSWIndex:
         shard_bytes = [counts.get(s, 0) * per_row for s in range(n_shards)]
         if not counts:   # wholly-empty corpus: every shard is a placeholder
             return cls([None] * n_shards, config, shard_bytes, router, cluster_shards)
+
+        # -- materialize the sharded corpus PHYSICALLY partitioned by
+        # __shard (ONE write job), and read it back ----------------------
+        # The per-shard frames below are filters over this table, and
+        # parquet partition pruning makes each shard's broadcast collect
+        # read ONLY its own directory — the r7 layout (filters over one
+        # unpartitioned localCheckpoint) paid a full-corpus scan per shard
+        # touched, linear-in-shard-count work at 10^5 shards.  Bonus: once
+        # the parquet is the source of truth nothing references the
+        # eager checkpoint's full-corpus blocks after build returns, so
+        # the ContextCleaner can reclaim them.
+        from knowhere_spark.session import session_spill_dir
+
+        vec_type = base.schema["vec"].dataType
+        spill = session_spill_dir(spark, "sharded_hnsw")
+        sharded.write.mode("overwrite").partitionBy("__shard").parquet(
+            f"{spill}/vectors"
+        )
+        vec_schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("vec", vec_type),
+                StructField("__shard", IntegerType()),
+            ]
+        )
+        sharded = spark.read.schema(vec_schema).parquet(f"{spill}/vectors")
 
         # -- per-shard coarse centroids from ONE stratified sample --------
         # nlist_s = shard_n / cell-target; sample ~4x that per shard (the
@@ -331,7 +410,6 @@ class ShardedHNSWIndex:
                 out = pd.concat(parts)
                 yield out[["id", "__shard", "cell_id", "vec"]]
 
-        vec_type = base.schema["vec"].dataType
         from knowhere_spark.session import ensure_parallelism
 
         blocks = ensure_parallelism(sharded).mapInPandas(
@@ -391,18 +469,29 @@ class ShardedHNSWIndex:
                 "__shard", F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
             )
         ).dropDuplicates(["src", "dst"])
-        edges_all = (
-            topk_per_key(
-                sym.withColumnRenamed("dist", "distance"),
-                "src",
-                "distance",
-                M,
-                ascending=not metric.is_similarity,
-                tie_breaker="dst",
-            )
-            .select("__shard", "src", "dst", F.col("distance").alias("dist"))
-            .localCheckpoint(eager=True)   # ONE job builds every shard's edges
+        # ONE write job builds every shard's edges, physically partitioned
+        # by __shard — each shard's CSR collect reads only its directory
+        topk_per_key(
+            sym.withColumnRenamed("dist", "distance"),
+            "src",
+            "distance",
+            M,
+            ascending=not metric.is_similarity,
+            tie_breaker="dst",
+        ).select(
+            "__shard", "src", "dst", F.col("distance").alias("dist")
+        ).write.mode("overwrite").partitionBy("__shard").parquet(
+            f"{spill}/edges"
         )
+        edge_schema = StructType(
+            [
+                StructField("src", LongType()),
+                StructField("dst", LongType()),
+                StructField("dist", DoubleType()),
+                StructField("__shard", IntegerType()),
+            ]
+        )
+        edges_all = spark.read.schema(edge_schema).parquet(f"{spill}/edges")
 
         # entry points per shard in one pass: the deterministic
         # pmod-then-id top-8 the single-graph build uses (hnsw.py:488-491)
@@ -531,11 +620,18 @@ class ShardedHNSWIndex:
             res = run_one(i, shard).cache()
             res.count()                       # materialize before releasing
             if release:
-                bc = getattr(shard, "_bc_graph", None)
-                if bc is not None:
-                    bc.unpersist()            # free executor copies
-                    shard._bc_graph = None    # next search re-broadcasts
+                shard.release()               # free executor graph copies
             return res
+
+        def materialize_in_thread(item, release: bool) -> DataFrame:
+            # wave worker threads must not set JVM thread-local job
+            # properties (py4j non-pinned threads cross-label concurrent
+            # jobs and can leak a caller's job-group/cancellation
+            # properties across threads) — keep only the metrics labels
+            from knowhere_spark.tracing import suppress_job_description
+
+            with suppress_job_description():
+                return materialize(item, release)
 
         release = len(waves) > 1
         partials: list[DataFrame] = []
@@ -545,9 +641,19 @@ class ShardedHNSWIndex:
                 continue
             with ThreadPoolExecutor(max_workers=len(wave)) as ex:
                 partials.extend(
-                    ex.map(lambda it: materialize(it, release), wave)
+                    ex.map(lambda it: materialize_in_thread(it, release), wave)
                 )
         return partials
+
+    def release(self) -> None:
+        """Drop every shard's memoized graph broadcast.  Single-wave
+        searches deliberately RETAIN the broadcasts they made (serving
+        amortization within ``wave_memory_bytes``); a long-lived session
+        serving many indexes calls this to bound total resident executor
+        memory — up to one wave budget per index otherwise."""
+        for s in self.shards:
+            if s is not None:
+                s.release()
 
     def search(
         self,
@@ -573,6 +679,13 @@ class ShardedHNSWIndex:
         IVF-nprobe tradeoff lifted to the shard level, the serving shape
         at 10⁵ shards.  Shards no query routes to are never touched (no
         graph broadcast, no job).
+
+        Broadcast retention: when the searched shards fit ONE wave, their
+        graph broadcasts stay memoized after this call (repeat searches
+        skip the collect + re-broadcast; residency stays under
+        ``wave_memory_bytes``).  Call :meth:`release` to drop them — a
+        session serving many indexes otherwise accumulates up to one wave
+        budget of resident executor broadcasts per index.
 
         Ties across shards break by ``(distance, neighbor_id)`` — the
         engine-wide ordering contract (FIXTURES.md T7)."""
@@ -653,9 +766,7 @@ class ShardedHNSWIndex:
                 list(RESULT_SCHEMA.fields) + [StructField("rank", IntegerType())]
             )
             return query_df.sparkSession.createDataFrame([], ranked)
-        merged = partials[0]
-        for p in partials[1:]:
-            merged = merged.unionByName(p)
+        merged = _tree_union(partials)
         out = topk_per_key(
             merged, "query_id", "distance", k,
             ascending=not metric.is_similarity, tie_breaker="neighbor_id",
@@ -748,9 +859,7 @@ class ShardedHNSWIndex:
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
             return query_df.sparkSession.createDataFrame([], RESULT_SCHEMA)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        out = _tree_union(parts)
         if cap > 0:
             _, _, sim = cfg.range_bounds()
             out = topk_per_key(
@@ -771,18 +880,25 @@ class ShardedHNSWIndex:
             return ids_df.sparkSession.createDataFrame(
                 [], "id long, vec array<float>"
             )
-        out = live[0].get_vector_by_ids(ids_df, id_col=id_col)
-        for s in live[1:]:
-            out = out.unionByName(s.get_vector_by_ids(ids_df, id_col=id_col))
-        return out
+        return _tree_union(
+            [s.get_vector_by_ids(ids_df, id_col=id_col) for s in live]
+        )
 
     def save(self, path: str) -> None:
+        """Persist as TWO ``partitionBy('__shard')`` writes (vectors,
+        edges) plus the manifest — job count constant in shard count.
+        The r7 layout looped ``shard.save()`` per shard: n_shards
+        sequential write jobs, the same linear-in-shard-count pathology
+        the r7 build rewrite removed from construction.  Per-shard
+        entry points ride the manifest (small: 8 ids per shard)."""
         from knowhere_spark.sources.index_store import IndexStore
 
         store = IndexStore(path)
+        live = [(i, s) for i, s in enumerate(self.shards) if s is not None]
         store.write_manifest(
             {
                 "index_type": "SHARDED_HNSW",
+                "layout": "partitioned",
                 "metric_type": self.config.metric_type.value,
                 "M": self.config.M,
                 "ef": self.config.ef,
@@ -799,25 +915,83 @@ class ShardedHNSWIndex:
                     if self.router is not None else None
                 ),
                 "cluster_shards": self.cluster_shards,
+                "entry_ids_by_shard": {
+                    str(i): [int(e) for e in s.entry_ids] for i, s in live
+                },
             }
         )
-        for i, s in enumerate(self.shards):
-            if s is not None:
-                s.save(f"{path}/shard={i}")
+        if not live:
+            return
+        store.write_table(
+            "vectors",
+            _tree_union(
+                [
+                    s.vectors.select("id", "vec").withColumn(
+                        "__shard", F.lit(int(i))
+                    )
+                    for i, s in live
+                ]
+            ),
+            partition_by=["__shard"],
+        )
+        store.write_table(
+            "edges",
+            _tree_union(
+                [
+                    s.edges.select("src", "dst", "dist").withColumn(
+                        "__shard", F.lit(int(i))
+                    )
+                    for i, s in live
+                ]
+            ),
+            partition_by=["__shard"],
+        )
 
     @classmethod
     def load(cls, spark, path: str) -> "ShardedHNSWIndex":
+        """Open a saved index.  The partitioned layout loads as pruned
+        filters over the two partitioned tables (a shard's collect reads
+        only its ``__shard=i`` directory); the legacy per-shard-directory
+        layout (pre-r8) still reads via :meth:`HNSWIndex.load`."""
         from knowhere_spark.sources.index_store import IndexStore
 
-        m = IndexStore(path).read_manifest()
+        store = IndexStore(path)
+        m = store.read_manifest()
         empty = set(m.get("empty_shards", []))
-        shards = [
-            None if i in empty else HNSWIndex.load(spark, f"{path}/shard={i}")
-            for i in range(int(m["n_shards"]))
-        ]
         cfg = HnswConfig(
             metric_type=MetricType(m["metric_type"]), M=int(m["M"]), ef=int(m["ef"])
         )
+        n_shards = int(m["n_shards"])
+        if m.get("layout") == "partitioned":
+            entry_by_shard = {
+                int(k): [int(e) for e in v]
+                for k, v in m.get("entry_ids_by_shard", {}).items()
+            }
+            shards: list[HNSWIndex | None] = [None] * n_shards
+            if entry_by_shard:
+                # partition-column type pinned: directory names are ints,
+                # but an explicit cast keeps the filter comparison exact
+                vec_tbl = store.read_table(spark, "vectors").withColumn(
+                    "__shard", F.col("__shard").cast("int")
+                )
+                edge_tbl = store.read_table(spark, "edges").withColumn(
+                    "__shard", F.col("__shard").cast("int")
+                )
+                for i in range(n_shards):
+                    if i in empty:
+                        continue
+                    shards[i] = HNSWIndex(
+                        vec_tbl.filter(F.col("__shard") == i).drop("__shard"),
+                        edge_tbl.filter(F.col("__shard") == i).drop("__shard"),
+                        cfg,
+                        entry_by_shard.get(i, []),
+                    )
+        else:
+            shards = [
+                None if i in empty
+                else HNSWIndex.load(spark, f"{path}/shard={i}")
+                for i in range(n_shards)
+            ]
         shard_bytes = [int(b) or None for b in m.get("shard_bytes", [])] or None
         router = m.get("router")
         router = np.array(router, dtype=np.float64) if router else None

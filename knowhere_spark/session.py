@@ -56,6 +56,40 @@ def collect_vec_matrix(df: DataFrame, col: str = "vec", dtype=None):
         )
 
 
+_SPILL_ROOT: str | None = None
+
+
+def session_spill_dir(spark: SparkSession, tag: str = "t") -> str:
+    """A fresh scratch directory for materialized intermediate tables —
+    partitioned parquet an in-session index writes once and reads back
+    partition-pruned (e.g. ShardedHNSW's per-shard vector/edge tables).
+
+    Resolution order: ``spark.knowhere.spill.dir`` (set it to a
+    cluster-visible path — HDFS/S3 — on a real deployment, where a
+    driver-local tempdir would be unreadable from executors), else a
+    process-local tempdir removed at interpreter exit.  Each call returns
+    a unique subdirectory, so concurrent builds never collide.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    global _SPILL_ROOT
+    root = None
+    try:
+        root = spark.conf.get("spark.knowhere.spill.dir", None)
+    except Exception:
+        root = None
+    if not root:
+        if _SPILL_ROOT is None:
+            _SPILL_ROOT = tempfile.mkdtemp(prefix="knowhere_spark_spill_")
+            atexit.register(shutil.rmtree, _SPILL_ROOT, ignore_errors=True)
+        root = _SPILL_ROOT
+    return os.path.join(root, f"{tag}_{uuid.uuid4().hex[:12]}")
+
+
 def build_session(
     master: str | None = None,
     *,

@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 # iff MINIMAL_INDEX_VERSION <= v <= CURRENT_INDEX_VERSION.  Bump CURRENT
 # on layout changes; bump MINIMAL only when dropping read support.
 MINIMAL_INDEX_VERSION = 0
-CURRENT_INDEX_VERSION = 1
+# v2 (r8): SHARDED_HNSW switched from per-shard subdirectories to two
+# __shard-partitioned tables (manifest "layout": "partitioned"); v0/v1
+# indexes still load through the legacy branch in ShardedHNSWIndex.load
+CURRENT_INDEX_VERSION = 2
 
 
 class IndexVersionError(ValueError):

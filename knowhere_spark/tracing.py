@@ -25,7 +25,29 @@ both used here:
 
 from __future__ import annotations
 
+import contextlib
+import threading
 import time
+
+_tls = threading.local()
+
+
+@contextlib.contextmanager
+def suppress_job_description():
+    """Worker threads that submit concurrent Spark jobs (the sharded
+    wave executor) must NOT call ``sc.setJobDescription``: under py4j's
+    default non-pinned thread mode, JVM thread-local properties are not
+    reliably per-Python-thread, so concurrent labels cross-talk and a
+    caller's job-group / cancellation properties can leak between wave
+    threads.  Inside this context :func:`op_description` skips the JVM
+    call and only returns the label string (the metrics-dict half of the
+    span keeps working)."""
+    prev = getattr(_tls, "suppress", False)
+    _tls.suppress = True
+    try:
+        yield
+    finally:
+        _tls.suppress = prev
 
 
 def op_description(sc, op: str, **attrs) -> str:
@@ -34,7 +56,8 @@ def op_description(sc, op: str, **attrs) -> str:
     desc = f"knowhere:{op}"
     if attrs:
         desc += " " + " ".join(f"{k}={v}" for k, v in sorted(attrs.items()))
-    sc.setJobDescription(desc)
+    if not getattr(_tls, "suppress", False):
+        sc.setJobDescription(desc)
     return desc
 
 

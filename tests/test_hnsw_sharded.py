@@ -397,3 +397,222 @@ def test_semantic_routed_range_search(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "semantic" in str(e)
+
+
+# --- r8: partition-pruned shard frames, single-job save, tree-union merge,
+# release(), MLlib router cutover (VERDICT r7 #1/#6/#7 + ADVICE items)
+
+def _partition_pruned(df) -> bool:
+    """True when the frame's parquet scan carries a __shard partition
+    filter — the plan-level proof that a per-shard collect reads only its
+    own directory (partition pruning happens at scan planning, so the
+    filter's presence in PartitionFilters IS the pruning)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            head = line.split("PushedFilters")[0]
+            if "__shard" in head.split("PartitionFilters", 1)[1]:
+                return True
+    return False
+
+
+def test_shard_frames_partition_pruned_in_session_and_loaded(spark, tmp_path):
+    """VERDICT r7 #1: in-session per-shard vector/edge frames must be
+    partition-pruned parquet filters (the r7 layout full-scanned one
+    checkpoint per shard touched), and the loaded index must keep the
+    property."""
+    base = gen_dense(600, 16, seed=83)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16),
+        n_shards=4,
+    )
+    live = [s for s in idx.shards if s is not None]
+    assert live, "expected live shards"
+    for s in live:
+        assert _partition_pruned(s.vectors), "in-session vectors not pruned"
+        assert _partition_pruned(s.edges), "in-session edges not pruned"
+    # a single shard's rows are a strict subset — the filter actually cuts
+    assert live[0].vectors.count() < 600
+
+    path = str(tmp_path / "pruned")
+    idx.save(path)
+    loaded = ShardedHNSWIndex.load(spark, path)
+    for s in loaded.shards:
+        if s is not None:
+            assert _partition_pruned(s.vectors), "loaded vectors not pruned"
+            assert _partition_pruned(s.edges), "loaded edges not pruned"
+    # and the loaded index answers identically
+    qs = gen_dense(4, 16, seed=84)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    a = sorted((r["query_id"], r["neighbor_id"])
+               for r in idx.search(q_df, k=5).collect())
+    b = sorted((r["query_id"], r["neighbor_id"])
+               for r in loaded.search(q_df, k=5).collect())
+    assert a == b
+
+
+def test_sharded_save_job_count_constant_in_shards(spark, tmp_path):
+    """VERDICT r7 #1 (save half): persisting must be two partitionBy
+    writes + manifest — job count at 8 shards equals job count at 2."""
+    base = gen_dense(500, 16, seed=85)
+    cfg = HnswConfig(metric_type="L2", M=8, ef=16)
+    idx2 = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=2)
+    idx8 = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=8)
+    _, jobs2 = _jobs_for(spark, "shs2", lambda: idx2.save(str(tmp_path / "s2")))
+    _, jobs8 = _jobs_for(spark, "shs8", lambda: idx8.save(str(tmp_path / "s8")))
+    assert jobs8 == jobs2, f"save jobs grew with shard count: {jobs2} -> {jobs8}"
+
+
+def test_legacy_per_shard_layout_still_loads(spark, tmp_path):
+    """Back-compat: pre-r8 saves (per-shard subdirectories, no 'layout'
+    manifest key) load through the legacy branch and answer identically."""
+    import json
+    import os
+
+    base = gen_dense(400, 16, seed=86)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16),
+        n_shards=2,
+    )
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy, exist_ok=True)
+    with open(f"{legacy}/manifest.json", "w") as f:
+        json.dump(
+            {
+                "index_version": 1,
+                "index_type": "SHARDED_HNSW",
+                "metric_type": "L2",
+                "M": 8,
+                "ef": 16,
+                "n_shards": 2,
+                "empty_shards": [
+                    i for i, s in enumerate(idx.shards) if s is None
+                ],
+                "shard_bytes": [int(b) if b else 0 for b in idx.shard_bytes],
+                "shard_by": "hash",
+                "router": None,
+                "cluster_shards": None,
+            },
+            f,
+        )
+    for i, s in enumerate(idx.shards):
+        if s is not None:
+            s.save(f"{legacy}/shard={i}")
+    loaded = ShardedHNSWIndex.load(spark, legacy)
+    qs = gen_dense(3, 16, seed=87)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    a = sorted((r["query_id"], r["neighbor_id"])
+               for r in idx.search(q_df, k=5).collect())
+    b = sorted((r["query_id"], r["neighbor_id"])
+               for r in loaded.search(q_df, k=5).collect())
+    assert a == b
+
+
+def test_multiwave_search_matches_sequential(spark):
+    """VERDICT r7 #7: exercise the wave-boundary release logic under
+    MULTIPLE waves (>=4) — the budget forces eviction between waves, and
+    results must equal the one-shard-per-wave degenerate path."""
+    nb, dim, nq, k = 1600, 16, 6, 5
+    base = gen_dense(nb, dim, seed=88)
+    qs = gen_dense(nq, dim, seed=89)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16),
+        n_shards=8,
+    )
+    # budget of 2 shards/wave -> >= 4 waves over 8 shards
+    budget = 2 * max(b for b in idx.shard_bytes if b)
+    waves = idx._waves(budget)
+    assert len(waves) >= 4
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    multi = idx.search(q_df, k=k, ef=24, wave_memory_bytes=budget)
+    seq = idx.search(q_df, k=k, ef=24, wave_memory_bytes=1)
+    a = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in multi.collect())
+    b = sorted((r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+               for r in seq.collect())
+    assert a == b
+    # multi-wave path released every broadcast (eviction between waves)
+    assert all(
+        getattr(s, "_bc_graph", None) is None
+        for s in idx.shards if s is not None
+    )
+
+
+def test_64_shard_tree_union_plan_bounded(spark):
+    """VERDICT r7 #6: 64-shard search/get_vector_by_ids go through the
+    O(log n)-depth tree union — build, search, and fetch at 64 shards
+    complete with results equal to brute force."""
+    from knowhere_spark.operators.brute_force import BruteForce
+
+    nb, dim, k = 2000, 8, 3
+    base = gen_dense(nb, dim, seed=90)
+    df = dense_df(spark, base)
+    idx = ShardedHNSWIndex.build(
+        df, HnswConfig(metric_type="L2", M=64, ef=64), n_shards=64
+    )
+    assert len(idx.shards) == 64
+    qs = gen_dense(4, dim, seed=91)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    # M/ef >= max per-shard population (hash skew tops out well under 64
+    # at 2000/64 rows) -> every per-shard beam is exhaustive: the merged
+    # result must EQUAL brute force, not approximate it
+    assert max(s.count() for s in idx.shards if s is not None) <= 64
+    got = sorted((r["query_id"], r["neighbor_id"])
+                 for r in idx.search(q_df, k=k, ef=64).collect())
+    exact = sorted((r["query_id"], r["neighbor_id"])
+                   for r in BruteForce.search(df, q_df, k, "L2").collect())
+    assert got == exact
+    ids = spark.createDataFrame([(i * 37,) for i in range(50)], "id long")
+    fetched = idx.get_vector_by_ids(ids)
+    assert fetched.count() == 50
+
+
+def test_sharded_release_drops_broadcasts(spark):
+    """ADVICE r7: a single-wave search retains every searched shard's
+    graph broadcast (serving amortization) — release() must drop them
+    all, and a later search must still work (re-broadcast)."""
+    base = gen_dense(600, 16, seed=92)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16),
+        n_shards=3,
+    )
+    qs = gen_dense(3, 16, seed=93)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    first = idx.search(q_df, k=5).collect()
+    retained = [s for s in idx.shards
+                if s is not None and getattr(s, "_bc_graph", None) is not None]
+    assert retained, "single-wave search should memoize broadcasts"
+    idx.release()
+    assert all(getattr(s, "_bc_graph", None) is None
+               for s in idx.shards if s is not None)
+    again = idx.search(q_df, k=5).collect()
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in first) == \
+        sorted((r["query_id"], r["neighbor_id"]) for r in again)
+
+
+def test_semantic_router_mllib_cutover(spark, monkeypatch):
+    """ADVICE r7 (medium): when the router train sample exceeds the
+    driver budget, training must cut over to the distributed MLlib fit —
+    same cutover the IVF family uses.  Routed search quality holds."""
+    from knowhere_spark.operators.ivf import IVFFlatIndex
+
+    # force the cutover at test scale
+    monkeypatch.setattr(IVFFlatIndex, "_DRIVER_TRAIN_MAX_ELEMS", 64)
+    base = _blobs(200, 8, n_blobs=2, seed=99)
+    idx = ShardedHNSWIndex.build(
+        dense_df(spark, base), HnswConfig(metric_type="L2", M=8, ef=16),
+        n_shards=2, shard_by="semantic",
+    )
+    assert idx.router is not None and idx.router.shape == (2, 8)
+    # blobs still separate cleanly under the MLlib-trained router
+    sizes = sorted(s.count() for s in idx.shards if s is not None)
+    assert len(sizes) == 2 and min(sizes) >= 180
+    rng = np.random.default_rng(100)
+    qs = (np.array([[300.0] + [0.0] * 7]) +
+          rng.normal(0, 3.0, (4, 8))).astype(np.float32)
+    q_df = dense_df(spark, qs, QUERY_SCHEMA)
+    routed = idx.search(q_df, k=5, probe_shards=1)
+    full = idx.search(q_df, k=5)
+    a = sorted((r["query_id"], r["neighbor_id"]) for r in routed.collect())
+    b = sorted((r["query_id"], r["neighbor_id"]) for r in full.collect())
+    assert a == b
