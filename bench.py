@@ -432,6 +432,59 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["sharded_hnsw_build"] = q_sharded_hnsw_build
     out["sharded_hnsw_search_waved"] = q_sharded_hnsw_search_waved
 
+    sem_state = {}
+
+    def q_sharded_semantic_build():
+        # semantic (cluster-routed) sharding over the 100k corpus — the
+        # 10^5-shard serving shape's bench anchor (VERDICT r7 #3)
+        from knowhere_spark.config import HnswConfig
+        from knowhere_spark.operators.hnsw_sharded import ShardedHNSWIndex
+
+        idx = ShardedHNSWIndex.build(
+            big, HnswConfig(metric_type="L2", M=16, ef=64),
+            n_shards=8, shard_by="semantic",
+        )
+        sem_state["idx"] = idx
+        return idx.shards[0].edges.limit(1) if idx.shards[0] is not None \
+            else idx.search(big_queries.limit(1), k=1)
+
+    _SEM_PROBE = 2
+
+    def q_sharded_semantic_routed():
+        # per-query shard routing: each query beams only its _SEM_PROBE
+        # nearest shards by router distance (IVF-nprobe at shard level)
+        idx = sem_state["idx"]
+        res = idx.search(big_queries, k=10, ef=128, probe_shards=_SEM_PROBE)
+        # tracing counters: shards touched + beam work actually done —
+        # the routing claim the entry exists to track every round
+        sm = idx.last_metrics.snapshot()
+        nodes = sum(
+            s.last_metrics["nodes_scored"].value
+            for s in idx.shards
+            if s is not None and getattr(s, "last_metrics", None) is not None
+        )
+        PARAMS["sharded_hnsw_semantic_routed_nq100"] = {
+            "n_shards": len(idx.shards), "probe_shards": _SEM_PROBE, "ef": 128,
+            "shards_searched": sm.get("shards_searched"),
+            "waves": sm.get("waves"), "nodes_scored": int(nodes),
+        }
+        return res
+
+    def r_sem_routed():
+        idx = sem_state.pop("idx")
+        try:
+            return _knn_recall(
+                idx.search(big_queries, k=10, ef=128, probe_shards=_SEM_PROBE),
+                big, big_queries, 10, "L2",
+            )
+        finally:
+            idx.release()
+            sem_state.clear()
+
+    out["sharded_hnsw_semantic_build"] = q_sharded_semantic_build
+    out["sharded_hnsw_semantic_routed_nq100"] = q_sharded_semantic_routed
+    RECALL_MAP["sharded_hnsw_semantic_routed_nq100"] = r_sem_routed
+
     hnsw_state = {}
 
     def q_hnsw_build():
@@ -1085,6 +1138,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             "sparse_bm25_search_only": 1,
             "sparse_bm25_search_nq100": 100,
             "sharded_hnsw_search_waved": 100,
+            "sharded_hnsw_semantic_routed_nq100": 100,
             "hnsw_search_all": n_emb,
             "bf_knn_100k_nq100": 100,
             "ivf_100k_search_nq100": 100,
@@ -1105,6 +1159,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 _NO_REPEAT = {
     "ivf_build", "sparse_build", "hnsw_build", "ivf_100k_build",
     "sharded_hnsw_build", "sharded_hnsw_search_waved",
+    "sharded_hnsw_semantic_build",
 }
 #: repeat sub-10s entries to min-of-3 — three rounds of cross-round
 #: bench deltas >1.3x on UNTOUCHED code (r4-r6 verdicts) proved a
@@ -1234,6 +1289,24 @@ def main() -> None:
             }
         )
     )
+    # compact summary LAST on stdout (VERDICT r7 #8): the driver records a
+    # bounded tail of stdout, and r7's richer entry_meta pushed the
+    # queries/recall sections past that cap — this final line keeps the
+    # auditable numbers (per-entry sec + recall + vps) inside any tail.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf else None,
+        "queries": timings,
+        "recall": recalls,
+        "vps": vps,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:           # keep the line inside a 2000-char tail
+        compact.pop("vps", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

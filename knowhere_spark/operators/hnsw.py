@@ -31,7 +31,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -57,8 +57,88 @@ _EDGE_SCHEMA = StructType(
         StructField("src", LongType()),
         StructField("dst", LongType()),
         StructField("dist", DoubleType()),
+        StructField("sel_rank", IntegerType()),
     ]
 )
+
+#: sel_rank sentinel for reverse (incoming-link backfill) edges: always
+#: ordered after every forward heuristic pick / refill
+_REV_RANK = 1 << 30
+
+
+def diverse_neighbors(
+    key_m: np.ndarray, kk: int, cand_cap: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-node neighbor selection with the diversity heuristic —
+    hnswlib ``getNeighborsByHeuristic2`` parity (hnswalg.h:382-410 in the
+    reference's bundled hnswlib; also HNSW paper §4 SELECT-NEIGHBORS-
+    HEURISTIC): scanning candidates nearest-first, a candidate is kept
+    only if it is at least as close to the node as to every already-kept
+    neighbor.  A plain top-M adjacency degenerates on near-duplicate
+    data — each duplicate group's members pick only each other, the
+    graph becomes disconnected cliques and beam recall collapses
+    (measured 0.01 on a 50×-replicated 100k corpus; the exact shape of a
+    crawl corpus before dedup).  The heuristic drops dominated clique-
+    mates and keeps the first cross-cluster candidates instead — the
+    long-range links that make the graph navigable.
+
+    Pruned slots are refilled nearest-first (hnswlib
+    ``keepPrunedConnections``), so every node still emits
+    ``min(kk, n-1)`` edges — in particular at the exact operating point
+    (M >= n, complete graph) the selection includes every candidate and
+    the structural-exactness oracle gates are byte-identical.
+
+    ``key_m``: (n, n) distance-like matrix (similarities pre-negated),
+    diagonal already set to +inf.  Returns ``(src_pos, dst_pos,
+    sel_rank)`` position arrays; ``sel_rank`` is the selection order —
+    heuristic picks rank 0..#picks-1, pruned-refills rank kk+j.  The
+    builds prune the cross-cell edge union by MIN sel_rank, not by
+    distance: each node sits in TWO cells (top-2 assignment) and emits
+    two edge sets, and a distance-ordered prune would re-evict every
+    long-range link in favor of the other cell's duplicate clique-mates
+    — exactly the collapse the heuristic exists to prevent.
+
+    ``cand_cap`` bounds the candidate horizon the heuristic scans — the
+    role hnswlib's efConstruction plays (its heuristic selects from the
+    efConstruction-sized candidate heap).  Wider horizons buy longer-
+    range diversity links: on the 20×-replica corpus, cap 64 → 192
+    lifted recall@ef64 from 0.60 to 0.87 and recall@ef128 to 0.98.
+    """
+    n = key_m.shape[0]
+    cap = cand_cap if cand_cap is not None else max(2 * kk, 64)
+    cap = min(n - 1, cap)
+    order_all = np.argsort(key_m, axis=1, kind="stable")[:, :cap]
+    srcs, dsts, ranks = [], [], []
+    for i in range(n):
+        cand = order_all[i]
+        dq = key_m[i, cand]
+        # dmin[pos] = distance from candidate pos to its NEAREST kept
+        # neighbor so far: one O(cap) vector update per KEPT (<= kk)
+        # replaces a per-candidate fancy-indexed min — O(kk*cap) vector
+        # work per node instead of O(cap*kk) python-level reductions
+        dmin = np.full(len(cand), np.inf)
+        kept: list[int] = []
+        pruned: list[int] = []
+        for pos in range(len(cand)):
+            if len(kept) == kk:
+                break
+            c = cand[pos]
+            # drop iff strictly closer to a kept neighbor than to the
+            # node (hnswlib keeps ties)
+            if dmin[pos] < dq[pos]:
+                pruned.append(c)
+                continue
+            kept.append(c)
+            np.minimum(dmin, key_m[cand, c], out=dmin)
+        rank = list(range(len(kept)))
+        if len(kept) < kk and pruned:
+            pad = pruned[: kk - len(kept)]
+            rank.extend(kk + j for j in range(len(pad)))
+            kept.extend(pad)
+        srcs.append(np.full(len(kept), i, dtype=np.int64))
+        dsts.append(np.asarray(kept, dtype=np.int64))
+        ranks.append(np.asarray(rank, dtype=np.int32))
+    return np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ranks)
 
 
 # ---------------------------------------------------------------------------
@@ -455,11 +535,19 @@ class HNSWIndex:
         )
 
         M = config.M
+        efC = int(config.efConstruction)
 
         def local_knn(key, pdf):
             if len(pdf) < 2:
-                return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
-                    {"src": np.int64, "dst": np.int64, "dist": np.float64}
+                return pd.DataFrame(
+                    {"src": [], "dst": [], "dist": [], "sel_rank": []}
+                ).astype(
+                    {
+                        "src": np.int64,
+                        "dst": np.int64,
+                        "dist": np.float64,
+                        "sel_rank": np.int32,
+                    }
                 )
             ids = pdf["id"].to_numpy(dtype=np.int64)
             X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
@@ -468,29 +556,44 @@ class HNSWIndex:
             key_m = -d if sim else d
             np.fill_diagonal(key_m, np.inf)      # no self-edges
             kk = min(M, len(pdf) - 1)
-            nbr = np.argsort(key_m, axis=1, kind="stable")[:, :kk]
-            src = np.repeat(ids, kk)
-            dst = ids[nbr.ravel()]
-            dist = d[np.repeat(np.arange(len(ids)), kk), nbr.ravel()]
-            return pd.DataFrame({"src": src, "dst": dst, "dist": dist})
+            src_pos, dst_pos, sel_rank = diverse_neighbors(
+                key_m, kk, cand_cap=max(2 * M, efC)
+            )
+            return pd.DataFrame(
+                {
+                    "src": ids[src_pos],
+                    "dst": ids[dst_pos],
+                    "dist": d[src_pos, dst_pos],
+                    "sel_rank": sel_rank,
+                }
+            )
 
         raw_edges = blocks.groupBy("cell_id").applyInPandas(local_knn, _EDGE_SCHEMA)
-        # symmetrize, dedup (a pair can appear in 2 shared blocks), prune to M
-        sym = raw_edges.unionByName(
-            raw_edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+        # symmetrize + dedup (a pair can appear in 2 shared blocks) + prune
+        # to M per node ordered by HEURISTIC SELECTION RANK, not distance:
+        # a distance-ordered prune would re-evict the diversity links in
+        # favor of clique-mates (from the node's second cell or arriving
+        # as reverse edges) — the same precedence hnswlib gives a node's
+        # own heuristic selection over incoming-link backfill
+        sym = (
+            raw_edges.unionByName(
+                raw_edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+                ).withColumn("sel_rank", F.lit(_REV_RANK))
             )
-        ).dropDuplicates(["src", "dst"])
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
+        )
+        dist_order = (
+            F.col("dist").desc() if metric.is_similarity else F.col("dist").asc()
+        )
+        w_prune = Window.partitionBy("src").orderBy(
+            F.col("sel_rank").asc(), dist_order, F.col("dst").asc()
+        )
         edges = (
-            topk_per_key(
-                sym.withColumnRenamed("dist", "distance"),
-                "src",
-                "distance",
-                M,
-                ascending=not metric.is_similarity,
-                tie_breaker="dst",
-            )
-            .select("src", "dst", F.col("distance").alias("dist"))
+            sym.withColumn("__r", F.row_number().over(w_prune))
+            .filter(F.col("__r") <= F.lit(M))
+            .select("src", "dst", "dist")
         )
 
         # entry points: a small deterministic sample (multi-entry beam

@@ -75,6 +75,7 @@ _SHARD_EDGE_SCHEMA = StructType(
         StructField("src", LongType()),
         StructField("dst", LongType()),
         StructField("dist", DoubleType()),
+        StructField("sel_rank", IntegerType()),
     ]
 )
 
@@ -425,17 +426,19 @@ class ShardedHNSWIndex:
         )
 
         M = config.M
+        efC = int(config.efConstruction)
 
         def local_knn(key, pdf):
             if len(pdf) < 2:
                 return pd.DataFrame(
-                    {"__shard": [], "src": [], "dst": [], "dist": []}
+                    {"__shard": [], "src": [], "dst": [], "dist": [], "sel_rank": []}
                 ).astype(
                     {
                         "__shard": np.int32,
                         "src": np.int64,
                         "dst": np.int64,
                         "dist": np.float64,
+                        "sel_rank": np.int32,
                     }
                 )
             ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -445,16 +448,18 @@ class ShardedHNSWIndex:
             key_m = -d if sim else d
             np.fill_diagonal(key_m, np.inf)      # no self-edges
             kk = min(M, len(pdf) - 1)
-            nbr = np.argsort(key_m, axis=1, kind="stable")[:, :kk]
-            src = np.repeat(ids, kk)
-            dst = ids[nbr.ravel()]
-            dist = d[np.repeat(np.arange(len(ids)), kk), nbr.ravel()]
+            from knowhere_spark.operators.hnsw import diverse_neighbors
+
+            src_pos, dst_pos, sel_rank = diverse_neighbors(
+                key_m, kk, cand_cap=max(2 * M, efC)
+            )
             return pd.DataFrame(
                 {
-                    "__shard": np.full(len(src), int(key[0]), dtype=np.int32),
-                    "src": src,
-                    "dst": dst,
-                    "dist": dist,
+                    "__shard": np.full(len(src_pos), int(key[0]), dtype=np.int32),
+                    "src": ids[src_pos],
+                    "dst": ids[dst_pos],
+                    "dist": d[src_pos, dst_pos],
+                    "sel_rank": sel_rank,
                 }
             )
 
@@ -462,24 +467,38 @@ class ShardedHNSWIndex:
             local_knn, _SHARD_EDGE_SCHEMA
         )
         # symmetrize (swap stays within-shard), dedup (a pair can appear in
-        # 2 shared blocks), prune to M per node — src determines its shard,
-        # so the per-src prune is exactly the per-shard single-graph prune
-        sym = raw_edges.unionByName(
-            raw_edges.select(
-                "__shard", F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+        # 2 shared blocks), prune to M per node by heuristic SELECTION
+        # RANK (see hnsw.py build: a distance-only prune would re-evict
+        # the diversity links) — src determines its shard, so the per-src
+        # prune is exactly the per-shard single-graph prune
+        from pyspark.sql import Window
+
+        from knowhere_spark.operators.hnsw import _REV_RANK
+
+        sym = (
+            raw_edges.unionByName(
+                raw_edges.select(
+                    "__shard",
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "dist",
+                ).withColumn("sel_rank", F.lit(_REV_RANK))
             )
-        ).dropDuplicates(["src", "dst"])
+            .groupBy("__shard", "src", "dst")
+            .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
+        )
+        dist_order = (
+            F.col("dist").desc() if metric.is_similarity else F.col("dist").asc()
+        )
+        w_prune = Window.partitionBy("src").orderBy(
+            F.col("sel_rank").asc(), dist_order, F.col("dst").asc()
+        )
         # ONE write job builds every shard's edges, physically partitioned
         # by __shard — each shard's CSR collect reads only its directory
-        topk_per_key(
-            sym.withColumnRenamed("dist", "distance"),
-            "src",
-            "distance",
-            M,
-            ascending=not metric.is_similarity,
-            tie_breaker="dst",
+        sym.withColumn("__r", F.row_number().over(w_prune)).filter(
+            F.col("__r") <= F.lit(M)
         ).select(
-            "__shard", "src", "dst", F.col("distance").alias("dist")
+            "__shard", "src", "dst", "dist"
         ).write.mode("overwrite").partitionBy("__shard").parquet(
             f"{spill}/edges"
         )
