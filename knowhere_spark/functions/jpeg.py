@@ -1,0 +1,349 @@
+"""Baseline JPEG decoder — pure stdlib + numpy (r7 verdict task #4).
+
+The reference engine has no media layer; this exists for the
+training-data pipeline's multimodal operators (operators/multimodal.py),
+where "decode the common crawl formats without native deps" is the
+contract PNG met in r7 and JPEG meets here.
+
+Scope (ITU-T T.81 baseline sequential DCT, i.e. what cameras and crawl
+images overwhelmingly are):
+
+- SOF0 (baseline) and SOF1 (extended sequential, 8-bit) frames;
+- Huffman entropy coding with the full DHT parse (any tables, not just
+  Annex K), 0xFF00 byte unstuffing, DNL-free scans;
+- restart markers (DRI/RSTn) with DC-predictor reset;
+- 8-bit DQT tables (16-bit precision accepted too);
+- arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0, ...) with
+  pixel-replication chroma upsampling;
+- one interleaved scan (Ns == component count) or a single-component
+  scan — the shape every baseline JFIF encoder emits.
+
+Progressive (SOF2), arithmetic coding (SOF9-11/13-15), hierarchical
+(DHP), lossless (SOF3/7) and 12-bit sample precision raise
+``NotImplementedError`` — the recognized-but-undecodable contract the
+multimodal stubs use (an honest stub, not corrupt data).
+
+Returns float64 in [0, 1]: ``(h, w)`` for grayscale, ``(h, w, 3)`` RGB
+(JFIF full-range BT.601 YCbCr) — the same conventions as the PNG/PNM/BMP
+decoders in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: zigzag order: zigzag_index -> raster position (T.81 Figure 5)
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_SOF_BASELINE = {0xC0, 0xC1}
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT",
+    0xC3: "lossless sequential",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def _idct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C: decode is ``C.T @ F @ C``."""
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    C[0] *= np.sqrt(0.5)
+    return C * 0.5
+
+
+_C = _idct_matrix()
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment: (code length, code)
+    -> symbol, decoded bit-by-bit with a per-length dict (entropy
+    segments are short relative to pixel work; clarity over an LUT)."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lut[(ln, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy chunk."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category sign extension (T.81 F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(
+    r: _BitReader, dc_tbl: _HuffTable, ac_tbl: _HuffTable, pred: int
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block of dequant-ready coefficients (zigzag order) + the
+    updated DC predictor (T.81 F.2.2: DECODE, RECEIVE, EXTEND)."""
+    zz = np.zeros(64, dtype=np.int32)
+    t = r.read_huff(dc_tbl)
+    diff = _extend(r.read_bits(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = r.read_huff(ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:          # ZRL: sixteen zeros
+                k += 16
+                continue
+            break                   # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(r.read_bits(size), size)
+        k += 1
+    return zz, pred
+
+
+def _split_restarts(data: bytes) -> list[bytes]:
+    """Split the entropy-coded segment at RSTn markers and unstuff
+    0xFF00 byte sequences in each chunk."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF and i + 1 < n:
+            m = data[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:   # RSTn: chunk boundary
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            # any other marker ends the scan (EOI / next segment)
+            break
+        cur.append(b)
+        i += 1
+    chunks.append(bytes(cur))
+    return chunks
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to float64 pixels in [0, 1] —
+    ``(h, w)`` grayscale or ``(h, w, 3)`` RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:          # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_SOF_UNSUPPORTED[marker]} (SOF{marker - 0xC0}) not "
+                "supported — baseline sequential only; inject a decoder "
+                "via decoders={...}"
+            )
+        if marker in _SOF_BASELINE:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG {prec}-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 3 + 3 * c + 3)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC4:        # DHT
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = body[off + 17 : off + 17 + nv]
+                tbl = _HuffTable(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0x0F] = tbl
+                else:
+                    huff_ac[tc_th & 0x0F] = tbl
+                off += 17 + nv
+        elif marker == 0xDB:        # DQT
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4 == 0:
+                    q = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    off += 65
+                else:               # 16-bit table
+                    q = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    off += 129
+                qt[pq_tq & 0x0F] = q
+        elif marker == 0xDD:        # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:        # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = []
+            for s in range(ns):
+                cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * s)
+                sel.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+            scan = {"sel": sel, "data_at": pos}
+            break                   # entropy-coded data follows
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    comps = frame["comps"]
+    if len(scan["sel"]) not in (len(comps), 1) or (
+        len(scan["sel"]) == 1 and len(comps) > 1
+    ):
+        raise NotImplementedError("JPEG multi-scan (non-interleaved) frames")
+
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []                       # (comp, dc_tbl, ac_tbl) per block slot
+    for s in scan["sel"]:
+        c = by_id[s["cs"]]
+        order.append((c, huff_dc[s["td"]], huff_ac[s["ta"]]))
+
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+        for c in comps
+    }
+    chunks = _split_restarts(data[scan["data_at"]:])
+    mcu_total = mcux * mcuy
+    per_chunk = restart_interval if restart_interval else mcu_total
+    mcu = 0
+    for chunk in chunks:
+        if mcu >= mcu_total:
+            break
+        r = _BitReader(chunk)
+        preds = {c["id"]: 0 for c in comps}   # RSTn resets DC predictors
+        for _ in range(min(per_chunk, mcu_total - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for c, dtbl, atbl in order:
+                q = qt[c["tq"]]
+                for vy in range(c["v"]):
+                    for hx in range(c["h"]):
+                        zz, preds[c["id"]] = _decode_block(
+                            r, dtbl, atbl, preds[c["id"]]
+                        )
+                        blk = np.zeros(64)
+                        blk[_ZIGZAG] = zz * q
+                        px = _C.T @ blk.reshape(8, 8) @ _C
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + hx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu += 1
+    if mcu < mcu_total:
+        raise ValueError("JPEG truncated entropy data")
+
+    out_planes = []
+    for c in comps:
+        # per-plane clamp to the 8-bit sample range BEFORE the color
+        # transform — libjpeg's range-limit semantics (out-of-gamut IDCT
+        # excursions saturate as samples, not as RGB)
+        p = np.clip(planes[c["id"]] + 128.0, 0, 255)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:        # pixel-replication chroma upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return out_planes[0] / 255.0
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"JPEG with {len(out_planes)} components")
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255) / 255.0

@@ -332,13 +332,21 @@ def decode_payload(
                 return _decode_wav(payload)
             if fmt == "png":
                 return _decode_png(payload)
+            if fmt == "jpeg":
+                # r8: baseline sequential JPEG decodes for REAL
+                # (functions/jpeg.py — stdlib + numpy Huffman/dequant/
+                # IDCT/YCbCr).  Progressive/arithmetic frames raise
+                # NotImplementedError below, same contract as Adam7 PNG.
+                from knowhere_spark.functions.jpeg import decode_jpeg
+
+                return decode_jpeg(payload)
         except NotImplementedError:
             raise
         except Exception:
             pass   # sniffed-but-unparseable → opaque payload, fake below
-        if fmt in ("jpeg", "mp4"):
+        if fmt == "mp4":
             raise NotImplementedError(
-                f"compressed codec {fmt} needs PIL/ffmpeg — not available;"
+                "compressed codec mp4 needs ffmpeg — not available;"
                 " inject one via decoders={...}"
             )
     digest = hashlib.sha256(payload).digest()

@@ -1,0 +1,366 @@
+"""Baseline JPEG decoder (functions/jpeg.py) — exact recovery against an
+independent minimal encoder built from the T.81 Annex K standard tables.
+
+The exactness argument: the test chooses INTEGER quantized coefficients,
+the encoder Huffman-codes them, and the decoder must reproduce exactly
+``clip(IDCT(coeff × q) + 128, 0, 255) / 255`` computed independently in
+float64 — Huffman, zigzag, dequant, IDCT, level shift and the color
+transform are all pinned (JPEG's loss lives in the encoder's forward
+quantization, which the fixture sidesteps by starting from integers).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from knowhere_spark.functions.jpeg import _C, _ZIGZAG, decode_jpeg
+
+# --- T.81 Annex K standard Huffman tables (public spec constants) ---------
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, ln):
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:
+                    self.bytes.append(0x00)   # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)                  # pad with 1s
+        return bytes(self.bytes)
+
+
+def _category(v):
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(w, zz, pred, dc_codes, ac_codes):
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    k = 1
+    run = 0
+    last_nz = max([i for i in range(1, 64) if zz[i]] or [0])
+    while k <= last_nz:
+        if zz[k] == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]         # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = _category(int(zz[k]))
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        v = int(zz[k])
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        k += 1
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]             # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(coeffs, h, w, q_tables, sampling, restart_interval=0,
+                sof_marker=0xC0):
+    """Minimal baseline encoder.  ``coeffs``: list per component of int
+    arrays ``(n_blocks_in_decode_order, 64)`` (zigzag-quantized);
+    ``sampling``: list of (h_i, v_i); component c uses quant table 0 if
+    c == 0 else 1, and the Annex K lum/chrom Huffman tables likewise."""
+    nc = len(coeffs)
+    out = bytearray(b"\xff\xd8")
+    dqt = b""
+    for tq, q in enumerate(q_tables):
+        dqt += bytes([tq]) + bytes(int(x) for x in q)
+    out += _seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hi, vi = sampling[c]
+        sof += bytes([c + 1, (hi << 4) | vi, 0 if c == 0 else 1])
+    out += _seg(sof_marker, sof)
+    dht = b""
+    for tc_th, (bits, vals) in (
+        (0x00, (DC_LUM_BITS, DC_LUM_VALS)), (0x10, (AC_LUM_BITS, AC_LUM_VALS)),
+        (0x01, (DC_CHR_BITS, DC_CHR_VALS)), (0x11, (AC_CHR_BITS, AC_CHR_VALS)),
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for c in range(nc):
+        td_ta = 0x00 if c == 0 else 0x11
+        sos += bytes([c + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_lum, ac_lum = _codes(DC_LUM_BITS, DC_LUM_VALS), _codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chr, ac_chr = _codes(DC_CHR_BITS, DC_CHR_VALS), _codes(AC_CHR_BITS, AC_CHR_VALS)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    mcu_total = mcux * mcuy
+    block_idx = [0] * nc
+    preds = [0] * nc
+    writer = _BitWriter()
+    per = restart_interval if restart_interval else mcu_total
+    rst = 0
+    for mcu in range(mcu_total):
+        if restart_interval and mcu and mcu % per == 0:
+            out += writer.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            writer = _BitWriter()
+            preds = [0] * nc
+        for c in range(nc):
+            dc_c, ac_c = (dc_lum, ac_lum) if c == 0 else (dc_chr, ac_chr)
+            for _ in range(sampling[c][0] * sampling[c][1]):
+                preds[c] = _encode_block(
+                    writer, coeffs[c][block_idx[c]], preds[c], dc_c, ac_c
+                )
+                block_idx[c] += 1
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _expected_plane(coeffs, q, mcuy, mcux, hi, vi):
+    """clip(IDCT(coeff × q) + 128) assembled in decode order (float64)."""
+    plane = np.zeros((mcuy * 8 * vi, mcux * 8 * hi))
+    b = 0
+    for mcu in range(mcuy * mcux):
+        my, mx = divmod(mcu, mcux)
+        for vy in range(vi):
+            for hx in range(hi):
+                blk = np.zeros(64)
+                blk[_ZIGZAG] = coeffs[b] * q
+                px = _C.T @ blk.reshape(8, 8) @ _C
+                y0 = (my * vi + vy) * 8
+                x0 = (mx * hi + hx) * 8
+                plane[y0 : y0 + 8, x0 : x0 + 8] = px
+                b += 1
+    return plane + 128.0
+
+
+def _rand_coeffs(rng, n_blocks, dense=0.3):
+    zz = rng.integers(-40, 41, size=(n_blocks, 64))
+    zz[rng.random((n_blocks, 64)) > dense] = 0
+    zz[:, 0] = rng.integers(-60, 61, size=n_blocks)   # always a DC value
+    return zz.astype(np.int64)
+
+
+Q_LUM = np.full(64, 3, dtype=np.int64)
+Q_CHR = np.full(64, 5, dtype=np.int64)
+
+
+def test_jpeg_gray_exact_recovery():
+    rng = np.random.default_rng(7)
+    h, w = 24, 16                      # 3x2 MCUs of 8x8
+    zz = _rand_coeffs(rng, 6)
+    data = encode_jpeg([zz], h, w, [Q_LUM], [(1, 1)])
+    got = decode_jpeg(data)
+    exp = np.clip(_expected_plane(zz, Q_LUM, 3, 2, 1, 1), 0, 255)[:h, :w] / 255.0
+    assert got.shape == (h, w)
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_color_444_exact_recovery():
+    rng = np.random.default_rng(8)
+    h, w = 16, 16
+    zzs = [_rand_coeffs(rng, 4) for _ in range(3)]
+    data = encode_jpeg(zzs, h, w, [Q_LUM, Q_CHR], [(1, 1)] * 3)
+    got = decode_jpeg(data)
+    assert got.shape == (h, w, 3)
+    planes = [
+        np.clip(_expected_plane(zzs[c], Q_LUM if c == 0 else Q_CHR, 2, 2, 1, 1),
+                0, 255)[:h, :w]
+        for c in range(3)
+    ]
+    y, cb, cr = planes
+    # decoder clamps each plane to [0,255] BEFORE the transform (libjpeg
+    # range-limit semantics), then clips the RGB result
+    exp = np.clip(
+        np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        ),
+        0, 255,
+    ) / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_420_subsampled_constant_chroma():
+    """4:2:0: luma varies per pixel (exactness through the subsampled MCU
+    geometry), chroma constant (pixel-replication upsample is exact)."""
+    rng = np.random.default_rng(9)
+    h, w = 16, 16                     # one 16x16 MCU: 4 luma + 1+1 chroma
+    zz_y = _rand_coeffs(rng, 4)
+    zz_cb = np.zeros((1, 64), dtype=np.int64)
+    zz_cr = np.zeros((1, 64), dtype=np.int64)
+    zz_cb[0, 0] = 4                   # constant offset per chroma plane
+    zz_cr[0, 0] = -4
+    data = encode_jpeg(
+        [zz_y, zz_cb, zz_cr], h, w, [Q_LUM, Q_CHR],
+        [(2, 2), (1, 1), (1, 1)],
+    )
+    got = decode_jpeg(data)
+    assert got.shape == (h, w, 3)
+    y = np.clip(_expected_plane(zz_y, Q_LUM, 1, 1, 2, 2), 0, 255)
+    cb = 128.0 + zz_cb[0, 0] * Q_CHR[0] / 8.0   # DC-only IDCT = coeff/8
+    cr = 128.0 + zz_cr[0, 0] * Q_CHR[0] / 8.0
+    exp = np.clip(
+        np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        ),
+        0, 255,
+    ) / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_restart_markers():
+    rng = np.random.default_rng(10)
+    h, w = 8, 40                      # 5 MCUs in a row, DRI=2 → RST0, RST1
+    zz = _rand_coeffs(rng, 5)
+    data = encode_jpeg([zz], h, w, [Q_LUM], [(1, 1)], restart_interval=2)
+    assert b"\xff\xd0" in data
+    got = decode_jpeg(data)
+    exp = np.clip(_expected_plane(zz, Q_LUM, 1, 5, 1, 1), 0, 255)[:h, :w] / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_progressive_rejected():
+    rng = np.random.default_rng(11)
+    zz = _rand_coeffs(rng, 1)
+    data = encode_jpeg([zz], 8, 8, [Q_LUM], [(1, 1)], sof_marker=0xC2)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(data)
+    data = encode_jpeg([zz], 8, 8, [Q_LUM], [(1, 1)], sof_marker=0xC9)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(data)
+
+
+def test_decode_payload_dispatches_real_jpeg():
+    """multimodal.decode_payload now decodes baseline JPEG for real; a
+    sniffed-but-corrupt payload still falls back to the deterministic
+    fake instead of crashing the kernel."""
+    from knowhere_spark.operators.multimodal import decode_payload
+
+    rng = np.random.default_rng(12)
+    zz = _rand_coeffs(rng, 6)
+    data = encode_jpeg([zz], 24, 16, [Q_LUM], [(1, 1)])
+    meta = {"height": 24, "width": 16}
+    got = decode_payload(data, "image", meta)
+    exp = np.clip(_expected_plane(zz, Q_LUM, 3, 2, 1, 1), 0, 255)[:24, :16] / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+    # corrupt-after-sniff: JPEG magic + garbage → deterministic fake
+    fake = decode_payload(b"\xff\xd8\xffgarbage", "image", meta)
+    assert fake.shape == (24, 16, 3)
+    # injected decoder still wins over the built-in
+    marker = np.full((2, 2), 0.5)
+    got2 = decode_payload(
+        data, "image", meta, decoders={"jpeg": lambda p, m: marker}
+    )
+    np.testing.assert_allclose(got2, marker)
+
+
+def test_jpeg_phash_pipeline(spark):
+    """pHash over a real JPEG payload through the Spark kernel — the
+    decode path engages (a fake-pixel pHash would differ)."""
+    from knowhere_spark.operators.multimodal import image_phash
+
+    rng = np.random.default_rng(13)
+    zz = _rand_coeffs(rng, 6, dense=0.6)
+    data = encode_jpeg([zz], 24, 16, [Q_LUM], [(1, 1)])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(data), {"height": "24", "width": "16"}),
+         (2, "image", bytearray(data), {"height": "24", "width": "16"})],
+        "media_id long, media_type string, payload binary, meta map<string,string>",
+    )
+    out = image_phash(media).collect()
+    assert len(out) == 2
+    # identical payloads → identical hashes (content-derived, not fake)
+    assert out[0]["phash"] == out[1]["phash"]

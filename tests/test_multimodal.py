@@ -339,21 +339,36 @@ def _broken_codec(payload: bytes, meta: dict) -> np.ndarray:
 
 
 def test_injected_decoder_wins_over_stub():
-    """A caller-supplied jpeg codec decodes where the sandbox stub would
-    raise NotImplementedError — the production PIL/ffmpeg hook."""
+    """A caller-supplied codec decodes where the built-in would raise
+    NotImplementedError — the production PIL/ffmpeg hook.  r8: baseline
+    JPEG decodes for REAL (functions/jpeg.py, tests/test_jpeg.py), so
+    the recognized-but-undecodable case is now a PROGRESSIVE frame
+    (SOF2); a sniffed-but-corrupt jpeg falls to the deterministic fake."""
+    import struct
+
     from knowhere_spark.operators.multimodal import sniff_format
 
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    assert sniff_format(jpeg) == "jpeg"
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+    )
+    assert sniff_format(progressive) == "jpeg"
     try:
-        decode_payload(jpeg, "image", {"height": 2, "width": 2})
+        decode_payload(progressive, "image", {"height": 2, "width": 2})
         raise AssertionError("expected NotImplementedError without injection")
     except NotImplementedError:
         pass
     out = decode_payload(
-        jpeg, "image", {"height": 2, "width": 2}, {"jpeg": _fake_jpeg_codec}
+        progressive, "image", {"height": 2, "width": 2},
+        {"jpeg": _fake_jpeg_codec},
     )
     np.testing.assert_array_equal(out, np.full((3, 3, 3), 0.25))
+    # corrupt-after-sniff (magic + zeros) is opaque data, not a stub:
+    # deterministic fake, never a dead stage
+    corrupt = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    fake = decode_payload(corrupt, "image", {"height": 2, "width": 2})
+    assert fake.shape == (2, 2, 3)
 
 
 def test_injected_decoder_wins_over_builtin_and_falls_back_on_corrupt():
