@@ -720,6 +720,14 @@ class HNSWIndex:
         the distributed stand-in for efConstruction quality (the blocked
         build only sees within-cell candidates; 2-hop expansion recovers
         cross-cell edges).  Pure joins: edges ⋈ edges → score → top-M.
+
+        CAVEAT (r8): the re-prune is distance-ordered, so on
+        near-duplicate-heavy data it can re-evict the diversity links
+        the build's heuristic selection kept (see
+        :func:`diverse_neighbors`) — refine improves *nearest-neighbor*
+        edge quality, which is the right trade on de-duplicated corpora
+        and the wrong one before dedup.  Run dedup first, or skip
+        refine on replica-heavy inputs.
         """
         metric = MetricType(self.config.metric_type)
         M = self.config.M

@@ -344,9 +344,16 @@ class ShardedHNSWIndex:
 
         vec_type = base.schema["vec"].dataType
         spill = session_spill_dir(spark, "sharded_hnsw")
-        sharded.write.mode("overwrite").partitionBy("__shard").parquet(
-            f"{spill}/vectors"
-        )
+        # repartition ON the partition column first: a partitionBy write
+        # from T upstream tasks emits n_shards x T files (4096 tiny files
+        # at 128 shards x 32 tasks — every later full scan becomes one
+        # task per file, and 10^5 shards would mean millions of files).
+        # Hash-repartitioned, each shard's rows sit in ONE task → ONE
+        # file per shard, which is also the natural pruned-collect grain.
+        n_write_parts = max(n_shards, spark.sparkContext.defaultParallelism)
+        sharded.repartition(n_write_parts, "__shard").write.mode(
+            "overwrite"
+        ).partitionBy("__shard").parquet(f"{spill}/vectors")
         vec_schema = StructType(
             [
                 StructField("id", LongType()),
@@ -495,13 +502,14 @@ class ShardedHNSWIndex:
         )
         # ONE write job builds every shard's edges, physically partitioned
         # by __shard — each shard's CSR collect reads only its directory
+        # (repartition first: one file per shard, see the vectors write)
         sym.withColumn("__r", F.row_number().over(w_prune)).filter(
             F.col("__r") <= F.lit(M)
         ).select(
             "__shard", "src", "dst", "dist"
-        ).write.mode("overwrite").partitionBy("__shard").parquet(
-            f"{spill}/edges"
-        )
+        ).repartition(n_write_parts, "__shard").write.mode(
+            "overwrite"
+        ).partitionBy("__shard").parquet(f"{spill}/edges")
         edge_schema = StructType(
             [
                 StructField("src", LongType()),
@@ -658,7 +666,14 @@ class ShardedHNSWIndex:
             if len(wave) == 1:
                 partials.append(materialize(wave[0], release))
                 continue
-            with ThreadPoolExecutor(max_workers=len(wave)) as ex:
+            # width-capped: a wave of 512 byte-tiny shards must not spawn
+            # 512 job-submitting threads — beyond ~2x task slots extra
+            # threads only add py4j/scheduler contention
+            width = min(
+                len(wave),
+                2 * wave[0][1].vectors.sparkSession.sparkContext.defaultParallelism,
+            )
+            with ThreadPoolExecutor(max_workers=width) as ex:
                 partials.extend(
                     ex.map(lambda it: materialize_in_thread(it, release), wave)
                 )
@@ -941,6 +956,8 @@ class ShardedHNSWIndex:
         )
         if not live:
             return
+        sc = self.shards[live[0][0]].vectors.sparkSession.sparkContext
+        n_parts = max(len(live), sc.defaultParallelism)
         store.write_table(
             "vectors",
             _tree_union(
@@ -950,7 +967,7 @@ class ShardedHNSWIndex:
                     )
                     for i, s in live
                 ]
-            ),
+            ).repartition(n_parts, "__shard"),   # one file per shard
             partition_by=["__shard"],
         )
         store.write_table(
@@ -962,7 +979,7 @@ class ShardedHNSWIndex:
                     )
                     for i, s in live
                 ]
-            ),
+            ).repartition(n_parts, "__shard"),
             partition_by=["__shard"],
         )
 

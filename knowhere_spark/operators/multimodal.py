@@ -7,10 +7,12 @@ vectors its indexes consume).  The Spark-side plumbing — schema,
 partition-preserving batch transforms, UDF signatures, batch shapes — is
 real and tested.  ``decode_payload`` REALLY decodes the dependency-free
 formats (binary PNM, uncompressed 24-bit BMP, PCM WAV via the stdlib
-``wave`` module, and — r7 — PNG via stdlib zlib + numpy defiltering,
-all five filter types, exact-recovery tested); JPEG/MP4 would need
-PIL/ffmpeg, absent in this environment, so those branches raise
-``NotImplementedError`` and opaque payloads fall back to a
+``wave`` module; r7: PNG via stdlib zlib + numpy defiltering, all five
+filter types; r8: baseline sequential JPEG via functions/jpeg.py —
+Huffman + dequant + IDCT + YCbCr, restart markers, chroma subsampling —
+both exact-recovery tested).  MP4 would need ffmpeg, absent in this
+environment, so that branch raises ``NotImplementedError`` (progressive/
+arithmetic JPEG likewise), and opaque payloads fall back to a
 deterministic fake (seeded by payload bytes) so every downstream stage
 is exercised end-to-end with stable results.
 
@@ -60,7 +62,7 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-_REAL_CODECS = False   # no PIL/ffmpeg in this environment — JPEG/MP4
+_REAL_CODECS = False   # no ffmpeg in this environment — MP4
                        # stay stubbed; the dependency-free formats below
                        # (incl. the r7 stdlib PNG path) decode for real
 
@@ -198,7 +200,7 @@ def _decode_png(data: bytes) -> np.ndarray:
     task #5 — no PIL).  Supports bit depths 8/16 for grayscale / RGB /
     gray+alpha / RGBA and 8-bit palette; Adam7 interlacing and sub-byte
     depths raise ``NotImplementedError`` (recognized-but-undecodable,
-    same contract as the JPEG/MP4 stubs).  Returns float64 in [0, 1]:
+    same contract as the MP4 stub).  Returns float64 in [0, 1]:
     ``(h, w)`` for grayscale, ``(h, w, C)`` otherwise."""
     import struct
     import zlib
@@ -291,8 +293,9 @@ def decode_payload(
     binary PNM (``P5``/``P6``), uncompressed 24-bit BMP, PCM WAV
     (stdlib ``wave``), PNG (stdlib zlib + numpy defiltering — all five
     filter types, 8/16-bit gray/RGB/GA/RGBA + 8-bit palette; Adam7
-    interlace rejected).  JPEG/MP4 would need PIL/ffmpeg, absent in
-    this environment: that branch raises
+    interlace rejected), and baseline sequential JPEG (functions/
+    jpeg.py; progressive/arithmetic frames raise).  MP4 would need
+    ffmpeg, absent in this environment: that branch raises
     ``NotImplementedError``, and any other payload falls back to the
     deterministic fake (array derived from a hash of the payload —
     stable across runs/executors, shape-correct for downstream stages).
