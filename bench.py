@@ -454,7 +454,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         # per-query shard routing: each query beams only its _SEM_PROBE
         # nearest shards by router distance (IVF-nprobe at shard level)
         idx = sem_state["idx"]
-        res = idx.search(big_queries, k=10, ef=128, probe_shards=_SEM_PROBE)
+        res = idx.search(big_queries, k=10, ef=160, probe_shards=_SEM_PROBE)
         # tracing counters: shards touched + beam work actually done —
         # the routing claim the entry exists to track every round
         sm = idx.last_metrics.snapshot()
@@ -464,7 +464,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
             if s is not None and getattr(s, "last_metrics", None) is not None
         )
         PARAMS["sharded_hnsw_semantic_routed_nq100"] = {
-            "n_shards": len(idx.shards), "probe_shards": _SEM_PROBE, "ef": 128,
+            "n_shards": len(idx.shards), "probe_shards": _SEM_PROBE, "ef": 160,
             "shards_searched": sm.get("shards_searched"),
             "waves": sm.get("waves"), "nodes_scored": int(nodes),
         }
@@ -474,7 +474,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         idx = sem_state.pop("idx")
         try:
             return _knn_recall(
-                idx.search(big_queries, k=10, ef=128, probe_shards=_SEM_PROBE),
+                idx.search(big_queries, k=10, ef=160, probe_shards=_SEM_PROBE),
                 big, big_queries, 10, "L2",
             )
         finally:

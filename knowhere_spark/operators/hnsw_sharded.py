@@ -173,6 +173,13 @@ class ShardedHNSWIndex:
         #: was hash-split to respect the per-shard broadcast bound);
         #: identity when the router is absent or no cluster split
         self.cluster_shards = cluster_shards
+        #: __shard-partitioned vector/edge table handles (set by build()
+        #: and the partitioned load()): waves batch-collect graph
+        #: artifacts through these — one isin-pruned job per table
+        #: instead of 2-3 jobs per shard (see _prefetch_wave); None for
+        #: add()-grown or legacy-layout indexes (per-shard lazy collect)
+        self._vec_tbl: DataFrame | None = None
+        self._edge_tbl: DataFrame | None = None
 
     def count(self) -> int:
         return sum(s.count() for s in self.shards if s is not None)
@@ -547,7 +554,12 @@ class ShardedHNSWIndex:
             edges = edges_all.filter(F.col("__shard") == s).drop("__shard")
             entry_ids = [i for _, i in sorted(entry_by_shard.get(s, []))]
             shards.append(HNSWIndex(vecs, edges, config, entry_ids))
-        return cls(shards, config, shard_bytes, router, cluster_shards)
+        idx = cls(shards, config, shard_bytes, router, cluster_shards)
+        # partitioned-table handles: waves batch-collect graph artifacts
+        # through these with one isin-pruned job per table (_prefetch_wave)
+        idx._vec_tbl = sharded
+        idx._edge_tbl = edges_all
+        return idx
 
     def add(
         self, new_df: DataFrame, *, id_col: str = "id", vec_col: str = "vec"
@@ -624,23 +636,104 @@ class ShardedHNSWIndex:
             waves.append(cur)
         return waves
 
-    @staticmethod
-    def _run_waves(waves, run_one) -> list[DataFrame]:
-        """Run ``run_one(shard_index, shard) -> DataFrame`` across
-        shards, one wave at a time, shards within a wave concurrent
-        (thread-submitted Spark jobs — the scheduler interleaves them
-        across task slots).  Each partial is cached+materialized before
-        the wave completes, so resident memory is bounded by the wave,
-        not the shard count.
+    def _prefetch_wave(self, wave) -> None:
+        """Collect EVERY un-memoized graph artifact in the wave with ONE
+        Spark job per table (vectors, edges) instead of 2-3 jobs per
+        shard — the per-touched-shard fixed cost the 1M SCALE probe
+        measured at ~0.6 s/shard (job scheduling + per-shard Arrow
+        collects dominate routed-search wall at low query density).
+        Reads the ``__shard``-partitioned tables with an ``isin`` filter
+        (partition-pruned to exactly the wave's directories), splits
+        driver-side, and installs each shard's broadcast exactly as
+        :meth:`HNSWIndex._graph_bc` would have built it.  Memory is
+        bounded by the wave: this collects only what the wave was sized
+        to hold resident anyway.
 
-        Broadcast lifetime: with MULTIPLE waves the budget forces
-        eviction, so each shard's graph broadcast is released the moment
-        its partial materializes.  With ONE wave everything already fits
-        the budget simultaneously — the broadcasts stay memoized (the
-        serving amortization the single-graph ``HNSWIndex`` gets from
-        ``_graph_bc``), so repeat searches skip the per-shard collect +
-        re-broadcast entirely while residency stays under the same
-        bound."""
+        No-ops (per-shard lazy collect takes over) when the index has no
+        partitioned-table handle (``add()``-grown or legacy-layout
+        indexes) or when fewer than two shards need collecting."""
+        vec_tbl = getattr(self, "_vec_tbl", None)
+        edge_tbl = getattr(self, "_edge_tbl", None)
+        if vec_tbl is None or edge_tbl is None:
+            return
+        need = [
+            (i, s) for i, s in wave if getattr(s, "_bc_graph", None) is None
+        ]
+        if len(need) < 2:
+            return
+        from knowhere_spark.operators.hnsw import _entry_positions
+
+        metric = MetricType(self.config.metric_type)
+        ids_in = [int(i) for i, _ in need]
+        try:
+            vt = vec_tbl.filter(F.col("__shard").isin(ids_in)).select(
+                "__shard", "id", "vec"
+            ).toArrow()
+            et = edge_tbl.filter(F.col("__shard").isin(ids_in)).select(
+                "__shard", "src", "dst"
+            ).toArrow()
+        except Exception:
+            return   # Arrow path unavailable → per-shard collects
+        v_sh = vt.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+        v_id = vt.column(1).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lst = vt.column(2).combine_chunks()
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        X_all = flat.reshape(len(v_id), -1) if len(v_id) else flat.reshape(0, 0)
+        e_sh = et.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+        e_src = et.column(1).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        e_dst = et.column(2).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sc = vec_tbl.sparkSession.sparkContext
+        for i, shard in need:
+            vm = v_sh == i
+            ids = v_id[vm]
+            X = X_all[vm]
+            order = np.argsort(ids)
+            ids, X = ids[order], X[order]
+            em = e_sh == i
+            src = np.searchsorted(ids, e_src[em])
+            dst = np.searchsorted(ids, e_dst[em])
+            eo = np.argsort(src, kind="stable")
+            src, dst = src[eo], dst[eo]
+            indptr = np.searchsorted(src, np.arange(len(ids) + 1))
+            entry_pos = _entry_positions(ids, shard.entry_ids)
+            xnorm = (
+                np.linalg.norm(X, axis=1)
+                if metric == MetricType.COSINE else None
+            )
+            shard._bc_graph = sc.broadcast(
+                (ids, indptr, dst.astype(np.int32), entry_pos,
+                 (X, metric.value, xnorm))
+            )
+
+    def _run_waves(
+        self, waves, run_one, prefetch: bool = False
+    ) -> tuple[list[DataFrame], bool]:
+        """Run ``run_one(shard_index, shard) -> DataFrame`` across
+        shards, one wave at a time.  Returns ``(partials,
+        materialized)``.
+
+        MULTI-wave: shards within a wave run concurrently
+        (thread-submitted Spark jobs), each partial cached+materialized
+        before the wave completes so resident memory is bounded by the
+        wave, and each shard's graph broadcast is released the moment
+        its partial materializes (the budget forces eviction).
+
+        ONE wave (the common serving case): everything fits the budget
+        simultaneously, so the partials stay LAZY — the caller's final
+        merge evaluates every shard's beam in a single Spark job instead
+        of one cache+count job per shard, and the graph broadcasts stay
+        memoized for repeat searches (the serving amortization the
+        single-graph ``HNSWIndex`` gets from ``_graph_bc``).
+
+        ``prefetch`` batches the wave's graph collects into one job per
+        table first (broadcast-strategy searches only — the bfs path
+        never ships the graph)."""
 
         def materialize(item, release: bool) -> DataFrame:
             i, shard = item
@@ -660,11 +753,20 @@ class ShardedHNSWIndex:
             with suppress_job_description():
                 return materialize(item, release)
 
-        release = len(waves) > 1
+        if len(waves) == 1:
+            wave = waves[0]
+            if prefetch:
+                self._prefetch_wave(wave)
+            # lazy plans: broadcast collects happen at plan time (already
+            # batched by the prefetch), beams at the caller's one action
+            return [run_one(i, s) for i, s in wave], False
+
         partials: list[DataFrame] = []
         for wave in waves:
+            if prefetch:
+                self._prefetch_wave(wave)
             if len(wave) == 1:
-                partials.append(materialize(wave[0], release))
+                partials.append(materialize(wave[0], True))
                 continue
             # width-capped: a wave of 512 byte-tiny shards must not spawn
             # 512 job-submitting threads — beyond ~2x task slots extra
@@ -675,9 +777,9 @@ class ShardedHNSWIndex:
             )
             with ThreadPoolExecutor(max_workers=width) as ex:
                 partials.extend(
-                    ex.map(lambda it: materialize_in_thread(it, release), wave)
+                    ex.map(lambda it: materialize_in_thread(it, True), wave)
                 )
-        return partials
+        return partials, True
 
     def release(self) -> None:
         """Drop every shard's memoized graph broadcast.  Single-wave
@@ -788,12 +890,14 @@ class ShardedHNSWIndex:
             query_df.sparkSession.sparkContext, m["op"], k=k,
             shards=f"{m['shards_searched']}/{n_live}",
         )
-        partials = self._run_waves(waves, run_one)
-        if routed is not None:
-            routed.unpersist()
+        partials, materialized = self._run_waves(
+            waves, run_one, prefetch=(strategy == "broadcast")
+        )
         if not partials:   # wholly-empty index: no neighbors
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
+            if routed is not None:
+                routed.unpersist()
             # build a FRESH schema: StructType.add mutates in place, and
             # RESULT_SCHEMA is shared by every brute-force/IVF kernel
             ranked = StructType(
@@ -805,12 +909,15 @@ class ShardedHNSWIndex:
             merged, "query_id", "distance", k,
             ascending=not metric.is_similarity, tie_breaker="neighbor_id",
         )
-        # materialize the merged top-k, then drop the per-shard caches —
-        # otherwise every search pins one result set per shard for the
-        # session's lifetime
+        # materialize the merged top-k (the ONE action of a lazy
+        # single-wave search), then drop whatever the waves pinned —
+        # otherwise every search leaks cached state for the session
         out = out.localCheckpoint(eager=True)
-        for p in partials:
-            p.unpersist()
+        if routed is not None:
+            routed.unpersist()
+        if materialized:
+            for p in partials:
+                p.unpersist()
         return out
 
     def range_search(
@@ -886,12 +993,14 @@ class ShardedHNSWIndex:
                 query_id_col=qid, query_vec_col=qvec,
             )
 
-        parts = self._run_waves(self._waves(wave_memory_bytes, only), run_one)
-        if routed is not None:
-            routed.unpersist()
+        parts, materialized = self._run_waves(
+            self._waves(wave_memory_bytes, only), run_one, prefetch=True
+        )
         if not parts:   # wholly-empty index
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
+            if routed is not None:
+                routed.unpersist()
             return query_df.sparkSession.createDataFrame([], RESULT_SCHEMA)
         out = _tree_union(parts)
         if cap > 0:
@@ -901,8 +1010,11 @@ class ShardedHNSWIndex:
                 ascending=not sim, tie_breaker="neighbor_id",
             ).drop("rank")
         out = out.localCheckpoint(eager=True)
-        for p in parts:
-            p.unpersist()
+        if routed is not None:
+            routed.unpersist()
+        if materialized:
+            for p in parts:
+                p.unpersist()
         return out
 
     def get_vector_by_ids(self, ids_df: DataFrame, *, id_col: str = "id") -> DataFrame:
@@ -1031,4 +1143,10 @@ class ShardedHNSWIndex:
         shard_bytes = [int(b) or None for b in m.get("shard_bytes", [])] or None
         router = m.get("router")
         router = np.array(router, dtype=np.float64) if router else None
-        return cls(shards, cfg, shard_bytes, router, m.get("cluster_shards"))
+        idx = cls(shards, cfg, shard_bytes, router, m.get("cluster_shards"))
+        if m.get("layout") == "partitioned" and any(
+            s is not None for s in shards
+        ):
+            idx._vec_tbl = vec_tbl
+            idx._edge_tbl = edge_tbl
+        return idx

