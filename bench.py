@@ -458,7 +458,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         # tracing counters: shards touched + beam work actually done —
         # the routing claim the entry exists to track every round
         sm = idx.last_metrics.snapshot()
-        nodes = sum(
+        nodes = int(sm.get("nodes_scored", 0) or 0) + sum(
             s.last_metrics["nodes_scored"].value
             for s in idx.shards
             if s is not None and getattr(s, "last_metrics", None) is not None

@@ -70,9 +70,10 @@ def diverse_neighbors(
     key_m: np.ndarray, kk: int, cand_cap: int | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-node neighbor selection with the diversity heuristic —
-    hnswlib ``getNeighborsByHeuristic2`` parity (hnswalg.h:382-410 in the
-    reference's bundled hnswlib; also HNSW paper §4 SELECT-NEIGHBORS-
-    HEURISTIC): scanning candidates nearest-first, a candidate is kept
+    hnswlib ``getNeighborsByHeuristic2`` parity (the reference's bundled
+    thirdparty/hnswlib/hnswlib/hnswalg.h:512-560, used at every insert,
+    hnswalg.h:626; also HNSW paper §4 SELECT-NEIGHBORS-HEURISTIC):
+    scanning candidates nearest-first, a candidate is kept
     only if it is at least as close to the node as to every already-kept
     neighbor.  A plain top-M adjacency degenerates on near-duplicate
     data — each duplicate group's members pick only each other, the

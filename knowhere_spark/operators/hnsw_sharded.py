@@ -711,6 +711,65 @@ class ShardedHNSWIndex:
                  (X, metric.value, xnorm))
             )
 
+    def _batched_beam_search(
+        self, tagged: DataFrame, k: int, ef: int, bc_map: dict, score_acc=None
+    ) -> DataFrame:
+        """ONE ``mapInPandas`` beam over ``(query_id, vec, __shard)``
+        rows — the many-small-shards serving shape.  Each group resolves
+        its shard's memoized graph broadcast (the per-shard handles ride
+        the closure, so warm-search memoization is unchanged) and runs
+        the SAME ``_beam_traverse`` the per-shard path uses.  Replaces
+        one plan + one job + one accumulator per probed shard with a
+        single job whose tasks interleave all (query, shard) work — the
+        1M probe measured the per-shard driver overhead at ~0.5 s/shard,
+        which at 170 probed shards was 10× the actual beam work.
+
+        Returns per-(query, shard) top-k partials
+        ``(query_id, neighbor_id, distance)``; the caller merges."""
+        from knowhere_spark.operators.hnsw import _beam_traverse, _dense_scorer
+        from knowhere_spark.session import ensure_parallelism
+
+        metric = MetricType(self.config.metric_type)
+        is_sim = metric.is_similarity
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            stamps: dict[int, np.ndarray] = {}
+            qno = 0
+            scored_n = [0]
+            for pdf in batches:
+                out_q, out_n, out_d = [], [], []
+                for sh, grp in pdf.groupby("__shard"):
+                    ids_, indptr_, indices_, entries, extra = bc_map[int(sh)].value
+                    stamp = stamps.setdefault(
+                        int(sh), np.zeros(len(ids_), dtype=np.int64)
+                    )
+                    for qid, qvec in zip(grp["query_id"], grp["vec"]):
+                        score = _dense_scorer(extra, qvec)
+                        if score_acc is not None:
+                            def score(pos, _s=score):
+                                scored_n[0] += len(pos)
+                                return _s(pos)
+                        qno += 1   # global per-task counter: stamps are
+                        #            per-shard, so cross-shard reuse is safe
+                        res = _beam_traverse(
+                            score, entries, ef, indptr_, indices_, stamp, qno
+                        )
+                        top = sorted(((-nk, p) for nk, p in res))[:k]
+                        for s, p in top:
+                            out_q.append(int(qid))
+                            out_n.append(int(ids_[p]))
+                            out_d.append(-s if is_sim else s)
+                if score_acc is not None and scored_n[0]:
+                    score_acc.add(scored_n[0])
+                    scored_n[0] = 0
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "distance": out_d}
+                )
+
+        return ensure_parallelism(tagged).mapInPandas(
+            kernel, "query_id long, neighbor_id long, distance double"
+        )
+
     def _run_waves(
         self, waves, run_one, prefetch: bool = False
     ) -> tuple[list[DataFrame], bool]:
@@ -890,6 +949,60 @@ class ShardedHNSWIndex:
             query_df.sparkSession.sparkContext, m["op"], k=k,
             shards=f"{m['shards_searched']}/{n_live}",
         )
+
+        # single-wave broadcast search → ONE batched beam job (the
+        # many-small-shards serving path; per-shard jobs remain for
+        # multi-wave eviction, bfs scorers, and bitset filters, whose
+        # masks are per-shard artifacts)
+        if (
+            strategy == "broadcast"
+            and filter_expr is None
+            and len(waves) == 1
+            and len(waves[0]) > 1
+        ):
+            wave = waves[0]
+            spark = query_df.sparkSession
+            self._prefetch_wave(wave)
+            bc_map = {i: s._graph_bc() for i, s in wave}
+            eff_ef = max(ef if ef is not None else self.config.ef, k)
+            if routed is not None:
+                in_wave = {i for i, _ in wave}
+                mapping = spark.createDataFrame(
+                    [
+                        (c, sh)
+                        for c, lst in enumerate(
+                            self.cluster_shards
+                            or [[i] for i in range(len(self.router))]
+                        )
+                        for sh in lst
+                        if sh in in_wave
+                    ],
+                    "cell_id int, __shard int",
+                )
+                tagged = routed.join(F.broadcast(mapping), "cell_id").select(
+                    "query_id", F.col("qvec").alias("vec"), "__shard"
+                )
+            else:
+                shards_df = spark.createDataFrame(
+                    [(i,) for i, _ in wave], "__shard int"
+                )
+                tagged = query_df.select(
+                    F.col(query_id_col).cast("long").alias("query_id"),
+                    F.col(query_vec_col).alias("vec"),
+                ).crossJoin(F.broadcast(shards_df))
+            m["nodes_scored"] = spark.sparkContext.accumulator(0)
+            partials_df = self._batched_beam_search(
+                tagged, k, eff_ef, bc_map, score_acc=m["nodes_scored"]
+            )
+            out = topk_per_key(
+                partials_df, "query_id", "distance", k,
+                ascending=not metric.is_similarity,
+                tie_breaker="neighbor_id",
+            ).localCheckpoint(eager=True)
+            if routed is not None:
+                routed.unpersist()
+            return out
+
         partials, materialized = self._run_waves(
             waves, run_one, prefetch=(strategy == "broadcast")
         )

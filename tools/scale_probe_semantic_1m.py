@@ -108,7 +108,7 @@ def main() -> None:
             wall = round(time.monotonic() - t0, 1)
             rec = round(recall(res), 4)
             sm = idx.last_metrics.snapshot()
-            nodes = sum(
+            nodes = int(sm.get("nodes_scored", 0) or 0) + sum(
                 int(s.last_metrics["nodes_scored"].value)
                 for s in idx.shards
                 if s is not None and getattr(s, "last_metrics", None)
