@@ -21,15 +21,19 @@ architecture on Spark primitives:
   ``HNSWIndex.build`` loop ran n_shards sequential jobs and re-scanned
   the corpus lineage once per shard — ~10⁵ sequential builds at 100 TB
   with ~1 GiB shards).
-- **Search** runs shards in memory-budgeted *waves*: up to
-  ``budget // shard_bytes`` shards search concurrently (each through
-  the broadcast best-first beam), every per-shard result (nq×k rows —
-  small) is materialized before that shard's graph broadcast is
-  released, so peak executor memory is one WAVE of shard artifacts —
-  a tunable bound — while wall-clock is ``n_shards / wave`` instead of
-  linear in shard count.  The union then takes a final per-query top-k
-  merge — the same partial-then-final shape every other top-k in this
-  engine uses.
+- **Search** runs shards in memory-budgeted *waves*.  When everything
+  fits ONE wave (the common serving case) the whole search is a single
+  batched ``mapInPandas`` beam over ``(query, shard)`` rows resolving
+  each shard's memoized graph broadcast inside the kernel — one Spark
+  job regardless of shard count, with the wave's graph collects batched
+  into one isin-pruned job per table first (r8; the 1M probe measured
+  the old per-shard plans/jobs at ~0.6 s/shard fixed cost — 6.8-17×
+  of the routed wall).  With MULTIPLE waves, shards within a wave run
+  concurrently, every per-shard result (nq×k rows — small) is
+  materialized before that shard's graph broadcast is released, so peak
+  executor memory is one WAVE of shard artifacts — a tunable bound.
+  The union then takes a final per-query top-k merge — the same
+  partial-then-final shape every other top-k in this engine uses.
 
 Recall note: searching every shard with the full beam is at least as
 accurate as one graph over the union (each shard's beam is exact over a
