@@ -715,6 +715,40 @@ class ShardedHNSWIndex:
                  (X, metric.value, xnorm))
             )
 
+    def _tagged_queries(
+        self, wave, routed, query_df, query_id_col, query_vec_col
+    ) -> DataFrame:
+        """``(query_id, vec, __shard)`` rows for the batched beam:
+        routed queries expand to their clusters' in-wave sub-shards via
+        a broadcast mapping join; unrouted queries cross-join the wave's
+        shard ids (every query searches every shard — the same work the
+        per-shard path does, expressed as rows)."""
+        spark = query_df.sparkSession
+        if routed is not None:
+            in_wave = {i for i, _ in wave}
+            mapping = spark.createDataFrame(
+                [
+                    (c, sh)
+                    for c, lst in enumerate(
+                        self.cluster_shards
+                        or [[i] for i in range(len(self.router))]
+                    )
+                    for sh in lst
+                    if sh in in_wave
+                ],
+                "cell_id int, __shard int",
+            )
+            return routed.join(F.broadcast(mapping), "cell_id").select(
+                "query_id", F.col("qvec").alias("vec"), "__shard"
+            )
+        shards_df = spark.createDataFrame(
+            [(i,) for i, _ in wave], "__shard int"
+        )
+        return query_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("vec"),
+        ).crossJoin(F.broadcast(shards_df))
+
     def _batched_beam_search(
         self, tagged: DataFrame, k: int, ef: int, bc_map: dict, score_acc=None
     ) -> DataFrame:
@@ -969,31 +1003,9 @@ class ShardedHNSWIndex:
             self._prefetch_wave(wave)
             bc_map = {i: s._graph_bc() for i, s in wave}
             eff_ef = max(ef if ef is not None else self.config.ef, k)
-            if routed is not None:
-                in_wave = {i for i, _ in wave}
-                mapping = spark.createDataFrame(
-                    [
-                        (c, sh)
-                        for c, lst in enumerate(
-                            self.cluster_shards
-                            or [[i] for i in range(len(self.router))]
-                        )
-                        for sh in lst
-                        if sh in in_wave
-                    ],
-                    "cell_id int, __shard int",
-                )
-                tagged = routed.join(F.broadcast(mapping), "cell_id").select(
-                    "query_id", F.col("qvec").alias("vec"), "__shard"
-                )
-            else:
-                shards_df = spark.createDataFrame(
-                    [(i,) for i, _ in wave], "__shard int"
-                )
-                tagged = query_df.select(
-                    F.col(query_id_col).cast("long").alias("query_id"),
-                    F.col(query_vec_col).alias("vec"),
-                ).crossJoin(F.broadcast(shards_df))
+            tagged = self._tagged_queries(
+                wave, routed, query_df, query_id_col, query_vec_col
+            )
             m["nodes_scored"] = spark.sparkContext.accumulator(0)
             partials_df = self._batched_beam_search(
                 tagged, k, eff_ef, bc_map, score_acc=m["nodes_scored"]
@@ -1110,9 +1122,31 @@ class ShardedHNSWIndex:
                 query_id_col=qid, query_vec_col=qvec,
             )
 
-        parts, materialized = self._run_waves(
-            self._waves(wave_memory_bytes, only), run_one, prefetch=True
-        )
+        waves = self._waves(wave_memory_bytes, only)
+        if filter_expr is None and len(waves) == 1 and len(waves[0]) > 1:
+            # single-wave batched range: the per-shard range path is
+            # beam(k=ef=bounds_ef) + half-open bounds (hnsw.py
+            # range_search), so the ONE-job batched beam serves it too —
+            # bounds filter after, per-query cap post-union as always
+            from knowhere_spark.operators.topk import apply_range_bounds
+
+            wave = waves[0]
+            self._prefetch_wave(wave)
+            bc_map = {i: s._graph_bc() for i, s in wave}
+            bounds_ef = (
+                ef if ef is not None
+                else max(self.config.ef, 4 * self.config.k)
+            )
+            tagged = self._tagged_queries(
+                wave, routed, query_df, query_id_col, query_vec_col
+            )
+            beam = self._batched_beam_search(
+                tagged, bounds_ef, bounds_ef, bc_map
+            )
+            parts = [apply_range_bounds(beam, shard_cfg)]
+            materialized = False
+        else:
+            parts, materialized = self._run_waves(waves, run_one, prefetch=True)
         if not parts:   # wholly-empty index
             from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
