@@ -10,7 +10,9 @@ formats (binary PNM, uncompressed 24-bit BMP, PCM WAV via the stdlib
 ``wave`` module; r7: PNG via stdlib zlib + numpy defiltering, all five
 filter types; r8: baseline sequential JPEG via functions/jpeg.py —
 Huffman + dequant + IDCT + YCbCr, restart markers, chroma subsampling —
-both exact-recovery tested).  MP4 would need ffmpeg, absent in this
+and GIF via functions/gif.py — LZW, palettes, interlace, disposal-
+composited animation — all exact-recovery tested).  MP4 would need
+ffmpeg, absent in this
 environment, so that branch raises ``NotImplementedError`` (progressive/
 arithmetic JPEG likewise), and opaque payloads fall back to a
 deterministic fake (seeded by payload bytes) so every downstream stage
@@ -258,7 +260,7 @@ def _decode_png(data: bytes) -> np.ndarray:
 def sniff_format(payload: bytes) -> str | None:
     """Magic-byte format sniff — the dispatch key for built-in decoders
     AND caller-injected ones (``decoders=`` below).  Returns one of
-    ``pnm bmp wav jpeg png mp4`` or ``None`` for opaque bytes."""
+    ``pnm bmp wav jpeg png gif mp4`` or ``None`` for opaque bytes."""
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return "pnm"
     if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
@@ -271,6 +273,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         # the leading 4 bytes are the ftyp box size (big-endian) — text
         # that merely contains "ftyp" at offset 4 decodes to an absurd
@@ -293,8 +297,10 @@ def decode_payload(
     binary PNM (``P5``/``P6``), uncompressed 24-bit BMP, PCM WAV
     (stdlib ``wave``), PNG (stdlib zlib + numpy defiltering — all five
     filter types, 8/16-bit gray/RGB/GA/RGBA + 8-bit palette; Adam7
-    interlace rejected), and baseline sequential JPEG (functions/
-    jpeg.py; progressive/arithmetic frames raise).  MP4 would need
+    interlace rejected), baseline sequential JPEG (functions/jpeg.py;
+    progressive/arithmetic frames raise), and GIF (functions/gif.py —
+    LZW + palettes + interlace; animated GIFs in video rows decode to
+    the full composited frame stack).  MP4 would need
     ffmpeg, absent in this environment: that branch raises
     ``NotImplementedError``, and any other payload falls back to the
     deterministic fake (array derived from a hash of the payload —
@@ -343,6 +349,19 @@ def decode_payload(
                 from knowhere_spark.functions.jpeg import decode_jpeg
 
                 return decode_jpeg(payload)
+            if fmt == "gif":
+                # r8: GIF decodes for REAL (functions/gif.py — stdlib
+                # LZW + numpy; local/global palettes, interlace,
+                # transparency, disposal compositing).  An animated GIF
+                # in a video row decodes to the full (n, h, w, 3) stack.
+                from knowhere_spark.functions.gif import (
+                    decode_gif,
+                    decode_gif_frames,
+                )
+
+                if media_type == "video":
+                    return decode_gif_frames(payload)[0]
+                return decode_gif(payload)
         except NotImplementedError:
             raise
         except Exception:
@@ -514,6 +533,82 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+#: one row per sampled keyframe; payload is the REAL mdat byte range
+KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("pts_sec", FloatType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("is_container", StringType()),   # "mp4" | "synthetic"
+    ]
+)
+
+
+def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Keyframe sampling with REAL container parsing (r8): video rows
+    whose payload is an MP4 get their ``moov`` sample tables parsed
+    (functions/mp4.py — stts/stss/stsc/stsz/stco) and emit one row per
+    kept sync sample with the sample's actual ``mdat`` byte range as
+    ``frame_payload`` plus its presentation timestamp — exactly the
+    input an injected codec decoder (``decoders={"avc1": ...}``)
+    consumes downstream.  Codec DECODE still needs ffmpeg and stays
+    injected; the container layer — the part a 100 TB sampling stage
+    actually shuffles and prunes on — is real and tested.
+
+    Non-MP4 / unparseable video rows fall back to the synthetic
+    ``meta.n_frames`` index sequence (null payload), so the stage is
+    total over a mixed crawl corpus: one bad payload must not kill the
+    ``mapInPandas`` stage.  Returns :data:`KEYFRAME_SCHEMA` rows.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knowhere_spark.functions.mp4 import video_keyframes
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "pts_sec": [],
+                "frame_payload": [], "codec": [], "is_container": [],
+            }
+            for mid, payload, mtype, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if mtype != "video":
+                    continue
+                payload = bytes(payload)
+                frames = None
+                if sniff_format(payload) == "mp4":
+                    try:
+                        frames = video_keyframes(payload, every_n=every_n)
+                    except NotImplementedError:
+                        raise   # fragmented MP4: real format, honest stub
+                    except Exception:
+                        frames = None   # corrupt container → synthetic
+                if frames is not None:
+                    for fr in frames:
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(fr["frame_idx"])
+                        rows["pts_sec"].append(fr["pts_sec"])
+                        rows["frame_payload"].append(fr["payload"])
+                        rows["codec"].append(fr["codec"])
+                        rows["is_container"].append("mp4")
+                else:
+                    n = int(dict(meta).get("n_frames") or 0)
+                    for i in range(0, n, every_n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["pts_sec"].append(float(i))
+                        rows["frame_payload"].append(None)
+                        rows["codec"].append(None)
+                        rows["is_container"].append("synthetic")
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, KEYFRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

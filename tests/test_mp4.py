@@ -1,0 +1,215 @@
+"""MP4 container parser tests (functions/mp4.py) + the keyframe
+sampling operator — payloads built by a minimal in-test ISO-BMFF muxer
+(ftyp + mdat + moov with the five stbl atoms), so the parsed sample
+table can be checked byte-for-byte against what the muxer laid down."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from knowhere_spark.functions.mp4 import (
+    iter_boxes,
+    parse_mp4,
+    video_keyframes,
+)
+from knowhere_spark.operators.multimodal import (
+    sample_video_keyframes,
+    sniff_format,
+)
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), typ) + body
+
+
+def _full(typ: bytes, body: bytes, version: int = 0) -> bytes:
+    return _box(typ, struct.pack(">B3x", version) + body)
+
+
+def mux_mp4(
+    samples,
+    *,
+    sync=None,
+    timescale=600,
+    delta=100,
+    chunks=None,
+    width=64,
+    height=48,
+    codec=b"avc1",
+):
+    """Minimal valid MP4: all samples in one (or ``chunks``) mdat chunks.
+    ``samples``: list of bytes payloads.  ``sync``: 1-based keyframe
+    numbers (None → no stss, all sync).  Returns (payload, expected
+    per-sample absolute offsets)."""
+    n = len(samples)
+    chunks = chunks or [n]   # samples per chunk
+    assert sum(chunks) == n
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body = b"".join(samples)
+    mdat_start = len(ftyp) + 8   # absolute offset of mdat body
+
+    sizes = [len(s) for s in samples]
+    chunk_offsets = []
+    pos = mdat_start
+    i = 0
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += sum(sizes[i : i + c])
+        i += c
+    offsets = []
+    i = 0
+    for ci, c in enumerate(chunks):
+        base = chunk_offsets[ci]
+        within = 0
+        for _ in range(c):
+            offsets.append(base + within)
+            within += sizes[i]
+            i += 1
+
+    stsd = _full(
+        b"stsd",
+        struct.pack(">I", 1)
+        + _box(codec, b"\x00" * 78),   # opaque sample entry body
+    )
+    stts = _full(b"stts", struct.pack(">III", 1, n, delta))
+    stsz = _full(
+        b"stsz", struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes)
+    )
+    # stsc runs: collapse equal consecutive samples-per-chunk
+    runs = []
+    for ci, c in enumerate(chunks):
+        if not runs or runs[-1][1] != c:
+            runs.append((ci + 1, c))
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stco = _full(
+        b"stco",
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl_body = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        stbl_body += _full(
+            b"stss",
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s) for s in sync),
+        )
+    stbl = _box(b"stbl", stbl_body)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", struct.pack(">I4s12x", 0, b"vide") + b"video\x00")
+    mdhd = _full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, n * delta, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIII", 0, 0, 1, 0)          # cr, mod, track_id, rsvd
+        + struct.pack(">I", n * delta)            # duration
+        + b"\x00" * 52                            # rsvd/matrix etc
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, n * delta) + b"\x00" * 80,
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov, offsets
+
+
+def test_mp4_parse_sample_table_exact():
+    samples = [bytes([i]) * (10 + 3 * i) for i in range(6)]
+    data, offsets = mux_mp4(samples, sync=[1, 4], chunks=[2, 3, 1])
+    assert sniff_format(data) == "mp4"
+    parsed = parse_mp4(data)
+    assert parsed["brand"] == "isom"
+    (t,) = parsed["tracks"]
+    assert t["handler"] == "vide" and t["codec"] == "avc1"
+    assert t["track_id"] == 1 and t["n_samples"] == 6
+    assert (t["width"], t["height"]) == (64.0, 48.0)
+    np.testing.assert_array_equal(t["offsets"], offsets)
+    np.testing.assert_array_equal(t["sizes"], [len(s) for s in samples])
+    np.testing.assert_allclose(t["dts_sec"], np.arange(6) * 100 / 600.0)
+    np.testing.assert_array_equal(
+        t["is_sync"], [True, False, False, True, False, False]
+    )
+    # the parsed byte ranges recover the muxed sample payloads exactly
+    for i in range(6):
+        lo, hi = t["offsets"][i], t["offsets"][i] + t["sizes"][i]
+        assert data[lo:hi] == samples[i]
+
+
+def test_mp4_video_keyframes_every_n():
+    samples = [bytes([i]) * 8 for i in range(10)]
+    data, _ = mux_mp4(samples, sync=[1, 3, 5, 7, 9])
+    ks = video_keyframes(data, every_n=2)
+    assert [k["frame_idx"] for k in ks] == [0, 4, 8]
+    assert all(k["payload"] == samples[k["frame_idx"]] for k in ks)
+    assert all(k["codec"] == "avc1" for k in ks)
+
+
+def test_mp4_no_stss_means_all_sync():
+    samples = [b"xy" * 4] * 4
+    data, _ = mux_mp4(samples)   # no stss
+    ks = video_keyframes(data)
+    assert [k["frame_idx"] for k in ks] == [0, 1, 2, 3]
+
+
+def test_mp4_malformed_raises():
+    samples = [b"ab" * 3] * 3
+    data, _ = mux_mp4(samples, sync=[1])
+    with pytest.raises(ValueError):
+        parse_mp4(data[:40])             # truncated
+    bad = bytearray(data)
+    bad[4:8] = b"zzzz"                   # no ftyp
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    # fragmented marker → honest NotImplementedError
+    frag = data + _box(b"moof", b"")
+    with pytest.raises(NotImplementedError):
+        parse_mp4(frag)
+
+
+def test_mp4_iter_boxes_largesize():
+    body = b"hello"
+    big = struct.pack(">I4sQ", 1, b"mdat", 16 + len(body)) + body
+    [(typ, b, e)] = list(iter_boxes(big))
+    assert typ == b"mdat" and big[b:e] == body
+
+
+def test_sample_video_keyframes_operator(spark):
+    samples = [bytes([i]) * 6 for i in range(6)]
+    mp4, _ = mux_mp4(samples, sync=[1, 4])
+    rows = [
+        (1, "video", bytearray(mp4),
+         {"width": 64, "height": 48, "n_frames": 6, "sample_rate": 0}),
+        (2, "video", bytearray(b"not a container"),
+         {"width": 8, "height": 8, "n_frames": 4, "sample_rate": 0}),
+        (3, "image", bytearray(b"skip me"),
+         {"width": 8, "height": 8, "n_frames": 1, "sample_rate": 0}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    out = sample_video_keyframes(media, every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    # real mp4 row: sync samples 0 and 3, every_n=2 keeps idx 0 only
+    mp4_rows = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in mp4_rows] == [0]
+    assert bytes(mp4_rows[0].frame_payload) == samples[0]
+    assert mp4_rows[0].is_container == "mp4"
+    assert mp4_rows[0].codec == "avc1"
+    # opaque video row: synthetic indices 0, 2 with null payloads
+    syn = sorted(by_id[2], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in syn] == [0, 2]
+    assert all(r.frame_payload is None for r in syn)
+    assert all(r.is_container == "synthetic" for r in syn)
+    # image row emits nothing
+    assert 3 not in by_id
