@@ -668,6 +668,163 @@ def image_phash(
     return media.mapInPandas(kernel, "media_id long, phash long")
 
 
+def video_frame_phashes(
+    media: DataFrame, every_n: int = 1, *, decoders: dict | None = None
+) -> DataFrame:
+    """Per-keyframe perceptual hashes for video rows: real MP4 container
+    parsing picks the sync samples (:func:`sample_video_keyframes`), an
+    injected codec decoder (``decoders={"avc1": fn(payload, meta)}``)
+    turns each keyframe payload into pixels, and the classic pHash
+    construction (same kernel as :func:`image_phash`) hashes each frame.
+    Without an injected codec the frame pixels are the deterministic
+    fake seeded by the frame payload (or by media_id/frame_idx for
+    synthetic rows), keeping the stage total.  Animated GIFs in video
+    rows hash their really-decoded composited frames.
+
+    Returns ``(media_id, frame_idx, phash BIGINT)`` — one row per
+    sampled frame, the signature table video dedup joins on."""
+    D = _dct_matrix(32)
+    frames = sample_video_keyframes(
+        media.filter(F.col("media_type") == "video"), every_n=every_n
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(64, dtype=np.uint64)
+
+        def phash_of(arr: np.ndarray) -> int:
+            if arr.ndim == 3:
+                arr = arr.mean(axis=2)
+            small = _nn_resample(arr, 32, 32)
+            low = (D @ small @ D.T)[:8, :8].ravel()
+            bits = low > np.median(low)
+            return int((weights * bits).sum(dtype=np.uint64).astype(np.int64))
+
+        for pdf in batches:
+            out_id, out_fi, out_h = [], [], []
+            for mid, fi, payload, codec in zip(
+                pdf["media_id"], pdf["frame_idx"],
+                pdf["frame_payload"], pdf["codec"],
+            ):
+                if payload is not None and decoders and codec in decoders:
+                    try:
+                        arr = np.asarray(
+                            decoders[codec](bytes(payload), {}), dtype=np.float64
+                        )
+                    except Exception:
+                        arr = None
+                else:
+                    arr = None
+                if arr is None:
+                    seed_src = (
+                        bytes(payload)
+                        if payload is not None
+                        else b"%d/%d" % (mid, fi)
+                    )
+                    digest = hashlib.sha256(seed_src).digest()
+                    rng = np.random.default_rng(
+                        int.from_bytes(digest[:8], "little")
+                    )
+                    arr = rng.random((32, 32), dtype=np.float64)
+                out_id.append(mid)
+                out_fi.append(int(fi))
+                out_h.append(phash_of(arr))
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_fi, "phash": out_h}
+            )
+
+    return frames.mapInPandas(kernel, "media_id long, frame_idx int, phash long")
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    *,
+    every_n: int = 1,
+    min_overlap: float = 0.5,
+    max_hamming: int = 0,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Video near-dup pairs by keyframe-pHash overlap — the 100 TB video
+    dedup shape: each video's signature is its SET of keyframe pHashes;
+    two videos match when the fraction of shared frame hashes reaches
+    ``min_overlap``.  Re-encoded / trimmed copies keep most keyframe
+    pHashes, so they collide frame-by-frame without any pairwise video
+    comparison.
+
+    Plan: one hash-join of the frame-signature table with itself on the
+    64-bit pHash (``max_hamming=0``, the default) — a single shuffle
+    keyed by frame hash, never all-pairs-of-videos; with
+    ``max_hamming>0`` the distinct hash vocabulary goes through the
+    exact pigeonhole-banded Hamming join first (same kernel as SimHash /
+    image pHash) and matched hash pairs rejoin the signatures.  Frame
+    counts are distinct-hash counts, so still-frame runs don't inflate
+    overlap.  Returns ``(id_a, id_b, matches, overlap)`` with
+    ``id_a < id_b``."""
+    if not 0.0 < min_overlap <= 1.0:
+        raise ValueError("min_overlap must be in (0, 1]")
+    sigs = (
+        video_frame_phashes(media, every_n, decoders=decoders)
+        .select("media_id", "phash")
+        .distinct()
+    )
+    counts = sigs.groupBy("media_id").agg(F.count("*").alias("n_hashes"))
+
+    if max_hamming == 0:
+        matched = sigs.alias("a").join(
+            sigs.alias("b"),
+            (F.col("a.phash") == F.col("b.phash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+    else:
+        from knowhere_spark.operators.dedup import hamming64_pairs
+
+        vocab = sigs.select("phash").distinct().withColumn(
+            "hid", F.col("phash")
+        )
+        hp = hamming64_pairs(
+            vocab, max_hamming, id_col="hid", sig_col="phash"
+        )
+        # near hash pairs both directions + identity → generalized match
+        near = (
+            hp.select(F.col("id_a").alias("ha"), F.col("id_b").alias("hb"))
+            .unionByName(
+                hp.select(F.col("id_b").alias("ha"), F.col("id_a").alias("hb"))
+            )
+            .unionByName(
+                vocab.select(
+                    F.col("hid").alias("ha"), F.col("hid").alias("hb")
+                )
+            )
+        )
+        matched = (
+            sigs.alias("a")
+            .join(near, F.col("a.phash") == F.col("ha"))
+            .join(
+                sigs.alias("b"),
+                (F.col("hb") == F.col("b.phash"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+        )
+
+    pairs = matched.groupBy(
+        F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+    ).agg(F.countDistinct("a.phash").alias("matches"))
+    return (
+        pairs.join(counts.withColumnRenamed("media_id", "id_a"), "id_a")
+        .withColumnRenamed("n_hashes", "n_a")
+        .join(
+            counts.withColumnRenamed("media_id", "id_b").withColumnRenamed(
+                "n_hashes", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "overlap", F.col("matches") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "matches", F.round("overlap", 6).alias("overlap"))
+    )
+
+
 def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup pairs: pHash + the EXACT pigeonhole-banded Hamming
     join shared with SimHash (operators/dedup.hamming64_pairs) — one

@@ -1,0 +1,118 @@
+"""Video near-dup via keyframe pHash overlap (operators/multimodal.py):
+frame-signature extraction over real MP4 containers, the exact-hash
+join path, the banded Hamming path, and an injected codec decoder —
+expected pairs computed brute-force in-test with the same pHash kernel.
+"""
+
+import numpy as np
+import pytest
+
+from knowhere_spark.operators.multimodal import (
+    _dct_matrix,
+    _nn_resample,
+    video_frame_phashes,
+    video_neardup_pairs,
+)
+from tests.test_mp4 import mux_mp4
+
+META = {"width": 32, "height": 32, "n_frames": 0, "sample_rate": 0}
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, "video", bytearray(p), META) for i, p in rows],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+
+
+def _phash64(arr: np.ndarray) -> int:
+    D = _dct_matrix(32)
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    small = _nn_resample(arr, 32, 32)
+    low = (D @ small @ D.T)[:8, :8].ravel()
+    bits = low > np.median(low)
+    w = 1 << np.arange(64, dtype=np.uint64)
+    return int((w * bits).sum(dtype=np.uint64).astype(np.int64))
+
+
+def test_video_frame_phashes_shared_frames_share_hashes(spark):
+    rng = np.random.default_rng(3)
+    frames = [rng.bytes(32) for _ in range(5)]
+    a, _ = mux_mp4(frames)                       # all sync
+    b, _ = mux_mp4(frames[:4] + [rng.bytes(32)])  # 4/5 shared
+    df = _media_df(spark, [(1, a), (2, b)])
+    sig = video_frame_phashes(df).toPandas()
+    ha = set(sig[sig.media_id == 1].phash)
+    hb = set(sig[sig.media_id == 2].phash)
+    assert len(sig) == 10
+    # identical payload bytes → identical fake pixels → identical pHash
+    assert len(ha & hb) == 4
+
+
+def test_video_neardup_exact_hash_join(spark):
+    rng = np.random.default_rng(4)
+    frames = [rng.bytes(32) for _ in range(6)]
+    a, _ = mux_mp4(frames)
+    b, _ = mux_mp4(frames[:5] + [rng.bytes(32)])   # 5/6 shared
+    c, _ = mux_mp4([rng.bytes(32) for _ in range(6)])   # unrelated
+    df = _media_df(spark, [(1, a), (2, b), (3, c)])
+    out = video_neardup_pairs(df, min_overlap=0.5).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.id_a, r.id_b, r.matches) == (1, 2, 5)
+    assert r.overlap == pytest.approx(5 / 6, abs=1e-6)
+    # tighter threshold drops the pair
+    assert video_neardup_pairs(df, min_overlap=0.9).count() == 0
+
+
+def test_video_neardup_injected_decoder_and_banding(spark):
+    """Inject an avc1 'decoder' whose pixels come from the frame payload
+    seed; compute the TRUE pHash overlap brute-force in-test and check
+    both the exact path and the max_hamming-banded path against it."""
+
+    def fake_codec(payload, meta):
+        rng = np.random.default_rng(payload[0])
+        img = rng.random((16, 16))
+        # payload[1] perturbs a single pixel → small pHash hamming drift
+        img[0, 0] += payload[1] / 255.0
+        return img
+
+    # videos share frame SEEDS; second byte differs → near-but-not-equal
+    # pixels, so the exact join may miss what the banded join catches
+    fa = [bytes([s, 0]) for s in range(5)]
+    fb = [bytes([s, 3]) for s in range(5)]
+    a, _ = mux_mp4(fa)
+    b, _ = mux_mp4(fb)
+    df = _media_df(spark, [(1, a), (2, b)])
+
+    hash_a = [_phash64(fake_codec(p, {})) for p in fa]
+    hash_b = [_phash64(fake_codec(p, {})) for p in fb]
+
+    def expected_matches(max_h):
+        m = set()
+        for i, x in enumerate(set(hash_a)):
+            for y in set(hash_b):
+                if bin((x ^ y) & ((1 << 64) - 1)).count("1") <= max_h:
+                    m.add(x)
+        return len(m)
+
+    for max_h in (0, 8):
+        exp = expected_matches(max_h)
+        got = video_neardup_pairs(
+            df, min_overlap=1e-9, max_hamming=max_h,
+            decoders={"avc1": fake_codec},
+        ).collect()
+        if exp == 0:
+            assert got == []
+        else:
+            assert len(got) == 1 and got[0].matches == exp
+    # the perturbation is tiny → wide band must recover all 5 frames
+    assert expected_matches(8) == 5
+
+
+def test_video_neardup_validates_overlap(spark):
+    df = _media_df(spark, [(1, b"x")])
+    with pytest.raises(ValueError):
+        video_neardup_pairs(df, min_overlap=0.0)
