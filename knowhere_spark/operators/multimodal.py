@@ -741,6 +741,7 @@ def video_neardup_pairs(
     every_n: int = 1,
     min_overlap: float = 0.5,
     max_hamming: int = 0,
+    max_hash_freq: int | None = 10_000,
     decoders: dict | None = None,
 ) -> DataFrame:
     """Video near-dup pairs by keyframe-pHash overlap — the 100 TB video
@@ -758,7 +759,16 @@ def video_neardup_pairs(
     image pHash) and matched hash pairs rejoin the signatures.  Frame
     counts are distinct-hash counts, so still-frame runs don't inflate
     overlap.  Returns ``(id_a, id_b, matches, overlap)`` with
-    ``id_a < id_b``."""
+    ``id_a < id_b``.
+
+    ``max_hash_freq`` is the skew guard the self-join needs at corpus
+    scale: a frame hash shared by more than this many videos (black
+    frames, channel intro logos, test cards) would contribute
+    O(freq²) join rows while carrying no dedup signal — such stop
+    hashes are dropped BEFORE the join (the same move as stopword
+    removal in text near-dup), bounding the hottest join key.  Overlap
+    denominators are computed after the drop, so a pair's surviving
+    shared frames still count against a consistent total."""
     if not 0.0 < min_overlap <= 1.0:
         raise ValueError("min_overlap must be in (0, 1]")
     sigs = (
@@ -766,6 +776,15 @@ def video_neardup_pairs(
         .select("media_id", "phash")
         .distinct()
     )
+    if max_hash_freq is not None:
+        freq = sigs.groupBy("phash").agg(
+            F.count("*").alias("__hash_freq")
+        )
+        sigs = (
+            sigs.join(freq, "phash")
+            .filter(F.col("__hash_freq") <= max_hash_freq)
+            .drop("__hash_freq")
+        )
     counts = sigs.groupBy("media_id").agg(F.count("*").alias("n_hashes"))
 
     if max_hamming == 0:

@@ -116,3 +116,30 @@ def test_video_neardup_validates_overlap(spark):
     df = _media_df(spark, [(1, b"x")])
     with pytest.raises(ValueError):
         video_neardup_pairs(df, min_overlap=0.0)
+
+
+def test_video_neardup_stop_hash_cap(spark):
+    """A frame hash shared by every video is a stop hash: with the cap
+    it must not create pairs on its own, and overlap denominators use
+    the post-drop signature sizes."""
+    rng = np.random.default_rng(5)
+    common = rng.bytes(32)                     # appears in ALL videos
+    vids = []
+    for i in range(4):
+        frames = [common] + [rng.bytes(32) for _ in range(3)]
+        vids.append((i + 1, mux_mp4(frames)[0]))
+    # videos 1 and 2 additionally share two REAL frames
+    shared = [rng.bytes(32), rng.bytes(32)]
+    vids[0] = (1, mux_mp4([common] + shared + [rng.bytes(32)])[0])
+    vids[1] = (2, mux_mp4([common] + shared + [rng.bytes(32)])[0])
+    df = _media_df(spark, vids)
+    out = video_neardup_pairs(df, min_overlap=0.4, max_hash_freq=3).collect()
+    assert len(out) == 1
+    (r,) = out
+    # the common hash was dropped (freq 4 > cap 3): matches counts only
+    # the two real shared frames, denominator is 3 post-drop hashes
+    assert (r.id_a, r.id_b, r.matches) == (1, 2, 2)
+    assert r.overlap == pytest.approx(2 / 3, abs=1e-6)
+    # without the cap the common hash links EVERY pair
+    uncapped = video_neardup_pairs(df, min_overlap=1e-9, max_hash_freq=None)
+    assert uncapped.count() == 6
