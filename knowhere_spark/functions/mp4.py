@@ -15,10 +15,13 @@ everything a frame-sampling pipeline needs from it is metadata:
 and materializes the full per-sample table from the five sample-table
 atoms (``stts`` timestamps, ``stsz`` sizes, ``stsc`` sample→chunk,
 ``stco``/``co64`` chunk offsets, ``stss`` sync samples).  64-bit box
-sizes and ``co64`` are handled; fragmented MP4 (``moof``) and encrypted
-tracks are recognized and raise ``NotImplementedError`` (the honest-stub
-contract shared with progressive JPEG / Adam7 PNG).  Structurally
-invalid payloads raise ``ValueError`` so callers can fall back.
+sizes and ``co64`` are handled.  Fragmented MP4 — the ``moof``/``traf``/
+``trun`` layout DASH/HLS streaming crawls actually produce — is parsed
+too: ``mvex/trex`` defaults, ``tfhd`` overrides, ``tfdt`` decode times
+and per-sample ``trun`` entries merge into the same per-track sample
+table, with sync flags taken from the ``sample_is_non_sync_sample`` bit.
+Structurally invalid payloads raise ``ValueError`` so callers can fall
+back.
 
 ISO/IEC 14496-12 is the public spec; box offsets below cite its section
 numbers.
@@ -113,7 +116,10 @@ def _parse_stbl(data: bytes, start: int, end: int) -> dict:
     if int(counts.sum()) != n_samples:
         raise ValueError("mp4 stts sample count mismatch with stsz")
     per_sample_delta = np.repeat(deltas, counts)
-    dts = np.concatenate([[0], np.cumsum(per_sample_delta)[:-1]])
+    if n_samples:
+        dts = np.concatenate([[0], np.cumsum(per_sample_delta)[:-1]])
+    else:
+        dts = np.zeros(0, dtype=np.int64)   # empty fMP4 init stbl
 
     # stsc (§8.7.4): (first_chunk, samples_per_chunk, _) runs
     sc_b, _ = one(b"stsc")
@@ -187,17 +193,150 @@ def _parse_stbl(data: bytes, start: int, end: int) -> dict:
     }
 
 
+#: tfhd flag bits (14496-12 §8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+#: trun flag bits (14496-12 §8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+#: sample_flags bit: sample does NOT decode standalone (§8.8.3.1)
+_SAMPLE_IS_NON_SYNC = 0x00010000
+
+
+def _parse_trex(data: bytes, mvex_b: int, mvex_e: int) -> dict[int, tuple]:
+    """mvex → per-track (default_duration, default_size, default_flags)."""
+    out = {}
+    for typ, b, e in iter_boxes(data, mvex_b, mvex_e):
+        if typ != b"trex":
+            continue
+        _, p = _fullbox(data, b)
+        tid, _desc, ddur, dsize, dflags = struct.unpack_from(">IIIII", data, p)
+        out[int(tid)] = (int(ddur), int(dsize), int(dflags))
+    return out
+
+
+def _parse_fragments(data: bytes, top: dict, trex: dict) -> dict[int, dict]:
+    """Walk every ``moof`` and expand its ``traf``/``trun`` runs into
+    per-track sample lists ``{track_id: {"offsets", "sizes",
+    "dts_ticks", "is_sync"}}`` (merged across fragments in file order)."""
+    acc: dict[int, dict[str, list]] = {}
+    next_dts: dict[int, int] = {}
+    for moof_b, moof_e in top.get(b"moof", []):
+        moof_start = moof_b - 8   # box header included in moof offsets
+        for typ, tb, te in iter_boxes(data, moof_b, moof_e):
+            if typ != b"traf":
+                continue
+            traf = _find_boxes(data, tb, te)
+            hb, _ = traf[b"tfhd"][0]
+            ver_flags = struct.unpack_from(">I", data, hb)[0]
+            tf_flags = ver_flags & 0xFFFFFF
+            p = hb + 4
+            tid = struct.unpack_from(">I", data, p)[0]
+            p += 4
+            ddur, dsize, dflags = trex.get(int(tid), (0, 0, 0))
+            base_offset = None
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                base_offset = struct.unpack_from(">Q", data, p)[0]
+                p += 8
+            if tf_flags & _TFHD_SAMPLE_DESC_IDX:
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_DURATION:
+                ddur = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                dsize = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_FLAGS:
+                dflags = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            if base_offset is None:
+                # default-base-is-moof, and the de facto reading of the
+                # legacy case too: offsets are moof-relative
+                base_offset = moof_start
+
+            dts = next_dts.get(int(tid), 0)
+            if b"tfdt" in traf:
+                db, _ = traf[b"tfdt"][0]
+                ver, p2 = _fullbox(data, db)
+                dts = struct.unpack_from(
+                    ">Q" if ver == 1 else ">I", data, p2
+                )[0]
+
+            slot = acc.setdefault(
+                int(tid),
+                {"offsets": [], "sizes": [], "dts_ticks": [], "is_sync": []},
+            )
+            run_offset = None   # running position for offset-less runs
+            for rtyp, rb, re_ in iter_boxes(data, tb, te):
+                if rtyp != b"trun":
+                    continue
+                ver_flags = struct.unpack_from(">I", data, rb)[0]
+                tr_flags = ver_flags & 0xFFFFFF
+                p = rb + 4
+                n = struct.unpack_from(">I", data, p)[0]
+                p += 4
+                if tr_flags & _TRUN_DATA_OFFSET:
+                    off = base_offset + struct.unpack_from(">i", data, p)[0]
+                    p += 4
+                elif run_offset is not None:
+                    off = run_offset
+                else:
+                    raise ValueError(
+                        "mp4 trun without data offset and no prior run"
+                    )
+                first_flags = None
+                if tr_flags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    first_flags = struct.unpack_from(">I", data, p)[0]
+                    p += 4
+                for i in range(n):
+                    dur, size, flags = ddur, dsize, dflags
+                    if tr_flags & _TRUN_SAMPLE_DURATION:
+                        dur = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    if tr_flags & _TRUN_SAMPLE_SIZE:
+                        size = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    if tr_flags & _TRUN_SAMPLE_FLAGS:
+                        flags = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    elif i == 0 and first_flags is not None:
+                        flags = first_flags
+                    if tr_flags & _TRUN_SAMPLE_CTS:
+                        p += 4   # composition offset — dts table only
+                    if size == 0:
+                        raise ValueError("mp4 fragment sample of size 0")
+                    slot["offsets"].append(off)
+                    slot["sizes"].append(size)
+                    slot["dts_ticks"].append(dts)
+                    slot["is_sync"].append(not (flags & _SAMPLE_IS_NON_SYNC))
+                    off += size
+                    dts += dur
+                run_offset = off
+            next_dts[int(tid)] = dts
+    return acc
+
+
 def parse_mp4(data: bytes) -> dict:
     """Parse an ISO-BMFF payload into track metadata + per-sample tables.
 
     Returns ``{"brand": str, "tracks": [{"track_id", "handler", "codec",
     "width", "height", "timescale", "duration_sec", "n_samples",
-    "offsets", "sizes", "dts_sec", "is_sync"}, ...]}``.  Raises
-    ``NotImplementedError`` for fragmented (``moof``) files and
-    ``ValueError`` for structurally invalid ones."""
+    "offsets", "sizes", "dts_sec", "is_sync"}, ...]}``.  Handles both
+    flat files (all samples described by ``stbl``) and fragmented ones
+    (``moof``/``traf``/``trun`` runs appended to whatever the ``stbl``
+    declares — usually nothing).  Raises ``ValueError`` for structurally
+    invalid payloads."""
     top = _find_boxes(data, 0, len(data))
-    if b"moof" in top:
-        raise NotImplementedError("fragmented MP4 (moof) not supported")
     if b"ftyp" not in top or b"moov" not in top:
         raise ValueError("mp4 missing ftyp/moov")
     fb, fe = top[b"ftyp"][0]
@@ -205,6 +344,10 @@ def parse_mp4(data: bytes) -> dict:
 
     mb, me = top[b"moov"][0]
     moov = _find_boxes(data, mb, me)
+    trex = (
+        _parse_trex(data, *moov[b"mvex"][0]) if b"mvex" in moov else {}
+    )
+    fragments = _parse_fragments(data, top, trex) if b"moof" in top else {}
     tracks = []
     for tb, te in moov.get(b"trak", []):
         trak = _find_boxes(data, tb, te)
@@ -233,7 +376,25 @@ def parse_mp4(data: bytes) -> dict:
 
         minf = _find_boxes(data, *mdia[b"minf"][0])
         st = _parse_stbl(data, *minf[b"stbl"][0])
-        for off, sz in zip(st["offsets"], st["sizes"]):
+        offsets, sizes = st["offsets"], st["sizes"]
+        dts_ticks, is_sync = st["dts_ticks"], st["is_sync"]
+        frag = fragments.get(int(track_id))
+        if frag is not None:
+            # fragment runs continue the flat table (which is empty for
+            # real fMP4); fragment dts comes from tfdt when present,
+            # else runs from 0 across fragments in file order
+            f_dts = np.asarray(frag["dts_ticks"], dtype=np.int64)
+            offsets = np.concatenate(
+                [offsets, np.asarray(frag["offsets"], dtype=np.int64)]
+            )
+            sizes = np.concatenate(
+                [sizes, np.asarray(frag["sizes"], dtype=np.int64)]
+            )
+            dts_ticks = np.concatenate([dts_ticks, f_dts])
+            is_sync = np.concatenate(
+                [is_sync, np.asarray(frag["is_sync"], dtype=bool)]
+            )
+        for off, sz in zip(offsets, sizes):
             if off + sz > len(data):
                 raise ValueError("mp4 sample range outside payload")
         tracks.append(
@@ -245,11 +406,11 @@ def parse_mp4(data: bytes) -> dict:
                 "height": height,
                 "timescale": int(timescale),
                 "duration_sec": duration / timescale,
-                "n_samples": st["n_samples"],
-                "offsets": st["offsets"],
-                "sizes": st["sizes"],
-                "dts_sec": st["dts_ticks"] / timescale,
-                "is_sync": st["is_sync"],
+                "n_samples": int(len(sizes)),
+                "offsets": offsets,
+                "sizes": sizes,
+                "dts_sec": dts_ticks / timescale,
+                "is_sync": is_sync,
             }
         )
     if not tracks:

@@ -585,8 +585,6 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
                 if sniff_format(payload) == "mp4":
                     try:
                         frames = video_keyframes(payload, every_n=every_n)
-                    except NotImplementedError:
-                        raise   # fragmented MP4: real format, honest stub
                     except Exception:
                         frames = None   # corrupt container → synthetic
                 if frames is not None:

@@ -168,10 +168,124 @@ def test_mp4_malformed_raises():
     bad[4:8] = b"zzzz"                   # no ftyp
     with pytest.raises(ValueError):
         parse_mp4(bytes(bad))
-    # fragmented marker → honest NotImplementedError
-    frag = data + _box(b"moof", b"")
-    with pytest.raises(NotImplementedError):
-        parse_mp4(frag)
+
+
+def _empty_stbl() -> bytes:
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(b"avc1", b"\x00" * 78))
+    stts = _full(b"stts", struct.pack(">I", 0))
+    stsc = _full(b"stsc", struct.pack(">I", 0))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 0))
+    stco = _full(b"stco", struct.pack(">I", 0))
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def mux_fmp4(fragments, *, timescale=600, default_duration=100):
+    """Fragmented MP4 (DASH init + media segments in one payload):
+    empty stbl, mvex/trex defaults, one moof+mdat per fragment.
+    ``fragments``: list of lists of (payload, is_sync) samples.
+    Returns (payload, expected absolute offsets per sample)."""
+    hdlr = _full(b"hdlr", struct.pack(">I4s12x", 0, b"vide") + b"video\x00")
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", _empty_stbl()))
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", 0)
+        + b"\x00" * 52 + struct.pack(">II", 32 << 16, 24 << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, 0) + b"\x00" * 80)
+    # trex: track 1, desc 1, default duration/size/flags (non-sync default)
+    trex = _full(
+        b"trex", struct.pack(">IIIII", 1, 1, default_duration, 0, 0x00010000)
+    )
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    out = bytearray(_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso5") + moov)
+
+    offsets = []
+    base_dts = 0
+    for fi, frag in enumerate(fragments):
+        mfhd = _full(b"mfhd", struct.pack(">I", fi + 1))
+        tfhd = _box(
+            b"tfhd",
+            struct.pack(">I", 0x020000)      # default-base-is-moof
+            + struct.pack(">I", 1),          # track id
+        )
+        tfdt = _full(b"tfdt", struct.pack(">I", base_dts))
+        # trun: data offset + per-sample size + per-sample flags
+        tr_flags = 0x000001 | 0x000200 | 0x000400
+        body = struct.pack(">I", len(frag))
+        body += struct.pack(">i", 0)         # patched below
+        for payload, is_sync in frag:
+            flags = 0 if is_sync else 0x00010000
+            body += struct.pack(">II", len(payload), flags)
+        trun = _box(b"trun", struct.pack(">I", tr_flags) + body)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # data offset = moof size + mdat header, relative to moof start
+        data_off = len(moof) + 8
+        # trun data_offset field sits after: moof hdr(8)+mfhd+traf hdr(8)
+        # + tfhd + tfdt + trun hdr(8) + fullbox word(4) + count(4)
+        pos = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 8 + 4 + 4
+        moof[pos : pos + 4] = struct.pack(">i", data_off)
+        moof_start = len(out)
+        out += moof
+        mdat_body = b"".join(p for p, _ in frag)
+        out += _box(b"mdat", mdat_body)
+        off = moof_start + data_off
+        for payload, _ in frag:
+            offsets.append(off)
+            off += len(payload)
+        base_dts += len(frag) * default_duration
+    return bytes(out), offsets
+
+
+def test_fragmented_mp4_parses():
+    rng = np.random.default_rng(6)
+    frags = [
+        [(rng.bytes(9), True), (rng.bytes(7), False), (rng.bytes(5), False)],
+        [(rng.bytes(6), True), (rng.bytes(8), False)],
+    ]
+    data, offsets = mux_fmp4(frags)
+    parsed = parse_mp4(data)
+    (t,) = parsed["tracks"]
+    assert t["handler"] == "vide" and t["codec"] == "avc1"
+    assert t["n_samples"] == 5
+    np.testing.assert_array_equal(t["offsets"], offsets)
+    np.testing.assert_array_equal(
+        t["is_sync"], [True, False, False, True, False]
+    )
+    # tfdt-pinned dts: fragment 2 continues at 3 * default_duration
+    np.testing.assert_allclose(
+        t["dts_sec"], np.array([0, 100, 200, 300, 400]) / 600.0
+    )
+    # byte ranges recover the exact muxed sample payloads
+    flat = [p for frag in frags for p, _ in frag]
+    for i in range(5):
+        lo, hi = t["offsets"][i], t["offsets"][i] + t["sizes"][i]
+        assert data[lo:hi] == flat[i]
+
+
+def test_fragmented_mp4_keyframes_and_operator(spark):
+    rng = np.random.default_rng(7)
+    frags = [
+        [(rng.bytes(10), True), (rng.bytes(4), False)],
+        [(rng.bytes(6), True), (rng.bytes(4), False)],
+        [(rng.bytes(5), True), (rng.bytes(4), False)],
+    ]
+    data, _ = mux_fmp4(frags)
+    ks = video_keyframes(data, every_n=2)
+    assert [k["frame_idx"] for k in ks] == [0, 4]
+    assert ks[0]["payload"] == frags[0][0][0]
+    assert ks[1]["payload"] == frags[2][0][0]
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(data),
+          {"width": 32, "height": 24, "n_frames": 6, "sample_rate": 0})],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    rows = sample_video_keyframes(media).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+    assert all(r.is_container == "mp4" for r in rows)
 
 
 def test_mp4_iter_boxes_largesize():
