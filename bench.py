@@ -716,6 +716,39 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_phash_images"] = q_phash_neardup
 
+    def q_video_neardup():
+        # video near-dup over REAL MP4 containers (r8): 2k muxed videos
+        # x 6 keyframes, 10% planted near-copies sharing 5/6 frames —
+        # moov/stbl parse + per-frame pHash in one mapInPandas, then ONE
+        # hash-keyed self-join with the stop-hash cap (never
+        # all-pairs-of-videos)
+        import numpy as _np
+
+        from knowhere_spark.functions.mp4 import encode_mp4
+        from knowhere_spark.operators.multimodal import video_neardup_pairs
+
+        rng = _np.random.default_rng(13)
+        rows, originals = [], []
+        for i in range(2000):
+            if originals and rng.random() < 0.10:
+                frames = list(originals[rng.integers(len(originals))])
+                frames[-1] = rng.bytes(24)
+            else:
+                frames = [rng.bytes(24) for _ in range(6)]
+                originals.append(frames)
+            rows.append(
+                (i + 1, "video", bytearray(encode_mp4(frames)),
+                 {"width": 8, "height": 8, "n_frames": 6, "sample_rate": 0})
+            )
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, media_type string, payload binary, "
+            "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+        ).repartition(int(CPUS))
+        return video_neardup_pairs(media, min_overlap=0.6)
+
+    out["dedup_videos_mp4"] = q_video_neardup
+
     def q_text_embedding():
         # model-free hashed TF-IDF embedding of the whole documents table
         # (r5): two groupBys + AQE-decided vocab join + codegen'd dense

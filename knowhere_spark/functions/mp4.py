@@ -418,6 +418,70 @@ def parse_mp4(data: bytes) -> dict:
     return {"brand": brand, "tracks": tracks}
 
 
+def encode_mp4(
+    samples: list[bytes],
+    *,
+    sync: list[int] | None = None,
+    timescale: int = 600,
+    delta: int = 100,
+    width: int = 32,
+    height: int = 24,
+    codec: bytes = b"avc1",
+) -> bytes:
+    """Minimal flat MP4 muxer — one video track, one chunk, opaque
+    sample payloads.  No ffmpeg in this environment means no real codec
+    bitstreams; this exists so pipelines/benches can synthesize VALID
+    containers (exercising the real parse path end-to-end) without
+    native deps.  ``sync``: 1-based keyframe numbers (None → no stss →
+    every sample is sync).  Round-trips exactly through
+    :func:`parse_mp4` (tested)."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("encode_mp4 needs at least one sample")
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(body), typ) + body
+
+    def full(typ: bytes, body: bytes) -> bytes:
+        return box(typ, b"\x00\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_start = len(ftyp) + 8
+    sizes = [len(s) for s in samples]
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec, b"\x00" * 78))
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stco = full(b"stco", struct.pack(">II", 1, mdat_start))
+    stbl_body = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        stbl_body += full(
+            b"stss",
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s) for s in sync),
+        )
+    minf = box(b"minf", box(b"stbl", stbl_body))
+    hdlr = full(b"hdlr", struct.pack(">I4s12x", 0, b"vide") + b"video\x00")
+    mdhd = full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, n * delta, 0x55C4, 0)
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, n * delta)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = full(
+        b"mvhd", struct.pack(">IIII", 0, 0, timescale, n * delta) + b"\x00" * 80
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + box(b"mdat", b"".join(samples)) + moov
+
+
 def video_keyframes(
     data: bytes, *, every_n: int = 1, max_frames: int | None = None
 ) -> list[dict]:

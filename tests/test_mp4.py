@@ -327,3 +327,29 @@ def test_sample_video_keyframes_operator(spark):
     assert all(r.is_container == "synthetic" for r in syn)
     # image row emits nothing
     assert 3 not in by_id
+
+
+def test_encode_mp4_roundtrip():
+    """The library muxer (functions/mp4.encode_mp4) round-trips through
+    the parser — an implementation INDEPENDENT of this file's test
+    muxer, so the two validate each other."""
+    from knowhere_spark.functions.mp4 import encode_mp4
+
+    rng = np.random.default_rng(8)
+    samples = [rng.bytes(5 + i) for i in range(7)]
+    data = encode_mp4(samples, sync=[1, 5], width=64, height=48)
+    assert sniff_format(data) == "mp4"
+    (t,) = parse_mp4(data)["tracks"]
+    assert t["n_samples"] == 7 and t["codec"] == "avc1"
+    assert (t["width"], t["height"]) == (64.0, 48.0)
+    np.testing.assert_array_equal(t["sizes"], [len(s) for s in samples])
+    np.testing.assert_array_equal(
+        t["is_sync"], [True, False, False, False, True, False, False]
+    )
+    for i in range(7):
+        lo, hi = t["offsets"][i], t["offsets"][i] + t["sizes"][i]
+        assert data[lo:hi] == samples[i]
+    ks = video_keyframes(data)
+    assert [k["frame_idx"] for k in ks] == [0, 4]
+    with pytest.raises(ValueError):
+        encode_mp4([])
