@@ -93,13 +93,13 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
             raise ValueError("GIF LZW code out of range")
         out += entry
         prev = entry
-        # Width bump: the decoder's table lags the encoder's next-code
-        # counter by ONE (the encoder has already registered the entry
-        # the KwKwK case reconstructs), so widen when the table is one
-        # short of the width limit — giflib mirrors this by running its
-        # code counter an entry ahead of the actual table fill.  Capped
-        # at 12 bits; a full table stops growing until a clear.
-        if len(table) + 1 >= (1 << code_size) and code_size < 12:
+        # Width bump when the table size REACHES the width limit — the
+        # timing every real encoder pairs with (giflib bumps after
+        # writing code #i when its pre-insert next-code counter hits
+        # 2^width, which equals this decoder's post-append table size;
+        # verified against real-encoder GIFs in tests).  Capped at 12
+        # bits; a full table stops growing until a clear.
+        if len(table) >= (1 << code_size) and code_size < 12:
             code_size += 1
     return bytes(out[:n_pixels])
 

@@ -160,11 +160,13 @@ def test_gif_lzw_table_growth_roundtrip():
             continue
         bits.put(table[cur], width)
         if next_code < 4096:
-            table[nxt] = next_code
-            # the decoder widens when its table REACHES 2^width; the
-            # encoder must widen after assigning code 2^width - 1
-            if next_code == (1 << width) - 1 and width < 12:
+            # giflib's exact sequence: bump AFTER writing the current
+            # code / BEFORE inserting the new entry, when the pre-insert
+            # next-code counter hits 2^width — this matches the
+            # decoder's post-append table size exactly
+            if next_code >= (1 << width) and width < 12:
                 width += 1
+            table[nxt] = next_code
             next_code += 1
         cur = bytes([b])
     bits.put(table[cur], width)
@@ -251,3 +253,28 @@ def test_gif87a_and_unknown_block_rejected():
     bad[13 + 4 * 3] = 0x7F   # clobber the image-descriptor introducer
     with pytest.raises(ValueError):
         decode_gif(bytes(bad))
+
+
+def test_gif_decodes_real_encoder_files():
+    """Regression against REAL encoder output: the stdlib ships GIF
+    icons (idlelib) written by production encoders with genuinely
+    compressing LZW streams — the width-bump timing that hand-built
+    streams can get subtly wrong (and this decoder's first cut did).
+    Skipped if the interpreter has no idlelib icons."""
+    import glob
+    import struct
+    import sysconfig
+
+    icons = sorted(
+        glob.glob(sysconfig.get_path("stdlib") + "/idlelib/Icons/*.gif")
+    )
+    if not icons:
+        pytest.skip("no idlelib GIF icons in this interpreter")
+    assert len(icons) >= 3
+    for path in icons:
+        data = open(path, "rb").read()
+        w, h = struct.unpack_from("<HH", data, 6)
+        frames, _ = decode_gif_frames(data)
+        assert frames.shape[1:] == (h, w, 3)
+        assert 0.0 <= frames.min() and frames.max() <= 1.0
+        assert frames.std() > 0   # real icons aren't flat
