@@ -96,22 +96,66 @@ def _decode_pnm(data: bytes) -> np.ndarray:
 
 
 def _decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER) → (h, w, 3)
-    float64 in [0, 1], rows 4-byte padded, BGR → RGB."""
+    """Uncompressed BMP → (h, w, 3) float64 in [0, 1]: 24-bit BGR
+    (4-byte-padded rows), 32-bit BGRX / BI_BITFIELDS (per-channel masks,
+    the screenshot-tool default), and 8-bit palettized; top-down and
+    bottom-up row orders.  RLE and 16-bit raise ``NotImplementedError``."""
     import struct
 
     off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
     w, h = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
-    stride = (w * 3 + 3) & ~3
-    rows = np.frombuffer(data, dtype=np.uint8, count=stride * abs(h), offset=off)
-    px = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
-    if h > 0:
-        px = px[::-1]          # bottom-up storage
-    return px[:, :, ::-1].astype(np.float64) / 255.0   # BGR → RGB
+    ah = abs(h)
+    if bpp == 24 and comp == 0:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(data, dtype=np.uint8, count=stride * ah, offset=off)
+        px = rows.reshape(ah, stride)[:, : w * 3].reshape(ah, w, 3)
+        if h > 0:
+            px = px[::-1]      # bottom-up storage
+        return px[:, :, ::-1].astype(np.float64) / 255.0   # BGR → RGB
+    if bpp == 32 and comp in (0, 3):
+        # BI_RGB 32-bit is fixed BGRX; BI_BITFIELDS carries explicit
+        # R/G/B masks — in the V4/V5 headers at a fixed position, for
+        # the plain INFOHEADER as three DWORDs right after it
+        if comp == 3:
+            # masks sit at absolute offset 54 for INFOHEADER+BITFIELDS
+            # (3 DWORDs after the header) AND for V4/V5 (in-header)
+            masks = struct.unpack_from("<III", data, 54)
+        else:
+            masks = (0x00FF0000, 0x0000FF00, 0x000000FF)
+        words = np.frombuffer(
+            data, dtype="<u4", count=w * ah, offset=off
+        ).reshape(ah, w)
+        chans = []
+        for m in masks:
+            if m == 0:
+                raise ValueError("BMP zero channel mask")
+            shift = (m & -m).bit_length() - 1
+            width_bits = (m >> shift).bit_length()
+            maxv = (1 << width_bits) - 1
+            chans.append(((words >> shift) & maxv).astype(np.float64) / maxv)
+        px = np.stack(chans, axis=-1)
+        if h > 0:
+            px = px[::-1]
+        return px
+    if bpp == 8 and comp == 0:
+        # palettized: BGRX color table right after the header
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]   # BGRX → RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(data, dtype=np.uint8, count=stride * ah, offset=off)
+        idx = rows.reshape(ah, stride)[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx].astype(np.float64) / 255.0
+        if h > 0:
+            px = px[::-1]
+        return px
+    raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
 
 
 def _decode_wav(data: bytes) -> np.ndarray:

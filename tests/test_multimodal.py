@@ -13,6 +13,7 @@ from knowhere_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_payload,
     extract_features,
+    sniff_format,
     resize_images,
     sample_frames,
     synthesize_media,
@@ -603,3 +604,33 @@ def test_image_phash_over_png_corpus(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              phash_neardup_pairs(media, max_hamming=6).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_decode_real_encoder_files_cross_format():
+    """Regression against REAL encoder output across every format the
+    built-in decoders claim: the running interpreter's stdlib ships a
+    cross-format image corpus (test/imghdrdata/python.*) plus idlelib
+    PNG icons.  A meta of 5x5 distinguishes real decode (true 16x16
+    shape) from the deterministic fake (meta-shaped)."""
+    import glob
+    import sysconfig
+
+    stdlib = sysconfig.get_path("stdlib")
+    corpus = sorted(glob.glob(stdlib + "/test/imghdrdata/python*"))
+    if not corpus:
+        pytest.skip("no imghdrdata corpus in this interpreter")
+    meta = {"width": 5, "height": 5, "n_frames": 1, "sample_rate": 100}
+    real_formats = set()
+    for path in corpus:
+        data = open(path, "rb").read()
+        fmt = sniff_format(data)
+        arr = decode_payload(data, "image", meta)
+        if fmt in ("jpeg", "png", "gif", "pnm", "bmp"):
+            assert arr.shape[:2] == (16, 16), (path, arr.shape)
+            assert 0.0 <= arr.min() and arr.max() <= 1.0
+            real_formats.add(fmt)
+        else:
+            # webp/tiff/exr/... stay opaque → deterministic fake
+            assert arr.shape == (5, 5, 3), (path, fmt, arr.shape)
+    # every claimed format must actually appear in the corpus
+    assert real_formats == {"jpeg", "png", "gif", "pnm", "bmp"}
