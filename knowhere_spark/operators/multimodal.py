@@ -171,6 +171,11 @@ def _decode_wav(data: bytes) -> np.ndarray:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:   # 8-bit WAV is unsigned
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 3:   # 24-bit PCM: 3-byte little-endian two's complement
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1   # sign-extend bit 23
+        x = v.astype(np.float64) / 8388608.0
     elif sw == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:

@@ -634,3 +634,25 @@ def test_decode_real_encoder_files_cross_format():
             assert arr.shape == (5, 5, 3), (path, fmt, arr.shape)
     # every claimed format must actually appear in the corpus
     assert real_formats == {"jpeg", "png", "gif", "pnm", "bmp"}
+
+
+def test_decode_real_wav_all_pcm_widths():
+    """Real-encoder WAV regression: the stdlib's audiodata fixtures are
+    the same pluck recording at 8/16/24/32-bit PCM — every width must
+    decode and agree with the 16-bit reference within quantization."""
+    import glob
+    import sysconfig
+
+    from knowhere_spark.operators.multimodal import _decode_wav
+
+    stdlib = sysconfig.get_path("stdlib")
+    paths = {
+        w: stdlib + f"/test/audiodata/pluck-pcm{w}.wav" for w in (8, 16, 24, 32)
+    }
+    if not all(glob.glob(p) for p in paths.values()):
+        pytest.skip("no stdlib audiodata fixtures")
+    ref = _decode_wav(open(paths[16], "rb").read())
+    for w, tol in ((8, 0.02), (24, 1e-4), (32, 1e-4)):
+        x = _decode_wav(open(paths[w], "rb").read())
+        assert len(x) == len(ref)
+        assert float(np.abs(x - ref).max()) < tol
