@@ -592,7 +592,7 @@ KEYFRAME_SCHEMA = StructType(
         StructField("pts_sec", FloatType()),
         StructField("frame_payload", BinaryType()),
         StructField("codec", StringType()),
-        StructField("is_container", StringType()),   # "mp4" | "synthetic"
+        StructField("is_container", StringType()),   # mp4 | gif | synthetic
     ]
 )
 
@@ -608,7 +608,14 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
     injected; the container layer — the part a 100 TB sampling stage
     actually shuffles and prunes on — is real and tested.
 
-    Non-MP4 / unparseable video rows fall back to the synthetic
+    Animated-GIF video rows are fully real end-to-end (the one video
+    format this environment decodes without ffmpeg): every kept frame
+    is REALLY decoded (functions/gif.py, disposal-composited) and
+    re-encoded as a binary-PNM ``frame_payload`` with its cumulative
+    delay as the timestamp — downstream frame stages decode those
+    payloads with the built-in codecs, no injection needed.
+
+    Other non-MP4 / unparseable video rows fall back to the synthetic
     ``meta.n_frames`` index sequence (null payload), so the stage is
     total over a mixed crawl corpus: one bad payload must not kill the
     ``mapInPandas`` stage.  Returns :data:`KEYFRAME_SCHEMA` rows.
@@ -617,6 +624,7 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
         raise ValueError("every_n must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knowhere_spark.functions.gif import decode_gif_frames
         from knowhere_spark.functions.mp4 import video_keyframes
 
         for pdf in batches:
@@ -631,11 +639,29 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
                     continue
                 payload = bytes(payload)
                 frames = None
-                if sniff_format(payload) == "mp4":
+                fmt = sniff_format(payload)
+                if fmt == "mp4":
                     try:
                         frames = video_keyframes(payload, every_n=every_n)
                     except Exception:
                         frames = None   # corrupt container → synthetic
+                elif fmt == "gif":
+                    try:
+                        gframes, delays = decode_gif_frames(payload)
+                        pts = np.concatenate(
+                            [[0.0], np.cumsum(delays)[:-1]]
+                        )
+                        frames = [
+                            {
+                                "frame_idx": i,
+                                "pts_sec": float(pts[i]),
+                                "payload": encode_pnm(gframes[i]),
+                                "codec": "pnm",
+                            }
+                            for i in range(0, len(gframes), every_n)
+                        ]
+                    except Exception:
+                        frames = None
                 if frames is not None:
                     for fr in frames:
                         rows["media_id"].append(mid)
@@ -643,7 +669,9 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
                         rows["pts_sec"].append(fr["pts_sec"])
                         rows["frame_payload"].append(fr["payload"])
                         rows["codec"].append(fr["codec"])
-                        rows["is_container"].append("mp4")
+                        rows["is_container"].append(
+                            "gif" if fmt == "gif" else "mp4"
+                        )
                 else:
                     n = int(dict(meta).get("n_frames") or 0)
                     for i in range(0, n, every_n):
@@ -715,18 +743,48 @@ def image_phash(
     return media.mapInPandas(kernel, "media_id long, phash long")
 
 
+def _decode_frame_pixels(
+    payload, codec, mid: int, fi: int, decoders: dict | None
+) -> np.ndarray:
+    """Pixels for one sampled frame.  Precedence: an injected codec
+    decoder keyed by the container's sample-entry fourcc
+    (``decoders={"avc1": fn(payload, meta)}``) wins; image payloads the
+    built-ins sniff (the GIF path re-encodes really-decoded frames as
+    PNM) decode for real; everything else — raw codec bitstreams
+    without an injected decoder, synthetic null-payload rows — falls
+    back to the deterministic fake so the stage stays total."""
+    if payload is not None:
+        payload = bytes(payload)
+        if decoders and codec in decoders:
+            try:
+                return np.asarray(decoders[codec](payload, {}), dtype=np.float64)
+            except Exception:
+                pass
+        if sniff_format(payload) is not None:
+            try:
+                return decode_payload(
+                    payload, "image",
+                    {"width": 32, "height": 32, "n_frames": 1,
+                     "sample_rate": 0},
+                )
+            except NotImplementedError:
+                pass   # recognized-but-undecodable frame → fake below
+    seed_src = payload if payload is not None else b"%d/%d" % (mid, fi)
+    digest = hashlib.sha256(seed_src).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    return rng.random((32, 32), dtype=np.float64)
+
+
 def video_frame_phashes(
     media: DataFrame, every_n: int = 1, *, decoders: dict | None = None
 ) -> DataFrame:
-    """Per-keyframe perceptual hashes for video rows: real MP4 container
-    parsing picks the sync samples (:func:`sample_video_keyframes`), an
-    injected codec decoder (``decoders={"avc1": fn(payload, meta)}``)
-    turns each keyframe payload into pixels, and the classic pHash
-    construction (same kernel as :func:`image_phash`) hashes each frame.
-    Without an injected codec the frame pixels are the deterministic
-    fake seeded by the frame payload (or by media_id/frame_idx for
-    synthetic rows), keeping the stage total.  Animated GIFs in video
-    rows hash their really-decoded composited frames.
+    """Per-keyframe perceptual hashes for video rows: real MP4/GIF
+    container parsing picks the frames (:func:`sample_video_keyframes`),
+    :func:`_decode_frame_pixels` turns each keyframe payload into pixels
+    (injected codec → really-decoded image payloads → deterministic
+    fake), and the classic pHash construction (same kernel as
+    :func:`image_phash`) hashes each frame.  Animated GIFs hash their
+    really-decoded composited frames with no injection.
 
     Returns ``(media_id, frame_idx, phash BIGINT)`` — one row per
     sampled frame, the signature table video dedup joins on."""
@@ -752,26 +810,7 @@ def video_frame_phashes(
                 pdf["media_id"], pdf["frame_idx"],
                 pdf["frame_payload"], pdf["codec"],
             ):
-                if payload is not None and decoders and codec in decoders:
-                    try:
-                        arr = np.asarray(
-                            decoders[codec](bytes(payload), {}), dtype=np.float64
-                        )
-                    except Exception:
-                        arr = None
-                else:
-                    arr = None
-                if arr is None:
-                    seed_src = (
-                        bytes(payload)
-                        if payload is not None
-                        else b"%d/%d" % (mid, fi)
-                    )
-                    digest = hashlib.sha256(seed_src).digest()
-                    rng = np.random.default_rng(
-                        int.from_bytes(digest[:8], "little")
-                    )
-                    arr = rng.random((32, 32), dtype=np.float64)
+                arr = _decode_frame_pixels(payload, codec, mid, fi, decoders)
                 out_id.append(mid)
                 out_fi.append(int(fi))
                 out_h.append(phash_of(arr))
@@ -780,6 +819,99 @@ def video_frame_phashes(
             )
 
     return frames.mapInPandas(kernel, "media_id long, frame_idx int, phash long")
+
+
+def video_frame_features(
+    media: DataFrame,
+    *,
+    every_n: int = 1,
+    feature_dim: int = 16,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Per-keyframe feature vectors: the video analog of
+    :func:`extract_features` — sample keyframes, decode each frame
+    (:func:`_decode_frame_pixels`), mean-pool into ``feature_dim``
+    chunks.  Returns ``(media_id, frame_idx, features ARRAY<FLOAT>)``."""
+    frames = sample_video_keyframes(
+        media.filter(F.col("media_type") == "video"), every_n=every_n
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_fi, out_f = [], [], []
+            for mid, fi, payload, codec in zip(
+                pdf["media_id"], pdf["frame_idx"],
+                pdf["frame_payload"], pdf["codec"],
+            ):
+                arr = _decode_frame_pixels(
+                    payload, codec, mid, fi, decoders
+                ).ravel()
+                pad = (-len(arr)) % feature_dim
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad)])
+                out_id.append(mid)
+                out_fi.append(int(fi))
+                out_f.append(
+                    arr.reshape(feature_dim, -1).mean(axis=1).astype(np.float32)
+                )
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_fi, "features": out_f}
+            )
+
+    return frames.mapInPandas(
+        kernel, "media_id long, frame_idx int, features array<float>"
+    )
+
+
+def video_embedding(
+    media: DataFrame,
+    *,
+    every_n: int = 1,
+    feature_dim: int = 16,
+    normalize: bool = True,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """One embedding per video — frame features mean-pooled over time,
+    optionally L2-normalized for COSINE search.  This is the bridge
+    from the media table into EVERY vector operator (BruteForce / IVF /
+    HNSW / embedding near-dup / SemDeDup): index videos with the same
+    ANN stack as text embeddings.
+
+    The temporal mean is computed natively (posexplode → per-position
+    avg → array rebuild): two hash-shuffles keyed by media_id, no
+    per-video state, no collect — linear at corpus scale.  Returns
+    ``(media_id, vec ARRAY<FLOAT>)``."""
+    feats = video_frame_features(
+        media, every_n=every_n, feature_dim=feature_dim, decoders=decoders
+    )
+    pooled = (
+        feats.select("media_id", F.posexplode("features").alias("pos", "v"))
+        .groupBy("media_id", "pos")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("media_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"].cast("float"),
+            ).alias("vec")
+        )
+    )
+    if not normalize:
+        return pooled
+    from knowhere_spark.functions.distance import bind1, norm_expr
+
+    # norm bound ONCE per row (the HOF-CSE discipline, distance.bind1);
+    # an all-zero embedding (possible: all-black frames) stays zero
+    return pooled.select(
+        "media_id",
+        bind1(
+            norm_expr(F.col("vec")),
+            lambda n: F.transform(
+                F.col("vec"),
+                lambda x: F.when(n > 0, x / n).otherwise(x).cast("float"),
+            ),
+        ).alias("vec"),
+    )
 
 
 def video_neardup_pairs(
