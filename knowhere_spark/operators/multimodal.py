@@ -950,10 +950,18 @@ def video_neardup_pairs(
     shared frames still count against a consistent total."""
     if not 0.0 < min_overlap <= 1.0:
         raise ValueError("min_overlap must be in (0, 1]")
+    # The signature table fans out into up to 8 plan references (freq,
+    # counts, both join sides) and Spark does NOT common-subexpression
+    # the lineage — without materialization the container-parse + pHash
+    # stage re-executes per reference (verified: 16 MapInPandas nodes,
+    # 0 ReusedExchange in the un-checkpointed plan).  One eager
+    # localCheckpoint pins the decoded signatures; storage is
+    # O(videos × frames × 16 bytes), negligible next to the payloads.
     sigs = (
         video_frame_phashes(media, every_n, decoders=decoders)
         .select("media_id", "phash")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if max_hash_freq is not None:
         freq = sigs.groupBy("phash").agg(
@@ -963,6 +971,7 @@ def video_neardup_pairs(
             sigs.join(freq, "phash")
             .filter(F.col("__hash_freq") <= max_hash_freq)
             .drop("__hash_freq")
+            .localCheckpoint(eager=True)   # capped table also fans out 3×
         )
     counts = sigs.groupBy("media_id").agg(F.count("*").alias("n_hashes"))
 
