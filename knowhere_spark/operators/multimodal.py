@@ -624,9 +624,6 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
         raise ValueError("every_n must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from knowhere_spark.functions.gif import decode_gif_frames
-        from knowhere_spark.functions.mp4 import video_keyframes
-
         for pdf in batches:
             rows: dict[str, list] = {
                 "media_id": [], "frame_idx": [], "pts_sec": [],
@@ -637,53 +634,65 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
             ):
                 if mtype != "video":
                     continue
-                payload = bytes(payload)
-                frames = None
-                fmt = sniff_format(payload)
-                if fmt == "mp4":
-                    try:
-                        frames = video_keyframes(payload, every_n=every_n)
-                    except Exception:
-                        frames = None   # corrupt container → synthetic
-                elif fmt == "gif":
-                    try:
-                        gframes, delays = decode_gif_frames(payload)
-                        pts = np.concatenate(
-                            [[0.0], np.cumsum(delays)[:-1]]
-                        )
-                        frames = [
-                            {
-                                "frame_idx": i,
-                                "pts_sec": float(pts[i]),
-                                "payload": encode_pnm(gframes[i]),
-                                "codec": "pnm",
-                            }
-                            for i in range(0, len(gframes), every_n)
-                        ]
-                    except Exception:
-                        frames = None
-                if frames is not None:
-                    for fr in frames:
-                        rows["media_id"].append(mid)
-                        rows["frame_idx"].append(fr["frame_idx"])
-                        rows["pts_sec"].append(fr["pts_sec"])
-                        rows["frame_payload"].append(fr["payload"])
-                        rows["codec"].append(fr["codec"])
-                        rows["is_container"].append(
-                            "gif" if fmt == "gif" else "mp4"
-                        )
-                else:
-                    n = int(dict(meta).get("n_frames") or 0)
-                    for i in range(0, n, every_n):
-                        rows["media_id"].append(mid)
-                        rows["frame_idx"].append(i)
-                        rows["pts_sec"].append(float(i))
-                        rows["frame_payload"].append(None)
-                        rows["codec"].append(None)
-                        rows["is_container"].append("synthetic")
+                for fr in iter_keyframes(bytes(payload), dict(meta), every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fr["frame_idx"])
+                    rows["pts_sec"].append(fr["pts_sec"])
+                    rows["frame_payload"].append(fr["payload"])
+                    rows["codec"].append(fr["codec"])
+                    rows["is_container"].append(fr["is_container"])
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, KEYFRAME_SCHEMA)
+
+
+def iter_keyframes(payload: bytes, meta: dict, every_n: int = 1) -> list[dict]:
+    """Pure keyframe extraction for ONE video payload — the kernel body
+    shared by :func:`sample_video_keyframes` (batch) and the streaming
+    signature operator (streaming/dedup.stream_video_neardup).  Returns
+    ``[{"frame_idx", "pts_sec", "payload", "codec", "is_container"},
+    ...]``: MP4 sync samples as real mdat byte ranges, GIF frames
+    really decoded and re-encoded as PNM, anything else the synthetic
+    ``meta["n_frames"]`` sequence with null payloads."""
+    from knowhere_spark.functions.gif import decode_gif_frames
+    from knowhere_spark.functions.mp4 import video_keyframes
+
+    fmt = sniff_format(payload)
+    if fmt == "mp4":
+        try:
+            return [
+                dict(fr, is_container="mp4")
+                for fr in video_keyframes(payload, every_n=every_n)
+            ]
+        except Exception:
+            pass   # corrupt container → synthetic
+    elif fmt == "gif":
+        try:
+            gframes, delays = decode_gif_frames(payload)
+            pts = np.concatenate([[0.0], np.cumsum(delays)[:-1]])
+            return [
+                {
+                    "frame_idx": i,
+                    "pts_sec": float(pts[i]),
+                    "payload": encode_pnm(gframes[i]),
+                    "codec": "pnm",
+                    "is_container": "gif",
+                }
+                for i in range(0, len(gframes), every_n)
+            ]
+        except Exception:
+            pass
+    n = int(meta.get("n_frames") or 0)
+    return [
+        {
+            "frame_idx": i,
+            "pts_sec": float(i),
+            "payload": None,
+            "codec": None,
+            "is_container": "synthetic",
+        }
+        for i in range(0, n, every_n)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -819,6 +828,56 @@ def video_frame_phashes(
             )
 
     return frames.mapInPandas(kernel, "media_id long, frame_idx int, phash long")
+
+
+def video_signatures(
+    media: DataFrame, *, every_n: int = 1, decoders: dict | None = None
+) -> DataFrame:
+    """Per-video DISTINCT frame-pHash signature rows
+    ``(media_id, phash, n_hashes)`` with the video's distinct-hash count
+    attached to every row — computed in ONE kernel pass per media row
+    (a video's frames are never split across Arrow batches, because the
+    explode happens inside the kernel).  That batch-local completeness
+    is what lets the streaming near-dup operator
+    (streaming/dedup.stream_video_neardup) key state by frame hash and
+    still know each video's denominator without a second aggregation —
+    and it works identically on batch and streaming DataFrames."""
+    D = _dct_matrix(32)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out_id, out_h, out_n = [], [], []
+            for mid, payload, mtype, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if mtype != "video":
+                    continue
+                hashes = set()
+                for fr in iter_keyframes(bytes(payload), dict(meta), every_n):
+                    arr = _decode_frame_pixels(
+                        fr["payload"], fr["codec"], mid, fr["frame_idx"],
+                        decoders,
+                    )
+                    if arr.ndim == 3:
+                        arr = arr.mean(axis=2)
+                    small = _nn_resample(arr, 32, 32)
+                    low = (D @ small @ D.T)[:8, :8].ravel()
+                    bits = low > np.median(low)
+                    hashes.add(
+                        int((weights * bits).sum(dtype=np.uint64).astype(np.int64))
+                    )
+                for h in hashes:
+                    out_id.append(mid)
+                    out_h.append(h)
+                    out_n.append(len(hashes))
+            yield pd.DataFrame(
+                {"media_id": out_id, "phash": out_h, "n_hashes": out_n}
+            )
+
+    return media.mapInPandas(
+        kernel, "media_id long, phash long, n_hashes long"
+    )
 
 
 def video_frame_features(

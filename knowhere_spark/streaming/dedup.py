@@ -206,3 +206,122 @@ def stream_neardup_minhash(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: match-evidence row for streaming video near-dup: one row per
+#: (newly arrived video, prior owner, shared frame hash)
+_VIDEO_MATCH_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def stream_video_neardup(
+    media: DataFrame,
+    *,
+    every_n: int = 1,
+    max_hash_freq: int = 10_000,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Streaming video near-dup: each arriving video's keyframe-pHash
+    signature (operators/multimodal.video_signatures — real MP4/GIF
+    container parsing, per-video distinct hashes + denominator computed
+    in the same kernel pass) is matched against every video EVER seen
+    sharing a frame hash; the per-hash owner list lives in the keyed
+    state store, so re-uploads are caught across micro-batches.
+
+    Emits match EVIDENCE rows ``(id_a, id_b, n_a, n_b, phash)`` with
+    ``id_a < id_b`` — one row per shared frame hash the pair first
+    matches on.  Overlap aggregation (``count distinct phash /
+    min(n_a, n_b) >= threshold``) is the consumer's move, e.g.
+    :func:`video_match_overlap` inside ``foreachBatch`` or over the
+    collected evidence — the same aggregate-downstream contract as
+    :func:`stream_neardup_minhash`'s signature estimates.
+
+    ``max_hash_freq`` is the streaming form of the batch stop-hash cap
+    (operators/multimodal.video_neardup_pairs): once a frame hash has
+    been seen in that many videos (black frames, intro logos), its
+    owner list stops growing AND stops emitting matches — state per
+    hash is bounded at ``max_hash_freq`` entries, so one corpus-wide
+    frame cannot grow a state key without bound or emit O(freq²) rows.
+    Unlike the batch cap it is not retroactive: pairs emitted before
+    the hash hit the cap stand.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from knowhere_spark.operators.multimodal import video_signatures
+
+    if max_hash_freq < 1:
+        raise ValueError("max_hash_freq must be >= 1")
+    sigs = video_signatures(media, every_n=every_n, decoders=decoders)
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state):
+        import pandas as pd
+
+        phash = int(key_tuple[0])
+        if state.exists:
+            ids, counts = list(state.get[0]), list(state.get[1])
+        else:
+            ids, counts = [], []
+        rows = {"id_a": [], "id_b": [], "n_a": [], "n_b": [], "phash": []}
+        for pdf in pdfs:
+            for mid, n in zip(pdf["media_id"], pdf["n_hashes"]):
+                mid, n = int(mid), int(n)
+                if len(ids) >= max_hash_freq:
+                    break   # stop hash: bounded state, no more matches
+                for other, other_n in zip(ids, counts):
+                    if other == mid:
+                        continue
+                    a, b = sorted((mid, other))
+                    na, nb = (n, other_n) if a == mid else (other_n, n)
+                    rows["id_a"].append(a)
+                    rows["id_b"].append(b)
+                    rows["n_a"].append(na)
+                    rows["n_b"].append(nb)
+                    rows["phash"].append(phash)
+                ids.append(mid)
+                counts.append(n)
+        state.update((ids, counts))
+        if rows["id_a"]:
+            yield pd.DataFrame(rows)
+
+    return sigs.groupBy("phash").applyInPandasWithState(
+        fn,
+        _VIDEO_MATCH_SCHEMA,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def video_match_overlap(evidence: DataFrame, min_overlap: float) -> DataFrame:
+    """Aggregate :func:`stream_video_neardup` evidence rows into
+    near-dup pairs: ``overlap = distinct shared hashes / min(n_a, n_b)``
+    — a plain batch aggregation, runnable inside ``foreachBatch`` or
+    over collected evidence.  Returns ``(id_a, id_b, matches,
+    overlap)``."""
+    if not 0.0 < min_overlap <= 1.0:
+        raise ValueError("min_overlap must be in (0, 1]")
+    return (
+        evidence.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.countDistinct("phash").alias("matches"))
+        .withColumn(
+            "overlap", F.col("matches") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            "id_a", "id_b", "matches", F.round("overlap", 6).alias("overlap")
+        )
+    )

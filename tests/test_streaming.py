@@ -608,3 +608,106 @@ def test_stream_stateless_embedding_matches_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-6)
+
+
+def test_stream_video_neardup_across_batches(spark, tmp_path):
+    """Streaming video near-dup: a near-copy arriving in a LATER
+    micro-batch matches frame-hash state from earlier batches; the
+    aggregated overlap agrees with the batch operator over the union."""
+    import numpy as np
+
+    from knowhere_spark.functions.mp4 import encode_mp4
+    from knowhere_spark.operators.multimodal import video_neardup_pairs
+    from knowhere_spark.streaming.dedup import (
+        stream_video_neardup,
+        video_match_overlap,
+    )
+
+    rng = np.random.default_rng(31)
+    frames1 = [rng.bytes(20) for _ in range(5)]
+    frames3 = frames1[:4] + [rng.bytes(20)]     # 4/5 shared with video 1
+    meta = {"width": 8, "height": 8, "n_frames": 5, "sample_rate": 0}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    rows1 = [
+        (1, "video", bytearray(encode_mp4(frames1)), meta),
+        (2, "video", bytearray(encode_mp4([rng.bytes(20) for _ in range(5)])), meta),
+    ]
+    rows2 = [
+        (3, "video", bytearray(encode_mp4(frames3)), meta),   # near-dup of 1
+        (4, "video", bytearray(encode_mp4([rng.bytes(20) for _ in range(5)])), meta),
+    ]
+    src = str(tmp_path / "vid_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_video_neardup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("video_nd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vid_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    evidence = spark.sql("SELECT * FROM video_nd_stream")
+    assert evidence.count() == 4                      # the 4 shared hashes
+    pairs = video_match_overlap(evidence, 0.6).collect()
+    assert [(r.id_a, r.id_b, r.matches) for r in pairs] == [(1, 3, 4)]
+    assert pairs[0].overlap == 0.8
+
+    # batch-operator agreement over the union corpus
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {
+        (r.id_a, r.id_b)
+        for r in video_neardup_pairs(union, min_overlap=0.6).collect()
+    }
+    assert batch == {(1, 3)}
+
+
+def test_stream_video_neardup_stop_hash_cap(spark, tmp_path):
+    """A frame hash at its owner cap stops emitting matches and stops
+    growing state: with max_hash_freq=2, three videos sharing one frame
+    yield only the single pair the first two formed."""
+    import numpy as np
+
+    from knowhere_spark.functions.mp4 import encode_mp4
+    from knowhere_spark.streaming.dedup import stream_video_neardup
+
+    rng = np.random.default_rng(32)
+    common = rng.bytes(20)
+    meta = {"width": 8, "height": 8, "n_frames": 2, "sample_rate": 0}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    rows = [
+        (i, "video", bytearray(encode_mp4([common, rng.bytes(20)])), meta)
+        for i in (1, 2, 3)
+    ]
+    src = str(tmp_path / "cap_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_video_neardup(stream, max_hash_freq=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("video_cap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT * FROM video_cap_stream").collect()
+    }
+    assert got == {(1, 2)}   # video 3 hit the capped hash: no new pairs
