@@ -643,7 +643,9 @@ def sample_video_keyframes(media: DataFrame, every_n: int = 1) -> DataFrame:
                     rows["is_container"].append(fr["is_container"])
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(kernel, KEYFRAME_SCHEMA)
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(kernel, KEYFRAME_SCHEMA)
 
 
 def iter_keyframes(payload: bytes, meta: dict, every_n: int = 1) -> list[dict]:
@@ -875,7 +877,9 @@ def video_signatures(
                 {"media_id": out_id, "phash": out_h, "n_hashes": out_n}
             )
 
-    return media.mapInPandas(
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(
         kernel, "media_id long, phash long, n_hashes long"
     )
 
