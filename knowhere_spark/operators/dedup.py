@@ -405,6 +405,31 @@ def simhash_pairs(
     )
 
 
+def hamming64_band_exprs(sig_col: str, max_hamming: int) -> list:
+    """Pigeonhole band columns for a 64-bit signature: ``max_hamming +
+    1`` near-equal-width bit slices — a pair within the Hamming bound
+    must agree exactly on at least one band.  Shared by the batch
+    banded join (:func:`hamming64_pairs`) and the streaming image
+    near-dup operator (streaming/dedup.stream_neardup_images)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming={max_hamming} must be in [0, 63]")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    bands, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        if width == 64:   # max_hamming=0: one band = the whole signature
+            # ((1<<64)-1 overflows a Spark long literal — no mask needed)
+            bands.append(F.col(sig_col))
+        else:
+            mask = (1 << width) - 1
+            bands.append(
+                F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(F.lit(mask))
+            )
+        off += width
+    return bands
+
+
 def hamming64_pairs(
     sigs: DataFrame,
     max_hamming: int,
@@ -422,22 +447,7 @@ def hamming64_pairs(
     never all-pairs — shared by SimHash text near-dup and pHash image
     near-dup.  Returns ``(out_a, out_b, hamming)`` with ``out_a <
     out_b``."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(f"max_hamming={max_hamming} must be in [0, 63]")
-    n_bands = max_hamming + 1
-    base, rem = divmod(64, n_bands)
-    bands, off = [], 0
-    for i in range(n_bands):
-        width = base + (1 if i < rem else 0)
-        if width == 64:   # max_hamming=0: one band = the whole signature
-            # ((1<<64)-1 overflows a Spark long literal — no mask needed)
-            bands.append(F.col(sig_col))
-        else:
-            mask = (1 << width) - 1
-            bands.append(
-                F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(F.lit(mask))
-            )
-        off += width
+    bands = hamming64_band_exprs(sig_col, max_hamming)
     banded = sigs.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"),
         F.posexplode(F.array(*bands)).alias("band", "band_val"),

@@ -325,3 +325,92 @@ def video_match_overlap(evidence: DataFrame, min_overlap: float) -> DataFrame:
             "id_a", "id_b", "matches", F.round("overlap", 6).alias("overlap")
         )
     )
+
+
+def stream_neardup_images(
+    media: DataFrame,
+    *,
+    max_hamming: int = 3,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Streaming image near-dup: each arriving image's pHash
+    (operators/multimodal.image_phash — real decode of the built-in
+    formats) is pigeonhole-banded (the EXACT banding shared with the
+    batch join, operators/dedup.hamming64_band_exprs) and matched
+    against every image EVER seen in the same (band, band_val) bucket —
+    bucket membership lives in the keyed state store, so re-encoded
+    copies arriving in later micro-batches are caught.
+
+    Emits ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming`` — exact (the banding guarantees a
+    within-bound pair shares at least one bucket).  A pair sharing
+    several buckets is emitted once per sharing band in the batch it
+    first matches; consumers dedupe with ``dropDuplicates``, the same
+    contract as :func:`stream_neardup_minhash`.  State per bucket is
+    ``(ids, phashes)`` — O(bucket population) longs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from knowhere_spark.operators.dedup import hamming64_band_exprs
+    from knowhere_spark.operators.multimodal import image_phash
+
+    ph = image_phash(media, decoders=decoders)
+    banded = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(*hamming64_band_exprs("phash", max_hamming))
+        ).alias("band", "band_val"),
+    ).select(
+        F.concat_ws(
+            ":", F.col("band").cast("string"), F.col("band_val").cast("string")
+        ).alias("bucket"),
+        "media_id",
+        "phash",
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("hamming", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("phashes", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, hashes = list(state.get[0]), list(state.get[1])
+        else:
+            ids, hashes = [], []
+        rows = {"id_a": [], "id_b": [], "hamming": []}
+        for pdf in pdfs:
+            for mid, h in zip(pdf["media_id"], pdf["phash"]):
+                mid, h = int(mid), int(h)
+                for other, oh in zip(ids, hashes):
+                    if other == mid:
+                        continue
+                    d = bin((h ^ oh) & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        rows["id_a"].append(min(mid, other))
+                        rows["id_b"].append(max(mid, other))
+                        rows["hamming"].append(d)
+                ids.append(mid)
+                hashes.append(h)
+        state.update((ids, hashes))
+        if rows["id_a"]:
+            yield pd.DataFrame(rows)
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -711,3 +711,63 @@ def test_stream_video_neardup_stop_hash_cap(spark, tmp_path):
         for r in spark.sql("SELECT * FROM video_cap_stream").collect()
     }
     assert got == {(1, 2)}   # video 3 hit the capped hash: no new pairs
+
+
+def test_stream_neardup_images_across_batches(spark, tmp_path):
+    """Streaming image near-dup: a noisy re-encode arriving in a LATER
+    micro-batch is matched via banded pHash bucket state, and the pair
+    set equals the batch hamming64_pairs join over the union."""
+    import numpy as np
+
+    from knowhere_spark.operators.multimodal import (
+        encode_pnm,
+        phash_neardup_pairs,
+    )
+    from knowhere_spark.streaming.dedup import stream_neardup_images
+
+    rng = np.random.default_rng(33)
+    base = rng.random((24, 24, 3))
+    noisy = np.clip(base + rng.normal(0, 0.005, base.shape), 0, 1)
+    meta = {"width": 24, "height": 24, "n_frames": 1, "sample_rate": 0}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    rows1 = [
+        (1, "image", bytearray(encode_pnm(base)), meta),
+        (2, "image", bytearray(encode_pnm(rng.random((24, 24, 3)))), meta),
+    ]
+    rows2 = [
+        (3, "image", bytearray(encode_pnm(noisy)), meta),    # near-dup of 1
+        (4, "image", bytearray(encode_pnm(rng.random((24, 24, 3)))), meta),
+    ]
+    src = str(tmp_path / "img_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_neardup_images(stream, max_hamming=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("img_nd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "img_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT * FROM img_nd_stream").collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {
+        (r.id_a, r.id_b)
+        for r in phash_neardup_pairs(union, max_hamming=8).collect()
+    }
+    assert got == batch            # streaming == batch over the union
+    assert (1, 3) in got           # and the cross-batch copy was caught
