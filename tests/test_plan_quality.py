@@ -347,3 +347,31 @@ def test_text_embedding_hashed_plan_native(spark):
     assert "CartesianProduct" not in plan
     opt = _optimized(out)
     assert "ResolvedHint" not in opt          # nothing force-broadcast
+
+
+def test_video_neardup_signature_stage_runs_once(spark):
+    """The video near-dup self-join fans the signature table into up to
+    8 plan references; without the eager localCheckpoints the
+    container-parse + pHash mapInPandas stage re-executes per reference
+    (regression guard: the un-checkpointed plan had 16 MapInPandas
+    nodes and 0 ReusedExchange).  The checkpointed plan must contain
+    ZERO MapInPandas nodes — the decode ran exactly once, eagerly."""
+    import numpy as np
+
+    from knowhere_spark.functions.mp4 import encode_mp4
+    from knowhere_spark.operators.multimodal import video_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, "video",
+         bytearray(encode_mp4([rng.bytes(12) for _ in range(3)])),
+         {"width": 4, "height": 4, "n_frames": 3, "sample_rate": 0})
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    plan = _plan(video_neardup_pairs(media, min_overlap=0.5))
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
