@@ -1,0 +1,166 @@
+"""EXIF metadata — parse and scrub, pure stdlib + struct.
+
+EXIF rides inside a JPEG APP1 segment as a little TIFF file (byte-order
+mark, IFD chains of 12-byte tag entries).  Two pipeline needs at crawl
+scale, both header-only (the entropy-coded image data is never touched):
+
+- **Extraction** (:func:`exif_tags`): orientation, timestamps, camera
+  model, GPS presence — the typed metadata a curation pipeline filters
+  and partitions on.
+- **GPS scrubbing** (:func:`strip_exif_gps`): the image-side PII pass
+  (the text side is functions/text.pii_scrub_expr).  Precise location
+  of a person's home in a photo's GPS IFD is PII in every privacy
+  regime; a training corpus wants it gone WITHOUT re-encoding pixels.
+  The scrub rewrites only the APP1 segment (drops the GPS IFD pointer
+  and its sub-IFD), leaving every image byte identical — lossless, and
+  verifiable by decoding before and after.
+
+Format reference: the public EXIF 2.3 / TIFF 6.0 specifications.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: the tag that points at the GPS sub-IFD inside IFD0
+GPS_IFD_POINTER = 0x8825
+#: a few commonly-wanted IFD0/EXIF tags → friendly names
+_TAG_NAMES = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+    0x8769: "exif_ifd",
+    GPS_IFD_POINTER: "gps_ifd",
+}
+#: TIFF field types → byte size
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _find_app1(jpeg: bytes) -> tuple[int, int] | None:
+    """Locate the EXIF APP1 segment: returns (segment_start, segment_end)
+    offsets covering marker + length + payload, or None."""
+    if jpeg[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            return None
+        marker = jpeg[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xDA:        # start of scan — no headers past here
+            return None
+        ln = struct.unpack_from(">H", jpeg, pos + 2)[0]
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return pos, pos + 2 + ln
+        pos += 2 + ln
+    return None
+
+
+def _parse_ifd(tiff: bytes, off: int, little: bool) -> list[tuple[int, int, int, bytes]]:
+    """One IFD → list of (tag, type, count, raw_value_field) entries."""
+    e = "<" if little else ">"
+    if off + 2 > len(tiff):
+        raise ValueError("EXIF IFD offset out of range")
+    n = struct.unpack_from(e + "H", tiff, off)[0]
+    entries = []
+    for i in range(n):
+        p = off + 2 + 12 * i
+        if p + 12 > len(tiff):
+            raise ValueError("EXIF IFD entry out of range")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, p)
+        entries.append((tag, typ, cnt, tiff[p + 8 : p + 12]))
+    return entries
+
+
+def _entry_value(tiff: bytes, typ: int, cnt: int, raw: bytes, little: bool):
+    e = "<" if little else ">"
+    size = _TYPE_SIZE.get(typ, 1) * cnt
+    data = raw[:size] if size <= 4 else None
+    if data is None:
+        off = struct.unpack(e + "I", raw)[0]
+        if off + size > len(tiff):
+            raise ValueError("EXIF value offset out of range")
+        data = tiff[off : off + size]
+    if typ == 2:       # ASCII
+        return data.split(b"\x00")[0].decode("latin-1")
+    if typ == 3:       # SHORT
+        return struct.unpack(e + f"{cnt}H", data)[0 if cnt == 1 else slice(None)]
+    if typ == 4:       # LONG
+        return struct.unpack(e + f"{cnt}I", data)[0 if cnt == 1 else slice(None)]
+    return data
+
+
+def exif_tags(jpeg: bytes) -> dict:
+    """Parse the EXIF APP1 of a JPEG into ``{"make", "model",
+    "orientation", "datetime", "has_gps"}`` (missing → None / False).
+    Header-only; images without EXIF return the empty dict values."""
+    out = {
+        "make": None, "model": None, "orientation": None,
+        "datetime": None, "has_gps": False,
+    }
+    seg = _find_app1(jpeg)
+    if seg is None:
+        return out
+    tiff = jpeg[seg[0] + 10 : seg[1]]
+    try:
+        little = tiff[:2] == b"II"
+        if not little and tiff[:2] != b"MM":
+            return out
+        e = "<" if little else ">"
+        ifd0 = struct.unpack_from(e + "I", tiff, 4)[0]
+        for tag, typ, cnt, raw in _parse_ifd(tiff, ifd0, little):
+            name = _TAG_NAMES.get(tag)
+            if name == "gps_ifd":
+                out["has_gps"] = True
+            elif name in ("make", "model", "datetime", "orientation"):
+                try:
+                    out[name] = _entry_value(tiff, typ, cnt, raw, little)
+                except ValueError:
+                    pass
+    except Exception:
+        pass   # malformed EXIF → whatever was extracted so far
+    return out
+
+
+def strip_exif_gps(jpeg: bytes) -> bytes:
+    """Remove the GPS IFD from a JPEG's EXIF — losslessly.
+
+    Rewrites ONLY the APP1 segment: IFD0 is re-serialized without the
+    GPS-pointer entry (the 12-byte entries are order-preserving, the
+    entry count decremented, following bytes untouched — dangling GPS
+    sub-IFD bytes become unreferenced padding, which readers never
+    walk).  Image data is byte-identical; a JPEG without EXIF or
+    without GPS comes back unchanged (``is``-identical)."""
+    seg = _find_app1(jpeg)
+    if seg is None:
+        return jpeg
+    start, end = seg
+    tiff = bytearray(jpeg[start + 10 : end])
+    try:
+        little = bytes(tiff[:2]) == b"II"
+        if not little and bytes(tiff[:2]) != b"MM":
+            return jpeg
+        e = "<" if little else ">"
+        ifd0 = struct.unpack_from(e + "I", tiff, 4)[0]
+        n = struct.unpack_from(e + "H", tiff, ifd0)[0]
+        keep = []
+        for i in range(n):
+            p = ifd0 + 2 + 12 * i
+            tag = struct.unpack_from(e + "H", tiff, p)[0]
+            if tag != GPS_IFD_POINTER:
+                keep.append(bytes(tiff[p : p + 12]))
+        if len(keep) == n:
+            return jpeg   # no GPS pointer → nothing to scrub
+        # next-IFD pointer sits right after the entries; preserve it
+        next_ptr = bytes(tiff[ifd0 + 2 + 12 * n : ifd0 + 2 + 12 * n + 4])
+        new_ifd = struct.pack(e + "H", len(keep)) + b"".join(keep) + next_ptr
+        old_len = 2 + 12 * n + 4
+        # overwrite in place, padding the freed 12 bytes with zeros so
+        # every value OFFSET elsewhere in the TIFF stays valid
+        tiff[ifd0 : ifd0 + old_len] = new_ifd.ljust(old_len, b"\x00")
+    except Exception:
+        return jpeg   # malformed EXIF: scrubbing must never corrupt
+    return jpeg[:start + 10] + bytes(tiff) + jpeg[end:]

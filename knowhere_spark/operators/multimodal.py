@@ -697,6 +697,60 @@ def iter_keyframes(payload: bytes, meta: dict, every_n: int = 1) -> list[dict]:
     ]
 
 
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """EXIF tags for every JPEG image row (functions/exif.py — APP1/TIFF
+    IFD parse, header-only): ``(media_id, make, model, orientation,
+    datetime, has_gps)``.  Non-JPEG / EXIF-less rows return nulls and
+    ``has_gps = false`` — the typed camera metadata a curation pipeline
+    filters on (and the audit column for the GPS scrub below)."""
+    from knowhere_spark.functions.exif import exif_tags
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "make": [], "model": [],
+                "orientation": [], "datetime": [], "has_gps": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                t = exif_tags(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["make"].append(t["make"])
+                rows["model"].append(t["model"])
+                o = t["orientation"]
+                rows["orientation"].append(
+                    int(o) if isinstance(o, int) else None
+                )
+                rows["datetime"].append(t["datetime"])
+                rows["has_gps"].append(bool(t["has_gps"]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, make string, model string, orientation int, "
+        "datetime string, has_gps boolean",
+    )
+
+
+def scrub_media_gps(media: DataFrame) -> DataFrame:
+    """Image-side PII pass: losslessly remove GPS EXIF from every JPEG
+    payload (functions/exif.strip_exif_gps — only the APP1 IFD is
+    rewritten, pixels byte-identical; text-side sibling is
+    functions/text.pii_scrub_expr).  Non-JPEG and GPS-free payloads
+    pass through untouched.  Schema-preserving: the scrubbed corpus
+    drops into the rest of the pipeline unchanged."""
+    from knowhere_spark.functions.exif import strip_exif_gps
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                strip_exif_gps(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # perceptual image hashing — near-dup detection for image corpora
 # ---------------------------------------------------------------------------

@@ -1,0 +1,124 @@
+"""EXIF parse + GPS scrub (functions/exif.py, multimodal operators):
+a hand-built APP1/TIFF injected into a REAL stdlib JPEG, round-tripped
+through the repo's own JPEG decoder to prove the scrub is lossless."""
+
+import struct
+import sysconfig
+
+import numpy as np
+import pytest
+
+from knowhere_spark.functions.exif import (
+    GPS_IFD_POINTER,
+    exif_tags,
+    strip_exif_gps,
+)
+from knowhere_spark.functions.jpeg import decode_jpeg
+from knowhere_spark.operators.multimodal import exif_metadata, scrub_media_gps
+
+
+def _ifd_entry(e, tag, typ, cnt, value_field: bytes) -> bytes:
+    return struct.pack(e + "HHI", tag, typ, cnt) + value_field.ljust(4, b"\x00")
+
+
+def build_exif_app1(*, little=True, gps=True, make=b"TestCam\x00") -> bytes:
+    """Minimal TIFF: IFD0 with make + orientation (+ GPS pointer and a
+    tiny GPS sub-IFD), make's ASCII value stored out-of-line."""
+    e = "<" if little else ">"
+    n_entries = 3 if gps else 2
+    ifd0_off = 8
+    ifd0_len = 2 + 12 * n_entries + 4
+    make_off = ifd0_off + ifd0_len
+    gps_off = make_off + len(make)
+    entries = [
+        _ifd_entry(e, 0x010F, 2, len(make), struct.pack(e + "I", make_off)),
+        _ifd_entry(e, 0x0112, 3, 1, struct.pack(e + "H", 6)),   # orientation
+    ]
+    if gps:
+        entries.append(
+            _ifd_entry(e, GPS_IFD_POINTER, 4, 1, struct.pack(e + "I", gps_off))
+        )
+    tiff = (
+        (b"II" if little else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", ifd0_off)
+        + struct.pack(e + "H", n_entries)
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)          # next-IFD pointer
+        + make
+    )
+    if gps:
+        # GPS sub-IFD: one entry (GPSVersionID)
+        tiff += (
+            struct.pack(e + "H", 1)
+            + _ifd_entry(e, 0x0000, 1, 4, b"\x02\x03\x00\x00")
+            + struct.pack(e + "I", 0)
+        )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+@pytest.fixture(scope="module")
+def real_jpeg() -> bytes:
+    return open(
+        sysconfig.get_path("stdlib") + "/test/imghdrdata/python.jpg", "rb"
+    ).read()
+
+
+def _with_exif(jpeg: bytes, app1: bytes) -> bytes:
+    return jpeg[:2] + app1 + jpeg[2:]   # APP1 right after SOI
+
+
+@pytest.mark.parametrize("little", [True, False])
+def test_exif_tags_parse(real_jpeg, little):
+    tagged = _with_exif(real_jpeg, build_exif_app1(little=little))
+    t = exif_tags(tagged)
+    assert t["make"] == "TestCam"
+    assert t["orientation"] == 6
+    assert t["has_gps"] is True
+    plain = exif_tags(real_jpeg)
+    assert plain["has_gps"] is False and plain["make"] is None
+
+
+def test_strip_gps_lossless(real_jpeg):
+    tagged = _with_exif(real_jpeg, build_exif_app1())
+    scrubbed = strip_exif_gps(tagged)
+    assert scrubbed != tagged
+    after = exif_tags(scrubbed)
+    assert after["has_gps"] is False
+    assert after["make"] == "TestCam"            # other tags survive
+    assert after["orientation"] == 6
+    # pixels byte-identical through the repo's own decoder
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(scrubbed))
+    # segment length unchanged → all other offsets stay valid
+    assert len(scrubbed) == len(tagged)
+
+
+def test_strip_gps_noop_cases(real_jpeg):
+    assert strip_exif_gps(real_jpeg) is real_jpeg          # no EXIF
+    no_gps = _with_exif(real_jpeg, build_exif_app1(gps=False))
+    assert strip_exif_gps(no_gps) is no_gps                # EXIF, no GPS
+    assert strip_exif_gps(b"\xff\xd8\xffgarbage") == b"\xff\xd8\xffgarbage"
+
+
+def test_exif_operators(spark, real_jpeg):
+    tagged = _with_exif(real_jpeg, build_exif_app1())
+    meta = {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(tagged), meta),
+            (2, "image", bytearray(real_jpeg), meta),
+            (3, "image", bytearray(b"not a jpeg"), meta),
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    tags = {r.media_id: r for r in exif_metadata(media).collect()}
+    assert tags[1].has_gps and tags[1].make == "TestCam"
+    assert not tags[2].has_gps and tags[2].make is None
+    assert not tags[3].has_gps
+    scrubbed = scrub_media_gps(media)
+    assert exif_metadata(scrubbed).filter("has_gps").count() == 0
+    # non-JPEG payload untouched
+    (r3,) = scrubbed.filter("media_id = 3").collect()
+    assert bytes(r3.payload) == b"not a jpeg"
