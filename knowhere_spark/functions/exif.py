@@ -126,14 +126,23 @@ def exif_tags(jpeg: bytes) -> dict:
 
 
 def strip_exif_gps(jpeg: bytes) -> bytes:
-    """Remove the GPS IFD from a JPEG's EXIF — losslessly.
+    """Remove GPS data from a JPEG's EXIF — losslessly for the pixels.
 
-    Rewrites ONLY the APP1 segment: IFD0 is re-serialized without the
-    GPS-pointer entry (the 12-byte entries are order-preserving, the
-    entry count decremented, following bytes untouched — dangling GPS
-    sub-IFD bytes become unreferenced padding, which readers never
-    walk).  Image data is byte-identical; a JPEG without EXIF or
-    without GPS comes back unchanged (``is``-identical)."""
+    Rewrites ONLY the APP1 segment, in place (same length, so every
+    other TIFF value offset stays valid), with the GPS data actually
+    ERASED, not merely unlinked:
+
+    1. the GPS-pointer entry is dropped from IFD0 (count decremented,
+       freed entry bytes zeroed),
+    2. the GPS sub-IFD table itself is zeroed,
+    3. every out-of-line value the GPS entries referenced (latitude /
+       longitude rationals etc.) is zeroed too.
+
+    Unlinking alone would leave the coordinates recoverable by a
+    byte-level scan of the 'scrubbed' file — a PII scrub must remove
+    the data, not the directions to it.  Image data is byte-identical;
+    a JPEG without EXIF or without GPS comes back unchanged
+    (``is``-identical)."""
     seg = _find_app1(jpeg)
     if seg is None:
         return jpeg
@@ -146,20 +155,37 @@ def strip_exif_gps(jpeg: bytes) -> bytes:
         e = "<" if little else ">"
         ifd0 = struct.unpack_from(e + "I", tiff, 4)[0]
         n = struct.unpack_from(e + "H", tiff, ifd0)[0]
-        keep = []
+        keep, gps_off = [], None
         for i in range(n):
             p = ifd0 + 2 + 12 * i
             tag = struct.unpack_from(e + "H", tiff, p)[0]
-            if tag != GPS_IFD_POINTER:
+            if tag == GPS_IFD_POINTER:
+                gps_off = struct.unpack_from(e + "I", tiff, p + 8)[0]
+            else:
                 keep.append(bytes(tiff[p : p + 12]))
-        if len(keep) == n:
+        if gps_off is None:
             return jpeg   # no GPS pointer → nothing to scrub
-        # next-IFD pointer sits right after the entries; preserve it
+        # erase the GPS sub-IFD's out-of-line values, then the table
+        if gps_off + 2 <= len(tiff):
+            gn = struct.unpack_from(e + "H", tiff, gps_off)[0]
+            for gi in range(gn):
+                gp = gps_off + 2 + 12 * gi
+                if gp + 12 > len(tiff):
+                    break
+                _tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, gp)
+                size = _TYPE_SIZE.get(typ, 1) * cnt
+                if size > 4:
+                    voff = struct.unpack_from(e + "I", tiff, gp + 8)[0]
+                    hi = min(voff + size, len(tiff))
+                    if voff < hi:
+                        tiff[voff:hi] = b"\x00" * (hi - voff)
+            table_len = min(2 + 12 * gn + 4, len(tiff) - gps_off)
+            tiff[gps_off : gps_off + table_len] = b"\x00" * table_len
+        # re-serialize IFD0 without the pointer entry; next-IFD pointer
+        # sits right after the entries and must be preserved
         next_ptr = bytes(tiff[ifd0 + 2 + 12 * n : ifd0 + 2 + 12 * n + 4])
         new_ifd = struct.pack(e + "H", len(keep)) + b"".join(keep) + next_ptr
         old_len = 2 + 12 * n + 4
-        # overwrite in place, padding the freed 12 bytes with zeros so
-        # every value OFFSET elsewhere in the TIFF stays valid
         tiff[ifd0 : ifd0 + old_len] = new_ifd.ljust(old_len, b"\x00")
     except Exception:
         return jpeg   # malformed EXIF: scrubbing must never corrupt

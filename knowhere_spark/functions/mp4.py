@@ -40,9 +40,12 @@ _CONTAINER_BOXES = {
 
 
 def iter_boxes(data: bytes, start: int = 0, end: int | None = None):
-    """Yield ``(type, body_start, body_end)`` for each box in
+    """Yield ``(type, body_start, body_end, box_start)`` for each box in
     ``data[start:end]``.  Handles 32-bit sizes, 64-bit ``largesize``
-    (size == 1) and to-end-of-file (size == 0)."""
+    (size == 1) and to-end-of-file (size == 0).  ``box_start`` is the
+    offset of the box HEADER — what default-base-is-moof sample offsets
+    are relative to (body_start - 8 would be wrong for a largesize
+    header, which is 16 bytes)."""
     end = len(data) if end is None else end
     pos = start
     while pos + 8 <= end:
@@ -57,7 +60,7 @@ def iter_boxes(data: bytes, start: int = 0, end: int | None = None):
             size = end - pos
         if size < body - pos or pos + size > end:
             raise ValueError(f"mp4 box {typ!r} overruns payload")
-        yield typ, body, pos + size
+        yield typ, body, pos + size, pos
         pos += size
     if pos != end:
         raise ValueError("mp4 trailing garbage after last box")
@@ -65,7 +68,7 @@ def iter_boxes(data: bytes, start: int = 0, end: int | None = None):
 
 def _find_boxes(data: bytes, start: int, end: int) -> dict[bytes, list[tuple[int, int]]]:
     out: dict[bytes, list[tuple[int, int]]] = {}
-    for typ, b, e in iter_boxes(data, start, end):
+    for typ, b, e, _ in iter_boxes(data, start, end):
         out.setdefault(typ, []).append((b, e))
     return out
 
@@ -216,7 +219,7 @@ _SAMPLE_IS_NON_SYNC = 0x00010000
 def _parse_trex(data: bytes, mvex_b: int, mvex_e: int) -> dict[int, tuple]:
     """mvex → per-track (default_duration, default_size, default_flags)."""
     out = {}
-    for typ, b, e in iter_boxes(data, mvex_b, mvex_e):
+    for typ, b, e, _ in iter_boxes(data, mvex_b, mvex_e):
         if typ != b"trex":
             continue
         _, p = _fullbox(data, b)
@@ -225,15 +228,19 @@ def _parse_trex(data: bytes, mvex_b: int, mvex_e: int) -> dict[int, tuple]:
     return out
 
 
-def _parse_fragments(data: bytes, top: dict, trex: dict) -> dict[int, dict]:
+def _parse_fragments(
+    data: bytes, moofs: list[tuple[int, int, int]], trex: dict
+) -> dict[int, dict]:
     """Walk every ``moof`` and expand its ``traf``/``trun`` runs into
     per-track sample lists ``{track_id: {"offsets", "sizes",
-    "dts_ticks", "is_sync"}}`` (merged across fragments in file order)."""
+    "dts_ticks", "is_sync"}}`` (merged across fragments in file order).
+    ``moofs``: (body_start, body_end, box_start) per moof — box_start
+    is the default-base-is-moof anchor, taken from :func:`iter_boxes`
+    directly so a 64-bit-largesize moof header anchors correctly."""
     acc: dict[int, dict[str, list]] = {}
     next_dts: dict[int, int] = {}
-    for moof_b, moof_e in top.get(b"moof", []):
-        moof_start = moof_b - 8   # box header included in moof offsets
-        for typ, tb, te in iter_boxes(data, moof_b, moof_e):
+    for moof_b, moof_e, moof_start in moofs:
+        for typ, tb, te, _ in iter_boxes(data, moof_b, moof_e):
             if typ != b"traf":
                 continue
             traf = _find_boxes(data, tb, te)
@@ -277,7 +284,7 @@ def _parse_fragments(data: bytes, top: dict, trex: dict) -> dict[int, dict]:
                 {"offsets": [], "sizes": [], "dts_ticks": [], "is_sync": []},
             )
             run_offset = None   # running position for offset-less runs
-            for rtyp, rb, re_ in iter_boxes(data, tb, te):
+            for rtyp, rb, re_, _ in iter_boxes(data, tb, te):
                 if rtyp != b"trun":
                     continue
                 ver_flags = struct.unpack_from(">I", data, rb)[0]
@@ -347,7 +354,12 @@ def parse_mp4(data: bytes) -> dict:
     trex = (
         _parse_trex(data, *moov[b"mvex"][0]) if b"mvex" in moov else {}
     )
-    fragments = _parse_fragments(data, top, trex) if b"moof" in top else {}
+    moofs = [
+        (b, e, bs)
+        for typ, b, e, bs in iter_boxes(data, 0, len(data))
+        if typ == b"moof"
+    ]
+    fragments = _parse_fragments(data, moofs, trex) if moofs else {}
     tracks = []
     for tb, te in moov.get(b"trak", []):
         trak = _find_boxes(data, tb, te)
@@ -394,9 +406,8 @@ def parse_mp4(data: bytes) -> dict:
             is_sync = np.concatenate(
                 [is_sync, np.asarray(frag["is_sync"], dtype=bool)]
             )
-        for off, sz in zip(offsets, sizes):
-            if off + sz > len(data):
-                raise ValueError("mp4 sample range outside payload")
+        if len(sizes) and int((offsets + sizes).max()) > len(data):
+            raise ValueError("mp4 sample range outside payload")
         tracks.append(
             {
                 "track_id": int(track_id),

@@ -765,6 +765,25 @@ def _dct_matrix(n: int) -> np.ndarray:
     return D
 
 
+def _phash64_arr(
+    arr: np.ndarray, D: np.ndarray, weights: np.ndarray, hash_size: int = 8
+) -> int:
+    """The 64-bit pHash of one pixel array — THE single copy of the
+    construction every image/video kernel shares (grayscale →
+    nearest-resample to the DCT size → 2-D DCT-II → low-frequency block
+    → median threshold → weighted bit sum).  ``.astype`` is a CAST
+    (wraps by definition on every numpy); the ``np.int64(...)`` scalar
+    constructor raises on out-of-range values under numpy >= 2.0 — half
+    of all hashes set bit 63, so the cast form is load-bearing."""
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    n = len(D)
+    small = _nn_resample(arr, n, n)
+    low = (D @ small @ D.T)[:hash_size, :hash_size].ravel()
+    bits = low > np.median(low)
+    return int((weights * bits).sum(dtype=np.uint64).astype(np.int64))
+
+
 def image_phash(
     media: DataFrame, *, hash_size: int = 8, dct_size: int = 32,
     decoders: dict | None = None,
@@ -793,16 +812,8 @@ def image_phash(
                 if mtype != "image":
                     continue
                 arr = decode_payload(bytes(payload), mtype, dict(meta), decoders)
-                if arr.ndim == 3:
-                    arr = arr.mean(axis=2)
-                small = _nn_resample(arr, dct_size, dct_size)
-                low = (D @ small @ D.T)[:hash_size, :hash_size].ravel()
-                bits = low > np.median(low)
                 out_id.append(mid)
-                # .astype is a CAST (wraps by definition on every numpy); the
-                # np.int64(...) scalar constructor raises on out-of-range
-                # values under numpy >= 2.0 — half of all hashes set bit 63
-                out_h.append(int((weights * bits).sum(dtype=np.uint64).astype(np.int64)))
+                out_h.append(_phash64_arr(arr, D, weights, hash_size))
             yield pd.DataFrame({"media_id": out_id, "phash": out_h})
 
     return media.mapInPandas(kernel, "media_id long, phash long")
@@ -860,15 +871,6 @@ def video_frame_phashes(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = 1 << np.arange(64, dtype=np.uint64)
-
-        def phash_of(arr: np.ndarray) -> int:
-            if arr.ndim == 3:
-                arr = arr.mean(axis=2)
-            small = _nn_resample(arr, 32, 32)
-            low = (D @ small @ D.T)[:8, :8].ravel()
-            bits = low > np.median(low)
-            return int((weights * bits).sum(dtype=np.uint64).astype(np.int64))
-
         for pdf in batches:
             out_id, out_fi, out_h = [], [], []
             for mid, fi, payload, codec in zip(
@@ -878,7 +880,7 @@ def video_frame_phashes(
                 arr = _decode_frame_pixels(payload, codec, mid, fi, decoders)
                 out_id.append(mid)
                 out_fi.append(int(fi))
-                out_h.append(phash_of(arr))
+                out_h.append(_phash64_arr(arr, D, weights))
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_idx": out_fi, "phash": out_h}
             )
@@ -915,14 +917,7 @@ def video_signatures(
                         fr["payload"], fr["codec"], mid, fr["frame_idx"],
                         decoders,
                     )
-                    if arr.ndim == 3:
-                        arr = arr.mean(axis=2)
-                    small = _nn_resample(arr, 32, 32)
-                    low = (D @ small @ D.T)[:8, :8].ravel()
-                    bits = low > np.median(low)
-                    hashes.add(
-                        int((weights * bits).sum(dtype=np.uint64).astype(np.int64))
-                    )
+                    hashes.add(_phash64_arr(arr, D, weights))
                 for h in hashes:
                     out_id.append(mid)
                     out_h.append(h)
@@ -1038,6 +1033,7 @@ def video_neardup_pairs(
     min_overlap: float = 0.5,
     max_hamming: int = 0,
     max_hash_freq: int | None = 10_000,
+    denominator: str = "post_drop",
     decoders: dict | None = None,
 ) -> DataFrame:
     """Video near-dup pairs by keyframe-pHash overlap — the 100 TB video
@@ -1062,11 +1058,19 @@ def video_neardup_pairs(
     frames, channel intro logos, test cards) would contribute
     O(freq²) join rows while carrying no dedup signal — such stop
     hashes are dropped BEFORE the join (the same move as stopword
-    removal in text near-dup), bounding the hottest join key.  Overlap
-    denominators are computed after the drop, so a pair's surviving
-    shared frames still count against a consistent total."""
+    removal in text near-dup), bounding the hottest join key.
+
+    ``denominator`` picks which signature size overlap divides by:
+    ``"post_drop"`` (default) uses the size after the stop-hash drop —
+    uninformative frames neither match nor dilute; ``"pre_drop"`` uses
+    the raw size, the semantics the STREAMING operator
+    (streaming/dedup.stream_video_neardup) necessarily has (it cannot
+    retroactively know which hashes later hit the cap) — use it when a
+    batch backfill must agree with streaming verdicts."""
     if not 0.0 < min_overlap <= 1.0:
         raise ValueError("min_overlap must be in (0, 1]")
+    if denominator not in ("post_drop", "pre_drop"):
+        raise ValueError("denominator must be 'post_drop' or 'pre_drop'")
     # The signature table fans out into up to 8 plan references (freq,
     # counts, both join sides) and Spark does NOT common-subexpression
     # the lineage — without materialization the container-parse + pHash
@@ -1080,6 +1084,7 @@ def video_neardup_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    raw_sigs = sigs
     if max_hash_freq is not None:
         freq = sigs.groupBy("phash").agg(
             F.count("*").alias("__hash_freq")
@@ -1090,7 +1095,10 @@ def video_neardup_pairs(
             .drop("__hash_freq")
             .localCheckpoint(eager=True)   # capped table also fans out 3×
         )
-    counts = sigs.groupBy("media_id").agg(F.count("*").alias("n_hashes"))
+    count_src = raw_sigs if denominator == "pre_drop" else sigs
+    counts = count_src.groupBy("media_id").agg(
+        F.count("*").alias("n_hashes")
+    )
 
     if max_hamming == 0:
         matched = sigs.alias("a").join(
@@ -1129,9 +1137,20 @@ def video_neardup_pairs(
             )
         )
 
+    # matches = distinct matched hashes on the SMALLER-matched side:
+    # with banded (max_hamming>0) matching, several of A's hashes can
+    # all fall within the bound of ONE of B's hashes — counting only
+    # A's side would let matches exceed min(n_a, n_b) and push
+    # "overlap" past 1.0.  least(distinct a, distinct b) is symmetric
+    # and bounded by both denominators; for the exact path the two
+    # counts are identical (a.phash == b.phash).
     pairs = matched.groupBy(
         F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
-    ).agg(F.countDistinct("a.phash").alias("matches"))
+    ).agg(
+        F.least(
+            F.countDistinct("a.phash"), F.countDistinct("b.phash")
+        ).alias("matches")
+    )
     return (
         pairs.join(counts.withColumnRenamed("media_id", "id_a"), "id_a")
         .withColumnRenamed("n_hashes", "n_a")

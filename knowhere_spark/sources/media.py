@@ -205,8 +205,11 @@ def read_media_directory(
     raw = reader.load(path)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE pass computes both the type and (when asked) the header
+        # probe — two back-to-back kernels would push every payload
+        # through Arrow twice at crawl scale
         for pdf in batches:
-            types = []
+            types, metas = [], []
             for p in pdf["payload"]:
                 p = bytes(p)
                 fmt = sniff_format(p)
@@ -220,8 +223,10 @@ def read_media_directory(
                     except Exception:
                         mtype = "image"
                 types.append(mtype)
+                metas.append(probe_meta(p) if probe else None)
             pdf = pdf.copy()
             pdf["media_type"] = types
+            pdf["meta"] = metas
             yield pdf
 
     base = raw.select(
@@ -232,4 +237,4 @@ def read_media_directory(
     ).mapInPandas(kernel, MEDIA_SCHEMA)
     if not keep_unknown:
         base = base.filter(F.col("media_type") != "binary")
-    return probe_media_meta(base) if probe else base
+    return base

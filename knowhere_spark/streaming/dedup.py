@@ -251,6 +251,16 @@ def stream_video_neardup(
     frame cannot grow a state key without bound or emit O(freq²) rows.
     Unlike the batch cap it is not retroactive: pairs emitted before
     the hash hit the cap stand.
+
+    **Denominator semantics vs batch**: ``n_a``/``n_b`` here are each
+    video's FULL distinct-hash count — a streaming operator cannot
+    retroactively know which hashes later hit the cap, so stop hashes
+    stay in the denominator and dilute overlap.  The batch operator's
+    default divides by the post-drop count instead; run it with
+    ``denominator="pre_drop"`` when a batch backfill must agree with
+    streaming verdicts, or set thresholds knowing streaming overlap for
+    a pair with ``s`` stop hashes is ``post_drop_overlap · (n - s) /
+    n``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -331,6 +341,7 @@ def stream_neardup_images(
     media: DataFrame,
     *,
     max_hamming: int = 3,
+    max_bucket: int = 10_000,
     decoders: dict | None = None,
 ) -> DataFrame:
     """Streaming image near-dup: each arriving image's pHash
@@ -346,13 +357,22 @@ def stream_neardup_images(
     within-bound pair shares at least one bucket).  A pair sharing
     several buckets is emitted once per sharing band in the batch it
     first matches; consumers dedupe with ``dropDuplicates``, the same
-    contract as :func:`stream_neardup_minhash`.  State per bucket is
-    ``(ids, phashes)`` — O(bucket population) longs."""
+    contract as :func:`stream_neardup_minhash`.
+
+    ``max_bucket`` is the stop-hash guard every streaming near-dup op
+    here carries (stream_video_neardup's ``max_hash_freq``): a bucket a
+    corpus-common image lands in (all-black frames, logos, test cards —
+    identical pHash, hence identical bands) would otherwise grow state
+    without bound and emit O(population²) rows.  At the cap the bucket
+    stops growing AND stops emitting; state per bucket is bounded at
+    ``max_bucket`` ``(id, phash)`` longs."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from knowhere_spark.operators.dedup import hamming64_band_exprs
     from knowhere_spark.operators.multimodal import image_phash
 
+    if max_bucket < 1:
+        raise ValueError("max_bucket must be >= 1")
     ph = image_phash(media, decoders=decoders)
     banded = ph.select(
         "media_id",
@@ -393,6 +413,8 @@ def stream_neardup_images(
         for pdf in pdfs:
             for mid, h in zip(pdf["media_id"], pdf["phash"]):
                 mid, h = int(mid), int(h)
+                if len(ids) >= max_bucket:
+                    break   # stop bucket: bounded state, no more matches
                 for other, oh in zip(ids, hashes):
                     if other == mid:
                         continue

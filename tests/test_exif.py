@@ -21,10 +21,17 @@ def _ifd_entry(e, tag, typ, cnt, value_field: bytes) -> bytes:
     return struct.pack(e + "HHI", tag, typ, cnt) + value_field.ljust(4, b"\x00")
 
 
+#: a distinctive GPS latitude rational (degrees 37/1) — the PII bytes
+#: the scrub must ERASE, not just unlink
+GPS_LAT_BYTES = struct.pack("<II", 37, 1)
+
+
 def build_exif_app1(*, little=True, gps=True, make=b"TestCam\x00") -> bytes:
     """Minimal TIFF: IFD0 with make + orientation (+ GPS pointer and a
-    tiny GPS sub-IFD), make's ASCII value stored out-of-line."""
+    GPS sub-IFD carrying an out-of-line latitude rational), make's
+    ASCII value stored out-of-line."""
     e = "<" if little else ">"
+    lat = GPS_LAT_BYTES if little else struct.pack(">II", 37, 1)
     n_entries = 3 if gps else 2
     ifd0_off = 8
     ifd0_len = 2 + 12 * n_entries + 4
@@ -48,11 +55,15 @@ def build_exif_app1(*, little=True, gps=True, make=b"TestCam\x00") -> bytes:
         + make
     )
     if gps:
-        # GPS sub-IFD: one entry (GPSVersionID)
+        # GPS sub-IFD: GPSVersionID (inline) + GPSLatitude (out-of-line
+        # RATIONAL — the actual coordinate bytes live after the table)
+        lat_off = gps_off + 2 + 12 * 2 + 4
         tiff += (
-            struct.pack(e + "H", 1)
+            struct.pack(e + "H", 2)
             + _ifd_entry(e, 0x0000, 1, 4, b"\x02\x03\x00\x00")
+            + _ifd_entry(e, 0x0002, 5, 1, struct.pack(e + "I", lat_off))
             + struct.pack(e + "I", 0)
+            + lat
         )
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
@@ -82,12 +93,16 @@ def test_exif_tags_parse(real_jpeg, little):
 
 def test_strip_gps_lossless(real_jpeg):
     tagged = _with_exif(real_jpeg, build_exif_app1())
+    assert GPS_LAT_BYTES in tagged               # the PII is really there
     scrubbed = strip_exif_gps(tagged)
     assert scrubbed != tagged
     after = exif_tags(scrubbed)
     assert after["has_gps"] is False
     assert after["make"] == "TestCam"            # other tags survive
     assert after["orientation"] == 6
+    # the coordinate BYTES are erased — not merely unlinked: a
+    # byte-level scan of the scrubbed file must not find them
+    assert GPS_LAT_BYTES not in scrubbed
     # pixels byte-identical through the repo's own decoder
     np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(scrubbed))
     # segment length unchanged → all other offsets stay valid

@@ -179,7 +179,8 @@ def _empty_stbl() -> bytes:
     return _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
 
-def mux_fmp4(fragments, *, timescale=600, default_duration=100):
+def mux_fmp4(fragments, *, timescale=600, default_duration=100,
+             largesize_moof=False):
     """Fragmented MP4 (DASH init + media segments in one payload):
     empty stbl, mvex/trex defaults, one moof+mdat per fragment.
     ``fragments``: list of lists of (payload, is_sync) samples.
@@ -220,12 +221,21 @@ def mux_fmp4(fragments, *, timescale=600, default_duration=100):
             body += struct.pack(">II", len(payload), flags)
         trun = _box(b"trun", struct.pack(">I", tr_flags) + body)
         traf = _box(b"traf", tfhd + tfdt + trun)
-        moof = bytearray(_box(b"moof", mfhd + traf))
-        # data offset = moof size + mdat header, relative to moof start
+        inner = mfhd + traf
+        if largesize_moof:
+            # 16-byte largesize header (size=1 + 64-bit size)
+            hdr = 16
+            moof = bytearray(
+                struct.pack(">I4sQ", 1, b"moof", hdr + len(inner)) + inner
+            )
+        else:
+            hdr = 8
+            moof = bytearray(_box(b"moof", inner))
+        # data offset = moof size + mdat header, relative to moof START
         data_off = len(moof) + 8
-        # trun data_offset field sits after: moof hdr(8)+mfhd+traf hdr(8)
+        # trun data_offset field sits after: moof hdr + mfhd + traf hdr(8)
         # + tfhd + tfdt + trun hdr(8) + fullbox word(4) + count(4)
-        pos = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 8 + 4 + 4
+        pos = hdr + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 8 + 4 + 4
         moof[pos : pos + 4] = struct.pack(">i", data_off)
         moof_start = len(out)
         out += moof
@@ -291,7 +301,8 @@ def test_fragmented_mp4_keyframes_and_operator(spark):
 def test_mp4_iter_boxes_largesize():
     body = b"hello"
     big = struct.pack(">I4sQ", 1, b"mdat", 16 + len(body)) + body
-    [(typ, b, e)] = list(iter_boxes(big))
+    [(typ, b, e, bs)] = list(iter_boxes(big))
+    assert bs == 0
     assert typ == b"mdat" and big[b:e] == body
 
 
@@ -353,3 +364,18 @@ def test_encode_mp4_roundtrip():
     assert [k["frame_idx"] for k in ks] == [0, 4]
     with pytest.raises(ValueError):
         encode_mp4([])
+
+
+def test_fragmented_mp4_largesize_moof_offsets():
+    """A moof with a 64-bit largesize header has a 16-byte header;
+    default-base-is-moof offsets anchor at the box START (regression:
+    body_start - 8 put every sample 8 bytes late)."""
+    rng = np.random.default_rng(9)
+    frags = [[(rng.bytes(11), True), (rng.bytes(7), False)]]
+    data, offsets = mux_fmp4(frags, largesize_moof=True)
+    (t,) = parse_mp4(data)["tracks"]
+    np.testing.assert_array_equal(t["offsets"], offsets)
+    flat = [p for frag in frags for p, _ in frag]
+    for i in range(2):
+        lo, hi = t["offsets"][i], t["offsets"][i] + t["sizes"][i]
+        assert data[lo:hi] == flat[i]

@@ -91,12 +91,15 @@ def test_video_neardup_injected_decoder_and_banding(spark):
     hash_b = [_phash64(fake_codec(p, {})) for p in fb]
 
     def expected_matches(max_h):
-        m = set()
-        for i, x in enumerate(set(hash_a)):
+        # the operator's symmetric count: least(distinct matched a-side,
+        # distinct matched b-side) — bounded by both denominators
+        ma, mb = set(), set()
+        for x in set(hash_a):
             for y in set(hash_b):
                 if bin((x ^ y) & ((1 << 64) - 1)).count("1") <= max_h:
-                    m.add(x)
-        return len(m)
+                    ma.add(x)
+                    mb.add(y)
+        return min(len(ma), len(mb))
 
     for max_h in (0, 8):
         exp = expected_matches(max_h)
@@ -143,3 +146,28 @@ def test_video_neardup_stop_hash_cap(spark):
     # without the cap the common hash links EVERY pair
     uncapped = video_neardup_pairs(df, min_overlap=1e-9, max_hash_freq=None)
     assert uncapped.count() == 6
+
+
+def test_video_neardup_overlap_never_exceeds_one(spark):
+    """Banded matching where MANY of A's hashes fall within the bound of
+    B's single hash must not produce overlap > 1 (regression: the a-side
+    distinct count alone could exceed min(n_a, n_b))."""
+
+    def codec_fn(payload, meta):
+        # 3 near-identical noisy frames for A; B is one near frame
+        rng = np.random.default_rng(99)
+        img = rng.random((16, 16))
+        img[0, 0] += payload[0] / 5000.0    # tiny per-frame drift
+        return img
+
+    fa = [bytes([1]), bytes([2]), bytes([3])]
+    fb = [bytes([4])]
+    a, _ = mux_mp4(fa)
+    b, _ = mux_mp4(fb)
+    df = _media_df(spark, [(1, a), (2, b)])
+    out = video_neardup_pairs(
+        df, min_overlap=1e-9, max_hamming=16, decoders={"avc1": codec_fn}
+    ).collect()
+    for r in out:
+        assert 0.0 < r.overlap <= 1.0
+        assert r.matches <= 1        # B has one distinct hash

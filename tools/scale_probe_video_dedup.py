@@ -1,6 +1,6 @@
 """Scale probe: video near-dup over real MP4 containers (SCALE.md r8).
 
-Builds N tiny-but-valid MP4s (in-test muxer from tests/test_mp4.py),
+Builds N tiny-but-valid MP4s (functions/mp4.encode_mp4),
 plants near-copies sharing most keyframes plus one corpus-wide stop
 frame (the black-frame / intro-logo analog), and measures:
 
@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import SparkSession
 
-from tests.test_mp4 import mux_mp4
+from knowhere_spark.functions.mp4 import encode_mp4
 from knowhere_spark.operators.multimodal import (
     video_frame_phashes,
     video_neardup_pairs,
@@ -48,7 +48,7 @@ for i in range(N_VIDEOS):
     else:
         frames = [rng.bytes(32) for _ in range(N_FRAMES - 1)]
         originals.append((i + 1, frames))
-    payload, _ = mux_mp4([stop_frame] + frames)
+    payload = encode_mp4([stop_frame] + frames)
     rows.append((i + 1, "video", bytearray(payload),
                  {"width": 8, "height": 8, "n_frames": N_FRAMES,
                   "sample_rate": 0}))
