@@ -1335,9 +1335,18 @@ def main() -> None:
         "recall": recalls,
         "vps": vps,
     }
+    # keep the line inside a 2000-char tail: drop sections in order of
+    # auditability (vps first, then recall, then round the timings
+    # coarser) until it fits — the old single vps pop could still blow
+    # the cap once the queries map grew past ~40 entries
     line = json.dumps(compact)
-    if len(line) > 1900:           # keep the line inside a 2000-char tail
-        compact.pop("vps", None)
+    for trim in ("vps", "recall"):
+        if len(line) <= 1900:
+            break
+        compact.pop(trim, None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
     print(line)
     spark.stop()

@@ -206,6 +206,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker — skip them or a legal file parses garbage as a length
+        while data[pos + 1] == 0xFF and pos + 4 <= len(data):
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:          # EOI
             break
@@ -279,6 +283,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise NotImplementedError("JPEG multi-scan (non-interleaved) frames")
 
     h, w = frame["h"], frame["w"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order, whatever the declared
+        # sampling factors say (they are ratios, meaningless alone);
+        # honoring e.g. 2x2 here would permute the blocks
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -184,6 +184,7 @@ class ShardedHNSWIndex:
         #: add()-grown or legacy-layout indexes (per-shard lazy collect)
         self._vec_tbl: DataFrame | None = None
         self._edge_tbl: DataFrame | None = None
+        self._spill_dir: str | None = None   # build-owned scratch parquet
 
     def count(self) -> int:
         return sum(s.count() for s in self.shards if s is not None)
@@ -373,6 +374,20 @@ class ShardedHNSWIndex:
             ]
         )
         sharded = spark.read.schema(vec_schema).parquet(f"{spill}/vectors")
+        # Guard against a non-cluster-visible spill dir: on yarn/k8s with
+        # spark.knowhere.spill.dir unset, executors commit to their OWN
+        # local disks and the read-back is silently empty (the explicit
+        # schema suppresses the inference error) — fail loudly instead
+        # of building an index over zero rows.
+        total_rows = sum(counts.values())
+        got_rows = sharded.count()
+        if got_rows != total_rows:
+            raise RuntimeError(
+                f"sharded spill read-back has {got_rows} rows, expected "
+                f"{total_rows}: the spill directory {spill!r} is not "
+                "visible to every executor — set spark.knowhere.spill.dir "
+                "to shared storage (HDFS/S3) on a distributed master"
+            )
 
         # -- per-shard coarse centroids from ONE stratified sample --------
         # nlist_s = shard_n / cell-target; sample ~4x that per shard (the
@@ -563,6 +578,7 @@ class ShardedHNSWIndex:
         # through these with one isin-pruned job per table (_prefetch_wave)
         idx._vec_tbl = sharded
         idx._edge_tbl = edges_all
+        idx._spill_dir = spill   # build-owned scratch; see destroy()
         return idx
 
     def add(
@@ -887,6 +903,36 @@ class ShardedHNSWIndex:
         for s in self.shards:
             if s is not None:
                 s.release()
+
+    def destroy(self) -> None:
+        """Release broadcasts AND delete the build-owned spill parquet.
+
+        Each ``build()`` writes a corpus-sized vectors/edges scratch copy
+        under the session spill dir; without this call a long-lived
+        session that rebuilds indexes pins one corpus copy per build
+        until interpreter exit.  Call when the index is retired — it is
+        unusable afterwards.  Loaded indexes (``load()``) own no spill
+        and only release broadcasts."""
+        self.release()
+        spill = getattr(self, "_spill_dir", None)
+        self._vec_tbl = self._edge_tbl = None
+        self._spill_dir = None
+        if not spill:
+            return
+        try:
+            # Hadoop FS handles every scheme spill.dir can point at
+            # (HDFS/S3/file); fall back to shutil for plain local paths
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(spill)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        except Exception:
+            import shutil
+
+            shutil.rmtree(spill, ignore_errors=True)
 
     def search(
         self,
@@ -1228,6 +1274,29 @@ class ShardedHNSWIndex:
             return
         sc = self.shards[live[0][0]].vectors.sparkSession.sparkContext
         n_parts = max(len(live), sc.defaultParallelism)
+        vec_tbl = getattr(self, "_vec_tbl", None)
+        edge_tbl = getattr(self, "_edge_tbl", None)
+        if vec_tbl is not None and edge_tbl is not None:
+            # build()/load() keep single __shard-partitioned table
+            # handles — writing them directly is one scan node each; the
+            # per-shard union below would be a 10^5-LEAF Catalyst plan
+            # at the module's target shard counts (tree depth is
+            # bounded, node count is not)
+            store.write_table(
+                "vectors",
+                vec_tbl.select("id", "vec", "__shard").repartition(
+                    n_parts, "__shard"
+                ),
+                partition_by=["__shard"],
+            )
+            store.write_table(
+                "edges",
+                edge_tbl.select("src", "dst", "dist", "__shard").repartition(
+                    n_parts, "__shard"
+                ),
+                partition_by=["__shard"],
+            )
+            return
         store.write_table(
             "vectors",
             _tree_union(

@@ -661,8 +661,19 @@ def test_cold_search_job_count_constant_in_shards(spark):
         spark, "shq8", lambda: idx8.search(qs, k=3).collect()
     )
     assert jobs8 == jobs4, f"cold search jobs grew with shards: {jobs4} -> {jobs8}"
-    assert {(r["query_id"], r["neighbor_id"]) for r in r4} == \
-        {(r["query_id"], r["neighbor_id"]) for r in r8} or True  # recall may differ per sharding
+    # recall may legitimately differ between shardings, but both must
+    # answer every query with a full k (the old `== ... or True` form
+    # was a constant-True assertion — it checked nothing)
+    def _per_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    pq4, pq8 = _per_query(r4), _per_query(r8)
+    assert set(pq4) == set(pq8) and len(pq4) == 5
+    assert all(len(v) == 3 for v in pq4.values())
+    assert all(len(v) == 3 for v in pq8.values())
     # prefetch memoized every searched shard's broadcast (warm serving)
     assert all(getattr(s, "_bc_graph", None) is not None
                for s in idx8.shards if s is not None)
@@ -671,3 +682,56 @@ def test_cold_search_job_count_constant_in_shards(spark):
         spark, "shqw", lambda: idx8.search(qs, k=3).collect()
     )
     assert jobs_warm < jobs8
+
+
+def test_destroy_deletes_build_spill(spark, tmp_path):
+    """destroy() reclaims the build-owned spill parquet (one corpus copy
+    per build otherwise pinned until interpreter exit) — and a saved
+    copy made BEFORE destroy still loads and searches."""
+    import os
+
+    base = gen_dense(300, 8, seed=111)
+    cfg = HnswConfig(metric_type="L2", M=8, ef=16)
+    idx = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=3)
+    spill = idx._spill_dir
+    assert spill and os.path.isdir(spill)
+    saved = str(tmp_path / "before_destroy")
+    idx.save(saved)
+    idx.destroy()
+    assert not os.path.exists(spill)
+    assert idx._spill_dir is None and idx._vec_tbl is None
+    qs = dense_df(spark, gen_dense(3, 8, seed=112), QUERY_SCHEMA)
+    re = ShardedHNSWIndex.load(spark, saved)
+    got = re.search(qs, k=2).collect()
+    assert len(got) == 6
+    # loaded indexes own no spill: destroy is broadcast-release only
+    re.destroy()
+    assert os.path.exists(saved)
+
+
+def test_save_fast_path_equals_union_path(spark, tmp_path):
+    """A pristine build() saves through the single partitioned-table
+    handles; an add()-derived index (handles reset) saves through the
+    per-shard union — both layouts must load back hash-equal search
+    results and carry the same vector rows."""
+    base = gen_dense(400, 8, seed=113)
+    cfg = HnswConfig(metric_type="L2", M=8, ef=16)
+    idx = ShardedHNSWIndex.build(dense_df(spark, base), cfg, n_shards=4)
+    assert idx._vec_tbl is not None          # fast path armed
+    fast = str(tmp_path / "fast")
+    idx.save(fast)
+    # strip the handles → same index forced through the union path
+    idx._vec_tbl = idx._edge_tbl = None
+    slow = str(tmp_path / "slow")
+    idx.save(slow)
+    a = ShardedHNSWIndex.load(spark, fast)
+    b = ShardedHNSWIndex.load(spark, slow)
+    va = {(r["id"], r["__shard"]) for r in a._vec_tbl.collect()}
+    vb = {(r["id"], r["__shard"]) for r in b._vec_tbl.collect()}
+    assert va == vb and len(va) == 400
+    qs = dense_df(spark, gen_dense(4, 8, seed=114), QUERY_SCHEMA)
+    ra = {(r["query_id"], r["neighbor_id"], round(r["distance"], 9))
+          for r in a.search(qs, k=3).collect()}
+    rb = {(r["query_id"], r["neighbor_id"], round(r["distance"], 9))
+          for r in b.search(qs, k=3).collect()}
+    assert ra == rb

@@ -364,3 +364,35 @@ def test_jpeg_phash_pipeline(spark):
     assert len(out) == 2
     # identical payloads → identical hashes (content-derived, not fake)
     assert out[0]["phash"] == out[1]["phash"]
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    — legal files from padding encoders must decode identically."""
+    rng = np.random.default_rng(17)
+    h, w = 16, 16
+    zz = _rand_coeffs(rng, 4)
+    data = encode_jpeg([zz], h, w, [Q_LUM], [(1, 1)])
+    # inject fill bytes after SOI and again before the DQT marker
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    np.testing.assert_allclose(decode_jpeg(padded), decode_jpeg(data))
+
+
+def test_jpeg_gray_with_declared_sampling_is_raster():
+    """A single-component frame is NON-interleaved whatever its declared
+    sampling factors (T.81 A.2) — a 2x2 declaration must decode exactly
+    like the same blocks declared 1x1, not as permuted 2x2 MCUs."""
+    rng = np.random.default_rng(18)
+    h, w = 24, 16
+    zz = _rand_coeffs(rng, 6)
+    base = encode_jpeg([zz], h, w, [Q_LUM], [(1, 1)])
+    # same entropy stream, SOF rewritten to claim 2x2 sampling: the
+    # sampling byte for component 0 sits 6 bytes into the SOF body
+    hacked = bytearray(base)
+    sof_at = hacked.find(b"\xff\xc0")
+    assert sof_at > 0
+    assert hacked[sof_at + 11] == 0x11
+    hacked[sof_at + 11] = 0x22
+    np.testing.assert_allclose(
+        decode_jpeg(bytes(hacked)), decode_jpeg(base)
+    )
