@@ -39,23 +39,23 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 def _find_app1(jpeg: bytes) -> tuple[int, int] | None:
     """Locate the EXIF APP1 segment: returns (segment_start, segment_end)
-    offsets covering marker + length + payload, or None."""
-    if jpeg[:3] != b"\xff\xd8\xff":
+    offsets covering marker + length + payload, or None.  Uses the
+    shared marker walker (functions/jpeg.iter_jpeg_segments) so T.81
+    fill bytes and standalone markers are handled identically to the
+    decoder — a fill-byte-padded JPEG must not slip past the PII scrub."""
+    from knowhere_spark.functions.jpeg import iter_jpeg_segments
+
+    try:
+        for marker, seg_start, body_start, body_end in iter_jpeg_segments(jpeg):
+            if marker == 0xDA:    # start of scan — no headers past here
+                return None
+            if (
+                marker == 0xE1
+                and jpeg[body_start : body_start + 6] == b"Exif\x00\x00"
+            ):
+                return seg_start, body_end
+    except ValueError:
         return None
-    pos = 2
-    while pos + 4 <= len(jpeg):
-        if jpeg[pos] != 0xFF:
-            return None
-        marker = jpeg[pos + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            pos += 2
-            continue
-        if marker == 0xDA:        # start of scan — no headers past here
-            return None
-        ln = struct.unpack_from(">H", jpeg, pos + 2)[0]
-        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            return pos, pos + 2 + ln
-        pos += 2 + ln
     return None
 
 
@@ -182,10 +182,16 @@ def strip_exif_gps(jpeg: bytes) -> bytes:
             table_len = min(2 + 12 * gn + 4, len(tiff) - gps_off)
             tiff[gps_off : gps_off + table_len] = b"\x00" * table_len
         # re-serialize IFD0 without the pointer entry; next-IFD pointer
-        # sits right after the entries and must be preserved
+        # sits right after the entries and must be preserved.  The
+        # rewrite must stay IN BOUNDS: a truncated next-IFD pointer
+        # would make the slice assignment GROW the bytearray, leaving
+        # the APP1 length field stale — corrupt output from a scrubber
+        # that promises never to corrupt
+        old_len = 2 + 12 * n + 4
+        if ifd0 + old_len > len(tiff):
+            return jpeg
         next_ptr = bytes(tiff[ifd0 + 2 + 12 * n : ifd0 + 2 + 12 * n + 4])
         new_ifd = struct.pack(e + "H", len(keep)) + b"".join(keep) + next_ptr
-        old_len = 2 + 12 * n + 4
         tiff[ifd0 : ifd0 + old_len] = new_ifd.ljust(old_len, b"\x00")
     except Exception:
         return jpeg   # malformed EXIF: scrubbing must never corrupt

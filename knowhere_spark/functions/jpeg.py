@@ -191,31 +191,60 @@ def _split_restarts(data: bytes) -> list[bytes]:
     return chunks
 
 
+def iter_jpeg_segments(data: bytes):
+    """Yield ``(marker, seg_start, body_start, body_end)`` for every
+    marker segment after SOI — THE single JPEG marker walker (shared by
+    this decoder, functions/exif and sources/media; three hand-rolled
+    copies had already diverged on fill-byte handling).
+
+    Handles T.81 B.1.1.2 fill bytes (any number of 0xFF before a
+    marker), standalone markers (TEM/RSTn: ``body_start == body_end``),
+    and stops after yielding SOS (entropy-coded data follows) or EOI.
+    Raises ``ValueError`` on malformed structure."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, n = 2, len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while pos + 2 <= n and data[pos + 1] == 0xFF:
+            pos += 1   # fill bytes
+        marker = data[pos + 1]
+        if marker == 0xD9:                       # EOI
+            yield marker, pos, pos + 2, pos + 2
+            return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:   # TEM / RSTn
+            yield marker, pos, pos + 2, pos + 2
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("JPEG segment truncated")
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body_start, body_end = pos + 4, pos + 2 + seg_len
+        if seg_len < 2 or body_end > n:
+            raise ValueError("JPEG segment length out of range")
+        yield marker, pos, body_start, body_end
+        if marker == 0xDA:                       # SOS: entropy data next
+            return
+        pos = body_end
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to float64 pixels in [0, 1] —
     ``(h, w)`` grayscale or ``(h, w, 3)`` RGB."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
-    pos = 2
     scan = None
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
-        # marker — skip them or a legal file parses garbage as a length
-        while data[pos + 1] == 0xFF and pos + 4 <= len(data):
-            pos += 1
-        marker = data[pos + 1]
-        if marker == 0xD9:          # EOI
-            break
-        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
-        body = data[pos + 4 : pos + 2 + seg_len]
-        pos += 2 + seg_len
+    for marker, seg_start, body_start, body_end in iter_jpeg_segments(data):
+        if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            if marker == 0xD9:
+                break
+            continue
+        body = data[body_start:body_end]
+        pos = body_end
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} (SOF{marker - 0xC0}) not "

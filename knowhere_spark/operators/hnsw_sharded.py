@@ -586,7 +586,12 @@ class ShardedHNSWIndex:
     ) -> "ShardedHNSWIndex":
         """``Add`` (index_node.h:120-121): new rows route to their shard
         by the same id hash used at build, each shard takes its batch
-        through :meth:`HNSWIndex.add` (bridge-link insert, no retrain)."""
+        through :meth:`HNSWIndex.add` (bridge-link insert, no retrain).
+
+        The returned index is a lazy VIEW over this index's underlying
+        storage (it copies no data and owns no spill) — it stops
+        working if the parent is :meth:`destroy`\\ ed; ``save()`` it to
+        give it independent storage."""
         n_shards = len(self.shards)
         new = new_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -911,8 +916,13 @@ class ShardedHNSWIndex:
         under the session spill dir; without this call a long-lived
         session that rebuilds indexes pins one corpus copy per build
         until interpreter exit.  Call when the index is retired — it is
-        unusable afterwards.  Loaded indexes (``load()``) own no spill
-        and only release broadcasts."""
+        unusable afterwards, **and so is every index derived from it via
+        :meth:`add`**: derived indexes are lazy views over this index's
+        spill parquet (they copy neither the data nor ownership), so
+        destroy only after every derivative is retired too — or
+        ``save()`` a derivative first if it must outlive its parent.
+        Loaded indexes (``load()``) own no spill and only release
+        broadcasts."""
         self.release()
         spill = getattr(self, "_spill_dir", None)
         self._vec_tbl = self._edge_tbl = None

@@ -132,20 +132,20 @@ def _gif_frame_count(data: bytes) -> int | None:
 
 
 def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
-    """Walk JPEG markers to the first SOFn and read the frame dims."""
-    pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            return None
-        marker = data[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        ln = struct.unpack_from(">H", data, pos + 2)[0]
-        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            h, w = struct.unpack_from(">HH", data, pos + 5)
-            return w, h
-        pos += 2 + ln
+    """First SOFn frame dims via the SHARED marker walker
+    (functions/jpeg.iter_jpeg_segments — fill bytes and standalone
+    markers handled identically to the decoder)."""
+    from knowhere_spark.functions.jpeg import iter_jpeg_segments
+
+    try:
+        for marker, _seg, body_start, _end in iter_jpeg_segments(data):
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                _prec, h, w = struct.unpack_from(">BHH", data, body_start)
+                return w, h
+            if marker == 0xDA:
+                return None
+    except ValueError:
+        return None
     return None
 
 
@@ -214,16 +214,21 @@ def read_media_directory(
                 p = bytes(p)
                 fmt = sniff_format(p)
                 mtype = _FORMAT_TYPE.get(fmt, "binary")
+                meta = probe_meta(p) if probe else None
                 if fmt == "gif":
                     # the sniff can't see frame count; the header block
-                    # walk can — a static GIF is an image
-                    try:
-                        mtype = "video" if (_gif_frame_count(p) or 1) > 1 \
-                            else "image"
-                    except Exception:
-                        mtype = "image"
+                    # walk can — a static GIF is an image.  Reuse the
+                    # probe's walk when available (don't pay it twice)
+                    if meta is not None:
+                        n_frames = meta["n_frames"] or 1
+                    else:
+                        try:
+                            n_frames = _gif_frame_count(p) or 1
+                        except Exception:
+                            n_frames = 1
+                    mtype = "video" if n_frames > 1 else "image"
                 types.append(mtype)
-                metas.append(probe_meta(p) if probe else None)
+                metas.append(meta)
             pdf = pdf.copy()
             pdf["media_type"] = types
             pdf["meta"] = metas

@@ -137,3 +137,36 @@ def test_exif_operators(spark, real_jpeg):
     # non-JPEG payload untouched
     (r3,) = scrubbed.filter("media_id = 3").collect()
     assert bytes(r3.payload) == b"not a jpeg"
+
+
+def test_strip_gps_handles_fill_byte_padded_jpeg(real_jpeg):
+    """T.81 fill bytes before markers must not let GPS slip past the
+    scrub: the shared marker walker (iter_jpeg_segments) finds APP1
+    behind padding exactly like the decoder does."""
+    tagged = _with_exif(real_jpeg, build_exif_app1())
+    padded = tagged[:2] + b"\xff\xff" + tagged[2:]
+    assert exif_tags(padded)["has_gps"] is True
+    scrubbed = strip_exif_gps(padded)
+    assert scrubbed != padded
+    assert GPS_LAT_BYTES not in scrubbed
+    assert exif_tags(scrubbed)["has_gps"] is False
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(scrubbed))
+
+
+def test_strip_gps_truncated_next_pointer_never_corrupts(real_jpeg):
+    """An IFD0 whose 4-byte next-IFD pointer is cut short must come back
+    UNCHANGED — the old in-place rewrite grew the bytearray past the
+    APP1 length, corrupting every downstream marker offset."""
+    app1 = build_exif_app1()
+    # chop 2 bytes off the TIFF tail so the next-IFD pointer region is
+    # short, then fix the APP1 length field to the truncated size
+    body = app1[4:]
+    # drop the GPS sub-IFD and the out-of-line values entirely, leaving
+    # IFD0's tail (entries parse, next-ptr + values cut)
+    cut = body[: 6 + 8 + 2 + 12 * 3 + 2]   # Exif hdr + tiff hdr + count + entries + 2
+    seg = b"\xff\xe1" + struct.pack(">H", 2 + len(cut)) + cut
+    tagged = _with_exif(real_jpeg, seg)
+    out = strip_exif_gps(tagged)
+    assert out == tagged               # refused to touch, not corrupted
+    assert len(out) == len(tagged)
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(out))
