@@ -20,6 +20,7 @@ Format reference: the public EXIF 2.3 / TIFF 6.0 specifications.
 
 from __future__ import annotations
 
+import re
 import struct
 
 #: the tag that points at the GPS sub-IFD inside IFD0
@@ -37,25 +38,43 @@ _TAG_NAMES = {
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 
-def _find_app1(jpeg: bytes) -> tuple[int, int] | None:
-    """Locate the EXIF APP1 segment: returns (segment_start, segment_end)
-    offsets covering marker + length + payload, or None.  Uses the
-    shared marker walker (functions/jpeg.iter_jpeg_segments) so T.81
-    fill bytes and standalone markers are handled identically to the
-    decoder — a fill-byte-padded JPEG must not slip past the PII scrub."""
+#: XMP APP1 payloads start with this namespace URI + NUL (XMP Part 3 §1.1.3)
+_XMP_NS = b"http://ns.adobe.com/xap/1.0/\x00"
+
+
+def _iter_app1(jpeg: bytes):
+    """Yield ``(seg_start, body_start, body_end, kind)`` for every APP1
+    header segment; ``kind`` is ``"exif"`` or ``"xmp"`` (other APP1
+    payloads are skipped).  Uses the shared marker walker
+    (functions/jpeg.iter_jpeg_segments) so T.81 fill bytes and
+    standalone markers are handled identically to the decoder — a
+    fill-byte-padded JPEG must not slip past the PII scrub.  Any
+    malformed structure ends the walk silently: the scrub contract is
+    best-effort-never-crash."""
     from knowhere_spark.functions.jpeg import iter_jpeg_segments
 
     try:
         for marker, seg_start, body_start, body_end in iter_jpeg_segments(jpeg):
             if marker == 0xDA:    # start of scan — no headers past here
-                return None
-            if (
-                marker == 0xE1
-                and jpeg[body_start : body_start + 6] == b"Exif\x00\x00"
-            ):
-                return seg_start, body_end
-    except ValueError:
-        return None
+                return
+            if marker != 0xE1:
+                continue
+            head = jpeg[body_start : body_start + max(6, len(_XMP_NS))]
+            if head[:6] == b"Exif\x00\x00":
+                yield seg_start, body_start, body_end, "exif"
+            elif head.startswith(_XMP_NS):
+                yield seg_start, body_start, body_end, "xmp"
+    except Exception:
+        return
+
+
+def _find_app1(jpeg: bytes) -> tuple[int, int] | None:
+    """Locate the first EXIF APP1 segment: returns
+    (segment_start, segment_end) offsets covering marker + length +
+    payload, or None."""
+    for seg_start, _body_start, body_end, kind in _iter_app1(jpeg):
+        if kind == "exif":
+            return seg_start, body_end
     return None
 
 
@@ -96,12 +115,20 @@ def _entry_value(tiff: bytes, typ: int, cnt: int, raw: bytes, little: bool):
 def exif_tags(jpeg: bytes) -> dict:
     """Parse the EXIF APP1 of a JPEG into ``{"make", "model",
     "orientation", "datetime", "has_gps"}`` (missing → None / False).
-    Header-only; images without EXIF return the empty dict values."""
+    Header-only; images without EXIF return the empty dict values.
+    ``has_gps`` is true when ANY metadata segment carries coordinates —
+    the first EXIF APP1's GPS IFD or an ``exif:GPS*`` property in an
+    XMP APP1 — matching exactly what :func:`strip_exif_gps` removes."""
     out = {
         "make": None, "model": None, "orientation": None,
         "datetime": None, "has_gps": False,
     }
-    seg = _find_app1(jpeg)
+    seg = None
+    for seg_start, body_start, body_end, kind in _iter_app1(jpeg):
+        if kind == "exif" and seg is None:
+            seg = (seg_start, body_end)
+        elif kind == "xmp" and not out["has_gps"]:
+            out["has_gps"] = _xmp_has_gps(jpeg[body_start:body_end])
     if seg is None:
         return out
     tiff = jpeg[seg[0] + 10 : seg[1]]
@@ -125,33 +152,45 @@ def exif_tags(jpeg: bytes) -> dict:
     return out
 
 
-def strip_exif_gps(jpeg: bytes) -> bytes:
-    """Remove GPS data from a JPEG's EXIF — losslessly for the pixels.
+#: same-length blanking patterns for exif:GPS* properties inside an XMP
+#: packet — paired elements (incl. rdf containers inside, DOTALL),
+#: self-closing elements, then attribute forms (double/single quoted)
+_XMP_GPS_PATTERNS = (
+    re.compile(rb"<exif:GPS\w*(?:\s[^<>]*)?>.*?</exif:GPS\w*\s*>", re.DOTALL),
+    re.compile(rb"<exif:GPS\w*(?:\s[^<>]*)?/>"),
+    re.compile(rb"\bexif:GPS\w*\s*=\s*\"[^\"]*\""),
+    re.compile(rb"\bexif:GPS\w*\s*=\s*'[^']*'"),
+)
 
-    Rewrites ONLY the APP1 segment, in place (same length, so every
-    other TIFF value offset stays valid), with the GPS data actually
-    ERASED, not merely unlinked:
 
-    1. the GPS-pointer entry is dropped from IFD0 (count decremented,
-       freed entry bytes zeroed),
-    2. the GPS sub-IFD table itself is zeroed,
-    3. every out-of-line value the GPS entries referenced (latitude /
-       longitude rationals etc.) is zeroed too.
+def _scrub_xmp_gps(payload: bytes) -> bytes | None:
+    """Blank every ``exif:GPS*`` property in an XMP packet with spaces —
+    same length, so all later JPEG segment offsets stay valid and the
+    XML stays well-formed (blanked attributes/elements become
+    whitespace).  Returns the new payload, or None if no GPS property
+    was present."""
+    out, hit = payload, False
+    for pat in _XMP_GPS_PATTERNS:
+        new = pat.sub(lambda m: b" " * len(m.group(0)), out)
+        if new != out:
+            out, hit = new, True
+    return out if hit else None
 
-    Unlinking alone would leave the coordinates recoverable by a
-    byte-level scan of the 'scrubbed' file — a PII scrub must remove
-    the data, not the directions to it.  Image data is byte-identical;
-    a JPEG without EXIF or without GPS comes back unchanged
-    (``is``-identical)."""
-    seg = _find_app1(jpeg)
-    if seg is None:
-        return jpeg
-    start, end = seg
-    tiff = bytearray(jpeg[start + 10 : end])
+
+def _xmp_has_gps(payload: bytes) -> bool:
+    return any(pat.search(payload) for pat in _XMP_GPS_PATTERNS)
+
+
+def _scrub_tiff_gps(tiff_bytes: bytes) -> bytes | None:
+    """Erase the GPS IFD from one EXIF TIFF blob, same length.  Returns
+    the scrubbed bytes, or None when there is nothing to scrub (no GPS
+    pointer) or the structure is malformed (scrubbing must never
+    corrupt)."""
+    tiff = bytearray(tiff_bytes)
     try:
         little = bytes(tiff[:2]) == b"II"
         if not little and bytes(tiff[:2]) != b"MM":
-            return jpeg
+            return None
         e = "<" if little else ">"
         ifd0 = struct.unpack_from(e + "I", tiff, 4)[0]
         n = struct.unpack_from(e + "H", tiff, ifd0)[0]
@@ -164,7 +203,7 @@ def strip_exif_gps(jpeg: bytes) -> bytes:
             else:
                 keep.append(bytes(tiff[p : p + 12]))
         if gps_off is None:
-            return jpeg   # no GPS pointer → nothing to scrub
+            return None   # no GPS pointer → nothing to scrub
         # erase the GPS sub-IFD's out-of-line values, then the table
         if gps_off + 2 <= len(tiff):
             gn = struct.unpack_from(e + "H", tiff, gps_off)[0]
@@ -189,10 +228,45 @@ def strip_exif_gps(jpeg: bytes) -> bytes:
         # that promises never to corrupt
         old_len = 2 + 12 * n + 4
         if ifd0 + old_len > len(tiff):
-            return jpeg
+            return None
         next_ptr = bytes(tiff[ifd0 + 2 + 12 * n : ifd0 + 2 + 12 * n + 4])
         new_ifd = struct.pack(e + "H", len(keep)) + b"".join(keep) + next_ptr
         tiff[ifd0 : ifd0 + old_len] = new_ifd.ljust(old_len, b"\x00")
     except Exception:
-        return jpeg   # malformed EXIF: scrubbing must never corrupt
-    return jpeg[:start + 10] + bytes(tiff) + jpeg[end:]
+        return None   # malformed EXIF: scrubbing must never corrupt
+    return bytes(tiff)
+
+
+def strip_exif_gps(jpeg: bytes) -> bytes:
+    """Remove GPS data from a JPEG's metadata — losslessly for the
+    pixels.  Covers EVERY APP1 metadata segment, not just the first:
+
+    - **every EXIF APP1**: rewritten in place (same length, so every
+      other TIFF value offset stays valid) with the GPS data actually
+      ERASED, not merely unlinked — (1) the GPS-pointer entry is
+      dropped from IFD0 (count decremented, freed entry bytes zeroed),
+      (2) the GPS sub-IFD table itself is zeroed, (3) every out-of-line
+      value the GPS entries referenced (latitude / longitude rationals
+      etc.) is zeroed too.  Unlinking alone would leave the coordinates
+      recoverable by a byte-level scan of the 'scrubbed' file — a PII
+      scrub must remove the data, not the directions to it.
+    - **every XMP APP1**: ``exif:GPS*`` properties (attribute or
+      element form — the duplicate coordinate copy phone cameras write)
+      are blanked with spaces, same length, XML kept well-formed.
+
+    Image data is byte-identical; a JPEG with no GPS in any segment
+    comes back unchanged (``is``-identical)."""
+    out: bytearray | None = None
+    for _seg_start, body_start, body_end, kind in _iter_app1(jpeg):
+        buf = jpeg if out is None else bytes(out)
+        if kind == "exif":
+            new = _scrub_tiff_gps(buf[body_start + 6 : body_end])
+            lo = body_start + 6
+        else:
+            new = _scrub_xmp_gps(buf[body_start:body_end])
+            lo = body_start
+        if new is not None:
+            if out is None:
+                out = bytearray(jpeg)
+            out[lo : lo + len(new)] = new
+    return jpeg if out is None else bytes(out)

@@ -209,6 +209,11 @@ def iter_jpeg_segments(data: bytes):
             raise ValueError("JPEG marker expected")
         while pos + 2 <= n and data[pos + 1] == 0xFF:
             pos += 1   # fill bytes
+        if pos + 2 > n:
+            # the fill-byte loop can advance pos to the last byte (e.g.
+            # a buffer ending in 0xFF fill); reading data[pos + 1] then
+            # would IndexError — callers contract on ValueError only
+            raise ValueError("JPEG truncated in fill bytes")
         marker = data[pos + 1]
         if marker == 0xD9:                       # EOI
             yield marker, pos, pos + 2, pos + 2

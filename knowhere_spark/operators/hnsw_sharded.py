@@ -149,6 +149,29 @@ def _tree_union(frames: list[DataFrame]) -> DataFrame:
     return frames[0]
 
 
+def _check_spill_readback(
+    spark, sharded: DataFrame, expected_rows: int, spill: str, *, force: bool = False
+) -> None:
+    """Guard against a non-cluster-visible spill dir: on yarn/k8s with
+    spark.knowhere.spill.dir unset, executors commit to their OWN local
+    disks and the read-back is silently empty (the explicit schema
+    suppresses the inference error) — fail loudly instead of building an
+    index over zero rows.  Local masters share one filesystem, so the
+    failure mode cannot occur there; the corpus-sized count scan is
+    skipped on the hot build path in that case (``force=True`` runs it
+    regardless — tests use it to exercise the mismatch branch)."""
+    if not force and spark.sparkContext.master.startswith("local"):
+        return
+    got_rows = sharded.count()
+    if got_rows != expected_rows:
+        raise RuntimeError(
+            f"sharded spill read-back has {got_rows} rows, expected "
+            f"{expected_rows}: the spill directory {spill!r} is not "
+            "visible to every executor — set spark.knowhere.spill.dir "
+            "to shared storage (HDFS/S3) on a distributed master"
+        )
+
+
 class ShardedHNSWIndex:
     """A list of per-segment HNSW graphs over a hash- or
     semantically-sharded corpus."""
@@ -374,20 +397,7 @@ class ShardedHNSWIndex:
             ]
         )
         sharded = spark.read.schema(vec_schema).parquet(f"{spill}/vectors")
-        # Guard against a non-cluster-visible spill dir: on yarn/k8s with
-        # spark.knowhere.spill.dir unset, executors commit to their OWN
-        # local disks and the read-back is silently empty (the explicit
-        # schema suppresses the inference error) — fail loudly instead
-        # of building an index over zero rows.
-        total_rows = sum(counts.values())
-        got_rows = sharded.count()
-        if got_rows != total_rows:
-            raise RuntimeError(
-                f"sharded spill read-back has {got_rows} rows, expected "
-                f"{total_rows}: the spill directory {spill!r} is not "
-                "visible to every executor — set spark.knowhere.spill.dir "
-                "to shared storage (HDFS/S3) on a distributed master"
-            )
+        _check_spill_readback(spark, sharded, sum(counts.values()), spill)
 
         # -- per-shard coarse centroids from ONE stratified sample --------
         # nlist_s = shard_n / cell-target; sample ~4x that per shard (the

@@ -170,3 +170,64 @@ def test_strip_gps_truncated_next_pointer_never_corrupts(real_jpeg):
     assert out == tagged               # refused to touch, not corrupted
     assert len(out) == len(tagged)
     np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(out))
+
+
+def _xmp_app1(props: bytes) -> bytes:
+    payload = (
+        b"http://ns.adobe.com/xap/1.0/\x00"
+        b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF '
+        b'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        + props
+        + b"</rdf:RDF></x:xmpmeta>"
+    )
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+XMP_GPS_PROPS = (
+    b'<rdf:Description rdf:about="" '
+    b'xmlns:exif="http://ns.adobe.com/exif/1.0/" '
+    b'xmlns:tiff="http://ns.adobe.com/tiff/1.0/" '
+    b'exif:GPSLatitude="37,46.1N" exif:GPSLongitude="122,25.2W" '
+    b'tiff:Make="XmpCam">'
+    b"<exif:GPSAltitude>12/1</exif:GPSAltitude>"
+    b"<exif:GPSTimeStamp>2020-01-01T00:00:00Z</exif:GPSTimeStamp>"
+    b"</rdf:Description>"
+)
+
+
+def test_strip_gps_scrubs_xmp_app1(real_jpeg):
+    """Phone cameras write a DUPLICATE coordinate copy into XMP; an
+    EXIF-only scrub leaves it recoverable.  Both attribute-form and
+    element-form exif:GPS* properties must be blanked, same-length,
+    with other XMP properties intact."""
+    tagged = _with_exif(real_jpeg, _xmp_app1(XMP_GPS_PROPS))
+    assert exif_tags(tagged)["has_gps"] is True
+    scrubbed = strip_exif_gps(tagged)
+    assert scrubbed != tagged
+    assert len(scrubbed) == len(tagged)
+    for pii in (b"37,46.1N", b"122,25.2W", b"12/1", b"GPSLatitude",
+                b"GPSAltitude"):
+        assert pii not in scrubbed
+    assert b"XmpCam" in scrubbed                 # non-GPS XMP survives
+    assert exif_tags(scrubbed)["has_gps"] is False
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(scrubbed))
+    # idempotent + no-GPS XMP untouched
+    assert strip_exif_gps(scrubbed) is scrubbed
+    plain = _with_exif(real_jpeg, _xmp_app1(b'<rdf:Description tiff:Make="X"/>'))
+    assert strip_exif_gps(plain) is plain
+
+
+def test_strip_gps_scrubs_every_app1_segment(real_jpeg):
+    """GPS in a SECOND EXIF APP1 and in an XMP packet must not survive a
+    scrub that only rewrote the first EXIF segment."""
+    tagged = _with_exif(
+        real_jpeg,
+        build_exif_app1() + _xmp_app1(XMP_GPS_PROPS) + build_exif_app1(little=False),
+    )
+    scrubbed = strip_exif_gps(tagged)
+    assert len(scrubbed) == len(tagged)
+    assert GPS_LAT_BYTES not in scrubbed                      # EXIF #1 (LE)
+    assert struct.pack(">II", 37, 1) not in scrubbed          # EXIF #2 (BE)
+    assert b"37,46.1N" not in scrubbed                        # XMP
+    assert exif_tags(scrubbed)["has_gps"] is False
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(scrubbed))

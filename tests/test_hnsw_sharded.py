@@ -735,3 +735,27 @@ def test_save_fast_path_equals_union_path(spark, tmp_path):
     rb = {(r["query_id"], r["neighbor_id"], round(r["distance"], 9))
           for r in b.search(qs, k=3).collect()}
     assert ra == rb
+
+
+def test_spill_readback_guard_skipped_on_local_master(spark):
+    """The read-back row-count guard exists for distributed masters
+    (executor-local spill dirs lose rows silently); on local[*] the
+    failure mode cannot occur, so the corpus-sized count scan must NOT
+    run on the hot build path — and the mismatch branch must still fire
+    when forced."""
+    import pytest
+
+    from knowhere_spark.operators.hnsw_sharded import _check_spill_readback
+
+    df = dense_df(spark, gen_dense(20, 8, seed=123))
+    # local master: skipped entirely — zero Spark jobs, no raise even
+    # with a wrong expected count
+    _, jobs = _jobs_for(
+        spark, "spillguard",
+        lambda: _check_spill_readback(spark, df, 999, "dir"),
+    )
+    assert jobs == 0
+    # forced (the distributed code path): mismatch raises, match passes
+    with pytest.raises(RuntimeError, match="spill"):
+        _check_spill_readback(spark, df, 999, "dir", force=True)
+    _check_spill_readback(spark, df, 20, "dir", force=True)

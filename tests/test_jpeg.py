@@ -396,3 +396,16 @@ def test_jpeg_gray_with_declared_sampling_is_raster():
     np.testing.assert_allclose(
         decode_jpeg(bytes(hacked)), decode_jpeg(base)
     )
+
+
+def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
+    """A buffer ending in 0xFF fill bytes must raise ValueError, never
+    IndexError: exif_tags / strip_exif_gps catch only ValueError at the
+    marker walk, and one truncated JPEG must not crash a whole
+    mapInPandas scrub stage (ingest is total)."""
+    from knowhere_spark.functions.jpeg import iter_jpeg_segments
+
+    for bad in (b"\xff\xd8\xff\xff", b"\xff\xd8\xff\xff\xff",
+                b"\xff\xd8\xff\xe0\x00\x04ab\xff\xff"):
+        with pytest.raises(ValueError):
+            list(iter_jpeg_segments(bad))
