@@ -312,14 +312,16 @@ def test_jpeg_restart_markers():
     np.testing.assert_allclose(got, exp, atol=1e-9)
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_arithmetic_rejected():
+    """Arithmetic coding stays recognized-but-undecodable (r9: SOF2
+    progressive now DECODES — see the progressive suite below)."""
     rng = np.random.default_rng(11)
     zz = _rand_coeffs(rng, 1)
-    data = encode_jpeg([zz], 8, 8, [Q_LUM], [(1, 1)], sof_marker=0xC2)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(data)
     data = encode_jpeg([zz], 8, 8, [Q_LUM], [(1, 1)], sof_marker=0xC9)
     with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(data)
+    data = encode_jpeg([zz], 8, 8, [Q_LUM], [(1, 1)], sof_marker=0xCA)
+    with pytest.raises(NotImplementedError, match="arithmetic progressive"):
         decode_jpeg(data)
 
 
@@ -409,3 +411,342 @@ def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
                 b"\xff\xd8\xff\xe0\x00\x04ab\xff\xff"):
         with pytest.raises(ValueError):
             list(iter_jpeg_segments(bad))
+
+
+# --- progressive (SOF2) mirror encoder ------------------------------------
+# Universal flat Huffman tables: every DC category at 8 bits, every AC
+# (run,size) byte split over 8/9 bits — valid canonical tables that let
+# one DHT serve every progressive scan without per-scan histograms.
+_PDC_BITS = [0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0]
+_PDC_VALS = list(range(16))
+_PAC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_PAC_VALS = list(range(256))
+_PDC_CODES = _codes(_PDC_BITS, _PDC_VALS)
+_PAC_CODES = _codes(_PAC_BITS, _PAC_VALS)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: bit writer + EOB-run
+    state (+ the refinement correction bits that ride with it)."""
+
+    def __init__(self, out: bytearray):
+        self.out = out
+        self.w = _BitWriter()
+        self.eobrun = 0
+        self.pending: list[int] = []          # correction bits on the run
+
+    def sym_ac(self, s):
+        code, ln = _PAC_CODES[s]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym_ac(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            for b in self.pending:
+                self.w.write(b, 1)
+            self.eobrun = 0
+            self.pending = []
+
+    def restart(self, rst_idx):
+        self.flush_eobrun()
+        self.out += self.w.flush()
+        self.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+        self.w = _BitWriter()
+
+    def finish(self):
+        self.flush_eobrun()
+        self.out += self.w.flush()
+
+
+def _enc_dc_prog(sw, c0, pred, ah, al):
+    if ah == 0:
+        v = int(c0) >> al
+        diff = v - pred
+        t = _category(diff)
+        code, ln = _PDC_CODES[t]
+        sw.w.write(code, ln)
+        if t:
+            sw.w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return v
+    sw.w.write((int(c0) >> al) & 1, 1)
+    return pred
+
+
+def _enc_ac_first(sw, zz, ss, se, al):
+    mags = [(abs(int(zz[k])) >> al, 1 if zz[k] > 0 else 0)
+            for k in range(ss, se + 1)]
+    if not any(m for m, _ in mags):
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    run = 0
+    last_nz = max(i for i, (m, _) in enumerate(mags) if m)
+    for i, (m, pos) in enumerate(mags):
+        if i > last_nz:
+            break
+        if m == 0:
+            run += 1
+            continue
+        while run > 15:
+            sw.sym_ac(0xF0)                     # ZRL
+            run -= 16
+        s = m.bit_length()
+        sw.sym_ac((run << 4) | s)
+        v = m if pos else -m
+        sw.w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(mags) - 1:
+        sw.eobrun += 1
+
+
+def _enc_ac_refine(sw, zz, ss, se, ah, al):
+    """The jdphuff refinement emitter re-derived: newly-nonzero coeffs
+    as (run,1)+sign, correction bits for history-nonzero coeffs
+    buffered and flushed after the next symbol (or with the EOB run)."""
+    mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eobpos = max((i for i, m in enumerate(mags) if m == 1), default=-1)
+    run = 0
+    br: list[int] = []
+    for i, m in enumerate(mags):
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eobpos:
+            sw.flush_eobrun()
+            sw.sym_ac(0xF0)
+            run -= 16
+            for b in br:
+                sw.w.write(b, 1)
+            br = []
+        if m > 1:                               # history-nonzero
+            br.append(m & 1)
+            continue
+        sw.flush_eobrun()                       # newly nonzero (m == 1)
+        sw.sym_ac((run << 4) | 1)
+        sw.w.write(1 if zz[ss + i] > 0 else 0, 1)
+        for b in br:
+            sw.w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        sw.eobrun += 1
+        sw.pending.extend(br)
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def encode_jpeg_progressive(grids, h, w, q_tables, sampling, scans,
+                            restart_interval=0):
+    """Minimal progressive encoder.  ``grids``: per component an int
+    array ``(mcuy*v, mcux*h, 64)`` of zigzag-quantized coefficients
+    (MCU-padded; dummy blocks only coded in interleaved DC scans).
+    ``scans``: dicts ``{"comps": [idx...], "ss","se","ah","al"}``."""
+    nc = len(grids)
+    out = bytearray(b"\xff\xd8")
+    dqt = b""
+    for tq, q in enumerate(q_tables):
+        dqt += bytes([tq]) + bytes(int(x) for x in q)
+    out += _seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hi, vi = sampling[c]
+        sof += bytes([c + 1, (hi << 4) | vi, 0 if c == 0 else 1])
+    out += _seg(0xC2, sof)
+    dht = bytes([0x00]) + bytes(_PDC_BITS) + bytes(_PDC_VALS)
+    dht += bytes([0x10]) + bytes(_PAC_BITS) + bytes(_PAC_VALS)
+    out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    for scan in scans:
+        comps, ss, se = scan["comps"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        sos = bytes([len(comps)])
+        for c in comps:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        sw = _ProgScanWriter(out)
+        rst = 0
+        if len(comps) == 1:
+            c = comps[0]
+            hi, vi = sampling[c] if nc > 1 else (1, 1)
+            cw = -(-w * hi // hmax)
+            ch = -(-h * vi // vmax)
+            bh, bw = -(-ch // 8), -(-cw // 8)
+            pred = 0
+            for u in range(bh * bw):
+                if restart_interval and u and u % restart_interval == 0:
+                    sw.restart(rst)
+                    rst += 1
+                    pred = 0
+                zz = grids[c][divmod(u, bw)]
+                if ss == 0:
+                    pred = _enc_dc_prog(sw, zz[0], pred, ah, al)
+                elif ah == 0:
+                    _enc_ac_first(sw, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(sw, zz, ss, se, ah, al)
+        else:
+            assert ss == 0 and se == 0, "interleaved scans are DC-only"
+            preds = {c: 0 for c in comps}
+            for mcu in range(mcux * mcuy):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    sw.restart(rst)
+                    rst += 1
+                    preds = {c: 0 for c in comps}
+                my, mx = divmod(mcu, mcux)
+                for c in comps:
+                    hi, vi = sampling[c]
+                    for vy in range(vi):
+                        for hx in range(hi):
+                            zz = grids[c][my * vi + vy, mx * hi + hx]
+                            preds[c] = _enc_dc_prog(sw, zz[0], preds[c], ah, al)
+        sw.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_grid(rng, by, bx, real_by=None, real_bx=None, dense=0.3):
+    g = rng.integers(-40, 41, size=(by, bx, 64))
+    g[rng.random((by, bx, 64)) > dense] = 0
+    g[..., 0] = rng.integers(-60, 61, size=(by, bx))
+    # MCU-padding dummy blocks are coded only in interleaved DC scans —
+    # their AC must be zero in the fixture (never transmitted)
+    if real_by is not None:
+        g[real_by:, :, 1:] = 0
+    if real_bx is not None:
+        g[:, real_bx:, 1:] = 0
+    return g.astype(np.int64)
+
+
+def _expected_plane_grid(grid, q):
+    by, bx = grid.shape[:2]
+    plane = np.zeros((by * 8, bx * 8))
+    for y in range(by):
+        for x in range(bx):
+            blk = np.zeros(64)
+            blk[_ZIGZAG] = grid[y, x] * q
+            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                _C.T @ blk.reshape(8, 8) @ _C
+            )
+    return plane + 128.0
+
+
+#: the libjpeg-style full refinement script for one component: DC
+#: first@Al=1 + refine, AC split-band first@Al=2 + two refine sweeps
+_GRAY_SCRIPT = [
+    {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 1},
+    {"comps": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+    {"comps": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+    {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+    {"comps": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},
+    {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+]
+
+
+def test_jpeg_progressive_gray_exact_recovery():
+    """Full successive-approximation script refined to Al=0 must recover
+    clip(IDCT(coeff x q) + 128) EXACTLY — spectral selection, DC/AC
+    first + refinement, EOB runs all pinned."""
+    rng = np.random.default_rng(21)
+    h, w = 24, 16
+    grid = _prog_grid(rng, 3, 2)
+    data = encode_jpeg_progressive([grid], h, w, [Q_LUM], [(1, 1)], _GRAY_SCRIPT)
+    got = decode_jpeg(data)
+    assert got.shape == (h, w)
+    exp = np.clip(_expected_plane_grid(grid, Q_LUM), 0, 255)[:h, :w] / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The same coefficients encoded baseline and progressive must
+    decode to the IDENTICAL array (downstream pHash equality)."""
+    rng = np.random.default_rng(22)
+    h, w = 16, 24
+    grid = _prog_grid(rng, 2, 3)
+    base = encode_jpeg([grid.reshape(-1, 64)], h, w, [Q_LUM], [(1, 1)])
+    prog = encode_jpeg_progressive([grid], h, w, [Q_LUM], [(1, 1)], _GRAY_SCRIPT)
+    np.testing.assert_array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_jpeg_progressive_color_420_edge_dims():
+    """4:2:0 at 24x24: the luma MCU-padded grid is 4x4 but its REAL
+    grid is 3x3 — non-interleaved AC scans cover only real blocks
+    (T.81 A.2.2), while the interleaved DC scan covers dummy blocks
+    too.  A decoder indexing the padded grid in AC scans desyncs."""
+    rng = np.random.default_rng(23)
+    h = w = 24
+    gy = _prog_grid(rng, 4, 4, real_by=3, real_bx=3)
+    gcb = _prog_grid(rng, 2, 2, dense=0.2)
+    gcr = _prog_grid(rng, 2, 2, dense=0.2)
+    scans = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+    data = encode_jpeg_progressive(
+        [gy, gcb, gcr], h, w, [Q_LUM, Q_CHR],
+        [(2, 2), (1, 1), (1, 1)], scans,
+    )
+    got = decode_jpeg(data)
+    assert got.shape == (h, w, 3)
+    y = np.clip(_expected_plane_grid(gy, Q_LUM), 0, 255)
+    cb = np.clip(_expected_plane_grid(gcb, Q_CHR), 0, 255)
+    cr = np.clip(_expected_plane_grid(gcr, Q_CHR), 0, 255)
+    cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    y, cb, cr = y[:h, :w], cb[:h, :w], cr[:h, :w]
+    exp = np.clip(
+        np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        ),
+        0, 255,
+    ) / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_progressive_restarts_and_eob_runs():
+    """Sparse coefficients over many blocks: EOBn runs with r > 0 (and
+    their piggybacked refinement correction bits) plus DRI restarts,
+    which reset both the DC predictor and the EOB run."""
+    rng = np.random.default_rng(24)
+    h, w = 8, 96                       # 12 blocks in a row
+    grid = _prog_grid(rng, 1, 12, dense=0.04)
+    grid[0, 2:9, 1:] = 0               # a 7-block all-zero AC stretch
+    data = encode_jpeg_progressive(
+        [grid], h, w, [Q_LUM], [(1, 1)], _GRAY_SCRIPT, restart_interval=5,
+    )
+    assert b"\xff\xd0" in data         # restarts really present
+    got = decode_jpeg(data)
+    exp = np.clip(_expected_plane_grid(grid, Q_LUM), 0, 255)[:h, :w] / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_progressive_malformed_scan_headers_raise():
+    """Progressive structural violations are ValueError (caller contract:
+    fall back, never crash): a DC+AC mixed band, a multi-component AC
+    scan."""
+    rng = np.random.default_rng(25)
+    grid = _prog_grid(rng, 1, 1)
+    bad_band = [{"comps": [0], "ss": 0, "se": 63, "ah": 0, "al": 0}]
+    data = encode_jpeg_progressive([grid], 8, 8, [Q_LUM], [(1, 1)], bad_band)
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(data)

@@ -341,27 +341,27 @@ def _broken_codec(payload: bytes, meta: dict) -> np.ndarray:
 
 def test_injected_decoder_wins_over_stub():
     """A caller-supplied codec decodes where the built-in would raise
-    NotImplementedError — the production PIL/ffmpeg hook.  r8: baseline
-    JPEG decodes for REAL (functions/jpeg.py, tests/test_jpeg.py), so
-    the recognized-but-undecodable case is now a PROGRESSIVE frame
-    (SOF2); a sniffed-but-corrupt jpeg falls to the deterministic fake."""
+    NotImplementedError — the production PIL/ffmpeg hook.  r9:
+    progressive (SOF2) now decodes for real too, so the recognized-
+    but-undecodable case is an ARITHMETIC-coded frame (SOF9); a
+    sniffed-but-corrupt jpeg falls to the deterministic fake."""
     import struct
 
     from knowhere_spark.operators.multimodal import sniff_format
 
-    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    progressive = (
+    sof9 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    arith = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+        + b"\xff\xc9" + struct.pack(">H", len(sof9) + 2) + sof9
     )
-    assert sniff_format(progressive) == "jpeg"
+    assert sniff_format(arith) == "jpeg"
     try:
-        decode_payload(progressive, "image", {"height": 2, "width": 2})
+        decode_payload(arith, "image", {"height": 2, "width": 2})
         raise AssertionError("expected NotImplementedError without injection")
     except NotImplementedError:
         pass
     out = decode_payload(
-        progressive, "image", {"height": 2, "width": 2},
+        arith, "image", {"height": 2, "width": 2},
         {"jpeg": _fake_jpeg_codec},
     )
     np.testing.assert_array_equal(out, np.full((3, 3, 3), 0.25))
@@ -656,3 +656,25 @@ def test_decode_real_wav_all_pcm_widths():
         x = _decode_wav(open(paths[w], "rb").read())
         assert len(x) == len(ref)
         assert float(np.abs(x - ref).max()) < tol
+
+
+def test_injected_jpeg_codec_wins_over_real_builtin():
+    """Injection parity for the format that actually HAS a real
+    built-in: a valid baseline JPEG (built-in decodes it fine) must
+    still route to an injected jpeg codec — the production
+    libjpeg-turbo hook replaces, not supplements, the pure-Python
+    path.  A RAISING injected codec falls back to the built-in
+    discipline (opaque → deterministic fake), never a dead stage."""
+    import sysconfig
+
+    real = open(
+        sysconfig.get_path("stdlib") + "/test/imghdrdata/python.jpg", "rb"
+    ).read()
+    builtin_out = decode_payload(real, "image", {})
+    assert builtin_out.ndim in (2, 3)        # the built-in really decodes
+    out = decode_payload(real, "image", {}, {"jpeg": _fake_jpeg_codec})
+    np.testing.assert_array_equal(out, np.full((3, 3, 3), 0.25))
+    fake = decode_payload(
+        real, "image", {"height": 4, "width": 6}, {"jpeg": _broken_codec}
+    )
+    assert fake.shape == (4, 6, 3)
