@@ -1163,6 +1163,222 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup at its exact operating point (max_hamming=0):
+    deterministic REAL MP4s from the documents table
+    (operators/multimodal.synthesize_video_media — consecutive pairs at
+    ``d % 4 == 1`` share exactly 3 frame payloads, every other frame
+    globally unique), then the full container-parse → keyframe-decode →
+    pHash → hash-equality-join pipeline (multimodal.video_neardup_pairs).
+    Identical frame bytes ⇒ identical pHashes, so the pair set + match
+    counts + overlap fractions are pure doc-id arithmetic — the DuckDB
+    mirror.  Any break in mux/parse/sample/decode/hash shifts the pair
+    set and fails the hash gate."""
+    from knowhere_spark.operators.multimodal import (
+        synthesize_video_media,
+        video_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_video_media(docs)
+    out = video_neardup_pairs(media, min_overlap=0.5, max_hamming=0)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("matches").cast("long").alias("matches"),
+        F.round("overlap", 4).alias("overlap"),
+    )
+
+
+def q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pHash near-dup: deterministic lossless P5 images from the
+    documents table (multimodal.synthesize_image_media — docs at
+    ``d % 5 == 1`` are byte-exact duplicates of ``d - 1``), real PNM
+    decode → DCT pHash → the EXACT pigeonhole-banded Hamming join
+    (operators/dedup.hamming64_pairs, shared with SimHash).  Duplicates
+    land at Hamming 0; distinct images have effectively-random hashes
+    (≤3-bit collision ~2⁻⁴⁵/pair, deterministic fixture) — so the pair
+    set mirrors as doc-id arithmetic in DuckDB."""
+    from knowhere_spark.operators.multimodal import (
+        phash_neardup_pairs,
+        synthesize_image_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_image_media(docs)
+    out = phash_neardup_pairs(media, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _exif_fixture_app1(d: int) -> bytes:
+    """EXIF APP1 for doc ``d``: make=Cam{d%5}, orientation=(d%8)+1, and
+    — when ``d % 3 == 0`` — a GPS sub-IFD with an out-of-line latitude
+    rational (the PII bytes the scrub must erase).  Little-endian TIFF;
+    structure mirrors tests/test_exif.py's fixture builder."""
+    import struct as _st
+
+    make = b"Cam%d\x00" % (d % 5)
+    gps = d % 3 == 0
+
+    def entry(tag, typ, cnt, val4):
+        return _st.pack("<HHI", tag, typ, cnt) + val4.ljust(4, b"\x00")
+
+    n_entries = 3 if gps else 2
+    ifd0_off = 8
+    ifd0_len = 2 + 12 * n_entries + 4
+    make_off = ifd0_off + ifd0_len
+    gps_off = make_off + len(make)
+    entries = [
+        entry(0x010F, 2, len(make), _st.pack("<I", make_off)),
+        entry(0x0112, 3, 1, _st.pack("<H", (d % 8) + 1)),
+    ]
+    if gps:
+        entries.append(entry(0x8825, 4, 1, _st.pack("<I", gps_off)))
+    tiff = (
+        b"II" + _st.pack("<H", 42) + _st.pack("<I", ifd0_off)
+        + _st.pack("<H", n_entries) + b"".join(entries)
+        + _st.pack("<I", 0) + make
+    )
+    if gps:
+        lat_off = gps_off + 2 + 12 * 2 + 4
+        tiff += (
+            _st.pack("<H", 2)
+            + entry(0x0000, 1, 4, b"\x02\x03\x00\x00")
+            + entry(0x0002, 5, 1, _st.pack("<I", lat_off))
+            + _st.pack("<I", 0)
+            + _st.pack("<II", 37 + d, 1)
+        )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _st.pack(">H", 2 + len(payload)) + payload
+
+
+def _exif_fixture_xmp(d: int) -> bytes:
+    """XMP APP1 with an exif:GPS* property — the duplicate coordinate
+    copy phone cameras write; r9's scrub must blank it too."""
+    import struct as _st
+
+    payload = (
+        b"http://ns.adobe.com/xap/1.0/\x00"
+        b'<x:xmpmeta><rdf:RDF><rdf:Description '
+        b'exif:GPSLatitude="%d,46.1N" tiff:Make="KeepMe"/>'
+        b"</rdf:RDF></x:xmpmeta>" % (37 + d)
+    )
+    return b"\xff\xe1" + _st.pack(">H", 2 + len(payload)) + payload
+
+
+def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS scrub driver gate: a REAL baseline JPEG (this
+    container's stdlib test image) gets a deterministic EXIF APP1 per
+    doc (GPS IFD at ``d % 3 == 0``) plus an XMP GPS packet at
+    ``d % 7 == 0``; ``scrub_media_gps`` must (1) flip ``has_gps`` to
+    false everywhere, (2) keep make/orientation, (3) keep payload
+    LENGTH identical, and (4) keep every byte OUTSIDE APP1 segments
+    identical (``non_app1_equal`` — computed by blanking APP1 ranges
+    via the shared marker walker and comparing, i.e. the pixel stream
+    is untouched without decoding it).  All five output columns are
+    doc-id arithmetic → full DuckDB mirror."""
+    import sysconfig
+
+    import pandas as pd
+
+    from knowhere_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        exif_metadata,
+        scrub_media_gps,
+    )
+
+    base_jpeg = open(
+        sysconfig.get_path("stdlib") + "/test/imghdrdata/python.jpg", "rb"
+    ).read()
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                segs = _exif_fixture_app1(d)
+                if d % 7 == 0:
+                    segs += _exif_fixture_xmp(d)
+                payloads.append(base_jpeg[:2] + segs + base_jpeg[2:])
+                metas.append(
+                    {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media = ids.mapInPandas(build, MEDIA_SCHEMA).localCheckpoint(eager=True)
+    scrubbed = scrub_media_gps(media).localCheckpoint(eager=True)
+
+    before = exif_metadata(media).select(
+        "media_id", F.col("has_gps").alias("had_gps")
+    )
+    after = exif_metadata(scrubbed).select(
+        "media_id", "has_gps", "make",
+        F.col("orientation").cast("int").alias("orientation"),
+    )
+    lens = (
+        media.select("media_id", F.length("payload").alias("len_b"))
+        .join(
+            scrubbed.select("media_id", F.length("payload").alias("len_a")),
+            "media_id",
+        )
+        .select(
+            "media_id", (F.col("len_a") - F.col("len_b")).alias("len_delta")
+        )
+    )
+
+    joined = media.select(
+        "media_id", F.col("payload").alias("p0")
+    ).join(scrubbed.select("media_id", F.col("payload").alias("p1")), "media_id")
+
+    def compare(batches):
+        from knowhere_spark.functions.jpeg import iter_jpeg_segments
+
+        def blank_app1(buf: bytes) -> bytes:
+            out = bytearray(buf)
+            try:
+                for marker, seg_start, _bs, body_end in iter_jpeg_segments(buf):
+                    if marker == 0xE1:
+                        out[seg_start:body_end] = b"\x00" * (body_end - seg_start)
+            except ValueError:
+                pass
+            return bytes(out)
+
+        for pdf in batches:
+            eq = [
+                blank_app1(bytes(a)) == blank_app1(bytes(b))
+                for a, b in zip(pdf["p0"], pdf["p1"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "non_app1_equal": eq}
+            )
+
+    byte_eq = joined.mapInPandas(
+        compare, "media_id long, non_app1_equal boolean"
+    )
+    return (
+        before.join(after, "media_id")
+        .join(lens, "media_id")
+        .join(byte_eq, "media_id")
+        .select(
+            "media_id", "had_gps", "has_gps", "make", "orientation",
+            F.col("len_delta").cast("long").alias("len_delta"),
+            "non_app1_equal",
+        )
+    )
+
+
 def q_cc_sealed_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC lifecycle exactness gate (r4, upgrading the rows-only
     ``cc_search_while_insert``): build sealed on the even half, stream the
@@ -1409,8 +1625,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the stream runs over single-token docs (md5(text)), the operating
     point where MinHash is structurally exact (one shingle per doc ⇒
     est ∈ {0, 1} precisely), so the cross-micro-batch pair set mirrors
-    as a DuckDB text-equality self-join.  Final registry: **50 oracle,
-    0 rows-only** — every gate hash-verified.
+    as a DuckDB text-equality self-join.
+
+    r9 swap (the VERDICT r8 #1 ask — the media stack was pytest-only):
+    three slots carrying redundant exact-KNN evidence freed —
+    ``bf_knn_distributed`` (same GEMM + partial-then-final top-k shape
+    as ``flat_knn_l2``, same SHARED oracle; the distributed no-collect
+    plan stays proven by ``ivf_knn_distributed_exact`` and
+    plan-asserted in tests/test_plan_quality.py),
+    ``ivf_flat_knn_exact`` (identical train/assign/probe math to
+    ``ivf_knn_distributed_exact`` at the same nprobe=nlist operating
+    point; the driver-path variant keeps tests/test_ivf.py),
+    ``bin_range_hamming`` (hamming kernel == ``bin_knn_hamming``; the
+    range-CSR shaping is oracle-proven three times over by
+    ``flat_range_l2``/``sparse_bm25_range``/``diskann_range_exact``) —
+    and spent on the r8 media stack at exact operating points:
+    ``video_neardup_exact`` (real MP4 mux→parse→decode→pHash→hash-join,
+    pair set mirrored as doc-id arithmetic), ``phash_neardup_pairs``
+    (lossless P5 decode → DCT pHash → banded Hamming join, planted
+    byte-exact dups), ``exif_gps_scrub`` (EXIF + XMP GPS removal:
+    has_gps flip, surviving tags, length preservation, and byte
+    identity outside APP1 — all five columns mirrored).  The dropped
+    query functions stay in this file (unregistered) as runnable
+    documentation.  Registry: **50 oracle, 0 rows-only**.
 
     Earlier triage (r3): dropped ``ivf_flat_knn``/``bin_ivf_knn``/
     ``scann_knn``/``kmeans_assign`` (exact-config oracle gates on the same
@@ -1453,11 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "bin_knn_hamming": q_bin_knn_hamming,
         "bin_substructure": q_bin_substructure,
-        "bin_range_hamming": q_bin_range_hamming,
         "bin_ivf_knn_exact": q_bin_ivf_knn_exact,
-        "ivf_flat_knn_exact": q_ivf_flat_knn_exact,
         "ivf_knn_distributed_exact": q_ivf_knn_distributed_exact,
-        "bf_knn_distributed": q_bf_knn_distributed,
         "scann_knn_exact": q_scann_knn_exact,
         "ivf_pq_refine_exact": q_ivf_pq_refine_exact,
         "index_saveload_knn": q_index_saveload_knn,
@@ -1465,6 +1699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_semdedup_equals_batch": q_stream_semdedup_equals_batch,
         "kmeans_assign_fixed": q_kmeans_assign_fixed,
         "media_frame_sample": q_media_frame_sample,
+        "video_neardup_exact": q_video_neardup_exact,
+        "phash_neardup_pairs": q_phash_neardup_pairs,
+        "exif_gps_scrub": q_exif_gps_scrub,
         "ivf_sq8_quantized_exact": q_ivf_sq8_quantized_exact,
         "hnsw_beam_exact": q_hnsw_beam_exact,
         "ivf_pq_adc_fixed": q_ivf_pq_adc_fixed,
@@ -2111,9 +2348,7 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_l2": _knn_oracle(_L2, "ASC"),
         "flat_knn_cosine": _knn_oracle(_COS, "DESC"),
         "flat_knn_l2_filtered": _knn_oracle(_L2, "ASC", "e.label % 5 <> 0"),
-        "ivf_flat_knn_exact": _knn_oracle(_L2, "ASC"),
         "ivf_knn_distributed_exact": _knn_oracle(_L2, "ASC"),
-        "bf_knn_distributed": _knn_oracle(_L2, "ASC"),
         "scann_knn_exact": _knn_oracle(_L2, "ASC"),
         "ivf_pq_refine_exact": _knn_oracle(_L2, "ASC"),
         "index_saveload_knn": _knn_oracle(_L2, "ASC"),
@@ -2176,13 +2411,6 @@ FROM a
         "bin_ivf_knn_exact": _bin_knn_oracle(_HAMMING_SQL),
         "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
-        "bin_range_hamming": f"""
-WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
-q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ}),
-d AS (SELECT q.query_id, b.id AS neighbor_id, {_HAMMING_SQL} AS dd FROM b, q)
-SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance
-FROM d WHERE dd >= 0.0 AND dd < 24.0
-""",
         "flat_range_l2": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
         "get_vector_by_ids": """
 SELECT vec_id AS id,
@@ -2510,6 +2738,39 @@ v AS (
 )
 SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
 FROM v
+""",
+        # video_neardup_exact: synthesize_video_media gives video d
+        # 4 + d%3 frames; at d%4==1 frames i<3 reuse video d-1's payload
+        # bytes, everything else globally unique → identical pHashes
+        # exactly on the shared frames.  matches=3, overlap=3/min(n_a,n_b),
+        # min_overlap=0.5 keeps all pairs (3/6 is the floor).
+        "video_neardup_exact": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(3 AS BIGINT) AS matches,
+       ROUND(3.0 / LEAST(4 + a.doc_id % 3, 4 + b.doc_id % 3), 4) AS overlap
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE b.doc_id % 4 = 1
+""",
+        # phash_neardup_pairs: synthesize_image_media makes doc d at
+        # d%5==1 a byte-exact duplicate of d-1 (Hamming 0); all other
+        # pHashes effectively random (no <=3-bit pairs, deterministic)
+        "phash_neardup_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE b.doc_id % 5 = 1
+""",
+        # exif_gps_scrub: fixture arithmetic — EXIF GPS at d%3==0, XMP
+        # GPS at d%7==0, make=Cam{d%5}, orientation=(d%8)+1; the scrub
+        # must erase every GPS trace while changing nothing else
+        "exif_gps_scrub": """
+SELECT doc_id AS media_id,
+       (doc_id % 3 = 0 OR doc_id % 7 = 0) AS had_gps,
+       FALSE AS has_gps,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       CAST(0 AS BIGINT) AS len_delta,
+       TRUE AS non_app1_equal
+FROM documents
 """,
         "events_window_agg": f"""
 SELECT strftime(date_trunc('hour', ts), {_EV_FMT}) AS window_start,

@@ -72,6 +72,10 @@ from knowhere_spark.operators.topk import topk_per_key
 #: graph artifacts may be resident at once during a waved search.  At
 #: the 1 GiB per-shard bound this means up to 4 concurrent shard beams.
 _WAVE_BUDGET_BYTES = 4 * _BROADCAST_MAX_BYTES
+#: recall guardrail: rows-per-shard beyond this multiple of ef is the
+#: measured low-recall regime on dup-heavy corpora (SCALE.md r8 1M probe:
+#: 61×ef → recall 0.5542, 15×ef → 0.9448 at identical ef=128)
+_SHARD_COVERAGE_FACTOR = 32
 
 _SHARD_EDGE_SCHEMA = StructType(
     [
@@ -264,9 +268,37 @@ class ShardedHNSWIndex:
         n = base.count()
         head = base.select("vec").head()
         dim = len(head["vec"]) if head else 0
+        # Shard count is a RECALL lever, not just a memory one: the 1M
+        # probe (SCALE.md r8 table) measured recall 0.5542 at 128 shards
+        # vs 0.9448 at 512 at the SAME ef=128 on dup-heavy data — a
+        # fixed beam budget spread over ~rows_per_shard/ef times more
+        # candidates under-covers the target's clique.  Guardrail: keep
+        # rows-per-shard within _SHARD_COVERAGE_FACTOR × ef (7.8k
+        # rows/shard @ ef=128 = 61×ef was the bad regime; 1.9k = 15×ef
+        # the good one).  The bound is size-based, not corpus-based —
+        # dup density decided how BAD the 1M point got, but estimating
+        # it would cost a pass the build doesn't otherwise make, and
+        # the conservative bound is cheap.
+        ef = max(int(getattr(config, "ef", 1) or 1), 1)
+        coverage_shards = max(1, math.ceil(n / (_SHARD_COVERAGE_FACTOR * ef)))
         if n_shards is None:
             per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
             n_shards = max(1, math.ceil(n * per_row / target_shard_bytes))
+            # the byte-size default must never silently land in the
+            # low-recall regime — auto-raise to the coverage bound
+            n_shards = max(n_shards, coverage_shards)
+        elif n > 0 and n / n_shards > _SHARD_COVERAGE_FACTOR * ef:
+            import warnings
+
+            warnings.warn(
+                f"ShardedHNSW: {n / n_shards:.0f} rows/shard at ef={ef} "
+                f"exceeds the measured recall-safe coverage bound "
+                f"({_SHARD_COVERAGE_FACTOR}*ef = {_SHARD_COVERAGE_FACTOR * ef}); "
+                f"the 1M-row probe lost 0.39 recall in this regime "
+                f"(SCALE.md r8).  Raise n_shards to >= {coverage_shards} "
+                f"or raise ef.",
+                stacklevel=2,
+            )
         if shard_by not in ("hash", "semantic"):
             raise ValueError(f"unknown shard_by {shard_by!r}")
         router = None

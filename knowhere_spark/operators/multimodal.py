@@ -466,6 +466,97 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_video_media(
+    documents: DataFrame, *, dup_stride: int = 4, shared_frames: int = 3
+) -> DataFrame:
+    """Deterministic REAL-MP4 media from the documents table — the
+    fixture the ``video_neardup_exact`` driver gate runs the full
+    container-parse → frame-decode → pHash → hash-join pipeline over.
+
+    Video ``d`` has ``4 + d % 3`` frames; frame ``i``'s payload is
+    ``b"k:<key>:<i>"`` with ``key = d - 1`` when ``d % dup_stride == 1``
+    and ``i < shared_frames``, else ``key = d``.  So consecutive pairs
+    ``(d-1, d)`` at ``d % dup_stride == 1`` share EXACTLY
+    ``shared_frames`` frame payloads (→ identical deterministic pixels →
+    identical pHashes) and every other frame is globally unique — the
+    expected near-dup pair set is pure arithmetic over doc ids, which a
+    SQL oracle mirrors without touching bytes.  Each payload is a valid
+    flat MP4 (functions/mp4.encode_mp4), so a break anywhere in the
+    mux/parse/sample/decode/hash chain shifts the pair set and fails
+    the gate."""
+    from knowhere_spark.functions.mp4 import encode_mp4
+    from knowhere_spark.session import ensure_parallelism
+
+    ids = documents.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                n = 4 + d % 3
+                frames = [
+                    b"k:%d:%d"
+                    % (d - 1 if d % dup_stride == 1 and i < shared_frames else d, i)
+                    for i in range(n)
+                ]
+                payloads.append(encode_mp4(frames))
+                metas.append(
+                    {"width": 32, "height": 32, "n_frames": n, "sample_rate": 0}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return ensure_parallelism(ids).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def synthesize_image_media(documents: DataFrame, *, dup_stride: int = 5) -> DataFrame:
+    """Deterministic lossless images from the documents table — the
+    ``phash_neardup_pairs`` driver-gate fixture.  Doc ``d`` renders
+    32×32 gray pixels from a sha256 stream keyed by
+    ``d - 1 if d % dup_stride == 1 else d`` and wraps them as binary
+    PGM (``P5`` — decode is REAL and bit-exact, no entropy coding), so
+    docs at ``d % dup_stride == 1`` are EXACT duplicates of ``d - 1``
+    (pHash Hamming 0) while all other images are pairwise distinct with
+    effectively-random pHashes (accidental ≤3-bit collisions: ~2⁻⁴⁵ per
+    pair, and the fixture is deterministic, so green once = green
+    always).  Expected pair set = arithmetic over doc ids."""
+    from knowhere_spark.session import ensure_parallelism
+
+    ids = documents.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                key = d - 1 if d % dup_stride == 1 else d
+                px = b"".join(
+                    hashlib.sha256(b"img:%d:%d" % (key, blk)).digest()
+                    for blk in range(32)
+                )
+                payloads.append(b"P5\n32 32\n255\n" + px)
+                metas.append(
+                    {"width": 32, "height": 32, "n_frames": 1, "sample_rate": 0}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return ensure_parallelism(ids).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, feature_dim: int = 16, *, decoders: dict | None = None
 ) -> DataFrame:

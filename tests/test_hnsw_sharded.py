@@ -759,3 +759,35 @@ def test_spill_readback_guard_skipped_on_local_master(spark):
     with pytest.raises(RuntimeError, match="spill"):
         _check_spill_readback(spark, df, 999, "dir", force=True)
     _check_spill_readback(spark, df, 20, "dir", force=True)
+
+
+def test_shard_count_recall_guardrail(spark, recwarn):
+    """SCALE.md r8: shard count is a recall lever — rows/shard ≫ ef is
+    the measured 0.39-recall-loss regime.  The byte-size DEFAULT must
+    auto-raise to the coverage bound; an EXPLICIT under-sharded build
+    warns (user choice respected); an adequately sharded build stays
+    silent."""
+    import warnings as _w
+
+    from knowhere_spark.operators.hnsw_sharded import _SHARD_COVERAGE_FACTOR
+
+    base = dense_df(spark, gen_dense(2000, 8, seed=321))
+    cfg = HnswConfig(metric_type="L2", M=6, ef=16, k=10)  # bound = 16*32 = 512
+    # defaulted n_shards with a huge byte target: size-derived count
+    # would be 1, coverage bound forces ceil(2000/512) = 4
+    idx = ShardedHNSWIndex.build(
+        base, cfg, target_shard_bytes=1 << 40
+    )
+    assert len(idx.shards) == 4
+    # explicit under-sharding: warns, does not override
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        idx1 = ShardedHNSWIndex.build(base, cfg, n_shards=1)
+    assert len(idx1.shards) == 1
+    msgs = [str(w.message) for w in rec if "rows/shard" in str(w.message)]
+    assert msgs and "SCALE.md" in msgs[0]
+    # adequate explicit sharding: silent
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        ShardedHNSWIndex.build(base, cfg, n_shards=4)
+    assert not [w for w in rec2 if "rows/shard" in str(w.message)]
