@@ -15,8 +15,9 @@ images overwhelmingly are):
 - 8-bit DQT tables (16-bit precision accepted too);
 - arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0, ...) with
   pixel-replication chroma upsampling;
-- one interleaved scan (Ns == component count) or a single-component
-  scan — the shape every baseline JFIF encoder emits.
+- interleaved scans (Ns == component count — the shape every baseline
+  JFIF encoder emits), and multi-scan non-interleaved sequential
+  frames (one scan per component over its REAL block grid);
 
 - progressive DCT (SOF2): multi-scan spectral selection + successive
   approximation (DC/AC first and refinement passes, EOB runs, restart
@@ -398,28 +399,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 data, scan, frame, coefs, hmax, vmax, mcux, mcuy
             )
     else:
-        if len(scans) > 1 or len(scans[0]["sel"]) not in (len(comps), 1) or (
-            len(scans[0]["sel"]) == 1 and len(comps) > 1
-        ):
-            raise NotImplementedError(
-                "JPEG multi-scan (non-interleaved) sequential frames"
+        for scan in scans:
+            _decode_sequential_scan(
+                data, scan, frame, coefs, hmax, vmax, mcux, mcuy
             )
-        _decode_baseline_scan(data, scans[0], frame, coefs, mcux, mcuy)
     return _render(frame, coefs, qt, hmax, vmax)
 
 
-def _decode_baseline_scan(
-    data: bytes, scan: dict, frame: dict, coefs: dict, mcux: int, mcuy: int
+def _scan_tables(scan: dict, s: dict) -> tuple[_HuffTable, _HuffTable]:
+    try:
+        return scan["dc"][s["td"]], scan["ac"][s["ta"]]
+    except KeyError:
+        raise ValueError("JPEG scan references an undefined Huffman table")
+
+
+def _decode_sequential_scan(
+    data: bytes, scan: dict, frame: dict, coefs: dict,
+    hmax: int, vmax: int, mcux: int, mcuy: int,
 ) -> None:
-    """One interleaved baseline scan → fill every component's
-    coefficient grid (T.81 F.2)."""
+    """One sequential scan → fill its components' coefficient grids
+    (T.81 F.2).  Interleaved scans (Ns == frame components, or any
+    subset > 1) walk full frame-level MCUs; a single-component scan in
+    a multi-component frame is NON-interleaved — one block per MCU in
+    raster order over the component's REAL grid (T.81 A.2.2), the
+    multi-scan layout some sequential encoders emit per component."""
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
-    order = []                       # (comp, dc_tbl, ac_tbl) per block slot
-    for s in scan["sel"]:
-        c = by_id[s["cs"]]
-        order.append((c, scan["dc"][s["td"]], scan["ac"][s["ta"]]))
+    sel = scan["sel"]
     chunks = _split_restarts(data[scan["ent"][0] : scan["ent"][1]])
+    if len(sel) == 1 and len(comps) > 1:
+        c = by_id[sel[0]["cs"]]
+        dtbl, atbl = _scan_tables(scan, sel[0])
+        bh, bw = _comp_blocks(frame, c, hmax, vmax)
+        grid = coefs[c["id"]]
+        units = bh * bw
+        per_chunk = scan["dri"] if scan["dri"] else units
+        unit = 0
+        for chunk in chunks:
+            if unit >= units:
+                break
+            r = _BitReader(chunk)
+            pred = 0                          # RSTn resets the predictor
+            for _ in range(min(per_chunk, units - unit)):
+                zz, pred = _decode_block(r, dtbl, atbl, pred)
+                grid[divmod(unit, bw)] = zz
+                unit += 1
+        if unit < units:
+            raise ValueError("JPEG truncated entropy data")
+        return
+    order = []                       # (comp, dc_tbl, ac_tbl) per block slot
+    for s in sel:
+        c = by_id[s["cs"]]
+        order.append((c, *_scan_tables(scan, s)))
     mcu_total = mcux * mcuy
     per_chunk = scan["dri"] if scan["dri"] else mcu_total
     mcu = 0

@@ -750,3 +750,101 @@ def test_jpeg_progressive_malformed_scan_headers_raise():
     data = encode_jpeg_progressive([grid], 8, 8, [Q_LUM], [(1, 1)], bad_band)
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(data)
+
+
+def encode_jpeg_multiscan(grids, h, w, q_tables, sampling):
+    """Sequential NON-interleaved encoder: one scan per component, each
+    coded in the component's real-grid raster order with the Annex K
+    tables — the multi-scan layout some sequential encoders emit."""
+    nc = len(grids)
+    out = bytearray(b"\xff\xd8")
+    dqt = b""
+    for tq, q in enumerate(q_tables):
+        dqt += bytes([tq]) + bytes(int(x) for x in q)
+    out += _seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hi, vi = sampling[c]
+        sof += bytes([c + 1, (hi << 4) | vi, 0 if c == 0 else 1])
+    out += _seg(0xC0, sof)
+    dht = b""
+    for tc_th, (bits, vals) in (
+        (0x00, (DC_LUM_BITS, DC_LUM_VALS)), (0x10, (AC_LUM_BITS, AC_LUM_VALS)),
+        (0x01, (DC_CHR_BITS, DC_CHR_VALS)), (0x11, (AC_CHR_BITS, AC_CHR_VALS)),
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += _seg(0xC4, dht)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for c in range(nc):
+        td_ta = 0x00 if c == 0 else 0x11
+        out += _seg(0xDA, bytes([1, c + 1, td_ta, 0, 63, 0]))
+        dc_c = _codes(*(
+            (DC_LUM_BITS, DC_LUM_VALS) if c == 0 else (DC_CHR_BITS, DC_CHR_VALS)
+        ))
+        ac_c = _codes(*(
+            (AC_LUM_BITS, AC_LUM_VALS) if c == 0 else (AC_CHR_BITS, AC_CHR_VALS)
+        ))
+        hi, vi = sampling[c] if nc > 1 else (1, 1)
+        bw = -(-(-(-w * hi // hmax)) // 8)
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        writer = _BitWriter()
+        pred = 0
+        for u in range(bh * bw):
+            pred = _encode_block(
+                writer, grids[c][divmod(u, bw)], pred, dc_c, ac_c
+            )
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_sequential_multiscan_noninterleaved():
+    """Per-component sequential scans (Ns=1 each) at 4:2:0 with edge
+    dims: AC+DC coded over the REAL 3x3 luma grid while the padded grid
+    is 4x4 — the r8 decoder raised NotImplementedError here."""
+    rng = np.random.default_rng(26)
+    h = w = 24
+    gy = _prog_grid(rng, 4, 4, real_by=3, real_bx=3)
+    gy[3:, :, 0] = 0                  # dummy blocks never coded at all
+    gy[:, 3:, 0] = 0                  #   (unlike the progressive DC scan)
+    gcb = _prog_grid(rng, 2, 2, dense=0.2)
+    gcr = _prog_grid(rng, 2, 2, dense=0.2)
+    data = encode_jpeg_multiscan(
+        [gy, gcb, gcr], h, w, [Q_LUM, Q_CHR], [(2, 2), (1, 1), (1, 1)]
+    )
+    got = decode_jpeg(data)
+    assert got.shape == (h, w, 3)
+    y = np.clip(_expected_plane_grid(gy, Q_LUM), 0, 255)
+    cb = np.clip(_expected_plane_grid(gcb, Q_CHR), 0, 255)
+    cr = np.clip(_expected_plane_grid(gcr, Q_CHR), 0, 255)
+    cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    y, cb, cr = y[:h, :w], cb[:h, :w], cr[:h, :w]
+    exp = np.clip(
+        np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        ),
+        0, 255,
+    ) / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_sequential_multiscan_matches_interleaved():
+    """The same 4:4:4 coefficients through one interleaved scan and
+    through three per-component scans must decode identically."""
+    rng = np.random.default_rng(27)
+    h, w = 16, 16
+    grids = [_prog_grid(rng, 2, 2) for _ in range(3)]
+    inter = encode_jpeg(
+        [g.reshape(-1, 64) for g in grids], h, w, [Q_LUM, Q_CHR], [(1, 1)] * 3
+    )
+    multi = encode_jpeg_multiscan(
+        grids, h, w, [Q_LUM, Q_CHR], [(1, 1)] * 3
+    )
+    np.testing.assert_array_equal(decode_jpeg(inter), decode_jpeg(multi))
