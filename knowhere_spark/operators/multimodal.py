@@ -246,14 +246,20 @@ def _png_defilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
 
 #: PNG color type → samples per pixel (spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: Adam7 pass geometry (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib PNG (zlib inflate + numpy defiltering; r5 verdict
     task #5 — no PIL).  Supports bit depths 8/16 for grayscale / RGB /
-    gray+alpha / RGBA and 8-bit palette; Adam7 interlacing and sub-byte
-    depths raise ``NotImplementedError`` (recognized-but-undecodable,
-    same contract as the MP4 stub).  Returns float64 in [0, 1]:
+    gray+alpha / RGBA and 8-bit palette, progressive (Adam7) and
+    non-interlaced layouts; sub-byte depths raise
+    ``NotImplementedError`` (recognized-but-undecodable, same contract
+    as the MP4 stub).  Returns float64 in [0, 1]:
     ``(h, w)`` for grayscale, ``(h, w, C)`` otherwise."""
     import struct
     import zlib
@@ -280,19 +286,41 @@ def _decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"PNG compression={comp} filter_method={filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color}")
     if depth not in (8, 16) or (color == 3 and depth != 8):
         raise NotImplementedError(f"PNG bit depth {depth} (color type {color})")
     ch = _PNG_CHANNELS[color]
     bps = depth // 8
-    rowbytes = w * ch * bps
+    sub = ch * bps
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (rowbytes + 1):
-        raise ValueError("PNG pixel data truncated")
-    px = _png_defilter(raw, h, rowbytes, ch * bps)
+    if interlace == 1:
+        # Adam7 (spec §8.2): seven independently-filtered sub-images
+        # concatenated in ONE zlib stream, each with its own scanline
+        # filter bytes and bpp == the full image's; passes with zero
+        # width or height emit nothing
+        vals = np.zeros((h, w, sub), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = pw * sub
+            need = ph * (rb + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG pixel data truncated")
+            pp = _png_defilter(raw[off : off + need], ph, rb, sub)
+            off += need
+            vals[y0::dy, x0::dx] = pp.reshape(ph, pw, sub)
+        px = vals.reshape(h, w * sub)
+    else:
+        rowbytes = w * sub
+        if len(raw) < h * (rowbytes + 1):
+            raise ValueError("PNG pixel data truncated")
+        px = _png_defilter(raw, h, rowbytes, sub)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -347,8 +375,8 @@ def decode_payload(
     Dependency-free formats decode for REAL, sniffed by magic bytes:
     binary PNM (``P5``/``P6``), uncompressed 24-bit BMP, PCM WAV
     (stdlib ``wave``), PNG (stdlib zlib + numpy defiltering — all five
-    filter types, 8/16-bit gray/RGB/GA/RGBA + 8-bit palette; Adam7
-    interlace rejected), baseline sequential + progressive JPEG
+    filter types, 8/16-bit gray/RGB/GA/RGBA + 8-bit palette, Adam7
+    interlace included — r9), baseline sequential + progressive JPEG
     (functions/jpeg.py; arithmetic frames raise), and GIF (functions/gif.py —
     LZW + palettes + interlace; animated GIFs in video rows decode to
     the full composited frame stack).  MP4 would need

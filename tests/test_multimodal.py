@@ -480,27 +480,55 @@ def _make_png(px, filters=0, *, depth=8, color_type=None, interlace=0,
         raw_rows = px.astype(np.uint8).reshape(h, -1)
     bpp = ch * (depth // 8)
     if isinstance(filters, int):
-        filters = [filters] * h
+        filters = [filters]
+    row_no = [0]   # global row counter: filter types cycle across passes
+
+    def _enc_rows(rows) -> bytes:
+        out = bytearray()
+        prev = np.zeros(rows.shape[1], dtype=np.int32)
+        for y in range(rows.shape[0]):
+            ft = filters[row_no[0] % len(filters)]
+            row_no[0] += 1
+            cur = rows[y].astype(np.int32)
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            upleft = np.zeros_like(prev)
+            upleft[bpp:] = prev[:-bpp]
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = cur - left
+            elif ft == 2:
+                enc = cur - prev
+            elif ft == 3:
+                enc = cur - (left + prev) // 2
+            else:
+                enc = cur - _paeth_predict(left, prev, upleft)
+            out += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = cur
+        return bytes(out)
+
+    def _rows_of(p):
+        ph = p.shape[0]
+        if depth == 16:
+            return np.ascontiguousarray(
+                p.astype(">u2").reshape(ph, -1)
+            ).view(np.uint8)
+        return np.ascontiguousarray(p.astype(np.uint8).reshape(ph, -1))
+
     body = bytearray()
-    prev = np.zeros(raw_rows.shape[1], dtype=np.int32)
-    for y, ft in zip(range(h), filters):
-        cur = raw_rows[y].astype(np.int32)
-        left = np.zeros_like(cur)
-        left[bpp:] = cur[:-bpp]
-        upleft = np.zeros_like(prev)
-        upleft[bpp:] = prev[:-bpp]
-        if ft == 0:
-            enc = cur
-        elif ft == 1:
-            enc = cur - left
-        elif ft == 2:
-            enc = cur - prev
-        elif ft == 3:
-            enc = cur - (left + prev) // 2
-        else:
-            enc = cur - _paeth_predict(left, prev, upleft)
-        body += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
-        prev = cur
+    if interlace == 1:
+        # Adam7: each pass is its own filtered sub-image (spec ENCODE
+        # direction), empty passes emit nothing
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        for x0, y0, dx, dy in passes:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _enc_rows(_rows_of(sub))
+    else:
+        body += _enc_rows(raw_rows)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     data = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -545,15 +573,38 @@ def test_png_decode_color_types_and_depths():
     np.testing.assert_allclose(got_p, palette[idx] / 255.0)
 
 
-def test_png_interlace_and_subbyte_rejected():
-    """Adam7 interlacing and sub-byte depths are recognized-but-
-    undecodable: NotImplementedError propagates (honest-stub contract),
-    never the deterministic fake."""
-    import pytest
+def test_png_adam7_exact_recovery():
+    """Adam7 interlaced PNGs decode exactly (r9 — previously a
+    recognized-but-undecodable stub): odd dims force partial passes,
+    mixed per-row filters exercise per-pass filter state, and the
+    interlaced decode must equal the non-interlaced decode of the same
+    pixels."""
+    rng = np.random.default_rng(21)
+    mixed = [0, 1, 2, 3, 4]
+    for shape in [(7, 5, 3), (6, 4), (9, 9, 4), (1, 1, 3), (3, 10, 2)]:
+        px = rng.integers(0, 256, shape)
+        got = decode_payload(_make_png(px, mixed, interlace=1), "image", {})
+        np.testing.assert_allclose(got, px / 255.0, err_msg=f"{shape}")
+        plain = decode_payload(_make_png(px, mixed), "image", {})
+        np.testing.assert_array_equal(got, plain)
+    # 16-bit RGB and 8-bit palette through Adam7
+    px16 = rng.integers(0, 65536, (5, 7, 3))
+    got16 = decode_payload(_make_png(px16, 4, depth=16, interlace=1), "image", {})
+    np.testing.assert_allclose(got16, px16 / 65535.0)
+    palette = rng.integers(0, 256, (7, 3))
+    idx = rng.integers(0, 7, (6, 5))
+    got_p = decode_payload(
+        _make_png(idx, 2, color_type=3, palette=palette, interlace=1),
+        "image", {},
+    )
+    np.testing.assert_allclose(got_p, palette[idx] / 255.0)
 
-    px = np.random.default_rng(13).integers(0, 256, (4, 4, 3))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_payload(_make_png(px, 0, interlace=1), "image", {})
+
+def test_png_subbyte_rejected():
+    """Sub-byte depths stay recognized-but-undecodable:
+    NotImplementedError propagates (honest-stub contract), never the
+    deterministic fake."""
+    import pytest
     import struct
     import zlib as _z
 
