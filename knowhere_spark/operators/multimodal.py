@@ -255,12 +255,11 @@ _ADAM7_PASSES = (
 
 def _decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib PNG (zlib inflate + numpy defiltering; r5 verdict
-    task #5 — no PIL).  Supports bit depths 8/16 for grayscale / RGB /
-    gray+alpha / RGBA and 8-bit palette, progressive (Adam7) and
-    non-interlaced layouts; sub-byte depths raise
-    ``NotImplementedError`` (recognized-but-undecodable, same contract
-    as the MP4 stub).  Returns float64 in [0, 1]:
-    ``(h, w)`` for grayscale, ``(h, w, C)`` otherwise."""
+    task #5 — no PIL).  Supports every valid IHDR combination the spec
+    defines (table 11.1): grayscale at 1/2/4/8/16 bits, palette at
+    1/2/4/8, RGB / gray+alpha / RGBA at 8/16, progressive (Adam7) and
+    non-interlaced layouts.  Returns float64 in [0, 1]: ``(h, w)`` for
+    grayscale, ``(h, w, C)`` otherwise."""
     import struct
     import zlib
 
@@ -290,48 +289,69 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color}")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
-        raise NotImplementedError(f"PNG bit depth {depth} (color type {color})")
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if depth not in valid_depths:
+        raise ValueError(f"PNG bit depth {depth} (color type {color})")
     ch = _PNG_CHANNELS[color]
-    bps = depth // 8
-    sub = ch * bps
+    # filter bpp (spec: the byte distance between corresponding bytes of
+    # adjacent pixels, floored at 1 for sub-byte depths)
+    sub = max(1, ch * depth // 8)
+    # stored per-pixel payload AFTER bit unpacking: raw bytes for
+    # depth >= 8, one value byte per pixel for sub-byte depths
+    store = ch * (depth // 8) if depth >= 8 else 1
+
+    def _rowbytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    def _unpack(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, rowbytes) filtered-out bytes → (ph, pw, store) values."""
+        if depth >= 8:
+            return rows.reshape(ph, pw, store)
+        bits = np.unpackbits(rows, axis=1)                 # MSB-first
+        vals = bits.reshape(ph, -1, depth) @ (
+            1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        )
+        return vals[:, :pw].astype(np.uint8)[..., None]
+
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:
         # Adam7 (spec §8.2): seven independently-filtered sub-images
         # concatenated in ONE zlib stream, each with its own scanline
         # filter bytes and bpp == the full image's; passes with zero
         # width or height emit nothing
-        vals = np.zeros((h, w, sub), dtype=np.uint8)
+        vals = np.zeros((h, w, store), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            rb = pw * sub
+            rb = _rowbytes(pw)
             need = ph * (rb + 1)
             if off + need > len(raw):
                 raise ValueError("PNG pixel data truncated")
             pp = _png_defilter(raw[off : off + need], ph, rb, sub)
             off += need
-            vals[y0::dy, x0::dx] = pp.reshape(ph, pw, sub)
-        px = vals.reshape(h, w * sub)
+            vals[y0::dy, x0::dx] = _unpack(pp, ph, pw)
     else:
-        rowbytes = w * sub
+        rowbytes = _rowbytes(w)
         if len(raw) < h * (rowbytes + 1):
             raise ValueError("PNG pixel data truncated")
-        px = _png_defilter(raw, h, rowbytes, sub)
+        vals = _unpack(_png_defilter(raw, h, rowbytes, sub), h, w)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        idx = px.reshape(h, w)
+        idx = vals[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[idx].astype(np.float64) / 255.0
     if depth == 16:
-        arr = px.reshape(h, -1).view(">u2").astype(np.float64) / 65535.0
+        arr = (
+            np.ascontiguousarray(vals.reshape(h, -1)).view(">u2")
+            .astype(np.float64) / 65535.0
+        )
     else:
-        arr = px.astype(np.float64) / 255.0
+        arr = vals.astype(np.float64) / ((1 << depth) - 1)
     arr = arr.reshape(h, w, ch)
     return arr[:, :, 0] if ch == 1 else arr
 

@@ -474,11 +474,7 @@ def _make_png(px, filters=0, *, depth=8, color_type=None, interlace=0,
     ch = 1 if px.ndim == 2 else px.shape[2]
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    if depth == 16:
-        raw_rows = np.ascontiguousarray(px.astype(">u2").reshape(h, -1)).view(np.uint8)
-    else:
-        raw_rows = px.astype(np.uint8).reshape(h, -1)
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)
     if isinstance(filters, int):
         filters = [filters]
     row_no = [0]   # global row counter: filter types cycle across passes
@@ -514,6 +510,12 @@ def _make_png(px, filters=0, *, depth=8, color_type=None, interlace=0,
             return np.ascontiguousarray(
                 p.astype(">u2").reshape(ph, -1)
             ).view(np.uint8)
+        if depth < 8:   # MSB-first d-bit packing, rows zero-padded to bytes
+            b = (
+                p.astype(np.uint8).reshape(ph, -1)[..., None]
+                >> np.arange(depth - 1, -1, -1)
+            ) & 1
+            return np.packbits(b.reshape(ph, -1), axis=1)
         return np.ascontiguousarray(p.astype(np.uint8).reshape(ph, -1))
 
     body = bytearray()
@@ -528,7 +530,7 @@ def _make_png(px, filters=0, *, depth=8, color_type=None, interlace=0,
                 continue
             body += _enc_rows(_rows_of(sub))
     else:
-        body += _enc_rows(raw_rows)
+        body += _enc_rows(_rows_of(px))
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     data = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -600,22 +602,45 @@ def test_png_adam7_exact_recovery():
     np.testing.assert_allclose(got_p, palette[idx] / 255.0)
 
 
-def test_png_subbyte_rejected():
-    """Sub-byte depths stay recognized-but-undecodable:
-    NotImplementedError propagates (honest-stub contract), never the
-    deterministic fake."""
-    import pytest
+def test_png_subbyte_depths_decode():
+    """1/2/4-bit grayscale and palette PNGs decode exactly (r9 — the
+    last PNG honest stub removed): byte-level filtering with bpp=1,
+    MSB-first bit unpacking, row padding ignored, Adam7 included."""
+    rng = np.random.default_rng(22)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        px = rng.integers(0, maxv + 1, (7, 11))
+        got = decode_payload(_make_png(px, [0, 1, 2, 3, 4], depth=depth),
+                             "image", {})
+        np.testing.assert_allclose(got, px / maxv, err_msg=f"gray d{depth}")
+        inter = decode_payload(
+            _make_png(px, [0, 1, 2, 3, 4], depth=depth, interlace=1),
+            "image", {},
+        )
+        np.testing.assert_array_equal(inter, got)
+    palette = rng.integers(0, 256, (16, 3))
+    idx = rng.integers(0, 16, (6, 9))
+    got_p = decode_payload(
+        _make_png(idx, 4, color_type=3, palette=palette, depth=4),
+        "image", {},
+    )
+    np.testing.assert_allclose(got_p, palette[idx] / 255.0)
+
+
+def test_png_invalid_depth_combo_is_valueerror():
+    """Spec-INVALID combos (4-bit RGB) are corrupt data, not a stub:
+    ValueError → the kernel's opaque-payload fake, never a dead stage."""
     import struct
     import zlib as _z
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)   # 4-bit gray
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)   # 4-bit RGB
     payload = (
         b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", _z.compress(b"\x00" * 12))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_payload(payload, "image", {})
+    out = decode_payload(payload, "image", {"height": 3, "width": 4})
+    assert out.shape == (3, 4, 3)   # deterministic fake
 
 
 def test_png_corrupt_falls_back_to_fake():
