@@ -98,10 +98,11 @@ def _decode_pnm(data: bytes) -> np.ndarray:
 
 
 def _decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed BMP → (h, w, 3) float64 in [0, 1]: 24-bit BGR
-    (4-byte-padded rows), 32-bit BGRX / BI_BITFIELDS (per-channel masks,
-    the screenshot-tool default), and 8-bit palettized; top-down and
-    bottom-up row orders.  RLE and 16-bit raise ``NotImplementedError``."""
+    """BMP → (h, w, 3) float64 in [0, 1]: 24-bit BGR (4-byte-padded
+    rows), 32-bit BGRX / BI_BITFIELDS (per-channel masks, the
+    screenshot-tool default), 16-bit RGB555 / BITFIELDS (r9), palettized
+    1/4/8-bit (r9 adds sub-byte) incl. RLE8/RLE4 run-length encodings
+    (r9); top-down and bottom-up row orders."""
     import struct
 
     off = struct.unpack_from("<I", data, 10)[0]
@@ -110,6 +111,20 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
     ah = abs(h)
+
+    def _palette(n_default: int) -> np.ndarray:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or n_default
+        return np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]   # BGRX → RGB
+
+    def _pal_px(idx: np.ndarray, pal: np.ndarray) -> np.ndarray:
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx].astype(np.float64) / 255.0
+        if h > 0:
+            px = px[::-1]      # bottom-up storage
+        return px
     if bpp == 24 and comp == 0:
         stride = (w * 3 + 3) & ~3
         rows = np.frombuffer(data, dtype=np.uint8, count=stride * ah, offset=off)
@@ -117,19 +132,34 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         if h > 0:
             px = px[::-1]      # bottom-up storage
         return px[:, :, ::-1].astype(np.float64) / 255.0   # BGR → RGB
-    if bpp == 32 and comp in (0, 3):
-        # BI_RGB 32-bit is fixed BGRX; BI_BITFIELDS carries explicit
-        # R/G/B masks — in the V4/V5 headers at a fixed position, for
-        # the plain INFOHEADER as three DWORDs right after it
+    if bpp in (16, 32) and comp in (0, 3):
+        # BI_RGB 32-bit is fixed BGRX, BI_RGB 16-bit is RGB555;
+        # BI_BITFIELDS carries explicit R/G/B masks — in the V4/V5
+        # headers at a fixed position, for the plain INFOHEADER as
+        # three DWORDs right after it
         if comp == 3:
             # masks sit at absolute offset 54 for INFOHEADER+BITFIELDS
             # (3 DWORDs after the header) AND for V4/V5 (in-header)
             masks = struct.unpack_from("<III", data, 54)
+        elif bpp == 16:
+            masks = (0x7C00, 0x03E0, 0x001F)   # RGB555
         else:
             masks = (0x00FF0000, 0x0000FF00, 0x000000FF)
-        words = np.frombuffer(
-            data, dtype="<u4", count=w * ah, offset=off
-        ).reshape(ah, w)
+        if bpp == 16:
+            stride = (w * 2 + 3) & ~3          # rows pad to DWORDs
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=stride * ah, offset=off
+            ).reshape(ah, stride)
+            words = (
+                np.ascontiguousarray(rows[:, : w * 2])
+                .view("<u2")
+                .reshape(ah, w)
+                .astype(np.uint32)
+            )
+        else:
+            words = np.frombuffer(
+                data, dtype="<u4", count=w * ah, offset=off
+            ).reshape(ah, w)
         chans = []
         for m in masks:
             if m == 0:
@@ -142,21 +172,73 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         if h > 0:
             px = px[::-1]
         return px
-    if bpp == 8 and comp == 0:
-        # palettized: BGRX color table right after the header
-        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
-        pal = np.frombuffer(
-            data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
-        ).reshape(n_colors, 4)[:, :3][:, ::-1]   # BGRX → RGB
-        stride = (w + 3) & ~3
-        rows = np.frombuffer(data, dtype=np.uint8, count=stride * ah, offset=off)
-        idx = rows.reshape(ah, stride)[:, :w]
-        if int(idx.max(initial=0)) >= n_colors:
-            raise ValueError("BMP palette index out of range")
-        px = pal[idx].astype(np.float64) / 255.0
-        if h > 0:
-            px = px[::-1]
-        return px
+    if bpp in (1, 4, 8) and comp == 0:
+        # palettized, uncompressed: BGRX color table after the header;
+        # rows are bpp-bit indices MSB-first, DWORD-padded
+        pal = _palette(1 << bpp)
+        stride = ((w * bpp + 7) // 8 + 3) & ~3
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * ah, offset=off
+        ).reshape(ah, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            idx = (
+                bits.reshape(ah, -1, bpp)
+                @ (1 << np.arange(bpp - 1, -1, -1, dtype=np.uint8))
+            )[:, :w]
+        return _pal_px(idx, pal)
+    if (bpp, comp) in ((8, 1), (4, 2)):
+        # RLE8 / RLE4 (spec: runs, absolute mode, EOL/EOS/delta escapes).
+        # Undefined pixels (delta skips / early EOS) stay index 0.
+        pal = _palette(1 << bpp)
+        idx = np.zeros((ah, w), dtype=np.uint8)
+        buf = data[off:]
+        x = y = p = 0
+        while p + 1 < len(buf) and y < ah:
+            cnt, val = buf[p], buf[p + 1]
+            p += 2
+            if cnt > 0:                       # encoded run
+                if bpp == 8:
+                    run = np.full(cnt, val, dtype=np.uint8)
+                else:                         # RLE4 alternates nibbles
+                    run = np.empty(cnt, dtype=np.uint8)
+                    run[0::2] = val >> 4
+                    run[1::2] = val & 0x0F
+                end = min(x + cnt, w)
+                idx[y, x:end] = run[: end - x]
+                x += cnt
+                continue
+            if val == 0:                      # end of line
+                x, y = 0, y + 1
+            elif val == 1:                    # end of bitmap
+                break
+            elif val == 2:                    # delta
+                if p + 2 > len(buf):
+                    raise ValueError("BMP RLE truncated delta")
+                x += buf[p]
+                y += buf[p + 1]
+                p += 2
+            else:                             # absolute mode: val pixels
+                nbytes = (
+                    val if bpp == 8 else (val + 1) // 2
+                )
+                if p + nbytes > len(buf):
+                    raise ValueError("BMP RLE truncated absolute run")
+                chunk = np.frombuffer(buf, np.uint8, nbytes, p)
+                if bpp == 8:
+                    pix = chunk
+                else:
+                    pix = np.empty(nbytes * 2, dtype=np.uint8)
+                    pix[0::2] = chunk >> 4
+                    pix[1::2] = chunk & 0x0F
+                    pix = pix[:val]
+                end = min(x + val, w)
+                idx[y, x:end] = pix[: end - x]
+                x += val
+                p += nbytes + (nbytes & 1)    # absolute runs pad to WORD
+        return _pal_px(idx, pal)
     raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
 
 

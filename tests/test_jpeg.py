@@ -848,3 +848,33 @@ def test_jpeg_sequential_multiscan_matches_interleaved():
         grids, h, w, [Q_LUM, Q_CHR], [(1, 1)] * 3
     )
     np.testing.assert_array_equal(decode_jpeg(inter), decode_jpeg(multi))
+
+
+@pytest.mark.parametrize("seed", [1003, 1011, 1017, 1024, 1031])
+def test_jpeg_progressive_randomized_scripts(seed):
+    """Property sweep: random grid dims/density, random spectral split,
+    random DC/AC Al chains, random restart interval — full refinement
+    must always recover exactly (a 40-config in-session fuzz passed;
+    these seeds pin representative shapes)."""
+    rng = np.random.default_rng(seed)
+    by, bx = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+    h = by * 8 - int(rng.integers(0, 8))
+    w = bx * 8 - int(rng.integers(0, 8))
+    grid = _prog_grid(rng, by, bx, dense=float(rng.uniform(0.02, 0.6)))
+    split = int(rng.integers(1, 63))
+    al0 = int(rng.integers(0, 3))
+    scans = [{"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": al0}]
+    for a in range(al0, 0, -1):
+        scans.append({"comps": [0], "ss": 0, "se": 0, "ah": a, "al": a - 1})
+    ala = int(rng.integers(0, 3))
+    scans.append({"comps": [0], "ss": 1, "se": split, "ah": 0, "al": ala})
+    scans.append({"comps": [0], "ss": split + 1, "se": 63, "ah": 0, "al": ala})
+    for a in range(ala, 0, -1):
+        scans.append({"comps": [0], "ss": 1, "se": 63, "ah": a, "al": a - 1})
+    data = encode_jpeg_progressive(
+        [grid], h, w, [Q_LUM], [(1, 1)], scans,
+        restart_interval=int(rng.integers(0, 4)),
+    )
+    got = decode_jpeg(data)
+    exp = np.clip(_expected_plane_grid(grid, Q_LUM), 0, 255)[:h, :w] / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)

@@ -754,3 +754,126 @@ def test_injected_jpeg_codec_wins_over_real_builtin():
         real, "image", {"height": 4, "width": 6}, {"jpeg": _broken_codec}
     )
     assert fake.shape == (4, 6, 3)
+
+
+# --- r9: 16-bit / sub-byte-palette / RLE BMP variants ----------------------
+
+def _bmp_headers(w, h, bpp, comp, body, palette=None, masks=None):
+    import struct
+
+    pal = b""
+    if palette is not None:
+        pal = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in np.asarray(palette, np.uint8)
+        )
+    extra = b""
+    if masks is not None:
+        extra = struct.pack("<III", *masks)
+    off = 54 + len(extra) + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    ncol = len(palette) if palette is not None else 0
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 0, 0, ncol, 0
+    )
+    return header + info + extra + pal + body
+
+
+def test_bmp_16bit_rgb555_and_bitfields565():
+    rng = np.random.default_rng(31)
+    h, w = 5, 3
+    r5 = rng.integers(0, 32, (h, w))
+    g5 = rng.integers(0, 32, (h, w))
+    b5 = rng.integers(0, 32, (h, w))
+    words = (r5 << 10) | (g5 << 5) | b5
+    stride = (w * 2 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):                       # bottom-up
+        row = words[y].astype("<u2").tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    got = decode_payload(_bmp_headers(w, h, 16, 0, body), "image", {})
+    exp = np.stack([r5 / 31.0, g5 / 31.0, b5 / 31.0], axis=-1)
+    np.testing.assert_allclose(got, exp)
+    # 565 via BI_BITFIELDS masks
+    g6 = rng.integers(0, 64, (h, w))
+    words = (r5 << 11) | (g6 << 5) | b5
+    body = b""
+    for y in range(h - 1, -1, -1):
+        row = words[y].astype("<u2").tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    got = decode_payload(
+        _bmp_headers(w, h, 16, 3, body, masks=(0xF800, 0x07E0, 0x001F)),
+        "image", {},
+    )
+    exp = np.stack([r5 / 31.0, g6 / 63.0, b5 / 31.0], axis=-1)
+    np.testing.assert_allclose(got, exp)
+
+
+def test_bmp_subbyte_palette():
+    rng = np.random.default_rng(32)
+    palette = rng.integers(0, 256, (16, 3))
+    h, w = 4, 7
+    idx = rng.integers(0, 16, (h, w))
+    # 4-bit: two indices per byte MSB-first, DWORD-padded rows
+    body = b""
+    for y in range(h - 1, -1, -1):
+        nib = idx[y]
+        if w % 2:
+            nib = np.append(nib, 0)
+        row = ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8).tobytes()
+        body += row + b"\x00" * ((-len(row)) % 4)
+    got = decode_payload(
+        _bmp_headers(w, h, 4, 0, body, palette=palette), "image", {}
+    )
+    np.testing.assert_allclose(got, palette[idx] / 255.0)
+    # 1-bit
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]])
+    bits = rng.integers(0, 2, (h, w))
+    body = b""
+    for y in range(h - 1, -1, -1):
+        row = np.packbits(bits[y]).tobytes()
+        body += row + b"\x00" * ((-len(row)) % 4)
+    got1 = decode_payload(
+        _bmp_headers(w, h, 1, 0, body, palette=pal2), "image", {}
+    )
+    np.testing.assert_allclose(got1, pal2[bits] / 255.0)
+
+
+def test_bmp_rle8_and_rle4():
+    palette = np.arange(48).reshape(16, 3) * 5
+    # RLE8: bottom row written first (BMP row order); runs + absolute +
+    # EOL + delta (skipped pixels stay index 0) + EOS
+    body = bytes(
+        [3, 7]                        # row y=2 (bottom): 7 7 7
+        + [0, 3, 1, 2, 3, 0]          # absolute: 1 2 3 (pad to WORD)
+        + [0, 0]                      # EOL
+        + [0, 2, 2, 0]                # delta: skip 2 pixels on row y=1
+        + [4, 9]                      # then 9 9 9 9
+        + [0, 0]                      # EOL
+        + [6, 5]                      # row y=0 (top): 5 x6
+        + [0, 1]                      # EOS
+    )
+    exp_idx = np.array(
+        [
+            [5, 5, 5, 5, 5, 5],        # top row
+            [0, 0, 9, 9, 9, 9],        # delta left 2 undefined (0)
+            [7, 7, 7, 1, 2, 3],
+        ]
+    )
+    got = decode_payload(
+        _bmp_headers(6, 3, 8, 1, body, palette=palette), "image", {}
+    )
+    np.testing.assert_allclose(got, palette[exp_idx] / 255.0)
+    # RLE4: encoded runs alternate the two nibbles; absolute packs pairs
+    body4 = bytes(
+        [5, 0x12]                     # 1 2 1 2 1
+        + [0, 3, 0x34, 0x50]          # absolute 3 4 5 (2 bytes, already
+                                      #   WORD-aligned: no pad)
+        + [0, 0]                      # EOL
+        + [8, 0x9A]                   # 9 A 9 A 9 A 9 A
+        + [0, 1]                      # EOS
+    )
+    exp4 = np.array([[9, 10, 9, 10, 9, 10, 9, 10], [1, 2, 1, 2, 1, 3, 4, 5]])
+    got4 = decode_payload(
+        _bmp_headers(8, 2, 4, 2, body4, palette=palette), "image", {}
+    )
+    np.testing.assert_allclose(got4, palette[exp4] / 255.0)
