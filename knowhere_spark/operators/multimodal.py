@@ -242,15 +242,47 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
 
 
+def _decode_wav_float(data: bytes) -> np.ndarray:
+    """IEEE-float WAV (fmt tag 3 — the ML-audio-dataset default the
+    stdlib ``wave`` module rejects): manual RIFF chunk walk, 32/64-bit
+    samples, mono-averaged."""
+    import struct
+
+    pos, nch, bits, raw = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, ln = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            tag, nch, _rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if tag != 3:
+                raise ValueError(f"not an IEEE-float WAV (fmt tag {tag})")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + ln + (ln & 1)   # chunks pad to even
+    if nch is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits not in (32, 64):
+        raise NotImplementedError(f"float WAV with {bits}-bit samples")
+    x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
+        np.float64
+    )
+    return x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
+
+
 def _decode_wav(data: bytes) -> np.ndarray:
     """PCM WAV via the stdlib ``wave`` module → mono-averaged float64
-    samples in [-1, 1]."""
+    samples in [-1, 1]; IEEE-float WAV (fmt tag 3) via the manual RIFF
+    walk above."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data)) as f:
-        nch, sw, nfr = f.getnchannels(), f.getsampwidth(), f.getnframes()
-        raw = f.readframes(nfr)
+    try:
+        with wave.open(io.BytesIO(data)) as f:
+            nch, sw, nfr = f.getnchannels(), f.getsampwidth(), f.getnframes()
+            raw = f.readframes(nfr)
+    except wave.Error:
+        return _decode_wav_float(data)
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:   # 8-bit WAV is unsigned
@@ -533,8 +565,9 @@ def decode_payload(
             if fmt == "jpeg":
                 # r8: baseline sequential JPEG decodes for REAL
                 # (functions/jpeg.py — stdlib + numpy Huffman/dequant/
-                # IDCT/YCbCr).  Progressive/arithmetic frames raise
-                # NotImplementedError below, same contract as Adam7 PNG.
+                # IDCT/YCbCr); r9 adds progressive + multi-scan
+                # sequential.  Arithmetic-coded frames raise
+                # NotImplementedError below (honest-stub contract).
                 from knowhere_spark.functions.jpeg import decode_jpeg
 
                 return decode_jpeg(payload)

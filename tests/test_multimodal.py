@@ -877,3 +877,35 @@ def test_bmp_rle8_and_rle4():
         _bmp_headers(8, 2, 4, 2, body4, palette=palette), "image", {}
     )
     np.testing.assert_allclose(got4, palette[exp4] / 255.0)
+
+
+def test_wav_ieee_float_decodes():
+    """fmt-tag-3 (IEEE float) WAV — the ML-audio-dataset default the
+    stdlib wave module rejects — decodes via the manual RIFF walk,
+    32- and 64-bit, stereo mono-averaged."""
+    import struct
+
+    rng = np.random.default_rng(33)
+    x = rng.uniform(-1, 1, 64)
+
+    def float_wav(samples, nch, bits):
+        fmt_body = struct.pack(
+            "<HHIIHH", 3, nch, 8000, 8000 * nch * bits // 8,
+            nch * bits // 8, bits,
+        )
+        raw = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    got = decode_payload(float_wav(x, 1, 32), "audio", {})
+    np.testing.assert_allclose(got, x.astype(np.float32), rtol=1e-6)
+    got64 = decode_payload(float_wav(x, 1, 64), "audio", {})
+    np.testing.assert_allclose(got64, x)
+    stereo = np.empty(128)
+    stereo[0::2] = x
+    stereo[1::2] = -x
+    gots = decode_payload(float_wav(stereo, 2, 64), "audio", {})
+    np.testing.assert_allclose(gots, np.zeros(64), atol=1e-12)
