@@ -1298,6 +1298,19 @@ def main() -> None:
                     t0 = time.monotonic()
                     fn().count()
                     runs.append(round(time.monotonic() - t0, 3))
+            elif runs[0] < 3 * _REPEAT_MAX_SEC and name not in _NO_REPEAT:
+                # a COLD first run just past the cutoff must not forfeit
+                # min-of-3 (r9: pq_refine's cold 10.6 s vs 1.8 s warm
+                # would otherwise be recorded 5x slow): one warm probe,
+                # and if the entry is genuinely fast warm, finish the set
+                t0 = time.monotonic()
+                fn().count()
+                runs.append(round(time.monotonic() - t0, 3))
+                if runs[-1] < _REPEAT_MAX_SEC:
+                    for _ in range(_REPEATS - 2):
+                        t0 = time.monotonic()
+                        fn().count()
+                        runs.append(round(time.monotonic() - t0, 3))
             timings[name] = min(runs)
             entry_meta[name] = {
                 "runs": runs, "t_start": t_off, "load_1m": round(load_1m, 2)
