@@ -28,11 +28,13 @@ Arithmetic coding (SOF9-11/13-15), hierarchical (DHP), lossless
 the recognized-but-undecodable contract the multimodal stubs use (an
 honest stub, not corrupt data).
 
-Throughput (measured, single core, this container, 256x256 gray):
-baseline ~0.5 MiB/s of decoded 8-bit samples, progressive ~0.15 MiB/s
-(each refinement scan re-walks the entropy stream) — the Python
-bit-at-a-time Huffman loop dominates; dequant + IDCT are vectorized
-over all blocks (two tensordots for the whole grid).  The
+Throughput (measured, single core, this container, 256x256 gray,
+dense random coefficients — a worst case for code lengths): baseline
+~0.75 MiB/s of decoded 8-bit samples, progressive ~0.23 MiB/s (each
+refinement scan re-walks the entropy stream).  The Huffman loop is
+LUT + canonical-walk accelerated (r9; real images with short codes do
+better); dequant + IDCT are vectorized over all blocks (two
+tensordots for the whole grid).  The
 decode is embarrassingly parallel across images (mapInPandas), so this
 is a constant factor, not a scale limit; for production crawls inject
 a native decoder via ``decode_payload(..., decoders={"jpeg": fn})``
@@ -92,55 +94,132 @@ _C = _idct_matrix()
 
 
 class _HuffTable:
-    """Canonical Huffman table from a DHT segment: (code length, code)
-    -> symbol, decoded bit-by-bit with a per-length dict (entropy
-    segments are short relative to pixel work; clarity over an LUT)."""
+    """Canonical Huffman table from a DHT segment.  Decode is
+    LUT-accelerated: an 8-bit peek table resolves every code of length
+    ≤ 8 (the overwhelming majority — DC categories and the common AC
+    symbols) in one step; longer codes decode by the canonical
+    mincode/maxcode walk over a 16-bit peek (T.81 F.16) — O(1) int ops
+    per length, no per-bit calls."""
+
+    __slots__ = ("fast", "mincode", "maxcode", "valptr", "values")
 
     def __init__(self, bits: list[int], values: bytes):
-        self.lut: dict[tuple[int, int], int] = {}
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
         code = 0
         k = 0
+        #: fast[peek8] = (symbol, code_length) for codes ≤ 8 bits
+        self.fast: list[tuple[int, int] | None] = [None] * 256
         for ln in range(1, 17):
-            for _ in range(bits[ln - 1]):
-                self.lut[(ln, code)] = values[k]
-                code += 1
-                k += 1
+            nl = bits[ln - 1]
+            if nl:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                if ln <= 8:
+                    for _ in range(nl):
+                        base = code << (8 - ln)
+                        for p in range(base, base + (1 << (8 - ln))):
+                            self.fast[p] = (values[k], ln)
+                        code += 1
+                        k += 1
+                else:
+                    code += nl
+                    k += nl
+                self.maxcode[ln] = code - 1
             code <<= 1
 
 
 class _BitReader:
-    """MSB-first bit reader over an UNSTUFFED entropy chunk."""
+    """MSB-first bit reader over an UNSTUFFED entropy chunk — a rolling
+    integer accumulator refilled bytewise (one shift per multi-bit read
+    instead of one per bit)."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "acc", "nacc")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nacc = 0
+
+    def _fill(self, k: int) -> None:
+        data, pos = self.data, self.pos
+        n = len(data)
+        while self.nacc < k:
+            if pos >= n:
+                raise ValueError("JPEG entropy data exhausted")
+            self.acc = (self.acc << 8) | data[pos]
+            pos += 1
+            self.nacc += 8
+        self.pos = pos
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy data exhausted")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        if self.nacc < 1:
+            self._fill(1)
+        self.nacc -= 1
+        v = (self.acc >> self.nacc) & 1
+        self.acc &= (1 << self.nacc) - 1   # trim consumed high bits:
+        return v                            # the accumulator must not
+                                            # grow into a whole-stream
+                                            # bigint (O(len) shifts)
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nacc < n:
+            self._fill(n)
+        self.nacc -= n
+        v = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
         return v
 
     def read_huff(self, table: _HuffTable) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lut.get((ln, code))
-            if sym is not None:
+        # fast path: peek 8 bits (zero-padded near EOF) and resolve
+        # short codes in one LUT hit
+        if self.nacc < 8:
+            data, pos, n = self.data, self.pos, len(self.data)
+            while self.nacc < 8 and pos < n:
+                self.acc = (self.acc << 8) | data[pos]
+                pos += 1
+                self.nacc += 8
+            self.pos = pos
+        if self.nacc >= 8:
+            hit = table.fast[(self.acc >> (self.nacc - 8)) & 0xFF]
+            if hit is not None:
+                self.nacc -= hit[1]
+                sym = hit[0]
+                self.acc &= (1 << self.nacc) - 1
                 return sym
+        elif self.nacc > 0:
+            hit = table.fast[(self.acc << (8 - self.nacc)) & 0xFF]
+            if hit is not None and hit[1] <= self.nacc:
+                self.nacc -= hit[1]
+                sym = hit[0]
+                self.acc &= (1 << self.nacc) - 1
+                return sym
+        # slow path (codes > 8 bits or truncated tail): the canonical
+        # mincode/maxcode walk over a zero-padded 16-bit peek (F.16)
+        data, pos, n = self.data, self.pos, len(self.data)
+        while self.nacc < 16 and pos < n:
+            self.acc = (self.acc << 8) | data[pos]
+            pos += 1
+            self.nacc += 8
+        self.pos = pos
+        nacc = self.nacc
+        peek = self.acc << (16 - nacc) if nacc < 16 else self.acc >> (nacc - 16)
+        maxcode = table.maxcode
+        # a full 8-bit fast-path miss already excluded every ln <= 8
+        start = 9 if nacc >= 8 else 1
+        for ln in range(start, 17):
+            code = peek >> (16 - ln)
+            if code <= maxcode[ln]:
+                if ln > nacc:
+                    raise ValueError("JPEG entropy data exhausted")
+                self.nacc = nacc - ln
+                self.acc &= (1 << self.nacc) - 1
+                return table.values[table.valptr[ln] + code - table.mincode[ln]]
         raise ValueError("invalid JPEG Huffman code")
 
 
