@@ -1707,8 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_adc_fixed": q_ivf_pq_adc_fixed,
         "hnsw_sharded_exact": q_hnsw_sharded_exact,
         "embed_neardup_ivf": q_embed_neardup_ivf,
-        # --- rows-only (approximate / non-SQL-expressible; recall floors
-        # and behavior tested in tests/) ------------------------------------
+        # (r8 upgraded the registry's last rows-only slot in place:)
         "stream_neardup_minhash": q_stream_neardup_minhash,
     }
 

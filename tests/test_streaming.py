@@ -771,3 +771,80 @@ def test_stream_neardup_images_across_batches(spark, tmp_path):
     }
     assert got == batch            # streaming == batch over the union
     assert (1, 3) in got           # and the cross-batch copy was caught
+
+
+def test_stream_video_neardup_survives_query_restart(spark, tmp_path):
+    """The 100 TB ops case the availableNow tests don't cover: a driver
+    restart mid-ingest.  Batch 1 is processed by one query; a SECOND
+    query object resumes from the same checkpoint and processes batch 2
+    — the per-hash owner lists must come back from the state store, so
+    a near-copy arriving AFTER the restart still matches a video seen
+    BEFORE it, with no duplicated or lost evidence."""
+    import os
+    import time
+
+    from tests.test_mp4 import mux_mp4
+    from knowhere_spark.streaming.dedup import (
+        stream_video_neardup,
+        video_match_overlap,
+    )
+
+    rng = np.random.default_rng(41)
+    frames1 = [rng.bytes(20) for _ in range(5)]
+    meta = {"width": 8, "height": 8, "n_frames": 5, "sample_rate": 0}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_video_neardup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows1 = [
+        (1, "video", bytearray(mux_mp4(frames1)[0]), meta),
+        (2, "video", bytearray(mux_mp4([rng.bytes(20) for _ in range(5)])[0]), meta),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available("restart_a")                 # query #1 processes batch 1
+
+    # near-copy of video 1 arrives AFTER the "restart"
+    frames3 = frames1[:4] + [rng.bytes(20)]
+    rows2 = [
+        (3, "video", bytearray(mux_mp4(frames3)[0]), meta),
+        (4, "video", bytearray(mux_mp4([rng.bytes(20) for _ in range(5)])[0]), meta),
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = time.time()
+    for e in os.scandir(src):                  # batch-2 file strictly newer
+        if e.name.endswith(".parquet"):
+            os.utime(e.path, (now, now))
+    run_available("restart_b")                 # query #2, SAME checkpoint
+
+    evidence = spark.read.parquet(sink)
+    # cross-restart evidence: the 4 shared hashes of (1, 3), exactly once
+    assert evidence.count() == 4
+    assert evidence.distinct().count() == 4
+    pairs = video_match_overlap(evidence, 0.6).collect()
+    assert [(r.id_a, r.id_b, r.matches) for r in pairs] == [(1, 3, 4)]

@@ -125,4 +125,68 @@ print(f"# pairs: stream={len(sp)} batch={len(bp)} expected={expected}")
 print(f"# stream==batch: {sp == bp}")
 assert sp == bp, "streaming verdicts diverge from batch(pre_drop)"
 assert len(sp) == expected, "planted pairs not fully recovered"
+
+# ---- image twin: banded-pHash bucket state at the same corpus size ----
+from knowhere_spark.operators.multimodal import (  # noqa: E402
+    phash_neardup_pairs,
+    synthesize_image_media,
+)
+from knowhere_spark.streaming.dedup import stream_neardup_images  # noqa: E402
+
+imedia = synthesize_image_media(docs)
+isrc = f"{tmp}/isrc"
+imedia.withColumn(
+    "__b", (F.col("media_id") % N_BATCHES).cast("int")
+).repartition(N_BATCHES, "__b").drop("__b").write.parquet(isrc)
+ifiles = sorted(
+    e.path for e in os.scandir(isrc) if e.name.endswith(".parquet")
+)
+now = time.time()
+for i, pth in enumerate(ifiles):
+    os.utime(pth, (now - 3600 + i * 120, now - 3600 + i * 120))
+
+istream = (
+    spark.readStream.schema(imedia.schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(isrc)
+)
+t0 = time.monotonic()
+iq = (
+    stream_neardup_images(istream, max_hamming=3)
+    .writeStream.format("memory")
+    .queryName("probe_img")
+    .outputMode("append")
+    .option("checkpointLocation", f"{tmp}/ickpt")
+    .trigger(availableNow=True)
+    .start()
+)
+iq.awaitTermination()
+istream_wall = time.monotonic() - t0
+print("# image micro-batch state growth (banded-pHash buckets):")
+print("# batch | inputRows | stateRows | stateMB | batchWall_s")
+for p in iq.recentProgress:
+    so = (p.get("stateOperators") or [{}])[0]
+    if not so:
+        continue
+    dur = (p.get("durationMs") or {}).get("triggerExecution", 0) / 1000.0
+    print(
+        f"#  {p.get('batchId')} | {int(p.get('numInputRows', 0))} | "
+        f"{so.get('numRowsTotal')} | "
+        f"{(so.get('memoryUsedBytes') or 0) / 2**20:.1f} | {dur:.1f}"
+    )
+isp = {
+    (r.id_a, r.id_b, r.hamming)
+    for r in spark.sql("SELECT DISTINCT * FROM probe_img").collect()
+}
+t0 = time.monotonic()
+ibp = {
+    (r.id_a, r.id_b, r.hamming)
+    for r in phash_neardup_pairs(imedia, max_hamming=3).collect()
+}
+ibatch_wall = time.monotonic() - t0
+iexpected = sum(1 for d in range(1, N_VIDEOS) if d % 5 == 1)
+print(f"# image stream wall: {istream_wall:.1f}s; batch: {ibatch_wall:.1f}s")
+print(f"# image pairs: stream={len(isp)} batch={len(ibp)} expected={iexpected}")
+assert isp == ibp, "streaming image verdicts diverge from batch"
+assert len(isp) == iexpected, "planted image dups not fully recovered"
 print("# PROBE OK")
