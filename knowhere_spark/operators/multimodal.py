@@ -1436,11 +1436,19 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup pairs: pHash + the EXACT pigeonhole-banded Hamming
     join shared with SimHash (operators/dedup.hamming64_pairs) — one
     banded shuffle, never all-pairs, the 100 TB image-dedup shape.
-    Returns ``(id_a, id_b, hamming)``."""
+    Returns ``(id_a, id_b, hamming)``.
+
+    The pHash table is eagerly materialized first: the banded join fans
+    the signature frame into several plan references (both join sides +
+    band explode), and Spark would re-run the decode+DCT mapInPandas
+    kernel per reference (measured: 4 MapInPandas nodes in the
+    un-checkpointed plan — the same fan-out video_neardup_pairs pins).
+    Storage is O(images × 16 bytes), negligible next to the payloads."""
     from knowhere_spark.operators.dedup import hamming64_pairs
 
+    sigs = image_phash(media).localCheckpoint(eager=True)
     return hamming64_pairs(
-        image_phash(media), max_hamming, id_col="media_id", sig_col="phash"
+        sigs, max_hamming, id_col="media_id", sig_col="phash"
     )
 
 

@@ -375,3 +375,29 @@ def test_video_neardup_signature_stage_runs_once(spark):
     plan = _plan(video_neardup_pairs(media, min_overlap=0.5))
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_neardup_signature_stage_runs_once(spark):
+    """Same regression for the IMAGE near-dup: the banded Hamming join
+    fans the pHash table into several references; un-checkpointed, the
+    decode+DCT mapInPandas kernel appeared 4x in the executed plan.
+    Checkpointed, it must appear ZERO times (ran exactly once, eagerly)
+    and the join must stay banded (no cartesian product)."""
+    import numpy as np
+
+    from knowhere_spark.operators.multimodal import phash_neardup_pairs
+
+    rng = np.random.default_rng(18)
+    rows = [
+        (i, "image",
+         bytearray(b"P5\n8 8\n255\n" + rng.bytes(64)),
+         {"width": 8, "height": 8, "n_frames": 1, "sample_rate": 0})
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    plan = _plan(phash_neardup_pairs(media, max_hamming=3))
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
