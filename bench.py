@@ -518,17 +518,22 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         # so each query's range ball lives inside its home cluster)
         import dataclasses
 
-        idx = sem_state.pop("idx")
-        try:
-            cfg_r = dataclasses.replace(idx.config, radius=_SEM_RADIUS, k=10)
-            routed_n = idx.range_search(
-                big_queries, cfg_r, ef=160, probe_shards=_SEM_PROBE
-            ).count()
-            full_n = idx.range_search(big_queries, cfg_r, ef=160).count()
-            return routed_n / full_n if full_n else 0.0
-        finally:
+        idx = sem_state["idx"]
+        cfg_r = dataclasses.replace(idx.config, radius=_SEM_RADIUS, k=10)
+        routed_n = idx.range_search(
+            big_queries, cfg_r, ef=160, probe_shards=_SEM_PROBE
+        ).count()
+        full_n = idx.range_search(big_queries, cfg_r, ef=160).count()
+        return routed_n / full_n if full_n else 0.0
+
+    def _sem_release():
+        # RELEASE_MAP runs even when the entry or its recall probe
+        # errored — the resident index must never contaminate later
+        # entries' timers
+        idx = sem_state.pop("idx", None)
+        if idx is not None:
             idx.release()
-            sem_state.clear()
+        sem_state.clear()
 
     out["sharded_hnsw_semantic_build"] = q_sharded_semantic_build
     out["sharded_hnsw_semantic_routed_nq100"] = q_sharded_semantic_routed
@@ -536,6 +541,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["sharded_hnsw_semantic_range_routed"] = q_sharded_semantic_range_routed
     RECALL_MAP["sharded_hnsw_semantic_routed_nq100"] = r_sem_routed
     RECALL_MAP["sharded_hnsw_semantic_range_routed"] = r_sem_range_routed
+    RELEASE_MAP["sharded_hnsw_semantic_range_routed"] = _sem_release
 
     hnsw_state = {}
 

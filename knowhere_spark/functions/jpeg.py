@@ -750,7 +750,9 @@ def _render(
         zz = coefs[c["id"]]                       # (by, bx, 64) zigzag
         q = qt[c["tq"]]
         nat = np.zeros(zz.shape, dtype=np.float64)
-        nat[..., _ZIGZAG] = zz * q                # dequant + de-zigzag
+        # int64 product: coefficient x 16-bit quant values sit near the
+        # int32 edge on adversarial streams — never wrap silently
+        nat[..., _ZIGZAG] = zz.astype(np.int64) * q   # dequant + de-zigzag
         by, bx = zz.shape[:2]
         f = nat.reshape(by, bx, 8, 8)
         # px = C.T @ F @ C per block
