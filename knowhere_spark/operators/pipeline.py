@@ -261,6 +261,122 @@ def repetition_filter(
     )
 
 
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document line dedup (the C4-pipeline preprocessing step the
+    Gopher REPETITION FILTER above only detects): repeated exact lines
+    (trimmed match) are dropped, the FIRST occurrence survives, original
+    line order is preserved.  Returns the input schema with ``text_col``
+    rewritten.
+
+    Plan: split → posexplode → ``row_number`` over (doc, trimmed line)
+    by position → keep rank 1 → re-assemble via ``array_sort`` over
+    (pos, line) structs.  Fully native (no UDF); the only shuffle is the
+    window's hash partition on (doc, line) — finer than per-doc keys,
+    and any one group is bounded by its own document's line count."""
+    other = [c for c in docs.columns if c != text_col]
+    lines = docs.select(
+        *other,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    w = Window.partitionBy(id_col, F.trim(F.col("__line"))).orderBy("__pos")
+    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    rebuilt = kept.groupBy(*other).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col)
+    )
+    return rebuilt.select(*docs.columns)
+
+
+def dedup_lines_across_corpus(
+    docs: DataFrame,
+    *,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "none",
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the C4 rule family):
+    every line whose TRIMMED form occurs at least ``min_count`` times
+    across the whole corpus is dropped from every document
+    (``keep="none"`` — cookie banners, nav text, license headers), or
+    survives exactly once at its globally-first occurrence
+    (``keep="first"``, ordered by (doc id, position) — the
+    keep-one-copy variant of C4's span dedup).  Blank lines are never
+    counted as boilerplate (they are structure, not content).  Returns
+    the input schema with ``text_col`` rewritten; documents reduced to
+    nothing keep an empty string (callers filter on length).
+
+    100 TB shape: ONE line-keyed shuffle for the counts with map-side
+    partial aggregation (a corpus-wide banner line arrives at its
+    reducer pre-combined per partition, so hot lines cannot skew the
+    exchange), then a plain shuffle join of lines against the
+    over-threshold subset — never a broadcast of an unbounded count
+    table.  ``keep="first"`` adds one window over the hot line's
+    occurrences; prefer ``"none"`` at extreme scale."""
+    if keep not in ("none", "first"):
+        raise ValueError("keep must be 'none' or 'first'")
+    other = [c for c in docs.columns if c != text_col]
+    lines = docs.select(
+        *other,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+    hot = (
+        lines.filter(F.length("__norm") > 0)
+        .groupBy("__norm")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__norm")
+    )
+    flagged = lines.join(
+        hot.withColumn("__hot", F.lit(True)), "__norm", "left"
+    )
+    cold = flagged.filter(F.col("__hot").isNull())
+    if keep == "none":
+        kept = cold
+    else:
+        # rank ONLY the boilerplate occurrences — a window over every
+        # line would shuffle the whole corpus a second time
+        w = Window.partitionBy("__norm").orderBy(id_col, "__pos")
+        first_hot = (
+            flagged.filter(F.col("__hot").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        kept = cold.unionByName(first_hot)
+    rebuilt = kept.groupBy(*other).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col)
+    )
+    # documents whose every line was boilerplate vanish from the groupBy
+    # — restore them with empty text so the operator is row-preserving
+    return (
+        docs.select(*other)
+        .join(rebuilt, other, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .select(*docs.columns)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------

@@ -405,3 +405,94 @@ def test_bestfit_packing_deterministic(spark):
     a = sorted((r.doc_id, r.bin_id, r.bin_fill) for r in pack_sequences_bestfit(df, 128).collect())
     b = sorted((r.doc_id, r.bin_id, r.bin_fill) for r in pack_sequences_bestfit(df, 128).collect())
     assert a == b
+
+
+def test_dedup_lines_within_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\nd"),
+            (2, "x\nx\nx"),
+            (3, "only"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    from knowhere_spark.operators.pipeline import dedup_lines_within_doc
+
+    out = {r.doc_id: r.text for r in dedup_lines_within_doc(docs).collect()}
+    assert out == {1: "a\nb\nc\nd", 2: "x", 3: "only", 4: ""}
+    # trimmed matching: '  a ' duplicates 'a', first form survives
+    docs2 = spark.createDataFrame(
+        [(1, "a\n  a \nb")], "doc_id long, text string"
+    )
+    (r,) = dedup_lines_within_doc(docs2).collect()
+    assert r.text == "a\nb"
+    # plan: native only — no UDF, no Python kernel
+    plan = dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_lines_across_corpus(spark):
+    from knowhere_spark.operators.pipeline import dedup_lines_across_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nCOOKIE BANNER"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "real content three\nCOOKIE BANNER"),
+            (4, "COOKIE BANNER"),
+        ],
+        "doc_id long, text string",
+    )
+    # the banner occurs 5 times >= 3 -> dropped everywhere; blank lines
+    # are structure, never counted
+    out = {
+        r.doc_id: r.text
+        for r in dedup_lines_across_corpus(docs, min_count=3).collect()
+    }
+    assert out == {
+        1: "real content one\n",
+        2: "real content two",
+        3: "real content three",
+        4: "",                          # row-preserving: empty, not gone
+    }
+    # keep="first": exactly one copy survives at the globally-first
+    # occurrence (doc 1, position 0)
+    out_f = {
+        r.doc_id: r.text
+        for r in dedup_lines_across_corpus(
+            docs, min_count=3, keep="first"
+        ).collect()
+    }
+    assert out_f[1].startswith("COOKIE BANNER\nreal content one")
+    assert "COOKIE" not in out_f[2] and "COOKIE" not in out_f[3]
+    assert out_f[4] == ""
+    # oracle cross-check (drop mode) in DuckDB over the same fixture
+    import duckdb
+
+    rows = [(r[0], r[1]) for r in docs.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    oracle = dict(
+        con.execute("""
+            WITH lines AS (
+              SELECT doc_id, u.pos, u.line, trim(u.line) AS norm
+              FROM d, LATERAL (
+                SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              ) u
+            ),
+            hot AS (
+              SELECT norm FROM lines WHERE length(norm) > 0
+              GROUP BY norm HAVING count(*) >= 3
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos), '')
+            FROM lines
+            WHERE norm NOT IN (SELECT norm FROM hot)
+            GROUP BY doc_id
+        """).fetchall()
+    )
+    for d_id in out:
+        assert out[d_id] == oracle.get(d_id, ""), d_id
