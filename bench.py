@@ -774,6 +774,45 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_phash_images"] = q_phash_neardup
 
+    def q_media_decode_jpeg():
+        # built-in JPEG codec wall (decode + DCT pHash over REAL baseline
+        # JPEGs — this container's stdlib test image replicated): tracks
+        # the pure-Python codec's throughput per round (r9: LUT +
+        # canonical-walk Huffman).  The production path injects a native
+        # codec; this entry keeps the fallback honest.
+        import sysconfig
+
+        from knowhere_spark.operators.multimodal import image_phash
+
+        jpg = open(
+            sysconfig.get_path("stdlib") + "/test/imghdrdata/python.jpg",
+            "rb",
+        ).read()
+        media = spark.createDataFrame(
+            [
+                (i, "image", bytearray(jpg),
+                 {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0})
+                for i in range(512)
+            ],
+            "media_id long, media_type string, payload binary, "
+            "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+        )
+        return image_phash(media)
+
+    out["media_decode_jpeg"] = q_media_decode_jpeg
+
+    def q_dedup_lines_corpus():
+        # C4-family corpus boilerplate-line removal (r9): one line-keyed
+        # count shuffle + join-back + array_sort reassembly, all native
+        from knowhere_spark.operators.pipeline import dedup_lines_across_corpus
+
+        return dedup_lines_across_corpus(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+            min_count=3,
+        )
+
+    out["dedup_lines_corpus"] = q_dedup_lines_corpus
+
     def q_video_neardup():
         # video near-dup over REAL MP4 containers (r8): 2k muxed videos
         # x 6 keyframes, 10% planted near-copies sharing 5/6 frames —

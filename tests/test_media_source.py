@@ -136,3 +136,42 @@ def test_source_feeds_video_pipeline(spark, media_dir):
     assert len(by_container["mp4"]) == 4   # every mp4 sample is sync
     assert len(by_container["gif"]) == 3   # the animated gif's frames
     assert all(f.frame_payload is not None for f in frames)
+
+
+def test_media_source_progressive_jpeg_end_to_end(spark, tmp_path):
+    """A progressive (SOF2) JPEG through the whole ingestion path:
+    directory read → sniffed as jpeg → dims probed from the SOF2 header
+    → REALLY decoded by image_phash (r9 — the decoder used to raise on
+    progressive, dropping these rows to the deterministic fake)."""
+    from knowhere_spark.operators.multimodal import image_phash
+    from tests.test_jpeg import (
+        _GRAY_SCRIPT,
+        _prog_grid,
+        encode_jpeg_progressive,
+        Q_LUM,
+    )
+
+    rng = np.random.default_rng(43)
+    grid = _prog_grid(rng, 3, 4)
+    prog = encode_jpeg_progressive(
+        [grid], 24, 32, [Q_LUM], [(1, 1)], _GRAY_SCRIPT
+    )
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "prog.jpg").write_bytes(prog)
+    media = read_media_directory(spark, str(d))
+    (row,) = media.collect()
+    assert row.media_type == "image"
+    assert (row.meta.width, row.meta.height) == (32, 24)
+    (ph,) = image_phash(media).collect()
+    # the pHash must come from the REAL decode: recompute it directly
+    from knowhere_spark.functions.jpeg import decode_jpeg
+    from knowhere_spark.operators.multimodal import (
+        _dct_matrix,
+        _phash64_arr,
+    )
+
+    expected = _phash64_arr(
+        decode_jpeg(prog), _dct_matrix(32), 1 << np.arange(64, dtype=np.uint64)
+    )
+    assert ph.phash == expected
