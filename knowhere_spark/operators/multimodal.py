@@ -379,7 +379,7 @@ def _decode_png(data: bytes) -> np.ndarray:
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, ihdr, plte, idat = 8, None, None, []
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
     while pos + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, pos)
         body = data[pos + 8 : pos + 8 + ln]
@@ -389,6 +389,8 @@ def _decode_png(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -458,7 +460,18 @@ def _decode_png(data: bytes) -> np.ndarray:
         idx = vals[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        return plte[idx].astype(np.float64) / 255.0
+        rgb = plte[idx].astype(np.float64) / 255.0
+        if trns is not None:
+            # tRNS for palette images: per-entry alpha, entries beyond
+            # the table default to opaque (spec 11.3.2.1) → RGBA out,
+            # the web transparent-PNG shape
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+            return np.concatenate(
+                [rgb, alpha[idx].astype(np.float64)[..., None] / 255.0],
+                axis=-1,
+            )
+        return rgb
     if depth == 16:
         arr = (
             np.ascontiguousarray(vals.reshape(h, -1)).view(">u2")
@@ -959,6 +972,30 @@ def iter_keyframes(payload: bytes, meta: dict, every_n: int = 1) -> list[dict]:
         }
         for i in range(0, n, every_n)
     ]
+
+
+def orient_image(arr: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Apply a TIFF/EXIF orientation tag (1-8) to decoded pixels — the
+    auto-rotate step real pipelines run before hashing/featurizing
+    (phone photos carry rotation as METADATA; two pixel-identical
+    uploads with different tags are near-dups only after normalizing).
+    Works on ``(h, w)`` and ``(h, w, C)``; unknown/None tags pass
+    through unchanged (the parse-failure contract)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(arr, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(arr, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(arr, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(arr, 0, 1)[::-1, :]
+    return arr
 
 
 def exif_metadata(media: DataFrame) -> DataFrame:

@@ -909,3 +909,55 @@ def test_wav_ieee_float_decodes():
     stereo[1::2] = -x
     gots = decode_payload(float_wav(stereo, 2, 64), "audio", {})
     np.testing.assert_allclose(gots, np.zeros(64), atol=1e-12)
+
+
+def test_png_trns_palette_alpha():
+    """tRNS on a palette PNG (the web transparent-PNG shape) decodes to
+    RGBA; entries beyond the tRNS table default opaque (spec
+    11.3.2.1); no tRNS keeps the plain RGB output."""
+    rng = np.random.default_rng(34)
+    palette = rng.integers(0, 256, (4, 3))
+    idx = rng.integers(0, 4, (5, 6))
+    import struct
+    import zlib
+
+    base = _make_png(idx, 1, color_type=3, palette=palette)
+    assert decode_payload(base, "image", {}).shape == (5, 6, 3)
+    # splice a tRNS chunk (alphas for entries 0 and 1 only) before IDAT
+    trns = _png_chunk(b"tRNS", bytes([0, 128]))
+    at = base.find(b"IDAT") - 4
+    with_trns = base[:at] + trns + base[at:]
+    out = decode_payload(with_trns, "image", {})
+    assert out.shape == (5, 6, 4)
+    np.testing.assert_allclose(out[..., :3], palette[idx] / 255.0)
+    exp_alpha = np.array([0, 128, 255, 255])[idx] / 255.0
+    np.testing.assert_allclose(out[..., 3], exp_alpha)
+
+
+def test_orient_image_all_tags():
+    """EXIF orientations 1-8 on an asymmetric array: exact expected
+    grids for the rotation cases, involution/inverse properties for
+    all."""
+    from knowhere_spark.operators.multimodal import orient_image
+
+    a = np.arange(6).reshape(2, 3)            # [[0,1,2],[3,4,5]]
+    np.testing.assert_array_equal(orient_image(a, 1), a)
+    np.testing.assert_array_equal(orient_image(a, 2), [[2, 1, 0], [5, 4, 3]])
+    np.testing.assert_array_equal(orient_image(a, 3), [[5, 4, 3], [2, 1, 0]])
+    np.testing.assert_array_equal(orient_image(a, 4), [[3, 4, 5], [0, 1, 2]])
+    np.testing.assert_array_equal(orient_image(a, 5), [[0, 3], [1, 4], [2, 5]])
+    # 6 = rotate 90 CW, 8 = rotate 90 CCW
+    np.testing.assert_array_equal(orient_image(a, 6), np.rot90(a, -1))
+    np.testing.assert_array_equal(orient_image(a, 8), np.rot90(a, 1))
+    # 7 = transverse: transpose of the 180-rotation
+    np.testing.assert_array_equal(
+        orient_image(a, 7), np.swapaxes(a[::-1, ::-1], 0, 1)
+    )
+    # inverse pairs: 6 undoes 8; 2/3/4/5/7 are involutions; None/0 no-op
+    for tag in (2, 3, 4, 5, 7):
+        np.testing.assert_array_equal(orient_image(orient_image(a, tag), tag), a)
+    np.testing.assert_array_equal(orient_image(orient_image(a, 6), 8), a)
+    np.testing.assert_array_equal(orient_image(a, None), a)
+    # channel axis preserved
+    c = np.arange(24).reshape(2, 3, 4)
+    assert orient_image(c, 6).shape == (3, 2, 4)
