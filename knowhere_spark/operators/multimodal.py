@@ -33,7 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1187,6 +1187,51 @@ def video_frame_phashes(
             )
 
     return frames.mapInPandas(kernel, "media_id long, frame_idx int, phash long")
+
+
+def scene_change_frames(
+    media: DataFrame,
+    *,
+    min_hamming: int = 16,
+    every_n: int = 1,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Scene boundaries per video: a sampled keyframe starts a new scene
+    when its pHash sits at Hamming distance ≥ ``min_hamming`` from the
+    PREVIOUS sampled keyframe (near-identical consecutive frames —
+    static shots, slow pans — hash within a few bits; cuts jump half
+    the bits).  The first frame of every video is always a boundary.
+    Returns ``(media_id, frame_idx, phash, hamming_prev, scene_idx)``
+    for boundary frames only — the diverse-frame sample a training
+    pipeline keeps instead of every near-identical frame.
+
+    Plan: the frame-pHash table (one mapInPandas decode pass) → ``lag``
+    window per video ordered by frame index → native ``bit_count(xor)``
+    → running boundary count.  The window partitions by media_id: one
+    video's frames already fit a task (same contract as the signature
+    kernel)."""
+    sigs = video_frame_phashes(media, every_n, decoders=decoders)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    ham = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+        F.bit_count(F.col("phash").bitwiseXOR(prev)).cast("int")
+    )
+    flagged = sigs.withColumn("hamming_prev", ham).withColumn(
+        "__boundary",
+        F.col("hamming_prev").isNull()
+        | (F.col("hamming_prev") >= min_hamming),
+    )
+    scene = (
+        F.sum(F.col("__boundary").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - 1
+    ).cast("int")
+    return (
+        flagged.withColumn("scene_idx", scene)
+        .filter("__boundary")
+        .select("media_id", "frame_idx", "phash", "hamming_prev", "scene_idx")
+    )
 
 
 def video_signatures(

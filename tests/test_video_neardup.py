@@ -171,3 +171,26 @@ def test_video_neardup_overlap_never_exceeds_one(spark):
     for r in out:
         assert 0.0 < r.overlap <= 1.0
         assert r.matches <= 1        # B has one distinct hash
+
+
+def test_scene_change_frames(spark):
+    """Repeated frame payloads (static shot) share a pHash → no
+    boundary; payload changes (cuts) jump ~half the 64 bits → boundary.
+    First frame always opens scene 0."""
+    from knowhere_spark.operators.multimodal import scene_change_frames
+
+    rng = np.random.default_rng(7)
+    a, b, c = rng.bytes(24), rng.bytes(24), rng.bytes(24)
+    v, _ = mux_mp4([a, a, a, b, b, c])
+    df = _media_df(spark, [(1, v)])
+    out = sorted(
+        (r.frame_idx, r.scene_idx, r.hamming_prev)
+        for r in scene_change_frames(df, min_hamming=16).collect()
+    )
+    assert [(f, s) for f, s, _ in out] == [(0, 0), (3, 1), (5, 2)]
+    assert out[0][2] is None                  # first frame: no previous
+    assert out[1][2] >= 16 and out[2][2] >= 16
+    # a single-scene video yields exactly its first frame
+    v2, _ = mux_mp4([a, a, a, a])
+    out2 = scene_change_frames(_media_df(spark, [(2, v2)])).collect()
+    assert [(r.frame_idx, r.scene_idx) for r in out2] == [(0, 0)]
