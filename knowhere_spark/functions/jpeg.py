@@ -23,9 +23,11 @@ images overwhelmingly are):
   approximation (DC/AC first and refinement passes, EOB runs, restart
   markers per scan) over the same Huffman/dequant/IDCT machinery.
 
-Arithmetic coding (SOF9-11/13-15), hierarchical (DHP), lossless
-(SOF3/7) and 12-bit sample precision raise ``NotImplementedError`` —
-the recognized-but-undecodable contract the multimodal stubs use (an
+12-bit sample precision decodes too where T.81 allows it (SOF1
+extended sequential and SOF2 progressive; level shift 2048, range
+0..4095 — the medical/DNG shape).  Arithmetic coding (SOF9-11/13-15),
+hierarchical (DHP) and lossless (SOF3/7) raise ``NotImplementedError``
+— the recognized-but-undecodable contract the multimodal stubs use (an
 honest stub, not corrupt data).
 
 Throughput (measured, single core, this container, 256x256 gray,
@@ -393,15 +395,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in _SOF_BASELINE or marker == _SOF_PROGRESSIVE:
             progressive = marker == _SOF_PROGRESSIVE
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"JPEG {prec}-bit precision")
+            # T.81: baseline (SOF0) is 8-bit; extended sequential (SOF1)
+            # and progressive (SOF2) also allow 12-bit samples
+            if prec != 8 and not (prec == 12 and marker in (0xC1, 0xC2)):
+                raise NotImplementedError(
+                    f"JPEG {prec}-bit precision (SOF{marker - 0xC0})"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 3 + 3 * c + 3)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
         elif marker == 0xC4:        # DHT
             off = 0
             while off < len(body):
@@ -745,6 +751,9 @@ def _render(
     color-transform.  Shared by the baseline and progressive paths."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    # sample range per precision: level shift 2^(P-1), clamp to 2^P - 1
+    shift = 1 << (frame.get("prec", 8) - 1)
+    maxv = (1 << frame.get("prec", 8)) - 1
     out_planes = []
     for c in comps:
         zz = coefs[c["id"]]                       # (by, bx, 64) zigzag
@@ -763,18 +772,18 @@ def _render(
         # per-plane clamp to the 8-bit sample range BEFORE the color
         # transform — libjpeg's range-limit semantics (out-of-gamut IDCT
         # excursions saturate as samples, not as RGB)
-        p = np.clip(plane + 128.0, 0, 255)
+        p = np.clip(plane + float(shift), 0, maxv)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:        # pixel-replication chroma upsample
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
-        return out_planes[0] / 255.0
+        return out_planes[0] / float(maxv)
     if len(out_planes) != 3:
         raise NotImplementedError(f"JPEG with {len(out_planes)} components")
     y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
+    cb = cb - float(shift)
+    cr = cr - float(shift)
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -783,4 +792,4 @@ def _render(
         ],
         axis=-1,
     )
-    return np.clip(rgb, 0, 255) / 255.0
+    return np.clip(rgb, 0, maxv) / float(maxv)

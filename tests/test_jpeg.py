@@ -136,7 +136,7 @@ def _seg(marker, body):
 
 
 def encode_jpeg(coeffs, h, w, q_tables, sampling, restart_interval=0,
-                sof_marker=0xC0):
+                sof_marker=0xC0, prec=8):
     """Minimal baseline encoder.  ``coeffs``: list per component of int
     arrays ``(n_blocks_in_decode_order, 64)`` (zigzag-quantized);
     ``sampling``: list of (h_i, v_i); component c uses quant table 0 if
@@ -147,7 +147,7 @@ def encode_jpeg(coeffs, h, w, q_tables, sampling, restart_interval=0,
     for tq, q in enumerate(q_tables):
         dqt += bytes([tq]) + bytes(int(x) for x in q)
     out += _seg(0xDB, dqt)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", prec, h, w, nc)
     for c in range(nc):
         hi, vi = sampling[c]
         sof += bytes([c + 1, (hi << 4) | vi, 0 if c == 0 else 1])
@@ -541,7 +541,7 @@ def _enc_ac_refine(sw, zz, ss, se, ah, al):
 
 
 def encode_jpeg_progressive(grids, h, w, q_tables, sampling, scans,
-                            restart_interval=0):
+                            restart_interval=0, prec=8):
     """Minimal progressive encoder.  ``grids``: per component an int
     array ``(mcuy*v, mcux*h, 64)`` of zigzag-quantized coefficients
     (MCU-padded; dummy blocks only coded in interleaved DC scans).
@@ -552,7 +552,7 @@ def encode_jpeg_progressive(grids, h, w, q_tables, sampling, scans,
     for tq, q in enumerate(q_tables):
         dqt += bytes([tq]) + bytes(int(x) for x in q)
     out += _seg(0xDB, dqt)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", prec, h, w, nc)
     for c in range(nc):
         hi, vi = sampling[c]
         sof += bytes([c + 1, (hi << 4) | vi, 0 if c == 0 else 1])
@@ -878,3 +878,28 @@ def test_jpeg_progressive_randomized_scripts(seed):
     got = decode_jpeg(data)
     exp = np.clip(_expected_plane_grid(grid, Q_LUM), 0, 255)[:h, :w] / 255.0
     np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_jpeg_12bit_precision():
+    """12-bit samples where T.81 allows them (SOF1 extended sequential,
+    SOF2 progressive): level shift 2048, clamp to 0..4095, normalize by
+    4095 — exact recovery; SOF0 at 12-bit stays rejected."""
+    rng = np.random.default_rng(28)
+    h, w = 16, 16
+    grid = _prog_grid(rng, 2, 2)
+    grid[..., 0] = rng.integers(-900, 901, size=(2, 2))   # wide DC range
+    q12 = np.full(64, 9, dtype=np.int64)
+    seq = encode_jpeg([grid.reshape(-1, 64)], h, w, [q12], [(1, 1)],
+                      sof_marker=0xC1, prec=12)
+    got = decode_jpeg(seq)
+    exp = (
+        np.clip(_expected_plane_grid(grid, q12) - 128.0 + 2048.0, 0, 4095)
+        [:h, :w] / 4095.0
+    )
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+    prog = encode_jpeg_progressive([grid], h, w, [q12], [(1, 1)],
+                                   _GRAY_SCRIPT, prec=12)
+    np.testing.assert_array_equal(decode_jpeg(prog), got)
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(encode_jpeg([grid.reshape(-1, 64)], h, w, [q12],
+                                [(1, 1)], sof_marker=0xC0, prec=12))
