@@ -242,31 +242,60 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
 
 
+def _ulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 linear (the exact integer expansion)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 linear (the exact integer expansion)."""
+    a = b.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t)
+
+
 def _decode_wav_float(data: bytes) -> np.ndarray:
-    """IEEE-float WAV (fmt tag 3 — the ML-audio-dataset default the
-    stdlib ``wave`` module rejects): manual RIFF chunk walk, 32/64-bit
-    samples, mono-averaged."""
+    """Non-PCM WAV the stdlib ``wave`` module rejects, via a manual RIFF
+    chunk walk: IEEE float (fmt tag 3, 32/64-bit — the ML-audio-dataset
+    default) and G.711 µ-law / A-law (tags 7 / 6 — the telephony-corpus
+    codecs).  Mono-averaged float64 out, same contract as the PCM
+    path."""
     import struct
 
-    pos, nch, bits, raw = 12, None, None, None
+    pos, tag, nch, bits, raw = 12, None, None, None, None
     while pos + 8 <= len(data):
         cid, ln = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             tag, nch, _rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if tag != 3:
-                raise ValueError(f"not an IEEE-float WAV (fmt tag {tag})")
+            if tag not in (3, 6, 7):
+                raise ValueError(f"unsupported WAV fmt tag {tag}")
         elif cid == b"data":
             raw = body
         pos += 8 + ln + (ln & 1)   # chunks pad to even
     if nch is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits not in (32, 64):
-        raise NotImplementedError(f"float WAV with {bits}-bit samples")
-    x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
-        np.float64
-    )
+    if tag == 3:
+        if bits not in (32, 64):
+            raise NotImplementedError(f"float WAV with {bits}-bit samples")
+        x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
+            np.float64
+        )
+    else:
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with {bits}-bit samples")
+        b = np.frombuffer(raw, dtype=np.uint8)
+        lin = _ulaw_to_linear(b) if tag == 7 else _alaw_to_linear(b)
+        x = lin.astype(np.float64) / 32768.0
     return x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
 
 

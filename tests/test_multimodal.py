@@ -961,3 +961,48 @@ def test_orient_image_all_tags():
     # channel axis preserved
     c = np.arange(24).reshape(2, 3, 4)
     assert orient_image(c, 6).shape == (3, 2, 4)
+
+
+def test_wav_g711_ulaw_alaw_decode():
+    """fmt-tag 7 (µ-law) / 6 (A-law) WAV — telephony-corpus codecs the
+    stdlib wave module rejects.  The integer expansions are conformance-
+    checked against stdlib audioop over every byte value (skipped where
+    audioop is gone, 3.13+), and a full WAV payload decodes end-to-end."""
+    import struct
+    import warnings
+
+    from knowhere_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+    )
+
+    b = np.arange(256, dtype=np.uint8)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+
+        ref_u = np.frombuffer(audioop.ulaw2lin(bytes(b), 2), dtype="<i2")
+        ref_a = np.frombuffer(audioop.alaw2lin(bytes(b), 2), dtype="<i2")
+        np.testing.assert_array_equal(_ulaw_to_linear(b), ref_u.astype(np.int64))
+        np.testing.assert_array_equal(_alaw_to_linear(b), ref_a.astype(np.int64))
+    except ImportError:
+        pass
+    # pinned values from the G.711 tables (audioop-independent anchors)
+    assert _ulaw_to_linear(np.array([0xFF], dtype=np.uint8))[0] == 0
+    assert _ulaw_to_linear(np.array([0x00], dtype=np.uint8))[0] == -32124
+    assert _alaw_to_linear(np.array([0xD5], dtype=np.uint8))[0] == 8
+    assert _alaw_to_linear(np.array([0x55], dtype=np.uint8))[0] == -8
+
+    def g711_wav(payload_bytes, tag):
+        fmt_body = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(payload_bytes)) + payload_bytes
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    got = decode_payload(g711_wav(bytes(b), 7), "audio", {})
+    np.testing.assert_allclose(got, _ulaw_to_linear(b) / 32768.0)
+    got_a = decode_payload(g711_wav(bytes(b), 6), "audio", {})
+    np.testing.assert_allclose(got_a, _alaw_to_linear(b) / 32768.0)
