@@ -1567,6 +1567,36 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 # audio spectral features — real DSP over really-decoded samples
 # ---------------------------------------------------------------------------
 
+def audio_neardup_pairs(
+    media: DataFrame,
+    threshold: float = 0.99,
+    *,
+    n_bands: int = 16,
+    frame: int = 256,
+    hop: int = 128,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs — the fourth modality of the near-dup
+    family (text MinHash/SimHash, image pHash, video frame-pHash):
+    spectral fingerprints (:func:`audio_spectral_features` — log-banded
+    energy, robust to level/codec changes) compared by cosine via the
+    engine's own distributed range search
+    (operators/dedup.embedding_neardup_pairs — never all-pairs at
+    scale, route through IVF per its docstring).  Returns
+    ``(id_a, id_b, cosine)`` with cosine ≥ ``threshold``.
+
+    Same materialize-before-self-join discipline as the image/video
+    ops: the decode+FFT kernel runs exactly once."""
+    from knowhere_spark.operators.dedup import embedding_neardup_pairs
+
+    feats = audio_spectral_features(
+        media, n_bands=n_bands, frame=frame, hop=hop, decoders=decoders
+    ).localCheckpoint(eager=True)
+    return embedding_neardup_pairs(
+        feats, threshold, id_col="media_id", vec_col="features"
+    )
+
+
 def audio_spectral_features(
     media: DataFrame, *, n_bands: int = 16, frame: int = 256, hop: int = 128,
     decoders: dict | None = None,

@@ -1006,3 +1006,28 @@ def test_wav_g711_ulaw_alaw_decode():
     np.testing.assert_allclose(got, _ulaw_to_linear(b) / 32768.0)
     got_a = decode_payload(g711_wav(bytes(b), 6), "audio", {})
     np.testing.assert_allclose(got_a, _alaw_to_linear(b) / 32768.0)
+
+
+def test_audio_neardup_pairs(spark):
+    """Fourth near-dup modality: identical tones pair at cosine ~1,
+    unrelated noise stays out; the decode+FFT kernel runs once
+    (checkpoint discipline shared with image/video)."""
+    from knowhere_spark.operators.multimodal import audio_neardup_pairs
+
+    rng = np.random.default_rng(35)
+    t = np.arange(2048) / 8000.0
+    tone = np.sin(2 * np.pi * 440 * t) * 0.5
+    noise = rng.uniform(-0.5, 0.5, 2048)
+    meta = {"width": 0, "height": 0, "n_frames": 0, "sample_rate": 8000}
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_make_wav(tone)), meta),
+            (2, "audio", bytearray(_make_wav(tone * 0.7)), meta),  # level change
+            (3, "audio", bytearray(_make_wav(noise)), meta),
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    out = audio_neardup_pairs(media, threshold=0.98).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].cosine >= 0.98
