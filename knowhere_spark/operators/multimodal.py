@@ -1597,6 +1597,49 @@ def audio_neardup_pairs(
     )
 
 
+def audio_srp_hash(
+    media: DataFrame,
+    *,
+    n_bands: int = 16,
+    frame: int = 256,
+    hop: int = 128,
+    seed: int = 7,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """64-bit sign-random-projection hash of each audio row's spectral
+    fingerprint — the LSH form of :func:`audio_neardup_pairs`' cosine
+    comparison (E[hamming] ≈ 64·angle/π), so audio joins the banded
+    near-dup machinery text/image/video already use (batch pigeonhole
+    join or streaming bucket state).  Fingerprints are mean-centered
+    before projection (raw band energies live in the positive orthant;
+    uncentered, every hash shares most bits and carries no signal).
+    The projection matrix is seeded and built in-kernel — identical on
+    every executor, no broadcast needed.  Returns
+    ``(media_id, ahash BIGINT)``."""
+    feats = audio_spectral_features(
+        media, n_bands=n_bands, frame=frame, hop=hop, decoders=decoders
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = np.random.default_rng(seed).standard_normal((n_bands, 64))
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out_id, out_h = [], []
+            for mid, f in zip(pdf["media_id"], pdf["features"]):
+                v = np.asarray(f, dtype=np.float64)
+                v = v - v.mean()
+                bits = (v @ proj) > 0
+                out_id.append(mid)
+                out_h.append(
+                    int(
+                        (weights * bits).sum(dtype=np.uint64).astype(np.int64)
+                    )
+                )
+            yield pd.DataFrame({"media_id": out_id, "ahash": out_h})
+
+    return feats.mapInPandas(kernel, "media_id long, ahash long")
+
+
 def audio_spectral_features(
     media: DataFrame, *, n_bands: int = 16, frame: int = 256, hop: int = 128,
     decoders: dict | None = None,

@@ -373,12 +373,36 @@ def stream_neardup_images(
 
     if max_bucket < 1:
         raise ValueError("max_bucket must be >= 1")
-    ph = image_phash(media, decoders=decoders)
-    banded = ph.select(
+    return _stream_banded_hash64(
+        image_phash(media, decoders=decoders),
+        hash_col="phash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def _stream_banded_hash64(
+    sigs: DataFrame,
+    *,
+    hash_col: str,
+    max_hamming: int,
+    max_bucket: int,
+) -> DataFrame:
+    """The shared streaming banded-Hamming core: 64-bit signatures →
+    pigeonhole bands → per-bucket keyed state matching every signature
+    EVER seen in the bucket, ``max_bucket``-capped.  Backs the image
+    (pHash) and audio (SRP-hash) streaming near-dup operators."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from knowhere_spark.operators.dedup import hamming64_band_exprs
+
+    banded = sigs.select(
         "media_id",
-        "phash",
+        F.col(hash_col).alias("phash"),
         F.posexplode(
-            F.array(*hamming64_band_exprs("phash", max_hamming))
+            # band exprs must reference the INPUT column: an alias
+            # defined in the same select is not visible to siblings
+            F.array(*hamming64_band_exprs(hash_col, max_hamming))
         ).alias("band", "band_val"),
     ).select(
         F.concat_ws(
@@ -435,4 +459,40 @@ def stream_neardup_images(
         state_schema,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_neardup_audio(
+    media: DataFrame,
+    *,
+    max_hamming: int = 6,
+    max_bucket: int = 10_000,
+    n_bands: int = 16,
+    frame: int = 256,
+    hop: int = 128,
+    seed: int = 7,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Streaming audio near-dup — the fourth modality's streaming twin
+    (text MinHash, image pHash, video frame-pHash state ops above):
+    each arriving clip's 64-bit SRP spectral hash
+    (operators/multimodal.audio_srp_hash; E[hamming] ≈ 64·angle/π, so
+    ``max_hamming=6`` ≈ cosine ≥ ~0.96) goes through the SAME banded
+    bucket state as images — re-uploaded or level-changed audio
+    arriving in later micro-batches is caught.  Emits
+    ``(id_a, id_b, hamming)``; candidates are LSH-approximate in the
+    usual direction (the batch operator's exact cosine
+    `audio_neardup_pairs` is the verifier for flagged pairs)."""
+    from knowhere_spark.operators.multimodal import audio_srp_hash
+
+    if max_bucket < 1:
+        raise ValueError("max_bucket must be >= 1")
+    return _stream_banded_hash64(
+        audio_srp_hash(
+            media, n_bands=n_bands, frame=frame, hop=hop, seed=seed,
+            decoders=decoders,
+        ),
+        hash_col="ahash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )

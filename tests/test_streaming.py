@@ -848,3 +848,59 @@ def test_stream_video_neardup_survives_query_restart(spark, tmp_path):
     assert evidence.distinct().count() == 4
     pairs = video_match_overlap(evidence, 0.6).collect()
     assert [(r.id_a, r.id_b, r.matches) for r in pairs] == [(1, 3, 4)]
+
+
+def test_stream_neardup_audio_cross_batch(spark, tmp_path):
+    """Streaming audio near-dup (the fourth modality's streaming twin):
+    a level-changed copy arriving in a LATER micro-batch is caught via
+    the banded SRP-hash bucket state; unrelated noise never pairs."""
+    import os
+    import time
+
+    from tests.test_multimodal import _make_wav
+    from knowhere_spark.streaming.dedup import stream_neardup_audio
+
+    rng = np.random.default_rng(51)
+    t = np.arange(2048) / 8000.0
+    tone = np.sin(2 * np.pi * 440 * t) * 0.5
+    noise = rng.uniform(-0.5, 0.5, 2048)
+    meta = {"width": 0, "height": 0, "n_frames": 0, "sample_rate": 8000}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    src = str(tmp_path / "asrc")
+    spark.createDataFrame(
+        [(1, "audio", bytearray(_make_wav(tone)), meta),
+         (2, "audio", bytearray(_make_wav(noise)), meta)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "audio", bytearray(_make_wav(tone * 0.7)), meta)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    files = sorted(os.scandir(src), key=lambda e: e.name)
+    now = time.time()
+    for i, e in enumerate(p for p in files if p.name.endswith(".parquet")):
+        os.utime(e.path, (now - 240 + i * 120, now - 240 + i * 120))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_neardup_audio(stream, max_hamming=8)
+        .writeStream.format("memory")
+        .queryName("audio_nd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "a_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM audio_nd_stream"
+        ).collect()
+    }
+    assert pairs == {(1, 3)}
