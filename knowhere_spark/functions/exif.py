@@ -237,6 +237,103 @@ def _scrub_tiff_gps(tiff_bytes: bytes) -> bytes | None:
     return bytes(tiff)
 
 
+#: IFD0 / EXIF-sub-IFD tags that commonly carry personal data beyond
+#: GPS: artist + copyright (names), camera owner, body/lens serial
+#: numbers (device fingerprints), free-form user comment
+PII_TAGS = frozenset(
+    {0x013B, 0x8298, 0x9286, 0xA430, 0xA431, 0xA435}
+)
+#: pointer from IFD0 to the EXIF sub-IFD (where the serial tags live)
+EXIF_IFD_POINTER = 0x8769
+
+
+def _blank_tiff_tags(tiff_bytes: bytes, tags: frozenset) -> bytes | None:
+    """Zero the VALUES of every listed tag in IFD0 and the EXIF sub-IFD
+    — entries stay (offsets/length stable, ASCII values become empty),
+    the data is erased.  Returns new bytes or None (nothing matched /
+    malformed)."""
+    tiff = bytearray(tiff_bytes)
+    try:
+        little = bytes(tiff[:2]) == b"II"
+        if not little and bytes(tiff[:2]) != b"MM":
+            return None
+        e = "<" if little else ">"
+        changed = False
+
+        def blank_ifd(off: int) -> int | None:
+            nonlocal changed
+            if off + 2 > len(tiff):
+                return None
+            n = struct.unpack_from(e + "H", tiff, off)[0]
+            sub = None
+            for i in range(n):
+                p = off + 2 + 12 * i
+                if p + 12 > len(tiff):
+                    break
+                tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, p)
+                if tag == EXIF_IFD_POINTER:
+                    sub = struct.unpack_from(e + "I", tiff, p + 8)[0]
+                if tag not in tags:
+                    continue
+                size = _TYPE_SIZE.get(typ, 1) * cnt
+                if size <= 4:
+                    tiff[p + 8 : p + 12] = b"\x00\x00\x00\x00"
+                else:
+                    voff = struct.unpack_from(e + "I", tiff, p + 8)[0]
+                    hi = min(voff + size, len(tiff))
+                    if voff < hi:
+                        tiff[voff:hi] = b"\x00" * (hi - voff)
+                changed = True
+            return sub
+
+        ifd0 = struct.unpack_from(e + "I", tiff, 4)[0]
+        sub = blank_ifd(ifd0)
+        if sub:
+            blank_ifd(sub)
+    except Exception:
+        return None
+    return bytes(tiff) if changed else None
+
+
+def strip_exif_pii(
+    jpeg: bytes, *, tags: frozenset = PII_TAGS, scrub_gps: bool = True
+) -> bytes:
+    """The full image-side PII pass: everything :func:`strip_exif_gps`
+    removes (all EXIF GPS IFDs + XMP exif:GPS*) PLUS the values of the
+    listed identity-bearing tags (default :data:`PII_TAGS` — artist,
+    copyright, user comment, owner name, body/lens serials) in IFD0 and
+    the EXIF sub-IFD of every EXIF APP1.  Same guarantees: every
+    payload stays byte-length-identical, pixels untouched, no-PII
+    inputs come back ``is``-identical."""
+    out: bytearray | None = None
+
+    def write(lo: int, new: bytes) -> None:
+        nonlocal out
+        if out is None:
+            out = bytearray(jpeg)
+        out[lo : lo + len(new)] = new
+
+    for _seg_start, body_start, body_end, kind in _iter_app1(jpeg):
+        buf = jpeg if out is None else bytes(out)
+        if kind == "exif":
+            lo = body_start + 6
+            seg = buf[lo:body_end]
+            if scrub_gps:
+                gps_free = _scrub_tiff_gps(seg)
+                if gps_free is not None:
+                    seg = gps_free
+            blanked = _blank_tiff_tags(seg, tags)
+            if blanked is not None:
+                seg = blanked
+            if seg != buf[lo:body_end]:
+                write(lo, seg)
+        elif scrub_gps:
+            new = _scrub_xmp_gps(buf[body_start:body_end])
+            if new is not None:
+                write(body_start, new)
+    return jpeg if out is None else bytes(out)
+
+
 def strip_exif_gps(jpeg: bytes) -> bytes:
     """Remove GPS data from a JPEG's metadata — losslessly for the
     pixels.  Covers EVERY APP1 metadata segment, not just the first:

@@ -1081,6 +1081,27 @@ def scrub_media_gps(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def scrub_media_pii(media: DataFrame) -> DataFrame:
+    """The FULL image-side PII pass (superset of :func:`scrub_media_gps`):
+    every EXIF GPS IFD + XMP exif:GPS* property removed AND the
+    identity-bearing tag values blanked (artist, copyright, user
+    comment, camera owner, body/lens serial numbers — the device
+    fingerprints that link photos across a corpus;
+    functions/exif.strip_exif_pii).  Lossless for pixels,
+    length-preserving, schema-preserving."""
+    from knowhere_spark.functions.exif import strip_exif_pii
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                strip_exif_pii(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # perceptual image hashing — near-dup detection for image corpora
 # ---------------------------------------------------------------------------

@@ -231,3 +231,78 @@ def test_strip_gps_scrubs_every_app1_segment(real_jpeg):
     assert b"37,46.1N" not in scrubbed                        # XMP
     assert exif_tags(scrubbed)["has_gps"] is False
     np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(scrubbed))
+
+
+def test_strip_exif_pii_blanks_identity_tags(real_jpeg):
+    """strip_exif_pii erases artist/serial/owner VALUES (entries stay,
+    offsets/length stable) in IFD0 AND the EXIF sub-IFD, on top of the
+    full GPS scrub; make/orientation survive, pixels byte-identical."""
+    import struct as _st
+
+    from knowhere_spark.functions.exif import strip_exif_pii
+
+    def entry(e, tag, typ, cnt, val4):
+        return _st.pack(e + "HHI", tag, typ, cnt) + val4.ljust(4, b"\x00")
+
+    artist = b"Jane Photographer\x00"
+    serial = b"SN-12345\x00"
+    # IFD0: make, artist (out-of-line), EXIF-IFD pointer; EXIF IFD:
+    # body-serial (out-of-line)
+    make = b"TestCam\x00"          # > 4 bytes: genuinely out-of-line
+    ifd0_off = 8
+    n0 = 4
+    ifd0_len = 2 + 12 * n0 + 4
+    make_off = ifd0_off + ifd0_len
+    artist_off = make_off + len(make)
+    exif_off = artist_off + len(artist)
+    serial_off = exif_off + 2 + 12 + 4
+    e = "<"
+    tiff = (
+        b"II" + _st.pack("<H", 42) + _st.pack("<I", ifd0_off)
+        + _st.pack("<H", n0)
+        + entry(e, 0x010F, 2, len(make), _st.pack("<I", make_off))
+        + entry(e, 0x013B, 2, len(artist), _st.pack("<I", artist_off))
+        + entry(e, 0x0112, 3, 1, _st.pack("<H", 3))
+        + entry(e, 0x8769, 4, 1, _st.pack("<I", exif_off))
+        + _st.pack("<I", 0)
+        + make + artist
+        + _st.pack("<H", 1)
+        + entry(e, 0xA431, 2, len(serial), _st.pack("<I", serial_off))
+        + _st.pack("<I", 0)
+        + serial
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _st.pack(">H", 2 + len(payload)) + payload
+    tagged = _with_exif(real_jpeg, app1)
+    assert b"Jane Photographer" in tagged and b"SN-12345" in tagged
+
+    scrubbed = strip_exif_pii(tagged)
+    assert len(scrubbed) == len(tagged)
+    assert b"Jane Photographer" not in scrubbed
+    assert b"SN-12345" not in scrubbed
+    t = exif_tags(scrubbed)
+    assert t["make"] == "TestCam" and t["orientation"] == 3
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(scrubbed))
+    # idempotent / no-PII no-op
+    assert strip_exif_pii(scrubbed) is scrubbed
+    assert strip_exif_pii(real_jpeg) is real_jpeg
+    # GPS path still included (delegates to the same machinery)
+    gps = _with_exif(real_jpeg, build_exif_app1())
+    assert exif_tags(strip_exif_pii(gps))["has_gps"] is False
+
+
+def test_scrub_media_pii_operator(spark, real_jpeg):
+    from knowhere_spark.operators.multimodal import scrub_media_pii
+
+    tagged = _with_exif(real_jpeg, build_exif_app1())
+    meta = {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(tagged), meta),
+         (2, "image", bytearray(b"not a jpeg"), meta)],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    out = {r.media_id: bytes(r.payload) for r in scrub_media_pii(media).collect()}
+    assert exif_tags(out[1])["has_gps"] is False
+    assert GPS_LAT_BYTES not in out[1]
+    assert out[2] == b"not a jpeg"
