@@ -435,7 +435,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         body[off + 1 : off + 129], dtype=">u2"
                     ).astype(np.int32)
                     off += 129
-                qt[pq_tq & 0x0F] = q
+                slot = pq_tq & 0x0F
+                # dequantization runs ONCE in _render over the final qt
+                # state, so a (spec-legal) mid-image DQT redefinition
+                # would silently decode earlier scans with the wrong
+                # table — refuse it like libjpeg does ("Quantization
+                # table changed mid-image").  A repeated identical DQT
+                # (some encoders re-emit tables per scan) stays fine.
+                if scans and slot in qt and not np.array_equal(qt[slot], q):
+                    raise ValueError(
+                        "JPEG quantization table redefined after SOS"
+                    )
+                qt[slot] = q
         elif marker == 0xDD:        # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:        # SOS

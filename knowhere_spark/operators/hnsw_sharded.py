@@ -160,11 +160,22 @@ def _check_spill_readback(
     spark.knowhere.spill.dir unset, executors commit to their OWN local
     disks and the read-back is silently empty (the explicit schema
     suppresses the inference error) — fail loudly instead of building an
-    index over zero rows.  Local masters share one filesystem, so the
-    failure mode cannot occur there; the corpus-sized count scan is
-    skipped on the hot build path in that case (``force=True`` runs it
-    regardless — tests use it to exercise the mismatch branch)."""
-    if not force and spark.sparkContext.master.startswith("local"):
+    index over zero rows.  Single-JVM local masters share one filesystem,
+    so the failure mode cannot occur there; the corpus-sized count scan
+    is skipped on the hot build path in that case (``force=True`` runs it
+    regardless — tests use it to exercise the mismatch branch).  The
+    local match is EXACT (``local`` / ``local[...]``) — ``local-cluster[...]``
+    runs separate executor JVMs and keeps the full guard — and the local
+    fast path still probes one row, so a truncated/partial spill write is
+    caught everywhere (ADVICE r9)."""
+    master = spark.sparkContext.master
+    if not force and (master == "local" or master.startswith("local[")):
+        if expected_rows > 0 and not sharded.head(1):
+            raise RuntimeError(
+                f"sharded spill read-back at {spill!r} is empty but "
+                f"{expected_rows} rows were written — the spill write "
+                "was truncated or removed"
+            )
         return
     got_rows = sharded.count()
     if got_rows != expected_rows:
@@ -285,7 +296,26 @@ class ShardedHNSWIndex:
             per_row = dim * 4 + (int(config.M) + 1) * 4 + 16
             n_shards = max(1, math.ceil(n * per_row / target_shard_bytes))
             # the byte-size default must never silently land in the
-            # low-recall regime — auto-raise to the coverage bound
+            # low-recall regime — auto-raise to the coverage bound, and
+            # SAY SO (ADVICE r9: 1M rows at ef=64 turns a handful of
+            # byte-target shards into ~489, inflating build cost and
+            # per-query fan-out on corpora that are not dup-heavy).
+            # NOTE the bound is keyed to the BUILD config's ef — if you
+            # search with a larger ef, fewer shards already suffice:
+            # pass n_shards explicitly to override.
+            if coverage_shards > n_shards:
+                import warnings
+
+                warnings.warn(
+                    f"ShardedHNSW: raising n_shards {n_shards} -> "
+                    f"{coverage_shards} to keep rows/shard within the "
+                    f"recall-safe coverage bound "
+                    f"({_SHARD_COVERAGE_FACTOR}*ef at build ef={ef}; "
+                    f"SCALE.md r8).  The bound uses the BUILD config's "
+                    f"ef — pass n_shards explicitly if you search with "
+                    f"a larger ef or the corpus is not dup-heavy.",
+                    stacklevel=2,
+                )
             n_shards = max(n_shards, coverage_shards)
         elif n > 0 and n / n_shards > _SHARD_COVERAGE_FACTOR * ef:
             import warnings

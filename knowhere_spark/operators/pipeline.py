@@ -273,11 +273,17 @@ def dedup_lines_within_doc(
     line order is preserved.  Returns the input schema with ``text_col``
     rewritten.
 
+    Blank/whitespace-only lines are NEVER deduped — they are paragraph
+    structure, not content (same rule as
+    :func:`dedup_lines_across_corpus`): 'p1\\n\\np2\\n\\np3' keeps both
+    separators.
+
     Plan: split → posexplode → ``row_number`` over (doc, trimmed line)
-    by position → keep rank 1 → re-assemble via ``array_sort`` over
-    (pos, line) structs.  Fully native (no UDF); the only shuffle is the
-    window's hash partition on (doc, line) — finer than per-doc keys,
-    and any one group is bounded by its own document's line count."""
+    by position → keep rank 1 or any blank line → re-assemble via
+    ``array_sort`` over (pos, line) structs.  Fully native (no UDF); the
+    only shuffle is the window's hash partition on (doc, line) — finer
+    than per-doc keys, and any one group is bounded by its own
+    document's line count."""
     other = [c for c in docs.columns if c != text_col]
     lines = docs.select(
         *other,
@@ -285,7 +291,7 @@ def dedup_lines_within_doc(
     )
     w = Window.partitionBy(id_col, F.trim(F.col("__line"))).orderBy("__pos")
     kept = lines.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+        (F.col("__rn") == 1) | (F.length(F.trim(F.col("__line"))) == 0)
     )
     rebuilt = kept.groupBy(*other).agg(
         F.concat_ws(
@@ -325,8 +331,11 @@ def dedup_lines_across_corpus(
     reducer pre-combined per partition, so hot lines cannot skew the
     exchange), then a plain shuffle join of lines against the
     over-threshold subset — never a broadcast of an unbounded count
-    table.  ``keep="first"`` adds one window over the hot line's
-    occurrences; prefer ``"none"`` at extreme scale."""
+    table.  ``keep="first"`` adds one ``min_by`` aggregation over the
+    hot lines' occurrences — partial per partition then global, so a
+    corpus-wide banner line occurring 10⁹ times arrives at its reducer
+    as one pre-combined candidate per upstream partition, never as a
+    single-partition window straggler."""
     if keep not in ("none", "first"):
         raise ValueError("keep must be 'none' or 'first'")
     other = [c for c in docs.columns if c != text_col]
@@ -348,14 +357,22 @@ def dedup_lines_across_corpus(
     if keep == "none":
         kept = cold
     else:
-        # rank ONLY the boilerplate occurrences — a window over every
-        # line would shuffle the whole corpus a second time
-        w = Window.partitionBy("__norm").orderBy(id_col, "__pos")
+        # reduce ONLY the boilerplate occurrences, and with min_by — a
+        # declarative aggregate with map-side partial combine — instead
+        # of a row_number window: all 10⁹ occurrences of one banner line
+        # would land in a single window partition, while min_by ships at
+        # most one candidate row per upstream partition to the reducer
+        cols = flagged.columns
+        occ = F.struct(*[F.col(c) for c in cols])
         first_hot = (
             flagged.filter(F.col("__hot").isNotNull())
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .groupBy("__norm")
+            .agg(
+                F.min_by(
+                    occ, F.struct(F.col(id_col), F.col("__pos"))
+                ).alias("__occ")
+            )
+            .select(*[F.col(f"__occ.{c}").alias(c) for c in cols])
         )
         kept = cold.unionByName(first_hot)
     rebuilt = kept.groupBy(*other).agg(

@@ -740,21 +740,25 @@ def test_save_fast_path_equals_union_path(spark, tmp_path):
 def test_spill_readback_guard_skipped_on_local_master(spark):
     """The read-back row-count guard exists for distributed masters
     (executor-local spill dirs lose rows silently); on local[*] the
-    failure mode cannot occur, so the corpus-sized count scan must NOT
-    run on the hot build path — and the mismatch branch must still fire
-    when forced."""
+    corpus-sized count scan must NOT run on the hot build path — but a
+    cheap one-row probe still catches a truncated/empty spill write
+    (ADVICE r9) — and the mismatch branch must still fire when forced."""
     import pytest
 
     from knowhere_spark.operators.hnsw_sharded import _check_spill_readback
 
     df = dense_df(spark, gen_dense(20, 8, seed=123))
-    # local master: skipped entirely — zero Spark jobs, no raise even
-    # with a wrong expected count
+    # local master: count scan skipped — at most the one-row head probe
+    # (a single cheap job), no raise even with a wrong expected count
     _, jobs = _jobs_for(
         spark, "spillguard",
         lambda: _check_spill_readback(spark, df, 999, "dir"),
     )
-    assert jobs == 0
+    assert jobs <= 1
+    # the local probe still rejects a silently-EMPTY read-back
+    empty = df.filter("id < 0")
+    with pytest.raises(RuntimeError, match="truncated"):
+        _check_spill_readback(spark, empty, 999, "dir")
     # forced (the distributed code path): mismatch raises, match passes
     with pytest.raises(RuntimeError, match="spill"):
         _check_spill_readback(spark, df, 999, "dir", force=True)
@@ -774,11 +778,16 @@ def test_shard_count_recall_guardrail(spark, recwarn):
     base = dense_df(spark, gen_dense(2000, 8, seed=321))
     cfg = HnswConfig(metric_type="L2", M=6, ef=16, k=10)  # bound = 16*32 = 512
     # defaulted n_shards with a huge byte target: size-derived count
-    # would be 1, coverage bound forces ceil(2000/512) = 4
-    idx = ShardedHNSWIndex.build(
-        base, cfg, target_shard_bytes=1 << 40
-    )
+    # would be 1, coverage bound forces ceil(2000/512) = 4 — and the
+    # override is LOGGED, not silent (ADVICE r9)
+    with _w.catch_warnings(record=True) as rec0:
+        _w.simplefilter("always")
+        idx = ShardedHNSWIndex.build(
+            base, cfg, target_shard_bytes=1 << 40
+        )
     assert len(idx.shards) == 4
+    raised = [str(w.message) for w in rec0 if "raising n_shards" in str(w.message)]
+    assert raised and "BUILD config's" in raised[0]
     # explicit under-sharding: warns, does not override
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")

@@ -239,6 +239,31 @@ def test_jpeg_gray_exact_recovery():
     np.testing.assert_allclose(got, exp, atol=1e-9)
 
 
+def test_jpeg_dqt_redefinition_after_sos_rejected():
+    # _render dequantizes once with the FINAL DQT state, so a mid-image
+    # redefinition would silently use the wrong table for earlier scans
+    # — the decoder must refuse it (libjpeg behavior).  A re-emitted
+    # IDENTICAL table (some encoders repeat DQT per scan) stays legal.
+    rng = np.random.default_rng(11)
+    zz = _rand_coeffs(rng, 6)
+    data = encode_jpeg([zz], 24, 16, [Q_LUM], [(1, 1)])
+    changed = np.array(Q_LUM, dtype=np.int64).copy()
+    changed[0] += 1
+    bad = (
+        data[:-2]
+        + _seg(0xDB, bytes([0]) + bytes(int(x) for x in changed))
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="redefined after SOS"):
+        decode_jpeg(bad)
+    same = (
+        data[:-2]
+        + _seg(0xDB, bytes([0]) + bytes(int(x) for x in Q_LUM))
+        + b"\xff\xd9"
+    )
+    np.testing.assert_array_equal(decode_jpeg(same), decode_jpeg(data))
+
+
 def test_jpeg_color_444_exact_recovery():
     rng = np.random.default_rng(8)
     h, w = 16, 16

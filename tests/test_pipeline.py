@@ -427,6 +427,14 @@ def test_dedup_lines_within_doc(spark):
     )
     (r,) = dedup_lines_within_doc(docs2).collect()
     assert r.text == "a\nb"
+    # blank lines are structure, never deduped (ADVICE r9): every
+    # paragraph separator survives, including whitespace-only lines
+    docs3 = spark.createDataFrame(
+        [(1, "p1\n\np2\n\np3"), (2, "a\n \n\t\na")], "doc_id long, text string"
+    )
+    out3 = {r.doc_id: r.text for r in dedup_lines_within_doc(docs3).collect()}
+    assert out3[1] == "p1\n\np2\n\np3"
+    assert out3[2] == "a\n \n\t"
     # plan: native only — no UDF, no Python kernel
     plan = dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
@@ -467,6 +475,15 @@ def test_dedup_lines_across_corpus(spark):
     assert out_f[1].startswith("COOKIE BANNER\nreal content one")
     assert "COOKIE" not in out_f[2] and "COOKIE" not in out_f[3]
     assert out_f[4] == ""
+    # skew-proofing (VERDICT r9 #6): keep="first" is a min_by aggregation
+    # (map-side partial combine), never a window over the hot line's
+    # occurrences — a corpus-wide banner line must not become a
+    # single-partition straggler
+    plan_f = (
+        dedup_lines_across_corpus(docs, min_count=3, keep="first")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan_f
     # oracle cross-check (drop mode) in DuckDB over the same fixture
     import duckdb
 
