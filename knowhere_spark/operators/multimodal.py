@@ -29,6 +29,7 @@ partition into one object.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import numpy as np
@@ -1592,29 +1593,87 @@ def audio_neardup_pairs(
     media: DataFrame,
     threshold: float = 0.99,
     *,
+    strategy: str = "banded",
+    max_hamming: int | None = None,
     n_bands: int = 16,
     frame: int = 256,
     hop: int = 128,
+    seed: int = 7,
+    nlist: int = 128,
+    nprobe: int = 8,
     decoders: dict | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs — the fourth modality of the near-dup
     family (text MinHash/SimHash, image pHash, video frame-pHash):
     spectral fingerprints (:func:`audio_spectral_features` — log-banded
-    energy, robust to level/codec changes) compared by cosine via the
-    engine's own distributed range search
-    (operators/dedup.embedding_neardup_pairs — never all-pairs at
-    scale, route through IVF per its docstring).  Returns
+    energy, robust to level/codec changes) compared by cosine.  Returns
     ``(id_a, id_b, cosine)`` with cosine ≥ ``threshold``.
 
+    ``strategy`` picks the candidate plan (VERDICT r9 #1 — the default
+    must be the 100 TB shape, like every other modality):
+
+    - ``"banded"`` (default): each clip's 64-bit SRP hash of its
+      centered fingerprint (the streaming twin's machinery,
+      streaming/dedup.stream_neardup_audio) goes through the EXACT
+      pigeonhole-banded Hamming join (operators/dedup.hamming64_pairs)
+      — one banded shuffle, never all-pairs — then candidates are
+      verified with the TRUE float64 cosine, so precision is 1.0 and
+      only recall is LSH-approximate (E[hamming] ≈ 64·angle/π;
+      floor-tested vs exact in tests/test_multimodal.py).
+      ``max_hamming`` defaults to ``ceil(2·64·arccos(threshold)/π)+2``
+      (double the expected boundary distance plus slack — 8 at 0.99).
+    - ``"ivf"``: route through a COSINE IVF self-search
+      (operators/dedup.embedding_neardup_ivf) — probe-pruned, the
+      cross-corpus shape; ``nlist``/``nprobe`` apply.
+    - ``"exact"``: brute-force cosine range search — O(n²) scored
+      pairs, the VERIFIER for the other two, never the default.
+
     Same materialize-before-self-join discipline as the image/video
-    ops: the decode+FFT kernel runs exactly once."""
-    from knowhere_spark.operators.dedup import embedding_neardup_pairs
+    ops: the decode+FFT kernel runs exactly once (the banded path fans
+    the feature table into hash + two verify-join sides)."""
+    if strategy not in ("banded", "ivf", "exact"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from knowhere_spark.operators.dedup import (
+        embedding_neardup_ivf,
+        embedding_neardup_pairs,
+        hamming64_pairs,
+    )
 
     feats = audio_spectral_features(
         media, n_bands=n_bands, frame=frame, hop=hop, decoders=decoders
     ).localCheckpoint(eager=True)
-    return embedding_neardup_pairs(
-        feats, threshold, id_col="media_id", vec_col="features"
+    if strategy == "exact":
+        return embedding_neardup_pairs(
+            feats, threshold, id_col="media_id", vec_col="features"
+        )
+    if strategy == "ivf":
+        return embedding_neardup_ivf(
+            feats, threshold, id_col="media_id", vec_col="features",
+            nlist=nlist, nprobe=nprobe,
+        )
+    from knowhere_spark.functions.distance import cosine_expr
+
+    if max_hamming is None:
+        t = min(max(float(threshold), -1.0), 1.0)
+        max_hamming = min(63, int(math.ceil(2 * 64 * math.acos(t) / math.pi)) + 2)
+    hashes = _srp_hash_from_features(feats, n_bands=n_bands, seed=seed)
+    cand = hamming64_pairs(
+        hashes, max_hamming, id_col="media_id", sig_col="ahash"
+    ).select("id_a", "id_b")
+    fa = feats.select(
+        F.col("media_id").alias("id_a"), F.col("features").alias("__fa")
+    )
+    fb = feats.select(
+        F.col("media_id").alias("id_b"), F.col("features").alias("__fb")
+    )
+    cos = cosine_expr(
+        F.col("__fa").cast("array<double>"), F.col("__fb").cast("array<double>")
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -1640,6 +1699,16 @@ def audio_srp_hash(
     feats = audio_spectral_features(
         media, n_bands=n_bands, frame=frame, hop=hop, decoders=decoders
     )
+    return _srp_hash_from_features(feats, n_bands=n_bands, seed=seed)
+
+
+def _srp_hash_from_features(
+    feats: DataFrame, *, n_bands: int, seed: int
+) -> DataFrame:
+    """``(media_id, features)`` → ``(media_id, ahash BIGINT)`` — the
+    shared SRP kernel of :func:`audio_srp_hash` and the banded default
+    of :func:`audio_neardup_pairs` (which already holds a materialized
+    feature table and must not decode twice)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = np.random.default_rng(seed).standard_normal((n_bands, 64))

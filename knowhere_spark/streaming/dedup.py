@@ -481,8 +481,10 @@ def stream_neardup_audio(
     bucket state as images — re-uploaded or level-changed audio
     arriving in later micro-batches is caught.  Emits
     ``(id_a, id_b, hamming)``; candidates are LSH-approximate in the
-    usual direction (the batch operator's exact cosine
-    `audio_neardup_pairs` is the verifier for flagged pairs)."""
+    usual direction (the batch operator's exact cosine —
+    `audio_neardup_pairs(strategy="exact")` — is the verifier for
+    flagged pairs; its default `strategy="banded"` is this stream's
+    batch twin, same SRP hash + banding)."""
     from knowhere_spark.operators.multimodal import audio_srp_hash
 
     if max_bucket < 1:
