@@ -1427,6 +1427,8 @@ def video_neardup_pairs(
     media: DataFrame,
     *,
     every_n: int = 1,
+    sample: str = "every_n",
+    scene_min_hamming: int = 16,
     min_overlap: float = 0.5,
     max_hamming: int = 0,
     max_hash_freq: int | None = 10_000,
@@ -1463,11 +1465,22 @@ def video_neardup_pairs(
     the raw size, the semantics the STREAMING operator
     (streaming/dedup.stream_video_neardup) necessarily has (it cannot
     retroactively know which hashes later hit the cap) — use it when a
-    batch backfill must agree with streaming verdicts."""
+    batch backfill must agree with streaming verdicts.
+
+    ``sample`` picks the frame-sampling stage (VERDICT r9 #7):
+    ``"every_n"`` (default) hashes every ``every_n``-th keyframe;
+    ``"scenes"`` keeps only scene-boundary frames
+    (:func:`scene_change_frames` at ``scene_min_hamming``) — the
+    diverse-frame signature, one decode pass plus a per-video lag
+    window, cheaper signatures on long static shots.  At
+    ``scene_min_hamming=0`` every frame is a boundary, so the two
+    samplings are identical (pytest-pinned)."""
     if not 0.0 < min_overlap <= 1.0:
         raise ValueError("min_overlap must be in (0, 1]")
     if denominator not in ("post_drop", "pre_drop"):
         raise ValueError("denominator must be 'post_drop' or 'pre_drop'")
+    if sample not in ("every_n", "scenes"):
+        raise ValueError("sample must be 'every_n' or 'scenes'")
     # The signature table fans out into up to 8 plan references (freq,
     # counts, both join sides) and Spark does NOT common-subexpression
     # the lineage — without materialization the container-parse + pHash
@@ -1475,9 +1488,15 @@ def video_neardup_pairs(
     # 0 ReusedExchange in the un-checkpointed plan).  One eager
     # localCheckpoint pins the decoded signatures; storage is
     # O(videos × frames × 16 bytes), negligible next to the payloads.
+    if sample == "scenes":
+        src = scene_change_frames(
+            media, min_hamming=scene_min_hamming, every_n=every_n,
+            decoders=decoders,
+        )
+    else:
+        src = video_frame_phashes(media, every_n, decoders=decoders)
     sigs = (
-        video_frame_phashes(media, every_n, decoders=decoders)
-        .select("media_id", "phash")
+        src.select("media_id", "phash")
         .distinct()
         .localCheckpoint(eager=True)
     )

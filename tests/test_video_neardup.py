@@ -194,3 +194,36 @@ def test_scene_change_frames(spark):
     v2, _ = mux_mp4([a, a, a, a])
     out2 = scene_change_frames(_media_df(spark, [(2, v2)])).collect()
     assert [(r.frame_idx, r.scene_idx) for r in out2] == [(0, 0)]
+
+
+def test_video_neardup_scene_sampling(spark):
+    """VERDICT r9 #7: sample='scenes' runs the diverse-frame sample
+    through the near-dup pipeline.  At scene_min_hamming=0 every frame
+    is a boundary, so the result must equal sample='every_n'; and with a
+    planted cut structure (shared scenes under different static-shot run
+    lengths), the boundary-only signatures must still find the pair."""
+    rng = np.random.default_rng(17)
+    cut1, cut2, cut3 = rng.bytes(24), rng.bytes(24), rng.bytes(24)
+    # two videos share scenes (cut1, cut2) but pad them with DIFFERENT
+    # static-shot run lengths; a third is unrelated
+    a, _ = mux_mp4([cut1, cut1, cut1, cut2, cut2, cut3])
+    b, _ = mux_mp4([cut1, cut2, cut2, cut2, cut2, rng.bytes(24)])
+    c, _ = mux_mp4([rng.bytes(24) for _ in range(4)])
+    df = _media_df(spark, [(1, a), (2, b), (3, c)])
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.matches, round(r.overlap, 6))
+            for r in video_neardup_pairs(df, min_overlap=0.5, **kw).collect()
+        )
+
+    # equality pin: scene_min_hamming=0 ⇒ every frame is a boundary ⇒
+    # identical signature set to the every_n sampling
+    assert pairs(sample="scenes", scene_min_hamming=0) == pairs()
+    # planted cuts: scene sampling keeps boundary frames only — the two
+    # videos share 2 of their ≤3 scene hashes → a pair at 0.5
+    scene = pairs(sample="scenes", scene_min_hamming=16)
+    assert [(x[0], x[1]) for x in scene] == [(1, 2)]
+    assert scene[0][2] == 2                      # cut1 + cut2 shared
+    with pytest.raises(ValueError, match="sample"):
+        video_neardup_pairs(df, sample="nope")
