@@ -763,6 +763,61 @@ def synthesize_image_media(documents: DataFrame, *, dup_stride: int = 5) -> Data
     return ensure_parallelism(ids).mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def synthesize_audio_media(
+    documents: DataFrame, *, dup_groups: int = 17
+) -> DataFrame:
+    """Deterministic REAL-WAV media from the documents table — the
+    ``audio_neardup_srp`` driver-gate fixture.  Doc ``d`` renders a
+    2048-sample two-tone PCM16 WAV keyed ONLY by its group
+    ``g = d % dup_groups`` (tones ``200 + 210·g`` and ``3900 - 205·g``
+    Hz at 8 kHz — one-band-wide spacing, so distinct groups have
+    well-separated log-band energy profiles), hence all docs in a group
+    are byte-exact duplicates: identical spectral features, identical
+    SRP hash (Hamming 0), cosine exactly 1 — while cross-group cosines
+    sit far below any near-dup threshold.  Expected pair set =
+    arithmetic over doc ids, the DuckDB mirror."""
+    import struct as _st
+
+    from knowhere_spark.session import ensure_parallelism
+
+    ids = documents.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(2048) / 8000.0
+        wavs = {}
+        for g in range(dup_groups):
+            f1, f2 = 200 + 210 * g, 3900 - 205 * g
+            sig = (
+                0.4 * np.sin(2 * np.pi * f1 * t)
+                + 0.2 * np.sin(2 * np.pi * f2 * t)
+            )
+            pcm = (sig * 32767).astype("<i2").tobytes()
+            hdr = (
+                b"RIFF" + _st.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + _st.pack("<I", len(pcm))
+            )
+            wavs[g] = hdr + pcm
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                payloads.append(wavs[int(mid) % dup_groups])
+                metas.append(
+                    {"width": 0, "height": 0, "n_frames": 0,
+                     "sample_rate": 8000}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return ensure_parallelism(ids).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, feature_dim: int = 16, *, decoders: dict | None = None
 ) -> DataFrame:
