@@ -1295,33 +1295,37 @@ def q_dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exif_fixture_app1(d: int) -> bytes:
-    """EXIF APP1 for doc ``d``: make=Cam{d%5}, orientation=(d%8)+1, and
-    — when ``d % 3 == 0`` — a GPS sub-IFD with an out-of-line latitude
-    rational (the PII bytes the scrub must erase).  Little-endian TIFF;
+    """EXIF APP1 for doc ``d``: make=Cam{d%5}, orientation=(d%8)+1, an
+    out-of-line Artist 0x013B = "User{d%9}" (the identity PII the r10
+    full scrub must blank), and — when ``d % 3 == 0`` — a GPS sub-IFD
+    with an out-of-line latitude rational.  Little-endian TIFF;
     structure mirrors tests/test_exif.py's fixture builder."""
     import struct as _st
 
     make = b"Cam%d\x00" % (d % 5)
+    artist = b"User%d\x00" % (d % 9)
     gps = d % 3 == 0
 
     def entry(tag, typ, cnt, val4):
         return _st.pack("<HHI", tag, typ, cnt) + val4.ljust(4, b"\x00")
 
-    n_entries = 3 if gps else 2
+    n_entries = 4 if gps else 3
     ifd0_off = 8
     ifd0_len = 2 + 12 * n_entries + 4
     make_off = ifd0_off + ifd0_len
-    gps_off = make_off + len(make)
+    artist_off = make_off + len(make)
+    gps_off = artist_off + len(artist)
     entries = [
         entry(0x010F, 2, len(make), _st.pack("<I", make_off)),
         entry(0x0112, 3, 1, _st.pack("<H", (d % 8) + 1)),
+        entry(0x013B, 2, len(artist), _st.pack("<I", artist_off)),
     ]
     if gps:
         entries.append(entry(0x8825, 4, 1, _st.pack("<I", gps_off)))
     tiff = (
         b"II" + _st.pack("<H", 42) + _st.pack("<I", ifd0_off)
         + _st.pack("<H", n_entries) + b"".join(entries)
-        + _st.pack("<I", 0) + make
+        + _st.pack("<I", 0) + make + artist
     )
     if gps:
         lat_off = gps_off + 2 + 12 * 2 + 4
@@ -1350,17 +1354,22 @@ def _exif_fixture_xmp(d: int) -> bytes:
     return b"\xff\xe1" + _st.pack(">H", 2 + len(payload)) + payload
 
 
-def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXIF GPS scrub driver gate: a REAL baseline JPEG (this
-    container's stdlib test image) gets a deterministic EXIF APP1 per
-    doc (GPS IFD at ``d % 3 == 0``) plus an XMP GPS packet at
-    ``d % 7 == 0``; ``scrub_media_gps`` must (1) flip ``has_gps`` to
-    false everywhere, (2) keep make/orientation, (3) keep payload
-    LENGTH identical, and (4) keep every byte OUTSIDE APP1 segments
-    identical (``non_app1_equal`` — computed by blanking APP1 ranges
-    via the shared marker walker and comparing, i.e. the pixel stream
-    is untouched without decoding it).  All five output columns are
-    doc-id arithmetic → full DuckDB mirror."""
+def q_exif_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF PII scrub driver gate (r10, upgrading r9's exif_gps_scrub
+    in place to the FULL identity pass — VERDICT r9 'what's missing'
+    #1): a REAL baseline JPEG (this container's stdlib test image) gets
+    a deterministic EXIF APP1 per doc (GPS IFD at ``d % 3 == 0``, an
+    Artist identity tag "User{d%9}" on EVERY doc) plus an XMP GPS
+    packet at ``d % 7 == 0``; ``scrub_media_pii`` must (1) flip
+    ``has_gps`` to false everywhere, (2) BLANK the artist value
+    (``artist_b`` = the planted name before, ``artist`` = '' after —
+    byte surgery zeroes the out-of-line ASCII value, entry stays),
+    (3) keep make/orientation, (4) keep payload LENGTH identical, and
+    (5) keep every byte OUTSIDE APP1 segments identical
+    (``non_app1_equal`` — computed by blanking APP1 ranges via the
+    shared marker walker and comparing, i.e. the pixel stream is
+    untouched without decoding it).  All output columns are doc-id
+    arithmetic → full DuckDB mirror."""
     import sysconfig
 
     import pandas as pd
@@ -1368,7 +1377,7 @@ def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowhere_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         exif_metadata,
-        scrub_media_gps,
+        scrub_media_pii,
     )
 
     base_jpeg = open(
@@ -1400,13 +1409,15 @@ def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = ids.mapInPandas(build, MEDIA_SCHEMA).localCheckpoint(eager=True)
-    scrubbed = scrub_media_gps(media).localCheckpoint(eager=True)
+    scrubbed = scrub_media_pii(media).localCheckpoint(eager=True)
 
     before = exif_metadata(media).select(
-        "media_id", F.col("has_gps").alias("had_gps")
+        "media_id",
+        F.col("has_gps").alias("had_gps"),
+        F.col("artist").alias("artist_b"),
     )
     after = exif_metadata(scrubbed).select(
-        "media_id", "has_gps", "make",
+        "media_id", "has_gps", "make", "artist",
         F.col("orientation").cast("int").alias("orientation"),
     )
     lens = (
@@ -1455,6 +1466,7 @@ def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(byte_eq, "media_id")
         .select(
             "media_id", "had_gps", "has_gps", "make", "orientation",
+            "artist_b", "artist",
             F.col("len_delta").cast("long").alias("len_delta"),
             "non_app1_equal",
         )
@@ -1799,7 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "video_neardup_exact": q_video_neardup_exact,
         "phash_neardup_pairs": q_phash_neardup_pairs,
-        "exif_gps_scrub": q_exif_gps_scrub,
+        "exif_pii_scrub": q_exif_pii_scrub,
         "ivf_sq8_quantized_exact": q_ivf_sq8_quantized_exact,
         "hnsw_beam_exact": q_hnsw_beam_exact,
         "ivf_pq_adc_fixed": q_ivf_pq_adc_fixed,
@@ -2932,15 +2944,18 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 WHERE b.doc_id % 5 = 1
 """,
-        # exif_gps_scrub: fixture arithmetic — EXIF GPS at d%3==0, XMP
+        # exif_pii_scrub (r10, upgraded in place from exif_gps_scrub):
+        # fixture arithmetic — EXIF GPS at d%3==0, XMP
         # GPS at d%7==0, make=Cam{d%5}, orientation=(d%8)+1; the scrub
         # must erase every GPS trace while changing nothing else
-        "exif_gps_scrub": """
+        "exif_pii_scrub": """
 SELECT doc_id AS media_id,
        (doc_id % 3 = 0 OR doc_id % 7 = 0) AS had_gps,
        FALSE AS has_gps,
        'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
        CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       'User' || CAST(doc_id % 9 AS VARCHAR) AS artist_b,
+       '' AS artist,
        CAST(0 AS BIGINT) AS len_delta,
        TRUE AS non_app1_equal
 FROM documents

@@ -31,6 +31,7 @@ _TAG_NAMES = {
     0x0110: "model",
     0x0112: "orientation",
     0x0132: "datetime",
+    0x013B: "artist",
     0x8769: "exif_ifd",
     GPS_IFD_POINTER: "gps_ifd",
 }
@@ -114,14 +115,16 @@ def _entry_value(tiff: bytes, typ: int, cnt: int, raw: bytes, little: bool):
 
 def exif_tags(jpeg: bytes) -> dict:
     """Parse the EXIF APP1 of a JPEG into ``{"make", "model",
-    "orientation", "datetime", "has_gps"}`` (missing → None / False).
-    Header-only; images without EXIF return the empty dict values.
-    ``has_gps`` is true when ANY metadata segment carries coordinates —
-    the first EXIF APP1's GPS IFD or an ``exif:GPS*`` property in an
-    XMP APP1 — matching exactly what :func:`strip_exif_gps` removes."""
+    "orientation", "datetime", "artist", "has_gps"}`` (missing → None /
+    False).  Header-only; images without EXIF return the empty dict
+    values.  ``has_gps`` is true when ANY metadata segment carries
+    coordinates — the first EXIF APP1's GPS IFD or an ``exif:GPS*``
+    property in an XMP APP1 — matching exactly what
+    :func:`strip_exif_gps` removes; ``artist`` (0x013B) is the
+    identity-bearing audit column for :func:`strip_exif_pii`."""
     out = {
         "make": None, "model": None, "orientation": None,
-        "datetime": None, "has_gps": False,
+        "datetime": None, "artist": None, "has_gps": False,
     }
     seg = None
     for seg_start, body_start, body_end, kind in _iter_app1(jpeg):
@@ -142,7 +145,7 @@ def exif_tags(jpeg: bytes) -> dict:
             name = _TAG_NAMES.get(tag)
             if name == "gps_ifd":
                 out["has_gps"] = True
-            elif name in ("make", "model", "datetime", "orientation"):
+            elif name in ("make", "model", "datetime", "orientation", "artist"):
                 try:
                     out[name] = _entry_value(tiff, typ, cnt, raw, little)
                 except ValueError:

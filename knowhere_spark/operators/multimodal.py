@@ -1086,16 +1086,18 @@ def orient_image(arr: np.ndarray, orientation: int | None) -> np.ndarray:
 def exif_metadata(media: DataFrame) -> DataFrame:
     """EXIF tags for every JPEG image row (functions/exif.py — APP1/TIFF
     IFD parse, header-only): ``(media_id, make, model, orientation,
-    datetime, has_gps)``.  Non-JPEG / EXIF-less rows return nulls and
-    ``has_gps = false`` — the typed camera metadata a curation pipeline
-    filters on (and the audit column for the GPS scrub below)."""
+    datetime, artist, has_gps)``.  Non-JPEG / EXIF-less rows return
+    nulls and ``has_gps = false`` — the typed camera metadata a curation
+    pipeline filters on (``has_gps``/``artist`` double as the audit
+    columns for the GPS/PII scrubs below)."""
     from knowhere_spark.functions.exif import exif_tags
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {
                 "media_id": [], "make": [], "model": [],
-                "orientation": [], "datetime": [], "has_gps": [],
+                "orientation": [], "datetime": [], "artist": [],
+                "has_gps": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 t = exif_tags(bytes(payload))
@@ -1107,13 +1109,14 @@ def exif_metadata(media: DataFrame) -> DataFrame:
                     int(o) if isinstance(o, int) else None
                 )
                 rows["datetime"].append(t["datetime"])
+                rows["artist"].append(t["artist"])
                 rows["has_gps"].append(bool(t["has_gps"]))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
         kernel,
         "media_id long, make string, model string, orientation int, "
-        "datetime string, has_gps boolean",
+        "datetime string, artist string, has_gps boolean",
     )
 
 
