@@ -849,6 +849,25 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_videos_mp4"] = q_video_neardup
 
+    def q_audio_neardup_banded():
+        # audio near-dup through the r10 DEFAULT strategy: 5k real WAV
+        # clips (planted dups at d%4==1) -> decode + FFT band energy ->
+        # seeded SRP hash -> pigeonhole-banded Hamming join ->
+        # true-cosine verify — the fourth modality's banded shape,
+        # tracked per round alongside text/image/video dedup
+        from knowhere_spark.operators.multimodal import (
+            audio_neardup_pairs,
+            synthesize_audio_media,
+        )
+
+        media = synthesize_audio_media(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id")),
+            dup_stride=4,
+        )
+        return audio_neardup_pairs(media, 0.99)
+
+    out["dedup_audio_banded"] = q_audio_neardup_banded
+
     def q_text_embedding():
         # model-free hashed TF-IDF embedding of the whole documents table
         # (r5): two groupBys + AQE-decided vocab join + codegen'd dense

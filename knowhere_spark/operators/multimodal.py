@@ -764,7 +764,10 @@ def synthesize_image_media(documents: DataFrame, *, dup_stride: int = 5) -> Data
 
 
 def synthesize_audio_media(
-    documents: DataFrame, *, dup_groups: int = 17
+    documents: DataFrame,
+    *,
+    dup_groups: int = 17,
+    dup_stride: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL-WAV media from the documents table — the
     ``audio_neardup_srp`` driver-gate fixture.  Doc ``d`` renders a
@@ -775,7 +778,14 @@ def synthesize_audio_media(
     are byte-exact duplicates: identical spectral features, identical
     SRP hash (Hamming 0), cosine exactly 1 — while cross-group cosines
     sit far below any near-dup threshold.  Expected pair set =
-    arithmetic over doc ids, the DuckDB mirror."""
+    arithmetic over doc ids, the DuckDB mirror.
+
+    ``dup_stride`` switches to the video fixture's sparse-pair
+    structure instead (bench + scale probes): doc ``d`` is keyed
+    ``d - 1`` when ``d % dup_stride == 1`` else ``d``, tone frequencies
+    pseudo-randomized per key under Nyquist — planted pairs are
+    ``(d-1, d)`` at ``d % dup_stride == 1``, realistic dup density at
+    any corpus size."""
     import struct as _st
 
     from knowhere_spark.session import ensure_parallelism
@@ -784,24 +794,37 @@ def synthesize_audio_media(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t = np.arange(2048) / 8000.0
-        wavs = {}
-        for g in range(dup_groups):
-            f1, f2 = 200 + 210 * g, 3900 - 205 * g
+
+        def render(f1: int, f2: int) -> bytes:
             sig = (
                 0.4 * np.sin(2 * np.pi * f1 * t)
                 + 0.2 * np.sin(2 * np.pi * f2 * t)
             )
             pcm = (sig * 32767).astype("<i2").tobytes()
-            hdr = (
+            return (
                 b"RIFF" + _st.pack("<I", 36 + len(pcm)) + b"WAVE"
                 + b"fmt " + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-                + b"data" + _st.pack("<I", len(pcm))
+                + b"data" + _st.pack("<I", len(pcm)) + pcm
             )
-            wavs[g] = hdr + pcm
+
+        wavs = {}
+        if dup_stride is None:
+            for g in range(dup_groups):
+                wavs[g] = render(200 + 210 * g, 3900 - 205 * g)
         for pdf in batches:
             payloads, metas = [], []
             for mid in pdf["media_id"]:
-                payloads.append(wavs[int(mid) % dup_groups])
+                d = int(mid)
+                if dup_stride is None:
+                    payloads.append(wavs[d % dup_groups])
+                else:
+                    key = d - 1 if d % dup_stride == 1 else d
+                    payloads.append(
+                        render(
+                            200 + (key * 997) % 3600,
+                            300 + (key * 1663) % 3500,
+                        )
+                    )
                 metas.append(
                     {"width": 0, "height": 0, "n_frames": 0,
                      "sample_rate": 8000}
@@ -1733,7 +1756,13 @@ def audio_neardup_pairs(
     if max_hamming is None:
         t = min(max(float(threshold), -1.0), 1.0)
         max_hamming = min(63, int(math.ceil(2 * 64 * math.acos(t) / math.pi)) + 2)
-    hashes = _srp_hash_from_features(feats, n_bands=n_bands, seed=seed)
+    # materialize the hash table too: the banded join references it from
+    # both sides, and the repo-wide rule (COVERAGE r9 #9 — Spark does
+    # not reuse exchanges across self-joins) is that every Python-kernel
+    # table feeding a self-join is pinned once; storage O(rows × 16 B)
+    hashes = _srp_hash_from_features(
+        feats, n_bands=n_bands, seed=seed
+    ).localCheckpoint(eager=True)
     cand = hamming64_pairs(
         hashes, max_hamming, id_col="media_id", sig_col="ahash"
     ).select("id_a", "id_b")

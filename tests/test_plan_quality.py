@@ -401,3 +401,23 @@ def test_phash_neardup_signature_stage_runs_once(spark):
     plan = _plan(phash_neardup_pairs(media, max_hamming=3))
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_banded_neardup_kernels_run_once(spark):
+    """Same regression for the r10 AUDIO banded default: the decode+FFT
+    feature kernel AND the SRP hash kernel each feed multiple plan
+    references (banded join sides + verify joins); both are eagerly
+    checkpointed, so the executed plan must contain ZERO MapInPandas
+    nodes and no cartesian product — each Python kernel ran exactly
+    once."""
+    from knowhere_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        synthesize_audio_media,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    media = synthesize_audio_media(docs, dup_stride=4)
+    plan = _plan(audio_neardup_pairs(media, 0.99))
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan

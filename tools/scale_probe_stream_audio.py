@@ -22,16 +22,12 @@ Usage: python tools/scale_probe_stream_audio.py [n_clips] [n_batches]
 """
 
 import os
-import struct
 import sys
 import tempfile
 import time
-from typing import Iterator
 
 sys.path.insert(0, ".")
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -50,57 +46,16 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from knowhere_spark.operators.dedup import hamming64_pairs  # noqa: E402
 from knowhere_spark.operators.multimodal import (  # noqa: E402
-    MEDIA_SCHEMA,
     audio_srp_hash,
+    synthesize_audio_media,
 )
-from knowhere_spark.session import ensure_parallelism  # noqa: E402
 from knowhere_spark.streaming.dedup import stream_neardup_audio  # noqa: E402
 
-
-def _probe_audio_media(n: int):
-    """Planted-dup WAV corpus: clip d duplicates d-1 at d % 4 == 1."""
-    ids = spark.range(n).select(F.col("id").alias("media_id"))
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t = np.arange(2048) / 8000.0
-
-        def wav(key: int) -> bytes:
-            f1 = 200 + (key * 997) % 3600
-            f2 = 300 + (key * 1663) % 3500
-            sig = (
-                0.4 * np.sin(2 * np.pi * f1 * t)
-                + 0.2 * np.sin(2 * np.pi * f2 * t)
-            )
-            pcm = (sig * 32767).astype("<i2").tobytes()
-            return (
-                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
-                + b"fmt "
-                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-                + b"data" + struct.pack("<I", len(pcm)) + pcm
-            )
-
-        for pdf in batches:
-            payloads, metas = [], []
-            for mid in pdf["media_id"]:
-                d = int(mid)
-                payloads.append(wav(d - 1 if d % 4 == 1 else d))
-                metas.append(
-                    {"width": 0, "height": 0, "n_frames": 0,
-                     "sample_rate": 8000}
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": ["audio"] * len(pdf),
-                    "payload": payloads,
-                    "meta": metas,
-                }
-            )
-
-    return ensure_parallelism(ids).mapInPandas(kernel, MEDIA_SCHEMA)
-
-
-media = _probe_audio_media(N_CLIPS)
+# planted-dup WAV corpus (clip d duplicates d-1 at d % 4 == 1) — the
+# library fixture's sparse-pair mode, shared with the bench entry
+media = synthesize_audio_media(
+    spark.range(N_CLIPS).select(F.col("id").alias("doc_id")), dup_stride=4
+)
 tmp = tempfile.mkdtemp(prefix="knowhere_stream_audio_probe_")
 src = f"{tmp}/src"
 t0 = time.monotonic()
