@@ -475,9 +475,15 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs come through the full MinHash-LSH scale path (already
     hash-gate-equal to exact Jaccard at j>=0.7 via dedup_minhash_lsh);
     planted copies (every 50th doc once, every 100th doc twice) guarantee
-    multi-member components so transitivity is actually exercised."""
+    multi-member components so transitivity is actually exercised.
+
+    r10, extended in place (no slot spent): ``kept_best`` drives the new
+    quality-aware resolution ``groups.dedup_filter_best`` end-to-end —
+    the group member with the best synthetic score ``doc_id % 7``
+    (ties → smallest id) survives; the mirror recomputes the winner
+    with a max-then-min over the same recursive-CTE components."""
     from knowhere_spark.operators.dedup import minhash_lsh_pairs
-    from knowhere_spark.operators.groups import dedup_groups
+    from knowhere_spark.operators.groups import dedup_filter_best, dedup_groups
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     p1 = docs.filter(F.col("doc_id") % 50 == 0).select(
@@ -487,12 +493,22 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(p1).unionByName(p2)
-    pairs = minhash_lsh_pairs(corpus, 0.7)
+    pairs = minhash_lsh_pairs(corpus, 0.7).localCheckpoint(eager=True)
     out = dedup_groups(pairs)
-    return out.select(
-        "doc_id", "group_id",
-        F.col("group_size").cast("long").alias("group_size"),
-        "is_canonical",
+    scored = corpus.select(
+        "doc_id", (F.col("doc_id") % 7).cast("double").alias("q")
+    )
+    best = dedup_filter_best(scored, pairs, "q").select(
+        "doc_id", F.lit(True).alias("__kb")
+    )
+    return (
+        out.join(best, "doc_id", "left")
+        .select(
+            "doc_id", "group_id",
+            F.col("group_size").cast("long").alias("group_size"),
+            "is_canonical",
+            F.coalesce(F.col("__kb"), F.lit(False)).alias("kept_best"),
+        )
     )
 
 
@@ -2063,11 +2079,18 @@ lab AS (SELECT node AS doc_id, MIN(front) AS group_id FROM walk GROUP BY node)""
 
 
 _DEDUP_GROUPS_SQL = f"""
-WITH RECURSIVE {_cc_ctes(_PLANTED_2, 0.7)}
+WITH RECURSIVE {_cc_ctes(_PLANTED_2, 0.7)},
+mx AS (SELECT group_id, MAX(doc_id % 7) AS mq FROM lab GROUP BY group_id),
+win AS (
+  SELECT l.group_id, MIN(l.doc_id) AS wid
+  FROM lab l JOIN mx USING (group_id)
+  WHERE l.doc_id % 7 = mx.mq GROUP BY l.group_id
+)
 SELECT doc_id, group_id,
        COUNT(*) OVER (PARTITION BY group_id) AS group_size,
-       doc_id = group_id AS is_canonical
-FROM lab
+       doc_id = group_id AS is_canonical,
+       doc_id = win.wid AS kept_best
+FROM lab JOIN win USING (group_id)
 """
 
 # (the merged split+mix SQL is assembled below, after _MIX_BUCKET)

@@ -204,3 +204,53 @@ def dedup_filter(
         .select(F.col("doc_id").alias(id_col))
     )
     return corpus.join(drop, id_col, "left_anti")
+
+
+def dedup_filter_best(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    keep: str = "max",
+) -> DataFrame:
+    """Quality-aware dedup resolution: keep ONE representative per
+    duplicate group — the member with the BEST ``score_col`` (standard
+    curation practice: among near-identical copies keep the
+    highest-quality one, e.g. ``quality.quality_score`` with
+    ``keep="max"`` or an LM perplexity with ``keep="min"``), not the
+    arbitrary smallest id :func:`dedup_filter` keeps.  Untouched docs
+    pass through; ties break to the smallest doc id (deterministic).
+
+    Plan: component labels → join members to their scores (the dup
+    FRACTION of the corpus only, never the whole corpus shuffled) →
+    ``max_by``/``min_by`` per group (declarative aggregates with
+    map-side partial combine — a hot million-member group arrives at
+    its reducer pre-combined per partition, no window straggler; the
+    same skew discipline as ``pipeline.dedup_lines_across_corpus``) →
+    anti-join of the losers against the corpus."""
+    if keep not in ("max", "min"):
+        raise ValueError("keep must be 'max' or 'min'")
+    cc = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    members = cc.join(
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("double").alias("__s"),
+        ),
+        "doc_id",
+    )
+    did = F.col("doc_id").cast("long")
+    if keep == "max":
+        # max over (score, -id): higher score wins, ties -> smaller id
+        pick = F.max_by("doc_id", F.struct(F.col("__s"), (-did).alias("t")))
+    else:
+        pick = F.min_by("doc_id", F.struct(F.col("__s"), did.alias("t")))
+    winners = members.groupBy("group_id").agg(pick.alias("__keep"))
+    drop = (
+        members.join(winners, "group_id")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return corpus.join(drop, id_col, "left_anti")

@@ -1695,6 +1695,7 @@ def audio_neardup_pairs(
     *,
     strategy: str = "banded",
     max_hamming: int | None = None,
+    max_hash_freq: int | None = 10_000,
     n_bands: int = 16,
     frame: int = 256,
     hop: int = 128,
@@ -1722,6 +1723,14 @@ def audio_neardup_pairs(
       floor-tested vs exact in tests/test_multimodal.py).
       ``max_hamming`` defaults to ``ceil(2·64·arccos(threshold)/π)+2``
       (double the expected boundary distance plus slack — 8 at 0.99).
+      ``max_hash_freq`` is the banded path's stop-hash cap (same
+      discipline as the video operator and the streaming twin's
+      ``max_bucket``): a full 64-bit hash shared by more than this
+      many clips (dead air, test tones, silence) would contribute
+      O(freq²) join rows while carrying no dedup signal — such hashes
+      are dropped BEFORE banding, bounding the hottest join key.  The
+      r10 probe measured the uncapped fixture going superlinear at
+      100k clips purely from emitted-pair count (SCALE.md r10).
     - ``"ivf"``: route through a COSINE IVF self-search
       (operators/dedup.embedding_neardup_ivf) — probe-pruned, the
       cross-corpus shape; ``nlist``/``nprobe`` apply.
@@ -1763,6 +1772,14 @@ def audio_neardup_pairs(
     hashes = _srp_hash_from_features(
         feats, n_bands=n_bands, seed=seed
     ).localCheckpoint(eager=True)
+    if max_hash_freq is not None:
+        freq = hashes.groupBy("ahash").agg(F.count("*").alias("__hf"))
+        hashes = (
+            hashes.join(freq, "ahash")
+            .filter(F.col("__hf") <= max_hash_freq)
+            .drop("__hf")
+            .localCheckpoint(eager=True)   # capped table fans out 3×
+        )
     cand = hamming64_pairs(
         hashes, max_hamming, id_col="media_id", sig_col="ahash"
     ).select("id_a", "id_b")

@@ -1070,3 +1070,33 @@ def test_audio_neardup_strategies_agree(spark):
     assert ivf == exact
     with pytest.raises(ValueError, match="strategy"):
         audio_neardup_pairs(media, 0.98, strategy="banana")
+
+
+def test_audio_neardup_stop_hash_cap(spark):
+    """r10: the banded default's stop-hash cap (video-operator
+    discipline) — a flood of identical clips (dead air) past the cap
+    must not create O(freq²) pairs on its own, while a normal planted
+    pair still matches; uncapped, the flood links every pair."""
+    from knowhere_spark.operators.multimodal import audio_neardup_pairs
+
+    t = np.arange(2048) / 8000.0
+    meta = {"width": 0, "height": 0, "n_frames": 0, "sample_rate": 8000}
+    dead = np.sin(2 * np.pi * 60 * t) * 0.1          # 8 identical clips
+    tone = 0.4 * np.sin(2 * np.pi * 700 * t) + 0.2 * np.sin(2 * np.pi * 2900 * t)
+    rows = [(i, "audio", bytearray(_make_wav(dead)), meta) for i in range(8)]
+    rows += [
+        (100, "audio", bytearray(_make_wav(tone)), meta),
+        (101, "audio", bytearray(_make_wav(tone * 0.8)), meta),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in audio_neardup_pairs(media, 0.98, max_hash_freq=4).collect()
+    }
+    assert capped == {(100, 101)}          # flood dropped before banding
+    uncapped = audio_neardup_pairs(media, 0.98, max_hash_freq=None).count()
+    assert uncapped == 8 * 7 // 2 + 1      # every flood pair + the real one

@@ -92,6 +92,50 @@ class TestConnectedComponents:
         kept = sorted(r["doc_id"] for r in dedup_filter(corpus, pairs).collect())
         assert kept == [0, 1, 2, 3, 5, 7, 8, 9]  # 4 and 6 dropped, 2 canonical
 
+    def test_dedup_filter_best_keeps_top_scorer(self, spark):
+        from knowhere_spark.operators.groups import dedup_filter_best
+
+        corpus = spark.createDataFrame(
+            [(i, float((i * 37) % 10)) for i in range(10)],
+            "doc_id long, q double",
+        )  # scores: 0->0, 2->4, 4->8, 6->2, 1->7, 3->1, 5->5, ...
+        pairs = spark.createDataFrame(
+            [(2, 4), (4, 6), (1, 3)], "doc_a long, doc_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_filter_best(corpus, pairs, "q").collect()
+        )
+        # group {2,4,6}: 4 has the best score (8.0); group {1,3}: 1 (7.0)
+        assert kept == [0, 1, 4, 5, 7, 8, 9]
+        # keep='min' flips the rule (perplexity-style scores)
+        kept_min = sorted(
+            r["doc_id"]
+            for r in dedup_filter_best(corpus, pairs, "q", keep="min").collect()
+        )
+        assert kept_min == [0, 3, 5, 6, 7, 8, 9]
+        # ties break to the smaller id, deterministically, in both modes
+        tied = spark.createDataFrame(
+            [(1, 1.0), (2, 1.0), (3, 1.0)], "doc_id long, q double"
+        )
+        tp = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+        for mode in ("max", "min"):
+            got = [
+                r["doc_id"]
+                for r in dedup_filter_best(tied, tp, "q", keep=mode).collect()
+            ]
+            assert got == [1], mode
+        # skew discipline: no Window in the plan (max_by aggregation)
+        plan = (
+            dedup_filter_best(corpus, pairs, "q")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        import pytest
+
+        with pytest.raises(ValueError, match="keep"):
+            dedup_filter_best(corpus, pairs, "q", keep="median")
+
 
 class TestDeterministicSplit:
     def test_matches_reference_hash(self, spark):
