@@ -1665,7 +1665,12 @@ def video_neardup_pairs(
     )
 
 
-def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    *,
+    max_hash_freq: int | None = 10_000,
+) -> DataFrame:
     """Image near-dup pairs: pHash + the EXACT pigeonhole-banded Hamming
     join shared with SimHash (operators/dedup.hamming64_pairs) — one
     banded shuffle, never all-pairs, the 100 TB image-dedup shape.
@@ -1676,10 +1681,25 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     band explode), and Spark would re-run the decode+DCT mapInPandas
     kernel per reference (measured: 4 MapInPandas nodes in the
     un-checkpointed plan — the same fan-out video_neardup_pairs pins).
-    Storage is O(images × 16 bytes), negligible next to the payloads."""
+    Storage is O(images × 16 bytes), negligible next to the payloads.
+
+    ``max_hash_freq`` (r10) is the stop-hash cap the video and audio
+    siblings already carry: a pHash shared by more than this many
+    images (blank frames, logo cards, placeholder thumbnails) would
+    contribute O(freq²) join rows while carrying no dedup signal —
+    dropped before banding, bounding the hottest join key (the r10
+    audio probe measured this exact blowup, SCALE.md r10)."""
     from knowhere_spark.operators.dedup import hamming64_pairs
 
     sigs = image_phash(media).localCheckpoint(eager=True)
+    if max_hash_freq is not None:
+        freq = sigs.groupBy("phash").agg(F.count("*").alias("__hf"))
+        sigs = (
+            sigs.join(freq, "phash")
+            .filter(F.col("__hf") <= max_hash_freq)
+            .drop("__hf")
+            .localCheckpoint(eager=True)   # capped table also fans out
+        )
     return hamming64_pairs(
         sigs, max_hamming, id_col="media_id", sig_col="phash"
     )

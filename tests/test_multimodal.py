@@ -217,6 +217,26 @@ def test_image_phash_neardup(spark):
             if h <= 6:
                 want[(a, b)] = h
     assert pairs == want and (1, 2) in pairs
+    # r10 stop-hash cap (video/audio discipline): a flood of identical
+    # images past the cap creates no pairs on its own; the real near-dup
+    # pair survives
+    flood = [
+        (10 + i, "image", bytearray(_make_ppm(other)),
+         {"width": 24, "height": 24, "n_frames": 1, "sample_rate": 0})
+        for i in range(6)
+    ]
+    media2 = spark.createDataFrame(rows + flood, MEDIA_SCHEMA)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(
+            media2, max_hamming=6, max_hash_freq=3
+        ).collect()
+    }
+    assert capped == set(want)             # flood dropped before banding
+    uncapped = phash_neardup_pairs(
+        media2, max_hamming=6, max_hash_freq=None
+    ).count()
+    assert uncapped == len(want) + 7 * 6 // 2  # flood + row 3 all pair up
 
 
 def test_hamming64_pairs_exact_banding(spark):
