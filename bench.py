@@ -1316,28 +1316,30 @@ _NO_REPEAT = {
     "sharded_hnsw_semantic_build",
 }
 #: a single-shot entry whose FIRST run exceeds this multiple of its
-#: BENCH_HISTORY median gets ONE same-session repeat — r9's driver run
-#: recorded sharded_hnsw_semantic_build at 31.5 s (vs 14.7 r8) purely
-#: from box contention, and the judge burned a session re-adjudicating
-#: it; the guarded repeat makes the artifact self-explaining
+#: best-known BENCH_HISTORY time gets ONE same-session repeat — r9's
+#: driver run recorded sharded_hnsw_semantic_build at 31.5 s (vs 14.7
+#: r8) purely from box contention, and the judge burned a session
+#: re-adjudicating it; the guarded repeat makes the artifact
+#: self-explaining.  The reference is the MIN across rounds, not the
+#: median: any historical run proves the code CAN go that fast, and a
+#: median absorbs past contention spikes (the r9 31.5 pulled the median
+#: to 23.1, which would have let a 29 s contention reading through
+#: unrepeated).  Worst case a genuinely-slower entry pays one extra
+#: run per round until the history catches up.
 _BUILD_REPEAT_FACTOR = 1.5
 
 
-def _history_medians() -> dict:
-    """Per-entry median seconds across recorded rounds
+def _history_best() -> dict:
+    """Per-entry best (min) seconds across recorded rounds
     (BENCH_HISTORY.json, maintained by tools/bench_history.py) — the
     reference point for the guarded build repeat above."""
-    import statistics
-
     try:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
         )
         with open(path) as f:
             series = json.load(f)["series"]
-        return {
-            k: statistics.median(v.values()) for k, v in series.items() if v
-        }
+        return {k: min(v.values()) for k, v in series.items() if v}
     except Exception:
         return {}
 #: repeat sub-10s entries to min-of-3 — three rounds of cross-round
@@ -1364,7 +1366,7 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
-    hist_med = _history_medians()
+    hist_best = _history_best()
     import gc
 
     recalls: dict[str, float] = {}
@@ -1408,8 +1410,8 @@ def main() -> None:
                         runs.append(round(time.monotonic() - t0, 3))
             elif (
                 name in _NO_REPEAT
-                and hist_med.get(name)
-                and runs[0] > _BUILD_REPEAT_FACTOR * hist_med[name]
+                and hist_best.get(name)
+                and runs[0] > _BUILD_REPEAT_FACTOR * hist_best[name]
             ):
                 # single-shot build reading suspiciously slow vs its own
                 # history (VERDICT r9 #3): ONE same-session repeat to
@@ -1517,23 +1519,23 @@ def main() -> None:
         "queries": timings,
         "recall": recalls,
         # single-shot build evidence IN the parsed summary (VERDICT r9
-        # #3): per-build runs (2 when the history-median guard fired) +
-        # loadavg at start, so a wild build number is self-explaining
+        # #3): per-build [run..., load_1m] (2 runs when the history-best
+        # guard fired), so a wild build number is self-explaining
         # without digging the truncated tail; sub-3s builds are skipped
-        # to keep the line inside the driver's tail cap
+        # and vps is NOT in this line (derivable from queries + the nq
+        # map; it lives in the full JSON above) to fit the tail cap
         "builds": {
-            n: {"runs": m["runs"], "load": m["load_1m"]}
+            n: [round(r, 1) for r in m["runs"]] + [m["load_1m"]]
             for n, m in entry_meta.items()
             if n in _NO_REPEAT and (min(m["runs"]) >= 3.0 or len(m["runs"]) > 1)
         },
-        "vps": vps,
     }
     # keep the line inside a 2000-char tail: drop sections in order of
-    # auditability (vps first, then builds, then recall, then round the
-    # timings coarser) until it fits — the old single vps pop could
-    # still blow the cap once the queries map grew past ~40 entries
+    # auditability (builds first, then recall, then round the timings
+    # coarser) until it fits — the old single vps pop could still blow
+    # the cap once the queries map grew past ~40 entries
     line = json.dumps(compact)
-    for trim in ("vps", "builds", "recall"):
+    for trim in ("builds", "recall"):
         if len(line) <= 1900:
             break
         compact.pop(trim, None)

@@ -494,10 +494,21 @@ class HNSWIndex:
         spark = base.sparkSession
         nlist = max(4, n // _CELL_TARGET_ROWS)
 
-        # coarse cells from a bounded sample (same kernel family as IVF)
+        # coarse cells from a bounded sample (same kernel family as IVF).
+        # CONTENT-keyed sampling + id-sorted collection (r10): a
+        # partition-seeded .sample() over shuffled/checkpointed input and
+        # a position-dependent rng.choice both made the sampled centroids
+        # — hence block membership and pruned edges — depend on shuffle
+        # arrival order (measured ±0.05 beam recall on tie-heavy data);
+        # an id-hash threshold and a sort pin them to the data alone.
         sample = base
         if n > _TRAIN_SAMPLE_MAX:
-            sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=42)
+            _SC = 1 << 20
+            sample = base.filter(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(_SC))
+                < F.lit(int(_TRAIN_SAMPLE_MAX / n * _SC))
+            )
+        sample = sample.orderBy("id")
         from knowhere_spark.session import collect_vec_matrix
 
         S = collect_vec_matrix(sample, "vec")
@@ -550,6 +561,14 @@ class HNSWIndex:
                         "sel_rank": np.int32,
                     }
                 )
+            # sort by id FIRST: the heuristic's stable argsort breaks
+            # distance TIES by row position, and a grouped pdf's row
+            # order is shuffle-arrival order (nondeterministic across
+            # runs).  On tie-heavy corpora (duplicate cliques) that made
+            # the pruned edge set — and beam recall — wiggle run-to-run
+            # (r10: ±0.05 measured on the 50×-replica bench corpus); id
+            # order pins it.  O(b log b) next to the O(b²) GEMM.
+            pdf = pdf.sort_values("id")
             ids = pdf["id"].to_numpy(dtype=np.int64)
             X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
             d = pairwise_distances(X, X, metric)

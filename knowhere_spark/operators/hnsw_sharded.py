@@ -354,11 +354,18 @@ class ShardedHNSWIndex:
                 from knowhere_spark.functions.distance import numpy_kmeans
                 from knowhere_spark.session import collect_vec_matrix
 
+                # content-keyed sample + id order (r10): partition-seeded
+                # .sample() and position-dependent seeded k-means init
+                # must not depend on the caller input's partition layout
+                _SC = 1 << 20
                 samp0 = (
                     norm_base if n <= cap
-                    else norm_base.sample(fraction=cap / n, seed=42)
+                    else norm_base.filter(
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(_SC))
+                        < F.lit(int(cap / n * _SC))
+                    )
                 )
-                S0 = collect_vec_matrix(samp0, "vec")
+                S0 = collect_vec_matrix(samp0.orderBy("id"), "vec")
                 router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
             else:
                 from pyspark.ml.clustering import KMeans
@@ -472,18 +479,45 @@ class ShardedHNSWIndex:
             s: min(1.0, max(4 * nlist[s], 64) / counts[s])
             for s in nlist
         }
-        samp = sharded.sampleBy("__shard", fractions, seed=42)
+        # CONTENT-keyed sampling (r10): sampleBy seeds per PARTITION, and
+        # the spill read-back's row->partition mapping is reducer-arrival
+        # order — the sampled SET (and hence the cell centroids, block
+        # membership, pruned edges and beam recall) wiggled run-to-run
+        # (±0.05 measured on the tie-heavy bench corpus).  An id-hash
+        # threshold is a pure function of the data, and the collected
+        # rows are sorted by (shard, id) so the seeded rng.choice below
+        # sees positions independent of arrival order too.
+        _SCALE = 1 << 20
+        thr_map = F.create_map(
+            *[
+                x
+                for s in nlist
+                for x in (
+                    F.lit(int(s)),
+                    F.lit(int(fractions[s] * _SCALE)),
+                )
+            ]
+        )
+        samp = sharded.filter(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(_SCALE))
+            < thr_map[F.col("__shard")]
+        )
         try:
-            tbl = samp.select("__shard", "vec").toArrow()
+            tbl = samp.select("__shard", "id", "vec").toArrow()
             s_arr = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False)
-            lst = tbl.column(1).combine_chunks()
+            id_arr = tbl.column(1).combine_chunks().to_numpy(zero_copy_only=False)
+            lst = tbl.column(2).combine_chunks()
             flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             S = flat.reshape(len(s_arr), -1) if len(s_arr) else flat.reshape(0, dim)
         except Exception:
-            rows = samp.select("__shard", "vec").collect()
+            rows = samp.select("__shard", "id", "vec").collect()
             s_arr = np.array([r["__shard"] for r in rows], dtype=np.int64)
+            id_arr = np.array([r["id"] for r in rows], dtype=np.int64)
             S = np.array([r["vec"] for r in rows], dtype=np.float64)
             del rows
+        if len(s_arr):
+            order = np.lexsort((id_arr, s_arr))
+            s_arr, S = s_arr[order], S[order]
         rng = np.random.default_rng(42)
         cents: dict[int, np.ndarray] = {}
         for s in nlist:
@@ -546,6 +580,10 @@ class ShardedHNSWIndex:
                         "sel_rank": np.int32,
                     }
                 )
+            # id-sort first: tie-breaking in the heuristic's stable
+            # argsort must not depend on shuffle arrival order (see
+            # hnsw.py local_knn — same ±0.05 recall wiggle fix, r10)
+            pdf = pdf.sort_values("id")
             ids = pdf["id"].to_numpy(dtype=np.int64)
             X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
             d = pairwise_distances(X, X, metric)
