@@ -196,10 +196,20 @@ def curate_corpus(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     history=None,
+    dup_keep: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """The whole curation pipeline as one composed plan: quality filter →
     [history Bloom gate] → near-dup group resolution → canonical-only →
     split assignment.
+
+    ``dup_keep`` picks the dedup-resolution rule: ``"min_id"`` (default)
+    keeps each duplicate group's smallest-id member
+    (:func:`~knowhere_spark.operators.groups.dedup_filter`);
+    ``"best"`` keeps the member with the highest ``score_col`` (r10,
+    :func:`~knowhere_spark.operators.groups.dedup_filter_best` — the
+    keep-the-highest-quality-copy practice; pass e.g. a quality-
+    classifier score column present on ``docs``).
 
     ``history``: an optional :class:`~knowhere_spark.operators.bloom.
     BloomFilter` over previously-ingested content — rows the filter has
@@ -218,13 +228,19 @@ def curate_corpus(
     100 TB (no collect, no all-pairs, no global window)."""
     from knowhere_spark.functions.text import token_count_expr
     from knowhere_spark.operators.dedup import minhash_lsh_pairs
-    from knowhere_spark.operators.groups import dedup_filter
+    from knowhere_spark.operators.groups import dedup_filter, dedup_filter_best
 
+    if dup_keep not in ("min_id", "best"):
+        raise ValueError("dup_keep must be 'min_id' or 'best'")
+    if dup_keep == "best" and not score_col:
+        raise ValueError("dup_keep='best' needs score_col")
+    extra = [score_col] if dup_keep == "best" else []
     quality = (
         docs.select(
             F.col(id_col).cast("long").alias(id_col),
             F.col(text_col).alias(text_col),
             token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
+            *extra,
         )
         .filter(F.col("n_tokens").between(min_tokens, max_tokens))
     )
@@ -233,7 +249,10 @@ def curate_corpus(
     pairs = minhash_lsh_pairs(
         quality, jaccard_threshold, id_col=id_col, text_col=text_col
     )
-    kept = dedup_filter(quality, pairs, id_col=id_col)
+    if dup_keep == "best":
+        kept = dedup_filter_best(quality, pairs, score_col, id_col=id_col)
+    else:
+        kept = dedup_filter(quality, pairs, id_col=id_col)
     return deterministic_split(kept, id_col=id_col, seed=seed).select(
         id_col, "n_tokens", "split"
     )

@@ -217,6 +217,36 @@ class TestCurateCorpus:
         assert 3 in got and 100 not in got      # dup dropped, canonical kept
         assert set(got.values()) <= {"train", "val", "test"}
 
+    def test_dup_keep_best(self, spark):
+        """r10: dup_keep='best' keeps the HIGHEST-scoring copy instead of
+        the smallest id — doc 100 (score 9) beats its dup doc 3 (score
+        1); everything else matches the min_id run."""
+        import pytest
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        rows = [(i, f"{base} variant {i}", 1.0) for i in range(40)]
+        rows.append((100, rows[3][1], 9.0))     # dup of doc 3, BETTER score
+        docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        best = {
+            r["doc_id"]
+            for r in curate_corpus(
+                docs, min_tokens=5, jaccard_threshold=0.95,
+                dup_keep="best", score_col="q",
+            ).collect()
+        }
+        assert 100 in best and 3 not in best
+        min_id = {
+            r["doc_id"]
+            for r in curate_corpus(
+                docs, min_tokens=5, jaccard_threshold=0.95
+            ).collect()
+        }
+        assert min_id - best == {3} and best - min_id == {100}
+        with pytest.raises(ValueError, match="score_col"):
+            curate_corpus(docs, dup_keep="best")
+        with pytest.raises(ValueError, match="dup_keep"):
+            curate_corpus(docs, dup_keep="loudest")
+
 
 def test_weighted_sample_stability_and_rates(spark):
     """Domain-weighted sampling: per-domain keep rates land near the
