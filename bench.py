@@ -1516,31 +1516,37 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf else None,
-        "queries": timings,
+        # 2 decimals in THIS line only (10 ms resolution — bench noise is
+        # an order of magnitude above that); the full-precision timings
+        # are in the complete JSON line printed above
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "recall": recalls,
         # single-shot build evidence IN the parsed summary (VERDICT r9
         # #3): per-build [run..., load_1m] (2 runs when the history-best
         # guard fired), so a wild build number is self-explaining
-        # without digging the truncated tail; sub-3s builds are skipped
-        # and vps is NOT in this line (derivable from queries + the nq
-        # map; it lives in the full JSON above) to fit the tail cap
+        # without digging the truncated tail; sub-3s builds and vps are
+        # NOT in this line (both derivable/available from the full JSON
+        # above) to fit the tail cap
         "builds": {
             n: [round(r, 1) for r in m["runs"]] + [m["load_1m"]]
             for n, m in entry_meta.items()
-            if n in _NO_REPEAT and (min(m["runs"]) >= 3.0 or len(m["runs"]) > 1)
+            if n in _NO_REPEAT and max(m["runs"]) >= 3.0
         },
     }
-    # keep the line inside a 2000-char tail: drop sections in order of
-    # auditability (builds first, then recall, then round the timings
-    # coarser) until it fits — the old single vps pop could still blow
-    # the cap once the queries map grew past ~40 entries
+    # keep the line inside the driver's 2000-char stdout tail (the
+    # compact line is printed LAST, so the whole budget is ours; 1980
+    # leaves newline slack): degrade in order of auditability — round
+    # the timings coarser, then drop builds, then recall
     line = json.dumps(compact)
+    if len(line) > 1980:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact)
     for trim in ("builds", "recall"):
-        if len(line) <= 1900:
+        if len(line) <= 1980:
             break
         compact.pop(trim, None)
         line = json.dumps(compact)
-    if len(line) > 1900:
+    if len(line) > 1980:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
     print(line)
