@@ -34,7 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1337,32 +1337,56 @@ def scene_change_frames(
     for boundary frames only — the diverse-frame sample a training
     pipeline keeps instead of every near-identical frame.
 
-    Plan: the frame-pHash table (one mapInPandas decode pass) → ``lag``
-    window per video ordered by frame index → native ``bit_count(xor)``
-    → running boundary count.  The window partitions by media_id: one
-    video's frames already fit a task (same contract as the signature
-    kernel)."""
-    sigs = video_frame_phashes(media, every_n, decoders=decoders)
-    w = Window.partitionBy("media_id").orderBy("frame_idx")
-    prev = F.lag("phash").over(w)
-    ham = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
-        F.bit_count(F.col("phash").bitwiseXOR(prev)).cast("int")
-    )
-    flagged = sigs.withColumn("hamming_prev", ham).withColumn(
-        "__boundary",
-        F.col("hamming_prev").isNull()
-        | (F.col("hamming_prev") >= min_hamming),
-    )
-    scene = (
-        F.sum(F.col("__boundary").cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
-        - 1
-    ).cast("int")
-    return (
-        flagged.withColumn("scene_idx", scene)
-        .filter("__boundary")
-        .select("media_id", "frame_idx", "phash", "hamming_prev", "scene_idx")
+    Plan (r10): ONE ``mapInPandas`` pass — container parse, per-keyframe
+    decode + pHash, AND the lag/boundary logic all inside the kernel (a
+    video's frames are batch-local by construction: the explode happens
+    in-kernel, the :func:`video_signatures` contract), so scene
+    detection carries NO per-video window shuffle — a single scan at
+    100 TB.  The r9 form (phash table → lag window) computed the same
+    thing with one shuffle more; equality is pinned in
+    tests/test_video_neardup.py."""
+    D = _dct_matrix(32)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_idx": [], "phash": [],
+                "hamming_prev": [], "scene_idx": [],
+            }
+            for mid, payload, mtype, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if mtype != "video":
+                    continue
+                prev = None
+                scene = -1
+                for fr in iter_keyframes(bytes(payload), dict(meta), every_n):
+                    arr = _decode_frame_pixels(
+                        fr["payload"], fr["codec"], mid, fr["frame_idx"],
+                        decoders,
+                    )
+                    h = _phash64_arr(arr, D, weights)
+                    ham = (
+                        None if prev is None
+                        else bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+                    )
+                    if prev is None or ham >= min_hamming:
+                        scene += 1
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(int(fr["frame_idx"]))
+                        rows["phash"].append(h)
+                        rows["hamming_prev"].append(ham)
+                        rows["scene_idx"].append(scene)
+                    prev = h
+            yield pd.DataFrame(rows)
+
+    from knowhere_spark.session import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(
+        kernel,
+        "media_id long, frame_idx int, phash long, hamming_prev int, "
+        "scene_idx int",
     )
 
 

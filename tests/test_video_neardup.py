@@ -196,6 +196,51 @@ def test_scene_change_frames(spark):
     assert [(r.frame_idx, r.scene_idx) for r in out2] == [(0, 0)]
 
 
+def test_scene_change_kernel_equals_window_reference(spark):
+    """r10: scene detection moved INTO the decode kernel (no per-video
+    window shuffle).  Pin it against an independent lag-window reference
+    computed over the frame-pHash table, across several videos and a
+    non-default min_hamming; and the executed plan must carry no Window."""
+    from knowhere_spark.operators.multimodal import (
+        scene_change_frames,
+        video_frame_phashes,
+    )
+
+    rng = np.random.default_rng(23)
+    vids = []
+    for i in range(6):
+        frames = []
+        for _ in range(rng.integers(2, 7)):
+            shot = rng.bytes(24)
+            frames += [shot] * rng.integers(1, 4)   # static-run per shot
+        vids.append((i + 1, mux_mp4(frames)[0]))
+    df = _media_df(spark, vids)
+    got = sorted(
+        (r.media_id, r.frame_idx, r.phash, r.hamming_prev, r.scene_idx)
+        for r in scene_change_frames(df, min_hamming=10).collect()
+    )
+    # reference: lag over the phash table, computed driver-side
+    sigs = sorted(
+        (r.media_id, r.frame_idx, r.phash)
+        for r in video_frame_phashes(df).collect()
+    )
+    exp, prev, scene, cur = [], None, -1, None
+    for mid, fi, h in sigs:
+        if mid != cur:
+            cur, prev, scene = mid, None, -1
+        ham = None if prev is None else bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+        if prev is None or ham >= 10:
+            scene += 1
+            exp.append((mid, fi, h, ham, scene))
+        prev = h
+    assert got == sorted(exp)
+    plan = (
+        scene_change_frames(df, min_hamming=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
 def test_video_neardup_scene_sampling(spark):
     """VERDICT r9 #7: sample='scenes' runs the diverse-frame sample
     through the near-dup pipeline.  At scene_min_hamming=0 every frame
