@@ -904,3 +904,63 @@ def test_stream_neardup_audio_cross_batch(spark, tmp_path):
         ).collect()
     }
     assert pairs == {(1, 3)}
+
+
+def test_scene_change_frames_streams(spark, tmp_path):
+    """r10: scene detection runs in ONE mapInPandas pass (no window), so
+    the SAME operator works unchanged on a streaming DataFrame — per-row
+    (whole-video) computation, no state needed.  Streamed output over
+    two micro-batches must equal the batch run over the union."""
+    import numpy as np
+
+    from knowhere_spark.functions.mp4 import encode_mp4
+    from knowhere_spark.operators.multimodal import scene_change_frames
+
+    rng = np.random.default_rng(29)
+
+    def vid(n_shots):
+        frames = []
+        for _ in range(n_shots):
+            shot = rng.bytes(24)
+            frames += [shot] * int(rng.integers(1, 4))
+        return encode_mp4(frames)
+
+    meta = {"width": 8, "height": 8, "n_frames": 0, "sample_rate": 0}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    rows1 = [(i, "video", bytearray(vid(3)), meta) for i in (1, 2)]
+    rows2 = [(i, "video", bytearray(vid(2)), meta) for i in (3, 4)]
+    src = str(tmp_path / "scene_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    batch_media = spark.read.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    want = sorted(
+        (r.media_id, r.frame_idx, r.phash, r.scene_idx)
+        for r in scene_change_frames(batch_media, min_hamming=10).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(batch_media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        scene_change_frames(stream, min_hamming=10)
+        .writeStream.format("memory")
+        .queryName("scene_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "scene_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.media_id, r.frame_idx, r.phash, r.scene_idx)
+        for r in spark.sql("SELECT * FROM scene_stream").collect()
+    )
+    assert got == want and len(want) > 4
