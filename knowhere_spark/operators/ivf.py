@@ -136,6 +136,12 @@ class IVFFlatIndex:
         train_cap = 256 * nlist
         train_df = base
         if n > train_cap:
+            # NOTE .sample() seeds per PARTITION: deterministic here only
+            # because index inputs are stably-partitioned (parquet reads /
+            # pinned caches — recall bit-identical across rounds).  If this
+            # ever consumes a SHUFFLED input, switch to the content-keyed
+            # xxhash64(id) threshold + id-sorted collect the sharded-HNSW
+            # build uses (hnsw_sharded.py, r10 determinism fix).
             train_df = base.sample(fraction=train_cap / n, seed=config.seed)
         head = base.select("vec").head()
         dim = len(head["vec"]) if head else 0
