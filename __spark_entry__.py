@@ -403,18 +403,42 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus plus planted duplicates (every 50th doc
     re-appears id-shifted) so the oracle exercises real duplicate groups —
-    the raw testdata has none, and a 0-row match is vacuous."""
+    the raw testdata has none, and a 0-row match is vacuous.
+
+    r10, extended in place (no slot spent — driver-attesting the Bloom
+    history family): ``seen_by_history`` runs the REAL
+    ``operators/bloom.BloomFilter`` end to end — one-pass
+    mapPartitions→treeReduce bitmap build over the even-id half (the
+    "prior corpus"), broadcast membership kernel over everything.  The
+    double-hashing positions (h1 + i·h2 mod 2⁶⁴ mod m, Kirsch &
+    Mitzenmacher) and the md5 fingerprint are exact integer arithmetic
+    (DuckDB-vs-numpy parity verified bit-for-bit), so DuckDB recomputes
+    the bitmap's position SET and the all-k-bits membership test
+    verbatim.  History = ``doc_id % 4 == 0``: the dup originals
+    (``d % 50 == 0``) alternate 0/2 mod 4, so the gate rows carry BOTH
+    values — in-history originals and their planted re-uploads read
+    True (same fingerprint: the catch-yesterday's-reupload semantics),
+    out-of-history ones read False, and any extra True must be the
+    SAME deterministic false positive on both sides."""
+    from knowhere_spark.operators.bloom import BloomFilter
     from knowhere_spark.operators.dedup import exact_duplicates
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    out = exact_duplicates(docs.unionByName(planted))
-    return out.select(
+    corpus = docs.unionByName(planted)
+    out = exact_duplicates(corpus)
+    history = BloomFilter.build(
+        docs.filter(F.col("doc_id") % 4 == 0), m_bits=1 << 16, k=7
+    )
+    flagged = history.seen_expr_frame(corpus, out_col="seen_by_history")
+    return out.join(
+        flagged.select("doc_id", "seen_by_history"), "doc_id"
+    ).select(
         "doc_id", "group_key",
         F.col("group_size").cast("long").alias("group_size"),
-        "is_canonical",
+        "is_canonical", "seen_by_history",
     )
 
 
@@ -2817,6 +2841,12 @@ SELECT toks.doc_id,
             p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
 FROM toks JOIN c ON toks.doc_id = c.doc_id
 """,
+        # dedup_exact (r10 extension): seen_by_history mirrors the REAL
+        # Bloom filter — fingerprint (md5 of the normalized token
+        # stream), Kirsch-Mitzenmacher double hashing with uint64 wrap
+        # ((h1 + i*h2) mod 2^64 mod m, h2 = splitmix-mixed and forced
+        # odd; parity vs numpy verified bit-for-bit), position-set union
+        # over the doc_id % 4 == 0 history, all-7-bits membership
         "dedup_exact": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -2824,14 +2854,36 @@ WITH corpus AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
 ),
 toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
-k AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS group_key FROM toks),
+k AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS group_key,
+      CAST(concat('0x', substr(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS fp
+      FROM toks),
+h AS (
+  SELECT doc_id, group_key, fp::HUGEINT AS h1,
+         xor((fp::HUGEINT * 11400714819323198485::HUGEINT)
+             % 18446744073709551616::HUGEINT,
+             (fp >> 29)::HUGEINT) AS h2x
+  FROM k
+),
+h2 AS (SELECT doc_id, group_key, h1, h2x - (h2x % 2) + 1 AS h2 FROM h),
+pos AS (
+  SELECT doc_id, group_key,
+         ((h1 + (i::HUGEINT * h2) % 18446744073709551616::HUGEINT)
+          % 18446744073709551616::HUGEINT) % 65536 AS p
+  FROM h2, (SELECT unnest(range(7)) AS i)
+),
+hist AS (SELECT DISTINCT p FROM pos WHERE doc_id % 4 = 0 AND doc_id < 1000000),
+seen AS (
+  SELECT doc_id, bool_and(p IN (SELECT p FROM hist)) AS seen_by_history
+  FROM pos GROUP BY doc_id
+),
 g AS (
   SELECT doc_id, group_key,
          COUNT(*) OVER (PARTITION BY group_key) AS group_size,
          doc_id = MIN(doc_id) OVER (PARTITION BY group_key) AS is_canonical
   FROM k
 )
-SELECT doc_id, group_key, group_size, is_canonical FROM g WHERE group_size > 1
+SELECT g.doc_id, g.group_key, g.group_size, g.is_canonical, s.seen_by_history
+FROM g JOIN seen s ON g.doc_id = s.doc_id WHERE g.group_size > 1
 """,
         "simhash_pairs": _simhash_oracle(3),
         # LSH banding (32 bands × 2 rows) + exact verification reproduces the
