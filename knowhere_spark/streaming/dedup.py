@@ -117,6 +117,8 @@ def stream_neardup_minhash(
     bands: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    state: str = "signatures",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate detection: each arriving document is
     MinHash-signed (the batch kernel, operators/dedup.minhash_signatures,
@@ -135,15 +137,33 @@ def stream_neardup_minhash(
     band in the batch it first matches; consumers dedupe with
     ``dropDuplicates([doc_a, doc_b])``.
 
-    State per bucket is ``(ids ARRAY<LONG>, sigs flattened ARRAY<LONG>)``
-    — O(bucket population · num_perm), sharded by Spark's state store
-    exactly like the exact-dedup operator above.
+    ``state`` picks the per-bucket state shape (r10, from the measured
+    10k-doc probe — SCALE.md):
+
+    - ``"signatures"`` (default): ``(ids, sigs flattened)`` —
+      O(bucket population · num_perm) longs (~25 KB/doc measured at
+      64 perms × 32 bands), buys the thresholded ``est_jaccard`` in the
+      emitted rows.
+    - ``"ids"``: ids only — the signature payload shrinks num_perm×;
+      total state measured 3.3× smaller at 10k docs (251 → 76 MB —
+      per-row state-store overhead dominates once signatures go).
+      Emits every co-bucketed pair as a CANDIDATE with ``est_jaccard``
+      null and ``threshold`` ignored; run the batch verifier (or exact
+      Jaccard) over candidates downstream.  The 10⁹-doc ingest shape.
+
+    ``max_bucket`` (both modes) is the stop-bucket cap the media twins
+    carry: a bucket at the cap stops accepting members (boilerplate
+    band values cannot grow state or pair fan-out without bound).
+    ``None`` (default) preserves the pre-r10 behavior exactly.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from knowhere_spark.operators.dedup import minhash_signatures
 
     assert num_perm % bands == 0
+    if state not in ("signatures", "ids"):
+        raise ValueError("state must be 'signatures' or 'ids'")
+    keep_sigs = state == "signatures"
 
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
@@ -153,47 +173,62 @@ def stream_neardup_minhash(
 
     banded = sigs.select(
         "doc_id",
-        "sig",
+        *(["sig"] if keep_sigs else []),   # ids mode: no sigs shuffled
         F.posexplode(band_hash_explode_expr(num_perm, bands)).alias(
             "band", "band_hash"
         ),
     ).select(
         F.concat_ws(":", F.col("band").cast("string"), "band_hash").alias("bucket"),
         "doc_id",
-        "sig",
+        *(["sig"] if keep_sigs else []),
     )
 
-    state_schema = StructType(
-        [
-            StructField("ids", ArrayType(LongType())),
-            StructField("sigs", ArrayType(LongType())),
-        ]
-    )
+    state_fields = [StructField("ids", ArrayType(LongType()))]
+    if keep_sigs:
+        state_fields.append(StructField("sigs", ArrayType(LongType())))
+    state_schema = StructType(state_fields)
+    cap = max_bucket
 
-    def fn(key_tuple, pdfs, state):
+    def fn(key_tuple, pdfs, group_state):
         import numpy as np
         import pandas as pd
 
-        if state.exists:
-            ids, flat = list(state.get[0]), list(state.get[1])
+        if group_state.exists:
+            ids = list(group_state.get[0])
+            flat = list(group_state.get[1]) if keep_sigs else None
         else:
-            ids, flat = [], []
+            ids, flat = [], ([] if keep_sigs else None)
         out_a, out_b, out_j = [], [], []
         for pdf in pdfs:
-            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            if keep_sigs:
+                arrivals = zip(pdf["doc_id"], pdf["sig"])
+            else:
+                arrivals = ((d, None) for d in pdf["doc_id"])
+            for doc_id, sig in arrivals:
                 doc_id = int(doc_id)
-                s = np.asarray(sig, dtype=np.int64)
-                if ids:
-                    M = np.asarray(flat, dtype=np.int64).reshape(len(ids), num_perm)
-                    est = (M == s[None, :]).mean(axis=1)
-                    for j, other in zip(est, ids):
-                        if j >= threshold and other != doc_id:
+                if cap is not None and len(ids) >= cap:
+                    break   # stop bucket: bounded state, no more matches
+                if keep_sigs:
+                    s = np.asarray(sig, dtype=np.int64)
+                    if ids:
+                        M = np.asarray(flat, dtype=np.int64).reshape(
+                            len(ids), num_perm
+                        )
+                        est = (M == s[None, :]).mean(axis=1)
+                        for j, other in zip(est, ids):
+                            if j >= threshold and other != doc_id:
+                                out_a.append(min(other, doc_id))
+                                out_b.append(max(other, doc_id))
+                                out_j.append(float(j))
+                    flat.extend(int(x) for x in s)
+                else:
+                    for other in ids:
+                        if other != doc_id:
                             out_a.append(min(other, doc_id))
                             out_b.append(max(other, doc_id))
-                            out_j.append(float(j))
+                            out_j.append(None)
                 ids.append(doc_id)
-                flat.extend(int(x) for x in s)
-        state.update((ids, flat))
+        group_state.update((ids, flat) if keep_sigs else (ids,))
         if out_a:
             yield pd.DataFrame(
                 {"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j}

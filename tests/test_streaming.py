@@ -964,3 +964,56 @@ def test_scene_change_frames_streams(spark, tmp_path):
         for r in spark.sql("SELECT * FROM scene_stream").collect()
     )
     assert got == want and len(want) > 4
+
+
+def test_stream_neardup_minhash_ids_state_mode(spark, tmp_path):
+    """r10: state='ids' keeps only bucket member ids (~num_perm x less
+    state, the 10^9-doc shape) and emits every co-bucketed pair as a
+    candidate with est_jaccard null — a SUPERSET of the signature
+    mode's thresholded pairs; max_bucket stops a flooded bucket."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest near the old river bank"
+    )
+    schema = "doc_id long, text string"
+    rows1 = [(1, base), (2, "totally unrelated content about spark plans")]
+    rows2 = [(3, base + " today"), (4, "another unrelated document entirely")]
+    src = str(tmp_path / "ids_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    from knowhere_spark.streaming.dedup import stream_neardup_minhash
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_neardup_minhash(stream, 0.6, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / (name + "_ckpt")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    sig_pairs = {(r.doc_a, r.doc_b) for r in run("nd_sigs")}
+    cand_rows = run("nd_ids", state="ids")
+    cand = {(r.doc_a, r.doc_b) for r in cand_rows}
+    assert sig_pairs <= cand                    # candidates are a superset
+    assert (1, 3) in cand
+    assert all(r.est_jaccard is None for r in cand_rows)
+    # stop-bucket: cap=1 means the second bucket member is never admitted
+    capped = {(r.doc_a, r.doc_b) for r in run("nd_cap", state="ids", max_bucket=1)}
+    assert capped == set()
+    import pytest
+
+    with pytest.raises(ValueError, match="state"):
+        stream_neardup_minhash(
+            spark.readStream.schema(schema).parquet(src), 0.6, state="bits"
+        )

@@ -130,4 +130,38 @@ print(f"# pairs: stream={len(sp)} batch={len(bp)} planted={len(planted)}")
 print(f"# stream==batch: {sp == bp}   planted⊆stream: {planted <= sp}")
 assert sp == bp, "streaming pair set diverges from batch LSH"
 assert planted <= sp, "planted duplicate pairs not fully recovered"
+
+# ---- ids-only state mode (r10): ~num_perm x smaller state, candidates ----
+stream2 = (
+    spark.readStream.schema(docs.schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(src)
+)
+t0 = time.monotonic()
+q2 = (
+    stream_neardup_minhash(stream2, THRESHOLD, state="ids")
+    .writeStream.format("memory")
+    .queryName("probe_text_ids")
+    .outputMode("append")
+    .option("checkpointLocation", f"{tmp}/ckpt_ids")
+    .trigger(availableNow=True)
+    .start()
+)
+q2.awaitTermination()
+last = [
+    p for p in q2.recentProgress if (p.get("stateOperators") or [{}])[0]
+][-1]
+so = last["stateOperators"][0]
+cands = {
+    (r.doc_a, r.doc_b)
+    for r in spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM probe_text_ids"
+    ).collect()
+}
+print(
+    f"# ids-state mode: final stateRows={so.get('numRowsTotal')} "
+    f"stateMB={(so.get('memoryUsedBytes') or 0) / 2**20:.1f} "
+    f"wall={time.monotonic() - t0:.1f}s candidates={len(cands)}"
+)
+assert sp <= cands, "ids-mode candidates must cover the thresholded pairs"
 print("# OK")
