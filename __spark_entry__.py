@@ -1295,7 +1295,13 @@ def q_audio_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_audio_media(docs)
-    out = audio_neardup_pairs(media, threshold=0.999, max_hamming=0)
+    # max_hash_freq=None: the mirror hardcodes ALL same-group pairs, and
+    # a corpus with > 170k docs would push a group's shared hash past
+    # the default stop-hash cap (dropped pre-banding) — the exactness
+    # operating point must disable the cap explicitly (r10 review)
+    out = audio_neardup_pairs(
+        media, threshold=0.999, max_hamming=0, max_hash_freq=None
+    )
     return out.select(
         "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
     )
@@ -2547,7 +2553,10 @@ lines AS (
   ) u
 ),
 hot AS (
-  SELECT norm FROM lines WHERE length(norm) > 0
+  -- blank = whitespace-ONLY (r10: explicit class, mirrors the Spark
+  -- side's rlike — trim() strips spaces alone on both engines)
+  SELECT norm FROM lines
+  WHERE NOT regexp_matches(line, '^[ \\t\\r\\f\\x0B]*$')
   GROUP BY norm HAVING count(*) >= 3
 ),
 flagged AS (

@@ -1536,7 +1536,8 @@ def main() -> None:
     # keep the line inside the driver's 2000-char stdout tail (the
     # compact line is printed LAST, so the whole budget is ours; 1980
     # leaves newline slack): degrade in order of auditability — round
-    # the timings coarser, then drop builds, then recall
+    # the timings coarser (keeping the builds evidence), then drop
+    # builds, then recall — each step strictly shrinks the line
     line = json.dumps(compact)
     if len(line) > 1980:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
@@ -1546,8 +1547,6 @@ def main() -> None:
             break
         compact.pop(trim, None)
         line = json.dumps(compact)
-    if len(line) > 1980:
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
     print(line)
     spark.stop()

@@ -234,10 +234,19 @@ def dedup_filter_best(
     if keep not in ("max", "min"):
         raise ValueError("keep must be 'max' or 'min'")
     cc = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    # a NULL or NaN score must never WIN the group: Spark's struct
+    # ordering sorts NULL below and NaN above every real double, so a
+    # member whose scorer failed would be kept (min: NULL wins; max:
+    # NaN wins) while all validly-scored copies are dropped — exactly
+    # backwards.  Missing/NaN scores are pinned to the WORST value for
+    # the chosen direction instead (ties still break by id).
+    raw = F.col(score_col).cast("double")
+    worst = float("-inf") if keep == "max" else float("inf")
+    score = F.when(raw.isNull() | F.isnan(raw), F.lit(worst)).otherwise(raw)
     members = cc.join(
         corpus.select(
             F.col(id_col).alias("doc_id"),
-            F.col(score_col).cast("double").alias("__s"),
+            score.alias("__s"),
         ),
         "doc_id",
     )

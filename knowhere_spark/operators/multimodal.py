@@ -784,8 +784,12 @@ def synthesize_audio_media(
     structure instead (bench + scale probes): doc ``d`` is keyed
     ``d - 1`` when ``d % dup_stride == 1`` else ``d``, tone frequencies
     pseudo-randomized per key under Nyquist — planted pairs are
-    ``(d-1, d)`` at ``d % dup_stride == 1``, realistic dup density at
-    any corpus size."""
+    ``(d-1, d)`` at ``d % dup_stride == 1``.  The tone-key map has
+    period ``lcm(3600, 3500) = 126,000``: keys that far apart render
+    byte-identical WAVs, so beyond ~126k clips extra (unplanted)
+    duplicate pairs appear — probes therefore assert
+    ``planted ⊆ pairs``, never pair-set equality, and measured pair
+    counts at ≥126k include those collisions."""
     import struct as _st
 
     from knowhere_spark.session import ensure_parallelism
@@ -1383,7 +1387,11 @@ def scene_change_frames(
 
     from knowhere_spark.session import ensure_parallelism
 
-    return ensure_parallelism(media).mapInPandas(
+    # filter BEFORE the kernel: on a mixed-modality table, image/audio
+    # payloads must not be repartitioned and Arrow-shipped just to hit
+    # the in-kernel type skip (r10 review)
+    vids = media.filter(F.col("media_type") == "video")
+    return ensure_parallelism(vids).mapInPandas(
         kernel,
         "media_id long, frame_idx int, phash long, hamming_prev int, "
         "scene_idx int",

@@ -309,8 +309,12 @@ def dedup_lines_within_doc(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     )
     w = Window.partitionBy(id_col, F.trim(F.col("__line"))).orderBy("__pos")
+    # blank = whitespace-ONLY, not just space-only: F.trim strips ASCII
+    # 0x20 alone, so a '\t' separator line would otherwise still dedup
+    # (explicit class — Java and RE2 disagree on \s's \x0B)
+    blank = F.col("__line").rlike("^[ \\t\\r\\f\\x0B]*$")
     kept = lines.withColumn("__rn", F.row_number().over(w)).filter(
-        (F.col("__rn") == 1) | (F.length(F.trim(F.col("__line"))) == 0)
+        (F.col("__rn") == 1) | blank
     )
     rebuilt = kept.groupBy(*other).agg(
         F.concat_ws(
@@ -362,8 +366,13 @@ def dedup_lines_across_corpus(
         *other,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     ).withColumn("__norm", F.trim(F.col("__line")))
+    # blank = whitespace-ONLY (structure, never boilerplate).  trim()
+    # strips only ASCII spaces, so the old length(trim) > 0 test let a
+    # corpus-wide '\t' separator line become "hot" and get deleted from
+    # every document; the explicit class matches the within-doc rule.
+    blank = F.col("__line").rlike("^[ \\t\\r\\f\\x0B]*$")
     hot = (
-        lines.filter(F.length("__norm") > 0)
+        lines.filter(~blank)
         .groupBy("__norm")
         .agg(F.count("*").alias("__cnt"))
         .filter(F.col("__cnt") >= min_count)

@@ -136,6 +136,37 @@ class TestConnectedComponents:
         with pytest.raises(ValueError, match="keep"):
             dedup_filter_best(corpus, pairs, "q", keep="median")
 
+    def test_dedup_filter_best_null_nan_never_win(self, spark):
+        """r10 review: a NULL score must not beat real scores under
+        keep='min' (Spark sorts NULL first) and a NaN must not beat
+        them under keep='max' (NaN sorts above every double) — a failed
+        scorer must never make its copy the 'best' survivor."""
+        from knowhere_spark.operators.groups import dedup_filter_best
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        with_null = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 7.0)], "doc_id long, q double"
+        )
+        kept_min = {r.doc_id for r in
+                    dedup_filter_best(with_null, pairs, "q", keep="min").collect()}
+        assert kept_min == {1}              # 5.0 wins; NULL loses
+        with_nan = spark.createDataFrame(
+            [(1, 5.0), (2, float("nan")), (3, 7.0)], "doc_id long, q double"
+        )
+        kept_max = {r.doc_id for r in
+                    dedup_filter_best(with_nan, pairs, "q").collect()}
+        assert kept_max == {3}              # 7.0 wins; NaN loses
+        # all-missing group: deterministic smallest-id fallback
+        all_null = spark.createDataFrame(
+            [(1, None), (2, None), (3, None)], "doc_id long, q double"
+        )
+        for mode in ("max", "min"):
+            got = {r.doc_id for r in
+                   dedup_filter_best(all_null, pairs, "q", keep=mode).collect()}
+            assert got == {1}, mode
+
 
 class TestDeterministicSplit:
     def test_matches_reference_hash(self, spark):
@@ -509,6 +540,13 @@ def test_dedup_lines_within_doc(spark):
     out3 = {r.doc_id: r.text for r in dedup_lines_within_doc(docs3).collect()}
     assert out3[1] == "p1\n\np2\n\np3"
     assert out3[2] == "a\n \n\t"
+    # r10 review: TAB-only separators are blank too (trim() strips
+    # spaces alone — the r9 exemption missed them)
+    docs4 = spark.createDataFrame(
+        [(1, "p1\n\t\np2\n\t\np3")], "doc_id long, text string"
+    )
+    (r4,) = dedup_lines_within_doc(docs4).collect()
+    assert r4.text == "p1\n\t\np2\n\t\np3"
     # plan: native only — no UDF, no Python kernel
     plan = dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
@@ -558,6 +596,18 @@ def test_dedup_lines_across_corpus(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan_f
+    # r10 review: a corpus-wide TAB-only separator is structure, never
+    # boilerplate — it must survive in every document
+    tabbed = spark.createDataFrame(
+        [(i, f"para{i}a\n\t\npara{i}b") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out_t = {
+        r.doc_id: r.text
+        for r in dedup_lines_across_corpus(tabbed, min_count=3).collect()
+    }
+    for i in range(4):
+        assert out_t[i] == f"para{i}a\n\t\npara{i}b", i
     # oracle cross-check (drop mode) in DuckDB over the same fixture
     import duckdb
 
@@ -575,7 +625,8 @@ def test_dedup_lines_across_corpus(spark):
               ) u
             ),
             hot AS (
-              SELECT norm FROM lines WHERE length(norm) > 0
+              SELECT norm FROM lines
+              WHERE NOT regexp_matches(line, '^[ \t\r\f\x0B]*$')
               GROUP BY norm HAVING count(*) >= 3
             )
             SELECT doc_id,
