@@ -118,7 +118,7 @@ def stream_neardup_minhash(
     shingle_n: int = 3,
     seed: int = 42,
     state: str = "signatures",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Streaming near-duplicate detection: each arriving document is
     MinHash-signed (the batch kernel, operators/dedup.minhash_signatures,
@@ -149,12 +149,18 @@ def stream_neardup_minhash(
       per-row state-store overhead dominates once signatures go).
       Emits every co-bucketed pair as a CANDIDATE with ``est_jaccard``
       null and ``threshold`` ignored; run the batch verifier (or exact
-      Jaccard) over candidates downstream.  The 10⁹-doc ingest shape.
+      Jaccard) over candidates downstream.  At 10⁹-doc ingest scale run
+      ``state="ids"`` — the signature payload is the 25×-heavier shape
+      (SCALE.md r10: 251 vs 76 MB state at 10k docs) and the estimator
+      it buys is better recomputed by the batch verifier anyway.
 
     ``max_bucket`` (both modes) is the stop-bucket cap the media twins
     carry: a bucket at the cap stops accepting members (boilerplate
     band values cannot grow state or pair fan-out without bound).
-    ``None`` (default) preserves the pre-r10 behavior exactly.
+    Defaults to ``10_000`` — the media twins' default (stop-hash cap in
+    :func:`stream_video_neardup` / audio) — so the unbounded-state shape
+    is opt-in (``max_bucket=None``), not the default.  Like the twins'
+    cap it is not retroactive: members admitted before the cap stand.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

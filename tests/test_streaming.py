@@ -1017,3 +1017,67 @@ def test_stream_neardup_minhash_ids_state_mode(spark, tmp_path):
         stream_neardup_minhash(
             spark.readStream.schema(schema).parquet(src), 0.6, state="bits"
         )
+
+
+def test_stream_neardup_minhash_flood_capped_by_default(spark, tmp_path):
+    """r11: a boilerplate band value (here: identical docs, so EVERY band
+    collides) must not grow state or pair fan-out without bound.  The cap
+    is now ON by default (max_bucket=10_000, the media twins' value); with
+    an explicit small cap, a 20-doc flood emits only C(cap,2) distinct
+    pairs among the first-admitted ids, and max_bucket=None restores the
+    unbounded C(n,2) shape for comparison."""
+    import inspect
+
+    from knowhere_spark.streaming.dedup import stream_neardup_minhash
+
+    # the default itself is part of the contract (VERDICT r10 #2)
+    assert (
+        inspect.signature(stream_neardup_minhash).parameters["max_bucket"].default
+        == 10_000
+    )
+
+    boiler = "exactly the same boilerplate footer text repeated on every page " * 3
+    schema = "doc_id long, text string"
+    n = 20
+    src = str(tmp_path / "flood_src")
+    # two micro-batches so the cap is exercised across batches too
+    spark.createDataFrame(
+        [(i, boiler) for i in range(10)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(i, boiler) for i in range(10, n)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    bands = 32
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_neardup_minhash(stream, 0.6, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / (name + "_ckpt")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    # identical docs → identical signatures → every band's bucket floods.
+    # With the cap, each of the 32 buckets admits exactly `cap` members and
+    # emits C(cap,2) match rows, then goes quiet — emitted-row count is an
+    # exact, arrival-order-free measure of both state and pair fan-out.
+    cap = 5
+    capped = run("flood_cap", max_bucket=cap)
+    assert len(capped) == bands * cap * (cap - 1) // 2
+    assert len({(r.doc_a, r.doc_b) for r in capped}) <= bands * cap * (cap - 1) // 2
+    unbounded = run("flood_none", max_bucket=None)
+    assert len(unbounded) == bands * n * (n - 1) // 2
+    assert {(r.doc_a, r.doc_b) for r in unbounded} == {
+        (a, b) for a in range(n) for b in range(a + 1, n)
+    }
