@@ -863,16 +863,39 @@ def q_ivf_pq_refine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hnsw_beam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW graph build + BFS-beam search on a COMPLETE graph (M >= n):
-    one frontier hop reaches every node, so the beam search is exact by
-    construction and the whole machinery — graph build, entry descent,
-    iterative frontier ⋈ edges expansion, the exact scorer, visited-set
-    dedup, final top-k — is hash-gated against the brute-force L2 oracle
-    (r5, upgrading the r4 rows-only ``hnsw_knn``; realistic-M recall
-    stays pytest-floored in tests/test_hnsw.py and recall-anchored in
-    bench's hnsw_search_all @0.95)."""
-    from knowhere_spark.config import HnswConfig
+    """HNSW family (raw + SQ/PQ/PRQ quantized storage) BFS-beam search on
+    a COMPLETE graph (M >= n): one frontier hop reaches every node, so the
+    beam search is exact by construction and the whole machinery — graph
+    build, entry descent, iterative frontier ⋈ edges expansion, the
+    scorer, visited-set dedup, final top-k — is hash-gated against the
+    brute-force L2 oracle (r5, upgrading the r4 rows-only ``hnsw_knn``;
+    realistic-M recall stays pytest-floored in tests/test_hnsw.py and
+    recall-anchored in bench's hnsw_search_all @0.95).
+
+    r11 (VERDICT r10 #1): the gate extends in place to the quantized
+    faiss-HNSW family (faiss_hnsw.cc:2918-2939, faiss_hnsw_config.h:
+    95-230) at ITS structurally exact operating point — the beam scores
+    decoded SQ8 / PQ / PRQ codes (the ADC contract) over the same
+    complete graph, the candidate set is widened to the whole corpus
+    (``refine_k = n/k``), and the refine stage (faiss_hnsw_config.h:
+    22-93) re-ranks every candidate with exact fp64 distances, so each
+    variant's top-k must hash-equal brute force REGARDLESS of quantizer
+    error: what the gate pins is Train(quantizer) + encode + the
+    codes-table beam + the full refine re-rank contract.  All variants
+    share one graph artifact (``QuantizedHNSWIndex.from_graph`` — the
+    graph is quantizer-independent).  The SQ8 encode/decode arithmetic
+    itself is hash-gated in ``ivf_sq8_quantized_exact``; realistic-config
+    quantized recall stays pytest-floored (tests/test_hnsw_quant.py) and
+    bench-anchored (hnsw_sq_search @0.96)."""
+    from knowhere_spark.config import (
+        HnswConfig,
+        HnswPqConfig,
+        HnswPrqConfig,
+        HnswSqConfig,
+        IndexType,
+    )
     from knowhere_spark.operators.hnsw import HNSWIndex
+    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
 
     base, queries_ = _emb(spark, sf_dir)
     n = base.count()
@@ -888,7 +911,29 @@ def q_hnsw_beam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
         HnswConfig(metric_type="L2", M=n, efConstruction=2 * n, k=K),
     )
-    return _knn_out(idx.search(queries_, k=K, ef=n, max_hops=2, strategy="bfs"))
+    out = _knn_out(
+        idx.search(queries_, k=K, ef=n, max_hops=2, strategy="bfs")
+    ).withColumn("variant", F.lit("hnsw"))
+
+    # quantized variants: full-corpus refine (kk >= n) makes the exact
+    # re-rank cover every node, so quantizer error cannot reach the output
+    common = dict(
+        metric_type="L2", M=n, efConstruction=2 * n, k=K,
+        refine=True, refine_k=float(n) / K, refine_type="fp32",
+    )
+    quant_cfgs = [
+        ("hnsw_sq8", HnswSqConfig(sq_type="sq8", **common), IndexType.HNSW_SQ),
+        ("hnsw_pq", HnswPqConfig(m=8, nbits=8, **common), IndexType.HNSW_PQ),
+        ("hnsw_prq", HnswPrqConfig(m=8, nbits=4, nrq=2, **common), IndexType.HNSW_PRQ),
+    ]
+    for tag, cfg, itype in quant_cfgs:
+        qidx = QuantizedHNSWIndex.from_graph(idx, cfg, index_type=itype)
+        out = out.unionByName(
+            _knn_out(
+                qidx.search(queries_, k=K, ef=n, max_hops=2, strategy="bfs")
+            ).withColumn("variant", F.lit(tag))
+        )
+    return out
 
 
 def q_hnsw_sharded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2603,7 +2648,16 @@ FROM base b LEFT JOIN rebuilt_first r USING (doc_id)
         "cc_sealed_equals_batch": _knn_oracle(_L2, "ASC"),
         # complete-graph HNSW bfs-beam: one hop reaches every node, so the
         # beam result must equal brute force (exactness is structural)
-        "hnsw_beam_exact": _knn_oracle(_L2, "ASC"),
+        # HNSW family: raw beam + SQ8/PQ/PRQ quantized variants all run at
+        # structurally exact operating points (complete graph; quantized
+        # variants additionally refine over the FULL corpus), so every
+        # variant's top-k is the same brute-force L2 answer — the oracle
+        # is the brute-force KNN cross-joined with the variant labels.
+        "hnsw_beam_exact": f"""
+WITH o AS ({_knn_oracle(_L2, "ASC")})
+SELECT v.variant, o.query_id, o.neighbor_id, o.distance, o.rank
+FROM o, (VALUES ('hnsw'), ('hnsw_sq8'), ('hnsw_pq'), ('hnsw_prq')) AS v(variant)
+""",
         # complete PER-SHARD graphs: each shard's beam is exact, so the
         # cross-shard (distance, neighbor_id) merge must equal brute force
         "hnsw_sharded_exact": _knn_oracle(_L2, "ASC"),

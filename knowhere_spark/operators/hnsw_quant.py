@@ -311,8 +311,23 @@ class QuantizedHNSWIndex:
         index_type: IndexType = IndexType.HNSW_SQ,
     ) -> "QuantizedHNSWIndex":
         graph = HNSWIndex.build(base_df, config, id_col=id_col, vec_col=vec_col)
-        base = graph.vectors   # (id, vec), already normalized column names
+        return cls.from_graph(graph, config, index_type=index_type)
 
+    @classmethod
+    def from_graph(
+        cls,
+        graph: HNSWIndex,
+        config: HnswConfig,
+        *,
+        index_type: IndexType = IndexType.HNSW_SQ,
+    ) -> "QuantizedHNSWIndex":
+        """Quantized variant over an EXISTING fp32 graph artifact: the
+        proximity graph is quantizer-independent (built on exact
+        distances), so SQ/PQ/PRQ variants of one corpus share it — only
+        Train(quantizer) + encode run per variant.  This is the batch
+        analog of the reference building one faiss-HNSW graph and
+        attaching different storage (faiss_hnsw.cc:2918-2939 family)."""
+        base = graph.vectors   # (id, vec), already normalized column names
         quant = _make_quant(base, config, index_type)
         codes_df = _encode_with_quant(base, quant)
         return cls(graph, codes_df, quant, config, index_type)

@@ -175,3 +175,52 @@ def test_hnsw_quant_broadcast_vs_bfs(spark):
     for r in idx.search(qdf, k=k, ef=48, max_hops=4, strategy="bfs").collect():
         got_f.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
     assert recall_at_k(got_f, truth, k) >= 0.6
+
+
+def test_from_graph_shares_graph_and_matches_build(spark):
+    """r11: `QuantizedHNSWIndex.from_graph` attaches quantized storage to
+    an EXISTING fp32 graph (the graph is quantizer-independent), so SQ and
+    PRQ variants of one corpus share the artifact and search exactly like
+    the build-from-scratch path (HNSW build is deterministic since r10,
+    so build(base) reproduces the same graph)."""
+    from knowhere_spark.config import (
+        HnswPrqConfig,
+        HnswSqConfig,
+        IndexType,
+    )
+    from knowhere_spark.operators.hnsw import HNSWIndex
+    from knowhere_spark.operators.hnsw_quant import QuantizedHNSWIndex
+
+    nb, dim, nq, k = 300, 16, 5, 10
+    base = gen_dense(nb, dim, seed=71)
+    qs = gen_dense(nq, dim, seed=72)
+    bdf = dense_df(spark, base)
+    qdf = dense_df(spark, qs, QUERY_SCHEMA)
+
+    sq_cfg = HnswSqConfig(metric_type="L2", M=16, ef=32, sq_type="SQ8")
+    graph = HNSWIndex.build(bdf, sq_cfg)
+    via_graph = QuantizedHNSWIndex.from_graph(graph, sq_cfg)
+    assert via_graph.graph is graph
+    via_build = QuantizedHNSWIndex.build(bdf, sq_cfg)
+
+    def rows(idx):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["distance"], 6))
+            for r in idx.search(qdf, k=k, ef=48, strategy="bfs").collect()
+        )
+
+    assert rows(via_graph) == rows(via_build)
+
+    # a second quantizer family rides the SAME graph object
+    prq_cfg = HnswPrqConfig(
+        metric_type="L2", M=16, ef=32, m=4, nbits=4, nrq=2
+    )
+    prq = QuantizedHNSWIndex.from_graph(
+        graph, prq_cfg, index_type=IndexType.HNSW_PRQ
+    )
+    assert prq.graph is graph
+    assert prq.type() == "HNSW_PRQ"
+    got = {}
+    for r in prq.search(qdf, k=k, ef=48, strategy="bfs").collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["distance"]))
+    assert recall_at_k(got, np_knn(base, qs, k, "L2"), k) >= 0.6
