@@ -326,27 +326,41 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_ALPHA, _LM_LAM = 0.1, 0.7
+_LM_ALPHA, _LM_LAM, _LM_LAM3 = 0.1, 0.7, 0.5
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-perplexity quality scoring (operators/quality.NgramLM, the CCNet
     signal): train the interpolated add-alpha bigram model on every 3rd
     document (the 'trusted' slice) and score the whole corpus.  Exactly
-    the two count tables + log/exp joins the oracle mirrors."""
+    the count tables + log/exp joins the oracle mirrors.
+
+    r11 (VERDICT r10 #6): the gate scores BOTH orders — the order-3 head
+    (``lam3·p_tri + (1-lam3)·(lam·p_bi + (1-lam)·p_uni)``, the mode a
+    real CCNet-tier filter runs) joins its trigram columns beside the
+    order-2 ones, so the trigram count table, the three-way context
+    joins, and the interpolation arithmetic are all driver-attested."""
     from knowhere_spark.operators.quality import NgramLM
 
     docs = load_table(spark, sf_dir, "documents")
-    lm = NgramLM.train(
-        docs.filter(F.col("doc_id") % 3 == 0), alpha=_LM_ALPHA, lam=_LM_LAM
-    )
-    out = lm.score(docs)
-    return out.select(
+    trusted = docs.filter(F.col("doc_id") % 3 == 0)
+    lm = NgramLM.train(trusted, alpha=_LM_ALPHA, lam=_LM_LAM)
+    out2 = lm.score(docs).select(
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round("avg_logprob", 4).alias("avg_logprob"),
         F.round("perplexity", 4).alias("perplexity"),
     )
+    lm3 = NgramLM.train(
+        trusted, alpha=_LM_ALPHA, lam=_LM_LAM, order=3, lam3=_LM_LAM3
+    )
+    out3 = lm3.score(docs).select(
+        "doc_id",
+        F.col("n_events").cast("long").alias("n_trigrams"),
+        F.round("avg_logprob", 4).alias("avg_logprob3"),
+        F.round("perplexity", 4).alias("perplexity3"),
+    )
+    return out2.join(out3, "doc_id")
 
 
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2487,10 +2501,15 @@ def _lm_perplexity_oracle() -> str:
     interpolated add-alpha arithmetic with every constant forced to DOUBLE
     (DuckDB decimal literals would otherwise do exact decimal math where
     Python/Spark do IEEE double) and (1 - lam) written as the same float
-    subtraction Python performs."""
+    subtraction Python performs.  r11: the order-3 head is mirrored too —
+    trigram counts over the train slice, the (w1,w2)/(w2,w3) bigram
+    context joins, and ``lam3·p_tri + (1-lam3)·(lam·p_bi + (1-lam)·p_uni)``
+    with the identical grouping (quality.py _score_trigrams)."""
     a = f"CAST({_LM_ALPHA} AS DOUBLE)"
     lam = f"CAST({_LM_LAM} AS DOUBLE)"
+    lam3 = f"CAST({_LM_LAM3} AS DOUBLE)"
     one_minus_lam = f"(CAST(1.0 AS DOUBLE) - {lam})"
+    one_minus_lam3 = f"(CAST(1.0 AS DOUBLE) - {lam3})"
     return f"""
 WITH train AS (SELECT {_TOKS} AS t FROM documents WHERE doc_id % 3 = 0),
 uc AS (
@@ -2508,6 +2527,13 @@ bt AS (
         FROM train)
 ),
 bc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c2 FROM bt GROUP BY w1, w2),
+tt AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM (SELECT t, CAST(unnest(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                                   ELSE []::BIGINT[] END) AS INT) AS i
+        FROM train)
+),
+tc AS (SELECT w1, w2, w3, COUNT(*)::DOUBLE AS c3 FROM tt GROUP BY w1, w2, w3),
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 dg AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -2526,12 +2552,37 @@ sc AS (
   LEFT JOIN uc u2 ON dg.w2 = u2.w
   CROSS JOIN consts
 ),
-agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, AVG(lp) AS alp FROM sc GROUP BY doc_id)
+agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, AVG(lp) AS alp FROM sc GROUP BY doc_id),
+dg3 AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM (SELECT doc_id, t, CAST(unnest(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                                           ELSE []::BIGINT[] END) AS INT) AS i
+        FROM toks)
+),
+sc3 AS (
+  SELECT dg3.doc_id,
+         ln({lam3} * ((COALESCE(tc.c3, 0) + {a}) / (COALESCE(b12.c2, 0) + {a} * consts.V))
+            + {one_minus_lam3}
+              * ({lam} * ((COALESCE(b23.c2, 0) + {a}) / (COALESCE(u2.ct, 0) + {a} * consts.V))
+                 + {one_minus_lam}
+                   * ((COALESCE(u3.ct, 0) + {a}) / (consts.N + {a} * consts.V)))) AS lp
+  FROM dg3
+  LEFT JOIN tc USING (w1, w2, w3)
+  LEFT JOIN bc b12 ON dg3.w1 = b12.w1 AND dg3.w2 = b12.w2
+  LEFT JOIN bc b23 ON dg3.w2 = b23.w1 AND dg3.w3 = b23.w2
+  LEFT JOIN uc u2 ON dg3.w2 = u2.w
+  LEFT JOIN uc u3 ON dg3.w3 = u3.w
+  CROSS JOIN consts
+),
+agg3 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams, AVG(lp) AS alp3 FROM sc3 GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(a2.n_bigrams, 0) AS n_bigrams,
        ROUND(a2.alp, 4) AS avg_logprob,
-       ROUND(exp(-a2.alp), 4) AS perplexity
-FROM documents d LEFT JOIN agg a2 USING (doc_id)
+       ROUND(exp(-a2.alp), 4) AS perplexity,
+       COALESCE(a3.n_trigrams, 0) AS n_trigrams,
+       ROUND(a3.alp3, 4) AS avg_logprob3,
+       ROUND(exp(-a3.alp3), 4) AS perplexity3
+FROM documents d LEFT JOIN agg a2 USING (doc_id) LEFT JOIN agg3 a3 USING (doc_id)
 """
 
 
