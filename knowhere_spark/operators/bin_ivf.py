@@ -131,9 +131,12 @@ class BinaryIVFIndex:
         )
         n = base.count()
         nlist = config.match_nlist(n)
-        sample = base
-        if n > _TRAIN_SAMPLE_MAX:
-            sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed)
+        # content-keyed + id-sorted over-cap sample (r11, shared rule):
+        # membership and row order must not depend on partition layout —
+        # _binary_kmeans's seeded init is position-dependent
+        from knowhere_spark.session import content_keyed_sample
+
+        sample = content_keyed_sample(base, n, _TRAIN_SAMPLE_MAX, seed=config.seed)
         rows = sample.select("vec").collect()
         X = np.frombuffer(b"".join(r["vec"] for r in rows), dtype=np.uint8).reshape(
             len(rows), -1

@@ -500,16 +500,14 @@ class HNSWIndex:
         # a position-dependent rng.choice both made the sampled centroids
         # — hence block membership and pruned edges — depend on shuffle
         # arrival order (measured ±0.05 beam recall on tie-heavy data);
-        # an id-hash threshold and a sort pin them to the data alone.
-        sample = base
-        if n > _TRAIN_SAMPLE_MAX:
-            _SC = 1 << 20
-            sample = base.filter(
-                F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(_SC))
-                < F.lit(int(_TRAIN_SAMPLE_MAX / n * _SC))
-            )
-        sample = sample.orderBy("id")
-        from knowhere_spark.session import collect_vec_matrix
+        # an id-hash threshold and a sort pin them to the data alone
+        # (r11: shared helper — the id-sort here covers the SUB-cap path
+        # too, this builder's r10 contract).
+        from knowhere_spark.session import collect_vec_matrix, content_keyed_sample
+
+        sample = content_keyed_sample(
+            base, n, _TRAIN_SAMPLE_MAX, seed=42, sort=False
+        ).orderBy("id")
 
         S = collect_vec_matrix(sample, "vec")
         rng = np.random.default_rng(42)

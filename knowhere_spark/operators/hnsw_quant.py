@@ -132,11 +132,12 @@ def _make_quant(base: DataFrame, config: HnswConfig, index_type: IndexType) -> d
         subdim = dim // m
 
         n = base.count()
-        sample = base
         seed = getattr(config, "seed", 42)
-        if n > _TRAIN_SAMPLE_MAX:
-            sample = base.sample(fraction=_TRAIN_SAMPLE_MAX / n, seed=seed)
-        from knowhere_spark.session import collect_vec_matrix
+        # content-keyed + id-sorted over-cap sample (r11, shared rule):
+        # the codebook Lloyd init is position-dependent
+        from knowhere_spark.session import collect_vec_matrix, content_keyed_sample
+
+        sample = content_keyed_sample(base, n, _TRAIN_SAMPLE_MAX, seed=seed)
 
         S = collect_vec_matrix(sample, "vec")
         stages = []

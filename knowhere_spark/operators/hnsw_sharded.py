@@ -354,16 +354,14 @@ class ShardedHNSWIndex:
                 from knowhere_spark.functions.distance import numpy_kmeans
                 from knowhere_spark.session import collect_vec_matrix
 
-                # content-keyed sample + id order (r10): partition-seeded
-                # .sample() and position-dependent seeded k-means init
-                # must not depend on the caller input's partition layout
-                _SC = 1 << 20
-                samp0 = (
-                    norm_base if n <= cap
-                    else norm_base.filter(
-                        F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(_SC))
-                        < F.lit(int(cap / n * _SC))
-                    )
+                # content-keyed sample + id order (r10; r11 shared
+                # helper): partition-seeded .sample() and
+                # position-dependent seeded k-means init must not depend
+                # on the caller input's partition layout
+                from knowhere_spark.session import content_keyed_sample
+
+                samp0 = content_keyed_sample(
+                    norm_base, n, cap, seed=42, sort=False
                 )
                 S0 = collect_vec_matrix(samp0.orderBy("id"), "vec")
                 router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
@@ -375,8 +373,11 @@ class ShardedHNSWIndex:
                     "__features",
                     array_to_vector(F.col("vec").cast("array<double>")),
                 )
-                if n > cap:
-                    feats = feats.sample(fraction=cap / n, seed=42)
+                # membership content-keyed (r11); the distributed
+                # kmeans|| init remains layout-sensitive by nature
+                from knowhere_spark.session import content_keyed_sample
+
+                feats = content_keyed_sample(feats, n, cap, seed=42, sort=False)
                 km = KMeans(
                     k=n_shards, seed=42, maxIter=20,
                     featuresCol="__features", predictionCol="__c",

@@ -134,15 +134,17 @@ class IVFFlatIndex:
         # max_points_per_centroid); the same subsampling bounds the training
         # set regardless of table size
         train_cap = 256 * nlist
-        train_df = base
-        if n > train_cap:
-            # NOTE .sample() seeds per PARTITION: deterministic here only
-            # because index inputs are stably-partitioned (parquet reads /
-            # pinned caches — recall bit-identical across rounds).  If this
-            # ever consumes a SHUFFLED input, switch to the content-keyed
-            # xxhash64(id) threshold + id-sorted collect the sharded-HNSW
-            # build uses (hnsw_sharded.py, r10 determinism fix).
-            train_df = base.sample(fraction=train_cap / n, seed=config.seed)
+        # content-keyed sample + id-sorted collect (r11, closing the r10
+        # NOTE here): a partition-seeded .sample() draws a different train
+        # set when the same data arrives in a different partition layout,
+        # so the trained centroids — and downstream recall — depended on
+        # the caller input's shuffle history.  The shared helper keys
+        # membership on xxhash64(id) and sorts the over-cap sample, making
+        # Train(shuffled input) == Train(stable input); sub-cap trains are
+        # untouched (existing artifacts keep their exact centroids).
+        from knowhere_spark.session import content_keyed_sample
+
+        train_df = content_keyed_sample(base, n, train_cap, seed=config.seed)
         head = base.select("vec").head()
         dim = len(head["vec"]) if head else 0
         if min(n, train_cap) * max(dim, 1) <= cls._DRIVER_TRAIN_MAX_ELEMS:
@@ -163,8 +165,12 @@ class IVFFlatIndex:
             feats = base.withColumn(
                 "__features", array_to_vector(F.col("vec").cast("array<double>"))
             )
-            train_feats = feats if n <= train_cap else feats.sample(
-                fraction=train_cap / n, seed=config.seed
+            # membership is content-keyed here too; the distributed
+            # kmeans|| init remains layout-sensitive by nature (MLlib
+            # samples per partition internally), so only the driver path
+            # above carries the full shuffle-invariance guarantee
+            train_feats = content_keyed_sample(
+                feats, n, train_cap, seed=config.seed, sort=False
             )
             km = KMeans(
                 k=nlist,

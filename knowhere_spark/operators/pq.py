@@ -198,12 +198,17 @@ class IVFPqIndex:
                     f" (m={m}, *, subdim={subdim})"
                 )
         else:
-            sample = flat.assignments
-            if n > _TRAIN_SAMPLE_MAX:
-                sample = sample.sample(
-                    fraction=_TRAIN_SAMPLE_MAX / n, seed=config.seed
-                )
-            from knowhere_spark.session import collect_vec_matrix
+            # content-keyed + id-sorted over-cap sample (r11, shared
+            # rule): _lloyd's seeded init is position-dependent, so both
+            # membership and row order key off the data, never the layout
+            from knowhere_spark.session import (
+                collect_vec_matrix,
+                content_keyed_sample,
+            )
+
+            sample = content_keyed_sample(
+                flat.assignments, n, _TRAIN_SAMPLE_MAX, seed=config.seed
+            )
 
             S = collect_vec_matrix(sample, "vec")
             codebooks = np.stack(

@@ -157,18 +157,18 @@ def _autosplit_overcap(
     for r in sorted(over, key=lambda r: int(r["cluster_id"])):
         cid, n = int(r["cluster_id"]), int(r["count"])
         k_sub = min(max(2, -(-n // target)), 4096)
-        rows_df = assigned.filter(F.col("cluster_id") == cid).select("vec")
+        rows_df = assigned.filter(F.col("cluster_id") == cid).select("id", "vec")
         samp_n = min(n, 64 * k_sub)
-        samp = (
-            rows_df.sample(fraction=min(1.0, samp_n / n), seed=seed)
-            if n > samp_n
-            else rows_df
-        )
-        rows_v = samp.collect()
+        # content-keyed + id-sorted over-cap sample (r11, shared rule)
+        from knowhere_spark.session import content_keyed_sample
+
+        samp = content_keyed_sample(rows_df, n, samp_n, seed=seed)
+        rows_v = samp.select("vec").collect()
         if not rows_v:
-            # Bernoulli sampling can (rarely) return nothing; the split
-            # must not divide by an empty matrix — take a bounded head
-            rows_v = rows_df.limit(samp_n).collect()
+            # Bernoulli-style hash sampling can (rarely) return nothing;
+            # the split must not divide by an empty matrix — take a
+            # bounded head
+            rows_v = rows_df.limit(samp_n).select("vec").collect()
         X = np.array([row["vec"] for row in rows_v], dtype=np.float64)
         X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
         sub = numpy_kmeans(X, min(k_sub, len(X)), iters=8, seed=seed)
@@ -277,9 +277,11 @@ def semdedup(
         # together just as well at a fraction of the train cost (256/20
         # spent 72s ON THE DRIVER at k=976 — a third of the 1M wall-clock)
         train_cap = max(8192, 64 * k)
-        train_df = base if n <= train_cap else base.sample(
-            fraction=train_cap / n, seed=seed
-        )
+        # content-keyed + id-sorted over-cap sample (r11, shared rule):
+        # train membership and collect order key off ids, not layout
+        from knowhere_spark.session import content_keyed_sample
+
+        train_df = content_keyed_sample(base, n, train_cap, seed=seed)
         from knowhere_spark.operators.ivf import IVFFlatIndex
 
         head = base.select("vec").head()
