@@ -1115,9 +1115,12 @@ def _bin_knn(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     scored = b.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        binary_words_distance_expr(metric, F.col("words"), F.col("qwords")).alias(
-            "distance"
-        ),
+        # n_words keeps the popcount sum inside codegen (integer-exact
+        # either way — hash-identical to the HOF form, r11)
+        binary_words_distance_expr(
+            metric, F.col("words"), F.col("qwords"),
+            n_words=(_BIN_DIM + 31) // 32,
+        ).alias("distance"),
     )
     return _knn_out(
         topk_per_key(

@@ -300,7 +300,19 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         return BruteForce.search(bin_b, bin_q, 100, "HAMMING", strategy="gemm")
 
     def q_bin_hamming_sql():
-        # the JVM-codegen'd word-packed join path, for comparison.
+        # PURPOSE: tracks the pure-SQL word-packed join path — the shape a
+        # user gets composing the exprs directly (or BruteForce.search on
+        # an ARRAY<BIGINT> column, where strategy='gemm' falls back to
+        # 'sql'; the bytes-column default rides the LUT-popcount GEMM
+        # kernel above — dispatch rule at brute_force.py search()).  It is
+        # EXPECTED to trail the kernel twin: the kernel does partial
+        # top-k inside the scoring pass while this plan feeds all nq×nb
+        # scored rows to the final top-k window.  r11 closed the other
+        # half of the historic 2.6× gap: the HOF aggregate(zip_with(...))
+        # distance was a CodegenFallback (interpreted per row); passing
+        # n_words unrolls it into flat codegen'd bit_counts (A/B at this
+        # exact shape: scoring 0.73 -> 0.24 s, entry 2.15 -> 1.45 s).
+        #
         # cache the packed projections: without a materialization barrier,
         # codegen collapses pack_bits_expr into the join and re-packs both
         # sides per joined row (nq*nb times instead of nq+nb)
@@ -314,7 +326,9 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         scored = b.crossJoin(F.broadcast(q)).select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            binary_words_distance_expr("HAMMING", F.col("words"), F.col("qwords")).alias("distance"),
+            binary_words_distance_expr(
+                "HAMMING", F.col("words"), F.col("qwords"), n_words=2
+            ).alias("distance"),
         )
         return topk_per_key(scored, "query_id", "distance", 100,
                             ascending=True, tie_breaker="neighbor_id")

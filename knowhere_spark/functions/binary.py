@@ -166,32 +166,52 @@ def pack_bits_expr(vec: Column, dim: int) -> Column:
     return F.array(*words)
 
 
-def hamming_words_expr(a: Column, b: Column) -> Column:
-    """popcount(xor) over word-packed vectors (brute_force.cc:218-228),
-    fully JVM-native."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ).cast("double")
+def _popcount_pairs(a: Column, b: Column, op: str, n_words: int | None) -> Column:
+    """Σ bit_count(a[i] <op> b[i]), integer-exact either way.
 
+    With ``n_words`` known (the packer always knows: ceil(dim/32)) the sum
+    unrolls into a FLAT expression that whole-stage codegen compiles;
+    the generic higher-order ``aggregate(zip_with(...))`` form is a
+    CodegenFallback in Spark — interpreted per row with a transient array
+    per pair — measured 3× slower at 2M scored pairs (SCALE.md r11).
+    Callers that can't know the width (schema-generic operator paths)
+    pass ``None`` and keep the HOF form.
+    """
+    def word(x: Column, y: Column) -> Column:
+        if op == "xor":
+            return x.bitwiseXOR(y)
+        return x.bitwiseAND(y) if op == "and" else x.bitwiseOR(y)
 
-def _popcount_and(a: Column, b: Column) -> Column:
+    if n_words is not None:
+        terms = [
+            F.bit_count(word(F.element_at(a, i), F.element_at(b, i)))
+            for i in range(1, n_words + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.zip_with(a, b, lambda x, y: F.bit_count(word(x, y))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
-def jaccard_words_expr(a: Column, b: Column) -> Column:
+def hamming_words_expr(a: Column, b: Column, n_words: int | None = None) -> Column:
+    """popcount(xor) over word-packed vectors (brute_force.cc:218-228),
+    fully JVM-native; pass ``n_words`` to stay inside codegen."""
+    return _popcount_pairs(a, b, "xor", n_words).cast("double")
+
+
+def _popcount_and(a: Column, b: Column, n_words: int | None = None) -> Column:
+    return _popcount_pairs(a, b, "and", n_words)
+
+
+def jaccard_words_expr(a: Column, b: Column, n_words: int | None = None) -> Column:
     """1 - |and|/|or| over word-packed vectors (brute_force.cc:212-217)."""
-    inter = _popcount_and(a, b).cast("double")
-    union = F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseOR(y))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ).cast("double")
+    inter = _popcount_and(a, b, n_words).cast("double")
+    union = _popcount_pairs(a, b, "or", n_words).cast("double")
     return F.when(union > 0, F.lit(1.0) - inter / union).otherwise(F.lit(1.0))
 
 
@@ -209,12 +229,14 @@ def superstructure_words_expr(base: Column, query: Column) -> Column:
     )
 
 
-def binary_words_distance_expr(metric: MetricType, base: Column, query: Column) -> Column:
+def binary_words_distance_expr(
+    metric: MetricType, base: Column, query: Column, n_words: int | None = None
+) -> Column:
     metric = MetricType(metric)
     if metric == MetricType.HAMMING:
-        return hamming_words_expr(base, query)
+        return hamming_words_expr(base, query, n_words)
     if metric == MetricType.JACCARD:
-        return jaccard_words_expr(base, query)
+        return jaccard_words_expr(base, query, n_words)
     raise ValueError(f"binary_words_distance_expr does not support {metric}")
 
 
