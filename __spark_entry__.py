@@ -1296,7 +1296,15 @@ def q_video_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical frame bytes ⇒ identical pHashes, so the pair set + match
     counts + overlap fractions are pure doc-id arithmetic — the DuckDB
     mirror.  Any break in mux/parse/sample/decode/hash shifts the pair
-    set and fails the hash gate."""
+    set and fails the hash gate.
+
+    r11 (VERDICT r10 #5): the gate runs BOTH frame samplings — the
+    default ``every_n`` and the r10 scene-change kernel at its exact
+    operating point (``sample="scenes"``, ``scene_min_hamming=0``:
+    every frame is a boundary, so the scene path must reproduce the
+    every_n pair set EXACTLY, lifting the pytest equality pin to the
+    driver oracle).  The rows carry a ``sampling`` label; the mirror is
+    the same doc-id arithmetic cross-joined with both labels."""
     from knowhere_spark.operators.multimodal import (
         synthesize_video_media,
         video_neardup_pairs,
@@ -1304,8 +1312,17 @@ def q_video_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_video_media(docs)
-    out = video_neardup_pairs(media, min_overlap=0.5, max_hamming=0)
+    out = None
+    for tag, kw in (
+        ("every_n", {}),
+        ("scenes", {"sample": "scenes", "scene_min_hamming": 0}),
+    ):
+        part = video_neardup_pairs(
+            media, min_overlap=0.5, max_hamming=0, **kw
+        ).withColumn("sampling", F.lit(tag))
+        out = part if out is None else out.unionByName(part)
     return out.select(
+        "sampling",
         "id_a",
         "id_b",
         F.col("matches").cast("long").alias("matches"),
@@ -3129,11 +3146,16 @@ FROM v
         # bytes, everything else globally unique → identical pHashes
         # exactly on the shared frames.  matches=3, overlap=3/min(n_a,n_b),
         # min_overlap=0.5 keeps all pairs (3/6 is the floor).
+        # both samplings (every_n, and scenes at scene_min_hamming=0
+        # where every frame is a boundary) must produce the SAME pair
+        # arithmetic — the labels cross-join the shared mirror (r11)
         "video_neardup_exact": """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT s.sampling, a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(3 AS BIGINT) AS matches,
        ROUND(3.0 / LEAST(4 + a.doc_id % 3, 4 + b.doc_id % 3), 4) AS overlap
-FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 1
+CROSS JOIN (VALUES ('every_n'), ('scenes')) AS s(sampling)
 WHERE b.doc_id % 4 = 1
 """,
         # phash_neardup_pairs: synthesize_image_media makes doc d at
