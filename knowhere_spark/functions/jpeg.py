@@ -804,3 +804,174 @@ def _render(
         axis=-1,
     )
     return np.clip(rgb, 0, maxv) / float(maxv)
+
+
+# ---------------------------------------------------------------------------
+# Baseline encoder (grayscale) — the library's forward path.
+#
+# The decoder above exists because a curation pipeline must READ crawl
+# JPEGs; this minimal encoder exists because the pipeline sometimes has to
+# WRITE them — MJPEG video fixtures (MP4 `jpeg`-fourcc sample entries whose
+# payloads are real baseline JPEGs, the second fully-real video codec path
+# after animated GIF), thumbnail re-encode stubs, round-trip tests.  One
+# component, baseline sequential, T.81 Annex K luminance Huffman tables
+# (public spec constants), flat default quant table.  Deterministic:
+# identical pixels → identical bytes.
+# ---------------------------------------------------------------------------
+
+_ENC_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_ENC_DC_VALS = tuple(range(12))
+_ENC_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_ENC_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _enc_codes(bits, vals):
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first entropy writer with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)   # pad with 1-bits (spec-conformant)
+        return bytes(self.out)
+
+
+def _enc_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _enc_block(w: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
+    diff = int(zz[0]) - pred
+    t = _enc_category(diff)
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    nz = [i for i in range(1, 64) if zz[i]]
+    last_nz = nz[-1] if nz else 0
+    k, run = 1, 0
+    while k <= last_nz:
+        if zz[k] == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]   # ZRL
+            w.write(code, ln)
+            run -= 16
+        v = int(zz[k])
+        s = _enc_category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        k += 1
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]       # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+#: flat default quant step — mild loss, deterministic; pass your own
+#: 64-entry zigzag-ordered table for JFIF-style quality curves
+_ENC_Q_DEFAULT = 8
+
+
+def encode_jpeg_gray(pixels: np.ndarray, q_table: np.ndarray | None = None) -> bytes:
+    """Encode an 8-bit grayscale image as a REAL baseline JPEG.
+
+    ``pixels``: (h, w) array, values 0-255 (uint8 or float, clipped).
+    ``q_table``: 64 zigzag-ordered quant steps (default: flat 8).  The
+    output round-trips through this module's own :func:`decode_jpeg`
+    within quantization error (pytest-pinned), and any standard decoder
+    reads it — SOI / DQT / SOF0 / DHT (Annex K luminance) / SOS / EOI.
+    """
+    import struct
+
+    px = np.clip(np.asarray(pixels, dtype=np.float64), 0, 255)
+    if px.ndim != 2:
+        raise ValueError("encode_jpeg_gray takes a single (h, w) plane")
+    h, w = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = (
+        np.full(64, _ENC_Q_DEFAULT, dtype=np.int64)
+        if q_table is None
+        else np.asarray(q_table, dtype=np.int64).reshape(64)
+    )
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quant steps must be in [1, 255]")
+    by, bx = -(-h // 8), -(-w // 8)
+    # edge-replicate padding: blocks beyond the image carry real samples
+    pad = np.pad(px, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+    blocks = (
+        pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    # forward DCT with the decoder's own basis (px = C.T @ F @ C  ⇒
+    # F = C @ px @ C.T) — one matmul pair over all blocks
+    F_ = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    zz = np.rint(F_.reshape(-1, 64)[:, _ZIGZAG] / q[None, :]).astype(np.int64)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    out += seg(0xC4, dht)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    writer = _BitWriter()
+    pred = 0
+    for b in range(len(zz)):
+        pred = _enc_block(writer, zz[b], pred, dc_codes, ac_codes)
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -673,40 +673,82 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_video_media(
-    documents: DataFrame, *, dup_stride: int = 4, shared_frames: int = 3
+    documents: DataFrame,
+    *,
+    dup_stride: int = 4,
+    shared_frames: int = 3,
+    codec: str = "raw",
 ) -> DataFrame:
     """Deterministic REAL-MP4 media from the documents table — the
     fixture the ``video_neardup_exact`` driver gate runs the full
     container-parse → frame-decode → pHash → hash-join pipeline over.
 
-    Video ``d`` has ``4 + d % 3`` frames; frame ``i``'s payload is
-    ``b"k:<key>:<i>"`` with ``key = d - 1`` when ``d % dup_stride == 1``
-    and ``i < shared_frames``, else ``key = d``.  So consecutive pairs
+    Video ``d`` has ``4 + d % 3`` frames; frame ``i`` is keyed by
+    ``key = d - 1`` when ``d % dup_stride == 1`` and
+    ``i < shared_frames``, else ``key = d``.  So consecutive pairs
     ``(d-1, d)`` at ``d % dup_stride == 1`` share EXACTLY
-    ``shared_frames`` frame payloads (→ identical deterministic pixels →
-    identical pHashes) and every other frame is globally unique — the
-    expected near-dup pair set is pure arithmetic over doc ids, which a
-    SQL oracle mirrors without touching bytes.  Each payload is a valid
-    flat MP4 (functions/mp4.encode_mp4), so a break anywhere in the
-    mux/parse/sample/decode/hash chain shifts the pair set and fails
-    the gate."""
+    ``shared_frames`` frame payloads (→ identical bytes → identical
+    pixels → identical pHashes) and every other frame is globally
+    unique — the expected near-dup pair set is pure arithmetic over doc
+    ids, which a SQL oracle mirrors without touching bytes.  Each
+    payload is a valid flat MP4 (functions/mp4.encode_mp4), so a break
+    anywhere in the mux/parse/sample/decode/hash chain shifts the pair
+    set and fails the gate.
+
+    ``codec`` picks the frame payload (r11, VERDICT r10 #3):
+
+    - ``"raw"``: payload ``b"k:<key>:<i>"`` — opaque bytes, the frame
+      decode stage falls back to the deterministic sha256-seeded fake
+      (container machinery real, pixels synthetic).
+    - ``"mjpeg"``: frames are REAL baseline JPEGs (functions/jpeg.
+      encode_jpeg_gray over 32×32 sha256-derived gray pixels) muxed
+      under the ``jpeg`` sample-entry fourcc — Motion JPEG, the second
+      fully-real video codec path after animated GIF: the sampler's
+      sniff dispatch sends every frame through the repo's own T.81
+      decoder, so mux → parse → REAL decode → pHash is end-to-end real
+      bits.  Same key arithmetic, same pair set, same oracle.
+    """
     from knowhere_spark.functions.mp4 import encode_mp4
     from knowhere_spark.session import ensure_parallelism
 
+    if codec not in ("raw", "mjpeg"):
+        raise ValueError("codec must be 'raw' or 'mjpeg'")
     ids = documents.select(F.col("doc_id").cast("long").alias("media_id"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "mjpeg":
+            from knowhere_spark.functions.jpeg import encode_jpeg_gray
+
+            def frame(key: int, i: int) -> bytes:
+                px = np.frombuffer(
+                    b"".join(
+                        hashlib.sha256(b"vf:%d:%d:%d" % (key, i, blk)).digest()
+                        for blk in range(32)
+                    ),
+                    dtype=np.uint8,
+                ).reshape(32, 32)
+                return encode_jpeg_gray(px)
+
+            fourcc = b"jpeg"
+        else:
+
+            def frame(key: int, i: int) -> bytes:
+                return b"k:%d:%d" % (key, i)
+
+            fourcc = b"avc1"
         for pdf in batches:
             payloads, metas = [], []
             for mid in pdf["media_id"]:
                 d = int(mid)
                 n = 4 + d % 3
                 frames = [
-                    b"k:%d:%d"
-                    % (d - 1 if d % dup_stride == 1 and i < shared_frames else d, i)
+                    frame(
+                        d - 1 if d % dup_stride == 1 and i < shared_frames else d,
+                        i,
+                    )
                     for i in range(n)
                 ]
-                payloads.append(encode_mp4(frames))
+                payloads.append(encode_mp4(frames, codec=fourcc))
                 metas.append(
                     {"width": 32, "height": 32, "n_frames": n, "sample_rate": 0}
                 )
