@@ -1487,6 +1487,38 @@ def _exif_fixture_xmp(d: int) -> bytes:
     return b"\xff\xe1" + _st.pack(">H", 2 + len(payload)) + payload
 
 
+def _exif_fixture_png(d: int) -> bytes:
+    """PNG fixture row (r11, VERDICT r10 #4 stretch): the SAME planted
+    metadata arithmetic as the JPEG fixture, carried the PNG way — an
+    eXIf chunk (the raw TIFF, no ``Exif\\0\\0`` prefix) plus, at
+    ``d % 7 == 0``, an uncompressed XMP iTXt packet — around a REAL
+    8×8 gray PNG the repo's own decoder reads."""
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _st.pack(">I", len(data)) + ctype + data
+            + _st.pack(">I", _zl.crc32(ctype + data))
+        )
+
+    tiff = _exif_fixture_app1(d)[10:]   # strip APP1 marker+len+Exif\0\0
+    ihdr = _st.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(((d + i * 8 + j) * 37) % 256 for j in range(8))
+        for i in range(8)
+    )
+    chunks = [chunk(b"IHDR", ihdr), chunk(b"eXIf", tiff)]
+    if d % 7 == 0:
+        ns = b"http://ns.adobe.com/xap/1.0/\x00"
+        xml = _exif_fixture_xmp(d)[4 + len(ns):]
+        chunks.append(
+            chunk(b"iTXt", b"XML:com.adobe.xmp\x00\x00\x00\x00\x00" + xml)
+        )
+    chunks += [chunk(b"IDAT", _zl.compress(raw)), chunk(b"IEND", b"")]
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
 def q_exif_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF PII scrub driver gate (r10, upgrading r9's exif_gps_scrub
     in place to the FULL identity pass — VERDICT r9 'what's missing'
@@ -1498,11 +1530,17 @@ def q_exif_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``artist_b`` = the planted name before, ``artist`` = '' after —
     byte surgery zeroes the out-of-line ASCII value, entry stays),
     (3) keep make/orientation, (4) keep payload LENGTH identical, and
-    (5) keep every byte OUTSIDE APP1 segments identical
-    (``non_app1_equal`` — computed by blanking APP1 ranges via the
-    shared marker walker and comparing, i.e. the pixel stream is
-    untouched without decoding it).  All output columns are doc-id
-    arithmetic → full DuckDB mirror."""
+    (5) keep every byte OUTSIDE metadata segments identical
+    (``non_app1_equal`` — computed by blanking the metadata ranges and
+    comparing, i.e. the pixel stream is untouched without decoding it).
+    All output columns are doc-id arithmetic → full DuckDB mirror.
+
+    r11 (VERDICT r10 #4 stretch): ODD docs are REAL PNGs instead — the
+    same planted values in an eXIf chunk + XMP iTXt packet
+    (``_exif_fixture_png``) — so the container dispatch, the PNG TIFF
+    surgery, the CRC recompute, and the iTXt blanking are all
+    driver-attested by the same arithmetic; for PNG rows the byte
+    compare blanks the eXIf/iTXt chunk ranges instead of APP1."""
     import sysconfig
 
     import pandas as pd
@@ -1525,10 +1563,13 @@ def q_exif_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads, metas = [], []
             for mid in pdf["media_id"]:
                 d = int(mid)
-                segs = _exif_fixture_app1(d)
-                if d % 7 == 0:
-                    segs += _exif_fixture_xmp(d)
-                payloads.append(base_jpeg[:2] + segs + base_jpeg[2:])
+                if d % 2 == 1:           # r11: odd docs are real PNGs
+                    payloads.append(_exif_fixture_png(d))
+                else:
+                    segs = _exif_fixture_app1(d)
+                    if d % 7 == 0:
+                        segs += _exif_fixture_xmp(d)
+                    payloads.append(base_jpeg[:2] + segs + base_jpeg[2:])
                 metas.append(
                     {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}
                 )
@@ -1569,10 +1610,26 @@ def q_exif_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(scrubbed.select("media_id", F.col("payload").alias("p1")), "media_id")
 
     def compare(batches):
+        from knowhere_spark.functions.exif import (
+            _iter_png_chunks,
+            _itxt_xmp_text_start,
+        )
         from knowhere_spark.functions.jpeg import iter_jpeg_segments
 
-        def blank_app1(buf: bytes) -> bytes:
+        def blank_meta(buf: bytes) -> bytes:
+            """Zero the metadata ranges the scrub may rewrite — APP1
+            segments (JPEG) or eXIf / XMP-iTXt chunks incl. their CRCs
+            (PNG) — so equality proves every OTHER byte (the pixel
+            stream) is untouched."""
             out = bytearray(buf)
+            if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                for _cs, ctype, ds, de in _iter_png_chunks(buf):
+                    if ctype == b"eXIf" or (
+                        ctype == b"iTXt"
+                        and _itxt_xmp_text_start(buf[ds:de]) is not None
+                    ):
+                        out[ds : de + 4] = b"\x00" * (de - ds + 4)
+                return bytes(out)
             try:
                 for marker, seg_start, _bs, body_end in iter_jpeg_segments(buf):
                     if marker == 0xE1:
@@ -1583,7 +1640,7 @@ def q_exif_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             eq = [
-                blank_app1(bytes(a)) == blank_app1(bytes(b))
+                blank_meta(bytes(a)) == blank_meta(bytes(b))
                 for a, b in zip(pdf["p0"], pdf["p1"])
             ]
             yield pd.DataFrame(

@@ -113,32 +113,20 @@ def _entry_value(tiff: bytes, typ: int, cnt: int, raw: bytes, little: bool):
     return data
 
 
-def exif_tags(jpeg: bytes) -> dict:
-    """Parse the EXIF APP1 of a JPEG into ``{"make", "model",
-    "orientation", "datetime", "artist", "has_gps"}`` (missing → None /
-    False).  Header-only; images without EXIF return the empty dict
-    values.  ``has_gps`` is true when ANY metadata segment carries
-    coordinates — the first EXIF APP1's GPS IFD or an ``exif:GPS*``
-    property in an XMP APP1 — matching exactly what
-    :func:`strip_exif_gps` removes; ``artist`` (0x013B) is the
-    identity-bearing audit column for :func:`strip_exif_pii`."""
-    out = {
-        "make": None, "model": None, "orientation": None,
-        "datetime": None, "artist": None, "has_gps": False,
-    }
-    seg = None
-    for seg_start, body_start, body_end, kind in _iter_app1(jpeg):
-        if kind == "exif" and seg is None:
-            seg = (seg_start, body_end)
-        elif kind == "xmp" and not out["has_gps"]:
-            out["has_gps"] = _xmp_has_gps(jpeg[body_start:body_end])
-    if seg is None:
-        return out
-    tiff = jpeg[seg[0] + 10 : seg[1]]
+_TAG_DEFAULTS = {
+    "make": None, "model": None, "orientation": None,
+    "datetime": None, "artist": None, "has_gps": False,
+}
+
+
+def _collect_tiff_tags(tiff: bytes, out: dict) -> None:
+    """IFD0 of one TIFF blob → update ``out`` in place (the shared half
+    of :func:`exif_tags` and :func:`png_exif_tags`; malformed structure
+    leaves whatever was extracted so far)."""
     try:
         little = tiff[:2] == b"II"
         if not little and tiff[:2] != b"MM":
-            return out
+            return
         e = "<" if little else ">"
         ifd0 = struct.unpack_from(e + "I", tiff, 4)[0]
         for tag, typ, cnt, raw in _parse_ifd(tiff, ifd0, little):
@@ -151,7 +139,28 @@ def exif_tags(jpeg: bytes) -> dict:
                 except ValueError:
                     pass
     except Exception:
-        pass   # malformed EXIF → whatever was extracted so far
+        pass
+
+
+def exif_tags(jpeg: bytes) -> dict:
+    """Parse the EXIF APP1 of a JPEG into ``{"make", "model",
+    "orientation", "datetime", "artist", "has_gps"}`` (missing → None /
+    False).  Header-only; images without EXIF return the empty dict
+    values.  ``has_gps`` is true when ANY metadata segment carries
+    coordinates — the first EXIF APP1's GPS IFD or an ``exif:GPS*``
+    property in an XMP APP1 — matching exactly what
+    :func:`strip_exif_gps` removes; ``artist`` (0x013B) is the
+    identity-bearing audit column for :func:`strip_exif_pii`."""
+    out = dict(_TAG_DEFAULTS)
+    seg = None
+    for seg_start, body_start, body_end, kind in _iter_app1(jpeg):
+        if kind == "exif" and seg is None:
+            seg = (seg_start, body_end)
+        elif kind == "xmp" and not out["has_gps"]:
+            out["has_gps"] = _xmp_has_gps(jpeg[body_start:body_end])
+    if seg is None:
+        return out
+    _collect_tiff_tags(jpeg[seg[0] + 10 : seg[1]], out)
     return out
 
 
@@ -370,3 +379,161 @@ def strip_exif_gps(jpeg: bytes) -> bytes:
                 out = bytearray(jpeg)
             out[lo : lo + len(new)] = new
     return jpeg if out is None else bytes(out)
+
+# ---------------------------------------------------------------------------
+# PNG — eXIf chunk + XMP iTXt (r11, VERDICT r10 #4).
+#
+# PNG is a top-2 crawl image format and carries the SAME PII the JPEG
+# scrub removes: the eXIf chunk holds a raw TIFF blob (identical layout to
+# the APP1 payload minus the "Exif\0\0" prefix — PNG 1.2 extension,
+# approved 2017), and phone/editor XMP packets ride an iTXt chunk keyed
+# "XML:com.adobe.xmp" (XMP Specification Part 3 — uncompressed by
+# requirement).  The scrubbers below reuse the SAME TIFF byte-surgery and
+# XMP blanking as the JPEG path, stay length-preserving, and recompute
+# each rewritten chunk's CRC-32, so the output is a valid PNG whose pixel
+# chunks are byte-identical.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_XMP_ITXT_KEY = b"XML:com.adobe.xmp"
+
+
+def _iter_png_chunks(png: bytes):
+    """Yield ``(chunk_start, ctype, data_start, data_end)`` for every
+    chunk; the CRC occupies ``data_end : data_end + 4``.  Malformed
+    structure ends the walk silently (the :func:`_iter_app1` contract:
+    best-effort-never-crash)."""
+    if png[:8] != _PNG_SIG:
+        return
+    pos, n = 8, len(png)
+    try:
+        while pos + 8 <= n:
+            (length,) = struct.unpack_from(">I", png, pos)
+            ctype = png[pos + 4 : pos + 8]
+            ds = pos + 8
+            de = ds + length
+            if length > 0x7FFFFFFF or de + 4 > n:
+                return
+            yield pos, ctype, ds, de
+            if ctype == b"IEND":
+                return
+            pos = de + 4
+    except Exception:
+        return
+
+
+def _itxt_xmp_text_start(data: bytes) -> int | None:
+    """Offset of the XML text inside an iTXt chunk data blob, or None
+    when the chunk is not an UNCOMPRESSED XMP packet (XMP Part 3 forbids
+    compressing it; a compressed packet couldn't be blanked
+    length-preservingly anyway).  Layout: keyword NUL, compression flag,
+    compression method, language-tag NUL, translated-keyword NUL, text."""
+    if not data.startswith(_XMP_ITXT_KEY + b"\x00"):
+        return None
+    p = len(_XMP_ITXT_KEY) + 1
+    if p + 2 > len(data) or data[p] != 0:   # compression flag must be 0
+        return None
+    p += 2
+    for _ in range(2):                      # language tag, translated kw
+        nul = data.find(b"\x00", p)
+        if nul < 0:
+            return None
+        p = nul + 1
+    return p
+
+
+def png_exif_tags(png: bytes) -> dict:
+    """PNG analog of :func:`exif_tags`: the first eXIf chunk's TIFF IFD0
+    plus ``exif:GPS*`` detection in XMP iTXt packets — same keys, same
+    semantics (``has_gps`` is true exactly when :func:`strip_png_pii`
+    with ``scrub_gps=True`` would remove something GPS-shaped)."""
+    out = dict(_TAG_DEFAULTS)
+    seen_exif = False
+    for _cs, ctype, ds, de in _iter_png_chunks(png):
+        if ctype == b"eXIf" and not seen_exif:
+            seen_exif = True
+            _collect_tiff_tags(png[ds:de], out)
+        elif ctype == b"iTXt" and not out["has_gps"]:
+            data = png[ds:de]
+            ts = _itxt_xmp_text_start(data)
+            if ts is not None:
+                out["has_gps"] = _xmp_has_gps(data[ts:])
+    return out
+
+
+def strip_png_pii(
+    png: bytes, *, tags: frozenset = PII_TAGS, scrub_gps: bool = True
+) -> bytes:
+    """The PNG image-side PII pass: every eXIf chunk gets the SAME TIFF
+    byte surgery as the JPEG APP1 (GPS IFD erased + identity tag values
+    blanked — :func:`_scrub_tiff_gps` / :func:`_blank_tiff_tags`), and
+    every uncompressed XMP iTXt packet gets its ``exif:GPS*`` properties
+    space-blanked.  Each rewritten chunk's CRC-32 is recomputed, so the
+    output stays a VALID PNG; length-preserving throughout; pixel chunks
+    byte-identical; no-PII inputs come back ``is``-identical."""
+    import zlib
+
+    out: bytearray | None = None
+
+    def write(ds: int, de: int, ctype: bytes, new_data: bytes) -> None:
+        nonlocal out
+        if out is None:
+            out = bytearray(png)
+        out[ds:de] = new_data
+        out[de : de + 4] = struct.pack(">I", zlib.crc32(ctype + new_data))
+
+    for _cs, ctype, ds, de in _iter_png_chunks(png):
+        buf = png if out is None else bytes(out)
+        data = buf[ds:de]
+        if ctype == b"eXIf":
+            seg = data
+            if scrub_gps:
+                gps_free = _scrub_tiff_gps(seg)
+                if gps_free is not None:
+                    seg = gps_free
+            blanked = _blank_tiff_tags(seg, tags)
+            if blanked is not None:
+                seg = blanked
+            if seg != data:
+                write(ds, de, ctype, seg)
+        elif ctype == b"iTXt" and scrub_gps:
+            ts = _itxt_xmp_text_start(data)
+            if ts is None:
+                continue
+            new = _scrub_xmp_gps(data[ts:])
+            if new is not None:
+                write(ds, de, ctype, data[:ts] + new)
+    return png if out is None else bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# container-dispatched entry points — what the Spark operators call
+# ---------------------------------------------------------------------------
+
+def media_pii_tags(payload: bytes) -> dict:
+    """Metadata tags for any supported container: PNG (eXIf + XMP iTXt)
+    or JPEG (EXIF/XMP APP1); other bytes return the empty defaults (the
+    JPEG walker is a silent no-op on them)."""
+    if payload[:8] == _PNG_SIG:
+        return png_exif_tags(payload)
+    return exif_tags(payload)
+
+
+def strip_media_pii(
+    payload: bytes, *, tags: frozenset = PII_TAGS, scrub_gps: bool = True
+) -> bytes:
+    """Container-dispatched full PII scrub: PNG → :func:`strip_png_pii`,
+    everything else → :func:`strip_exif_pii` (a no-op on non-JPEG
+    bytes).  Length-preserving, pixels untouched, clean inputs come back
+    ``is``-identical."""
+    if payload[:8] == _PNG_SIG:
+        return strip_png_pii(payload, tags=tags, scrub_gps=scrub_gps)
+    return strip_exif_pii(payload, tags=tags, scrub_gps=scrub_gps)
+
+
+def strip_media_gps(payload: bytes) -> bytes:
+    """Container-dispatched GPS-only scrub (the :func:`strip_exif_gps`
+    contract extended to PNG)."""
+    if payload[:8] == _PNG_SIG:
+        return strip_png_pii(payload, tags=frozenset(), scrub_gps=True)
+    return strip_exif_gps(payload)

@@ -1153,13 +1153,14 @@ def orient_image(arr: np.ndarray, orientation: int | None) -> np.ndarray:
 
 
 def exif_metadata(media: DataFrame) -> DataFrame:
-    """EXIF tags for every JPEG image row (functions/exif.py — APP1/TIFF
-    IFD parse, header-only): ``(media_id, make, model, orientation,
-    datetime, artist, has_gps)``.  Non-JPEG / EXIF-less rows return
+    """EXIF tags for every image row, container-dispatched (functions/
+    exif.media_pii_tags — JPEG APP1/TIFF IFD parse or PNG eXIf + XMP
+    iTXt, both header-only): ``(media_id, make, model, orientation,
+    datetime, artist, has_gps)``.  Other / metadata-less rows return
     nulls and ``has_gps = false`` — the typed camera metadata a curation
     pipeline filters on (``has_gps``/``artist`` double as the audit
     columns for the GPS/PII scrubs below)."""
-    from knowhere_spark.functions.exif import exif_tags
+    from knowhere_spark.functions.exif import media_pii_tags as exif_tags
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1190,19 +1191,20 @@ def exif_metadata(media: DataFrame) -> DataFrame:
 
 
 def scrub_media_gps(media: DataFrame) -> DataFrame:
-    """Image-side PII pass: losslessly remove GPS EXIF from every JPEG
-    payload (functions/exif.strip_exif_gps — only the APP1 IFD is
+    """Image-side GPS pass, container-dispatched: losslessly remove GPS
+    metadata from every JPEG (APP1 EXIF + XMP) and PNG (eXIf + XMP iTXt)
+    payload (functions/exif.strip_media_gps — only metadata bytes are
     rewritten, pixels byte-identical; text-side sibling is
-    functions/text.pii_scrub_expr).  Non-JPEG and GPS-free payloads
-    pass through untouched.  Schema-preserving: the scrubbed corpus
-    drops into the rest of the pipeline unchanged."""
-    from knowhere_spark.functions.exif import strip_exif_gps
+    functions/text.pii_scrub_expr).  Other containers and GPS-free
+    payloads pass through untouched.  Schema-preserving: the scrubbed
+    corpus drops into the rest of the pipeline unchanged."""
+    from knowhere_spark.functions.exif import strip_media_gps
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["payload"] = [
-                strip_exif_gps(bytes(p)) for p in pdf["payload"]
+                strip_media_gps(bytes(p)) for p in pdf["payload"]
             ]
             yield pdf
 
@@ -1210,20 +1212,21 @@ def scrub_media_gps(media: DataFrame) -> DataFrame:
 
 
 def scrub_media_pii(media: DataFrame) -> DataFrame:
-    """The FULL image-side PII pass (superset of :func:`scrub_media_gps`):
-    every EXIF GPS IFD + XMP exif:GPS* property removed AND the
-    identity-bearing tag values blanked (artist, copyright, user
-    comment, camera owner, body/lens serial numbers — the device
-    fingerprints that link photos across a corpus;
-    functions/exif.strip_exif_pii).  Lossless for pixels,
-    length-preserving, schema-preserving."""
-    from knowhere_spark.functions.exif import strip_exif_pii
+    """The FULL image-side PII pass (superset of :func:`scrub_media_gps`),
+    container-dispatched by sniffed magic bytes (r11): every EXIF GPS
+    IFD + XMP exif:GPS* property removed AND the identity-bearing tag
+    values blanked (artist, copyright, user comment, camera owner,
+    body/lens serial numbers — the device fingerprints that link photos
+    across a corpus) in JPEG APP1 segments AND PNG eXIf/iTXt chunks
+    (CRCs recomputed; functions/exif.strip_media_pii).  Lossless for
+    pixels, length-preserving, schema-preserving."""
+    from knowhere_spark.functions.exif import strip_media_pii
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["payload"] = [
-                strip_exif_pii(bytes(p)) for p in pdf["payload"]
+                strip_media_pii(bytes(p)) for p in pdf["payload"]
             ]
             yield pdf
 
