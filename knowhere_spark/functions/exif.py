@@ -422,24 +422,56 @@ def _iter_png_chunks(png: bytes):
         return
 
 
-def _itxt_xmp_text_start(data: bytes) -> int | None:
-    """Offset of the XML text inside an iTXt chunk data blob, or None
-    when the chunk is not an UNCOMPRESSED XMP packet (XMP Part 3 forbids
-    compressing it; a compressed packet couldn't be blanked
-    length-preservingly anyway).  Layout: keyword NUL, compression flag,
-    compression method, language-tag NUL, translated-keyword NUL, text."""
+#: inflate cap for compressed XMP detection — an XMP packet is tens of
+#: KB; anything larger is either not XMP or a decompression bomb
+_XMP_INFLATE_CAP = 1 << 22
+
+
+def _itxt_xmp_span(data: bytes) -> tuple[int, bool] | None:
+    """``(text_start, compressed)`` for an XMP iTXt chunk data blob, or
+    None when the chunk is not an XMP packet.  Layout: keyword NUL,
+    compression flag, compression method, language-tag NUL,
+    translated-keyword NUL, text."""
     if not data.startswith(_XMP_ITXT_KEY + b"\x00"):
         return None
     p = len(_XMP_ITXT_KEY) + 1
-    if p + 2 > len(data) or data[p] != 0:   # compression flag must be 0
+    if p + 2 > len(data) or data[p] not in (0, 1):
         return None
+    compressed = data[p] == 1
     p += 2
     for _ in range(2):                      # language tag, translated kw
         nul = data.find(b"\x00", p)
         if nul < 0:
             return None
         p = nul + 1
-    return p
+    return p, compressed
+
+
+def _itxt_xmp_text_start(data: bytes) -> int | None:
+    """Offset of the XML text inside an UNCOMPRESSED XMP iTXt blob
+    (XMP Part 3 requires flag 0), or None."""
+    span = _itxt_xmp_span(data)
+    if span is None or span[1]:
+        return None
+    return span[0]
+
+
+def _itxt_xmp_xml(data: bytes) -> bytes | None:
+    """The XML text of an XMP iTXt blob, inflating a (nonconforming)
+    compressed packet under a size cap; None when not XMP / inflate
+    fails."""
+    span = _itxt_xmp_span(data)
+    if span is None:
+        return None
+    ts, compressed = span
+    if not compressed:
+        return data[ts:]
+    import zlib
+
+    try:
+        return zlib.decompressobj().decompress(data[ts:], _XMP_INFLATE_CAP)
+    except Exception:
+        return None
 
 
 def png_exif_tags(png: bytes) -> dict:
@@ -454,10 +486,12 @@ def png_exif_tags(png: bytes) -> dict:
             seen_exif = True
             _collect_tiff_tags(png[ds:de], out)
         elif ctype == b"iTXt" and not out["has_gps"]:
-            data = png[ds:de]
-            ts = _itxt_xmp_text_start(data)
-            if ts is not None:
-                out["has_gps"] = _xmp_has_gps(data[ts:])
+            # compressed packets (nonconforming) are INFLATED for
+            # detection: the audit column must not read clean while
+            # coordinates sit one zlib call away
+            xml = _itxt_xmp_xml(png[ds:de])
+            if xml is not None:
+                out["has_gps"] = _xmp_has_gps(xml)
     return out
 
 
@@ -467,10 +501,15 @@ def strip_png_pii(
     """The PNG image-side PII pass: every eXIf chunk gets the SAME TIFF
     byte surgery as the JPEG APP1 (GPS IFD erased + identity tag values
     blanked — :func:`_scrub_tiff_gps` / :func:`_blank_tiff_tags`), and
-    every uncompressed XMP iTXt packet gets its ``exif:GPS*`` properties
-    space-blanked.  Each rewritten chunk's CRC-32 is recomputed, so the
-    output stays a VALID PNG; length-preserving throughout; pixel chunks
-    byte-identical; no-PII inputs come back ``is``-identical."""
+    every XMP iTXt packet gets its ``exif:GPS*`` properties removed —
+    space-blanked in place for conforming uncompressed packets, the
+    whole compressed text zero-filled for nonconforming compressed ones
+    that carry GPS (no length-preserving in-stream blank exists; PII
+    removal outranks metadata fidelity).  Each rewritten chunk's CRC-32
+    is recomputed, so the output stays a VALID PNG; length-preserving
+    throughout; pixel chunks byte-identical; no-PII inputs come back
+    ``is``-identical.  (zTXt cannot legally carry XMP and is left
+    alone.)"""
     import zlib
 
     out: bytearray | None = None
@@ -483,8 +522,11 @@ def strip_png_pii(
         out[de : de + 4] = struct.pack(">I", zlib.crc32(ctype + new_data))
 
     for _cs, ctype, ds, de in _iter_png_chunks(png):
-        buf = png if out is None else bytes(out)
-        data = buf[ds:de]
+        # chunks are disjoint and each visited once, so reading from the
+        # ORIGINAL buffer is always correct — a bytes(out) here would
+        # copy the whole file once per chunk (PNGs split IDAT into many
+        # chunks; the scrub runs in a corpus-scale mapInPandas)
+        data = png[ds:de]
         if ctype == b"eXIf":
             seg = data
             if scrub_gps:
@@ -497,12 +539,24 @@ def strip_png_pii(
             if seg != data:
                 write(ds, de, ctype, seg)
         elif ctype == b"iTXt" and scrub_gps:
-            ts = _itxt_xmp_text_start(data)
-            if ts is None:
+            span = _itxt_xmp_span(data)
+            if span is None:
                 continue
-            new = _scrub_xmp_gps(data[ts:])
-            if new is not None:
-                write(ds, de, ctype, data[:ts] + new)
+            ts, compressed = span
+            if compressed:
+                # nonconforming packet (XMP Part 3 forbids compression):
+                # no length-preserving blank exists inside a zlib
+                # stream, so when it carries GPS the WHOLE compressed
+                # text is zero-filled — the packet is destroyed rather
+                # than the coordinates preserved (PII removal outranks
+                # metadata fidelity); GPS-free packets pass through
+                xml = _itxt_xmp_xml(data)
+                if xml is not None and _xmp_has_gps(xml):
+                    write(ds, de, ctype, data[:ts] + b"\x00" * (len(data) - ts))
+            else:
+                new = _scrub_xmp_gps(data[ts:])
+                if new is not None:
+                    write(ds, de, ctype, data[:ts] + new)
     return png if out is None else bytes(out)
 
 

@@ -127,8 +127,15 @@ class BruteForce:
                         binary_words_distance_expr,
                     )
 
+                    # probe the word width once so the popcount sum
+                    # unrolls into flat codegen'd bit_counts — the HOF
+                    # aggregate form is a CodegenFallback, 3× slower at
+                    # 2M pairs (SCALE.md r11); one tiny head() job is
+                    # noise next to the nq×nb scan it speeds up
+                    head = base.select(F.size("vec").alias("nw")).head()
+                    n_words = int(head["nw"]) if head else None
                     dist = binary_words_distance_expr(
-                        metric, F.col("vec"), F.col("qvec")
+                        metric, F.col("vec"), F.col("qvec"), n_words=n_words
                     )
                 else:
                     dist = binary_distance_expr(metric, F.col("vec"), F.col("qvec"))

@@ -99,13 +99,20 @@ def content_keyed_sample(
     """
     from pyspark.sql import functions as F
 
+    import math
+
     if cap is None or n_rows <= cap:
         return df
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
     _SC = 1 << 20
+    # ceil, floored at 1: int() truncation would under-draw up to a full
+    # 2^-20 of the corpus (~30% at 10^9 rows), and at n > cap·2^20 a
+    # floor-to-zero threshold would keep NOTHING and crash the trainer
+    # downstream — a tiny over-cap sample is the correct degradation
+    threshold = max(1, math.ceil(cap / n_rows * _SC))
     out = df.filter(
         F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(seed)), F.lit(_SC))
-        < F.lit(int(cap / n_rows * _SC))
+        < F.lit(threshold)
     )
     return out.orderBy(*keys) if sort else out
 

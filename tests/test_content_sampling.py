@@ -142,3 +142,20 @@ def test_bpe_train_sample_shuffle_invariant(spark):
         ]
 
     assert merges(df) == merges(_shuffled(df))
+
+
+def test_threshold_never_zero_and_ceils(spark):
+    """r11 review fix: at n > cap·2^20 the old int() threshold floored
+    to 0 (EMPTY train sample → kmeans crash downstream); it must floor
+    at 1, and use ceil so the draw isn't under-cap by a truncation."""
+    df = dense_df(spark, gen_dense(10, 4, seed=31))
+    plan = str(
+        content_keyed_sample(df, 10**10, 100)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    assert "< 1)" in plan          # max(1, ceil(100/1e10 * 2^20)) == 1
+    plan2 = str(
+        content_keyed_sample(df, 2**21, 1)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    assert "< 1)" in plan2         # ceil(0.5) == 1, int() would give 0

@@ -443,15 +443,30 @@ def test_strip_png_pii_lossless_and_erased():
     assert strip_png_pii(plain) is plain
 
 
-def test_strip_png_pii_skips_compressed_xmp():
-    """XMP Part 3 requires the packet uncompressed; a compressed iTXt
-    cannot be blanked length-preservingly and must pass through intact
-    rather than be corrupted."""
-    from knowhere_spark.functions.exif import strip_png_pii
+def test_strip_png_pii_compressed_xmp_destroyed_when_gps():
+    """XMP Part 3 requires the packet uncompressed, but a nonconforming
+    compressed iTXt must not smuggle GPS past the scrub (r11 review
+    fix): detection inflates it, and when it carries GPS the whole
+    compressed text is zero-filled (no length-preserving in-stream
+    blank exists) — PII removal outranks metadata fidelity.  GPS-free
+    compressed packets pass through ``is``-identical."""
+    import zlib
+
+    from knowhere_spark.functions.exif import png_exif_tags, strip_png_pii
 
     xmp = b'<rdf:Description exif:GPSLatitude="37,46.1N"/>'
     png = build_png(xmp=xmp, compressed_xmp=True)
-    assert strip_png_pii(png) is png
+    assert png_exif_tags(png)["has_gps"] is True       # audit sees through zlib
+    out = strip_png_pii(png)
+    assert out is not png and len(out) == len(png)
+    assert _png_crcs_valid(out)
+    assert png_exif_tags(out)["has_gps"] is False
+    # the coordinates are unrecoverable: no inflatable stream remains
+    assert zlib.compress(xmp) not in out
+    clean = build_png(
+        xmp=b'<rdf:Description tiff:Make="K"/>', compressed_xmp=True
+    )
+    assert strip_png_pii(clean) is clean
 
 
 def test_scrub_media_pii_mixed_corpus(spark, real_jpeg):
