@@ -81,8 +81,11 @@ def main() -> None:
 
         cap = min(n, 256 * n_shards)
         t0 = time.monotonic()
-        samp = big if n <= cap else big.sample(fraction=cap / n, seed=42)
-        S0 = collect_vec_matrix(samp, "vec")
+        # mirror build()'s r10/r11 content-keyed + id-sorted train exactly
+        from knowhere_spark.session import content_keyed_sample
+
+        samp = content_keyed_sample(big, n, cap, seed=42, sort=False)
+        S0 = collect_vec_matrix(samp.orderBy("id"), "vec")
         router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
         router_train_sec = round(time.monotonic() - t0, 1)
         del S0, router
