@@ -863,6 +863,28 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_videos_mp4"] = q_video_neardup
 
+    def q_video_neardup_mjpeg():
+        # the REAL-codec video pipeline (r11): Motion-JPEG MP4s whose
+        # frame payloads are real baseline JPEGs, so every sampled frame
+        # pays the actual T.81 Huffman+IDCT decode before pHash — tracks
+        # the fully-real mux -> parse -> decode -> hash -> join cost the
+        # video_neardup_exact gate now attests (the raw-payload entry
+        # above isolates container+join cost; this one adds codec cost).
+        # 2k docs x ~5 frames ≈ 10k JPEG decodes per run.
+        from knowhere_spark.operators.multimodal import (
+            synthesize_video_media,
+            video_neardup_pairs,
+        )
+
+        media = synthesize_video_media(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .filter(F.col("doc_id") < 2000),
+            codec="mjpeg",
+        )
+        return video_neardup_pairs(media, min_overlap=0.5, max_hamming=0)
+
+    out["dedup_videos_mjpeg"] = q_video_neardup_mjpeg
+
     def q_audio_neardup_banded():
         # audio near-dup through the r10 DEFAULT strategy: 5k real WAV
         # clips (planted dups at d%4==1) -> decode + FFT band energy ->
