@@ -993,6 +993,66 @@ def resize_images(
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def transcode_images_jpeg(
+    media: DataFrame,
+    *,
+    width: int | None = None,
+    height: int | None = None,
+    q_table=None,
+    decoders: dict | None = None,
+) -> DataFrame:
+    """Thumbnail/normalize stage with COMPRESSED output (r11): decode any
+    supported container → optional nearest-neighbor resize → grayscale →
+    re-encode as a real baseline JPEG (functions/jpeg.encode_jpeg_gray).
+
+    :func:`resize_images` emits uncompressed PNM (bit-exact, the
+    verification-friendly form); this stage is the storage shape a
+    100 TB vision-training corpus actually wants — a 64×64 gray
+    thumbnail is ~4 KB as PNM and ~1 KB as JPEG, and the output decodes
+    through the repo's own T.81 decoder (and any standard one).  RGB
+    inputs collapse to the channel mean, the same grayscale the pHash
+    kernels hash.  Deterministic: identical payloads → identical JPEG
+    bytes.  Non-image rows pass through untouched; opaque payloads go
+    through the deterministic-fake decode but still emit a valid JPEG
+    (the resize stage's totality contract)."""
+    from knowhere_spark.functions.jpeg import encode_jpeg_gray
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_payload, out_meta = [], []
+            for payload, mtype, meta in zip(
+                pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                meta = dict(meta)
+                if mtype == "image":
+                    arr = decode_payload(bytes(payload), mtype, meta, decoders)
+                    if arr.ndim == 3:
+                        arr = arr.mean(axis=2)
+                    if width is not None or height is not None:
+                        h = height if height is not None else arr.shape[0]
+                        w = width if width is not None else arr.shape[1]
+                        arr = _nn_resample(arr, h, w)
+                    out_payload.append(
+                        encode_jpeg_gray(arr * 255.0, q_table=q_table)
+                    )
+                    meta["height"], meta["width"] = arr.shape[0], arr.shape[1]
+                else:
+                    out_payload.append(bytes(payload))
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video rows — a *native* explode over the frame
     index sequence (no Python): one output row per kept frame.  The

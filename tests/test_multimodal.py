@@ -1222,3 +1222,74 @@ def test_encode_jpeg_gray_roundtrip_and_validation():
         encode_jpeg_gray(np.zeros((4, 4, 3)))
     with pytest.raises(ValueError):
         encode_jpeg_gray(np.zeros((8, 8)), q_table=np.zeros(64))
+
+
+def test_transcode_images_jpeg_mixed_corpus(spark):
+    """r11: the compressed thumbnail stage — decode (PNM RGB / PNG) →
+    resize → grayscale → REAL baseline-JPEG re-encode; output sniffs as
+    JPEG, decodes through the repo's own decoder to the resampled gray
+    source within quantization error, is smaller than the PNM twin, and
+    non-image rows pass through untouched."""
+    import zlib
+
+    from knowhere_spark.functions.jpeg import decode_jpeg
+    from knowhere_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _nn_resample,
+        decode_payload,
+        resize_images,
+        sniff_format,
+        transcode_images_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    # real P6 RGB
+    rgb = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    p6 = b"P6\n30 40\n255\n" + rgb.tobytes()
+    # real gray 8-bit PNG (filter 0 rows)
+    import struct
+
+    g = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(
+            b"".join(b"\x00" + g[i].tobytes() for i in range(16))))
+        + chunk(b"IEND", b"")
+    )
+    meta = {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 0}
+    rows = [
+        (0, "image", bytearray(p6), dict(meta)),
+        (1, "image", bytearray(png), dict(meta)),
+        (2, "audio", bytearray(b"not an image"), dict(meta)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           transcode_images_jpeg(media, width=24, height=24).collect()}
+
+    for mid, src in ((0, p6), (1, png)):
+        payload = bytes(out[mid]["payload"])
+        assert sniff_format(payload) == "jpeg"
+        dec = decode_jpeg(payload) * 255.0
+        assert dec.shape == (24, 24)
+        assert out[mid]["meta"]["width"] == 24
+        arr = decode_payload(src, "image", meta)
+        if arr.ndim == 3:
+            arr = arr.mean(axis=2)
+        want = _nn_resample(arr, 24, 24) * 255.0
+        assert np.abs(dec - want).max() < 16.0   # flat-q quant error bound
+    assert bytes(out[2]["payload"]) == b"not an image"
+
+    # deterministic, and smaller than the uncompressed PNM twin
+    again = {r["media_id"]: bytes(r["payload"]) for r in
+             transcode_images_jpeg(media, width=24, height=24).collect()}
+    assert again[0] == bytes(out[0]["payload"])
+    pnm_twin = {r["media_id"]: bytes(r["payload"]) for r in
+                resize_images(media, 24, 24).collect()}
+    assert len(bytes(out[0]["payload"])) < len(pnm_twin[0])
