@@ -885,6 +885,24 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_videos_mjpeg"] = q_video_neardup_mjpeg
 
+    def q_transcode_thumbs():
+        # compressed thumbnail stage (r11): decode 5k real PNM images ->
+        # 24x24 nearest resize -> gray -> REAL baseline-JPEG re-encode —
+        # tracks the decode+encode kernel throughput of the storage-shape
+        # image normalizer (resize_images' PNM twin is lossless but 4x
+        # the bytes)
+        from knowhere_spark.operators.multimodal import (
+            synthesize_image_media,
+            transcode_images_jpeg,
+        )
+
+        media = synthesize_image_media(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        )
+        return transcode_images_jpeg(media, width=24, height=24)
+
+    out["transcode_thumbs_jpeg"] = q_transcode_thumbs
+
     def q_audio_neardup_banded():
         # audio near-dup through the r10 DEFAULT strategy: 5k real WAV
         # clips (planted dups at d%4==1) -> decode + FFT band energy ->
