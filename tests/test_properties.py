@@ -115,3 +115,93 @@ def test_local_topk_k_zero_and_empty():
     assert len(qidx) == len(nid) == len(dd) == 0
     qidx, nid, dd = local_topk(np.empty((10, 0)), ids, 5, False)
     assert len(qidx) == 0
+
+
+# --- r11 media byte-surgery properties --------------------------------------
+# The PII scrubbers promise best-effort-never-crash and length
+# preservation on ARBITRARY bytes; the JPEG encoder promises a bounded
+# round-trip on arbitrary pixel content.  Property-fuzz both.
+
+_px8 = st.integers(0, 255)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+def test_encode_jpeg_gray_roundtrip_property(h, w, seed):
+    from knowhere_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    data = encode_jpeg_gray(px)
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    assert encode_jpeg_gray(px) == data          # deterministic
+    dec = decode_jpeg(data) * 255.0
+    assert dec.shape == (h, w)
+    # flat q=8 bounds each coefficient's error at 4; the IDCT mixes 64
+    # of them — 16.0 holds empirically with wide margin on noise images
+    assert np.abs(dec - px).max() < 16.0
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_media_pii_scrub_total_on_arbitrary_bytes(blob):
+    """strip_media_pii / media_pii_tags must never raise and never
+    change payload length, whatever bytes arrive (corrupt crawl data is
+    the common case, not the exception)."""
+    from knowhere_spark.functions.exif import (
+        media_pii_tags,
+        strip_media_gps,
+        strip_media_pii,
+    )
+
+    for fn in (strip_media_pii, strip_media_gps):
+        out = fn(blob)
+        assert isinstance(out, bytes) and len(out) == len(blob)
+    tags = media_pii_tags(blob)
+    assert set(tags) == {
+        "make", "model", "orientation", "datetime", "artist", "has_gps"
+    }
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 12), st.integers(0, 399))
+def test_strip_png_pii_survives_corruption(seed, nflips, limit):
+    """Random byte flips / truncations of a REAL PII-bearing PNG must
+    never crash the scrub or change the length — the walker bails
+    silently on malformed structure (the _iter_app1 contract)."""
+    import struct as _st
+    import zlib as _zl
+
+    from knowhere_spark.functions.exif import png_exif_tags, strip_png_pii
+
+    def chunk(t, d):
+        return _st.pack(">I", len(d)) + t + d + _st.pack(">I", _zl.crc32(t + d))
+
+    tiff = (
+        b"II" + _st.pack("<H", 42) + _st.pack("<I", 8)
+        + _st.pack("<H", 1)
+        + _st.pack("<HHI", 0x8825, 4, 1) + _st.pack("<I", 26)
+        + _st.pack("<I", 0)
+        + _st.pack("<H", 0)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _st.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"eXIf", tiff)
+        + chunk(b"iTXt", b"XML:com.adobe.xmp\x00\x00\x00\x00\x00"
+                + b'<r exif:GPSLatitude="1"/>')
+        + chunk(b"IDAT", _zl.compress(b"\x00" * 20))
+        + chunk(b"IEND", b"")
+    )
+    rng = np.random.default_rng(seed)
+    buf = bytearray(png[: max(1, min(len(png), limit + 1))])
+    for _ in range(nflips):
+        buf[rng.integers(len(buf))] = rng.integers(256)
+    blob = bytes(buf)
+    out = strip_png_pii(blob)
+    assert isinstance(out, bytes) and len(out) == len(blob)
+    png_exif_tags(blob)   # must not raise either
