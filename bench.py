@@ -1407,16 +1407,18 @@ _REPEATS = 3
 def _warm_session(spark) -> float:
     """Untimed session warmup BEFORE the first timed entry (r11): the
     first heavy queries of a fresh session otherwise absorb one-time
-    costs that are not the code under test — Python-worker + Arrow
-    spin-up (~7 s) and JVM/whole-stage-codegen JIT tiering (~9 s,
-    decomposed in SCALE.md r10) — which polluted cross-round deltas
-    twice (r9's phantom '+113%' build; r11's 6× bf_knn first-entry
-    reading whose standalone steady state was in-band).  One small
-    mapInPandas (Python/Arrow path) plus one codegen'd join+window
-    (JVM path) retire those costs where no stopwatch is running; the
-    spent seconds are reported in the meta block for auditability."""
-    import pandas as pd  # noqa: F401  (ships to the worker below)
-
+    costs that are not the code under test — which polluted cross-round
+    deltas twice (r9's phantom '+113%' build; r11's 6× bf_knn
+    first-entry reading whose standalone steady state was in-band).
+    bench_queries already forks + imports every Python worker over a
+    tiny CPUS-partition mapInPandas; what was still missing is JIT
+    TIERING, which needs VOLUME — the JVM only compiles the hot
+    Arrow-write/read, shuffle and codegen loops after thousands of
+    rows.  One 200k-row mapInPandas pass plus one codegen'd join+window
+    retire that where no stopwatch is running (validated: the first
+    heavy GEMM entry read 7.1 s without this pass, 1.25 s with it —
+    SCALE.md r11); the spent seconds are reported in the meta block as
+    ``session_warmup_sec`` for auditability."""
     t0 = time.monotonic()
     try:
         df = spark.range(200_000).select(
@@ -1427,7 +1429,7 @@ def _warm_session(spark) -> float:
             for pdf in batches:
                 yield pdf
 
-        df.mapInPandas(_k, "id long, k long").count()         # Python/Arrow
+        df.mapInPandas(_k, "id long, k long").count()         # Arrow volume
         small = spark.range(256).select(F.col("id").alias("k"))
         from knowhere_spark.operators.topk import topk_per_key
 

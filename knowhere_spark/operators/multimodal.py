@@ -954,14 +954,23 @@ def encode_pnm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
-def resize_images(
-    media: DataFrame, width: int, height: int, *, decoders: dict | None = None
+def _reencode_images(
+    media: DataFrame, per_image, *, decoders: dict | None = None
 ) -> DataFrame:
-    """Resize stage: decode → nearest-neighbor resample → re-encode as
-    binary PNM.  The whole chain is real: an input PNM/BMP payload's
-    output decodes again to exactly the resampled pixels (8-bit
-    quantized); opaque payloads go through the deterministic-fake decode
-    but still emit a valid, re-decodable PNM."""
+    """Shared decode → transform → re-encode kernel behind
+    :func:`resize_images` and :func:`transcode_images_jpeg` (one copy of
+    the loop, so a totality/robustness fix lands in both stages at
+    once).  ``per_image(arr, meta) -> (payload_bytes, meta)`` receives a
+    pixel array GUARANTEED 2-D (gray) or 3-D (color); non-image rows
+    pass through untouched.
+
+    Totality guard (r11 review): ``decode_payload`` dispatches on magic
+    bytes, so a mis-typed row — e.g. valid WAV bytes in an image-typed
+    row — decodes to a 1-D sample array that would crash the resampler
+    and kill the whole corpus-scale job.  Such rows fall back to the
+    deterministic sha256-seeded fake image (the same fallback
+    decode_payload itself uses for opaque bytes), keeping the stage
+    total."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -974,10 +983,19 @@ def resize_images(
             ):
                 meta = dict(meta)
                 if mtype == "image":
-                    arr = decode_payload(bytes(payload), mtype, meta, decoders)
-                    resized = _nn_resample(arr, height, width)
-                    out_payload.append(encode_pnm(resized))
-                    meta["width"], meta["height"] = width, height
+                    payload = bytes(payload)
+                    arr = decode_payload(payload, mtype, meta, decoders)
+                    if arr.ndim not in (2, 3):
+                        digest = hashlib.sha256(payload).digest()
+                        rng = np.random.default_rng(
+                            int.from_bytes(digest[:8], "little")
+                        )
+                        arr = rng.random(
+                            (meta.get("height") or 32, meta.get("width") or 32, 3),
+                            dtype=np.float64,
+                        )
+                    new_payload, meta = per_image(arr, meta)
+                    out_payload.append(new_payload)
                 else:
                     out_payload.append(bytes(payload))
                 out_meta.append(meta)
@@ -991,6 +1009,23 @@ def resize_images(
             )
 
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, *, decoders: dict | None = None
+) -> DataFrame:
+    """Resize stage: decode → nearest-neighbor resample → re-encode as
+    binary PNM.  The whole chain is real: an input PNM/BMP payload's
+    output decodes again to exactly the resampled pixels (8-bit
+    quantized); opaque payloads go through the deterministic-fake decode
+    but still emit a valid, re-decodable PNM."""
+
+    def per_image(arr, meta):
+        resized = _nn_resample(arr, height, width)
+        meta["width"], meta["height"] = width, height
+        return encode_pnm(resized), meta
+
+    return _reencode_images(media, per_image, decoders=decoders)
 
 
 def transcode_images_jpeg(
@@ -1017,40 +1052,25 @@ def transcode_images_jpeg(
     (the resize stage's totality contract)."""
     from knowhere_spark.functions.jpeg import encode_jpeg_gray
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out_payload, out_meta = [], []
-            for payload, mtype, meta in zip(
-                pdf["payload"], pdf["media_type"], pdf["meta"]
-            ):
-                meta = dict(meta)
-                if mtype == "image":
-                    arr = decode_payload(bytes(payload), mtype, meta, decoders)
-                    if arr.ndim == 3:
-                        arr = arr.mean(axis=2)
-                    if width is not None or height is not None:
-                        h = height if height is not None else arr.shape[0]
-                        w = width if width is not None else arr.shape[1]
-                        arr = _nn_resample(arr, h, w)
-                    out_payload.append(
-                        encode_jpeg_gray(arr * 255.0, q_table=q_table)
-                    )
-                    meta["height"], meta["width"] = arr.shape[0], arr.shape[1]
-                else:
-                    out_payload.append(bytes(payload))
-                out_meta.append(meta)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "payload": out_payload,
-                    "meta": out_meta,
-                }
-            )
+    # validate q_table ONCE at the driver (r11 review): a bad table must
+    # fail fast at the call site, not as a serialized task failure deep
+    # into a corpus-scale job
+    if q_table is not None:
+        q_table = np.asarray(q_table, dtype=np.int64).reshape(64)
+        if (q_table < 1).any() or (q_table > 255).any():
+            raise ValueError("quant steps must be in [1, 255]")
 
-    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+    def per_image(arr, meta):
+        if arr.ndim == 3:
+            arr = arr.mean(axis=2)
+        if width is not None or height is not None:
+            h = height if height is not None else arr.shape[0]
+            w = width if width is not None else arr.shape[1]
+            arr = _nn_resample(arr, h, w)
+        meta["height"], meta["width"] = arr.shape[0], arr.shape[1]
+        return encode_jpeg_gray(arr * 255.0, q_table=q_table), meta
+
+    return _reencode_images(media, per_image, decoders=decoders)
 
 
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:

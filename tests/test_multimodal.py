@@ -1293,3 +1293,49 @@ def test_transcode_images_jpeg_mixed_corpus(spark):
     pnm_twin = {r["media_id"]: bytes(r["payload"]) for r in
                 resize_images(media, 24, 24).collect()}
     assert len(bytes(out[0]["payload"])) < len(pnm_twin[0])
+
+
+def test_reencode_stages_total_on_mistyped_rows(spark):
+    """r11 review fix: a valid WAV payload in an image-TYPED row decodes
+    (by magic-byte dispatch) to a 1-D sample array — both re-encode
+    stages must survive it via the deterministic-fake fallback instead
+    of killing the corpus-scale job; and a bad q_table must fail fast at
+    the driver, not as a mid-job task failure."""
+    import struct
+    import wave as _wave
+    from io import BytesIO
+
+    import pytest
+
+    from knowhere_spark.functions.jpeg import decode_jpeg
+    from knowhere_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        sniff_format,
+        transcode_images_jpeg,
+    )
+
+    buf = BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<100h", *range(100)))
+    wav = buf.getvalue()
+    assert sniff_format(wav) == "wav"
+
+    meta = {"width": 8, "height": 8, "n_frames": 1, "sample_rate": 8000}
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(wav), meta)], MEDIA_SCHEMA
+    )
+    pnm = bytes(resize_images(media, 8, 8).collect()[0]["payload"])
+    assert pnm[:2] == b"P6"               # valid fake image, job alive
+    jpg = bytes(transcode_images_jpeg(media, width=8, height=8)
+                .collect()[0]["payload"])
+    assert sniff_format(jpg) == "jpeg"
+    assert decode_jpeg(jpg).shape == (8, 8)
+
+    with pytest.raises(ValueError, match="quant steps"):
+        transcode_images_jpeg(media, q_table=np.zeros(64))
+    with pytest.raises(ValueError):
+        transcode_images_jpeg(media, q_table=np.ones(32))
