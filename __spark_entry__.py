@@ -363,6 +363,44 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out2.join(out3, "doc_id")
 
 
+#: the Spark/DuckDB-shared HTML page template the html_extract_text gate
+#: wraps each document in: title + style + script + comment noise around
+#: the text — every pass of functions/html.HTML_TEXT_STEPS has something
+#: to remove.  (parts alternate literal / column, starting literal)
+_HTML_GATE_PARTS = (
+    '<html><head><title>Doc ', "doc_id",
+    ' &amp; friends</title>\n<style>p { color: #fff; }</style>'
+    '<script type="text/javascript">if (1 < 2) { track("', "doc_id",
+    '"); }</script></head>\n<body><h1>Title&nbsp;', "doc_id",
+    '</h1>\n<p class="main">', "text",
+    '</p><!-- hidden\n comment --><p>tail &lt;b&gt;&#169;</p></body></html>',
+)
+
+
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingestion text extraction (functions/html.py, the WARC
+    pipeline's HTML→text step — r11): each document is wrapped in a
+    deterministic HTML page (script/style/comment/entity noise around
+    the text) and run through the codegen'd ``regexp_replace`` chain.
+    The DuckDB mirror is GENERATED from the same step table
+    (html.HTML_TEXT_STEPS via html_text_steps_sql), so the gate pins
+    that the chain — pass order, RE2∩Java-compatible patterns, entity
+    rules, whitespace collapse — extracts byte-identically in both
+    engines over real corpus text."""
+    from knowhere_spark.functions.html import html_to_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        *(
+            F.col(p).cast("string") if p in ("doc_id", "text") else F.lit(p)
+            for p in _HTML_GATE_PARTS
+        )
+    )
+    return docs.select(
+        "doc_id", html_to_text_expr(page).alias("text_extracted")
+    )
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (pipeline.token_balanced_shards):
     order-preserving cuts over the distributed prefix sum — the writer-side
@@ -1976,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_bm25_topk": q_sparse_bm25_topk,
         "sparse_bm25_range": q_sparse_bm25_range,
         "text_signals": q_text_signals,
+        "html_extract_text": q_html_extract_text,
         "dedup_lines_corpus": q_dedup_lines_corpus,
         "ann_iterator_pages": q_ann_iterator_pages,
         "diskann_range_exact": q_diskann_range_exact,
@@ -2581,6 +2620,25 @@ LEFT JOIN nrem nr USING (doc_id)
 """
 
 
+def _html_extract_oracle() -> str:
+    """DuckDB mirror of q_html_extract_text — the page template comes
+    from the shared ``_HTML_GATE_PARTS`` tuple and the regexp chain from
+    ``html.HTML_TEXT_STEPS`` (via html_text_steps_sql), so Spark and the
+    oracle compile ONE definition each of both halves."""
+    from knowhere_spark.functions.html import html_text_steps_sql
+
+    page = " || ".join(
+        f"CAST({p} AS VARCHAR)"
+        if p in ("doc_id", "text")
+        else "'" + p.replace("'", "''") + "'"
+        for p in _HTML_GATE_PARTS
+    )
+    return (
+        f"SELECT doc_id, {html_text_steps_sql('(' + page + ')')}"
+        " AS text_extracted FROM documents"
+    )
+
+
 def _lm_perplexity_oracle() -> str:
     """DuckDB mirror of NgramLM.train(docs % 3 == 0).score(docs): the same
     interpolated add-alpha arithmetic with every constant forced to DOUBLE
@@ -3024,6 +3082,11 @@ scored AS (
 SELECT CAST(0 AS BIGINT) AS query_id, doc_id, ROUND(score, 4) AS score
 FROM scored WHERE score > 2.0 AND score <= 1e9
 """,
+        # HTML→text extraction: the mirror is GENERATED from the same
+        # step table the Spark expression compiles (html.HTML_TEXT_STEPS
+        # → html_text_steps_sql), and the page template is the shared
+        # _HTML_GATE_PARTS tuple — nothing duplicated by hand (r11)
+        "html_extract_text": _html_extract_oracle(),
         # one SELECT covering quality features, language ID, the 64-bit
         # fingerprint and the BPE-ish budget — every signal hash-verified
         # through the same rows (merged r3 gates; see q_text_signals)

@@ -903,6 +903,56 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["transcode_thumbs_jpeg"] = q_transcode_thumbs
 
+    warc_state: dict = {}
+
+    def q_warc_ingest():
+        # crawl front door (r11): 40 gzipped WARC segments x 50 HTTP
+        # responses (real WARC/1.0 + HTTP/1.1 framing around the corpus
+        # texts) -> distributed parse -> codegen'd HTML->text extraction
+        # -> the documents shape.  Fixture files are written once
+        # (driver-side, off the repeat stopwatch); the timed path is
+        # binaryFile listing + per-file parse + the regexp chain.
+        import gzip as _gz
+        import os as _os
+        import tempfile as _tf
+
+        from knowhere_spark.sources.warc import (
+            encode_http_response,
+            encode_warc_record,
+            read_warc,
+            warc_responses_to_documents,
+        )
+
+        if "dir" not in warc_state:
+            d = _tf.mkdtemp(prefix="knowhere_warc_bench_")
+            texts = [
+                r["text"] for r in
+                docs.select("text").limit(2000).collect()
+            ]
+            per = 50
+            for fi in range(len(texts) // per):
+                recs = []
+                for i in range(per):
+                    html = (
+                        "<html><head><title>t</title><script>x=1;"
+                        "</script></head><body><p>%s</p></body></html>"
+                        % texts[fi * per + i]
+                    ).encode("utf-8", "replace")
+                    recs.append(
+                        encode_warc_record(
+                            "response", encode_http_response(html),
+                            url=f"http://bench.example/{fi}/{i}",
+                        )
+                    )
+                with open(_os.path.join(d, f"seg{fi}.warc.gz"), "wb") as fh:
+                    fh.write(_gz.compress(b"".join(recs)))
+            warc_state["dir"] = d
+        return warc_responses_to_documents(
+            read_warc(spark, warc_state["dir"])
+        )
+
+    out["warc_ingest_html"] = q_warc_ingest
+
     def q_audio_neardup_banded():
         # audio near-dup through the r10 DEFAULT strategy: 5k real WAV
         # clips (planted dups at d%4==1) -> decode + FFT band energy ->

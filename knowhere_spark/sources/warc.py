@@ -1,0 +1,234 @@
+"""WARC (Web ARChive, ISO 28500) source — crawl ingestion, the step
+BEFORE everything else in a training-data pipeline.  Common Crawl — the
+dominant public LLM pretraining source — ships as WARC, so an engine
+claiming the pipeline end-to-end needs to read it natively.
+
+Format (public spec, WARC/1.0-1.1): a file is a sequence of records,
+each ``WARC/1.x CRLF``, header lines (``Name: value``), ``CRLF CRLF``,
+``Content-Length`` bytes of block, ``CRLF CRLF``.  Common Crawl gzips
+each record as its own gzip MEMBER so ranges stay seekable; plain
+concatenated files and whole-file gzip exist too — the reader sniffs
+and handles all three.  For ``response`` records the block is an HTTP/1
+message; the parser splits status / headers / body so the pipeline gets
+``(url, date, content_type, http_status, body)`` columns directly.
+
+Spark shape: ``spark.read.format("binaryFile")`` lists the ``.warc`` /
+``.warc.gz`` files (a distributed listing — thousands of CC segments
+fan out across executors), and ONE ``mapInPandas`` kernel parses each
+file's records.  Per-file memory is bounded by the file size (CC
+segments are ~1 GB gzipped — set ``maxPartitionBytes``/file sizes
+accordingly); records stream out of the kernel per batch.  Downstream:
+:func:`knowhere_spark.functions.html.html_to_text_expr` turns response
+bodies into the ``documents`` shape every dedup/quality operator eats.
+
+Pure stdlib (zlib) + pandas — no external WARC library, mirroring the
+repo's MP4/JPEG/GIF/PNG discipline: real parsers for public formats.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: output schema of :func:`read_warc` — one row per WARC record
+WARC_SCHEMA = (
+    "path string, record_idx int, warc_type string, url string, "
+    "date string, record_id string, content_type string, "
+    "http_status int, http_content_type string, body binary"
+)
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL gzip members (Common Crawl: one member per
+    record; ordinary files: one member)."""
+    out = []
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == _GZ_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data[pos:]))
+        tail = d.unused_data
+        if not tail:
+            pos = len(data)
+        else:
+            pos = len(data) - len(tail)
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1", "replace")
+            )
+    return headers
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record (see :data:`WARC_SCHEMA` fields,
+    minus path/record_idx which the Spark reader adds).  Malformed
+    trailing bytes end the walk silently — the media parsers' best-
+    effort-never-crash contract; a truncated crawl segment yields its
+    intact prefix."""
+    if data[:2] == _GZ_MAGIC:
+        try:
+            data = _gunzip_members(data)
+        except Exception:
+            return
+    pos = 0
+    n = len(data)
+    try:
+        while pos < n:
+            # skip inter-record padding
+            while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if not data[pos : pos + 5] == b"WARC/":
+                return
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            if hdr_end < 0:
+                return
+            headers = _parse_headers(data[pos:hdr_end])
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            body_start = hdr_end + 4
+            body_end = body_start + length
+            if body_end > n:
+                return   # truncated record: stop at the intact prefix
+            block = data[body_start:body_end]
+            rec: dict = {
+                "warc_type": headers.get("warc-type"),
+                "url": headers.get("warc-target-uri"),
+                "date": headers.get("warc-date"),
+                "record_id": headers.get("warc-record-id"),
+                "content_type": headers.get("content-type"),
+                "http_status": None,
+                "http_content_type": None,
+                "body": block,
+            }
+            if rec["warc_type"] == "response" and block[:5] in (
+                b"HTTP/",
+            ):
+                # HTTP/1.x response: status line + headers + CRLF CRLF
+                split = block.find(b"\r\n\r\n")
+                if split >= 0:
+                    head = block[:split]
+                    status_line = head.split(b"\r\n", 1)[0].split(b" ")
+                    if len(status_line) >= 2 and status_line[1].isdigit():
+                        rec["http_status"] = int(status_line[1])
+                    hh = _parse_headers(head)
+                    rec["http_content_type"] = hh.get("content-type")
+                    rec["body"] = block[split + 4 :]
+            yield rec
+            pos = body_end
+    except Exception:
+        return
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC reader: ``binaryFile`` listing → per-file
+    ``mapInPandas`` parse → one row per record (:data:`WARC_SCHEMA`).
+    Filter ``warc_type = 'response'`` and run
+    :func:`~knowhere_spark.functions.html.html_to_text_expr` over
+    ``decode(body, 'utf-8')`` to reach the documents shape."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "path": [], "record_idx": [], "warc_type": [], "url": [],
+                "date": [], "record_id": [], "content_type": [],
+                "http_status": [], "http_content_type": [], "body": [],
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc(bytes(content))):
+                    rows["path"].append(p)
+                    rows["record_idx"].append(i)
+                    for k in (
+                        "warc_type", "url", "date", "record_id",
+                        "content_type", "http_status",
+                        "http_content_type", "body",
+                    ):
+                        rows[k].append(rec[k])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(kernel, WARC_SCHEMA)
+
+
+def warc_responses_to_documents(
+    warc_df: DataFrame, *, min_status: int = 200, max_status: int = 299
+) -> DataFrame:
+    """The crawl → corpus bridge: HTTP responses with an HTML content
+    type become ``(doc_id, url, fetched_at, text)`` rows via the
+    codegen'd HTML extractor — the exact input shape of the dedup /
+    quality / chunking operators.  ``doc_id`` is the xxhash64 of
+    (path, record_idx): stable across re-reads, content-keyed per the
+    sampling rule."""
+    from knowhere_spark.functions.html import html_to_text_expr
+
+    return (
+        warc_df.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(min_status, max_status)
+            & F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
+                "html"
+            )
+        )
+        .select(
+            F.xxhash64("path", "record_idx").alias("doc_id"),
+            "url",
+            F.col("date").alias("fetched_at"),
+            html_to_text_expr(
+                F.decode(F.col("body"), "utf-8")
+            ).alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer half — fixtures and round-trip tests (the encode_mp4 discipline)
+# ---------------------------------------------------------------------------
+
+def encode_warc_record(
+    warc_type: str,
+    block: bytes,
+    *,
+    url: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    record_id: str = "<urn:uuid:0>",
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """One spec-conformant WARC/1.0 record."""
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"WARC-Record-ID: " + record_id.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(block)).encode(),
+    ]
+    if url is not None:
+        lines.insert(2, b"WARC-Target-URI: " + url.encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def encode_http_response(
+    html: bytes, *, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    """The HTTP/1.1 block a ``response`` record carries."""
+    return (
+        b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+        % (status, content_type.encode(), len(html))
+        + html
+    )

@@ -1,0 +1,151 @@
+"""WARC crawl ingestion (sources/warc.py) + HTML→text extraction
+(functions/html.py) — the pipeline's front door: Common-Crawl-shaped
+files in, the documents shape out."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowhere_spark.functions.html import html_to_text_expr
+from knowhere_spark.sources.warc import (
+    encode_http_response,
+    encode_warc_record,
+    parse_warc,
+    read_warc,
+    warc_responses_to_documents,
+)
+
+_HTML = (
+    b"<html><head><title>T</title>"
+    b"<style>p { color: red; }</style>"
+    b"<script>if (1 < 2) { alert('x'); }</script></head>"
+    b"<body><h1>Hello</h1>\n<p>crawl &amp; <b>curate</b>&nbsp;"
+    b"&lt;fast&gt;&#8217;</p><!-- hidden --></body></html>"
+)
+_WANT_TEXT = "T Hello crawl & curate <fast>"
+
+
+def _warc_file() -> bytes:
+    recs = [
+        encode_warc_record(
+            "warcinfo", b"software: test\r\n",
+            content_type="application/warc-fields",
+        ),
+        encode_warc_record(
+            "request", b"GET / HTTP/1.1\r\nHost: a\r\n\r\n",
+            url="http://a.example/",
+            content_type="application/http; msgtype=request",
+        ),
+        encode_warc_record(
+            "response", encode_http_response(_HTML),
+            url="http://a.example/", record_id="<urn:uuid:1>",
+        ),
+        encode_warc_record(
+            "response",
+            encode_http_response(b"not found", status=404),
+            url="http://a.example/missing",
+        ),
+        encode_warc_record(
+            "response",
+            encode_http_response(b'{"a": 1}', content_type="application/json"),
+            url="http://a.example/api",
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_parse_warc_plain_and_gzip_variants():
+    data = _warc_file()
+    recs = list(parse_warc(data))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response", "response"
+    ]
+    ok = recs[2]
+    assert ok["url"] == "http://a.example/"
+    assert ok["http_status"] == 200
+    assert ok["http_content_type"] == "text/html"
+    assert ok["body"] == _HTML                 # HTTP head split off
+    assert recs[3]["http_status"] == 404
+    # whole-file gzip
+    assert [r["url"] for r in parse_warc(gzip.compress(data))] == [
+        r["url"] for r in recs
+    ]
+    # per-RECORD gzip members (the Common Crawl layout)
+    members = b"".join(
+        gzip.compress(encode_warc_record("response",
+                                         encode_http_response(_HTML),
+                                         url=f"http://m{i}.example/"))
+        for i in range(3)
+    )
+    assert [r["url"] for r in parse_warc(members)] == [
+        f"http://m{i}.example/" for i in range(3)
+    ]
+    # truncation: the intact prefix survives, no exception
+    assert len(list(parse_warc(data[: len(data) - 40]))) == 4
+    assert list(parse_warc(b"garbage")) == []
+    assert list(parse_warc(b"")) == []
+
+
+def test_read_warc_distributed_and_bridge(spark, tmp_path):
+    p = tmp_path / "crawl"
+    p.mkdir()
+    (p / "seg0.warc").write_bytes(_warc_file())
+    (p / "seg1.warc.gz").write_bytes(gzip.compress(_warc_file()))
+
+    df = read_warc(spark, str(p)).cache()
+    assert df.count() == 10                     # 5 records x 2 files
+    by_type = {
+        r["warc_type"]: r["cnt"]
+        for r in df.groupBy("warc_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_type == {"warcinfo": 2, "request": 2, "response": 6}
+
+    docs = warc_responses_to_documents(df)
+    rows = docs.collect()
+    # only the 200 HTML responses survive (404 + JSON filtered), per file
+    assert len(rows) == 2
+    for r in rows:
+        assert r["url"] == "http://a.example/"
+        assert r["text"] == _WANT_TEXT
+        assert r["fetched_at"] == "2026-01-01T00:00:00Z"
+    # doc_id is content-keyed on (path, record_idx): stable on re-read
+    again = {r["doc_id"] for r in warc_responses_to_documents(df).collect()}
+    assert again == {r["doc_id"] for r in rows} and len(again) == 2
+    df.unpersist()
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        (_HTML.decode(), _WANT_TEXT),
+        ("plain text, no tags", "plain text, no tags"),
+        ("<p>a</p><p>b</p>", "a b"),
+        ("<SCRIPT>x</SCRIPT>ok<STYLE a=b>y</STYLE>", "ok"),
+        # unclosed script block: the block pass can't match, the generic
+        # tag pass strips just the tag — lossy but total
+        ("<script>never closed... gone", "never closed... gone"),
+        ("a &amp;lt; b", "a &lt; b"),          # no double decode
+        ("x &#x1F600; y &#955; z", "x y z"),   # numeric entities drop
+        ("  lots \t of\n\nspace  ", "lots of space"),
+        ("", ""),
+    ],
+)
+def test_html_to_text_cases(spark, html, want):
+    got = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(html_to_text_expr(F.col("h")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == want
+
+
+def test_html_to_text_null_safe(spark):
+    row = (
+        spark.createDataFrame([(None,)], "h string")
+        .select(html_to_text_expr(F.col("h")).alias("t"))
+        .collect()[0]
+    )
+    assert row["t"] is None
