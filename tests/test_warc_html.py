@@ -149,3 +149,58 @@ def test_html_to_text_null_safe(spark):
         .collect()[0]
     )
     assert row["t"] is None
+
+
+def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
+    """The full front-to-back chain over raw crawl bytes: WARC segments
+    → parse → HTML→text → curate_corpus (quality gate + MinHash-LSH
+    dedup + split).  Plants 3 copies of one page under different URLs
+    (one survivor), a sub-min_tokens junk page (dropped), and distinct
+    real pages (all kept)."""
+    import gzip
+
+    from knowhere_spark.operators.pipeline import curate_corpus
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "through the deep green forest toward the old river bank today"
+    )
+    uniq = [
+        f"page number {i} talks about {w} systems and the way they "
+        "interact with distributed query engines over many machines"
+        for i, w in enumerate(["storage", "compute", "network", "cache"])
+    ]
+    pages = (
+        [("http://dup.example/%d" % i, body) for i in range(3)]
+        + [("http://junk.example/", "too short")]
+        + [(f"http://uniq.example/{i}", t) for i, t in enumerate(uniq)]
+    )
+    recs = [
+        encode_warc_record(
+            "response",
+            encode_http_response(
+                ("<html><body><p>%s</p></body></html>" % t).encode()
+            ),
+            url=u,
+        )
+        for u, t in pages
+    ]
+    p = tmp_path / "cc"
+    p.mkdir()
+    (p / "seg.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+
+    docs = warc_responses_to_documents(read_warc(spark, str(p)))
+    kept = curate_corpus(docs, min_tokens=5, jaccard_threshold=0.7)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    by_url = {r["url"]: r["doc_id"] for r in docs.collect()}
+    dup_ids = {v for k, v in by_url.items() if k.startswith("http://dup")}
+    junk_id = by_url["http://junk.example/"]
+    uniq_ids = {v for k, v in by_url.items() if k.startswith("http://uniq")}
+    assert junk_id not in kept_ids
+    assert len(kept_ids & dup_ids) == 1          # one survivor per group
+    assert uniq_ids <= kept_ids
+    assert kept_ids == uniq_ids | (kept_ids & dup_ids)
+    # split column present and valid
+    assert {r["split"] for r in kept.collect()} <= {"train", "val", "test"}
