@@ -225,7 +225,18 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ``doc_fingerprint`` + ``text_token_budget`` gates to free three
     registry slots (the driver caps ``queries()`` at 50) — the hash
     covers every column, so each signal stays exactly verified, and each
-    expression keeps its own pytest suite (tests/test_text.py)."""
+    expression keeps its own pytest suite (tests/test_text.py).
+
+    r11: the ``html_text`` column rides the same rows (the merge
+    discipline — no slot spent): each document is wrapped in a noisy
+    HTML page (``_HTML_GATE_PARTS`` — script/style/comment/entity noise)
+    and extracted through the codegen'd ``regexp_replace`` chain
+    (functions/html.py, the WARC pipeline's HTML→text step).  The DuckDB
+    mirror for that column is GENERATED from the same step table
+    (html.HTML_TEXT_STEPS via html_text_steps_sql), so pass order,
+    RE2∩Java-compatible patterns, entity rules, and whitespace collapse
+    are all hash-pinned in both engines over real corpus text."""
+    from knowhere_spark.functions.html import html_to_text_expr
     from knowhere_spark.functions.text import (
         bpe_token_count_expr,
         fingerprint_expr,
@@ -235,6 +246,12 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = quality_features_expr(F.col("text"))
+    page = F.concat(
+        *(
+            F.col(p).cast("string") if p in ("doc_id", "text") else F.lit(p)
+            for p in _HTML_GATE_PARTS
+        )
+    )
     return docs.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
@@ -244,6 +261,7 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_expr(F.col("text")).alias("pred_lang"),
         fingerprint_expr(F.col("text")).alias("fp"),
         bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+        html_to_text_expr(page).alias("html_text"),
     )
 
 
@@ -375,30 +393,6 @@ _HTML_GATE_PARTS = (
     '</h1>\n<p class="main">', "text",
     '</p><!-- hidden\n comment --><p>tail &lt;b&gt;&#169;</p></body></html>',
 )
-
-
-def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-ingestion text extraction (functions/html.py, the WARC
-    pipeline's HTML→text step — r11): each document is wrapped in a
-    deterministic HTML page (script/style/comment/entity noise around
-    the text) and run through the codegen'd ``regexp_replace`` chain.
-    The DuckDB mirror is GENERATED from the same step table
-    (html.HTML_TEXT_STEPS via html_text_steps_sql), so the gate pins
-    that the chain — pass order, RE2∩Java-compatible patterns, entity
-    rules, whitespace collapse — extracts byte-identically in both
-    engines over real corpus text."""
-    from knowhere_spark.functions.html import html_to_text_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    page = F.concat(
-        *(
-            F.col(p).cast("string") if p in ("doc_id", "text") else F.lit(p)
-            for p in _HTML_GATE_PARTS
-        )
-    )
-    return docs.select(
-        "doc_id", html_to_text_expr(page).alias("text_extracted")
-    )
 
 
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2014,7 +2008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_bm25_topk": q_sparse_bm25_topk,
         "sparse_bm25_range": q_sparse_bm25_range,
         "text_signals": q_text_signals,
-        "html_extract_text": q_html_extract_text,
         "dedup_lines_corpus": q_dedup_lines_corpus,
         "ann_iterator_pages": q_ann_iterator_pages,
         "diskann_range_exact": q_diskann_range_exact,
@@ -2620,23 +2613,22 @@ LEFT JOIN nrem nr USING (doc_id)
 """
 
 
-def _html_extract_oracle() -> str:
-    """DuckDB mirror of q_html_extract_text — the page template comes
-    from the shared ``_HTML_GATE_PARTS`` tuple and the regexp chain from
-    ``html.HTML_TEXT_STEPS`` (via html_text_steps_sql), so Spark and the
-    oracle compile ONE definition each of both halves."""
+def _html_text_column_sql(qualifier: str = "") -> str:
+    """The ``html_text`` column of the text_signals oracle — the page
+    template comes from the shared ``_HTML_GATE_PARTS`` tuple and the
+    regexp chain from ``html.HTML_TEXT_STEPS`` (via
+    html_text_steps_sql), so Spark and the oracle compile ONE
+    definition each of both halves.  ``qualifier`` prefixes the column
+    references (e.g. ``"toks."``) when the surrounding query joins."""
     from knowhere_spark.functions.html import html_text_steps_sql
 
     page = " || ".join(
-        f"CAST({p} AS VARCHAR)"
+        f"CAST({qualifier}{p} AS VARCHAR)"
         if p in ("doc_id", "text")
         else "'" + p.replace("'", "''") + "'"
         for p in _HTML_GATE_PARTS
     )
-    return (
-        f"SELECT doc_id, {html_text_steps_sql('(' + page + ')')}"
-        " AS text_extracted FROM documents"
-    )
+    return html_text_steps_sql("(" + page + ")")
 
 
 def _lm_perplexity_oracle() -> str:
@@ -3082,14 +3074,12 @@ scored AS (
 SELECT CAST(0 AS BIGINT) AS query_id, doc_id, ROUND(score, 4) AS score
 FROM scored WHERE score > 2.0 AND score <= 1e9
 """,
-        # HTML→text extraction: the mirror is GENERATED from the same
-        # step table the Spark expression compiles (html.HTML_TEXT_STEPS
-        # → html_text_steps_sql), and the page template is the shared
-        # _HTML_GATE_PARTS tuple — nothing duplicated by hand (r11)
-        "html_extract_text": _html_extract_oracle(),
         # one SELECT covering quality features, language ID, the 64-bit
-        # fingerprint and the BPE-ish budget — every signal hash-verified
-        # through the same rows (merged r3 gates; see q_text_signals)
+        # fingerprint, the BPE-ish budget AND (r11) HTML→text extraction
+        # over a shared noisy page template — every signal hash-verified
+        # through the same rows (merged r3 gates + the r11 html column;
+        # the html mirror is GENERATED from html.HTML_TEXT_STEPS — see
+        # q_text_signals / _html_text_column_sql)
         "text_signals": f"""
 WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
 c AS (SELECT doc_id, {lang_counts} FROM toks)
@@ -3108,7 +3098,8 @@ SELECT toks.doc_id,
        CAST(concat('0x', substr(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS fp,
        CAST(COALESCE(list_sum(list_transform(
             regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0),
-            p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
+            p -> 1 + CAST(floor((length(p)-1)/4) AS INT))), 0) AS BIGINT) AS n_bpe_tokens,
+       {_html_text_column_sql("toks.")} AS html_text
 FROM toks JOIN c ON toks.doc_id = c.doc_id
 """,
         # dedup_exact (r10 extension): seen_by_history mirrors the REAL
