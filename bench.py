@@ -924,7 +924,13 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
         )
 
         if "dir" not in warc_state:
+            import atexit as _atexit
+            import shutil as _sh
+
             d = _tf.mkdtemp(prefix="knowhere_warc_bench_")
+            # repeated bench runs must not accumulate orphaned fixture
+            # dirs — remove on interpreter exit
+            _atexit.register(_sh.rmtree, d, ignore_errors=True)
             texts = [
                 r["text"] for r in
                 docs.select("text").limit(2000).collect()

@@ -27,18 +27,32 @@ repo's MP4/JPEG/GIF/PNG discipline: real parsers for public formats.
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: output schema of :func:`read_warc` — one row per WARC record
+#: output schema of :func:`read_warc` — one row per WARC record.
+#: ``body`` is the raw (de-chunked, inflated) block; ``body_text`` is the
+#: charset-aware best-effort decode for ``response`` records (NULL for
+#: other record types) — downstream text operators consume ``body_text``
+#: so a single non-UTF-8 byte can never kill the job (Spark 4.1's ANSI
+#: ``decode`` raises MALFORMED_CHARACTER_CODING; real Common Crawl bodies
+#: are routinely windows-1252 / gbk / binary).
 WARC_SCHEMA = (
     "path string, record_idx int, warc_type string, url string, "
     "date string, record_id string, content_type string, "
-    "http_status int, http_content_type string, body binary"
+    "http_status int, http_content_type string, body binary, "
+    "body_text string"
 )
+
+#: records per pandas batch out of the parse kernel — bounds per-task
+#: peak memory at (decompressed file) + O(chunk) instead of
+#: (decompressed file) + (all parsed records)
+_KERNEL_CHUNK_ROWS = 512
 
 _GZ_MAGIC = b"\x1f\x8b"
 
@@ -57,6 +71,72 @@ def _gunzip_members(data: bytes) -> bytes:
         else:
             pos = len(data) - len(tail)
     return b"".join(out)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo ``Transfer-Encoding: chunked`` framing (hex size line CRLF
+    data CRLF, terminated by a 0-size chunk).  Best-effort: a malformed
+    size line before ANY chunk was parsed returns the body unchanged
+    (mislabeled header); one mid-stream returns the intact prefix."""
+    out: list[bytes] = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        token = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(token, 16)
+        except ValueError:
+            if not out:
+                return body
+            break
+        if size == 0:
+            break
+        out.append(body[eol + 2 : eol + 2 + size])
+        pos = eol + 2 + size + 2   # skip the chunk's trailing CRLF
+    return b"".join(out) if out else (b"" if pos else body)
+
+
+def _inflate(body: bytes, encoding: str) -> bytes:
+    """Undo ``Content-Encoding`` gzip/x-gzip/deflate.  Best-effort: any
+    decompression failure keeps the raw bytes (the downstream HTML
+    filter drops binary garbage; never crash the segment)."""
+    try:
+        if encoding in ("gzip", "x-gzip"):
+            return _gunzip_members(body) or body
+        if encoding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                # many servers send raw deflate without the zlib header
+                return zlib.decompress(body, wbits=-15)
+    except Exception:
+        pass
+    return body
+
+
+_CHARSET_RE = re.compile(r"charset=[\"']?([\w.:+-]+)", re.IGNORECASE)
+
+
+def _decode_body(body: bytes, http_content_type: str | None) -> str:
+    """Charset-aware best-effort text decode: honor the Content-Type
+    ``charset=`` parameter when Python knows the codec, else UTF-8;
+    always ``errors='replace'`` — total over arbitrary bytes."""
+    cs = "utf-8"
+    if http_content_type:
+        m = _CHARSET_RE.search(http_content_type)
+        if m:
+            try:
+                codecs.lookup(m.group(1))
+                cs = m.group(1)
+            except LookupError:
+                pass
+    try:
+        return body.decode(cs, errors="replace")
+    except Exception:
+        return body.decode("utf-8", errors="replace")
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -112,6 +192,7 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                 "http_status": None,
                 "http_content_type": None,
                 "body": block,
+                "body_text": None,
             }
             if rec["warc_type"] == "response" and block[:5] in (
                 b"HTTP/",
@@ -125,7 +206,21 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                         rec["http_status"] = int(status_line[1])
                     hh = _parse_headers(head)
                     rec["http_content_type"] = hh.get("content-type")
-                    rec["body"] = block[split + 4 :]
+                    body = block[split + 4 :]
+                    # undo the wire layers real CC captures carry:
+                    # transfer framing first (outermost), then content
+                    # compression — otherwise chunk-size hex lines leak
+                    # into document text and gzip bodies reach the HTML
+                    # extractor as binary garbage
+                    if "chunked" in hh.get("transfer-encoding", "").lower():
+                        body = _dechunk(body)
+                    enc = hh.get("content-encoding", "").strip().lower()
+                    if enc:
+                        body = _inflate(body, enc)
+                    rec["body"] = body
+                    rec["body_text"] = _decode_body(
+                        body, rec["http_content_type"]
+                    )
             yield rec
             pos = body_end
     except Exception:
@@ -137,30 +232,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     ``mapInPandas`` parse → one row per record (:data:`WARC_SCHEMA`).
     Filter ``warc_type = 'response'`` and run
     :func:`~knowhere_spark.functions.html.html_to_text_expr` over
-    ``decode(body, 'utf-8')`` to reach the documents shape."""
+    ``body_text`` to reach the documents shape."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
 
+    rec_keys = (
+        "warc_type", "url", "date", "record_id", "content_type",
+        "http_status", "http_content_type", "body", "body_text",
+    )
+
+    def _empty() -> dict[str, list]:
+        return {k: [] for k in ("path", "record_idx", *rec_keys)}
+
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = _empty()
         for pdf in batches:
-            rows: dict[str, list] = {
-                "path": [], "record_idx": [], "warc_type": [], "url": [],
-                "date": [], "record_id": [], "content_type": [],
-                "http_status": [], "http_content_type": [], "body": [],
-            }
             for p, content in zip(pdf["path"], pdf["content"]):
                 for i, rec in enumerate(parse_warc(bytes(content))):
                     rows["path"].append(p)
                     rows["record_idx"].append(i)
-                    for k in (
-                        "warc_type", "url", "date", "record_id",
-                        "content_type", "http_status",
-                        "http_content_type", "body",
-                    ):
+                    for k in rec_keys:
                         rows[k].append(rec[k])
+                    # stream records out per chunk so peak task memory is
+                    # (decompressed file) + O(chunk), not + (all records)
+                    if len(rows["path"]) >= _KERNEL_CHUNK_ROWS:
+                        yield pd.DataFrame(rows)
+                        rows = _empty()
+        if rows["path"]:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(kernel, WARC_SCHEMA)
@@ -189,9 +290,11 @@ def warc_responses_to_documents(
             F.xxhash64("path", "record_idx").alias("doc_id"),
             "url",
             F.col("date").alias("fetched_at"),
-            html_to_text_expr(
-                F.decode(F.col("body"), "utf-8")
-            ).alias("text"),
+            # body_text is the kernel's charset-aware errors='replace'
+            # decode — NOT SQL decode(body,'utf-8'), which under Spark
+            # 4.1 ANSI raises on the first invalid byte and would let
+            # one windows-1252 page kill a whole crawl segment
+            html_to_text_expr(F.col("body_text")).alias("text"),
         )
     )
 

@@ -89,6 +89,163 @@ def test_parse_warc_plain_and_gzip_variants():
     assert list(parse_warc(b"")) == []
 
 
+def test_parse_warc_wire_layers_and_charsets():
+    """Real Common Crawl captures: non-UTF-8 bodies, chunked transfer
+    framing, gzip/deflate content compression — none may crash, none
+    may leak framing bytes into the text."""
+    import zlib
+
+    html_1252 = "<html><body><p>café résumé</p></body></html>"
+    body_1252 = html_1252.encode("windows-1252")   # 0xE9 bytes: invalid UTF-8
+
+    def resp(body, extra_headers=b"", ctype=b"text/html"):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+            + extra_headers
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+
+    def chunked(raw):
+        out = b""
+        for i in range(0, len(raw), 7):
+            c = raw[i : i + 7]
+            out += b"%x\r\n" % len(c) + c + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    plain_html = b"<html><body><p>hello chunked world</p></body></html>"
+    recs = [
+        # charset honored from Content-Type; invalid-UTF-8 never raises
+        encode_warc_record(
+            "response",
+            resp(body_1252, ctype=b"text/html; charset=windows-1252"),
+            url="http://cp1252.example/",
+        ),
+        # same bytes mislabeled utf-8: errors='replace', still total
+        encode_warc_record(
+            "response", resp(body_1252), url="http://bad-utf8.example/"
+        ),
+        # chunked framing: the hex size lines must NOT reach the text
+        encode_warc_record(
+            "response",
+            resp(
+                chunked(plain_html),
+                extra_headers=b"Transfer-Encoding: chunked\r\n",
+            ),
+            url="http://chunked.example/",
+        ),
+        # gzip content-encoding
+        encode_warc_record(
+            "response",
+            resp(
+                gzip.compress(plain_html),
+                extra_headers=b"Content-Encoding: gzip\r\n",
+            ),
+            url="http://gzip.example/",
+        ),
+        # zlib-wrapped deflate AND the common raw-deflate server bug
+        encode_warc_record(
+            "response",
+            resp(
+                zlib.compress(plain_html),
+                extra_headers=b"Content-Encoding: deflate\r\n",
+            ),
+            url="http://deflate.example/",
+        ),
+        encode_warc_record(
+            "response",
+            resp(
+                (lambda c: c.compress(plain_html) + c.flush())(
+                    zlib.compressobj(wbits=-15)
+                ),
+                extra_headers=b"Content-Encoding: deflate\r\n",
+            ),
+            url="http://raw-deflate.example/",
+        ),
+        # chunked + gzip stacked (transfer layer undone first)
+        encode_warc_record(
+            "response",
+            resp(
+                chunked(gzip.compress(plain_html)),
+                extra_headers=(
+                    b"Transfer-Encoding: chunked\r\n"
+                    b"Content-Encoding: gzip\r\n"
+                ),
+            ),
+            url="http://both.example/",
+        ),
+        # corrupt gzip: best-effort keeps raw bytes, never raises
+        encode_warc_record(
+            "response",
+            resp(
+                b"\x1f\x8bgarbage-not-gzip",
+                extra_headers=b"Content-Encoding: gzip\r\n",
+            ),
+            url="http://corrupt.example/",
+        ),
+    ]
+    got = {r["url"]: r for r in parse_warc(b"".join(recs))}
+    assert len(got) == 8
+    assert got["http://cp1252.example/"]["body_text"] == html_1252
+    # mislabeled utf-8: 0xE9 becomes U+FFFD, no exception
+    assert "caf�" in got["http://bad-utf8.example/"]["body_text"]
+    for u in (
+        "http://chunked.example/", "http://gzip.example/",
+        "http://deflate.example/", "http://raw-deflate.example/",
+        "http://both.example/",
+    ):
+        assert got[u]["body"] == plain_html, u
+        assert got[u]["body_text"] == plain_html.decode(), u
+    assert got["http://corrupt.example/"]["body"] == b"\x1f\x8bgarbage-not-gzip"
+    # non-response records carry no body_text
+    assert list(parse_warc(_warc_file()))[0]["body_text"] is None
+
+
+def test_bridge_survives_non_utf8_bodies(spark, tmp_path):
+    """The exact ADVICE r11 failure: one 0xE9 byte in an HTML body must
+    not kill warc_responses_to_documents under Spark 4.1 ANSI decode."""
+    rec = encode_warc_record(
+        "response",
+        encode_http_response(
+            "<html><body><p>café</p></body></html>".encode(
+                "windows-1252"
+            ),
+            content_type="text/html; charset=windows-1252",
+        ),
+        url="http://cp1252.example/",
+    )
+    p = tmp_path / "cc"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(rec + _warc_file())
+    rows = warc_responses_to_documents(read_warc(spark, str(p))).collect()
+    by_url = {r["url"]: r["text"] for r in rows}
+    assert by_url["http://cp1252.example/"] == "café"
+    assert by_url["http://a.example/"] == _WANT_TEXT
+
+
+def test_read_warc_chunked_yields(spark, tmp_path):
+    """Kernel streams records out in bounded chunks: a file with more
+    records than _KERNEL_CHUNK_ROWS still parses completely."""
+    from knowhere_spark.sources import warc as warc_mod
+
+    n = warc_mod._KERNEL_CHUNK_ROWS + 40
+    data = b"".join(
+        encode_warc_record(
+            "response", encode_http_response(b"<p>x</p>"),
+            url=f"http://n{i}.example/",
+        )
+        for i in range(n)
+    )
+    p = tmp_path / "big"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(data)
+    df = read_warc(spark, str(p))
+    assert df.count() == n
+    assert df.select(F.min("record_idx"), F.max("record_idx")).collect()[
+        0
+    ] == (0, n - 1)
+
+
 def test_read_warc_distributed_and_bridge(spark, tmp_path):
     p = tmp_path / "crawl"
     p.mkdir()
