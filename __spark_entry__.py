@@ -1172,8 +1172,21 @@ def q_bin_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-direction bounds ``0 <= d < 24`` (range_util.h:22-25),
     i.e. the word-packed kernel under the RangeSearch verb with the
     long-form CSR shaping.  The oracle computes full distances anyway,
-    so both shapes share one mirror."""
-    knn = _bin_knn(spark, sf_dir, "HAMMING")
+    so both shapes share one mirror.
+
+    r12 (VERDICT r11 #1, in place, no slot): the gate ALSO carries the
+    JACCARD KNN rows (``metric = 'jaccard'``) — 1 − |and|/|or| over the
+    same word-packed vectors (brute_force.cc:212-217, the binary matrix
+    of tests/ut/test_search.cc), mirrored in DuckDB with the identical
+    integer popcount + float64 ratio arithmetic.  Closes the last §2.2
+    metric without a CORRECTNESS row; a wrong |and|/|or| ratio can no
+    longer hide behind the shared popcount path."""
+    knn = _bin_knn(spark, sf_dir, "HAMMING").withColumn(
+        "metric", F.lit("hamming")
+    )
+    jac = _bin_knn(spark, sf_dir, "JACCARD").withColumn(
+        "metric", F.lit("jaccard")
+    )
     sign_bytes = sign_bytes_udf()
     base, queries_ = _emb(spark, sf_dir)
     b = base.select("id", sign_bytes(F.col("vec")).alias("vec"))
@@ -1184,8 +1197,9 @@ def q_bin_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round(F.col("distance").cast("double"), 4).alias("distance"),
         F.lit(-1).cast("int").alias("rank"),
+        F.lit("hamming").alias("metric"),
     )
-    return knn.unionByName(rng)
+    return knn.unionByName(jac).unionByName(rng)
 
 
 def q_bin_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2160,18 +2174,33 @@ _BIN_UNION = (
     "CAST(list_sum(list_transform(list_zip(b.words, q.qwords), "
     "p -> bit_count(p[1] | p[2]))) AS DOUBLE)"
 )
-def _bin_knn_oracle(dist: str, range_bounds: tuple | None = None) -> str:
+_JACCARD_BIN_SQL = (
+    f"CASE WHEN {_BIN_UNION} > 0 THEN 1.0 - {_BIN_INTER} / {_BIN_UNION} "
+    "ELSE 1.0 END"
+)
+
+
+def _bin_knn_oracle(
+    dist: str,
+    range_bounds: tuple | None = None,
+    extra_metrics: dict[str, str] | None = None,
+) -> str:
     """Binary KNN mirror; with ``range_bounds=(lo, hi)`` the result also
     carries the RangeSearch projection (``lo <= d < hi``) as rank = -1
-    rows — the r10 in-place extension of the bin_knn_hamming gate."""
-    range_part = ""
-    if range_bounds is not None:
-        lo, hi = range_bounds
-        range_part = f"""
+    rows — the r10 in-place extension of the bin_knn_hamming gate.
+    ``extra_metrics={'jaccard': sql}`` labels every row with a ``metric``
+    column and adds one KNN block per extra metric over the same packed
+    vectors — the r12 in-place JACCARD attestation (1 − |and|/|or| in
+    identical integer-popcount + float64-ratio arithmetic)."""
+    if extra_metrics is None:
+        range_part = ""
+        if range_bounds is not None:
+            lo, hi = range_bounds
+            range_part = f"""
 UNION ALL
 SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance, CAST(-1 AS INT) AS rank
 FROM d WHERE dd >= {lo} AND dd < {hi}"""
-    return f"""
+        return f"""
 WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
 q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ}),
 d AS (
@@ -2185,6 +2214,29 @@ r AS (
 SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= {K}{range_part}
 """
+    metrics = {"hamming": dist, **extra_metrics}
+    parts = []
+    for name, dsql in metrics.items():
+        parts.append(f"""
+SELECT metric, query_id, neighbor_id, distance, rank FROM (
+  SELECT '{name}' AS metric, query_id, neighbor_id, ROUND(dd, 4) AS distance,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS INT) AS rank
+  FROM (SELECT q.query_id, b.id AS neighbor_id, {dsql} AS dd FROM b, q)
+) WHERE rank <= {K}""")
+    if range_bounds is not None:
+        lo, hi = range_bounds
+        parts.append(f"""
+SELECT 'hamming' AS metric, query_id, neighbor_id, ROUND(dd, 4) AS distance,
+       CAST(-1 AS INT) AS rank
+FROM (SELECT q.query_id, b.id AS neighbor_id, {dist} AS dd FROM b, q)
+WHERE dd >= {lo} AND dd < {hi}""")
+    return (
+        f"""
+WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
+q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ})
+"""
+        + " UNION ALL ".join(parts)
+    )
 
 
 # -- SimHash mirror: 64-bit md5 token hash (first 16 hex chars), tf-weighted
@@ -2897,7 +2949,11 @@ SELECT CAST(cid AS INT) AS cluster_id, id AS member_id,
 FROM a
 """,
         "bin_ivf_knn_exact": _bin_knn_oracle(_HAMMING_SQL),
-        "bin_knn_hamming": _bin_knn_oracle(_HAMMING_SQL, range_bounds=(0.0, 24.0)),
+        "bin_knn_hamming": _bin_knn_oracle(
+            _HAMMING_SQL,
+            range_bounds=(0.0, 24.0),
+            extra_metrics={"jaccard": _JACCARD_BIN_SQL},
+        ),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
         "flat_range_l2": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
         "get_vector_by_ids": """
