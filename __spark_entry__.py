@@ -100,16 +100,45 @@ def q_get_vector_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emitted in exploded ``(id, pos, val)`` long form so the gate can
     canonicalize (raw array columns are unhashable in the compare layer).
-    """
+
+    r12 (VERDICT r11 #4, in place, no slot): the gate ALSO carries each
+    fetched value through the fp16 / bf16 / int8 STORAGE CODEC —
+    ``encode_bytes`` → ``decode_bytes``, the actual wire format
+    (operands.h:53-147; per-index feature flags feature.h:21-31) — as
+    ``val_fp16`` / ``val_bf16`` / ``val_int8`` columns.  The DuckDB
+    mirror recomputes the quantization with pure mantissa/exponent
+    arithmetic (floor(log2)·round-half-even on the scaled mantissa,
+    subnormal clamp at 2^-24 for fp16), bit-exact against the codec —
+    validated value-identical over every embedding at both SFs before
+    wiring."""
+    from knowhere_spark.functions.dtype import roundtrip_vec_col
+
     base = embeddings_as_dataset(spark, sf_dir)
     ids = base.select("id").filter(F.col("id") % 7 == 0)
     out = BruteForce.get_vector_by_ids(base, ids)
-    return out.select(
+    for vt in ("fp16", "bf16", "int8"):
+        out = roundtrip_vec_col(out, vt, vec_col="vec", out_col=f"__{vt}")
+
+    def arr(c: str):
+        return F.transform(
+            F.col(c).cast("array<double>"), lambda x: F.round(x, 4)
+        )
+
+    out = (
+        out.withColumn("val", arr("vec"))
+        .withColumn("val_fp16", arr("__fp16"))
+        .withColumn("val_bf16", arr("__bf16"))
+        .withColumn("val_int8", arr("__int8"))
+    )
+    z = F.arrays_zip("val", "val_fp16", "val_bf16", "val_int8")
+    return out.select("id", F.posexplode(z).alias("pos", "z")).select(
         "id",
-        F.posexplode(
-            F.transform(F.col("vec").cast("array<double>"), lambda x: F.round(x, 4))
-        ).alias("pos", "val"),
-    ).select("id", F.col("pos").cast("int").alias("pos"), "val")
+        F.col("pos").cast("int").alias("pos"),
+        F.col("z.val").alias("val"),
+        F.col("z.val_fp16").alias("val_fp16"),
+        F.col("z.val_bf16").alias("val_bf16"),
+        F.col("z.val_int8").alias("val_int8"),
+    )
 
 
 # (the former standalone q_topk_per_key gate was swapped for
@@ -2196,6 +2225,27 @@ _JACCARD_BIN_SQL = (
 )
 
 
+def _dtype_rt_sql(x: str, kind: str) -> str:
+    """fp16/bf16/int8 storage-codec mirror (dtype.py encode/decode_bytes;
+    operands.h:53-147): quantum exponent q = floor(log2|x|) − mantissa
+    bits (10 fp16 / 7 bf16), fp16 clamped at the 2^-24 subnormal
+    quantum; value = sign·round_half_even(|x|·2^−q)·2^q.  Power-of-two
+    scaling is exact in float64, so the mirror is bit-exact."""
+    if kind == "int8":
+        return f"least(greatest(round_even({x}, 0), -128.0), 127.0)"
+    if kind == "fp16":
+        q = f"greatest(CAST(floor(log2(abs({x}))) AS BIGINT) - 10, -24)"
+    elif kind == "bf16":
+        q = f"CAST(floor(log2(abs({x}))) AS BIGINT) - 7"
+    else:
+        raise ValueError(kind)
+    return (
+        f"CASE WHEN {x} = 0 THEN {x} ELSE "
+        f"sign({x}) * round_even(abs({x}) * 2.0 ** (-({q})), 0) "
+        f"* 2.0 ** ({q}) END"
+    )
+
+
 def _bin_knn_oracle(
     dist: str,
     range_bounds: tuple | None = None,
@@ -2972,11 +3022,26 @@ FROM a
         ),
         "bin_substructure": _BIN_SUBSTRUCTURE_SQL,
         "flat_range_l2": _range_oracle(_L2, "dd >= 0.0 AND dd < 1.5"),
-        "get_vector_by_ids": """
-SELECT vec_id AS id,
-       CAST(unnest(range(len(embedding))) AS INT) AS pos,
-       unnest(list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 4))) AS val
-FROM embeddings WHERE vec_id % 7 = 0
+        # r12: the fp16/bf16/int8 roundtrip columns mirror the storage
+        # codec with pure mantissa/exponent arithmetic — q = the target
+        # type's quantum exponent (mantissa bits below the leading bit:
+        # 10 for fp16, 7 for bf16; fp16 clamps at the 2^-24 subnormal
+        # quantum), value = sign·round_half_even(|x|/2^q)·2^q.  All
+        # scale factors are powers of two, so every step is exact in
+        # float64 — validated bit-identical to encode_bytes/decode_bytes
+        # over the full embeddings table at both SFs.
+        "get_vector_by_ids": f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings WHERE vec_id % 7 = 0
+)
+SELECT id, pos, ROUND(x, 4) AS val,
+       ROUND({_dtype_rt_sql('x', 'fp16')}, 4) AS val_fp16,
+       ROUND({_dtype_rt_sql('x', 'bf16')}, 4) AS val_bf16,
+       ROUND({_dtype_rt_sql('x', 'int8')}, 4) AS val_int8
+FROM base
 """,
         # full-algorithm SemDeDup mirror: normalize (zero-safe) → L2-assign
         # to the pinned raw centroids (ties to lowest cid, like argmin) →

@@ -110,6 +110,31 @@ def decode_bytes(rows: list[bytes], vec_type: VecType | str) -> np.ndarray:
     raise ValueError(f"no byte decoding for vec_type {vt.value}")
 
 
+def roundtrip_vec_col(
+    df, vec_type: VecType | str, vec_col: str = "vec", out_col: str | None = None
+):
+    """``encode_bytes`` → ``decode_bytes`` roundtrip of an
+    ``array<float>`` column (Arrow-batched) — drives the actual WIRE
+    FORMAT, not just :func:`quantize_matrix`, so an oracle over the
+    output attests the storage codec's byte layout end-to-end
+    (operands.h:53-147 storage semantics)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, FloatType
+
+    vt = VecType(vec_type.upper()) if isinstance(vec_type, str) else vec_type
+
+    # NOTE: no type hints on the kernel — string annotations (from
+    # __future__ import annotations) break pandas_udf signature inference
+    def _rt(s):
+        M = np.array(list(s.to_numpy()), dtype=np.float32)
+        D = decode_bytes(encode_bytes(M, vt), vt)
+        return pd.Series(list(D))
+
+    udf = F.pandas_udf(_rt, ArrayType(FloatType()))
+    return df.withColumn(out_col or vec_col, udf(F.col(vec_col)))
+
+
 def quantize_vec_col(df, vec_type: VecType | str, vec_col: str = "vec"):
     """Quantize an ``array<float>`` column to ``vec_type``-representable
     values (Arrow-batched; the column stays ``array<float>``)."""
