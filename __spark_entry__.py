@@ -402,8 +402,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``lam3·p_tri + (1-lam3)·(lam·p_bi + (1-lam)·p_uni)``, the mode a
     real CCNet-tier filter runs) joins its trigram columns beside the
     order-2 ones, so the trigram count table, the three-way context
-    joins, and the interpolation arithmetic are all driver-attested."""
-    from knowhere_spark.operators.quality import NgramLM
+    joins, and the interpolation arithmetic are all driver-attested.
+
+    r12 (VERDICT r11 #6, in place, no slot): the gate ALSO carries the
+    CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.3;
+    quality.perplexity_buckets) as a ``ppl_bucket`` column — per-slice
+    (doc_id % 2 as the language stand-in, exercising the grouped
+    broadcast-join path) discrete 1/3-2/3 cuts over the ROUNDED
+    perplexity in ``exact`` mode, so the thresholds are actual order
+    statistics both engines compute identically."""
+    from knowhere_spark.operators.quality import NgramLM, perplexity_buckets
 
     docs = load_table(spark, sf_dir, "documents")
     trusted = docs.filter(F.col("doc_id") % 3 == 0)
@@ -423,7 +431,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logprob", 4).alias("avg_logprob3"),
         F.round("perplexity", 4).alias("perplexity3"),
     )
-    return out2.join(out3, "doc_id")
+    out = out2.join(out3, "doc_id")
+    scored = out.select(
+        "doc_id", (F.col("doc_id") % 2).alias("slice"), "perplexity"
+    )
+    buckets = perplexity_buckets(
+        scored, by_col="slice", ppl_col="perplexity", exact=True
+    )
+    return out.join(buckets.select("doc_id", "ppl_bucket"), "doc_id")
 
 
 #: the Spark/DuckDB-shared HTML page template the html_extract_text gate
@@ -2827,15 +2842,40 @@ sc3 AS (
   LEFT JOIN uc u3 ON dg3.w3 = u3.w
   CROSS JOIN consts
 ),
-agg3 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams, AVG(lp) AS alp3 FROM sc3 GROUP BY doc_id)
-SELECT d.doc_id,
-       COALESCE(a2.n_bigrams, 0) AS n_bigrams,
-       ROUND(a2.alp, 4) AS avg_logprob,
-       ROUND(exp(-a2.alp), 4) AS perplexity,
-       COALESCE(a3.n_trigrams, 0) AS n_trigrams,
-       ROUND(a3.alp3, 4) AS avg_logprob3,
-       ROUND(exp(-a3.alp3), 4) AS perplexity3
-FROM documents d LEFT JOIN agg a2 USING (doc_id) LEFT JOIN agg3 a3 USING (doc_id)
+agg3 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams, AVG(lp) AS alp3 FROM sc3 GROUP BY doc_id),
+final AS (
+  SELECT d.doc_id,
+         COALESCE(a2.n_bigrams, 0) AS n_bigrams,
+         ROUND(a2.alp, 4) AS avg_logprob,
+         ROUND(exp(-a2.alp), 4) AS perplexity,
+         COALESCE(a3.n_trigrams, 0) AS n_trigrams,
+         ROUND(a3.alp3, 4) AS avg_logprob3,
+         ROUND(exp(-a3.alp3), 4) AS perplexity3
+  FROM documents d LEFT JOIN agg a2 USING (doc_id) LEFT JOIN agg3 a3 USING (doc_id)
+),
+-- r12 CCNet bucket mirror (quality.perplexity_buckets exact mode): the
+-- cut is the value at rank ceil(q*n) per slice — an actual order
+-- statistic over the ROUNDED perplexity, so both engines compare
+-- identical doubles against identical thresholds
+rk AS (
+  SELECT doc_id % 2 AS slice, perplexity AS p,
+         row_number() OVER (PARTITION BY doc_id % 2 ORDER BY perplexity) AS r,
+         COUNT(*) OVER (PARTITION BY doc_id % 2) AS n
+  FROM final WHERE perplexity IS NOT NULL
+),
+cuts AS (
+  SELECT slice,
+         MAX(CASE WHEN r = CEIL({repr(1.0 / 3.0)} * n) THEN p END) AS c1,
+         MAX(CASE WHEN r = CEIL({repr(2.0 / 3.0)} * n) THEN p END) AS c2
+  FROM rk GROUP BY slice
+)
+SELECT f.*,
+       CASE WHEN f.perplexity IS NULL THEN NULL
+            WHEN c.c1 IS NULL THEN NULL
+            WHEN f.perplexity <= c.c1 THEN 'head'
+            WHEN f.perplexity <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM final f LEFT JOIN cuts c ON f.doc_id % 2 = c.slice
 """
 
 

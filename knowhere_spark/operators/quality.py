@@ -466,6 +466,7 @@ def perplexity_buckets(
     ppl_col: str = "perplexity",
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     accuracy: int = 10_000,
+    exact: bool = False,
 ) -> DataFrame:
     """CCNet's corpus split (Wenzek et al. 2020 §4.3): per language,
     bucket documents into ``head`` / ``middle`` / ``tail`` by perplexity
@@ -479,17 +480,55 @@ def perplexity_buckets(
     at scan speed.  The naive ``ntile`` window would sort each language
     on a single task — English alone is most of a crawl.  NULL
     perplexity (no model evidence) stays NULL-bucketed; a length gate is
-    a different filter's job."""
+    a different filter's job.
+
+    ``exact=True`` swaps the sketch for discrete order statistics — the
+    cut is the value at rank ``ceil(q·n)`` per group (an ACTUAL data
+    value, no interpolation), computed with a per-group sort.  That is
+    oracle-grade determinism for gates and small corpora; production
+    keeps the default sketch (a per-group sort of English is exactly
+    the 100 TB anti-pattern the sketch exists to avoid)."""
     ppl = F.col(ppl_col)
     grp = [by_col] if by_col is not None else []
-    cuts_df = (
-        scores.filter(ppl.isNotNull())
-        .groupBy(*grp)
-        .agg(
-            F.percentile_approx(ppl, float(cuts[0]), accuracy).alias("__c1"),
-            F.percentile_approx(ppl, float(cuts[1]), accuracy).alias("__c2"),
+    if exact:
+        from pyspark.sql import Window
+
+        nn = scores.filter(ppl.isNotNull())
+        w = Window.partitionBy(*grp).orderBy(F.col("__p").asc())
+        ranked = nn.select(*grp, ppl.alias("__p")).withColumn(
+            "__rk", F.row_number().over(w)
         )
-    )
+        # the r-th order statistic is tie-order-invariant, so no
+        # tie-breaker is needed in the window
+        counted = nn.groupBy(*grp).agg(F.count("*").alias("__n"))
+        joined_r = ranked.join(F.broadcast(counted), grp) if grp else (
+            ranked.crossJoin(F.broadcast(counted))
+        )
+        cuts_df = joined_r.groupBy(*grp).agg(
+            F.max(
+                F.when(
+                    F.col("__rk")
+                    == F.ceil(F.lit(float(cuts[0])) * F.col("__n")),
+                    F.col("__p"),
+                )
+            ).alias("__c1"),
+            F.max(
+                F.when(
+                    F.col("__rk")
+                    == F.ceil(F.lit(float(cuts[1])) * F.col("__n")),
+                    F.col("__p"),
+                )
+            ).alias("__c2"),
+        )
+    else:
+        cuts_df = (
+            scores.filter(ppl.isNotNull())
+            .groupBy(*grp)
+            .agg(
+                F.percentile_approx(ppl, float(cuts[0]), accuracy).alias("__c1"),
+                F.percentile_approx(ppl, float(cuts[1]), accuracy).alias("__c2"),
+            )
+        )
     joined = (
         scores.join(F.broadcast(cuts_df), on=grp, how="left")
         if grp
