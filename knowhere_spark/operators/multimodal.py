@@ -516,7 +516,8 @@ def _decode_png(data: bytes) -> np.ndarray:
 def sniff_format(payload: bytes) -> str | None:
     """Magic-byte format sniff — the dispatch key for built-in decoders
     AND caller-injected ones (``decoders=`` below).  Returns one of
-    ``pnm bmp wav jpeg png gif mp4`` or ``None`` for opaque bytes."""
+    ``pnm bmp wav flac jpeg png gif mp4`` or ``None`` for opaque
+    bytes."""
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return "pnm"
     if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in (
@@ -525,6 +526,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -603,6 +606,20 @@ def decode_payload(
                 return _decode_bmp(payload)
             if fmt == "wav":
                 return _decode_wav(payload)
+            if fmt == "flac":
+                # r12: FLAC decodes for REAL (functions/flac.py — full
+                # subframe/Rice/stereo-decorrelation decoder, CRC-
+                # verified).  Same output convention as _decode_wav:
+                # mono-averaged float64 samples in [-1, 1].
+                from knowhere_spark.functions.flac import (
+                    decode_flac,
+                    decode_flac_meta,
+                )
+
+                samples, _sr = decode_flac(payload)
+                bps = decode_flac_meta(payload)["bits_per_sample"]
+                s = samples.astype(np.float64) / float(1 << (bps - 1))
+                return s.mean(axis=1) if s.ndim == 2 else s
             if fmt == "png":
                 return _decode_png(payload)
             if fmt == "jpeg":

@@ -1,0 +1,339 @@
+"""FLAC codec (functions/flac.py) — round-trip exactness, decoder-only
+paths via hand-built bitstreams, corrupt handling, and media-kernel
+integration.  The encoder never emits LPC / Rice2 / multi-partition /
+wasted-bits frames, so those decoder paths are pinned with frames
+constructed directly by the bit-writer (no encode/decode mirror risk)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from knowhere_spark.functions.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    decode_flac,
+    decode_flac_meta,
+    encode_flac,
+)
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# encoder → decoder round trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "bps,n,block",
+    [(16, 10_000, 4096), (8, 9_001, 1000), (24, 3_000, 4096), (16, 1, 4096)],
+)
+def test_roundtrip_mono(bps, n, block):
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    x = _rng().integers(lo, hi + 1, n).astype(np.int64)
+    data = encode_flac(x, 16000, bps, block_size=block)
+    y, sr = decode_flac(data)
+    assert sr == 16000
+    assert np.array_equal(x, y)
+    meta = decode_flac_meta(data)
+    assert meta["bits_per_sample"] == bps
+    assert meta["total_samples"] == n
+
+
+def test_roundtrip_stereo_and_midside():
+    t = np.arange(8000)
+    left = (
+        6000 * np.sin(t * 0.01) + _rng().integers(-300, 300, len(t))
+    ).astype(np.int32)
+    # near-identical channels: the side channel is tiny, so mid/side
+    # decorrelation has something real to win
+    right = left + _rng().integers(-8, 8, len(t)).astype(np.int32)
+    st = np.stack([left, right], axis=1)
+    d_ind = encode_flac(st, 44100, 16)
+    d_ms = encode_flac(st, 44100, 16, mid_side=True)
+    assert np.array_equal(st, decode_flac(d_ind)[0])
+    assert np.array_equal(st, decode_flac(d_ms)[0])
+    # correlated stereo: mid/side must actually compress better
+    assert len(d_ms) < len(d_ind)
+
+
+def test_roundtrip_compresses_smooth_signals():
+    t = np.arange(20_000)
+    x = (9000 * np.sin(t * 0.003)).astype(np.int32)
+    data = encode_flac(x, 22050, 16)
+    assert np.array_equal(x, decode_flac(data)[0])
+    assert len(data) < 2 * len(x) * 0.5      # < half of raw PCM16
+
+
+def test_constant_and_silence():
+    z = np.full(5000, -123, dtype=np.int32)
+    data = encode_flac(z, 8000, 16)
+    assert np.array_equal(z, decode_flac(data)[0])
+    assert len(data) < 200                   # CONSTANT subframes only
+
+
+def test_roundtrip_real_pluck_sample():
+    """Round-trip CPython's real recorded audio fixture (non-synthetic
+    signal shape: transients + decay)."""
+    import os
+    import sysconfig
+    import wave
+
+    path = os.path.join(
+        sysconfig.get_paths()["stdlib"], "test", "audiodata",
+        "pluck-pcm16.wav",
+    )
+    if not os.path.exists(path):
+        pytest.skip("stdlib audiodata not installed")
+    with wave.open(path) as f:
+        raw = f.readframes(f.getnframes())
+        n_ch = f.getnchannels()
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int32).reshape(-1, n_ch)
+    data = encode_flac(x, 11025, 16)
+    assert np.array_equal(x, decode_flac(data)[0].reshape(-1, n_ch))
+    assert len(data) < x.nbytes              # real compression on real audio
+
+
+# ---------------------------------------------------------------------------
+# decoder-only paths: hand-built frames
+# ---------------------------------------------------------------------------
+
+def _stream(frames: bytes, n: int, bps: int, n_ch: int = 1,
+            rate: int = 8000) -> bytes:
+    si = _BitWriter()
+    si.write(4096, 16)
+    si.write(4096, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.bytes() + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body + frames
+
+
+def _frame_header(bs: int, bps_code: int, ch_code: int) -> bytes:
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(7, 4)              # 16-bit block size at end
+    w.write(0, 4)              # sample rate from STREAMINFO
+    w.write(ch_code, 4)
+    w.write(bps_code, 3)
+    w.write(0, 1)
+    w.write(0, 8)              # frame number 0
+    w.write(bs - 1, 16)
+    hdr = w.bytes()
+    return hdr + bytes([_crc8(hdr)])
+
+
+def _finish_frame(hdr: bytes, body: _BitWriter) -> bytes:
+    body.align()
+    frame = hdr + body.bytes()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def test_decode_lpc_subframe():
+    """LPC order-2 with a real shift — the encoder never emits LPC, so
+    this is a decoder-only pin: x[i] = res[i] + (c0*x[i-1]+c1*x[i-2])>>s."""
+    n, bps = 64, 16
+    coefs, shift, prec = [3, -2], 1, 5
+    warm = [100, 103]
+    res = list(range(-20, 42))     # n - order = 62 residuals
+    x = list(warm)
+    for i in range(2, n):
+        pred = coefs[0] * x[i - 1] + coefs[1] * x[i - 2]
+        x.append(res[i - 2] + (pred >> shift))
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(32 + 1, 6)         # LPC, order 2 (type = 31 + order)
+    w.write(0, 1)
+    for v in warm:
+        w.write(v & 0xFFFF, bps)
+    w.write(prec - 1, 4)
+    w.write(shift, 5)
+    for c in coefs:
+        w.write(c & ((1 << prec) - 1), prec)
+    w.write(0, 2)              # rice
+    w.write(0, 4)              # 1 partition
+    param = 6
+    w.write(param, 4)
+    for v in res:
+        u = (abs(v) << 1) - (1 if v < 0 else 0)
+        w.write_unary(u >> param)
+        w.write(u & ((1 << param) - 1), param)
+    data = _stream(_finish_frame(_frame_header(n, 4, 0), w), n, bps)
+    y, _ = decode_flac(data)
+    assert np.array_equal(y, np.array(x))
+
+
+def test_decode_rice2_multipartition_and_escape():
+    """Rice2 (5-bit params), partition order 2 (4 partitions), one
+    partition escaped to raw 9-bit residuals — all decoder-only."""
+    n, bps, order = 64, 16, 1
+    warm = [5]
+    res = [(i % 13) - 6 for i in range(n - order)]
+    x = list(warm)
+    for i in range(order, n):
+        x.append(res[i - order] + x[i - 1])
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(8 + order, 6)      # FIXED order 1
+    w.write(0, 1)
+    for v in warm:
+        w.write(v & 0xFFFF, bps)
+    w.write(1, 2)              # rice2
+    w.write(2, 4)              # partition order 2 -> 4 partitions of 16
+    ri = 0
+    for p in range(4):
+        cnt = (n >> 2) - (order if p == 0 else 0)
+        if p == 1:             # escaped partition: raw 9-bit
+            w.write(31, 5)
+            w.write(9, 5)
+            for _ in range(cnt):
+                w.write(res[ri] & 0x1FF, 9)
+                ri += 1
+        else:
+            param = 4
+            w.write(param, 5)
+            for _ in range(cnt):
+                u = (abs(res[ri]) << 1) - (1 if res[ri] < 0 else 0)
+                w.write_unary(u >> param)
+                w.write(u & ((1 << param) - 1), param)
+                ri += 1
+    data = _stream(_finish_frame(_frame_header(n, 4, 0), w), n, bps)
+    y, _ = decode_flac(data)
+    assert np.array_equal(y, np.array(x))
+
+
+def test_decode_wasted_bits():
+    """Wasted-bits flag: samples stored at bps-2 and shifted left 2."""
+    n, bps = 32, 16
+    base = np.array([(i - 16) * 3 for i in range(n)])
+    x = base << 2              # every sample divisible by 4 -> 2 wasted bits
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(1, 6)              # VERBATIM
+    w.write(1, 1)              # wasted-bits flag
+    w.write_unary(1)           # unary(1) -> wasted = 2
+    for v in base:
+        w.write(int(v) & ((1 << (bps - 2)) - 1), bps - 2)
+    data = _stream(_finish_frame(_frame_header(n, 4, 0), w), n, bps)
+    y, _ = decode_flac(data)
+    assert np.array_equal(y, x)
+
+
+@pytest.mark.parametrize("ch_code", [8, 9, 10])
+def test_decode_stereo_decorrelation_modes(ch_code):
+    """left/side, right/side, mid/side — side carries bps+1 bits."""
+    n, bps = 48, 16
+    rng = _rng()
+    left = rng.integers(-30000, 30000, n).astype(np.int64)
+    right = rng.integers(-30000, 30000, n).astype(np.int64)
+    side = left - right
+    w = _BitWriter()
+
+    def verbatim(vals, bits):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(int(v) & ((1 << bits) - 1), bits)
+
+    if ch_code == 8:
+        verbatim(left, bps)
+        verbatim(side, bps + 1)
+    elif ch_code == 9:
+        verbatim(side, bps + 1)
+        verbatim(right, bps)
+    else:
+        mid = (left + right) >> 1
+        verbatim(mid, bps)
+        verbatim(side, bps + 1)
+    data = _stream(
+        _finish_frame(_frame_header(n, 4, ch_code), w), n, bps, n_ch=2
+    )
+    y, _ = decode_flac(data)
+    assert np.array_equal(y[:, 0], left)
+    assert np.array_equal(y[:, 1], right)
+
+
+# ---------------------------------------------------------------------------
+# robustness
+# ---------------------------------------------------------------------------
+
+def test_corruption_raises_valueerror():
+    x = _rng().integers(-1000, 1000, 4000).astype(np.int32)
+    data = bytearray(encode_flac(x, 8000, 16))
+    data[len(data) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(data))
+    with pytest.raises(ValueError):
+        decode_flac(b"fLaC")                 # truncated metadata
+    with pytest.raises(ValueError):
+        decode_flac(b"not a flac stream at all")
+
+
+def test_encode_range_check():
+    with pytest.raises(ValueError):
+        encode_flac(np.array([40000]), 8000, 16)   # exceeds int16
+
+
+# ---------------------------------------------------------------------------
+# media-kernel integration
+# ---------------------------------------------------------------------------
+
+def test_sniff_and_decode_payload():
+    from knowhere_spark.operators.multimodal import decode_payload, sniff_format
+
+    x = (_rng().uniform(-0.5, 0.5, 2048) * 32767).astype(np.int32)
+    payload = encode_flac(x, 16000, 16)
+    assert sniff_format(payload) == "flac"
+    got = decode_payload(payload, "audio", {})
+    np.testing.assert_allclose(got, x / 32768.0, atol=0, rtol=0)
+    # stereo averages to mono like the WAV path
+    st = np.stack([x, -x], axis=1)
+    got2 = decode_payload(encode_flac(st, 16000, 16), "audio", {})
+    np.testing.assert_allclose(got2, np.zeros(len(x)), atol=0, rtol=0)
+    # corrupt flac payload -> opaque -> deterministic fake, never a crash
+    bad = bytearray(payload)
+    bad[60] ^= 0xFF
+    fake = decode_payload(bytes(bad), "audio", {"sample_rate": 64})
+    assert fake.shape == (64,)
+
+
+def test_flac_through_audio_neardup(spark):
+    """FLAC clips flow through the banded audio near-dup operator end to
+    end — the WAV twin of the r10 gate, now on the compressed codec."""
+    from knowhere_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_neardup_pairs,
+    )
+
+    def tone(f1, f2):
+        t = np.arange(2048)
+        s = 0.4 * np.sin(2 * np.pi * f1 * t / 8000) + 0.2 * np.sin(
+            2 * np.pi * f2 * t / 8000
+        )
+        return encode_flac((s * 32767).astype(np.int32), 8000, 16)
+
+    rows = []
+    for d in range(8):
+        g = d // 2                           # pairs (0,1), (2,3), ...
+        rows.append(
+            (d, "audio", bytearray(tone(200 + 150 * g, 3000 - 140 * g)),
+             {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 8000})
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_neardup_pairs(media, threshold=0.99).collect()
+    }
+    assert pairs == {(0, 1), (2, 3), (4, 5), (6, 7)}
