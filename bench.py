@@ -978,6 +978,27 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out["dedup_audio_banded"] = q_audio_neardup_banded
 
+    def q_audio_neardup_flac():
+        # same banded shape over FLAC clips (r12): every payload runs the
+        # repo's own Rice/LPC decoder before feature extraction — tracks
+        # the compressed-audio decode cost the way dedup_videos_mjpeg
+        # tracks T.81 decode.  The encoder is lossless, so the pair
+        # structure is identical to the WAV twin.
+        from knowhere_spark.operators.multimodal import (
+            audio_neardup_pairs,
+            synthesize_audio_media,
+        )
+
+        media = synthesize_audio_media(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .filter(F.col("doc_id") < 2000),
+            dup_stride=4,
+            codec="flac",
+        )
+        return audio_neardup_pairs(media, 0.99)
+
+    out["dedup_audio_flac"] = q_audio_neardup_flac
+
     def q_text_embedding():
         # model-free hashed TF-IDF embedding of the whole documents table
         # (r5): two groupBys + AQE-decided vocab join + codegen'd dense

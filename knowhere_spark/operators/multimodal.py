@@ -827,6 +827,7 @@ def synthesize_audio_media(
     *,
     dup_groups: int = 17,
     dup_stride: int | None = None,
+    codec: str = "wav",
 ) -> DataFrame:
     """Deterministic REAL-WAV media from the documents table — the
     ``audio_neardup_srp`` driver-gate fixture.  Doc ``d`` renders a
@@ -848,11 +849,18 @@ def synthesize_audio_media(
     byte-identical WAVs, so beyond ~126k clips extra (unplanted)
     duplicate pairs appear — probes therefore assert
     ``planted ⊆ pairs``, never pair-set equality, and measured pair
-    counts at ≥126k include those collisions."""
+    counts at ≥126k include those collisions.
+
+    ``codec="flac"`` renders the SAME signals as FLAC instead of WAV
+    (functions/flac.py encoder; the decoder is lossless, so group
+    byte-identity and all pair arithmetic are unchanged) — downstream
+    operators then exercise the real compressed-audio decode path."""
     import struct as _st
 
     from knowhere_spark.session import ensure_parallelism
 
+    if codec not in ("wav", "flac"):
+        raise ValueError(f"unknown audio codec {codec!r}")
     ids = documents.select(F.col("doc_id").cast("long").alias("media_id"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -863,7 +871,14 @@ def synthesize_audio_media(
                 0.4 * np.sin(2 * np.pi * f1 * t)
                 + 0.2 * np.sin(2 * np.pi * f2 * t)
             )
-            pcm = (sig * 32767).astype("<i2").tobytes()
+            pcm16 = (sig * 32767).astype("<i2")
+            if codec == "flac":
+                from knowhere_spark.functions.flac import encode_flac
+
+                return encode_flac(
+                    pcm16.astype(np.int32), 8000, 16, block_size=2048
+                )
+            pcm = pcm16.tobytes()
             return (
                 b"RIFF" + _st.pack("<I", 36 + len(pcm)) + b"WAVE"
                 + b"fmt " + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)

@@ -10,6 +10,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from knowhere_spark.functions.flac import (
     _BitWriter,
@@ -307,6 +308,28 @@ def test_sniff_and_decode_payload():
     bad[60] ^= 0xFF
     fake = decode_payload(bytes(bad), "audio", {"sample_rate": 64})
     assert fake.shape == (64,)
+
+
+def test_synthesize_audio_flac_matches_wav_pairs(spark):
+    """codec='flac' renders the same signals losslessly, so the banded
+    near-dup pair set must equal the WAV twin's exactly."""
+    from knowhere_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        synthesize_audio_media,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    pair_sets = {}
+    for codec in ("wav", "flac"):
+        media = synthesize_audio_media(ids, dup_stride=4, codec=codec)
+        pair_sets[codec] = {
+            (r["id_a"], r["id_b"])
+            for r in audio_neardup_pairs(media, 0.99).collect()
+        }
+    assert pair_sets["flac"] == pair_sets["wav"]
+    assert {(d - 1, d) for d in range(60) if d % 4 == 1 and d > 0} <= (
+        pair_sets["flac"]
+    )
 
 
 def test_flac_through_audio_neardup(spark):
