@@ -2254,11 +2254,20 @@ def _dtype_rt_sql(x: str, kind: str) -> str:
         q = f"CAST(floor(log2(abs({x}))) AS BIGINT) - 7"
     else:
         raise ValueError(kind)
-    return (
-        f"CASE WHEN {x} = 0 THEN {x} ELSE "
+    rounded = (
         f"sign({x}) * round_even(abs({x}) * 2.0 ** (-({q})), 0) "
-        f"* 2.0 ** ({q}) END"
+        f"* 2.0 ** ({q})"
     )
+    if kind == "fp16":
+        # saturation: np.float16 overflows |x| past the max finite
+        # (rounded magnitude > 65504) to ±inf — the mirror must too,
+        # or any out-of-range value diverges from the codec
+        return (
+            f"CASE WHEN {x} = 0 THEN {x} "
+            f"WHEN abs({rounded}) > 65504.0 THEN sign({x}) * CAST('inf' AS DOUBLE) "
+            f"ELSE {rounded} END"
+        )
+    return f"CASE WHEN {x} = 0 THEN {x} ELSE {rounded} END"
 
 
 def _bin_knn_oracle(
@@ -2296,25 +2305,32 @@ SELECT query_id, neighbor_id, ROUND(dd, 4) AS distance, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= {K}{range_part}
 """
     metrics = {"hamming": dist, **extra_metrics}
+    # one distance CTE per metric — the hamming KNN block and the
+    # rank=-1 range block read the SAME d_hamming, so the NQ×N popcount
+    # cross join runs once per metric, not once per output block
+    ctes = [
+        f"d_{name} AS (SELECT q.query_id, b.id AS neighbor_id, {dsql} AS dd FROM b, q)"
+        for name, dsql in metrics.items()
+    ]
     parts = []
-    for name, dsql in metrics.items():
+    for name in metrics:
         parts.append(f"""
 SELECT metric, query_id, neighbor_id, distance, rank FROM (
   SELECT '{name}' AS metric, query_id, neighbor_id, ROUND(dd, 4) AS distance,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS INT) AS rank
-  FROM (SELECT q.query_id, b.id AS neighbor_id, {dsql} AS dd FROM b, q)
+  FROM d_{name}
 ) WHERE rank <= {K}""")
     if range_bounds is not None:
         lo, hi = range_bounds
         parts.append(f"""
 SELECT 'hamming' AS metric, query_id, neighbor_id, ROUND(dd, 4) AS distance,
        CAST(-1 AS INT) AS rank
-FROM (SELECT q.query_id, b.id AS neighbor_id, {dist} AS dd FROM b, q)
-WHERE dd >= {lo} AND dd < {hi}""")
+FROM d_hamming WHERE dd >= {lo} AND dd < {hi}""")
     return (
         f"""
 WITH b AS (SELECT vec_id AS id, {_pack_sql('embedding')} AS words FROM embeddings),
-q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ})
+q AS (SELECT id AS query_id, words AS qwords FROM b WHERE id < {NQ}),
+{", ".join(ctes)}
 """
         + " UNION ALL ".join(parts)
     )

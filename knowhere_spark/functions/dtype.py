@@ -77,7 +77,10 @@ def encode_bytes(M: np.ndarray, vec_type: VecType | str) -> list[bytes]:
     vt = VecType(vec_type.upper()) if isinstance(vec_type, str) else vec_type
     M = np.asarray(M, dtype=np.float32)
     if vt == VecType.FP16:
-        enc = M.astype(np.float16)
+        # saturating conversion: out-of-range fp32 becomes ±inf, the
+        # same intended semantics as quantize_matrix (no warning noise)
+        with np.errstate(over="ignore"):
+            enc = M.astype(np.float16)
     elif vt == VecType.BF16:
         enc = (
             np.ascontiguousarray(_bf16_round(M)).view(np.uint32) >> 16

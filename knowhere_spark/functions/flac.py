@@ -306,7 +306,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     info = decode_flac_meta(data)
     pos = info["frame_offset"]
     n_ch = info["channels"]
-    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n_ch)]
+    # per-frame arrays accumulate in lists and concatenate ONCE — a
+    # growing per-frame np.concatenate would copy O(frames x samples)
+    # on real multi-frame streams
+    chan_parts: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
     total = info["total_samples"]
     got = 0
     while pos < len(data) and (not total or got < total):
@@ -382,8 +385,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("FLAC: frame CRC-16 mismatch")
         pos = r.pos >> 3
         for c in range(n_ch):
-            chans[c] = np.concatenate([chans[c], subs[c]])
+            chan_parts[c].append(subs[c])
         got += bs
+    chans = [
+        np.concatenate(p) if p else np.empty(0, dtype=np.int64)
+        for p in chan_parts
+    ]
     if total:
         chans = [c[:total] for c in chans]
     out = np.stack(chans, axis=1).astype(np.int32)
@@ -486,7 +493,7 @@ def encode_flac(
     if not (1 <= n_ch <= 8):
         raise ValueError("FLAC: 1-8 channels")
     lo, hi = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
-    if x.min() < lo or x.max() > hi:
+    if n and (x.min() < lo or x.max() > hi):
         raise ValueError("FLAC: samples exceed bits_per_sample range")
     out = bytearray(b"fLaC")
     si = _BitWriter()

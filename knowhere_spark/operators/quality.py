@@ -495,16 +495,18 @@ def perplexity_buckets(
 
         nn = scores.filter(ppl.isNotNull())
         w = Window.partitionBy(*grp).orderBy(F.col("__p").asc())
-        ranked = nn.select(*grp, ppl.alias("__p")).withColumn(
-            "__rk", F.row_number().over(w)
-        )
         # the r-th order statistic is tie-order-invariant, so no
-        # tie-breaker is needed in the window
-        counted = nn.groupBy(*grp).agg(F.count("*").alias("__n"))
-        joined_r = ranked.join(F.broadcast(counted), grp) if grp else (
-            ranked.crossJoin(F.broadcast(counted))
+        # tie-breaker is needed in the window; the group count rides the
+        # SAME window partition (one stage, no second scan of the input
+        # plan — which in gate use is a full LM-scoring DAG)
+        ranked = (
+            nn.select(*grp, ppl.alias("__p"))
+            .withColumn("__rk", F.row_number().over(w))
+            .withColumn(
+                "__n", F.count("*").over(Window.partitionBy(*grp))
+            )
         )
-        cuts_df = joined_r.groupBy(*grp).agg(
+        cuts_df = ranked.groupBy(*grp).agg(
             F.max(
                 F.when(
                     F.col("__rk")

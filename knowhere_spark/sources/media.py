@@ -17,7 +17,8 @@ Two stages, both cheap:
 2. **Header probe** (:func:`probe_media_meta`): real width / height /
    frame-count / sample-rate out of format HEADERS only — PNG IHDR,
    GIF logical screen + block walk, JPEG SOF scan, BMP/PNM headers,
-   WAV fmt chunk, MP4 ``moov`` sample tables — never a pixel decode.
+   WAV fmt chunk, FLAC STREAMINFO, MP4 ``moov`` sample tables — never
+   a pixel decode.
    At ingest scale the header probe is what populates the typed
    metadata column the pipeline partitions and filters on.
 """
@@ -42,6 +43,7 @@ _FORMAT_TYPE = {
     "jpeg": "image",
     "gif": "video",   # may be single-frame; the header probe sets n_frames
     "wav": "audio",
+    "flac": "audio",
     "mp4": "video",
 }
 
@@ -80,6 +82,15 @@ def probe_meta(payload: bytes) -> dict:
                 out.update(
                     sample_rate=f.getframerate(), n_frames=f.getnframes()
                 )
+        elif fmt == "flac":
+            # STREAMINFO is a fixed-layout header block — no frame decode
+            from knowhere_spark.functions.flac import decode_flac_meta
+
+            mi = decode_flac_meta(payload)
+            out.update(
+                sample_rate=mi["sample_rate"],
+                n_frames=mi["total_samples"] or None,
+            )
         elif fmt == "mp4":
             from knowhere_spark.functions.mp4 import parse_mp4
 

@@ -37,8 +37,9 @@ from pyspark.sql import functions as F
 
 #: output schema of :func:`read_warc` — one row per WARC record.
 #: ``body`` is the raw (de-chunked, inflated) block; ``body_text`` is the
-#: charset-aware best-effort decode for ``response`` records (NULL for
-#: other record types) — downstream text operators consume ``body_text``
+#: charset-aware best-effort decode for ``response`` records with a
+#: text-ish Content-Type (NULL for other record types and for binary
+#: payloads) — downstream text operators consume ``body_text``
 #: so a single non-UTF-8 byte can never kill the job (Spark 4.1's ANSI
 #: ``decode`` raises MALFORMED_CHARACTER_CODING; real Common Crawl bodies
 #: are routinely windows-1252 / gbk / binary).
@@ -81,6 +82,7 @@ def _dechunk(body: bytes) -> bytes:
     out: list[bytes] = []
     pos = 0
     n = len(body)
+    parsed_any = False
     while pos < n:
         eol = body.find(b"\r\n", pos)
         if eol < 0:
@@ -89,14 +91,17 @@ def _dechunk(body: bytes) -> bytes:
         try:
             size = int(token, 16)
         except ValueError:
-            if not out:
+            if not parsed_any:
                 return body
             break
+        parsed_any = True
         if size == 0:
             break
         out.append(body[eol + 2 : eol + 2 + size])
         pos = eol + 2 + size + 2   # skip the chunk's trailing CRLF
-    return b"".join(out) if out else (b"" if pos else body)
+    # a legitimately empty chunked body (b"0\r\n\r\n") must yield b"",
+    # not the raw framing bytes
+    return b"".join(out) if parsed_any else body
 
 
 def _inflate(body: bytes, encoding: str) -> bytes:
@@ -105,7 +110,12 @@ def _inflate(body: bytes, encoding: str) -> bytes:
     filter drops binary garbage; never crash the segment)."""
     try:
         if encoding in ("gzip", "x-gzip"):
-            return _gunzip_members(body) or body
+            # only fall back to raw bytes when the payload isn't gzip at
+            # all — a VALID gzip of empty content must yield b"", and
+            # `or body` would resurrect the 20-byte gzip header
+            if body[:2] == _GZ_MAGIC:
+                return _gunzip_members(body)
+            return body
         if encoding == "deflate":
             try:
                 return zlib.decompress(body)
@@ -118,6 +128,21 @@ def _inflate(body: bytes, encoding: str) -> bytes:
 
 
 _CHARSET_RE = re.compile(r"charset=[\"']?([\w.:+-]+)", re.IGNORECASE)
+
+#: content types worth a text decode — everything else (images, PDFs,
+#: video: MOST bytes of a real crawl) keeps ``body_text`` NULL instead
+#: of carrying a replacement-char copy of a binary payload through Arrow
+_TEXTISH_RE = re.compile(
+    r"^text/|html|xml|json|javascript|ecmascript|charset=", re.IGNORECASE
+)
+
+
+def _is_textish(http_content_type: str | None) -> bool:
+    # a missing Content-Type is undeclared, not binary — decode it (the
+    # downstream HTML filter still decides what to keep)
+    if not http_content_type:
+        return True
+    return bool(_TEXTISH_RE.search(http_content_type))
 
 
 def _decode_body(body: bytes, http_content_type: str | None) -> str:
@@ -218,9 +243,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                     if enc:
                         body = _inflate(body, enc)
                     rec["body"] = body
-                    rec["body_text"] = _decode_body(
-                        body, rec["http_content_type"]
-                    )
+                    if _is_textish(rec["http_content_type"]):
+                        rec["body_text"] = _decode_body(
+                            body, rec["http_content_type"]
+                        )
             yield rec
             pos = body_end
     except Exception:

@@ -287,6 +287,27 @@ def test_encode_range_check():
         encode_flac(np.array([40000]), 8000, 16)   # exceeds int16
 
 
+def test_encode_decode_empty_stream():
+    """r12 review regression: a zero-sample clip encodes to a frameless
+    stream and decodes back to zero samples, no crash."""
+    data = encode_flac(np.zeros(0, dtype=np.int64), 8000, 16)
+    y, sr = decode_flac(data)
+    assert y.shape == (0,)
+    assert sr == 8000
+
+
+def test_media_source_classifies_flac():
+    """r12 review regression: the ingest front door must type FLAC as
+    audio and probe STREAMINFO (else audio operators silently skip it)."""
+    from knowhere_spark.sources.media import _FORMAT_TYPE, probe_meta
+
+    assert _FORMAT_TYPE["flac"] == "audio"
+    x = (_rng().uniform(-0.5, 0.5, 2048) * 32767).astype(np.int32)
+    meta = probe_meta(encode_flac(x, 16000, 16))
+    assert meta["sample_rate"] == 16000
+    assert meta["n_frames"] == 2048
+
+
 # ---------------------------------------------------------------------------
 # media-kernel integration
 # ---------------------------------------------------------------------------

@@ -201,6 +201,46 @@ def test_parse_warc_wire_layers_and_charsets():
     assert list(parse_warc(_warc_file()))[0]["body_text"] is None
 
 
+def test_wire_layer_empty_bodies_and_binary_gate():
+    """r12 review regressions: a legitimately empty chunked body and a
+    valid gzip of empty content must both yield b'' (not the framing /
+    header bytes), and binary content types get NO body_text copy."""
+    from knowhere_spark.sources.warc import _dechunk, _inflate
+
+    assert _dechunk(b"0\r\n\r\n") == b""
+    assert _inflate(gzip.compress(b""), "gzip") == b""
+    # not-actually-gzip under a gzip label keeps raw bytes (best-effort)
+    assert _inflate(b"plainly not gzip", "gzip") == b"plainly not gzip"
+
+    def resp(body, ctype):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+
+    recs = [
+        encode_warc_record(
+            "response", resp(b"\xff\xd8\xffJPEGBYTES", b"image/jpeg"),
+            url="http://img.example/",
+        ),
+        encode_warc_record(
+            "response", resp(b"<p>hi</p>", b"text/html"),
+            url="http://page.example/",
+        ),
+        # undeclared content type: decode (undeclared != binary)
+        encode_warc_record(
+            "response",
+            b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\ntext",
+            url="http://bare.example/",
+        ),
+    ]
+    got = {r["url"]: r for r in parse_warc(b"".join(recs))}
+    assert got["http://img.example/"]["body_text"] is None
+    assert got["http://page.example/"]["body_text"] == "<p>hi</p>"
+    assert got["http://bare.example/"]["body_text"] == "text"
+
+
 def test_bridge_survives_non_utf8_bodies(spark, tmp_path):
     """The exact ADVICE r11 failure: one 0xE9 byte in an HTML body must
     not kill warc_responses_to_documents under Spark 4.1 ANSI decode."""
