@@ -353,6 +353,67 @@ def test_synthesize_audio_flac_matches_wav_pairs(spark):
     )
 
 
+def test_flac_through_streaming_audio_neardup(spark, tmp_path):
+    """FLAC payloads flow through the STREAMING audio near-dup too — a
+    level-changed FLAC copy in a later micro-batch is caught via the
+    banded SRP-hash bucket state (the WAV streaming test's codec twin)."""
+    import os
+    import time
+
+    from knowhere_spark.streaming.dedup import stream_neardup_audio
+
+    rng = np.random.default_rng(51)
+    t = np.arange(2048) / 8000.0
+    tone = np.sin(2 * np.pi * 440 * t) * 0.5
+    noise = rng.uniform(-0.5, 0.5, 2048)
+
+    def flac(sig):
+        return bytearray(
+            encode_flac((sig * 32767).astype(np.int32), 8000, 16)
+        )
+
+    meta = {"width": 0, "height": 0, "n_frames": 0, "sample_rate": 8000}
+    schema = (
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    )
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame(
+        [(1, "audio", flac(tone), meta), (2, "audio", flac(noise), meta)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "audio", flac(tone * 0.7), meta)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    files = sorted(os.scandir(src), key=lambda e: e.name)
+    now = time.time()
+    for i, e in enumerate(p for p in files if p.name.endswith(".parquet")):
+        os.utime(e.path, (now - 240 + i * 120, now - 240 + i * 120))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_neardup_audio(stream, max_hamming=8)
+        .writeStream.format("memory")
+        .queryName("flac_nd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "f_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM flac_nd_stream"
+        ).collect()
+    }
+    assert pairs == {(1, 3)}
+
+
 def test_flac_through_audio_neardup(spark):
     """FLAC clips flow through the banded audio near-dup operator end to
     end — the WAV twin of the r10 gate, now on the compressed codec."""
