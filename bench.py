@@ -337,10 +337,25 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     out["bin_hamming_sql_nq1000"] = q_bin_hamming_sql
 
     def q_sparse_bm25():
-        # postings build + BM25 scoring, exactly the entry-query pipeline
-        from __spark_entry__ import q_sparse_bm25_topk
+        # postings build + BM25 scoring over the SERVING path only.  The
+        # r12 gate (q_sparse_bm25_topk) additionally runs the opt-in
+        # exact-MaxScore attestation leg, which is documented 4-7x
+        # slower at benchable scales (SCALE.md r5) — a correctness
+        # double-run, not a serving shape — so the bench entry builds
+        # the same index and runs the single default search instead of
+        # wrapping the gate.
+        from __spark_entry__ import _BM25_B, _BM25_K1, _term_query
+        from knowhere_spark.config import SparseConfig
+        from knowhere_spark.operators.sparse import SparseInvertedIndex
 
-        return q_sparse_bm25_topk(spark, SF_DIR)
+        idx = SparseInvertedIndex.build_from_text(
+            docs,
+            SparseConfig(
+                metric_type="BM25", inverted_index_algo="TAAT_NAIVE",
+                k=20, bm25_k1=_BM25_K1, bm25_b=_BM25_B,
+            ),
+        )
+        return idx.search(_term_query(spark), k=20)
 
     sparse_state = {}
 
