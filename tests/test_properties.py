@@ -205,3 +205,96 @@ def test_strip_png_pii_survives_corruption(seed, nflips, limit):
     out = strip_png_pii(blob)
     assert isinstance(out, bytes) and len(out) == len(blob)
     png_exif_tags(blob)   # must not raise either
+
+
+# ---------------------------------------------------------------------------
+# r12: WARC wire-layer + FLAC totality fuzz
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_parse_warc_total_on_arbitrary_bytes(blob):
+    """parse_warc must never raise, whatever bytes arrive — a crawl
+    segment with garbage must yield its intact prefix (possibly [])."""
+    from knowhere_spark.sources.warc import parse_warc
+
+    for rec in parse_warc(blob):
+        assert isinstance(rec["body"], (bytes, bytearray))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_warc_wire_helpers_total(blob):
+    """_dechunk / _inflate / _decode_body are best-effort total
+    functions over arbitrary bytes (never raise, bytes/str out)."""
+    from knowhere_spark.sources.warc import _dechunk, _decode_body, _inflate
+
+    assert isinstance(_dechunk(blob), bytes)
+    for enc in ("gzip", "x-gzip", "deflate", "br", ""):
+        assert isinstance(_inflate(blob, enc), bytes)
+    for ct in (None, "text/html", "text/html; charset=windows-1252",
+               "text/html; charset=bogus-charset"):
+        assert isinstance(_decode_body(blob, ct), str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=80), min_size=0, max_size=5),
+    st.integers(0, 2**32 - 1),
+)
+def test_warc_encode_parse_roundtrip_property(bodies, seed):
+    """encode_warc_record → parse_warc recovers every record's body and
+    url in order, for arbitrary binary blocks."""
+    from knowhere_spark.sources.warc import encode_warc_record, parse_warc
+
+    data = b"".join(
+        encode_warc_record("resource", b, url=f"http://p{seed}.example/{i}")
+        for i, b in enumerate(bodies)
+    )
+    recs = list(parse_warc(data))
+    assert [r["body"] for r in recs] == bodies
+    assert [r["url"] for r in recs] == [
+        f"http://p{seed}.example/{i}" for i in range(len(bodies))
+    ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 400),
+    st.sampled_from([8, 16, 24]),
+    st.sampled_from([1, 2]),
+    st.booleans(),
+)
+def test_flac_roundtrip_property(seed, n, bps, n_ch, mid_side):
+    """encode_flac → decode_flac is lossless for arbitrary PCM shapes."""
+    from knowhere_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    x = rng.integers(lo, hi + 1, (n, n_ch)).astype(np.int64)
+    if n_ch == 1:
+        x = x[:, 0]
+    data = encode_flac(x, 16000, bps, block_size=64, mid_side=mid_side)
+    y, sr = decode_flac(data)
+    assert sr == 16000
+    assert np.array_equal(y.reshape(x.shape), x)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 10))
+def test_flac_decode_survives_corruption(seed, nflips):
+    """Random byte flips of a valid FLAC stream must either decode or
+    raise ValueError — never any other exception, never a hang."""
+    from knowhere_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-2000, 2000, 256).astype(np.int32)
+    data = bytearray(encode_flac(x, 8000, 16, block_size=64))
+    for pos in rng.integers(0, len(data), nflips):
+        data[pos] ^= int(rng.integers(1, 256))
+    try:
+        y, _ = decode_flac(bytes(data))
+        assert y.ndim in (1, 2)
+    except ValueError:
+        pass
