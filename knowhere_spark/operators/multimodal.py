@@ -266,20 +266,25 @@ def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
 def _decode_wav_float(data: bytes) -> np.ndarray:
     """Non-PCM WAV the stdlib ``wave`` module rejects, via a manual RIFF
     chunk walk: IEEE float (fmt tag 3, 32/64-bit — the ML-audio-dataset
-    default) and G.711 µ-law / A-law (tags 7 / 6 — the telephony-corpus
-    codecs).  Mono-averaged float64 out, same contract as the PCM
-    path."""
+    default), G.711 µ-law / A-law (tags 7 / 6 — the telephony-corpus
+    codecs), and MS / IMA ADPCM (tags 2 / 0x11, r12 —
+    functions/adpcm.py; game-audio and telephony corpora).
+    Mono-averaged float64 out, same contract as the PCM path."""
     import struct
 
     pos, tag, nch, bits, raw = 12, None, None, None, None
+    block_align, fact_samples = None, None
     while pos + 8 <= len(data):
         cid, ln = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             tag, nch, _rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-            if tag not in (3, 6, 7):
+            if tag not in (2, 3, 6, 7, 0x11):
                 raise ValueError(f"unsupported WAV fmt tag {tag}")
+        elif cid == b"fact" and ln >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             raw = body
         pos += 8 + ln + (ln & 1)   # chunks pad to even
@@ -290,6 +295,21 @@ def _decode_wav_float(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"float WAV with {bits}-bit samples")
         x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
             np.float64
+        )
+    elif tag in (2, 0x11):
+        from knowhere_spark.functions.adpcm import (
+            decode_ima_blocks,
+            decode_ms_blocks,
+        )
+
+        dec = decode_ms_blocks if tag == 2 else decode_ima_blocks
+        pcm = dec(raw, block_align, nch)
+        if fact_samples is not None:
+            pcm = pcm[:fact_samples]             # drop final-block padding
+        x = pcm.astype(np.float64).reshape(-1) / 32768.0
+        nch_eff = nch
+        return (
+            x.reshape(-1, nch_eff).mean(axis=1) if nch_eff > 1 else x
         )
     else:
         if bits != 8:
