@@ -268,6 +268,17 @@ class ShardedHNSWIndex:
         touched).  The input lineage is scanned once, and the job count
         is constant in ``n_shards`` (asserted by
         tests/test_hnsw_sharded.py::test_sharded_build_job_count)."""
+        import time as _time
+
+        _t0 = _time.monotonic()
+        _stages: dict[str, float] = {}
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            now = _time.monotonic()
+            _stages[label] = round(now - _t0, 3)
+            _t0 = now
+
         metric = MetricType(config.metric_type)
         base = base_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -279,6 +290,7 @@ class ShardedHNSWIndex:
         n = base.count()
         head = base.select("vec").head()
         dim = len(head["vec"]) if head else 0
+        _mark("checkpoint_count_sec")
         # Shard count is a RECALL lever, not just a memory one: the 1M
         # probe (SCALE.md r8 table) measured recall 0.5542 at 128 shards
         # vs 0.9448 at 512 at the SAME ef=128 on dup-heavy data — a
@@ -387,6 +399,7 @@ class ShardedHNSWIndex:
                     dtype=np.float64,
                 )
             n_shards = len(router)
+            _mark("router_train_sec")
             sharded = _route_to_shards(base, router, metric)
         else:
             sharded = base.withColumn(
@@ -432,6 +445,7 @@ class ShardedHNSWIndex:
                 }
                 n_shards = nxt
         shard_bytes = [counts.get(s, 0) * per_row for s in range(n_shards)]
+        _mark("shard_assign_counts_sec")
         if not counts:   # wholly-empty corpus: every shard is a placeholder
             return cls([None] * n_shards, config, shard_bytes, router, cluster_shards)
 
@@ -468,6 +482,7 @@ class ShardedHNSWIndex:
         )
         sharded = spark.read.schema(vec_schema).parquet(f"{spill}/vectors")
         _check_spill_readback(spark, sharded, sum(counts.values()), spill)
+        _mark("vectors_write_sec")
 
         # -- per-shard coarse centroids from ONE stratified sample --------
         # nlist_s = shard_n / cell-target; sample ~4x that per shard (the
@@ -532,6 +547,7 @@ class ShardedHNSWIndex:
                 pick = rng.choice(len(Ss), size=min(nlist[s], len(Ss)), replace=False)
                 cents[s] = Ss[pick]
         bc = spark.sparkContext.broadcast(cents)
+        _mark("cell_sample_sec")
 
         # -- ONE assignment pass: top-2 cells within each row's shard -----
         def assign2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -656,6 +672,7 @@ class ShardedHNSWIndex:
             ]
         )
         edges_all = spark.read.schema(edge_schema).parquet(f"{spill}/edges")
+        _mark("edges_build_write_sec")
 
         # entry points per shard in one pass: the deterministic
         # pmod-then-id top-8 the single-graph build uses (hnsw.py:488-491)
@@ -690,6 +707,8 @@ class ShardedHNSWIndex:
         idx._vec_tbl = sharded
         idx._edge_tbl = edges_all
         idx._spill_dir = spill   # build-owned scratch; see destroy()
+        _mark("entries_sec")
+        idx.build_stages = _stages   # per-phase wall (guide §1: measure)
         return idx
 
     def add(
