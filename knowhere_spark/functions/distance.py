@@ -212,8 +212,16 @@ def numpy_kmeans(
     rng = np.random.default_rng(seed)
     C = X[rng.choice(n, size=k, replace=False)].copy()
     prev = None
+    # loop-invariant |x|² term of the L2 expansion, computed once with the
+    # exact expression pairwise_distances uses, so the hoist is bitwise-
+    # identical (centroid artifacts are hash-pinned by oracle gates); the
+    # gather buffer likewise just avoids a fresh (n, dim) alloc per iter
+    xx = np.sum(X * X, axis=1)[:, None]
+    rows = np.arange(n)
+    Xbuf = np.empty_like(X)
     for _ in range(iters):
-        d = pairwise_distances(X, C, MetricType.L2)      # (n, k)
+        d = xx + np.sum(C * C, axis=1)[None, :] - 2.0 * (X @ C.T)   # (n, k)
+        np.maximum(d, 0.0, out=d)
         assign = d.argmin(axis=1)
         if prev is not None and np.array_equal(assign, prev):
             break
@@ -226,13 +234,14 @@ def numpy_kmeans(
         starts[1:] = np.cumsum(counts)[:-1]
         sums = np.zeros_like(C)
         nonempty = counts > 0
-        seg = np.add.reduceat(X[order], starts[nonempty], axis=0)
+        np.take(X, order, axis=0, out=Xbuf)
+        seg = np.add.reduceat(Xbuf, starts[nonempty], axis=0)
         # reduceat with strictly-increasing unique starts: one row per
         # nonempty cluster, in cluster order
         sums[nonempty] = seg
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
         empty = np.flatnonzero(~nonempty)
         if len(empty):
-            far = np.argsort(-d[np.arange(n), assign])[: len(empty)]
+            far = np.argsort(-d[rows, assign])[: len(empty)]
             C[empty] = X[far]
     return C

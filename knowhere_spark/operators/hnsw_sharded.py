@@ -375,7 +375,12 @@ class ShardedHNSWIndex:
                 samp0 = content_keyed_sample(
                     norm_base, n, cap, seed=42, sort=False
                 )
-                S0 = collect_vec_matrix(samp0.orderBy("id"), "vec")
+                # id-sorted matrix via a driver-side argsort — bit-identical
+                # to collect(orderBy("id")) minus the sample's total-sort
+                # exchange (guide §2.4)
+                from knowhere_spark.session import collect_vec_matrix_sorted
+
+                S0 = collect_vec_matrix_sorted(samp0, "id", "vec")
                 router = numpy_kmeans(S0, n_shards, iters=20, seed=42)
             else:
                 from pyspark.ml.clustering import KMeans
@@ -400,11 +405,19 @@ class ShardedHNSWIndex:
                 )
             n_shards = len(router)
             _mark("router_train_sec")
-            sharded = _route_to_shards(base, router, metric)
+            # cache the routed rows: the Arrow route kernel otherwise runs
+            # TWICE (once under the counts groupBy, once under the vectors
+            # write) — guide §5 cache-on-reuse; released right after the
+            # spill write becomes the source of truth
+            sharded = _route_to_shards(base, router, metric).cache()
+            routed_cache = sharded
         else:
+            # hash sharding is a pure codegen expression over the already-
+            # checkpointed base — nothing to cache
             sharded = base.withColumn(
                 "__shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
             )
+            routed_cache = None
         # a hash shard can come up empty (small/skewed id sets); keep a None
         # placeholder so the routing modulus (list length) is preserved —
         # building a graph over zero rows would crash the beam kernel
@@ -447,6 +460,8 @@ class ShardedHNSWIndex:
         shard_bytes = [counts.get(s, 0) * per_row for s in range(n_shards)]
         _mark("shard_assign_counts_sec")
         if not counts:   # wholly-empty corpus: every shard is a placeholder
+            if routed_cache is not None:
+                routed_cache.unpersist()
             return cls([None] * n_shards, config, shard_bytes, router, cluster_shards)
 
         # -- materialize the sharded corpus PHYSICALLY partitioned by
@@ -482,6 +497,8 @@ class ShardedHNSWIndex:
         )
         sharded = spark.read.schema(vec_schema).parquet(f"{spill}/vectors")
         _check_spill_readback(spark, sharded, sum(counts.values()), spill)
+        if routed_cache is not None:
+            routed_cache.unpersist()   # the spill parquet is now the source
         _mark("vectors_write_sec")
 
         # -- per-shard coarse centroids from ONE stratified sample --------
@@ -635,6 +652,12 @@ class ShardedHNSWIndex:
 
         from knowhere_spark.operators.hnsw import _REV_RANK
 
+        # ONE exchange for dedup-agg AND prune-window (guide §2.4, same as
+        # the single-graph build): HashPartitioning(src) satisfies both the
+        # groupBy(__shard, src, dst) clustering (src ⊆ keys; src determines
+        # __shard) and the window's partitionBy(src).  The write below still
+        # re-partitions by __shard — that exchange is load-bearing (one
+        # file per shard → pruned per-shard collects at 10^5 shards).
         sym = (
             raw_edges.unionByName(
                 raw_edges.select(
@@ -644,6 +667,7 @@ class ShardedHNSWIndex:
                     "dist",
                 ).withColumn("sel_rank", F.lit(_REV_RANK))
             )
+            .repartition("src")
             .groupBy("__shard", "src", "dst")
             .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
         )

@@ -144,16 +144,30 @@ class IVFFlatIndex:
         # untouched (existing artifacts keep their exact centroids).
         from knowhere_spark.session import content_keyed_sample
 
-        train_df = content_keyed_sample(base, n, train_cap, seed=config.seed)
+        train_df = content_keyed_sample(
+            base, n, train_cap, seed=config.seed, sort=False
+        )
         head = base.select("vec").head()
         dim = len(head["vec"]) if head else 0
         if min(n, train_cap) * max(dim, 1) <= cls._DRIVER_TRAIN_MAX_ELEMS:
             # the capped sample fits the driver comfortably — train exactly
             # where the reference does (single-node over the subsample),
             # skipping ~20 distributed-job round-trips of an MLlib fit
-            from knowhere_spark.session import collect_vec_matrix
+            from knowhere_spark.session import (
+                collect_vec_matrix,
+                collect_vec_matrix_sorted,
+            )
 
-            X = collect_vec_matrix(train_df, "vec")
+            if n > train_cap:
+                # cap binds: the content-keyed contract id-sorts the
+                # sample; sort driver-side after the collect instead of
+                # paying a distributed total sort (bit-identical matrix,
+                # one less exchange — guide §2.4)
+                X = collect_vec_matrix_sorted(train_df, "id", "vec")
+            else:
+                # sub-cap trains keep their exact (arrival-order) train
+                # sets — existing artifacts unchanged
+                X = collect_vec_matrix(train_df, "vec")
             centroids = numpy_kmeans(X, nlist, iters=20, seed=config.seed)
             nlist = len(centroids)
             assignments = _assign_cells(base, centroids, scalar_cols)
@@ -421,6 +435,17 @@ class IVFFlatIndex:
             under = queries.select("query_id").exceptAll(
                 out.select("query_id").distinct()
             ).unionByName(under)
+        # short-circuit: the common case has NO underfilled query (every
+        # probe set covers >= k candidates), and composing the refill
+        # anyway costs a second full cogroup subplan + a 1M-row anti-join
+        # at action time (~0.9 s measured on the 100k selfsearch).  The
+        # emptiness probe itself is cheap: the unfiltered branch reads the
+        # cached probe table against a broadcast of per-cell counts; the
+        # filtered branch reads the `out` cache the refill path needs
+        # materialized anyway.  Results are identical — an empty `under`
+        # makes refill_out empty and kept == out by construction.
+        if under.isEmpty():
+            return out
         all_cells = spark.createDataFrame(
             [(int(c),) for c in range(self.config.nlist)], "cell_id int"
         )
@@ -746,13 +771,22 @@ def probe_assign_df(
     # probe ranking = assignment geometry (L2 — see _probe_pairs); only
     # query normalization depends on the true metric
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (centroids, MetricType.L2.value, metric == MetricType.COSINE)
+    normalize = metric == MetricType.COSINE
+    bc = spark.sparkContext.broadcast((centroids, MetricType.L2.value, normalize))
+    # qvec payload type: COSINE must ship the float64-normalized vectors
+    # (ivf.cc:462-470 contract — scorers IP them against normalized rows);
+    # every other metric passes the INPUT values through untouched, so the
+    # probe table keeps the caller's (usually float32) element type — the
+    # scorers' float64 upcast is exact, and the per-probe duplicated qvec
+    # payload shuffles at half the bytes (guide §2.3: narrower types,
+    # §4.2: no needless float64 list materialization in the kernel)
+    qvec_type = (
+        ArrayType(DoubleType()) if normalize else queries.schema["qvec"].dataType
     )
     schema = StructType(
         [
             StructField("query_id", LongType()),
-            StructField("qvec", ArrayType(DoubleType())),
+            StructField("qvec", qvec_type),
             StructField("cell_id", IntegerType()),
         ]
     )
@@ -777,10 +811,17 @@ def probe_assign_df(
                 else np.argsort(key, axis=0)
             )                                                  # (npb, nq)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            # emit ndarray rows, never .tolist(): boxing nq·npb·dim floats
+            # into Python lists cost ~6x the Arrow conversion itself
+            out_q = (
+                list(np.repeat(Q, npb, axis=0))
+                if normalize
+                else np.repeat(pdf["qvec"].to_numpy(), npb)
+            )
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, npb),
-                    "qvec": np.repeat(Q, npb, axis=0).tolist(),
+                    "qvec": out_q,
                     "cell_id": order.T.ravel().astype(np.int32),
                 }
             )

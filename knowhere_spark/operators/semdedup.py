@@ -281,7 +281,7 @@ def semdedup(
         # train membership and collect order key off ids, not layout
         from knowhere_spark.session import content_keyed_sample
 
-        train_df = content_keyed_sample(base, n, train_cap, seed=seed)
+        train_df = content_keyed_sample(base, n, train_cap, seed=seed, sort=False)
         from knowhere_spark.operators.ivf import IVFFlatIndex
 
         head = base.select("vec").head()
@@ -289,14 +289,26 @@ def semdedup(
         # same driver-memory ceiling as the IVF trainer — one constant to
         # tune if the driver budget ever changes
         if min(n, train_cap) * max(dim, 1) <= IVFFlatIndex._DRIVER_TRAIN_MAX_ELEMS:
-            X = collect_vec_matrix(train_df, "vec")
+            if n > train_cap:
+                # binding cap: id-sorted matrix via driver-side argsort —
+                # bit-identical to collect(orderBy("id")) minus the
+                # total-sort exchange (guide §2.4)
+                from knowhere_spark.session import collect_vec_matrix_sorted
+
+                X = collect_vec_matrix_sorted(train_df, "id", "vec")
+            else:
+                X = collect_vec_matrix(train_df, "vec")
             centroids = numpy_kmeans(X, k, iters=8, seed=seed)
         else:
             # sample beyond driver comfort (huge k): distributed fit, the
-            # same cutover as IVFFlatIndex.build
+            # same cutover as IVFFlatIndex.build — the MLlib sample keeps
+            # the distributed id-sort (kmeans|| is layout-sensitive, so
+            # the input ordering is part of its pinned behavior)
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
 
+            if n > train_cap:
+                train_df = train_df.orderBy("id")
             feats = train_df.withColumn(
                 "__features", array_to_vector(F.col("vec").cast("array<double>"))
             )

@@ -56,6 +56,42 @@ def collect_vec_matrix(df: DataFrame, col: str = "vec", dtype=None):
         )
 
 
+def collect_vec_matrix_sorted(
+    df: DataFrame, key: str = "id", col: str = "vec", dtype=None
+):
+    """Collect ``(key, vec)`` and return the ``(n, dim)`` matrix sorted by
+    ``key`` — the driver-side equivalent of ``df.orderBy(key)`` followed
+    by :func:`collect_vec_matrix`.
+
+    Trainers that must see id-ordered samples (content_keyed_sample's
+    ``sort=True`` contract) previously paid a distributed total sort — a
+    full shuffle of the sample — just to pin row order for the driver
+    collect.  Sorting the collected arrays on the driver is a plain
+    ``np.argsort`` over the (unique) keys and yields the bit-identical
+    matrix with one less exchange (guide §2.4: remove shuffles whose only
+    purpose is output determinism).  Falls back to the Row path when the
+    plan can't be served by Arrow."""
+    import numpy as np
+
+    dtype = dtype or np.float64
+    try:
+        tbl = df.select(key, col).toArrow()
+        keys = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+        lst = tbl.column(1).combine_chunks()
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+        n = len(lst)
+        M = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    except Exception:
+        rows = df.select(key, col).collect()
+        keys = np.array([r[key] for r in rows])
+        M = np.array([r[col] for r in rows], dtype=dtype)
+        if len(M) == 0:
+            M = M.reshape(0, 0)
+    if len(keys):
+        M = M[np.argsort(keys, kind="stable")]
+    return M
+
+
 def content_keyed_sample(
     df: DataFrame,
     n_rows: int,
