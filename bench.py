@@ -1602,10 +1602,21 @@ def main() -> None:
                 # history (VERDICT r9 #3): ONE same-session repeat to
                 # separate contention from code.  The repeat rebuilds the
                 # entry's cached state with a fresh equivalent, so paired
-                # search entries stay valid.
+                # search entries stay valid.  Best-effort: a _NO_REPEAT
+                # entry that CONSUMES state (sharded_hnsw_search_waved
+                # pops the build's index) cannot re-run — before this
+                # guard, its repeat KeyError'd and the whole entry
+                # (including the good first run) was dropped from the
+                # artifact (observed on a contended box this round, where
+                # runs[0] > 1.5x history is exactly the trigger).
                 t0 = time.monotonic()
-                fn().count()
-                runs.append(round(time.monotonic() - t0, 3))
+                try:
+                    fn().count()
+                    runs.append(round(time.monotonic() - t0, 3))
+                except Exception as exc:
+                    errors[f"repeat:{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:300]
+                    )
             timings[name] = min(runs)
             entry_meta[name] = {
                 "runs": runs, "t_start": t_off, "load_1m": round(load_1m, 2)

@@ -236,26 +236,107 @@ def _decode_block(
     r: _BitReader, dc_tbl: _HuffTable, ac_tbl: _HuffTable, pred: int
 ) -> tuple[np.ndarray, int]:
     """One 8x8 block of dequant-ready coefficients (zigzag order) + the
-    updated DC predictor (T.81 F.2.2: DECODE, RECEIVE, EXTEND)."""
+    updated DC predictor (T.81 F.2.2: DECODE, RECEIVE, EXTEND).
+
+    The bit-reader state lives in LOCALS for the whole block (~60 Huffman
+    symbols + magnitude reads) and is written back once on return: the
+    per-symbol ``r.read_huff``/``r.read_bits`` method calls plus their
+    attribute loads were ~45% of sequential-scan decode time (profiled
+    this round on the bench MJPEG shape; guide §1.2 per-task work —
+    semantics are line-for-line those of ``_BitReader.read_huff`` /
+    ``read_bits`` / ``_extend``, pinned by the codec round-trip suite)."""
     zz = np.zeros(64, dtype=np.int32)
-    t = r.read_huff(dc_tbl)
-    diff = _extend(r.read_bits(t), t) if t else 0
-    pred += diff
-    zz[0] = pred
-    k = 1
-    while k < 64:
-        rs = r.read_huff(ac_tbl)
-        run, size = rs >> 4, rs & 0x0F
+    data, pos, acc, nacc = r.data, r.pos, r.acc, r.nacc
+    n = len(data)
+    tbl = dc_tbl
+    k = 0                      # 0 → decode DC next; 1..63 → AC loop
+    while True:
+        # ---- read_huff(tbl), inlined --------------------------------
+        if nacc < 8:
+            while nacc < 8 and pos < n:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nacc += 8
+        sym = -1
+        if nacc >= 8:
+            hit = tbl.fast[(acc >> (nacc - 8)) & 0xFF]
+            if hit is not None:
+                nacc -= hit[1]
+                sym = hit[0]
+                acc &= (1 << nacc) - 1
+        elif nacc > 0:
+            hit = tbl.fast[(acc << (8 - nacc)) & 0xFF]
+            if hit is not None and hit[1] <= nacc:
+                nacc -= hit[1]
+                sym = hit[0]
+                acc &= (1 << nacc) - 1
+        if sym < 0:
+            # slow path: canonical mincode/maxcode walk (F.16)
+            while nacc < 16 and pos < n:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nacc += 8
+            peek = acc << (16 - nacc) if nacc < 16 else acc >> (nacc - 16)
+            maxcode = tbl.maxcode
+            start = 9 if nacc >= 8 else 1
+            for ln in range(start, 17):
+                code = peek >> (16 - ln)
+                if code <= maxcode[ln]:
+                    if ln > nacc:
+                        raise ValueError("JPEG entropy data exhausted")
+                    nacc -= ln
+                    acc &= (1 << nacc) - 1
+                    sym = tbl.values[tbl.valptr[ln] + code - tbl.mincode[ln]]
+                    break
+            else:
+                raise ValueError("invalid JPEG Huffman code")
+        # ---- dispatch DC / AC ---------------------------------------
+        if k == 0:
+            t = sym
+            if t:
+                # read_bits(t) + EXTEND, inlined
+                if nacc < t:
+                    while nacc < t:
+                        if pos >= n:
+                            raise ValueError("JPEG entropy data exhausted")
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nacc += 8
+                nacc -= t
+                v = (acc >> nacc) & ((1 << t) - 1)
+                acc &= (1 << nacc) - 1
+                pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            zz[0] = pred
+            k = 1
+            tbl = ac_tbl
+            continue
+        run, size = sym >> 4, sym & 0x0F
         if size == 0:
             if run == 15:          # ZRL: sixteen zeros
                 k += 16
-                continue
+                if k < 64:
+                    continue
+                break
             break                   # EOB
         k += run
         if k > 63:
             raise ValueError("JPEG AC run overflows block")
-        zz[k] = _extend(r.read_bits(size), size)
+        # read_bits(size) + EXTEND, inlined
+        if nacc < size:
+            while nacc < size:
+                if pos >= n:
+                    raise ValueError("JPEG entropy data exhausted")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nacc += 8
+        nacc -= size
+        v = (acc >> nacc) & ((1 << size) - 1)
+        acc &= (1 << nacc) - 1
+        zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         k += 1
+        if k >= 64:
+            break
+    r.pos, r.acc, r.nacc = pos, acc, nacc
     return zz, pred
 
 

@@ -606,37 +606,51 @@ class HNSWIndex:
             src_pos, dst_pos, sel_rank = diverse_neighbors(
                 key_m, kk, cand_cap=max(2 * M, efC)
             )
+            # symmetrize IN-KERNEL: emit each selected edge forward AND
+            # reversed (reverse at _REV_RANK — incoming-link backfill
+            # precedence).  The former plan symmetrized with
+            # raw_edges.unionByName(raw_edges.select(swap)): Spark does
+            # not deduplicate the common subtree across union branches
+            # (no ReusedExchange covers a Python node), so the WHOLE
+            # assign2+local_knn chain — the build's dominant kernel —
+            # executed twice (two MapInPandas + two FlatMapGroupsInPandas
+            # in plans/r12/hnsw_build_edges_batch2_before.txt).  Emitting
+            # both directions here yields the identical row multiset with
+            # one kernel pass (guide §1.2: fix the distributed algorithm
+            # before the per-task work).
+            dd = d[src_pos, dst_pos]
             return pd.DataFrame(
                 {
-                    "src": ids[src_pos],
-                    "dst": ids[dst_pos],
-                    "dist": d[src_pos, dst_pos],
-                    "sel_rank": sel_rank,
+                    "src": np.concatenate([ids[src_pos], ids[dst_pos]]),
+                    "dst": np.concatenate([ids[dst_pos], ids[src_pos]]),
+                    "dist": np.concatenate([dd, dd]),
+                    "sel_rank": np.concatenate(
+                        [
+                            sel_rank,
+                            np.full(len(sel_rank), _REV_RANK, dtype=np.int32),
+                        ]
+                    ),
                 }
             )
 
         raw_edges = blocks.groupBy("cell_id").applyInPandas(local_knn, _EDGE_SCHEMA)
-        # symmetrize + dedup (a pair can appear in 2 shared blocks) + prune
-        # to M per node ordered by HEURISTIC SELECTION RANK, not distance:
-        # a distance-ordered prune would re-evict the diversity links in
-        # favor of clique-mates (from the node's second cell or arriving
-        # as reverse edges) — the same precedence hnswlib gives a node's
-        # own heuristic selection over incoming-link backfill
+        # dedup (a pair can appear in 2 shared blocks, and reverse edges
+        # duplicate forward ones) + prune to M per node ordered by
+        # HEURISTIC SELECTION RANK, not distance: a distance-ordered prune
+        # would re-evict the diversity links in favor of clique-mates
+        # (from the node's second cell or arriving as reverse edges) — the
+        # same precedence hnswlib gives a node's own heuristic selection
+        # over incoming-link backfill
         # ONE exchange for dedup-agg AND prune-window: hash-repartition the
-        # edge union by src first — HashPartitioning(src) satisfies both the
+        # edges by src first — HashPartitioning(src) satisfies both the
         # groupBy(src, dst) clustering (src ⊆ {src, dst}) and the window's
         # partitionBy(src), so neither inserts its own exchange (guide §2.4:
         # two operations keyed the same way share one exchange; was 2
         # exchanges of the ~4·n·M-row union).  Map-side partial agg loses
-        # nothing: a pair's duplicates arrive from different cells/union
-        # branches, so same-partition duplicates were rare anyway.
+        # nothing: a pair's duplicates arrive from different cells/kernel
+        # emissions, so same-partition duplicates were rare anyway.
         sym = (
-            raw_edges.unionByName(
-                raw_edges.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
-                ).withColumn("sel_rank", F.lit(_REV_RANK))
-            )
-            .repartition("src")
+            raw_edges.repartition("src")
             .groupBy("src", "dst")
             .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
         )

@@ -630,27 +630,39 @@ class ShardedHNSWIndex:
             src_pos, dst_pos, sel_rank = diverse_neighbors(
                 key_m, kk, cand_cap=max(2 * M, efC)
             )
+            # symmetrize IN-KERNEL (swap stays within-shard): the former
+            # unionByName(swap) plan evaluated the whole assign2+local_knn
+            # chain TWICE — Spark does not dedup the common subtree across
+            # union branches when a Python node sits above the exchange
+            # (see hnsw.py local_knn; same fix, guide §1.2).
+            from knowhere_spark.operators.hnsw import _REV_RANK
+
+            dd = d[src_pos, dst_pos]
+            m_edges = len(src_pos)
             return pd.DataFrame(
                 {
-                    "__shard": np.full(len(src_pos), int(key[0]), dtype=np.int32),
-                    "src": ids[src_pos],
-                    "dst": ids[dst_pos],
-                    "dist": d[src_pos, dst_pos],
-                    "sel_rank": sel_rank,
+                    "__shard": np.full(2 * m_edges, int(key[0]), dtype=np.int32),
+                    "src": np.concatenate([ids[src_pos], ids[dst_pos]]),
+                    "dst": np.concatenate([ids[dst_pos], ids[src_pos]]),
+                    "dist": np.concatenate([dd, dd]),
+                    "sel_rank": np.concatenate(
+                        [
+                            sel_rank,
+                            np.full(m_edges, _REV_RANK, dtype=np.int32),
+                        ]
+                    ),
                 }
             )
 
         raw_edges = blocks.groupBy("__shard", "cell_id").applyInPandas(
             local_knn, _SHARD_EDGE_SCHEMA
         )
-        # symmetrize (swap stays within-shard), dedup (a pair can appear in
-        # 2 shared blocks), prune to M per node by heuristic SELECTION
-        # RANK (see hnsw.py build: a distance-only prune would re-evict
-        # the diversity links) — src determines its shard, so the per-src
-        # prune is exactly the per-shard single-graph prune
+        # dedup (a pair can appear in 2 shared blocks, and reverse edges
+        # duplicate forward ones), prune to M per node by heuristic
+        # SELECTION RANK (see hnsw.py build: a distance-only prune would
+        # re-evict the diversity links) — src determines its shard, so the
+        # per-src prune is exactly the per-shard single-graph prune
         from pyspark.sql import Window
-
-        from knowhere_spark.operators.hnsw import _REV_RANK
 
         # ONE exchange for dedup-agg AND prune-window (guide §2.4, same as
         # the single-graph build): HashPartitioning(src) satisfies both the
@@ -659,15 +671,7 @@ class ShardedHNSWIndex:
         # re-partitions by __shard — that exchange is load-bearing (one
         # file per shard → pruned per-shard collects at 10^5 shards).
         sym = (
-            raw_edges.unionByName(
-                raw_edges.select(
-                    "__shard",
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    "dist",
-                ).withColumn("sel_rank", F.lit(_REV_RANK))
-            )
-            .repartition("src")
+            raw_edges.repartition("src")
             .groupBy("__shard", "src", "dst")
             .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
         )
