@@ -27,7 +27,6 @@ from pyspark.sql.types import (
 
 from knowhere_spark.config import IndexType, IvfSq8Config, MetricType
 from knowhere_spark.functions.distance import (
-    local_topk,
     normalize_expr,
     pairwise_distances,
 )
@@ -317,10 +316,20 @@ class IVFSq8Index:
             cand = cand.filter(filter_expr)
         cand = cand.filter(F.col("cell_id").isin(cells))
 
-        # broadcast: query matrix + per-query probed cell set
-        probe_sets = {int(qids[qi]): {int(c) for c in order[:, qi]} for qi in range(len(qids))}
+        # broadcast: query matrix + (nlist, nq) probe-membership matrix —
+        # the same batch-vectorized layout as IVFFlatIndex._search_probed.
+        # The former kernel looped PER QUERY (np.isin over the cell column
+        # + a one-column local_topk, nq times per batch) — at nq=1000 that
+        # Python loop was the entry's dominant cost; one fancy-index +
+        # one masked argpartition over the whole (n, nq) matrix does the
+        # identical selection (tie-widened at the finite boundary, so the
+        # final (distance, id) window sees every contender — result
+        # bit-equal, pinned by the exact-operating-point oracle gates).
+        nq = len(qids)
+        probe_matrix = np.zeros((self.config.nlist, nq), dtype=bool)
+        probe_matrix[order, np.arange(nq)[None, :]] = True
         bq = spark.sparkContext.broadcast(
-            (qids, qmat, probe_sets, self.vmin, self.vdiff,
+            (qids, qmat, probe_matrix, self.vmin, self.vdiff,
              float(_levels(self.config.code_size)), score_metric.value)
         )
         largest = score_metric.is_similarity
@@ -334,37 +343,48 @@ class IVFSq8Index:
         )
 
         def kernel(batches):
-            b_qids, b_qmat, b_probe, lo_, diff_, lv_, pm = bq.value
+            b_qids, b_qmat, b_member, lo_, diff_, lv_, pm = bq.value
             pm = MetricType(pm)
+            b_nq = len(b_qids)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 codes = np.array(list(pdf["codes"].to_numpy()), dtype=np.float64)
                 X = lo_ + codes / lv_ * diff_
                 ids = pdf["id"].to_numpy(dtype=np.int64)
-                cell = pdf["cell_id"].to_numpy()
+                cell = pdf["cell_id"].to_numpy(dtype=np.int64)
+                n = len(ids)
                 dist = pairwise_distances(X, b_qmat, pm)   # (n, nq)
-                frames = []
-                for qi in range(len(b_qids)):
-                    qid = int(b_qids[qi])
-                    mask = np.isin(cell, list(b_probe[qid]))
-                    if not mask.any():
-                        continue
-                    dq = dist[mask, qi]
-                    idq = ids[mask]
-                    # tie-widened exact per-partition top-k: quantized
-                    # distances tie OFTEN (identical codes decode equal),
-                    # and a raw argpartition would pick boundary ties by
-                    # partition layout instead of by (distance, id)
-
-                    _, nid, dd = local_topk(dq[:, None], idq, k, largest)
-                    frames.append(
-                        pd.DataFrame(
-                            {"query_id": qid, "neighbor_id": nid, "distance": dd}
-                        )
-                    )
-                if frames:
-                    yield pd.concat(frames)
+                member = b_member[cell]                    # (n, nq)
+                key = -dist if largest else dist
+                key = np.where(member, key, np.inf)
+                kk = min(k, n)
+                sel = np.zeros((n, b_nq), dtype=bool)
+                if kk < n:
+                    part = np.argpartition(key, kk - 1, axis=0)[:kk]
+                    col = np.arange(b_nq)
+                    sel[part, col[None, :]] = True
+                    # widen to rows tied at a FINITE per-query boundary:
+                    # quantized distances tie OFTEN (identical codes
+                    # decode equal) and the final window tie-breaks
+                    # (distance, id)
+                    bnd = key[part, col[None, :]].max(axis=0)
+                    finite_b = np.isfinite(bnd)
+                    if finite_b.any():
+                        sel |= (key == bnd[None, :]) & finite_b[None, :]
+                else:
+                    sel[:] = True
+                sel &= member
+                rows_f, q_f = np.nonzero(sel)
+                if len(rows_f) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[q_f],
+                        "neighbor_id": ids[rows_f],
+                        "distance": dist[rows_f, q_f],
+                    }
+                )
 
         scored = cand.mapInPandas(kernel, out_schema)
         return topk_per_key(
