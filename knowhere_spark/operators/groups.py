@@ -102,6 +102,14 @@ def connected_components(
         )
     if strategy != "distributed":
         raise ValueError(f"unknown strategy {strategy!r}")
+    # pin the forward edge list BEFORE the symmetrize union: both union
+    # branches reference the upstream PAIR PIPELINE (a banded LSH join +
+    # verify at 100 TB), and Spark does not common-subexpression the
+    # lineage across union branches — un-pinned, the whole pipeline
+    # executed twice inside the checkpoint action (the same bug class as
+    # the r12 HNSW edge symmetrize).  Storage is the duplicate-fraction
+    # edge list, 16 B/row.
+    fwd = fwd.localCheckpoint(eager=True)
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()

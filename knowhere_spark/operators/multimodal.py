@@ -1820,7 +1820,9 @@ def video_neardup_pairs(
         )
         hp = hamming64_pairs(
             vocab, max_hamming, id_col="hid", sig_col="phash"
-        )
+        ).localCheckpoint(eager=True)   # the union below reads hp from
+        # BOTH branches — un-pinned, the banded vocab join would execute
+        # twice (no cross-branch CSE; same class as the CC/HNSW fix)
         # near hash pairs both directions + identity → generalized match
         near = (
             hp.select(F.col("id_a").alias("ha"), F.col("id_b").alias("hb"))
