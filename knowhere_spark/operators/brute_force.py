@@ -200,23 +200,40 @@ class BruteForce:
         ).withColumn("block_id", F.col("block_id").cast("int"))
         largest = metric.is_similarity
 
-        def block_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame({"query_id": [], "neighbor_id": [], "distance": []})
-            X = np.array(list(left["vec"]), dtype=np.float64)
-            ids = left["id"].to_numpy(dtype=np.int64)
-            Q = np.array(list(right["qvec"]), dtype=np.float64)
-            qids = right["query_id"].to_numpy(dtype=np.int64)
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix, scalar_column
+
+        _res_pa = pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+             ("distance", pa.float64())]
+        )
+
+        def block_kernel(left: pa.Table, right: pa.Table) -> pa.Table:
+            if left.num_rows == 0 or right.num_rows == 0:
+                return _res_pa.empty_table()
+            X = list_matrix(left, "vec")
+            ids = scalar_column(left, "id", np.int64)
+            Q = list_matrix(right, "qvec")
+            qids = scalar_column(right, "query_id", np.int64)
             dist = pairwise_distances(X, Q, metric)
             qidx, nid, dd = local_topk(dist, ids, k, largest)
-            return pd.DataFrame(
-                {"query_id": qids[qidx], "neighbor_id": nid, "distance": dd}
+            return pa.table(
+                {
+                    "query_id": pa.array(qids[qidx], type=pa.int64()),
+                    "neighbor_id": pa.array(
+                        nid.astype(np.int64, copy=False), type=pa.int64()
+                    ),
+                    "distance": pa.array(
+                        dd.astype(np.float64, copy=False), type=pa.float64()
+                    ),
+                }
             )
 
         scored = (
             base_b.groupby("block_id")
             .cogroup(qrep.groupby("block_id"))
-            .applyInPandas(block_kernel, RESULT_SCHEMA)
+            .applyInArrow(block_kernel, RESULT_SCHEMA)
         )
         return topk_per_key(
             scored,
@@ -348,22 +365,35 @@ def _binary_gemm_partial_topk(
     ).reshape(len(qrows), -1)
     bq = spark.sparkContext.broadcast((qids, Q))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import (
+            binary_matrix,
+            scalar_column,
+        )
+
         b_qids, b_Q = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            X = _to_matrix(pdf["vec"])
+            tbl = pa.Table.from_batches([rb])
+            ids = scalar_column(tbl, "id", np.int64)
+            X = binary_matrix(tbl, "vec")
             dist = binary_pairwise(X, b_Q, metric)
             qidx, nid, dd = local_topk(dist, ids, k, largest=False)
-            yield pd.DataFrame(
-                {"query_id": b_qids[qidx], "neighbor_id": nid, "distance": dd}
+            yield pa.record_batch(
+                [
+                    pa.array(b_qids[qidx], type=pa.int64()),
+                    pa.array(nid.astype(np.int64, copy=False), type=pa.int64()),
+                    pa.array(dd.astype(np.float64, copy=False), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "distance"],
             )
 
     from knowhere_spark.session import ensure_parallelism
 
-    return ensure_parallelism(base).mapInPandas(kernel, RESULT_SCHEMA)
+    return ensure_parallelism(base).mapInArrow(kernel, RESULT_SCHEMA)
 
 
 def _gemm_partial_topk(
@@ -384,21 +414,27 @@ def _gemm_partial_topk(
     bq = spark.sparkContext.broadcast((qids, qmat))
     largest = metric.is_similarity
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix, scalar_column
+
         b_qids, b_qmat = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            tbl = pa.Table.from_batches([rb])
+            ids = scalar_column(tbl, "id", np.int64)
+            X = list_matrix(tbl, "vec")
             dist = pairwise_distances(X, b_qmat, metric)
             qidx, nid, dd = local_topk(dist, ids, k, largest)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qidx],
-                    "neighbor_id": nid,
-                    "distance": dd,
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(b_qids[qidx], type=pa.int64()),
+                    pa.array(nid.astype(np.int64, copy=False), type=pa.int64()),
+                    pa.array(dd.astype(np.float64, copy=False), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "distance"],
             )
 
     # a small/cached base can arrive as one split; the kernel cost is
@@ -406,4 +442,4 @@ def _gemm_partial_topk(
     # when the scan already has enough splits — the 100 TB case)
     from knowhere_spark.session import ensure_parallelism
 
-    return ensure_parallelism(base).mapInPandas(kernel, RESULT_SCHEMA)
+    return ensure_parallelism(base).mapInArrow(kernel, RESULT_SCHEMA)

@@ -138,10 +138,15 @@ def diverse_neighbors(
             kept_cnt[keep] += 1
             c = order_all[keep, pos]
             # dmin[j] = min(dmin[j], key_m[cand_j, c]) for every candidate
-            # of each keeping node — one gathered (m, cap) block per step
-            dmin[keep] = np.minimum(
-                dmin[keep], key_m[order_all[keep], c[:, None]]
-            )
+            # of each keeping node.  Only FUTURE positions matter: dmin at
+            # already-scanned columns is never read again, so the gather
+            # shrinks to (m, cap-pos-1) — verified bit-identical outputs
+            # on 60 random/replica/tie matrices.
+            if pos + 1 < cap:
+                fut = order_all[keep, pos + 1:]
+                dmin[keep, pos + 1:] = np.minimum(
+                    dmin[keep, pos + 1:], key_m[fut, c[:, None]]
+                )
             active[keep[kept_cnt[keep] == kk]] = False
     kmask = keep_rank >= 0
     # nearest-first refill of pruned slots (hnswlib keepPrunedConnections):
@@ -545,24 +550,47 @@ class HNSWIndex:
         # top-2 cell assignment => boundary rows co-occur in both blocks
         bc = spark.sparkContext.broadcast(centroids)
 
-        def assign2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def assign2(batches):
+            # Arrow-native (guide §4.2): vec rows pass through via one
+            # vectorized take — never boxed into per-row Python objects
+            import pyarrow as pa
+
+            from knowhere_spark.functions.arrowio import (
+                list_matrix,
+                scalar_column,
+            )
+
             C = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+                tbl = pa.Table.from_batches([rb])
+                X = list_matrix(tbl, "vec")
                 d = pairwise_distances(X, C, MetricType.L2)
                 top2 = np.argsort(d, axis=1, kind="stable")[:, :2]
-                parts = [pdf.assign(cell_id=top2[:, 0].astype(np.int32))]
-                if top2.shape[1] > 1:   # a 1-centroid corpus has no 2nd cell
-                    parts.append(pdf.assign(cell_id=top2[:, 1].astype(np.int32)))
-                out = pd.concat(parts)
-                yield out[["id", "cell_id", "vec"]]
+                ids = scalar_column(tbl, "id", np.int64)
+                n = len(ids)
+                ncopy = min(2, top2.shape[1])
+                idx = pa.array(
+                    np.tile(np.arange(n, dtype=np.int64), ncopy)
+                )
+                vec_col = tbl.column("vec").combine_chunks()
+                yield pa.record_batch(
+                    [
+                        pa.array(np.tile(ids, ncopy), type=pa.int64()),
+                        pa.array(
+                            top2[:, :ncopy].T.ravel().astype(np.int32),
+                            type=pa.int32(),
+                        ),
+                        vec_col.take(idx),
+                    ],
+                    names=["id", "cell_id", "vec"],
+                )
 
         vec_type = base.schema["vec"].dataType
         from knowhere_spark.session import ensure_parallelism
 
-        blocks = ensure_parallelism(base).mapInPandas(
+        blocks = ensure_parallelism(base).mapInArrow(
             assign2,
             StructType(
                 [
@@ -576,33 +604,34 @@ class HNSWIndex:
         M = config.M
         efC = int(config.efConstruction)
 
-        def local_knn(key, pdf):
-            if len(pdf) < 2:
-                return pd.DataFrame(
-                    {"src": [], "dst": [], "dist": [], "sel_rank": []}
-                ).astype(
-                    {
-                        "src": np.int64,
-                        "dst": np.int64,
-                        "dist": np.float64,
-                        "sel_rank": np.int32,
-                    }
-                )
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix, scalar_column
+
+        _edge_pa = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("dist", pa.float64()), ("sel_rank", pa.int32())]
+        )
+
+        def local_knn(key, tbl):
+            if tbl.num_rows < 2:
+                return _edge_pa.empty_table()
             # sort by id FIRST: the heuristic's stable argsort breaks
-            # distance TIES by row position, and a grouped pdf's row
+            # distance TIES by row position, and a grouped batch's row
             # order is shuffle-arrival order (nondeterministic across
             # runs).  On tie-heavy corpora (duplicate cliques) that made
             # the pruned edge set — and beam recall — wiggle run-to-run
             # (r10: ±0.05 measured on the 50×-replica bench corpus); id
             # order pins it.  O(b log b) next to the O(b²) GEMM.
-            pdf = pdf.sort_values("id")
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            ids = scalar_column(tbl, "id", np.int64)
+            X = list_matrix(tbl, "vec")
+            order = np.argsort(ids)   # ids unique within a cell
+            ids, X = ids[order], X[order]
             d = pairwise_distances(X, X, metric)
             sim = metric.is_similarity
             key_m = -d if sim else d
             np.fill_diagonal(key_m, np.inf)      # no self-edges
-            kk = min(M, len(pdf) - 1)
+            kk = min(M, len(ids) - 1)
             src_pos, dst_pos, sel_rank = diverse_neighbors(
                 key_m, kk, cand_cap=max(2 * M, efC)
             )
@@ -619,21 +648,32 @@ class HNSWIndex:
             # one kernel pass (guide §1.2: fix the distributed algorithm
             # before the per-task work).
             dd = d[src_pos, dst_pos]
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "src": np.concatenate([ids[src_pos], ids[dst_pos]]),
-                    "dst": np.concatenate([ids[dst_pos], ids[src_pos]]),
-                    "dist": np.concatenate([dd, dd]),
-                    "sel_rank": np.concatenate(
-                        [
-                            sel_rank,
-                            np.full(len(sel_rank), _REV_RANK, dtype=np.int32),
-                        ]
+                    "src": pa.array(
+                        np.concatenate([ids[src_pos], ids[dst_pos]]),
+                        type=pa.int64(),
+                    ),
+                    "dst": pa.array(
+                        np.concatenate([ids[dst_pos], ids[src_pos]]),
+                        type=pa.int64(),
+                    ),
+                    "dist": pa.array(
+                        np.concatenate([dd, dd]), type=pa.float64()
+                    ),
+                    "sel_rank": pa.array(
+                        np.concatenate(
+                            [
+                                sel_rank.astype(np.int32, copy=False),
+                                np.full(len(sel_rank), _REV_RANK, dtype=np.int32),
+                            ]
+                        ),
+                        type=pa.int32(),
                     ),
                 }
             )
 
-        raw_edges = blocks.groupBy("cell_id").applyInPandas(local_knn, _EDGE_SCHEMA)
+        raw_edges = blocks.groupBy("cell_id").applyInArrow(local_knn, _EDGE_SCHEMA)
         # dedup (a pair can appear in 2 shared blocks, and reverse edges
         # duplicate forward ones) + prune to M per node ordered by
         # HEURISTIC SELECTION RANK, not distance: a distance-ordered prune

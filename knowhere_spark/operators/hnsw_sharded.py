@@ -107,22 +107,34 @@ def _route_to_shards(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        # Arrow-native (guide §4.2): id/vec pass through the output batch
+        # untouched; only __shard is computed
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix
+
         C, norm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            tbl = pa.Table.from_batches([rb])
+            X = list_matrix(tbl, "vec")
             if norm:
                 nn = np.linalg.norm(X, axis=1, keepdims=True)
                 nn[nn == 0] = 1.0
                 X = X / nn
             d = _pd(X, C, MetricType.L2)
-            out = pdf[["id", "vec"]].copy()
-            out["__shard"] = d.argmin(axis=1).astype(np.int32)
-            yield out
+            yield pa.record_batch(
+                [
+                    tbl.column("id").combine_chunks().cast(pa.int64()),
+                    tbl.column("vec").combine_chunks(),
+                    pa.array(d.argmin(axis=1).astype(np.int32), type=pa.int32()),
+                ],
+                names=["id", "vec", "__shard"],
+            )
 
-    return df.mapInPandas(kernel, schema)
+    return df.mapInArrow(kernel, schema)
 
 
 def _cluster_to_shard_expr(bases: list[int], nsubs: list[int]):
@@ -567,26 +579,55 @@ class ShardedHNSWIndex:
         _mark("cell_sample_sec")
 
         # -- ONE assignment pass: top-2 cells within each row's shard -----
-        def assign2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def assign2(batches):
+            # Arrow-native (guide §4.2): vec rows pass through via one
+            # vectorized take per (shard, copy) block — never boxed into
+            # per-row Python objects
+            import pyarrow as pa
+
+            from knowhere_spark.functions.arrowio import (
+                list_matrix,
+                scalar_column,
+            )
+
             C_by_shard = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                parts = []
-                for s, grp in pdf.groupby("__shard"):
+                tbl = pa.Table.from_batches([rb])
+                X_all = list_matrix(tbl, "vec")
+                ids_all = scalar_column(tbl, "id", np.int64)
+                s_all = scalar_column(tbl, "__shard", np.int64)
+                vec_col = tbl.column("vec").combine_chunks()
+                id_parts, s_parts, c_parts, take_parts = [], [], [], []
+                for s in np.unique(s_all):    # ascending, like pd.groupby
+                    rows = np.flatnonzero(s_all == s)
                     C = C_by_shard[int(s)]
-                    X = np.array(list(grp["vec"].to_numpy()), dtype=np.float64)
-                    d = pairwise_distances(X, C, MetricType.L2)
+                    d = pairwise_distances(X_all[rows], C, MetricType.L2)
                     top2 = np.argsort(d, axis=1, kind="stable")[:, :2]
-                    parts.append(grp.assign(cell_id=top2[:, 0].astype(np.int32)))
-                    if top2.shape[1] > 1:   # a 1-centroid shard has no 2nd cell
-                        parts.append(grp.assign(cell_id=top2[:, 1].astype(np.int32)))
-                out = pd.concat(parts)
-                yield out[["id", "__shard", "cell_id", "vec"]]
+                    ncopy = min(2, top2.shape[1])
+                    take_parts.append(np.tile(rows, ncopy))
+                    id_parts.append(np.tile(ids_all[rows], ncopy))
+                    s_parts.append(
+                        np.full(len(rows) * ncopy, s, dtype=np.int32)
+                    )
+                    c_parts.append(
+                        top2[:, :ncopy].T.ravel().astype(np.int32)
+                    )
+                idx = pa.array(np.concatenate(take_parts))
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(id_parts), type=pa.int64()),
+                        pa.array(np.concatenate(s_parts), type=pa.int32()),
+                        pa.array(np.concatenate(c_parts), type=pa.int32()),
+                        vec_col.take(idx),
+                    ],
+                    names=["id", "__shard", "cell_id", "vec"],
+                )
 
         from knowhere_spark.session import ensure_parallelism
 
-        blocks = ensure_parallelism(sharded).mapInPandas(
+        blocks = ensure_parallelism(sharded).mapInArrow(
             assign2,
             StructType(
                 [
@@ -601,30 +642,30 @@ class ShardedHNSWIndex:
         M = config.M
         efC = int(config.efConstruction)
 
-        def local_knn(key, pdf):
-            if len(pdf) < 2:
-                return pd.DataFrame(
-                    {"__shard": [], "src": [], "dst": [], "dist": [], "sel_rank": []}
-                ).astype(
-                    {
-                        "__shard": np.int32,
-                        "src": np.int64,
-                        "dst": np.int64,
-                        "dist": np.float64,
-                        "sel_rank": np.int32,
-                    }
-                )
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix, scalar_column
+
+        _edge_pa = pa.schema(
+            [("__shard", pa.int32()), ("src", pa.int64()), ("dst", pa.int64()),
+             ("dist", pa.float64()), ("sel_rank", pa.int32())]
+        )
+
+        def local_knn(key, tbl):
+            if tbl.num_rows < 2:
+                return _edge_pa.empty_table()
             # id-sort first: tie-breaking in the heuristic's stable
             # argsort must not depend on shuffle arrival order (see
             # hnsw.py local_knn — same ±0.05 recall wiggle fix, r10)
-            pdf = pdf.sort_values("id")
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            ids = scalar_column(tbl, "id", np.int64)
+            X = list_matrix(tbl, "vec")
+            order = np.argsort(ids)   # ids unique within a block
+            ids, X = ids[order], X[order]
             d = pairwise_distances(X, X, metric)
             sim = metric.is_similarity
             key_m = -d if sim else d
             np.fill_diagonal(key_m, np.inf)      # no self-edges
-            kk = min(M, len(pdf) - 1)
+            kk = min(M, len(ids) - 1)
             from knowhere_spark.operators.hnsw import diverse_neighbors
 
             src_pos, dst_pos, sel_rank = diverse_neighbors(
@@ -639,22 +680,36 @@ class ShardedHNSWIndex:
 
             dd = d[src_pos, dst_pos]
             m_edges = len(src_pos)
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "__shard": np.full(2 * m_edges, int(key[0]), dtype=np.int32),
-                    "src": np.concatenate([ids[src_pos], ids[dst_pos]]),
-                    "dst": np.concatenate([ids[dst_pos], ids[src_pos]]),
-                    "dist": np.concatenate([dd, dd]),
-                    "sel_rank": np.concatenate(
-                        [
-                            sel_rank,
-                            np.full(m_edges, _REV_RANK, dtype=np.int32),
-                        ]
+                    "__shard": pa.array(
+                        np.full(2 * m_edges, int(key[0].as_py()), dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    "src": pa.array(
+                        np.concatenate([ids[src_pos], ids[dst_pos]]),
+                        type=pa.int64(),
+                    ),
+                    "dst": pa.array(
+                        np.concatenate([ids[dst_pos], ids[src_pos]]),
+                        type=pa.int64(),
+                    ),
+                    "dist": pa.array(
+                        np.concatenate([dd, dd]), type=pa.float64()
+                    ),
+                    "sel_rank": pa.array(
+                        np.concatenate(
+                            [
+                                sel_rank.astype(np.int32, copy=False),
+                                np.full(m_edges, _REV_RANK, dtype=np.int32),
+                            ]
+                        ),
+                        type=pa.int32(),
                     ),
                 }
             )
 
-        raw_edges = blocks.groupBy("__shard", "cell_id").applyInPandas(
+        raw_edges = blocks.groupBy("__shard", "cell_id").applyInArrow(
             local_knn, _SHARD_EDGE_SCHEMA
         )
         # dedup (a pair can appear in 2 shared blocks, and reverse edges

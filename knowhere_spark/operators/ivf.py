@@ -466,7 +466,6 @@ class IVFFlatIndex:
         return cogroup_cells_topk(
             self.assignments, probes, k, dist_metric,
             filter_expr=filter_expr,
-            row_matrix=lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64),
             rows_acc=rows_acc,
         )
 
@@ -521,15 +520,23 @@ class IVFFlatIndex:
         largest = dist_metric.is_similarity
 
         def kernel(batches):
+            import pyarrow as pa
+
+            from knowhere_spark.functions.arrowio import (
+                list_matrix,
+                scalar_column,
+            )
+
             b_qids, b_qmat, b_member, dm = bc.value
             dm = MetricType(dm)
             nq = len(b_qids)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                cell = pdf["cell_id"].to_numpy(dtype=np.int64)
+                tbl = pa.Table.from_batches([rb])
+                X = list_matrix(tbl, "vec")
+                ids = scalar_column(tbl, "id", np.int64)
+                cell = scalar_column(tbl, "cell_id", np.int64)
                 n = len(ids)
                 if rows_acc is not None:
                     rows_acc.add(n)
@@ -556,15 +563,16 @@ class IVFFlatIndex:
                 rows_f, q_f = np.nonzero(sel)
                 if len(rows_f) == 0:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "query_id": b_qids[q_f],
-                        "neighbor_id": ids[rows_f],
-                        "distance": dist[rows_f, q_f],
-                    }
+                yield pa.record_batch(
+                    [
+                        pa.array(b_qids[q_f], type=pa.int64()),
+                        pa.array(ids[rows_f], type=pa.int64()),
+                        pa.array(dist[rows_f, q_f], type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "distance"],
                 )
 
-        scored = cand.mapInPandas(kernel, RESULT_SCHEMA)
+        scored = cand.mapInArrow(kernel, RESULT_SCHEMA)
         return topk_per_key(
             scored,
             "query_id",
@@ -752,13 +760,12 @@ class IVFFlatIndex:
 def probe_assign_df(
     queries: DataFrame, centroids: np.ndarray, metric: MetricType, nprobe: int
 ) -> DataFrame:
-    """Distributed probe assignment: ``mapInPandas`` over the query set
+    """Distributed probe assignment: ``mapInArrow`` over the query set
     against the broadcast ``nlist × dim`` centroid matrix, emitting one
     ``(query_id, qvec, cell_id)`` row per probed cell.  The query set never
     touches the driver — the large-nq half of the reference's search
     fan-out (ivf.cc:715-800) with Spark's data parallelism on the query
     axis.  COSINE queries come out normalized (ivf.cc:462-470 contract)."""
-    import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -792,12 +799,22 @@ def probe_assign_df(
     )
 
     def kernel(batches):
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import (
+            list_matrix,
+            matrix_to_list_array,
+            repeat_list_column,
+            scalar_column,
+        )
+
         C, pm, normalize = bc.value
         pm = MetricType(pm)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            Q = np.array(list(pdf["qvec"].to_numpy()), dtype=np.float64)
+            tbl = pa.Table.from_batches([rb])
+            Q = list_matrix(tbl, "qvec")
             if normalize:
                 qn = np.linalg.norm(Q, axis=1, keepdims=True)
                 qn[qn == 0] = 1.0
@@ -810,20 +827,24 @@ def probe_assign_df(
                 if npb < len(C)
                 else np.argsort(key, axis=0)
             )                                                  # (npb, nq)
-            qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            # emit ndarray rows, never .tolist(): boxing nq·npb·dim floats
-            # into Python lists cost ~6x the Arrow conversion itself
+            qids = scalar_column(tbl, "query_id", np.int64)
+            # Arrow-native emission (guide §4.2): COSINE builds ONE values
+            # buffer + arithmetic offsets for the normalized float64
+            # vectors; every other metric re-emits the INPUT list rows via
+            # one vectorized take — the element type (usually float32)
+            # passes through untouched, so probe payload bytes stay halved
             out_q = (
-                list(np.repeat(Q, npb, axis=0))
+                matrix_to_list_array(np.repeat(Q, npb, axis=0), pa.float64())
                 if normalize
-                else np.repeat(pdf["qvec"].to_numpy(), npb)
+                else repeat_list_column(tbl, "qvec", npb)
             )
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, npb),
-                    "qvec": out_q,
-                    "cell_id": order.T.ravel().astype(np.int32),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids, npb), type=pa.int64()),
+                    out_q,
+                    pa.array(order.T.ravel().astype(np.int32), type=pa.int32()),
+                ],
+                names=["query_id", "qvec", "cell_id"],
             )
 
     # a small/cached query side can arrive as one split, which would run
@@ -831,7 +852,7 @@ def probe_assign_df(
     # scan splits) this is a no-op
     from knowhere_spark.session import ensure_parallelism
 
-    return ensure_parallelism(queries).mapInPandas(kernel, schema)
+    return ensure_parallelism(queries).mapInArrow(kernel, schema)
 
 
 def cogroup_cells_topk(
@@ -844,21 +865,30 @@ def cogroup_cells_topk(
     row_matrix=None,
     rows_acc=None,
 ) -> DataFrame:
-    """Per-cell GEMM top-k via cogrouped ``applyInPandas``: base cells meet
+    """Per-cell GEMM top-k via cogrouped ``applyInArrow``: base cells meet
     their probing queries after one shuffle of each side keyed by
     ``cell_id``; a final window reduces <= cells_probed·k candidates per
-    query.  ``row_matrix(pdf) -> (n, dim) float64`` turns a cell's rows
-    into the GEMM operand — raw vectors for IVF_FLAT, decoded codes for the
-    quantized families (decode-then-GEMM is arithmetically identical to the
-    reference's ADC/affine scan: the LUT entry IS the sub-distance to the
-    decoded centroid).  Shared by every IVF-family distributed search."""
-    import pandas as pd
+    query.  ``row_matrix(tbl: pa.Table) -> (n, dim) float64`` turns a
+    cell's rows into the GEMM operand — raw vectors for IVF_FLAT, decoded
+    codes for the quantized families (decode-then-GEMM is arithmetically
+    identical to the reference's ADC/affine scan: the LUT entry IS the
+    sub-distance to the decoded centroid).  Shared by every IVF-family
+    distributed search.
 
+    Arrow-native kernel (guide §4.2): the ``(n, dim)`` operands come from
+    one flatten+reshape+astype over each list column's contiguous values
+    buffer.  The former pandas kernel boxed every vector row into a
+    Python object and re-stacked with ``np.array(list(...))`` — measured
+    1.5-2x the whole cogroup stage at the 100k-selfsearch shape.  Float
+    bytes and selection arithmetic are unchanged → results bit-identical."""
+    import pyarrow as pa
+
+    from knowhere_spark.functions.arrowio import list_matrix, scalar_column
     from knowhere_spark.functions.distance import local_topk
     from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
     if row_matrix is None:
-        row_matrix = lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64)
+        row_matrix = lambda tbl: list_matrix(tbl, "vec")
     largest = dist_metric.is_similarity
     cand = assignments
     if filter_expr is not None:
@@ -869,26 +899,36 @@ def cogroup_cells_topk(
     # prune unprobed cells before the shuffle (cheap when nq·nprobe covers
     # most cells, decisive when it doesn't)
     cand = cand.join(probes.select("cell_id").distinct(), "cell_id", "left_semi")
+    _empty = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("distance", pa.float64())]
+    )
 
-    def cell_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "distance": []})
+    def cell_kernel(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _empty.empty_table()
         X = row_matrix(left)
-        ids = left["id"].to_numpy(dtype=np.int64)
-        Q = np.array(list(right["qvec"]), dtype=np.float64)
-        qids = right["query_id"].to_numpy(dtype=np.int64)
+        ids = scalar_column(left, "id", np.int64)
+        Q = list_matrix(right, "qvec")
+        qids = scalar_column(right, "query_id", np.int64)
         if rows_acc is not None:
             rows_acc.add(len(ids))    # rows GEMMed in this probed cell
         dist = pairwise_distances(X, Q, dist_metric)          # (n, nq)
         qidx, nid, dd = local_topk(dist, ids, k, largest)
-        return pd.DataFrame(
-            {"query_id": qids[qidx], "neighbor_id": nid, "distance": dd}
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qidx], type=pa.int64()),
+                "neighbor_id": pa.array(nid.astype(np.int64, copy=False),
+                                        type=pa.int64()),
+                "distance": pa.array(dd.astype(np.float64, copy=False),
+                                     type=pa.float64()),
+            }
         )
 
     scored = (
         cand.groupby("cell_id")
         .cogroup(probes.groupby("cell_id"))
-        .applyInPandas(cell_kernel, RESULT_SCHEMA)
+        .applyInArrow(cell_kernel, RESULT_SCHEMA)
     )
     return topk_per_key(
         scored, "query_id", "distance", k,
@@ -910,40 +950,49 @@ def cogroup_cells_range(
     """Distributed range scoring: per-cell cogroup emits every in-range
     ``(query_id, neighbor_id, distance)`` pair — half-open semantics per
     metric direction (range_util.h:22-25).  Same shuffle shape as
-    :func:`cogroup_cells_topk`."""
-    import pandas as pd
+    :func:`cogroup_cells_topk` (and the same Arrow-native kernel layout)."""
+    import pyarrow as pa
 
+    from knowhere_spark.functions.arrowio import list_matrix, scalar_column
     from knowhere_spark.operators.brute_force import RESULT_SCHEMA
 
     if row_matrix is None:
-        row_matrix = lambda pdf: np.array(list(pdf["vec"]), dtype=np.float64)
+        row_matrix = lambda tbl: list_matrix(tbl, "vec")
     cand = assignments
     if filter_expr is not None:
         cand = cand.filter(filter_expr)
     probes = probes.cache()
     cand = cand.join(probes.select("cell_id").distinct(), "cell_id", "left_semi")
+    _empty = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("distance", pa.float64())]
+    )
 
-    def cell_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "distance": []})
+    def cell_kernel(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _empty.empty_table()
         X = row_matrix(left)
-        ids = left["id"].to_numpy(dtype=np.int64)
-        Q = np.array(list(right["qvec"]), dtype=np.float64)
-        qids = right["query_id"].to_numpy(dtype=np.int64)
+        ids = scalar_column(left, "id", np.int64)
+        Q = list_matrix(right, "qvec")
+        qids = scalar_column(right, "query_id", np.int64)
         dist = pairwise_distances(X, Q, dist_metric)          # (n, nq)
         if sim:
             mask = (dist > lo) & (dist <= hi)
         else:
             mask = (dist >= lo) & (dist < hi)
         ri, qi = np.nonzero(mask)
-        return pd.DataFrame(
-            {"query_id": qids[qi], "neighbor_id": ids[ri], "distance": dist[ri, qi]}
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ri], type=pa.int64()),
+                "distance": pa.array(dist[ri, qi], type=pa.float64()),
+            }
         )
 
     return (
         cand.groupby("cell_id")
         .cogroup(probes.groupby("cell_id"))
-        .applyInPandas(cell_kernel, RESULT_SCHEMA)
+        .applyInArrow(cell_kernel, RESULT_SCHEMA)
     )
 
 
@@ -955,22 +1004,33 @@ def _assign_cells(
     (scalar payload columns already present on ``df``) pass through
     untouched — the hot-scalar-field index layout (SURVEY §4's
     materialized-view analog, include/knowhere/comp/materialized_view.h)."""
-    import pandas as pd
-
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
     keep = ["id", "cell_id", "vec", *extra_cols]
 
     def kernel(batches):
+        # Arrow-native (guide §4.2): id/vec/extra columns pass through the
+        # output batch untouched (no pandas materialization); only cell_id
+        # is computed
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix
+
         C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(list(pdf["vec"].to_numpy()), dtype=np.float64)
+            tbl = pa.Table.from_batches([rb])
+            X = list_matrix(tbl, "vec")
             d = pairwise_distances(X, C, MetricType.L2)
-            pdf = pdf.copy()
-            pdf["cell_id"] = d.argmin(axis=1).astype(np.int32)
-            yield pdf[keep]
+            cell = pa.array(d.argmin(axis=1).astype(np.int32), type=pa.int32())
+            cols = [
+                cell if c == "cell_id"
+                else tbl.column(c).combine_chunks()
+                for c in keep
+            ]
+            cols[0] = cols[0].cast(pa.int64())   # id long per the schema
+            yield pa.record_batch(cols, names=keep)
 
     from pyspark.sql.types import (
         ArrayType,
@@ -991,4 +1051,4 @@ def _assign_cells(
     )
     from knowhere_spark.session import ensure_parallelism
 
-    return ensure_parallelism(df).mapInPandas(kernel, schema)
+    return ensure_parallelism(df).mapInArrow(kernel, schema)

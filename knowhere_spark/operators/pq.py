@@ -390,6 +390,13 @@ class IVFPqIndex:
         kk, lg = stage_k, sim
 
         def kernel(batches):
+            import pyarrow as pa
+
+            from knowhere_spark.functions.arrowio import (
+                list_matrix,
+                scalar_column,
+            )
+
             b_qids, b_qmat, CB3, by_cell = bc.value
             mm, b_ksub, sd = CB3.shape
             L = np.empty((len(b_qids), mm, b_ksub))
@@ -404,12 +411,13 @@ class IVFPqIndex:
                         - 2.0 * qsub @ CBj.T
                         + (CBj * CBj).sum(axis=1)[None, :]
                     )
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                cell = pdf["cell_id"].to_numpy(dtype=np.int64)
+                tbl = pa.Table.from_batches([rb])
+                codes = list_matrix(tbl, "codes", np.int64)
+                ids = scalar_column(tbl, "id", np.int64)
+                cell = scalar_column(tbl, "cell_id", np.int64)
                 rorder = np.argsort(cell, kind="stable")
                 csort = cell[rorder]
                 uniq, starts = np.unique(csort, return_index=True)
@@ -446,15 +454,16 @@ class IVFPqIndex:
                 )
                 keep = (np.arange(len(q_s)) - grp_start) < kk
                 take = sel[keep]
-                yield pd.DataFrame(
-                    {
-                        "query_id": b_qids[q_all[take]],
-                        "neighbor_id": i_all[take],
-                        "distance": d_all[take],
-                    }
+                yield pa.record_batch(
+                    [
+                        pa.array(b_qids[q_all[take]], type=pa.int64()),
+                        pa.array(i_all[take], type=pa.int64()),
+                        pa.array(d_all[take], type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "distance"],
                 )
 
-        scored = cand.mapInPandas(kernel, out_schema)
+        scored = cand.mapInArrow(kernel, out_schema)
         approx = topk_per_key(
             scored, "query_id", "distance", stage_k,
             ascending=not sim, tie_breaker="neighbor_id",
@@ -490,8 +499,10 @@ class IVFPqIndex:
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
         CB = self.codebooks   # (m, ksub, subdim) — small, task-pickled
 
-        def decode(pdf):
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)   # (n, m)
+        def decode(tbl):
+            from knowhere_spark.functions.arrowio import list_matrix
+
+            codes = list_matrix(tbl, "codes", np.int64)   # (n, m)
             mm = CB.shape[0]
             return np.concatenate(
                 [CB[j][codes[:, j]] for j in range(mm)], axis=1
@@ -534,8 +545,10 @@ class IVFPqIndex:
         lo, hi, sim = cfg.range_bounds()
         CB = self.codebooks
 
-        def decode(pdf):
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+        def decode(tbl):
+            from knowhere_spark.functions.arrowio import list_matrix
+
+            codes = list_matrix(tbl, "codes", np.int64)
             return np.concatenate(
                 [CB[j][codes[:, j]] for j in range(CB.shape[0])], axis=1
             )

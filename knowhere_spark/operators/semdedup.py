@@ -335,48 +335,59 @@ def semdedup(
     eps_f, blk, cap = float(eps), int(block_rows), int(max_cluster_rows)
     work_dtype = np.float64 if precise else np.float32
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
+    def kernel(key, tbl):
+        # Arrow-native (guide §4.2): the (m, dim) GEMM operand comes from
+        # one flatten+reshape+astype over the vec column's values buffer
+        import pyarrow as pa
+
+        from knowhere_spark.functions.arrowio import list_matrix, scalar_column
+
+        m = tbl.num_rows
+        cid = int(key[0].as_py())
         if m == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=o) for c, o in (
-                    ("id", "int64"), ("cluster_id", "int32"),
-                    ("centroid_cos", "float64"), ("max_prior_cos", "float64"),
-                    ("keep", "bool"),
-                )}
-            )
+            return pa.schema(
+                [("id", pa.int64()), ("cluster_id", pa.int32()),
+                 ("centroid_cos", pa.float64()), ("max_prior_cos", pa.float64()),
+                 ("keep", pa.bool_())]
+            ).empty_table()
         if m > cap:
             # unreachable with auto_split_clusters (the id-hash fallback
             # bounds every group); kept as the hard guard for
             # auto_split_clusters=False and pathological hash skew
             raise ValueError(
-                f"semdedup cluster {int(pdf['cluster_id'].iloc[0])} has {m} rows"
+                f"semdedup cluster {cid} has {m} rows"
                 f" > max_cluster_rows={cap}; raise num_clusters (mean cluster"
                 " should be a few thousand rows), max_cluster_rows, or enable"
                 " auto_split_clusters"
             )
-        cid = int(pdf["cluster_id"].iloc[0])
-        ids = pdf["id"].to_numpy()
+        ids = scalar_column(tbl, "id", np.int64)
         # a zero-norm embedding normalizes to NaN (x/0) — zero it instead of
         # letting one bad row poison the whole cluster's GEMM maxima
         V = np.nan_to_num(
-            np.stack(pdf["vec"].to_numpy()).astype(work_dtype),
+            list_matrix(tbl, "vec", work_dtype),
             nan=0.0, posinf=0.0, neginf=0.0,
         )
         ids_s, ccos, mp, keep = _cluster_pass(ids, V, bc.value[cid], eps_f, blk)
-        out = pd.DataFrame(
+        mp = mp.astype(np.float64)
+        # the pandas path turned the -inf sentinel into NaN, which the
+        # pandas->Arrow serializer emits as NULL — keep that exact contract
+        return pa.table(
             {
-                "id": ids_s,
-                "cluster_id": np.int32(cid),
-                "centroid_cos": ccos.astype(np.float64),
-                "max_prior_cos": mp.astype(np.float64),
-                "keep": keep,
+                "id": pa.array(ids_s.astype(np.int64, copy=False),
+                               type=pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(len(ids_s), cid, dtype=np.int32), type=pa.int32()
+                ),
+                "centroid_cos": pa.array(ccos.astype(np.float64),
+                                         type=pa.float64()),
+                "max_prior_cos": pa.array(
+                    mp, type=pa.float64(), mask=np.isneginf(mp)
+                ),
+                "keep": pa.array(np.asarray(keep, dtype=bool), type=pa.bool_()),
             }
         )
-        out.loc[np.isneginf(out["max_prior_cos"]), "max_prior_cos"] = np.nan
-        return out
 
-    return assigned.groupBy("cluster_id").applyInPandas(kernel, _OUT_SCHEMA)
+    return assigned.groupBy("cluster_id").applyInArrow(kernel, _OUT_SCHEMA)
 
 
 def semdedup_filter(

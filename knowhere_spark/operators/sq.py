@@ -343,16 +343,24 @@ class IVFSq8Index:
         )
 
         def kernel(batches):
+            import pyarrow as pa
+
+            from knowhere_spark.functions.arrowio import (
+                list_matrix,
+                scalar_column,
+            )
+
             b_qids, b_qmat, b_member, lo_, diff_, lv_, pm = bq.value
             pm = MetricType(pm)
             b_nq = len(b_qids)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                codes = np.array(list(pdf["codes"].to_numpy()), dtype=np.float64)
+                tbl = pa.Table.from_batches([rb])
+                codes = list_matrix(tbl, "codes", np.float64)
                 X = lo_ + codes / lv_ * diff_
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                cell = pdf["cell_id"].to_numpy(dtype=np.int64)
+                ids = scalar_column(tbl, "id", np.int64)
+                cell = scalar_column(tbl, "cell_id", np.int64)
                 n = len(ids)
                 dist = pairwise_distances(X, b_qmat, pm)   # (n, nq)
                 member = b_member[cell]                    # (n, nq)
@@ -378,15 +386,16 @@ class IVFSq8Index:
                 rows_f, q_f = np.nonzero(sel)
                 if len(rows_f) == 0:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "query_id": b_qids[q_f],
-                        "neighbor_id": ids[rows_f],
-                        "distance": dist[rows_f, q_f],
-                    }
+                yield pa.record_batch(
+                    [
+                        pa.array(b_qids[q_f], type=pa.int64()),
+                        pa.array(ids[rows_f], type=pa.int64()),
+                        pa.array(dist[rows_f, q_f], type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "distance"],
                 )
 
-        scored = cand.mapInPandas(kernel, out_schema)
+        scored = cand.mapInArrow(kernel, out_schema)
         return topk_per_key(
             scored, "query_id", "distance", k,
             ascending=not largest, tie_breaker="neighbor_id",
@@ -400,8 +409,10 @@ class IVFSq8Index:
         lo_, diff_ = self.vmin, self.vdiff   # tiny per-dim arrays, task-pickled
         lv_ = float(_levels(self.config.code_size))
 
-        def decode(pdf):
-            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+        def decode(tbl):
+            from knowhere_spark.functions.arrowio import list_matrix
+
+            codes = list_matrix(tbl, "codes", np.float64)
             return lo_ + codes / lv_ * diff_
 
         return cogroup_cells_topk(
@@ -441,8 +452,10 @@ class IVFSq8Index:
         lo_, diff_ = self.vmin, self.vdiff
         lv_ = float(_levels(self.config.code_size))
 
-        def decode(pdf):
-            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+        def decode(tbl):
+            from knowhere_spark.functions.arrowio import list_matrix
+
+            codes = list_matrix(tbl, "codes", np.float64)
             return lo_ + codes / lv_ * diff_
 
         out = cogroup_cells_range(

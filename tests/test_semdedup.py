@@ -57,9 +57,18 @@ def test_verdict_frame_shape(corpus_df):
     out = semdedup(df, eps=0.99, num_clusters=4, seed=3)
     assert out.count() == df.count()
     assert set(out.columns) == {"id", "cluster_id", "centroid_cos", "max_prior_cos", "keep"}
-    # exactly one NULL max_prior_cos per non-empty cluster (its first item)
+    # exactly one NULL max_prior_cos per non-empty cluster (its first item).
+    # Count clusters too: a kernel that emits NaN VALUES instead of nulls
+    # (the Arrow serializer does NOT nullify NaN like the pandas one did)
+    # makes the filter empty and a bare all(...) vacuously true — r12
+    # caught exactly that regression at the oracle, not here.
     firsts = out.filter(F.col("max_prior_cos").isNull()).groupBy("cluster_id").count()
-    assert all(r["count"] == 1 for r in firsts.collect())
+    rows = firsts.collect()
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert len(rows) == n_clusters
+    assert all(r["count"] == 1 for r in rows)
+    # and no NaN leaks where nulls belong
+    assert out.filter(F.isnan("max_prior_cos")).count() == 0
 
 
 def test_keep_rule_low_centroid_similarity(corpus_df):
