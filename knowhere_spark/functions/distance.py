@@ -226,8 +226,19 @@ def numpy_kmeans(
     xx = np.sum(X * X, axis=1)[:, None]
     rows = np.arange(n)
     Xbuf = np.empty_like(X)
+    # preallocated (n, k) buffers: the expression form re-allocated (and
+    # page-faulted) two 33 MB matrices per iteration at the 32764×64/k=128
+    # bench shape — 7.2 → 2.3 s for the whole fit (min-of-3, idle box).
+    # Op sequence identical to (xx + |c|²) - 2·(X@Cᵀ): bitwise-equal
+    # centroids verified on 12 random/replica shapes (artifacts are
+    # hash-pinned by oracle gates).
+    d = np.empty((n, k))
+    G = np.empty((n, k))
     for _ in range(iters):
-        d = xx + np.sum(C * C, axis=1)[None, :] - 2.0 * (X @ C.T)   # (n, k)
+        np.add(xx, np.sum(C * C, axis=1)[None, :], out=d)            # (n, k)
+        np.dot(X, C.T, out=G)
+        G *= 2.0
+        d -= G
         np.maximum(d, 0.0, out=d)
         assign = d.argmin(axis=1)
         if prev is not None and np.array_equal(assign, prev):
