@@ -63,9 +63,9 @@ def test_ivf_probe_plan_shape(spark):
     idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=8, nprobe=4))
     out = idx.search(qs, k=5)
     plan = _plan(out)
-    # partial-topk GEMM kernel over probed cells: one MapInPandas scan,
+    # partial-topk GEMM kernel over probed cells: one Arrow map scan,
     # no join of the base side at all (queries ride a broadcast variable)
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
@@ -142,7 +142,7 @@ def test_distributed_search_plan_shape(spark):
     idx = IVFFlatIndex.build(base, IvfConfig(metric_type="L2", nlist=8, nprobe=2))
     out = idx.search(qs, k=5, strategy="distributed")
     plan = _plan(out)
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan          # unprobed-cell prune
     # the query side reaches the cogroup via a shuffle on cell_id, never a
@@ -157,7 +157,7 @@ def test_bf_distributed_plan_shape(spark):
     qs = dense_df(spark, gen_dense(40, 8, seed=78), QUERY_SCHEMA)
     out = BruteForce.search_distributed(base, qs, 5, "L2", n_blocks=4)
     plan = _plan(out)
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(block_id" in plan
 
@@ -270,7 +270,7 @@ def test_semdedup_single_shuffle_no_join(spark):
     # (it disappears on a many-partition corpus)
     assert plan.count("hashpartitioning(cluster_id") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan or "MapInArrow" in plan
 
 
 def test_cross_dedup_no_forced_broadcast(spark):
@@ -373,7 +373,7 @@ def test_video_neardup_signature_stage_runs_once(spark):
         "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
     )
     plan = _plan(video_neardup_pairs(media, min_overlap=0.5))
-    assert "MapInPandas" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -399,7 +399,7 @@ def test_phash_neardup_signature_stage_runs_once(spark):
         "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
     )
     plan = _plan(phash_neardup_pairs(media, max_hamming=3))
-    assert "MapInPandas" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -419,5 +419,5 @@ def test_audio_banded_neardup_kernels_run_once(spark):
     docs = spark.range(24).select(F.col("id").alias("doc_id"))
     media = synthesize_audio_media(docs, dup_stride=4)
     plan = _plan(audio_neardup_pairs(media, 0.99))
-    assert "MapInPandas" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
     assert "CartesianProduct" not in plan
