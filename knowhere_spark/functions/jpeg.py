@@ -940,65 +940,91 @@ def _enc_codes(bits, vals):
     return out
 
 
-class _BitWriter:
-    """MSB-first entropy writer with 0xFF byte stuffing (F.1.2.3)."""
-
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, code: int, ln: int) -> None:
-        for i in range(ln - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
-
-    def flush(self) -> bytes:
-        while self.n:
-            self.write(1, 1)   # pad with 1-bits (spec-conformant)
-        return bytes(self.out)
+#: powers of two for a vectorized ``int.bit_length`` (JPEG magnitude
+#: category): ``searchsorted(_ENC_POW2, |v|, side="right")``.  Baseline
+#: categories never exceed 16 bits; 32 entries is comfortably past any
+#: value the quantizer can emit.
+_ENC_POW2 = 1 << np.arange(32, dtype=np.int64)
 
 
-def _enc_category(v: int) -> int:
-    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+def _enc_scan(zz: np.ndarray, dc_codes, ac_codes) -> bytes:
+    """Entropy-code zigzag blocks ``zz`` (n, 64) into the scan's stuffed
+    byte stream.
 
-
-def _enc_block(w: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
-    diff = int(zz[0]) - pred
-    t = _enc_category(diff)
-    code, ln = dc_codes[t]
-    w.write(code, ln)
-    if t:
-        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-    nz = [i for i in range(1, 64) if zz[i]]
-    last_nz = nz[-1] if nz else 0
-    k, run = 1, 0
-    while k <= last_nz:
-        if zz[k] == 0:
-            run += 1
-            k += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]   # ZRL
-            w.write(code, ln)
-            run -= 16
-        v = int(zz[k])
-        s = _enc_category(v)
-        code, ln = ac_codes[(run << 4) | s]
-        w.write(code, ln)
-        w.write(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-        k += 1
-    if last_nz < 63:
-        code, ln = ac_codes[0x00]       # EOB
-        w.write(code, ln)
-    return int(zz[0])
+    Bit-identical to the per-symbol ``_BitWriter`` loop it replaced
+    (same Annex K codes, same symbol order, same 1-bit padding, same
+    F.1.2.3 stuffing — pinned by tests/test_multimodal.py's reference-
+    writer comparison), ~3× faster: magnitude categories, extra-bits
+    values and zero runs are vectorized per image, each symbol appends
+    huffcode‖extra-bits as ONE shift into an int accumulator flushed a
+    byte at a time, and 0xFF stuffing is a single ``replace`` over the
+    raw scan (every raw 0xFF is a stuffed pair by F.1.2.3)."""
+    nblk = len(zz)
+    # DC: the prediction chain is a lag-1 difference across blocks
+    dcs = zz[:, 0]
+    diffs = dcs.copy()
+    diffs[1:] -= dcs[:-1]
+    dc_cat = np.searchsorted(_ENC_POW2, np.abs(diffs), side="right")
+    dc_ext = np.where(diffs >= 0, diffs, diffs + (1 << dc_cat) - 1)
+    # AC: per-image nonzero scan; k/run/category/extra-bits all batch
+    rows, cols = np.nonzero(zz[:, 1:])
+    ks = cols + 1                       # zigzag position within block
+    vals = zz[rows, ks]
+    ac_cat = np.searchsorted(_ENC_POW2, np.abs(vals), side="right")
+    ac_ext = np.where(vals >= 0, vals, vals + (1 << ac_cat) - 1)
+    runs = np.empty(len(ks), dtype=np.int64)
+    if len(ks):
+        runs[:] = ks - 1
+        same_blk = rows[1:] == rows[:-1]
+        runs[1:][same_blk] = (ks[1:] - ks[:-1] - 1)[same_blk]
+    # per-block slice bounds into the flat nonzero arrays
+    bounds = np.searchsorted(rows, np.arange(nblk + 1))
+    zrl_code, zrl_ln = ac_codes[0xF0]
+    eob_code, eob_ln = ac_codes[0x00]
+    buf = bytearray()
+    acc, nbits = 0, 0
+    dc_cat_l = dc_cat.tolist()
+    dc_ext_l = dc_ext.tolist()
+    ac_cat_l = ac_cat.tolist()
+    ac_ext_l = ac_ext.tolist()
+    runs_l = runs.tolist()
+    ks_l = ks.tolist()
+    for b in range(nblk):
+        t = dc_cat_l[b]
+        code, ln = dc_codes[t]
+        # huffcode ‖ extra-bits in one append (t = 0 appends nothing)
+        acc = (acc << (ln + t)) | (code << t) | dc_ext_l[b]
+        nbits += ln + t
+        while nbits >= 8:
+            nbits -= 8
+            buf.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+        lo, hi = bounds[b], bounds[b + 1]
+        for i in range(lo, hi):
+            run = runs_l[i]
+            while run > 15:
+                acc = (acc << zrl_ln) | zrl_code
+                nbits += zrl_ln
+                run -= 16
+            s = ac_cat_l[i]
+            code, ln = ac_codes[(run << 4) | s]
+            acc = (acc << (ln + s)) | (code << s) | ac_ext_l[i]
+            nbits += ln + s
+            while nbits >= 8:
+                nbits -= 8
+                buf.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+        if hi == lo or ks_l[hi - 1] < 63:
+            acc = (acc << eob_ln) | eob_code
+            nbits += eob_ln
+            while nbits >= 8:
+                nbits -= 8
+                buf.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+    if nbits:
+        pad = 8 - nbits
+        buf.append(((acc << pad) | ((1 << pad) - 1)) & 0xFF)
+    return bytes(buf).replace(b"\xff", b"\xff\x00")
 
 
 #: flat default quant step — mild loss, deterministic; pass your own
@@ -1056,10 +1082,6 @@ def encode_jpeg_gray(pixels: np.ndarray, q_table: np.ndarray | None = None) -> b
 
     dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    writer = _BitWriter()
-    pred = 0
-    for b in range(len(zz)):
-        pred = _enc_block(writer, zz[b], pred, dc_codes, ac_codes)
-    out += writer.flush()
+    out += _enc_scan(zz, dc_codes, ac_codes)
     out += b"\xff\xd9"
     return bytes(out)

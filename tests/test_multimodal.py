@@ -1224,6 +1224,83 @@ def test_encode_jpeg_gray_roundtrip_and_validation():
         encode_jpeg_gray(np.zeros((8, 8)), q_table=np.zeros(64))
 
 
+def test_enc_scan_matches_reference_bit_writer():
+    """r12: the vectorized entropy emitter (functions/jpeg._enc_scan)
+    must be bit-identical to a straightforward per-symbol reference of
+    T.81 F.1.2 — per-coefficient magnitude categories, ZRL runs, EOB,
+    MSB-first bit packing, 1-bit padding and 0xFF stuffing.  The
+    reference here is independent of the library implementation (the
+    pre-r12 per-symbol writer re-expressed), so a regression in either
+    the vectorized category/run math or the accumulator flush shows up
+    as a byte diff."""
+    from knowhere_spark.functions.jpeg import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _enc_codes,
+        _enc_scan,
+    )
+
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def ref_scan(zz):
+        bits = []
+
+        def emit(code, ln):
+            for i in range(ln - 1, -1, -1):
+                bits.append((code >> i) & 1)
+
+        pred = 0
+        for blk in zz:
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            t = abs(diff).bit_length()
+            emit(*dc_codes[t])
+            if t:
+                emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            nz = [i for i in range(1, 64) if blk[i]]
+            k, run = 1, 0
+            for k in range(1, (nz[-1] if nz else 0) + 1):
+                if blk[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit(*ac_codes[0xF0])
+                    run -= 16
+                v = int(blk[k])
+                s = abs(v).bit_length()
+                emit(*ac_codes[(run << 4) | s])
+                emit(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if not nz or nz[-1] < 63:
+                emit(*ac_codes[0x00])
+        while len(bits) % 8:
+            bits.append(1)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            raw.append(int("".join(map(str, bits[i : i + 8])), 2))
+        return bytes(raw).replace(b"\xff", b"\xff\x00")
+
+    rng = np.random.default_rng(11)
+    corpora = [
+        rng.integers(-1024, 1024, size=(6, 64)),          # dense noise
+        np.zeros((4, 64), dtype=np.int64),                # all-EOB
+        np.where(rng.random((5, 64)) < 0.05,               # long runs/ZRL
+                 rng.integers(-3, 4, (5, 64)), 0),
+        np.concatenate([np.zeros((1, 63)), [[7]]], axis=1  # nz at k=63
+                       ).astype(np.int64),
+    ]
+    # force a stuffed 0xFF and a DC-only block edge
+    big = np.zeros((2, 64), dtype=np.int64)
+    big[0, 0], big[1, 0] = 1023, -1023
+    corpora.append(big)
+    for zz in corpora:
+        zz = np.ascontiguousarray(zz, dtype=np.int64)
+        assert _enc_scan(zz, dc_codes, ac_codes) == ref_scan(zz)
+
+
 def test_transcode_images_jpeg_mixed_corpus(spark):
     """r11: the compressed thumbnail stage — decode (PNM RGB / PNG) →
     resize → grayscale → REAL baseline-JPEG re-encode; output sniffs as
