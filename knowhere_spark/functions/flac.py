@@ -467,17 +467,42 @@ def _best_rice_param(res: np.ndarray, plen: int = 4) -> int:
 
 
 def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
-    """Single-partition Rice coding (partition order 0)."""
+    """Single-partition Rice coding (partition order 0).
+
+    Bit-identical to per-sample ``write_unary`` + ``write`` calls (a
+    Rice code is ``q`` zeros, a 1, then ``param`` low bits — one
+    ``(1 << param) | low`` value of width ``q + 1 + param``), but the
+    zigzag/quotient/low-bits math is vectorized and the bit packing
+    runs inline on the writer's accumulator: one append per sample
+    instead of 2+ method calls (the encoder's former hot spot —
+    tests/test_flac.py pins round-trips and wire layout)."""
     w.write(0, 2)               # method: rice (4-bit params)
     w.write(0, 4)               # partition order 0
     param = _best_rice_param(res)
     w.write(param, 4)
-    for v in res:
-        v = int(v)
-        u = (abs(v) << 1) - (1 if v < 0 else 0)     # zigzag
-        w.write_unary(u >> param)
-        if param:
-            w.write(u & ((1 << param) - 1), param)
+    r = res.astype(np.int64, copy=False)
+    u = (np.abs(r) << 1) - (r < 0)                  # zigzag
+    qs = (u >> param).tolist()
+    acc, nbits, buf = w.acc, w.nbits, w.buf
+    if param:
+        one = 1 << param
+        lows = (u & (one - 1)).tolist()
+        for q, lo in zip(qs, lows):
+            acc = (acc << (q + 1 + param)) | one | lo
+            nbits += q + 1 + param
+            while nbits >= 8:
+                nbits -= 8
+                buf.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+    else:
+        for q in qs:
+            acc = (acc << (q + 1)) | 1
+            nbits += q + 1
+            while nbits >= 8:
+                nbits -= 8
+                buf.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+    w.acc, w.nbits = acc, nbits
 
 
 def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
