@@ -26,7 +26,6 @@ feature extraction over real corpora), same rationale as jpeg.py.
 
 from __future__ import annotations
 
-import bisect
 import struct
 
 import numpy as np
@@ -40,16 +39,17 @@ __all__ = ["decode_flac", "decode_flac_meta", "encode_flac"]
 
 class _BitReader:
     """MSB-first bit reader over bytes.  ``ones`` (optional) is the
-    sorted array of one-bit positions of ``data`` — with it,
-    ``read_unary`` is a single ``searchsorted`` instead of a
-    bit-at-a-time walk (the Rice-decode hot path; ~2× end-to-end)."""
+    sorted int64 ndarray of one-bit positions of ``data`` and ``pad8``
+    the zero-padded uint8 view of ``data`` — together they power the
+    fully vectorized Rice-partition decode (:func:`_decode_rice_vec`)."""
 
-    __slots__ = ("data", "pos", "ones")
+    __slots__ = ("data", "pos", "ones", "pad8")
 
-    def __init__(self, data: bytes, bit_pos: int = 0, ones=None):
+    def __init__(self, data: bytes, bit_pos: int = 0, ones=None, pad8=None):
         self.data = data
         self.pos = bit_pos          # absolute bit position
         self.ones = ones
+        self.pad8 = pad8
 
     def read(self, n: int) -> int:
         p = self.pos
@@ -125,6 +125,7 @@ def _make_crc_table(poly: int, width: int) -> list[int]:
 
 _CRC8_TBL = _make_crc_table(0x07, 8)
 _CRC16_TBL = _make_crc_table(0x8005, 16)
+_CRC16_TBL_NP = np.array(_CRC16_TBL, dtype=np.uint16)
 
 
 def _crc8(data: bytes) -> int:
@@ -134,8 +135,67 @@ def _crc8(data: bytes) -> int:
     return c
 
 
+def _crc16_shift_tables(levels: int = 26):
+    """``(hi, lo)`` uint16[256] pairs per level: advancing a CRC-16
+    state ``c`` by ``2**k`` ZERO bytes equals ``hi[k][c>>8] ^
+    lo[k][c&0xFF]``.  CRC is linear over GF(2), so the per-byte state
+    update is a linear map and its powers compose from split tables
+    (the standard crc-combine construction, cf. zlib crc32_combine)."""
+    def shift1(c: int) -> int:
+        return _CRC16_TBL[(c >> 8) & 0xFF] ^ ((c << 8) & 0xFFFF)
+
+    tbls = [(
+        np.array([shift1(b << 8) for b in range(256)], dtype=np.uint16),
+        np.array([shift1(b) for b in range(256)], dtype=np.uint16),
+    )]
+    for _ in range(levels - 1):
+        hi, lo = tbls[-1]
+
+        def app(v, hi=hi, lo=lo):
+            return hi[v >> 8] ^ lo[v & 0xFF]
+
+        tbls.append((
+            app(app(np.arange(256, dtype=np.uint16) << 8)),
+            app(app(np.arange(256, dtype=np.uint16))),
+        ))
+    return tbls
+
+
+_CRC16_SHIFT = _crc16_shift_tables()
+
+
+def _crc16_shift_by(c: int, nbytes: int) -> int:
+    """Advance CRC-16 state ``c`` by ``nbytes`` zero bytes."""
+    k = 0
+    while nbytes:
+        if nbytes & 1:
+            hi, lo = _CRC16_SHIFT[k]
+            c = int(hi[c >> 8]) ^ int(lo[c & 0xFF])
+        nbytes >>= 1
+        k += 1
+    return c
+
+
 def _crc16(data: bytes) -> int:
     c = 0
+    if len(data) >= 256:
+        # GF(2) segment combine: per-byte leaf CRCs, then log2(n)
+        # vectorized pair-combine rounds (crc(A||B) =
+        # shift_{|B|}(crc(A)) ^ crc(B)) — ~3x at frame sizes, exact
+        # (fuzz-pinned against the byte loop in tests/test_flac.py)
+        segs = _CRC16_TBL_NP[np.frombuffer(data, dtype=np.uint8)]
+        tail_crc, tail_len, k = 0, 0, 0
+        while len(segs) > 1:
+            if len(segs) & 1:
+                tail_crc = _crc16_shift_by(int(segs[-1]), tail_len) ^ tail_crc
+                tail_len += 1 << k
+                segs = segs[:-1]
+            hi, lo = _CRC16_SHIFT[k]
+            left = segs[0::2]
+            segs = (hi[left >> 8] ^ lo[left & 0xFF]) ^ segs[1::2]
+            k += 1
+        c = int(segs[0])
+        return _crc16_shift_by(c, tail_len) ^ tail_crc if tail_len else c
     for b in data:
         c = _CRC16_TBL[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
     return c
@@ -189,6 +249,100 @@ _FIXED_COEFS = {
 }
 
 
+def _gather_bits(pad8: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Vectorized read of ``width``-bit (<=31) fields at arbitrary
+    absolute bit offsets: 6-byte windows gathered from the zero-padded
+    stream bytes cover offset(<=7)+width(<=31) <= 38 bits."""
+    sb = starts >> 3
+    g = pad8[sb[:, None] + np.arange(6)].astype(np.uint64)
+    acc = (
+        (g[:, 0] << np.uint64(40)) | (g[:, 1] << np.uint64(32))
+        | (g[:, 2] << np.uint64(24)) | (g[:, 3] << np.uint64(16))
+        | (g[:, 4] << np.uint64(8)) | g[:, 5]
+    )
+    shift = np.uint64(48) - ((starts & 7).astype(np.uint64) + np.uint64(width))
+    return (acc >> shift) & np.uint64((1 << width) - 1)
+
+
+def _decode_rice_vec(
+    r: _BitReader, cnt: int, param: int, out: np.ndarray, idx: int
+) -> int:
+    """Vectorized Rice(param) partition decode (the residual hot path).
+
+    Each value consumes exactly one terminating one-bit and, for
+    ``param>0``, skips at most ``param`` ones (those inside its literal
+    field), so the chain of terminators lives within the next
+    ``cnt*(1+param)`` entries of the one-bit index: a windowed jump
+    table (``searchsorted(win, win+1+param)``) walked in one tight loop
+    replaces the per-sample cursor scan; quotients, low bits and the
+    zigzag map then compute vectorized.  Bit-identical to the scalar
+    walk (fuzz-pinned in tests/test_flac.py); ~3x at the 2048-sample
+    clip shape."""
+    if cnt <= 0:
+        return r.pos
+    ones = r.ones
+    n_ones = len(ones)
+    c0 = r.pos
+    step = 1 + param
+    i0 = int(np.searchsorted(ones, c0))
+    if param:
+        hi = min(n_ones, i0 + cnt * step)
+        win = ones[i0:hi]
+        nwin = hi - i0
+        J = np.searchsorted(win, win + step).tolist()
+        term = [0] * cnt
+        j = 0
+        try:
+            for t in range(cnt):
+                term[t] = j
+                j = J[j]
+        except IndexError:
+            raise ValueError("FLAC: bitstream truncated") from None
+        if term[-1] >= nwin:
+            raise ValueError("FLAC: bitstream truncated")
+        P = win[term]
+    else:
+        if i0 + cnt > n_ones:
+            raise ValueError("FLAC: bitstream truncated")
+        P = ones[i0 : i0 + cnt]
+    c_prev = np.empty(cnt, dtype=np.int64)
+    c_prev[0] = c0
+    if cnt > 1:
+        c_prev[1:] = P[:-1] + step
+    q = P - c_prev
+    new_c = int(P[-1]) + step
+    if new_c > len(r.data) * 8:
+        raise ValueError("FLAC: bitstream truncated")
+    if param:
+        low = _gather_bits(r.pad8, P + 1, param)
+        u = (q << param) | low.astype(np.int64)
+    else:
+        u = q
+    out[idx : idx + cnt] = (u >> 1) ^ -(u & 1)      # zigzag
+    return new_c
+
+
+def _read_verbatim_vec(
+    r: _BitReader, cnt: int, bits: int, out: np.ndarray, idx: int
+) -> int:
+    """Vectorized escape-partition decode: ``cnt`` consecutive signed
+    ``bits``-bit values at the cursor."""
+    c0 = r.pos
+    if cnt <= 0:
+        return c0
+    if bits == 0:
+        out[idx : idx + cnt] = 0
+        return c0
+    end = c0 + cnt * bits
+    if end > len(r.data) * 8:
+        raise ValueError("FLAC: bitstream truncated")
+    starts = c0 + np.arange(cnt, dtype=np.int64) * bits
+    v = _gather_bits(r.pad8, starts, bits).astype(np.int64)
+    s = np.int64(1) << np.int64(bits - 1)
+    out[idx : idx + cnt] = (v ^ s) - s          # sign extend
+    return end
+
+
 def _decode_residual(r: _BitReader, n: int, order: int) -> np.ndarray:
     method = r.read(2)
     if method > 1:
@@ -208,37 +362,16 @@ def _decode_residual(r: _BitReader, n: int, order: int) -> np.ndarray:
         param = r.read(plen)
         if param == escape:
             bits = r.read(5)
-            for _ in range(cnt):
-                out[idx] = r.read_signed(bits) if bits else 0
-                idx += 1
-        elif r.ones is not None:
-            # hot path: unary terminators come from the precomputed
-            # one-bit index (running cursor, monotone — no per-value
-            # search), remainders from one inline byte-window read;
-            # ~2× over per-bit reads on real Rice streams
-            ones = r.ones
-            data = r.data
-            n_ones = len(ones)
-            oi = bisect.bisect_left(ones, r.pos)
-            c = r.pos
-            mask = (1 << param) - 1
-            for _ in range(cnt):
-                while oi < n_ones and ones[oi] < c:
-                    oi += 1
-                if oi >= n_ones:
-                    raise ValueError("FLAC: bitstream truncated")
-                p = ones[oi]
-                oi += 1
-                u = (p - c) << param
-                c = p + 1
-                if param:
-                    end = (c + param + 7) >> 3
-                    chunk = int.from_bytes(data[c >> 3 : end], "big")
-                    u |= (chunk >> (((end - (c >> 3)) << 3) - (c & 7) - param)) & mask
-                    c += param
-                out[idx] = (u >> 1) ^ -(u & 1)      # zigzag
-                idx += 1
-            r.pos = c
+            if r.pad8 is not None:
+                r.pos = _read_verbatim_vec(r, cnt, bits, out, idx)
+                idx += cnt
+            else:
+                for _ in range(cnt):
+                    out[idx] = r.read_signed(bits) if bits else 0
+                    idx += 1
+        elif r.ones is not None and r.pad8 is not None:
+            r.pos = _decode_rice_vec(r, cnt, param, out, idx)
+            idx += cnt
         else:
             for _ in range(cnt):
                 q = r.read_unary()
@@ -350,15 +483,14 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     chan_parts: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
     total = info["total_samples"]
     got = 0
-    # one-bit index over the whole stream, built once — powers the
-    # searchsorted unary reads in every Rice partition
-    # plain list, not ndarray: the Rice hot loop indexes it per skipped
-    # one-bit, and list access avoids per-element numpy boxing (~3×)
-    ones = np.flatnonzero(
-        np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    ).tolist()
+    # one-bit index + zero-padded byte view over the whole stream, built
+    # once — they power the vectorized Rice/escape partition decodes
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    ones = np.flatnonzero(np.unpackbits(u8))
+    pad8 = np.zeros(len(u8) + 8, dtype=np.uint8)
+    pad8[: len(u8)] = u8
     while pos < len(data) and (not total or got < total):
-        r = _BitReader(data, pos * 8, ones=ones)
+        r = _BitReader(data, pos * 8, ones=ones, pad8=pad8)
         sync = r.read(14)
         if sync != 0x3FFE:
             raise ValueError("FLAC: lost frame sync")

@@ -44,6 +44,49 @@ def _perm_constants(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+def _minhash_sig(
+    a_: np.ndarray, b_: np.ndarray, hv: np.ndarray, uniq_counts: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) per-doc minima of ``(a*h + b) mod _MERSENNE``.
+
+    Arithmetic identical to the one-shot
+    ``np.minimum.reduceat((a[:,None]*h + b[:,None]) % M, starts, axis=1)``
+    but computed over doc-aligned column chunks (~8k shingles) into a
+    reused buffer: the one-shot form materializes a (num_perm, total)
+    int64 matrix (256 MB at 128x250k shingles) and is memory-bound —
+    chunking measured 2.4x at that shape (guide §4.2) and degenerates
+    to the same single pass for small batches.  ``hv`` must already be
+    masked into the universal-hash domain (int64, < 2^28) so
+    ``a*h + b`` stays within int64.
+    """
+    n_perm = len(a_)
+    n_docs = len(uniq_counts)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    starts[1:] = np.cumsum(uniq_counts)[:-1]
+    ends = starts + uniq_counts
+    sig = np.empty((n_perm, n_docs), dtype=np.int64)
+    a_col, b_col = a_[:, None], b_[:, None]
+    target = 8192
+    buf = None
+    d0 = 0
+    while d0 < n_docs:
+        d1 = min(
+            int(np.searchsorted(ends, starts[d0] + target, side="left")) + 1,
+            n_docs,
+        )
+        s0, s1 = int(starts[d0]), int(ends[d1 - 1])
+        w = s1 - s0
+        if buf is None or buf.shape[1] < w:
+            buf = np.empty((n_perm, max(w, target)), dtype=np.int64)
+        t = buf[:, :w]
+        np.multiply(a_col, hv[None, s0:s1], out=t)
+        t += b_col
+        t %= _MERSENNE
+        sig[:, d0:d1] = np.minimum.reduceat(t, starts[d0:d1] - s0, axis=1)
+        d0 = d1
+    return sig.T
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -157,7 +200,6 @@ def minhash_signatures(
         import re
 
         a_, b_ = bc.value
-        M = _MERSENNE
         tok_re = re.compile(r"[^a-z0-9]+")
         mask28 = np.uint64((1 << 28) - 1)
         mask60 = np.uint64((1 << 60) - 1)
@@ -216,14 +258,11 @@ def minhash_signatures(
             keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
             hs, ds = hs[keep], ds[keep]
             uniq_counts = np.bincount(ds, minlength=n_docs)
-            # (num_perm, total) universal-hash matrix, segment-min per
-            # doc via reduceat (int64-safe: see _MERSENNE sizing note)
-            m = (
-                a_[:, None] * (hs & mask28).astype(np.int64)[None, :] + b_[:, None]
-            ) % M
-            starts = np.zeros(n_docs, dtype=np.int64)
-            starts[1:] = np.cumsum(uniq_counts)[:-1]
-            sig = np.minimum.reduceat(m, starts, axis=1).T
+            # universal-hash segment-min per doc, computed in doc-aligned
+            # cache-sized chunks (int64-safe: see _MERSENNE sizing note)
+            sig = _minhash_sig(
+                a_, b_, (hs & mask28).astype(np.int64), uniq_counts
+            )
             out = {"doc_id": pdf["doc_id"], "sig": list(sig)}
             if with_shingle_hashes:
                 h64 = hs.astype(np.int64)

@@ -226,3 +226,42 @@ def test_filter_against_drops_contaminated(spark):
     assert 0 not in kept and 1 not in kept
     assert kept == {r.doc_id for r in left.collect()} - {0, 1}
     assert clean.columns == left.columns
+
+
+def test_minhash_sig_chunked_equals_one_shot():
+    """r12: the cache-blocked _minhash_sig must be bit-identical to the
+    textbook one-shot reduceat over every chunk-boundary shape —
+    single-doc batches, docs straddling the 8k chunk target, giant docs
+    larger than one chunk, and tiny tail docs."""
+    import numpy as np
+
+    from knowhere_spark.operators.dedup import (
+        _MERSENNE,
+        _minhash_sig,
+        _perm_constants,
+    )
+
+    rng = np.random.default_rng(5)
+    a_, b_ = _perm_constants(128, 42)
+    shapes = [
+        [1],
+        [5, 7, 3],
+        [8192],
+        [8191, 1, 8193],
+        [20000, 3, 20000],
+        list(rng.integers(1, 400, size=300)),
+        list(rng.integers(1, 9000, size=12)),
+    ]
+    for counts in shapes:
+        uniq_counts = np.array(counts, dtype=np.int64)
+        total = int(uniq_counts.sum())
+        hv = rng.integers(0, 1 << 28, size=total, dtype=np.int64)
+        starts = np.zeros(len(uniq_counts), dtype=np.int64)
+        starts[1:] = np.cumsum(uniq_counts)[:-1]
+        ref = np.minimum.reduceat(
+            (a_[:, None] * hv[None, :] + b_[:, None]) % _MERSENNE,
+            starts,
+            axis=1,
+        ).T
+        got = _minhash_sig(a_, b_, hv, uniq_counts)
+        assert np.array_equal(got, ref), counts

@@ -442,3 +442,120 @@ def test_flac_through_audio_neardup(spark):
         for r in audio_neardup_pairs(media, threshold=0.99).collect()
     }
     assert pairs == {(0, 1), (2, 3), (4, 5), (6, 7)}
+
+
+# ---------------------------------------------------------------------------
+# r12: vectorized Rice/CRC paths pinned against scalar references
+# ---------------------------------------------------------------------------
+
+def _scalar_rice_partition(data, ones_list, c0, cnt, param):
+    """Pre-r12 per-sample Rice walk — the reference the vectorized
+    decode must match bit-for-bit."""
+    import bisect
+
+    out = np.empty(cnt, dtype=np.int64)
+    oi = bisect.bisect_left(ones_list, c0)
+    c = c0
+    n_ones = len(ones_list)
+    mask = (1 << param) - 1
+    for i in range(cnt):
+        while oi < n_ones and ones_list[oi] < c:
+            oi += 1
+        if oi >= n_ones:
+            raise ValueError("FLAC: bitstream truncated")
+        p = ones_list[oi]
+        oi += 1
+        u = (p - c) << param
+        c = p + 1
+        if param:
+            end = (c + param + 7) >> 3
+            chunk = int.from_bytes(data[c >> 3 : end], "big")
+            u |= (chunk >> (((end - (c >> 3)) << 3) - (c & 7) - param)) & mask
+            c += param
+        out[i] = (u >> 1) ^ -(u & 1)
+    return out, c
+
+
+def test_rice_vec_matches_scalar_walk():
+    """_decode_rice_vec is bit-identical to the scalar cursor walk over
+    fuzzed partitions: params 0-17 (incl. rice2 range), misaligned
+    start cursors, mixed-sign residuals."""
+    from knowhere_spark.functions.flac import _BitReader, _decode_rice_vec
+
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        param = int(rng.integers(0, 18))
+        cnt = int(rng.integers(1, 500))
+        vals = rng.integers(-(1 << (param + 3)), 1 << (param + 3), size=cnt)
+        w = _BitWriter()
+        off = int(rng.integers(0, 13))
+        if off:
+            w.write(int(rng.integers(0, 1 << off)), off)
+        for v in vals:
+            u = (int(v) << 1) if v >= 0 else ((-int(v)) << 1) - 1
+            w.write_unary(u >> param)
+            if param:
+                w.write(u & ((1 << param) - 1), param)
+        w.align()
+        data = w.bytes()
+        u8 = np.frombuffer(data, dtype=np.uint8)
+        ones = np.flatnonzero(np.unpackbits(u8))
+        pad8 = np.zeros(len(u8) + 8, dtype=np.uint8)
+        pad8[: len(u8)] = u8
+        ref, c_ref = _scalar_rice_partition(data, ones.tolist(), off, cnt, param)
+        r = _BitReader(data, off, ones=ones, pad8=pad8)
+        out = np.empty(cnt, dtype=np.int64)
+        c_new = _decode_rice_vec(r, cnt, param, out, 0)
+        assert c_new == c_ref, (trial, param, cnt, off)
+        assert np.array_equal(out, ref), (trial, param, cnt, off)
+
+
+def test_verbatim_vec_matches_scalar_reads():
+    """_read_verbatim_vec (escape partitions) equals sequential
+    read_signed for widths 1-31 at misaligned cursors."""
+    from knowhere_spark.functions.flac import _BitReader, _read_verbatim_vec
+
+    rng = np.random.default_rng(8)
+    for trial in range(80):
+        bits = int(rng.integers(1, 32))
+        cnt = int(rng.integers(1, 300))
+        vals = rng.integers(-(1 << (bits - 1)), 1 << (bits - 1), size=cnt)
+        w = _BitWriter()
+        off = int(rng.integers(0, 9))
+        if off:
+            w.write(int(rng.integers(0, 1 << off)), off)
+        for v in vals:
+            w.write(int(v) & ((1 << bits) - 1), bits)
+        w.align()
+        data = w.bytes()
+        ref_r = _BitReader(data, off)
+        ref = np.array(
+            [ref_r.read_signed(bits) for _ in range(cnt)], dtype=np.int64
+        )
+        u8 = np.frombuffer(data, dtype=np.uint8)
+        pad8 = np.zeros(len(u8) + 8, dtype=np.uint8)
+        pad8[: len(u8)] = u8
+        r = _BitReader(data, off, pad8=pad8)
+        out = np.empty(cnt, dtype=np.int64)
+        c_new = _read_verbatim_vec(r, cnt, bits, out, 0)
+        assert c_new == ref_r.pos
+        assert np.array_equal(out, ref), (trial, bits, cnt, off)
+
+
+def test_crc16_combine_matches_byte_loop():
+    """The GF(2) segment-combine CRC-16 equals the byte-at-a-time table
+    loop on random lengths spanning the vector threshold."""
+    from knowhere_spark.functions.flac import _CRC16_TBL
+
+    def crc16_loop(data):
+        c = 0
+        for b in data:
+            c = _CRC16_TBL[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+        return c
+
+    rng = np.random.default_rng(9)
+    lengths = [0, 1, 2, 255, 256, 257, 511, 1024]
+    lengths += [int(x) for x in rng.integers(0, 8000, size=40)]
+    for n in lengths:
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert _crc16(data) == crc16_loop(data), n
