@@ -675,33 +675,44 @@ class ShardedHNSWIndex:
             # unionByName(swap) plan evaluated the whole assign2+local_knn
             # chain TWICE — Spark does not dedup the common subtree across
             # union branches when a Python node sits above the exchange
-            # (see hnsw.py local_knn; same fix, guide §1.2).
-            from knowhere_spark.operators.hnsw import _REV_RANK
+            # (see hnsw.py local_knn; same fix, guide §1.2).  Reverse
+            # copies of MUTUAL pairs are dominated in the downstream
+            # min-agg and drop before the shuffle (see hnsw.py
+            # _undominated_reverse_mask; guide §2.3).
+            from knowhere_spark.operators.hnsw import (
+                _REV_RANK,
+                _undominated_reverse_mask,
+            )
 
             dd = d[src_pos, dst_pos]
+            keep_rev = _undominated_reverse_mask(src_pos, dst_pos, dd)
             m_edges = len(src_pos)
+            n_rev = int(keep_rev.sum())
             return pa.table(
                 {
                     "__shard": pa.array(
-                        np.full(2 * m_edges, int(key[0].as_py()), dtype=np.int32),
+                        np.full(
+                            m_edges + n_rev, int(key[0].as_py()),
+                            dtype=np.int32,
+                        ),
                         type=pa.int32(),
                     ),
                     "src": pa.array(
-                        np.concatenate([ids[src_pos], ids[dst_pos]]),
+                        np.concatenate([ids[src_pos], ids[dst_pos[keep_rev]]]),
                         type=pa.int64(),
                     ),
                     "dst": pa.array(
-                        np.concatenate([ids[dst_pos], ids[src_pos]]),
+                        np.concatenate([ids[dst_pos], ids[src_pos[keep_rev]]]),
                         type=pa.int64(),
                     ),
                     "dist": pa.array(
-                        np.concatenate([dd, dd]), type=pa.float64()
+                        np.concatenate([dd, dd[keep_rev]]), type=pa.float64()
                     ),
                     "sel_rank": pa.array(
                         np.concatenate(
                             [
                                 sel_rank.astype(np.int32, copy=False),
-                                np.full(m_edges, _REV_RANK, dtype=np.int32),
+                                np.full(n_rev, _REV_RANK, dtype=np.int32),
                             ]
                         ),
                         type=pa.int32(),

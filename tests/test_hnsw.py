@@ -318,3 +318,67 @@ def test_hnsw_trace_cosine_direction(spark):
     assert all(-1.001 <= r["distance"] <= 1.001 for r in vrows)
     best = max(r["distance"] for r in rrows)
     assert best >= max(r["distance"] for r in vrows) - 1e-6
+
+
+def test_reverse_drop_preserves_aggregated_edges():
+    """r12: dropping dominated reverse copies in-kernel must leave the
+    downstream groupBy(src,dst).agg(min(dist), min(sel_rank)) result
+    bit-identical — fuzzed over random selections incl. asymmetric
+    distance values and full-mutual cliques."""
+    import numpy as np
+
+    from knowhere_spark.operators.hnsw import (
+        _REV_RANK,
+        _undominated_reverse_mask,
+    )
+
+    rng = np.random.default_rng(13)
+
+    def agg(edges):
+        out = {}
+        for s, t, dist, rank in edges:
+            k = (s, t)
+            if k in out:
+                out[k] = (min(out[k][0], dist), min(out[k][1], rank))
+            else:
+                out[k] = (dist, rank)
+        return out
+
+    for trial in range(60):
+        n = int(rng.integers(3, 60))
+        kk = int(rng.integers(1, min(8, n - 1) + 1))
+        # random selection: per node, kk distinct neighbors
+        src, dst, rank = [], [], []
+        for i in range(n):
+            nbrs = rng.choice([j for j in range(n) if j != i], kk, replace=False)
+            src += [i] * kk
+            dst += list(nbrs)
+            rank += list(range(kk))
+        src = np.array(src, dtype=np.int64)
+        dst = np.array(dst, dtype=np.int64)
+        rank = np.array(rank, dtype=np.int64)
+        if trial % 3 == 0:
+            # symmetric distances (the real kernel's case)
+            dm = rng.random((n, n))
+            dm = dm + dm.T
+            dd = dm[src, dst]
+        elif trial % 3 == 1:
+            # adversarial: fully asymmetric distance values
+            dd = rng.random(len(src))
+        else:
+            # heavy ties
+            dd = rng.integers(0, 3, size=len(src)).astype(np.float64)
+        full = (
+            [(s, t, d_, r_) for s, t, d_, r_ in zip(src, dst, dd, rank)]
+            + [(t, s, d_, _REV_RANK) for s, t, d_ in zip(src, dst, dd)]
+        )
+        keep = _undominated_reverse_mask(src, dst, dd)
+        dropped = (
+            [(s, t, d_, r_) for s, t, d_, r_ in zip(src, dst, dd, rank)]
+            + [
+                (t, s, d_, _REV_RANK)
+                for s, t, d_, k_ in zip(src, dst, dd, keep)
+                if k_
+            ]
+        )
+        assert agg(full) == agg(dropped), trial
