@@ -178,7 +178,10 @@ def _crc16_shift_by(c: int, nbytes: int) -> int:
 
 def _crc16(data: bytes) -> int:
     c = 0
-    if len(data) >= 256:
+    if 256 <= len(data) < (1 << 26):
+        # (inputs >= 2^26 B — far beyond any spec-conformant frame —
+        # would outrun the precomputed shift tables; they take the
+        # any-length byte loop below instead of raising)
         # GF(2) segment combine: per-byte leaf CRCs, then log2(n)
         # vectorized pair-combine rounds (crc(A||B) =
         # shift_{|B|}(crc(A)) ^ crc(B)) — ~3x at frame sizes, exact
@@ -293,13 +296,14 @@ def _decode_rice_vec(
         term = [0] * cnt
         j = 0
         try:
+            # any walk past the window raises IndexError here (J values
+            # are bounded by nwin and J[nwin] does not exist), which is
+            # exactly the out-of-ones truncation case
             for t in range(cnt):
                 term[t] = j
                 j = J[j]
         except IndexError:
             raise ValueError("FLAC: bitstream truncated") from None
-        if term[-1] >= nwin:
-            raise ValueError("FLAC: bitstream truncated")
         P = win[term]
     else:
         if i0 + cnt > n_ones:
@@ -358,7 +362,11 @@ def _decode_residual(r: _BitReader, n: int, order: int) -> np.ndarray:
     for p in range(n_parts):
         cnt = n >> part_order
         if p == 0:
-            cnt -= order
+            # a malformed stream can declare order > n >> part_order;
+            # the scalar loops ran range(cnt) (zero iterations) — clamp
+            # so the vectorized paths keep that exact behavior instead
+            # of walking idx backwards
+            cnt = max(cnt - order, 0)
         param = r.read(plen)
         if param == escape:
             bits = r.read(5)

