@@ -2247,7 +2247,11 @@ def _dtype_rt_sql(x: str, kind: str) -> str:
     quantum; value = sign·round_half_even(|x|·2^−q)·2^q.  Power-of-two
     scaling is exact in float64, so the mirror is bit-exact."""
     if kind == "int8":
-        return f"least(greatest(round_even({x}, 0), -128.0), 127.0)"
+        # `+ 0.0` normalizes IEEE -0.0 (round_even of x in (-0.5, 0))
+        # to +0.0: the int8 wire format (astype(np.int8)) cannot carry a
+        # signed zero, so the decoded Spark side always emits +0.0 and
+        # the mirror must match at the repr/hash level, not just ==
+        return f"least(greatest(round_even({x}, 0), -128.0), 127.0) + 0.0"
     if kind == "fp16":
         q = f"greatest(CAST(floor(log2(abs({x}))) AS BIGINT) - 10, -24)"
     elif kind == "bf16":

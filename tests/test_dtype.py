@@ -200,3 +200,45 @@ def test_quantize_vec_col_spark_matches_numpy(spark):
     got = np.array([r["vec"] for r in out], dtype=np.float32)
     want = quantize_matrix(np.asarray(base, dtype=np.float32), "BF16")
     np.testing.assert_array_equal(got, want)
+
+
+# --- oracle mirror parity (repr-level, sign-of-zero regression) --------------
+
+def test_oracle_mirror_matches_codec_at_repr_level():
+    """The DuckDB `_dtype_rt_sql` mirror must match encode/decode_bytes
+    byte-for-byte at the repr level, not just numerically: `-0.0 == 0.0`
+    is True but the driver's hash distinguishes them (r12 regression —
+    the int8 wire format cannot carry a signed zero, so every x in
+    (-0.5, 0) decodes to +0.0 while the naive mirror preserved -0.0)."""
+    duckdb = pytest.importorskip("duckdb")
+    import __spark_entry__ as entry_mod
+
+    vals = np.array(
+        [
+            -0.0, 0.0, -0.4999, -0.5, -0.25, 0.4999, 0.5,
+            -1e-9, 1e-9,                  # fp16/bf16 flush-to-zero band
+            -2.0 ** -25, 2.0 ** -25,      # fp16 subnormal boundary
+            -2.0 ** -26, -6e-8,           # below the fp16 subnormal quantum
+            -127.5, 127.5, -128.4, 128.4, -200.0, 200.0,
+            0.28125, -0.28125,            # decimal round-half ties
+            1.0009765625, -1.0009765625,  # fp16 mantissa ties
+            65504.0, 65520.0, -65520.0,   # fp16 saturation edge
+        ],
+        dtype=np.float32,
+    )
+    M = vals.reshape(1, -1)
+    con = duckdb.connect()
+    for kind, vt in (("fp16", "FP16"), ("bf16", "BF16"), ("int8", "INT8")):
+        codec = decode_bytes(encode_bytes(M, vt), vt).astype(np.float64)[0]
+        sql = entry_mod._dtype_rt_sql("x", kind)
+        got = [
+            con.execute(f"SELECT {sql} FROM (SELECT CAST(? AS DOUBLE) x)",
+                        [float(v)]).fetchone()[0]
+            for v in vals.astype(np.float64)
+        ]
+        for v, g, c in zip(vals, got, codec):
+            if np.isnan(c):
+                assert np.isnan(g), (kind, v)
+                continue
+            # repr comparison: catches sign-of-zero where == cannot
+            assert repr(float(g)) == repr(float(c)), (kind, float(v), g, c)

@@ -24,7 +24,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # repr-level, like the driver's hash: float equality would hide
+        # sign-of-zero divergence (-0.0 == 0.0 but hashes differently) —
+        # exactly the gap that let the r12 int8 codec mirror slip through
+        return repr(round(v, 6))
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v
