@@ -915,12 +915,28 @@ class ShardedHNSWIndex:
         metric = MetricType(self.config.metric_type)
         ids_in = [int(i) for i, _ in need]
         try:
+            # overlap the two collect jobs (guide §2.6): the edge scan
+            # runs in a driver thread while the vector scan runs here —
+            # the cold routed search pays max() instead of sum() of the
+            # two job walls
+            from pyspark import InheritableThread
+
+            et_box: list = [None]
+
+            def _collect_edges() -> None:
+                et_box[0] = edge_tbl.filter(
+                    F.col("__shard").isin(ids_in)
+                ).select("__shard", "src", "dst").toArrow()
+
+            t = InheritableThread(target=_collect_edges)
+            t.start()
             vt = vec_tbl.filter(F.col("__shard").isin(ids_in)).select(
                 "__shard", "id", "vec"
             ).toArrow()
-            et = edge_tbl.filter(F.col("__shard").isin(ids_in)).select(
-                "__shard", "src", "dst"
-            ).toArrow()
+            t.join()
+            et = et_box[0]
+            if et is None:
+                raise RuntimeError("edge collect failed")
         except Exception:
             return   # Arrow path unavailable → per-shard collects
         v_sh = vt.column(0).combine_chunks().to_numpy(zero_copy_only=False)
@@ -997,7 +1013,7 @@ class ShardedHNSWIndex:
     def _batched_beam_search(
         self, tagged: DataFrame, k: int, ef: int, bc_map: dict, score_acc=None
     ) -> DataFrame:
-        """ONE ``mapInPandas`` beam over ``(query_id, vec, __shard)``
+        """ONE ``mapInArrow`` beam over ``(query_id, vec, __shard)``
         rows — the many-small-shards serving shape.  Each group resolves
         its shard's memoized graph broadcast (the per-shard handles ride
         the closure, so warm-search memoization is unchanged) and runs
@@ -1007,6 +1023,12 @@ class ShardedHNSWIndex:
         1M probe measured the per-shard driver overhead at ~0.5 s/shard,
         which at 170 probed shards was 10× the actual beam work.
 
+        Arrow-native (guide §4.2, r13): the former ``mapInPandas`` made
+        the COLD routed search the session's first pandas-path job once
+        the r12 build went Arrow — every task slot paid the pandas import
+        simultaneously, a cost that scales with the core count (the
+        32-core-only cold regression the r12 verdict flagged).
+
         Returns per-(query, shard) top-k partials
         ``(query_id, neighbor_id, distance)``; the caller merges."""
         from knowhere_spark.operators.hnsw import _beam_traverse, _dense_scorer
@@ -1015,19 +1037,36 @@ class ShardedHNSWIndex:
         metric = MetricType(self.config.metric_type)
         is_sim = metric.is_similarity
 
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(batches):
+            import pyarrow as pa
+
+            from knowhere_spark.functions.arrowio import (
+                list_matrix,
+                scalar_column,
+            )
+
             stamps: dict[int, np.ndarray] = {}
             qno = 0
             scored_n = [0]
-            for pdf in batches:
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([rb])
+                qids_all = scalar_column(tbl, "query_id", np.int64)
+                s_all = scalar_column(tbl, "__shard", np.int64)
+                # float32 passthrough: the stored vecs are float32 and
+                # _dense_scorer casts to float32 anyway — same bits as
+                # the former pandas cell path
+                X = list_matrix(tbl, "vec", np.float32)
                 out_q, out_n, out_d = [], [], []
-                for sh, grp in pdf.groupby("__shard"):
+                for sh in np.unique(s_all):   # ascending, like pd.groupby
+                    rows = np.flatnonzero(s_all == sh)
                     ids_, indptr_, indices_, entries, extra = bc_map[int(sh)].value
                     stamp = stamps.setdefault(
                         int(sh), np.zeros(len(ids_), dtype=np.int64)
                     )
-                    for qid, qvec in zip(grp["query_id"], grp["vec"]):
-                        score = _dense_scorer(extra, qvec)
+                    for r in rows:
+                        score = _dense_scorer(extra, X[r])
                         if score_acc is not None:
                             def score(pos, _s=score):
                                 scored_n[0] += len(pos)
@@ -1039,17 +1078,22 @@ class ShardedHNSWIndex:
                         )
                         top = sorted(((-nk, p) for nk, p in res))[:k]
                         for s, p in top:
-                            out_q.append(int(qid))
+                            out_q.append(int(qids_all[r]))
                             out_n.append(int(ids_[p]))
                             out_d.append(-s if is_sim else s)
                 if score_acc is not None and scored_n[0]:
                     score_acc.add(scored_n[0])
                     scored_n[0] = 0
-                yield pd.DataFrame(
-                    {"query_id": out_q, "neighbor_id": out_n, "distance": out_d}
+                yield pa.record_batch(
+                    [
+                        pa.array(np.asarray(out_q, dtype=np.int64)),
+                        pa.array(np.asarray(out_n, dtype=np.int64)),
+                        pa.array(np.asarray(out_d, dtype=np.float64)),
+                    ],
+                    names=["query_id", "neighbor_id", "distance"],
                 )
 
-        return ensure_parallelism(tagged).mapInPandas(
+        return ensure_parallelism(tagged).mapInArrow(
             kernel, "query_id long, neighbor_id long, distance double"
         )
 
@@ -1207,8 +1251,22 @@ class ShardedHNSWIndex:
 
         # span open (tracing.py; per-shard beams carry their own spans —
         # this one records the shard-level routing decision)
+        import time as _time
+
         from knowhere_spark.tracing import OpMetrics, op_description
 
+        _t0 = _time.monotonic()
+        _stages: dict[str, float] = {}
+
+        def _mark(label: str) -> None:
+            # per-phase wall (guide §1: measure) — same machinery as
+            # build_stages; read via idx.search_stages after a search
+            nonlocal _t0
+            now = _time.monotonic()
+            _stages[label] = round(now - _t0, 3)
+            _t0 = now
+
+        self.search_stages = _stages
         n_live = sum(s is not None for s in self.shards)
         m = OpMetrics(
             op="SHARDED_HNSW.search", k=k, n_shards=len(self.shards),
@@ -1239,6 +1297,7 @@ class ShardedHNSWIndex:
                 int(r["cell_id"])
                 for r in routed.select("cell_id").distinct().collect()
             }
+            _mark("routing_sec")
             # a routed cluster means ALL its (hash-split) sub-shards
             only = {
                 sh
@@ -1281,7 +1340,9 @@ class ShardedHNSWIndex:
             wave = waves[0]
             spark = query_df.sparkSession
             self._prefetch_wave(wave)
+            _mark("prefetch_sec")
             bc_map = {i: s._graph_bc() for i, s in wave}
+            _mark("bc_install_sec")
             eff_ef = max(ef if ef is not None else self.config.ef, k)
             tagged = self._tagged_queries(
                 wave, routed, query_df, query_id_col, query_vec_col
@@ -1295,6 +1356,7 @@ class ShardedHNSWIndex:
                 ascending=not metric.is_similarity,
                 tie_breaker="neighbor_id",
             ).localCheckpoint(eager=True)
+            _mark("beam_exec_sec")
             if routed is not None:
                 routed.unpersist()
             return out
