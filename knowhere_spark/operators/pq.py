@@ -493,7 +493,11 @@ class IVFPqIndex:
         )
 
     def _search_distributed(self, queries, k, nprobe, metric, filter_expr):
-        from knowhere_spark.operators.ivf import cogroup_cells_topk, probe_assign_df
+        from knowhere_spark.operators.ivf import (
+            clustered_search_view,
+            cogroup_cells_topk,
+            probe_assign_df,
+        )
 
         probes = probe_assign_df(queries, self.centroids, metric, nprobe)
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
@@ -511,7 +515,10 @@ class IVFPqIndex:
         # project away the optional raw-vec column BEFORE the cell shuffle —
         # the ADC kernel reads codes only; refine re-joins raw vectors later
         return cogroup_cells_topk(
-            self.codes.select("id", "cell_id", "codes"), probes, k, dist_metric,
+            clustered_search_view(
+                self, self.codes.select("id", "cell_id", "codes")
+            ),
+            probes, k, dist_metric,
             filter_expr=filter_expr, row_matrix=decode,
         )
 
@@ -528,7 +535,11 @@ class IVFPqIndex:
         """ADC distance-in-range within probed cells (half-open bounds per
         range_util.h:22-25) — codeword reconstruction inside the cogroup
         kernel, identical arithmetic to the LUT sum."""
-        from knowhere_spark.operators.ivf import cogroup_cells_range, probe_assign_df
+        from knowhere_spark.operators.ivf import (
+            clustered_search_view,
+            cogroup_cells_range,
+            probe_assign_df,
+        )
         from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
         cfg = config or self.config
@@ -554,7 +565,10 @@ class IVFPqIndex:
             )
 
         out = cogroup_cells_range(
-            self.codes.select("id", "cell_id", "codes"), probes, lo, hi, sim,
+            clustered_search_view(
+                self, self.codes.select("id", "cell_id", "codes")
+            ),
+            probes, lo, hi, sim,
             dist_metric, filter_expr=filter_expr, row_matrix=decode,
         )
         return apply_range_bounds(out, cfg, already_bounded=True)

@@ -402,7 +402,11 @@ class IVFSq8Index:
         )
 
     def _search_distributed(self, queries, k, nprobe, metric, filter_expr):
-        from knowhere_spark.operators.ivf import cogroup_cells_topk, probe_assign_df
+        from knowhere_spark.operators.ivf import (
+            clustered_search_view,
+            cogroup_cells_topk,
+            probe_assign_df,
+        )
 
         probes = probe_assign_df(queries, self.centroids, metric, nprobe)
         dist_metric = MetricType.IP if metric == MetricType.COSINE else metric
@@ -416,7 +420,7 @@ class IVFSq8Index:
             return lo_ + codes / lv_ * diff_
 
         return cogroup_cells_topk(
-            self.assignments, probes, k, dist_metric,
+            clustered_search_view(self), probes, k, dist_metric,
             filter_expr=filter_expr, row_matrix=decode,
         )
 
@@ -434,7 +438,11 @@ class IVFSq8Index:
         the IVF range path on quantized storage (half-open bounds per
         range_util.h:22-25).  Served through the cogroup machinery, which
         is correct at any nq."""
-        from knowhere_spark.operators.ivf import cogroup_cells_range, probe_assign_df
+        from knowhere_spark.operators.ivf import (
+            clustered_search_view,
+            cogroup_cells_range,
+            probe_assign_df,
+        )
         from knowhere_spark.operators.topk import apply_range_bounds, topk_per_key
 
         cfg = config or self.config
@@ -459,7 +467,7 @@ class IVFSq8Index:
             return lo_ + codes / lv_ * diff_
 
         out = cogroup_cells_range(
-            self.assignments, probes, lo, hi, sim, dist_metric,
+            clustered_search_view(self), probes, lo, hi, sim, dist_metric,
             filter_expr=filter_expr, row_matrix=decode,
         )
         return apply_range_bounds(out, cfg, already_bounded=True)
