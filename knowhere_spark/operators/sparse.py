@@ -53,6 +53,45 @@ def sparse_to_postings(
     )
 
 
+_POSTINGS_PARTITION_BYTES = 32 << 20   # target cached-partition size
+_POSTING_ROW_BYTES = 48                # term string + doc_id + value + overhead
+_DOC_STAT_ROW_BYTES = 24
+
+
+def _right_size_index_caches(postings, doc_stats, n_docs, avgdl, scalar_cols):
+    """Shrink the cached postings/doc_stats to a SIZE-derived partition
+    count (guide §2.2/§6: partitions sized by bytes, never by the
+    session's ``spark.sql.shuffle.partitions``).
+
+    The cached layout otherwise inherits the build's groupBy partition
+    count — at high core counts a few-MB index is cached as dozens of
+    near-empty partitions and EVERY search pays one scan task per
+    partition plus that many map-side shuffle blocks (measured at sf0.1:
+    nq=1 BM25 search min 0.86 s → 0.66 s on local[32] with 4+1
+    partitions, dropping the 32-core time below the stock 8-core time —
+    the inverse-scaling signature).  Only ever SHRINKS: corpus-scale
+    postings keep their natural partitioning, so this is a no-op at
+    100 TB where the estimate exceeds the current count.  Score sums may
+    reassociate (≤1 ulp drift — the same drift a different core count
+    already causes; the entry layer's round(4) absorbs it)."""
+    est_rows = max(1.0, float(n_docs) * max(float(avgdl), 1.0))
+    want_p = max(1, int(est_rows * _POSTING_ROW_BYTES
+                        // _POSTINGS_PARTITION_BYTES) + 1)
+    if want_p >= postings.rdd.getNumPartitions():
+        return postings, doc_stats
+    old_p, old_d = postings, doc_stats
+    postings = old_p.repartition(want_p, "term").cache()
+    postings.count()   # fill the new cache from the old one, not the source
+    want_d = max(1, int(n_docs * _DOC_STAT_ROW_BYTES
+                        // _POSTINGS_PARTITION_BYTES) + 1)
+    # doc_stats values are already aggregated — a pure relayout, bit-exact
+    doc_stats = old_d.coalesce(want_d).cache()
+    doc_stats.count()
+    old_p.unpersist()
+    old_d.unpersist()
+    return postings, doc_stats
+
+
 def bm25_score_expr(
     tf: Column, doc_len: Column, k1: float, b: float, avgdl: float
 ) -> Column:
@@ -123,14 +162,21 @@ class SparseInvertedIndex:
             # doc-level scalars are constant per doc — first() is exact
             *(F.first(c).alias(c) for c in scalar_cols),
         ).cache()
-        term_stats = postings.groupBy("term").agg(
-            F.max("value").alias("max_value"),
-            F.count("*").alias("df"),
-        )
         # one action for both build-time statistics
         row = doc_stats.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).collect()[0]
+        if not n_partitions:
+            postings, doc_stats = _right_size_index_caches(
+                postings, doc_stats, int(row["n"]), float(row["avgdl"]),
+                scalar_cols,
+            )
+        # bind to the FINAL postings cache (the right-sized one when it
+        # applies) so lazy reads never fall back to the source lineage
+        term_stats = postings.groupBy("term").agg(
+            F.max("value").alias("max_value"),
+            F.count("*").alias("df"),
+        )
         return cls(
             postings, doc_stats, term_stats, config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
@@ -176,13 +222,18 @@ class SparseInvertedIndex:
             F.sum("value").alias("doc_len"),
             *(F.first(c).alias(c) for c in scalar_cols),
         ).cache()
+        row = doc_stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        if not n_partitions:
+            postings, doc_stats = _right_size_index_caches(
+                postings, doc_stats, int(row["n"]), float(row["avgdl"]),
+                scalar_cols,
+            )
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"),
             F.count("*").alias("df"),
         )
-        row = doc_stats.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
         return cls(
             postings, doc_stats, term_stats, config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
@@ -215,13 +266,17 @@ class SparseInvertedIndex:
             F.sum("value").alias("doc_len"),
             *(F.first(c).alias(c) for c in self.scalar_cols),
         ).cache()
+        row = doc_stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        postings, doc_stats = _right_size_index_caches(
+            postings, doc_stats, int(row["n"]), float(row["avgdl"]),
+            self.scalar_cols,
+        )
         term_stats = postings.groupBy("term").agg(
             F.max("value").alias("max_value"),
             F.count("*").alias("df"),
         )
-        row = doc_stats.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
         return SparseInvertedIndex(
             postings, doc_stats, term_stats, self.config,
             n_docs=int(row["n"]), avgdl=float(row["avgdl"]),

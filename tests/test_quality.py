@@ -257,3 +257,32 @@ def test_trigram_short_docs_row_preserving(spark):
     assert out[0].n_events == 0 and out[0].avg_logprob is None
     assert out[1].n_events == 0
     lm.release()
+
+
+def test_perplexity_buckets_production_path_never_sorts_per_group(spark):
+    """The CCNet bucket gate runs perplexity_buckets(exact=True) — a
+    per-group rank window that is oracle-grade but is the 100 TB
+    anti-pattern (a per-group sort of English).  The PRODUCTION default
+    must stay the mergeable percentile_approx sketch, and the bench
+    entry's scoring plan must never contain the gate's window.  Pins the
+    two paths apart (VERDICT r12 #8)."""
+    from knowhere_spark.operators.quality import perplexity_buckets
+
+    lm = NgramLM.train(_train_corpus(spark))
+    scored = lm.score(_train_corpus(spark)).withColumn("lang", F.lit("en"))
+
+    # the bench entry's plan (NgramLM.score) carries no rank window
+    bench_plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in bench_plan
+
+    # production default: sketch, no per-group sort window
+    prod = perplexity_buckets(scored)
+    prod_plan = prod._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in prod_plan
+    assert "row_number" not in prod_plan
+
+    # the gate's exact mode is the ONLY place the window appears
+    gate = perplexity_buckets(scored, exact=True)
+    gate_plan = gate._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in gate_plan
+    lm.release()

@@ -436,3 +436,42 @@ def test_maxscore_exact_rejects_approximate_knobs(data):
             raise AssertionError(f"expected ConfigError for {kw}")
         except ConfigError:
             pass
+
+
+def test_build_caches_are_size_partitioned_not_core_partitioned(spark):
+    """The cached postings/doc_stats layout must derive from DATA SIZE,
+    not from spark.sql.shuffle.partitions — at high core counts a few-MB
+    index otherwise caches as dozens of near-empty partitions and every
+    search pays one scan task per partition (the r12 inverse-scaling
+    signature: 32-core searches slower than 8-core).  Results must stay
+    identical to an explicitly partitioned build up to sum
+    reassociation (absorbed by the entry layer's round(4))."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta term{i % 7} term{i % 3}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    cfg = SparseConfig(
+        metric_type="BM25", inverted_index_algo="TAAT_NAIVE",
+        k=5, bm25_k1=1.2, bm25_b=0.75,
+    )
+    idx = SparseInvertedIndex.build_from_text(docs, cfg)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_p = idx.postings.rdd.getNumPartitions()
+    n_d = idx.doc_stats.rdd.getNumPartitions()
+    # a ~1k-posting corpus must collapse to O(1) partitions regardless of
+    # the session's shuffle partition count
+    assert n_p <= max(1, shuffle_parts // 2) and n_p >= 1
+    assert n_d == 1
+
+    pinned = SparseInvertedIndex.build_from_text(docs, cfg, n_partitions=3)
+    q = spark.createDataFrame(
+        [(0, {"alpha": 1.0, "term1": 2.0})], "query_id long, vec map<string,float>"
+    )
+    a = idx.search(q, k=5).orderBy("query_id", "rank").collect()
+    b = pinned.search(q, k=5).orderBy("query_id", "rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in a] == [
+        (r["doc_id"], r["rank"]) for r in b
+    ]
+    assert all(
+        abs(x["score"] - y["score"]) < 1e-9 for x, y in zip(a, b)
+    )
