@@ -117,8 +117,6 @@ class BloomFilter:
         """``df`` + a boolean ``out_col``: True iff the row's fingerprint
         is (probably) in the filter.  One broadcast, one Arrow kernel —
         no join, no shuffle."""
-        import pandas as pd
-
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast((self.bits, self.k, self.m_bits))
         fp_expr = (
@@ -142,22 +140,36 @@ class BloomFilter:
         )
 
         def kernel(batches):
+            # Arrow-native (guide §4.2): only the int64 fingerprint column
+            # is touched in Python; every payload column (text!) passes
+            # through as Arrow buffers with zero pandas boxing — the old
+            # mapInPandas round-trip boxed the full document text into
+            # Python objects on BOTH boundary crossings just to append a
+            # boolean
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
             bits, kk, m = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                fps = pdf[fp_col].to_numpy(dtype=np.int64, na_value=0)
+                col = rb.column(rb.schema.get_field_index(fp_col))
+                null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+                fps = pc.fill_null(col, 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64, copy=False)
                 pos = _positions(fps, kk, m)
                 hit = (
                     (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
                 ).all(axis=1)
                 # NULL text → NULL fingerprint → never "seen"
-                hit = np.where(pdf[fp_col].isna(), False, hit)
-                out = pdf.copy()
-                out[out_col] = hit
-                yield out
+                hit = np.where(null_mask, False, hit)
+                yield pa.record_batch(
+                    rb.columns + [pa.array(hit, type=pa.bool_())],
+                    names=list(rb.schema.names) + [out_col],
+                )
 
-        return src.mapInPandas(kernel, out_schema).drop(fp_col)
+        return src.mapInArrow(kernel, out_schema).drop(fp_col)
 
     def filter_unseen(self, df: DataFrame, **kw) -> DataFrame:
         """``df`` minus rows whose content the filter has (probably) seen

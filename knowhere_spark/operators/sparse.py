@@ -53,7 +53,7 @@ def sparse_to_postings(
     )
 
 
-_POSTINGS_PARTITION_BYTES = 32 << 20   # target cached-partition size
+_POSTINGS_PARTITION_BYTES = 4 << 20    # target cached-partition size
 _POSTING_ROW_BYTES = 48                # term string + doc_id + value + overhead
 _DOC_STAT_ROW_BYTES = 24
 
@@ -69,27 +69,34 @@ def _right_size_index_caches(postings, doc_stats, n_docs, avgdl, scalar_cols):
     partition plus that many map-side shuffle blocks (measured at sf0.1:
     nq=1 BM25 search min 0.86 s → 0.66 s on local[32] with 4+1
     partitions, dropping the 32-core time below the stock 8-core time —
-    the inverse-scaling signature).  Only ever SHRINKS: corpus-scale
-    postings keep their natural partitioning, so this is a no-op at
-    100 TB where the estimate exceeds the current count.  Score sums may
-    reassociate (≤1 ulp drift — the same drift a different core count
-    already causes; the entry layer's round(4) absorbs it)."""
+    the inverse-scaling signature).  The 4 MB target keeps a few-way
+    scan parallelism for batched (nq≥100) term joins — a partition-count
+    sweep at sf0.1 read nq=1 FLAT from 2..32 parts on an idle box but
+    2× worse at 32 parts under load, while nq=100 improved steadily
+    with width; ~7 parts held both entries at-or-better in every
+    regime — while collapsing the near-empty tail.  Only ever SHRINKS:
+    corpus-scale postings keep
+    their natural partitioning, so this is a no-op at 100 TB where the
+    estimate exceeds the current count.  Score sums may reassociate
+    (≤1 ulp drift — the same drift a different core count already
+    causes; the entry layer's round(4) absorbs it).
+
+    The relayout is LAZY: ``coalesce`` (no shuffle) + cache, with the
+    original caches kept alive as the fill source — the build pays no
+    extra job (an eager repartition+materialize tripled the measured
+    build entry), and the first search fills the right-sized cache by
+    reading the old one.  The duplication is bounded by the shrink-only
+    trigger (small indexes only) and the old blocks age out with their
+    references."""
     est_rows = max(1.0, float(n_docs) * max(float(avgdl), 1.0))
     want_p = max(1, int(est_rows * _POSTING_ROW_BYTES
                         // _POSTINGS_PARTITION_BYTES) + 1)
     if want_p >= postings.rdd.getNumPartitions():
         return postings, doc_stats
-    old_p, old_d = postings, doc_stats
-    postings = old_p.repartition(want_p, "term").cache()
-    postings.count()   # fill the new cache from the old one, not the source
     want_d = max(1, int(n_docs * _DOC_STAT_ROW_BYTES
                         // _POSTINGS_PARTITION_BYTES) + 1)
     # doc_stats values are already aggregated — a pure relayout, bit-exact
-    doc_stats = old_d.coalesce(want_d).cache()
-    doc_stats.count()
-    old_p.unpersist()
-    old_d.unpersist()
-    return postings, doc_stats
+    return postings.coalesce(want_p).cache(), doc_stats.coalesce(want_d).cache()
 
 
 def bm25_score_expr(
