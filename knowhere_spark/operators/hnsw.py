@@ -72,6 +72,17 @@ def _undominated_reverse_mask(
     """Mask over the reverse copies (dst→src) of the selected edges:
     True where the reverse copy must still be emitted.
 
+    PRECONDITION: the forward (src_pos, dst_pos) pairs are UNIQUE.
+    ``searchsorted(..., 'left')`` pairs each reverse copy with ONE
+    arbitrary duplicate's ``dd``; with duplicate forward pairs whose
+    distances differ, a reverse copy could be dropped against a dd
+    above the surviving min and corrupt the downstream min-agg.
+    ``diverse_neighbors`` emits at most one edge per (src, dst) (one
+    selection pass per src row over distinct dst columns), so every
+    caller today satisfies this; a new caller with duplicates must
+    dedup first (or compare against ``np.minimum.reduceat`` over the
+    sorted codes).
+
     The reverse copy of forward edge (i→j) is (j, i, dist=dd_ij,
     rank=_REV_RANK).  When the selection also contains the forward edge
     (j→i) — mutual neighbors, the common case on clique-heavy corpora —
