@@ -88,6 +88,70 @@ _SHARD_EDGE_SCHEMA = StructType(
 )
 
 
+def _edge_prune_kernel(M: int, is_sim: bool):
+    """Per-shard dedup + M-prune of the raw symmetrized edge union —
+    the Arrow-kernel replacement for the former
+    ``repartition(src) → groupBy(shard,src,dst).agg(min,min) →
+    row_number window → repartition(__shard)`` chain (guide §2.4, r13:
+    the window's sort AND the second exchange of the pruned rows both
+    disappear; the kernel's output is already shard-clustered for the
+    partitionBy write).
+
+    Exactness: ``min(dist)/min(sel_rank)`` per (src, dst) are
+    ``np.minimum.reduceat`` over contiguous lexsorted runs, and the
+    prune order (sel_rank asc, dist asc — desc for similarity — dst
+    asc) is a TOTAL order within a src once (src, dst) are unique, so
+    one lexsort reproduces the window's row_number assignment
+    byte-for-byte (pinned by tests/test_hnsw_sharded.py::
+    test_edge_prune_kernel_equals_sql on dup/reverse/tie-heavy
+    inputs)."""
+    import pyarrow as pa
+
+    from knowhere_spark.functions.arrowio import scalar_column
+
+    empty = pa.schema(
+        [("__shard", pa.int32()), ("src", pa.int64()),
+         ("dst", pa.int64()), ("dist", pa.float64())]
+    )
+
+    def kernel(key, tbl):
+        if tbl.num_rows == 0:
+            return empty.empty_table()
+        src = scalar_column(tbl, "src", np.int64)
+        dst = scalar_column(tbl, "dst", np.int64)
+        dist = scalar_column(tbl, "dist", np.float64)
+        rank = scalar_column(tbl, "sel_rank", np.int64)
+        order = np.lexsort((dst, src))
+        s, d_, di, rk = src[order], dst[order], dist[order], rank[order]
+        new = np.r_[True, (s[1:] != s[:-1]) | (d_[1:] != d_[:-1])]
+        starts = np.flatnonzero(new)
+        dmin = np.minimum.reduceat(di, starts)
+        rmin = np.minimum.reduceat(rk, starts)
+        gs, gd = s[starts], d_[starts]
+        key_d = -dmin if is_sim else dmin
+        sel = np.lexsort((gd, key_d, rmin, gs))
+        ss = gs[sel]
+        newg = np.r_[True, ss[1:] != ss[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(newg, np.arange(len(ss)), 0)
+        )
+        keep = (np.arange(len(ss)) - grp_start) < M
+        take = sel[keep]
+        return pa.table(
+            {
+                "__shard": pa.array(
+                    np.full(len(take), int(key[0].as_py()), dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "src": pa.array(gs[take], type=pa.int64()),
+                "dst": pa.array(gd[take], type=pa.int64()),
+                "dist": pa.array(dmin[take], type=pa.float64()),
+            }
+        )
+
+    return kernel
+
+
 def _route_to_shards(
     df: DataFrame, router: np.ndarray, metric: MetricType
 ) -> DataFrame:
@@ -736,6 +800,15 @@ class ShardedHNSWIndex:
         # __shard) and the window's partitionBy(src).  The write below still
         # re-partitions by __shard — that exchange is load-bearing (one
         # file per shard → pruned per-shard collects at 10^5 shards).
+        # An r13 prototype replaced this whole chain with a per-shard
+        # Arrow kernel (_edge_prune_kernel — one exchange, no window):
+        # output PROVEN byte-identical at bench scale, but timing was a
+        # wash (the saved pruned-rows exchange ≈ the added Python
+        # boundary traffic of the raw union) and applyInArrow
+        # materializes a WHOLE shard's raw edges per task — a multi-GB
+        # Arrow group at the 1 GiB shard contract where this window
+        # spills gracefully.  Measured rejection; the kernel + equality
+        # test remain as the documented reference.
         sym = (
             raw_edges.repartition("src")
             .groupBy("__shard", "src", "dst")

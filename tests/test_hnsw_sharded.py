@@ -800,3 +800,74 @@ def test_shard_count_recall_guardrail(spark, recwarn):
         _w.simplefilter("always")
         ShardedHNSWIndex.build(base, cfg, n_shards=4)
     assert not [w for w in rec2 if "rows/shard" in str(w.message)]
+
+
+def test_edge_prune_kernel_equals_sql(spark):
+    """The Arrow dedup+prune kernel must reproduce the former SQL chain
+    (groupBy(shard,src,dst).agg(min,min) -> row_number window) BYTE for
+    byte, on inputs with duplicate (src,dst) pairs, reverse duplicates,
+    exact distance ties, and both metric directions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from knowhere_spark.operators.hnsw_sharded import (
+        _SHARD_EDGE_SCHEMA,
+        _edge_prune_kernel,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for shard in (0, 1):
+        base = shard * 100
+        for _ in range(600):
+            s = base + rng.randrange(12)
+            d = base + rng.randrange(12)
+            if s == d:
+                continue
+            # coarse distance grid -> many exact ties; duplicate pairs
+            # with differing dist/rank exercise the min-agg
+            dist = float(rng.randrange(5))
+            rank = rng.choice([0, 1, 2, 1 << 30])
+            rows.append((shard, s, d, dist, rank))
+    df = spark.createDataFrame(rows, _SHARD_EDGE_SCHEMA)
+    M = 3
+    out_schema = StructType(
+        [
+            StructField("__shard", IntegerType()),
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+    for is_sim in (False, True):
+        kern = (
+            df.groupBy("__shard")
+            .applyInArrow(_edge_prune_kernel(M, is_sim), out_schema)
+            .orderBy("__shard", "src", "dst")
+            .collect()
+        )
+        sym = (
+            df.repartition("src")
+            .groupBy("__shard", "src", "dst")
+            .agg(F.min("dist").alias("dist"), F.min("sel_rank").alias("sel_rank"))
+        )
+        dist_order = F.col("dist").desc() if is_sim else F.col("dist").asc()
+        w = Window.partitionBy("src").orderBy(
+            F.col("sel_rank").asc(), dist_order, F.col("dst").asc()
+        )
+        ref = (
+            sym.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= M)
+            .select("__shard", "src", "dst", "dist")
+            .orderBy("__shard", "src", "dst")
+            .collect()
+        )
+        assert [tuple(r) for r in kern] == [tuple(r) for r in ref], is_sim
